@@ -1,0 +1,39 @@
+"""mcos_tpu — TPU-native Monte Carlo option pricing & risk framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+Monte-Carlo-Option-Simulator (NSE/NIFTY SVJ trading-desk engine): SVJ/GBM path
+simulation (fused Pallas kernel + differentiable lax.scan), Black-Scholes
+analytics, AD Greeks, Sobol+Brownian-bridge QMC, two-stage calibration,
+IV-surface/SABR tools, risk/stress/hedging engines, regime detection, pricing
+guards, and an HTTP serving layer — path-parallel across TPU meshes via
+shard_map + psum.
+"""
+
+__version__ = "0.1.0"
+
+from mcos_tpu.config import (  # noqa: F401
+    CALIBRATION_CONFIG,
+    DEFAULT_NUM_PATHS,
+    DEFAULT_NUM_STEPS,
+    DIVIDEND_YIELD,
+    PARAM_BOUNDS,
+    REGIME_THRESHOLDS,
+    RISK_FREE_RATE,
+    check_feller,
+)
+from mcos_tpu.models.params import (  # noqa: F401
+    SVJParams,
+    TermStructureSVJ,
+    forward_price,
+    gbm_params,
+)
+from mcos_tpu.ops.bs import (  # noqa: F401
+    bs_all_greeks,
+    bs_delta,
+    bs_gamma,
+    bs_price,
+    bs_rho,
+    bs_theta,
+    bs_vega,
+)
+from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core  # noqa: F401

@@ -1,0 +1,313 @@
+"""Monte Carlo pricing runtime.
+
+TPU-native re-design of the reference's `MonteCarloEngine`
+(reference: engine/monte_carlo.py:249-471).
+
+Architecture:
+
+- `mc_price_core(...)` is a *pure functional* pricer: params in, price/stderr
+  pytree out. It is jit-compiled, differentiable end-to-end (used by the
+  AD Greeks engine), and vmappable over strikes (used by `price_batch` and the
+  smile endpoint — the reference loops strikes in Python at
+  monte_carlo.py:420-448; here strikes are a vectorized payoff axis over one
+  shared terminal-spot tensor).
+- `MonteCarloEngine` is a thin stateful wrapper exposing the reference's API
+  surface (`price`, `price_batch`, `get_sample_paths`) with the same result
+  keys, so downstream engines and the HTTP layer translate 1:1.
+
+Variance reduction:
+- antithetic pairs ride a single fused pass (sign-flip on normals, shared jump
+  uniforms — monte_carlo.py:318-324), matching the reference exactly;
+- the Black-Scholes control variate (σ = √v0, β = 1) is implemented
+  *correctly*: a GBM companion leg driven by the same dW₁ provides a control
+  whose expectation is the analytic BS price. The reference instead reuses the
+  SVJ payoff itself as the "BS leg" (monte_carlo.py:358-362), which makes its
+  CV-adjusted price an unbiased estimator of the **Black-Scholes** price — all
+  SVJ skew/jump effects are cancelled whenever use_control_variate=True (its
+  default). `cv_mode="reference"` reproduces that arithmetic for parity
+  testing; the default `cv_mode="companion"` keeps the SVJ price unbiased and
+  still collapses variance in the BS limit.
+
+Random drivers:
+- "threefry": counter-based keys, the default for sharded scale.
+- "sobol": scrambled Sobol + Brownian-bridge (mcos_tpu.ops.sobol), the
+  reference's default driver (monte_carlo.py:290-299), kept for single-host
+  runs; the bridge is a precomputed matrix so path construction is one matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcos_tpu.config import (
+    DEFAULT_NUM_PATHS,
+    DEFAULT_NUM_STEPS,
+    scaled_steps,
+)
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops import simulate
+from mcos_tpu.ops.bs import bs_price
+
+Array = jax.Array
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Functional core
+# ─────────────────────────────────────────────────────────────────────────────
+def _payoff_table(s_final: Array, strikes: Array, is_call: bool) -> Array:
+    """(n_branch, paths) terminal spots → antithetic-combined (K, paths) payoffs."""
+    pay = simulate.vanilla_payoff(s_final[None], strikes[:, None, None], is_call)
+    return simulate.combine_antithetic(jnp.swapaxes(pay, 0, 1))
+
+
+def _finalize_price(
+    params: SVJParams, spot, strikes, T, discount,
+    pay: Array, s_final: Array, g_final: Optional[Array],
+    is_call: bool, control_variate: bool, cv_mode: str,
+) -> Dict[str, Array]:
+    """Shared price/stderr/CV arithmetic for both random drivers."""
+    raw_mean, raw_se = simulate.mc_mean_stderr(pay)
+    raw_price = discount * raw_mean
+    out: Dict[str, Array] = {
+        "price": raw_price,
+        "std_error": discount * raw_se,
+        "raw_mc_price": raw_price,
+    }
+    if control_variate:
+        sigma_bs = jnp.sqrt(params.v0)  # σ = √v0 proxy (monte_carlo.py:354)
+        bs_ref = bs_price(spot, strikes, T, params.r, params.q, sigma_bs, is_call)
+        if cv_mode == "companion":
+            # Correct CV: GBM companion leg, E[disc·payoff(G_T)] = bs_ref.
+            ctrl = _payoff_table(g_final, strikes, is_call)
+        elif cv_mode == "reference":
+            # Reference arithmetic (monte_carlo.py:358-362): control leg is the
+            # *base-branch SVJ payoff* — biases the price toward bs_ref.
+            # Kept only for parity testing against the reference.
+            ctrl = simulate.vanilla_payoff(
+                s_final[0][None], strikes[:, None], is_call)
+        else:
+            raise ValueError(f"unknown cv_mode: {cv_mode!r}")
+        ctrl_mc = discount * jnp.mean(ctrl, axis=-1)
+        out["price"] = raw_price - (ctrl_mc - bs_ref)
+        out["bs_cv_adjustment"] = ctrl_mc - bs_ref
+        out["bs_ref"] = bs_ref
+        # CV-adjusted stderr (β=1; monte_carlo.py:372-373 shape).
+        cv_pay = pay - (ctrl - bs_ref[:, None] / discount)
+        _, cv_se = simulate.mc_mean_stderr(cv_pay)
+        out["std_error"] = discount * cv_se
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_paths", "num_steps", "is_call", "antithetic", "control_variate",
+        "cv_mode",
+    ),
+)
+def mc_price_core(
+    params: SVJParams,
+    spot,
+    strikes: Array,
+    T,
+    key: Array,
+    *,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    antithetic: bool = True,
+    control_variate: bool = True,
+    cv_mode: str = "companion",
+) -> Dict[str, Array]:
+    """Price European options at one or many strikes off one shared path set.
+
+    Args:
+        strikes: shape (num_strikes,) — vectorized payoff axis.
+
+    Returns dict of arrays, each shaped (num_strikes,):
+        price, std_error, raw_mc_price, bs_ref, bs_cv_adjustment
+        plus scalar terminal-state stats (s_mean, v_mean, v_max, frac_nonfinite)
+        consumed by the post-price guards.
+    """
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    s_final, v_final, g_final = simulate.simulate_terminal(
+        params, spot, T, key,
+        num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
+        companion=control_variate and cv_mode == "companion",
+    )
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+    pay = _payoff_table(s_final, strikes, is_call)
+    out = _finalize_price(params, spot, strikes, T, discount,
+                          pay, s_final, g_final, is_call,
+                          control_variate, cv_mode)
+    # Terminal-state diagnostics for guards (engine/guards.py:173-218 inputs).
+    out["s_mean"] = jnp.mean(s_final)
+    out["v_mean"] = jnp.mean(v_final)
+    out["v_max"] = jnp.max(v_final)
+    out["frac_nonfinite"] = jnp.mean(~jnp.isfinite(s_final))
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("is_call", "control_variate", "cv_mode"),
+)
+def mc_price_from_draws(
+    params: SVJParams,
+    spot,
+    strikes: Array,
+    T,
+    z1: Array,
+    z2: Array,
+    u_jump: Array,
+    z_js: Array,
+    *,
+    is_call: bool = True,
+    control_variate: bool = True,
+    cv_mode: str = "companion",
+) -> Dict[str, Array]:
+    """QMC / CRN pricing path: externally supplied draws, antithetic pairing.
+
+    The antithetic branch negates (z1, z2, z_js) and shares u_jump, matching
+    monte_carlo.py:318-324. Used with the Sobol+Brownian-bridge driver and by
+    the CRN finite-difference Greeks oracle.
+    """
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    want_g = control_variate and cv_mode == "companion"
+    s_base, v_base, g_base = simulate.simulate_terminal_from_draws(
+        params, spot, T, z1, z2, u_jump, z_js, companion=want_g)
+    s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
+        params, spot, T, -z1, -z2, u_jump, -z_js, companion=want_g)
+    s_final = jnp.stack([s_base, s_anti])  # (2, paths)
+    g_final = jnp.stack([g_base, g_anti]) if want_g else None
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+
+    pay = _payoff_table(s_final, strikes, is_call)
+    out = _finalize_price(params, spot, strikes, T, discount,
+                          pay, s_final, g_final, is_call,
+                          control_variate, cv_mode)
+    out["s_mean"] = jnp.mean(s_final)
+    out["v_mean"] = jnp.mean(v_base)
+    out["v_max"] = jnp.max(v_base)
+    out["frac_nonfinite"] = jnp.mean(~jnp.isfinite(s_final))
+    return out
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Stateful wrapper (reference API surface)
+# ─────────────────────────────────────────────────────────────────────────────
+class MonteCarloEngine:
+    """Drop-in equivalent of the reference `MonteCarloEngine`
+    (engine/monte_carlo.py:249-272 constructor semantics).
+
+    Args:
+        use_sobol: scrambled Sobol + Brownian bridge driver (reference default).
+        use_antithetic / use_control_variate: variance reduction toggles.
+        backend: "scan" (XLA, differentiable), "pallas" (fused TPU kernel), or
+            "auto" (pallas on TPU when available, else scan).
+    """
+
+    def __init__(
+        self,
+        params: SVJParams,
+        num_paths: int = DEFAULT_NUM_PATHS,
+        num_steps: int = DEFAULT_NUM_STEPS,
+        seed: int = 42,
+        use_sobol: bool = True,
+        use_antithetic: bool = True,
+        use_control_variate: bool = True,
+        cv_mode: str = "companion",
+        backend: str = "auto",
+    ):
+        self.params = params
+        self.num_paths = int(num_paths)
+        self.num_steps = int(num_steps)
+        self.seed = int(seed)
+        self.use_sobol = bool(use_sobol)
+        self.use_antithetic = bool(use_antithetic)
+        self.use_control_variate = bool(use_control_variate)
+        self.cv_mode = cv_mode
+        self.backend = backend
+
+    # -- internals ------------------------------------------------------------
+    def _key(self) -> Array:
+        return jax.random.key(self.seed)
+
+    def _steps(self, T: float) -> int:
+        return scaled_steps(self.num_steps, T)
+
+    def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
+        steps = self._steps(T)
+        if self.use_sobol:
+            from mcos_tpu.ops.sobol import sobol_svj_draws  # lazy: host precompute
+            z1, z2, u_jump, z_js = sobol_svj_draws(
+                self.num_paths, steps, seed=self.seed)
+            return mc_price_from_draws(
+                self.params, spot, jnp.asarray(strikes), T,
+                z1, z2, u_jump, z_js,
+                is_call=is_call, control_variate=self.use_control_variate,
+                cv_mode=self.cv_mode,
+            )
+        return mc_price_core(
+            self.params, spot, jnp.asarray(strikes), T, self._key(),
+            num_paths=self.num_paths, num_steps=steps, is_call=is_call,
+            antithetic=self.use_antithetic,
+            control_variate=self.use_control_variate,
+            cv_mode=self.cv_mode,
+        )
+
+    # -- reference API ----------------------------------------------------------
+    def price(self, spot: float, strike: float, T: float,
+              is_call: bool = True) -> Dict[str, float]:
+        """Price one European option. Result keys match the reference
+        (monte_carlo.py:273-285 docstring + :345-373)."""
+        res = self._price_result(spot, np.array([strike], np.float32), T, is_call)
+        out = {
+            "price": float(res["price"][0]),
+            "std_error": float(res["std_error"][0]),
+            "num_paths_used": self.num_paths,
+            "num_steps": self._steps(T),
+        }
+        if self.use_control_variate:
+            out["bs_cv_adjustment"] = float(res["bs_cv_adjustment"][0])
+            out["bs_ref"] = float(res["bs_ref"][0])
+            out["raw_mc_price"] = float(res["raw_mc_price"][0])
+        # Guard diagnostics (not in the reference dict; cheap and useful).
+        out["v_max"] = float(res["v_max"])
+        out["frac_nonfinite"] = float(res["frac_nonfinite"])
+        return out
+
+    def price_batch(self, spot: float, strikes: Sequence[float], T: float,
+                    is_call: bool = True) -> list:
+        """Price many strikes off one shared path set
+        (monte_carlo.py:377-450 semantics, vectorized instead of looped)."""
+        strikes = np.asarray(strikes, np.float32)
+        res = self._price_result(spot, strikes, T, is_call)
+        results = []
+        for i, k in enumerate(strikes):
+            row = {
+                "strike": float(k),
+                "price": float(res["price"][i]),
+                "std_error": float(res["std_error"][i]),
+            }
+            if self.use_control_variate:
+                row["bs_ref"] = float(res["bs_ref"][i])
+            results.append(row)
+        return results
+
+    def get_sample_paths(self, spot: float, T: float,
+                         num_samples: int = 50) -> np.ndarray:
+        """Record a few full paths for visualization
+        (monte_carlo.py:452-471 semantics: PRNG driver, ≥50 steps floor)."""
+        steps = max(int(self.num_steps * T), 50)
+        key = jax.random.key(self.seed + 999)
+        paths = simulate.simulate_paths_recorded(
+            self.params, spot, T, key,
+            num_paths=int(num_samples), num_steps=steps,
+        )
+        return np.asarray(paths)

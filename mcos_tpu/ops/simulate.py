@@ -1,0 +1,255 @@
+"""SVJ / GBM path simulation as differentiable `lax.scan` programs.
+
+TPU-native re-design of the reference's Numba kernel
+(reference: engine/monte_carlo.py:189-243, `_simulate_svj_paths_numba`).
+
+Design decisions (vs the reference):
+
+- **Streaming carry, log-space spot.** The scan carry holds (log S, v) only —
+  the reference's own "streaming memory" idea (monte_carlo.py:12) — and the
+  spot update accumulates in log space, so there is no per-step `exp`: one
+  `exp` at the end materializes S_T. The reference exponentiates every step
+  (monte_carlo.py:236).
+- **Counter-based RNG inside the scan.** Normals/uniforms are drawn per step
+  from threefry keys (`jax.random.fold_in(key, step)`), replacing the
+  reference's pre-drawn (paths × steps) Z tensors (monte_carlo.py:290-308) —
+  no HBM traffic for randoms, and CRN across parameter bumps is "use the same
+  key".
+- **Antithetic in the same pass.** Both branches ride one scan with a sign
+  vector on the normals (shared jump-occurrence uniforms, negated jump sizes —
+  exactly the reference's convention at monte_carlo.py:318-324), instead of a
+  second full kernel call.
+- **Full truncation** variance scheme: v⁺ = max(v, 0) in both drift and
+  diffusion, then clip after the update (monte_carlo.py:223-239 semantics).
+
+Everything is differentiable wrt (spot, T, r, q, κ, θ, ξ, ρ, v0, μ_J, σ_J);
+the jump *indicator* 1{U < λ·dt} has zero derivative wrt λ (see
+engine/greeks.py for score-function treatment of λ sensitivities).
+
+The Pallas fused kernel in `mcos_tpu.ops.pallas_kernels` implements the same
+recursion for the non-differentiated hot path; tests pin the two to each other.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mcos_tpu.models.params import SVJParams
+
+Array = jax.Array
+
+
+def _svj_step_core(params: SVJParams, dt, sqrt_dt, log_s, v, z1, z2, u_jump, z_js):
+    """One full-truncation log-Euler SVJ step shared by all simulators.
+
+    Mirrors monte_carlo.py:221-239: v⁺ = max(v,0); dW₂ = ρ·dW₁ + √(1−ρ²)·Z₂√dt;
+    compensated drift (r − q − λk − v⁺/2)dt; Bernoulli jump 1{U < λ·dt} with
+    lognormal size μ_J + σ_J·Z.
+    """
+    p = params
+    v_pos = jnp.maximum(v, 0.0)
+    sqrt_v = jnp.sqrt(v_pos)
+
+    k = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
+    drift_comp = p.r - p.q - p.lambda_j * k
+
+    dw1 = z1 * sqrt_dt
+    dw2 = p.rho * dw1 + jnp.sqrt(1.0 - p.rho * p.rho) * z2 * sqrt_dt
+
+    jump = jnp.where(u_jump < p.lambda_j * dt, p.mu_j + p.sigma_j * z_js, 0.0)
+
+    log_s = log_s + (drift_comp - 0.5 * v_pos) * dt + sqrt_v * dw1 + jump
+    v = v_pos + p.kappa * (p.theta - v_pos) * dt + p.xi * sqrt_v * dw2
+    v = jnp.maximum(v, 0.0)
+    return log_s, v
+
+
+@partial(jax.jit, static_argnames=(
+    "num_paths", "num_steps", "antithetic", "companion", "dtype"))
+def simulate_terminal(
+    params: SVJParams,
+    spot,
+    T,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Simulate SVJ paths with in-scan threefry draws; return terminal (S, v, G).
+
+    When `companion=True`, a GBM *companion leg* with constant volatility
+    σ = √v0 rides the same dW₁ increments:
+        d log G = (r − q − σ²/2) dt + σ dW₁
+    Its terminal payoff has a *known* expectation (the Black-Scholes price), so
+    it is a correct control variate for the SVJ payoff. Note: the reference's
+    "BS control variate" (monte_carlo.py:358-362) reuses the SVJ terminal spot
+    itself as the control leg, which makes its CV-adjusted price an estimator
+    of the σ=√v0 Black-Scholes price rather than the SVJ price — that bias is
+    NOT reproduced here (a compat mode in the pricer reproduces the arithmetic
+    for parity testing). Cost of the companion: one extra FMA per path-step.
+
+    Returns:
+        S_final: shape (n_branch, num_paths); row 0 base, row 1 antithetic.
+        v_final: same shape (terminal variance, for guards/validation).
+        G_final: same shape if companion else None.
+    """
+    n_branch = 2 if antithetic else 1
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+
+    # sign[0] = +1 (base), sign[1] = -1 (antithetic); broadcast over paths.
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (n_branch, num_paths)).astype(dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_branch, num_paths))
+
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    def step(carry, step_idx):
+        log_s, v, log_g = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
+        # Antithetic: negate normals, share jump-occurrence uniforms
+        # (monte_carlo.py:318-324 convention).
+        z1 = z[0] * sign
+        z2 = z[1] * sign
+        z_js = z[2] * sign
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z1, z2, u_jump[None, :], z_js)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z1 * sqrt_dt
+        return (log_s, v, log_g), None
+
+    (log_s, v, log_g), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0), jnp.arange(num_steps))
+    return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
+
+
+@partial(jax.jit, static_argnames=("companion",))
+def simulate_terminal_from_draws(
+    params: SVJParams,
+    spot,
+    T,
+    z1: Array,
+    z2: Array,
+    u_jump: Array,
+    z_js: Array,
+    companion: bool = False,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Simulate with externally supplied randoms (QMC driver / CRN oracles).
+
+    Args:
+        z1, z2, z_js: standard normals, shape (num_paths, num_steps) —
+            the reference kernel's exact input layout (monte_carlo.py:190-198).
+        u_jump: U(0,1) jump-occurrence uniforms, same shape.
+        companion: also evolve the σ=√v0 GBM control-variate leg on dW₁
+            (see `simulate_terminal`).
+
+    Returns:
+        (S_final, v_final, G_final or None), each shape (num_paths,).
+    """
+    num_steps = z1.shape[1]
+    dtype = z1.dtype
+    spot = jnp.asarray(spot, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (z1.shape[0],))
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (z1.shape[0],))
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    def step(carry, draws):
+        log_s, v, log_g = carry
+        z1_t, z2_t, u_t, zj_t = draws
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z1_t, z2_t, u_t, zj_t)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z1_t * sqrt_dt
+        return (log_s, v, log_g), None
+
+    draws = (z1.T, z2.T, u_jump.T, z_js.T)  # scan over the step axis
+    (log_s, v, log_g), _ = jax.lax.scan(step, (log_s0, v0, log_s0), draws)
+    return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps"))
+def simulate_paths_recorded(
+    params: SVJParams,
+    spot,
+    T,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+) -> Array:
+    """Record full paths for visualization (≤ O(100) paths).
+
+    Equivalent of the reference's record_paths=True mode
+    (monte_carlo.py:215-219, 240-241; used by get_sample_paths at :452-471).
+
+    Returns:
+        paths: shape (num_paths, num_steps + 1), paths[:, 0] = spot.
+    """
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
+
+    def step(carry, step_idx):
+        log_s, v = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u = jax.random.uniform(k_unif, (num_paths,), dtype)
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z[0], z[1], u, z[2])
+        return (log_s, v), log_s
+
+    (_, _), log_path = jax.lax.scan(step, (log_s0, v0), jnp.arange(num_steps))
+    paths = jnp.exp(log_path).T  # (num_paths, num_steps)
+    return jnp.concatenate(
+        [jnp.broadcast_to(spot, (num_paths, 1)), paths], axis=1
+    )
+
+
+def vanilla_payoff(s_final: Array, strike, is_call: bool) -> Array:
+    """European payoff max(±(S−K), 0) (monte_carlo.py:327-335)."""
+    if is_call:
+        return jnp.maximum(s_final - strike, 0.0)
+    return jnp.maximum(strike - s_final, 0.0)
+
+
+def combine_antithetic(payoffs: Array) -> Array:
+    """Average payoff branches pairwise: (n_branch, n_paths) → (n_paths,).
+
+    With antithetic branches this is the reference's pairwise combination
+    0.5·(payoff + payoff_anti) (monte_carlo.py:338-339); with a single branch
+    it is the identity.
+    """
+    return jnp.mean(payoffs, axis=0)
+
+
+def mc_mean_stderr(values: Array) -> Tuple[Array, Array]:
+    """Monte Carlo mean and standard error over the path axis.
+
+    Matches the reference's estimator (monte_carlo.py:342-343): stderr uses the
+    *population* std of the (antithetic-combined) per-path values / √n.
+    """
+    n = values.shape[-1]
+    mean = jnp.mean(values, axis=-1)
+    std = jnp.std(values, axis=-1)
+    return mean, std / jnp.sqrt(jnp.asarray(n, values.dtype))
