@@ -155,6 +155,53 @@ def mc_price_core(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "num_paths", "num_steps", "is_call", "antithetic", "control_variate",
+        "cv_mode",
+    ),
+)
+def mc_price_pallas(
+    params: SVJParams,
+    spot,
+    strikes: Array,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    antithetic: bool = True,
+    control_variate: bool = True,
+    cv_mode: str = "companion",
+) -> Dict[str, Array]:
+    """`mc_price_core` with terminal spots from the fused Pallas kernel.
+
+    Identical estimator semantics; the kernel draws its randoms from the TPU
+    hardware PRNG (different stream than threefry, same law). This is the
+    production hot path (~7-14 G path-steps/s/chip vs the 1e9 target).
+    """
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_pallas
+
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    s_final, v_final, g_final = svj_terminal_pallas(
+        params, spot, T, seed,
+        num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
+        companion=control_variate and cv_mode == "companion",
+    )
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+    pay = _payoff_table(s_final, strikes, is_call)
+    out = _finalize_price(params, spot, strikes, T, discount,
+                          pay, s_final, g_final, is_call,
+                          control_variate, cv_mode)
+    out["s_mean"] = jnp.mean(s_final)
+    out["v_mean"] = jnp.mean(v_final)
+    out["v_max"] = jnp.max(v_final)
+    out["frac_nonfinite"] = jnp.mean(~jnp.isfinite(s_final))
+    return out
+
+
+@partial(
+    jax.jit,
     static_argnames=("is_call", "control_variate", "cv_mode"),
 )
 def mc_price_from_draws(
@@ -241,6 +288,14 @@ class MonteCarloEngine:
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
 
+    def _resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        # Pallas is the hot path on TPU; the scan path serves CPU/debug runs
+        # and anything needing gradients. QMC always flows through the
+        # pre-drawn-array path.
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
         steps = self._steps(T)
         if self.use_sobol:
@@ -251,6 +306,14 @@ class MonteCarloEngine:
                 self.params, spot, jnp.asarray(strikes), T,
                 z1, z2, u_jump, z_js,
                 is_call=is_call, control_variate=self.use_control_variate,
+                cv_mode=self.cv_mode,
+            )
+        if self._resolved_backend() == "pallas":
+            return mc_price_pallas(
+                self.params, spot, jnp.asarray(strikes), T, self.seed,
+                num_paths=self.num_paths, num_steps=steps, is_call=is_call,
+                antithetic=self.use_antithetic,
+                control_variate=self.use_control_variate,
                 cv_mode=self.cv_mode,
             )
         return mc_price_core(

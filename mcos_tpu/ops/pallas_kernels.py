@@ -1,0 +1,335 @@
+"""Fused Pallas TPU kernels for path simulation.
+
+TPU-native equivalent of the reference's single compiled component — the
+Numba JIT kernel `_simulate_svj_paths_numba` (engine/monte_carlo.py:189-243).
+This is the performance path; `mcos_tpu.ops.simulate` holds the semantically
+identical (and differentiable) `lax.scan` implementation, and the test suite
+pins the two against each other.
+
+Design:
+
+- **RNG inside the kernel.** Uniform bits come from the TPU's hardware PRNG
+  (`pltpu.prng_random_bits`), converted to normals with Box-Muller — no
+  (paths × steps) random tensors ever touch HBM, unlike the reference's
+  pre-drawn Z arrays (monte_carlo.py:290-308). HBM traffic per path is 4-12
+  output bytes total, so the kernel is compute-bound by design.
+- **Log-space spot.** The carry holds log S; there is no per-step `exp`
+  (the reference exponentiates every step, monte_carlo.py:236). One `exp` at
+  the end materializes S_T.
+- **Antithetic via paired grid blocks.** Grid blocks b and b + G/2 reseed the
+  PRNG with the same per-pair seed and apply opposite signs to the normals,
+  sharing jump-occurrence uniforms — the reference's antithetic convention
+  (monte_carlo.py:318-324) with zero extra register pressure per block.
+- **Full truncation** variance scheme, compensated drift, Bernoulli-approx
+  Poisson jumps — exactly the recursion at monte_carlo.py:221-239.
+- **GBM companion leg** for the control variate rides the same dW₁
+  (see mcos_tpu/engine/pricer.py for why the reference's CV is biased).
+
+Layout: paths live as (ROWS, 128) fp32 tiles — lane dim 128, sublane multiple
+of 8 — so every op maps 1:1 onto VPU vregs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcos_tpu.models.params import SVJParams
+
+Array = jax.Array
+
+LANES = 128
+DEFAULT_ROWS = 256          # paths per block = ROWS * LANES = 32768
+_TWO_PI = 6.283185307179586
+
+
+def _interpret():
+    """Off-TPU, run kernels through the Pallas TPU interpreter.
+
+    NOTE: the interpreter does NOT emulate the hardware PRNG —
+    `prng_random_bits` yields zeros there, so interpreted runs are only good
+    for shape/compile smoke tests. The pricing engine auto-selects the scan
+    backend off-TPU (engine/pricer.py), so this path is never hit in
+    production; statistical validation of the kernels runs on real TPU
+    (bench.py + the verify drive + TPU-gated tests).
+    """
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams()
+
+# Packed scalar-parameter layout (single SMEM vector, see _pack_params).
+_P_LOGS0, _P_V0, _P_DT, _P_SQRT_DT, _P_KAPPA, _P_THETA, _P_XI, _P_RHO, \
+    _P_RHO_PERP, _P_LAM_DT, _P_MU_J, _P_SIG_J, _P_DRIFT_DT, _P_G_DRIFT_DT, \
+    _P_SIG_CV, _P_NPARAMS = range(16)
+
+
+def _pack_params(params: SVJParams, spot, T, num_steps: int) -> Array:
+    """Precompute per-step scalar constants on the trace side (f32 vector)."""
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    dt = f(T) / num_steps
+    k = jnp.exp(f(params.mu_j) + 0.5 * f(params.sigma_j) ** 2) - 1.0
+    sigma_cv = jnp.sqrt(f(params.v0))
+    vec = jnp.zeros((_P_NPARAMS,), jnp.float32)
+    vals = {
+        _P_LOGS0: jnp.log(f(spot)),
+        _P_V0: f(params.v0),
+        _P_DT: dt,
+        _P_SQRT_DT: jnp.sqrt(dt),
+        _P_KAPPA: f(params.kappa),
+        _P_THETA: f(params.theta),
+        _P_XI: f(params.xi),
+        _P_RHO: f(params.rho),
+        _P_RHO_PERP: jnp.sqrt(1.0 - f(params.rho) ** 2),
+        _P_LAM_DT: f(params.lambda_j) * dt,
+        _P_MU_J: f(params.mu_j),
+        _P_SIG_J: f(params.sigma_j),
+        _P_DRIFT_DT: (f(params.r) - f(params.q) - f(params.lambda_j) * k) * dt,
+        _P_G_DRIFT_DT: (f(params.r) - f(params.q) - 0.5 * sigma_cv**2) * dt,
+        _P_SIG_CV: sigma_cv,
+    }
+    for i, v in vals.items():
+        vec = vec.at[i].set(v)
+    return vec
+
+
+def _bits_to_uniform(bits: Array) -> Array:
+    """random bits → f32 uniform strictly inside (0, 1).
+
+    Uses the top 23 bits plus a half-ulp offset: u = (bits>>9 + 0.5)·2⁻²³,
+    so log(u) and Box-Muller are safe (max |z| ≈ 5.8σ at f32 resolution).
+    The bitcast forces an unsigned interpretation — prng_random_bits may
+    surface int32, and an arithmetic shift of a negative word would produce
+    u < 0 (NaN through log).
+    """
+    ubits = pltpu.bitcast(bits, jnp.uint32)
+    top = jax.lax.shift_right_logical(ubits, jnp.uint32(9))
+    # Mosaic lacks a uint32→f32 cast; after the shift the word is < 2²³ so a
+    # signed reinterpretation is lossless and int32→f32 lowers natively.
+    top_i32 = pltpu.bitcast(top, jnp.int32)
+    return (top_i32.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -23)
+
+
+def _boxmuller(u1: Array, u2: Array) -> Tuple[Array, Array]:
+    """Two independent standard normals from two uniforms."""
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = jnp.float32(_TWO_PI) * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# SVJ kernel
+# ─────────────────────────────────────────────────────────────────────────────
+def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
+                num_steps: int, rows: int, half_grid: int, companion: bool):
+    """One path block of the fused SVJ simulator (see module docstring)."""
+    block = pl.program_id(0)
+    pair = block % half_grid
+    # Decorrelate per-block streams; pair (b, b + half) shares a stream.
+    pltpu.prng_seed(seed_ref[0] + pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    log_s0 = p_ref[_P_LOGS0]
+    dt = p_ref[_P_DT]
+    sqrt_dt = p_ref[_P_SQRT_DT]
+    kappa, theta, xi = p_ref[_P_KAPPA], p_ref[_P_THETA], p_ref[_P_XI]
+    rho, rho_perp = p_ref[_P_RHO], p_ref[_P_RHO_PERP]
+    lam_dt = p_ref[_P_LAM_DT]
+    mu_j, sig_j = p_ref[_P_MU_J], p_ref[_P_SIG_J]
+    drift_dt = p_ref[_P_DRIFT_DT]
+    g_drift_dt = p_ref[_P_G_DRIFT_DT]
+    sig_cv = p_ref[_P_SIG_CV]
+
+    def body(_, carry):
+        log_s, v, log_g = carry
+        bits = pltpu.prng_random_bits((5, rows, LANES))
+        u1 = _bits_to_uniform(bits[0])
+        u2 = _bits_to_uniform(bits[1])
+        u3 = _bits_to_uniform(bits[2])
+        u4 = _bits_to_uniform(bits[3])
+        u_jump = _bits_to_uniform(bits[4])  # shared across the antithetic pair
+
+        z1, z2 = _boxmuller(u1, u2)
+        z_js, _ = _boxmuller(u3, u4)
+        z1, z2, z_js = z1 * sign, z2 * sign, z_js * sign
+
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_pos)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
+
+        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump
+        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
+                        + xi * sqrt_v * dw2, 0.0)
+        if companion:
+            log_g = log_g + g_drift_dt + sig_cv * dw1
+        return log_s, v, log_g
+
+    init = (jnp.full(shape, log_s0, jnp.float32),
+            jnp.full(shape, p_ref[_P_V0], jnp.float32),
+            jnp.full(shape, log_s0, jnp.float32))
+    log_s, v, log_g = jax.lax.fori_loop(0, num_steps, body, init)
+
+    s_ref[:] = jnp.exp(log_s)
+    v_ref[:] = v
+    if companion:
+        g_ref[:] = jnp.exp(log_g)
+    else:
+        g_ref[:] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "companion",
+                     "rows"),
+)
+def svj_terminal_pallas(
+    params: SVJParams,
+    spot,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    rows: int = DEFAULT_ROWS,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Fused-TPU-kernel drop-in for `simulate.simulate_terminal`.
+
+    Returns (S_final, v_final, G_final or None), each (n_branch, num_paths)
+    with row 0 = base branch, row 1 = antithetic branch. `num_paths` refers to
+    paths *per branch* and is rounded up to a multiple of rows·128 internally;
+    outputs are sliced back to `num_paths`.
+    """
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(
+        _svj_kernel, num_steps=num_steps, rows=rows,
+        half_grid=half_grid, companion=companion,
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    p_vec = _pack_params(params, spot, T, num_steps)
+
+    s, v, g = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed params
+        ],
+        out_specs=(block_spec, block_spec, block_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(seed_arr, p_vec)
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(s), split(v), (split(g) if companion else None)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# GBM kernel (constant-vol fast path; headline throughput benchmark)
+# ─────────────────────────────────────────────────────────────────────────────
+def _gbm_kernel(seed_ref, p_ref, s_ref, *,
+                num_steps: int, rows: int, half_grid: int):
+    """Lognormal path simulator: d log S = (r−q−σ²/2)dt + σ dW.
+
+    One Box-Muller pair drives two consecutive steps, so the per-path-step
+    budget is ~½ log + ½ sqrt + ½ sincos + 2 FMA. The step loop is kept
+    honest (no algebraic collapse of ΣZ) so the kernel generalizes to
+    path-dependent payoffs.
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    pltpu.prng_seed(seed_ref[0] + pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    drift_dt = p_ref[_P_DRIFT_DT]
+    sig_sqrt_dt = p_ref[_P_SIG_CV] * p_ref[_P_SQRT_DT]
+
+    n_pairs = (num_steps + 1) // 2
+    odd_tail = num_steps % 2 == 1
+
+    def body(i, log_s):
+        bits = pltpu.prng_random_bits((2, rows, LANES))
+        z_a, z_b = _boxmuller(_bits_to_uniform(bits[0]),
+                              _bits_to_uniform(bits[1]))
+        log_s = log_s + drift_dt + sig_sqrt_dt * (z_a * sign)
+        if odd_tail:
+            # Last pair contributes a single step.
+            take_b = i < n_pairs - 1
+            log_s = log_s + jnp.where(
+                take_b, drift_dt + sig_sqrt_dt * (z_b * sign), 0.0)
+        else:
+            log_s = log_s + drift_dt + sig_sqrt_dt * (z_b * sign)
+        return log_s
+
+    log_s = jax.lax.fori_loop(
+        0, n_pairs, body, jnp.full(shape, p_ref[_P_LOGS0], jnp.float32))
+    s_ref[:] = jnp.exp(log_s)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "rows"),
+)
+def gbm_terminal_pallas(
+    spot,
+    sigma,
+    r,
+    q,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    rows: int = DEFAULT_ROWS,
+) -> Array:
+    """Terminal spots of a GBM, shape (n_branch, num_paths)."""
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    dt = f(T) / num_steps
+    p_vec = jnp.zeros((_P_NPARAMS,), jnp.float32)
+    p_vec = p_vec.at[_P_LOGS0].set(jnp.log(f(spot)))
+    p_vec = p_vec.at[_P_SQRT_DT].set(jnp.sqrt(dt))
+    p_vec = p_vec.at[_P_DRIFT_DT].set((f(r) - f(q) - 0.5 * f(sigma) ** 2) * dt)
+    p_vec = p_vec.at[_P_SIG_CV].set(f(sigma))
+
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(_gbm_kernel, num_steps=num_steps, rows=rows,
+                               half_grid=half_grid)
+    s = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), p_vec)
+    return s.reshape(n_branch, padded)[:, :num_paths]

@@ -1,0 +1,155 @@
+"""Device-mesh parallelism: path-sharded Monte Carlo with psum reductions.
+
+The reference's only parallelism is shared-memory threading over MC paths
+(`prange(num_paths)`, engine/monte_carlo.py:221-222) — single process, no
+distributed backend (SURVEY.md §5.8). The TPU-native equivalent built here:
+
+- a `jax.sharding.Mesh` with a `"paths"` axis (optionally × `"batch"` for
+  strike/contract data-parallelism),
+- `shard_map` runs the per-device path simulation with a device-folded
+  threefry key (no cross-device random reuse),
+- the (count, Σpay, Σpay², ...) moment triple is reduced with `psum` over ICI,
+  reproducing the single-chip price/stderr estimator bit-for-bit in
+  expectation (monte_carlo.py:342-343 semantics),
+- antithetic pairs and CRN stay device-local, so no resharding precedes the
+  reduction.
+
+Multi-slice scaling uses standard JAX multi-process initialization (the
+`"paths"` axis spans slices over DCN); nothing here changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops import simulate
+from mcos_tpu.ops.bs import bs_price
+
+Array = jax.Array
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = "paths") -> Mesh:
+    """1-D mesh over all (or given) devices for path-parallel MC."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def make_mesh_2d(batch: int, devices: Optional[Sequence] = None,
+                 axis_names=("batch", "paths")) -> Mesh:
+    """2-D mesh: contract/strike batch axis × path axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(batch, -1), axis_names)
+
+
+def _local_price_stats(params, spot, strikes, T, key, *,
+                       paths_per_device, num_steps, is_call, antithetic,
+                       control_variate, cv_mode, axis_name):
+    """Per-device path simulation + local moment sums (runs inside shard_map)."""
+    idx = jax.lax.axis_index(axis_name)
+    dev_key = jax.random.fold_in(key, idx)
+    want_g = control_variate and cv_mode == "companion"
+    s_final, v_final, g_final = simulate.simulate_terminal(
+        params, spot, T, dev_key,
+        num_paths=paths_per_device, num_steps=num_steps,
+        antithetic=antithetic, companion=want_g,
+    )
+    pay = simulate.combine_antithetic(
+        simulate.vanilla_payoff(
+            s_final[None], strikes[:, None, None], is_call).swapaxes(0, 1))
+
+    if control_variate:
+        discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+        sigma_bs = jnp.sqrt(params.v0)
+        bs_ref = bs_price(spot, strikes, T, params.r, params.q, sigma_bs,
+                          is_call)
+        if cv_mode == "companion":
+            ctrl = simulate.combine_antithetic(
+                simulate.vanilla_payoff(
+                    g_final[None], strikes[:, None, None], is_call
+                ).swapaxes(0, 1))
+        else:  # reference arithmetic (biased; parity only)
+            ctrl = simulate.vanilla_payoff(
+                s_final[0][None], strikes[:, None], is_call)
+        eff = pay - (ctrl - bs_ref[:, None] / discount)
+    else:
+        eff = pay
+
+    n_local = jnp.float32(eff.shape[-1])
+    stats = {
+        "n": n_local,
+        "sum": jnp.sum(eff, axis=-1),
+        "sumsq": jnp.sum(eff * eff, axis=-1),
+        "v_max": jnp.max(v_final),
+        "nonfinite": jnp.sum(~jnp.isfinite(s_final)).astype(jnp.float32),
+    }
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
+
+
+def sharded_price(
+    params: SVJParams,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    antithetic: bool = True,
+    control_variate: bool = True,
+    cv_mode: str = "companion",
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded European pricing; same estimator as `mc_price_core`.
+
+    `num_paths` is the *global* path count; it is split evenly over the
+    `axis_name` mesh axis (rounded up to a device multiple).
+    """
+    n_dev = mesh.shape[axis_name]
+    paths_per_device = -(-num_paths // n_dev)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+
+    local = partial(
+        _local_price_stats,
+        paths_per_device=paths_per_device, num_steps=num_steps,
+        is_call=is_call, antithetic=antithetic,
+        control_variate=control_variate, cv_mode=cv_mode,
+        axis_name=axis_name,
+    )
+    # Everything is replicated in; reductions produce replicated outputs.
+    spec = P()
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    stats = jax.jit(shmapped)(
+        params, jnp.float32(spot), strikes, jnp.float32(T), key)
+
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    n = stats["n"]
+    mean = stats["sum"] / n
+    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
+    out = {
+        "price": discount * mean,
+        "std_error": discount * jnp.sqrt(var / n),
+        "num_paths_used": n,
+        "v_max": stats["v_max"],
+        "frac_nonfinite": stats["nonfinite"] / n,
+    }
+    if control_variate:
+        # eff already includes +bs_ref/discount, so `price` is the CV price.
+        out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
+                                 jnp.sqrt(params.v0), is_call)
+    return out

@@ -1,0 +1,149 @@
+"""JAX-native optimizers for calibration: vmapped differential evolution + box
+reparameterization helpers for gradient polish.
+
+TPU-native replacement for the reference's `scipy.optimize.differential_evolution`
+with `workers=1` (engine/calibration.py:195-227, engine/surface.py:204-238):
+here the whole DE population is evaluated in ONE batched objective call
+(vmap over members — on TPU that is one big fused MC batch instead of a
+Python loop over members × strikes), and generations advance under `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class DEResult(NamedTuple):
+    x: Array          # best member, shape (D,)
+    fun: Array        # best objective value
+    nit: Array        # generations run
+    history: Array    # best value per generation, shape (iters,)
+
+
+def _clip_to_bounds(x: Array, lo: Array, hi: Array) -> Array:
+    return jnp.clip(x, lo, hi)
+
+
+@partial(jax.jit, static_argnames=("obj_fn", "pop_size", "iters"))
+def differential_evolution(
+    obj_fn: Callable[[Array], Array],
+    bounds: Array,
+    key: Array,
+    pop_size: int = 32,
+    iters: int = 100,
+    mutation: float = 0.7,
+    crossover: float = 0.9,
+) -> DEResult:
+    """DE/rand/1/bin with a fully vectorized population.
+
+    Args:
+        obj_fn: (D,) → scalar, pure; vmapped internally (so the MC pricing
+            inside becomes one batched simulation per generation).
+        bounds: (D, 2) array of [lo, hi] per dimension.
+        key: PRNG key (deterministic optimization given the key).
+
+    Returns:
+        DEResult with the best member, value, and per-generation best history.
+    """
+    bounds = jnp.asarray(bounds, jnp.float32)
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    dim = bounds.shape[0]
+    batched_obj = jax.vmap(obj_fn)
+
+    k_init, k_loop = jax.random.split(key)
+    pop = lo + (hi - lo) * jax.random.uniform(k_init, (pop_size, dim))
+    fitness = batched_obj(pop)
+
+    def generation(carry, k_gen):
+        pop, fitness = carry
+        k_idx, k_cross, k_forced = jax.random.split(k_gen, 3)
+
+        # rand/1 mutation: x_a + F (x_b − x_c), indices drawn iid (the rare
+        # self-pick collision only wastes that member's trial).
+        idx = jax.random.randint(k_idx, (3, pop_size), 0, pop_size)
+        mutant = pop[idx[0]] + mutation * (pop[idx[1]] - pop[idx[2]])
+        mutant = _clip_to_bounds(mutant, lo, hi)
+
+        # Binomial crossover with one forced dimension per member.
+        cross = jax.random.uniform(k_cross, (pop_size, dim)) < crossover
+        forced = jax.nn.one_hot(
+            jax.random.randint(k_forced, (pop_size,), 0, dim), dim,
+            dtype=bool)
+        trial = jnp.where(cross | forced, mutant, pop)
+
+        f_trial = batched_obj(trial)
+        improved = f_trial < fitness
+        pop = jnp.where(improved[:, None], trial, pop)
+        fitness = jnp.where(improved, f_trial, fitness)
+        return (pop, fitness), jnp.min(fitness)
+
+    keys = jax.random.split(k_loop, iters)
+    (pop, fitness), best_hist = jax.lax.scan(generation, (pop, fitness), keys)
+
+    best = jnp.argmin(fitness)
+    return DEResult(x=pop[best], fun=fitness[best],
+                    nit=jnp.int32(iters), history=best_hist)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Box reparameterization (for gradient-based polish inside bounds)
+# ─────────────────────────────────────────────────────────────────────────────
+def to_box(u: Array, bounds: Array) -> Array:
+    """Unconstrained ℝᴰ → box via sigmoid: x = lo + (hi−lo)·σ(u)."""
+    bounds = jnp.asarray(bounds, jnp.float32)
+    return bounds[:, 0] + (bounds[:, 1] - bounds[:, 0]) * jax.nn.sigmoid(u)
+
+
+def from_box(x: Array, bounds: Array, eps: float = 1e-6) -> Array:
+    """Box → unconstrained (logit), clipped away from the faces."""
+    bounds = jnp.asarray(bounds, jnp.float32)
+    t = (x - bounds[:, 0]) / (bounds[:, 1] - bounds[:, 0])
+    t = jnp.clip(t, eps, 1.0 - eps)
+    return jnp.log(t) - jnp.log1p(-t)
+
+
+def adam_polish(
+    obj_fn: Callable[[Array], Array],
+    x0: Array,
+    bounds: Array,
+    steps: int = 50,
+    lr: float = 0.05,
+) -> Tuple[Array, Array]:
+    """Gradient descent in the box-reparameterized space from a DE solution.
+
+    Exploits the differentiability of the MC pricer (pathwise gradients) —
+    the capability the reference's derivative-free pipeline cannot use.
+    Returns (x_best, f_best); never leaves the bounds.
+    """
+    import optax
+
+    bounds = jnp.asarray(bounds, jnp.float32)
+    u0 = from_box(jnp.asarray(x0, jnp.float32), bounds)
+    opt = optax.adam(lr)
+
+    def loss(u):
+        return obj_fn(to_box(u, bounds))
+
+    @jax.jit
+    def run(u0):
+        state0 = opt.init(u0)
+
+        def step(carry, _):
+            u, state = carry
+            val, grad = jax.value_and_grad(loss)(u)
+            updates, state = opt.update(grad, state)
+            return (optax.apply_updates(u, updates), state), (u, val)
+
+        (_, _), (us, vals) = jax.lax.scan(step, (u0, state0), None,
+                                          length=steps)
+        best = jnp.argmin(vals)
+        return us[best], vals[best]
+
+    u_best, f_best = run(u0)
+    return to_box(u_best, bounds), f_best

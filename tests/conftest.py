@@ -8,13 +8,24 @@ jax initializes a backend, hence top of conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU even when the environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel): tests must be hermetic and exercise the virtual 8-device mesh.
+# Set MCOS_TEST_TPU=1 to run the suite against the real TPU instead (enables
+# the TPU-gated Pallas statistics tests).
+_USE_TPU = os.environ.get("MCOS_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
+if not _USE_TPU:
+    # The axon TPU plugin in this image overrides the env var; the config
+    # update is authoritative.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,95 @@
+"""Pallas fused kernels vs the scan reference implementation.
+
+The Pallas TPU interpreter does not emulate the hardware PRNG (random bits
+come back zero), so statistical kernel tests only run on real TPU hardware —
+they are exercised by `bench.py`, the verify drive, and these tests when a
+TPU is attached. On CPU we keep compile/shape smoke tests via the interpreter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcos_tpu.models.params import SVJParams, gbm_params
+from mcos_tpu.ops import simulate
+from mcos_tpu.ops.pallas_kernels import gbm_terminal_pallas, svj_terminal_pallas
+
+ON_TPU = jax.default_backend() == "tpu"
+tpu_only = pytest.mark.skipif(
+    not ON_TPU, reason="hardware PRNG not emulated by the Pallas interpreter")
+
+N = 8192  # one (8,128)-tile block ⇒ cheap even interpreted
+STEPS = 16
+
+
+def test_kernels_compile_and_shape():
+    """Interpreter smoke test: shapes, dtypes, finiteness (not statistics)."""
+    s = gbm_terminal_pallas(100.0, 0.2, 0.05, 0.01, 1.0, 11,
+                            num_paths=N, num_steps=STEPS, rows=8)
+    assert s.shape == (2, N) and s.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(s))) and bool(jnp.all(s > 0))
+
+    p = SVJParams()
+    sv, vv, gv = svj_terminal_pallas(p, 100.0, 0.5, 3,
+                                     num_paths=N, num_steps=STEPS,
+                                     companion=True, rows=8)
+    for a in (sv, vv, gv):
+        assert a.shape == (2, N)
+        assert bool(jnp.all(jnp.isfinite(a)))
+    assert bool(jnp.all(vv >= 0.0))
+
+
+@tpu_only
+def test_gbm_kernel_moments():
+    sigma, r, q, T = 0.25, 0.05, 0.01, 1.0
+    s = gbm_terminal_pallas(100.0, sigma, r, q, T, 11,
+                            num_paths=N, num_steps=STEPS, rows=8)
+    lr = np.log(np.asarray(s) / 100.0)
+    assert lr.mean() == pytest.approx((r - q - 0.5 * sigma**2) * T, abs=5e-3)
+    assert lr[0].std() == pytest.approx(sigma * np.sqrt(T), rel=0.05)
+
+
+@tpu_only
+def test_gbm_kernel_antithetic_symmetry():
+    """Branch 1 uses the negated normals of branch 0: log-returns mirror."""
+    sigma = 0.2
+    s = gbm_terminal_pallas(100.0, sigma, 0.0, 0.0, 1.0, 3,
+                            num_paths=N, num_steps=STEPS, rows=8)
+    lr = np.log(np.asarray(s) / 100.0) + 0.5 * sigma**2
+    np.testing.assert_allclose(lr[0], -lr[1], atol=1e-5)
+
+
+@tpu_only
+def test_svj_kernel_matches_scan_statistics():
+    """Pallas and scan implement the same recursion: terminal moments agree."""
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.05, sigma_j=0.1)
+    spot, T = 22500.0, 0.5
+    n = 1 << 18
+
+    s_pal, v_pal, g_pal = svj_terminal_pallas(
+        p, spot, T, 17, num_paths=n, num_steps=64, companion=True)
+    s_scan, v_scan, g_scan = simulate.simulate_terminal(
+        p, spot, T, jax.random.key(17), num_paths=n, num_steps=64,
+        companion=True)
+
+    se = float(jnp.std(s_scan)) / np.sqrt(n)
+    assert abs(float(s_pal.mean()) - float(s_scan.mean())) < 6 * se
+    assert abs(float(v_pal.mean()) - float(v_scan.mean())) < 0.005
+    g_se = float(jnp.std(g_scan)) / np.sqrt(n)
+    assert abs(float(g_pal.mean()) - float(g_scan.mean())) < 6 * g_se
+    assert bool(jnp.all(v_pal >= 0.0))
+
+
+@tpu_only
+def test_pricer_pallas_backend_bs_oracle():
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.ops.bs import bs_price
+
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    eng = MonteCarloEngine(p, num_paths=65536, num_steps=160, use_sobol=False,
+                           backend="pallas")
+    res = eng.price(22500.0, 22500.0, 0.1)
+    ref = float(bs_price(22500.0, 22500.0, 0.1, 0.065, 0.012, 0.2, True))
+    assert abs(res["price"] - ref) < max(4 * res["std_error"], 2.0)

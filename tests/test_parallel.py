@@ -1,0 +1,58 @@
+"""Mesh-sharded pricing on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.pricer import MonteCarloEngine
+from mcos_tpu.models.params import SVJParams, gbm_params
+from mcos_tpu.ops.bs import bs_price
+from mcos_tpu.parallel import mesh as pmesh
+
+
+def test_virtual_device_count():
+    assert jax.device_count() == 8
+
+
+def test_sharded_price_matches_bs_oracle():
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_price(
+        p, 22500.0, [22500.0], 0.04, jax.random.key(0),
+        mesh=m, num_paths=80_000, num_steps=50,
+    )
+    ref = float(bs_price(22500.0, 22500.0, 0.04, 0.065, 0.012, 0.2, True))
+    assert abs(float(res["price"][0]) - ref) < max(
+        3 * float(res["std_error"][0]), 1.0)
+
+
+def test_sharded_price_svj_matches_single_device():
+    svj = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_price(
+        svj, 22500.0, [22000.0, 22500.0, 23000.0], 0.25, jax.random.key(1),
+        mesh=m, num_paths=80_000, num_steps=64,
+    )
+    eng = MonteCarloEngine(svj, num_paths=80_000, num_steps=256,  # 256*0.25=64
+                           use_sobol=False, backend="scan", seed=11)
+    single = eng.price_batch(22500.0, [22000.0, 22500.0, 23000.0], 0.25)
+    for i in range(3):
+        joint = 5 * np.hypot(float(res["std_error"][i]),
+                             single[i]["std_error"])
+        assert abs(float(res["price"][i]) - single[i]["price"]) < max(joint, 2.0)
+
+
+def test_sharded_price_deterministic():
+    p = gbm_params(0.2)
+    m = pmesh.make_mesh()
+    kw = dict(mesh=m, num_paths=16_000, num_steps=16)
+    r1 = pmesh.sharded_price(p, 100.0, [100.0], 0.5, jax.random.key(3), **kw)
+    r2 = pmesh.sharded_price(p, 100.0, [100.0], 0.5, jax.random.key(3), **kw)
+    assert float(r1["price"][0]) == float(r2["price"][0])
+
+
+def test_mesh_2d_shapes():
+    m = pmesh.make_mesh_2d(batch=2)
+    assert m.shape["batch"] == 2 and m.shape["paths"] == 4
