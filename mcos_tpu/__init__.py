@@ -37,3 +37,22 @@ from mcos_tpu.ops.bs import (  # noqa: F401
     bs_vega,
 )
 from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core  # noqa: F401
+from mcos_tpu.engine.greeks import GreeksEngine  # noqa: F401
+from mcos_tpu.engine.calibration import CalibrationEngine  # noqa: F401
+from mcos_tpu.engine.guards import PricingGuard, validate_simulation_output  # noqa: F401
+from mcos_tpu.engine.regime import MarketRegime, RegimeDetector  # noqa: F401
+from mcos_tpu.engine.risk import (  # noqa: F401
+    HedgingBacktest,
+    LiquidityStress,
+    StressTestEngine,
+    compute_risk_metrics,
+    portfolio_var,
+)
+from mcos_tpu.engine.surface import (  # noqa: F401
+    ArbitrageFreeSpline,
+    calibrate_sabr,
+    extract_iv_surface,
+    implied_vol,
+    implied_vol_grid,
+    sabr_vol,
+)

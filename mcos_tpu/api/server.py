@@ -1,0 +1,313 @@
+"""HTTP serving layer for the TPU pricing engine.
+
+Endpoint surface mirrors the reference's FastAPI app (reference:
+engine/app.py:125-236) so its dashboards work unchanged:
+
+    GET  /api/health
+    POST /api/price      — pre/post guards, price, 50 sample paths, elapsed_ms
+    POST /api/greeks     — all Greeks (one AD pass inside)
+    POST /api/stress     — spot/vol/gap ladders
+    POST /api/regime     — CALM/EVENT/CRISIS classification
+    POST /api/hedge      — delta-hedge backtest
+    POST /api/smile      — 21-strike smile, batch-priced + IV-inverted
+    POST /api/calibrate  — two-stage SVJ calibration (advertised in the
+                           reference's docstring engine/app.py:9 but never
+                           implemented there; implemented here)
+    GET  /api/quote      — market quote (live proxy or offline fallback,
+                           see mcos_tpu.api.quotes)
+
+Transport: Python's stdlib ThreadingHTTPServer — FastAPI is not available in
+this image, and the engine needs no ASGI machinery (every request is one jit
+call on device; concurrency comes from the TPU, not the web layer). When
+fastapi IS importable, `create_fastapi_app()` returns the equivalent ASGI app.
+
+Production note: per-endpoint latency is reported as `elapsed_ms` in every
+JSON body (engine/app.py:155-156 convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+from pydantic import ValidationError
+
+from mcos_tpu.api import schemas
+from mcos_tpu.engine.calibration import CalibrationEngine
+from mcos_tpu.engine.greeks import GreeksEngine
+from mcos_tpu.engine.guards import PricingGuard
+from mcos_tpu.engine.pricer import MonteCarloEngine
+from mcos_tpu.engine.regime import RegimeDetector
+from mcos_tpu.engine.risk import HedgingBacktest, StressTestEngine
+from mcos_tpu.engine.surface import implied_vol
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s [%(name)s] %(levelname)s: %(message)s")
+logger = logging.getLogger("mcos_tpu.api")
+
+VERSION = "1.0.0"
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, detail):
+        super().__init__(str(detail))
+        self.status = status
+        self.detail = detail
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Endpoint implementations (transport-agnostic: dict in, dict out)
+# ─────────────────────────────────────────────────────────────────────────────
+def handle_health(_body: dict) -> dict:
+    return {"status": "healthy", "engine": "SVJ Monte Carlo (TPU)",
+            "version": VERSION}
+
+
+def handle_price(body: dict) -> dict:
+    """Mirror of engine/app.py:130-164."""
+    req = schemas.PriceRequest(**body)
+    start = time.time()
+    svj = req.params.to_params()
+
+    guard = PricingGuard(svj)
+    pre = guard.check_pre_price(req.spot, req.strike, req.T)
+    if not pre["pass"]:
+        raise ApiError(400, {"failures": pre["failures"],
+                             "alerts": pre["alerts"]})
+
+    engine = MonteCarloEngine(
+        svj, num_paths=req.num_paths, use_sobol=req.use_sobol,
+        use_antithetic=req.use_antithetic,
+        use_control_variate=req.use_control_variate, cv_mode=req.cv_mode)
+    result = engine.price(req.spot, req.strike, req.T, req.is_call)
+
+    sample_paths = engine.get_sample_paths(req.spot, req.T, num_samples=50)
+    result["sample_paths"] = np.asarray(sample_paths).tolist()
+
+    post = guard.check_post_price(result, req.spot, req.strike, req.T,
+                                  req.is_call)
+    result["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    result["pre_checks"] = pre
+    result["post_checks"] = post
+    result["params_used"] = req.params.model_dump()
+    logger.info("Priced %s K=%.0f T=%.4f → %.4f (%.0fms)",
+                "Call" if req.is_call else "Put", req.strike, req.T,
+                result["price"], result["elapsed_ms"])
+    return result
+
+
+def handle_greeks(body: dict) -> dict:
+    """Mirror of engine/app.py:167-176 (AD engine inside)."""
+    req = schemas.GreeksRequest(**body)
+    start = time.time()
+    engine = GreeksEngine(req.params.to_params(), num_paths=req.num_paths)
+    greeks = engine.all_greeks(req.spot, req.strike, req.T, req.is_call)
+    greeks["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return greeks
+
+
+def handle_stress(body: dict) -> dict:
+    """Mirror of engine/app.py:179-188."""
+    req = schemas.StressRequest(**body)
+    start = time.time()
+    engine = StressTestEngine(req.params.to_params(), num_paths=req.num_paths)
+    report = engine.full_stress_report(req.spot, req.strike, req.T,
+                                       req.is_call)
+    report["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return report
+
+
+def handle_regime(body: dict) -> dict:
+    """Mirror of engine/app.py:191-196."""
+    req = schemas.RegimeRequest(**body)
+    return RegimeDetector().classify(req.realized_vol, req.iv_percentile,
+                                     req.skew_slope)
+
+
+def handle_hedge(body: dict) -> dict:
+    """Mirror of engine/app.py:199-212."""
+    req = schemas.HedgeRequest(**body)
+    start = time.time()
+    bt = HedgingBacktest(req.params.to_params())
+    result = bt.run_backtest(
+        req.spot, req.strike, req.T, req.is_call,
+        txn_cost_bps=req.txn_cost_bps, slippage_bps=req.slippage_bps,
+        num_scenarios=req.num_scenarios)
+    result["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return result
+
+
+def handle_smile(body: dict) -> dict:
+    """Mirror of engine/app.py:215-236: 21 strikes over 0.7-1.3·S, one shared
+    path set, IVs inverted on the whole chain at once."""
+    req = schemas.SmileRequest(**body)
+    svj = req.params.to_params()
+    engine = MonteCarloEngine(svj, num_paths=50_000)
+    strikes = np.linspace(req.spot * 0.7, req.spot * 1.3, 21)
+    results = engine.price_batch(req.spot, strikes, req.T, is_call=True)
+    smile = []
+    for row in results:
+        iv = implied_vol(row["price"], req.spot, row["strike"], req.T,
+                         float(svj.r), float(svj.q), True)
+        smile.append({
+            "strike": row["strike"],
+            "price": row["price"],
+            "iv": iv if iv is not None else 0.0,
+        })
+    return {"smile": smile}
+
+
+def handle_calibrate(body: dict) -> dict:
+    """POST /api/calibrate — completes the endpoint the reference only
+    documents (engine/app.py:9)."""
+    req = schemas.CalibrateRequest(**body)
+    start = time.time()
+    eng = CalibrationEngine()
+    result = eng.calibrate(
+        req.spot, np.asarray(req.strikes, np.float32), req.T,
+        np.asarray(req.market_prices, np.float32), is_call=req.is_call,
+        r=req.r, q=req.q,
+        bid_ask_spreads=(np.asarray(req.bid_ask_spreads, np.float32)
+                         if req.bid_ask_spreads is not None else None),
+        atm_vol=req.atm_vol, num_paths=req.num_paths)
+    params = result.pop("params")
+    result["params"] = params.as_dict()
+    result["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return result
+
+
+def handle_quote(query: dict) -> dict:
+    from mcos_tpu.api.quotes import fetch_quote
+
+    symbol = (query.get("symbol") or [""])[0]
+    if not symbol:
+        raise ApiError(400, "missing ?symbol=")
+    quote = fetch_quote(symbol)
+    if quote is None:
+        raise ApiError(503, f"no quote available for {symbol}")
+    return quote
+
+
+POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
+    "/api/price": handle_price,
+    "/api/greeks": handle_greeks,
+    "/api/stress": handle_stress,
+    "/api/regime": handle_regime,
+    "/api/hedge": handle_hedge,
+    "/api/smile": handle_smile,
+    "/api/calibrate": handle_calibrate,
+}
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# stdlib transport
+# ─────────────────────────────────────────────────────────────────────────────
+class _Handler(BaseHTTPRequestHandler):
+    server_version = f"mcos-tpu/{VERSION}"
+
+    def _send_json(self, status: int, payload) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        # CORS-any, as the reference configures (engine/app.py:42-47).
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "*")
+        self.send_header("Access-Control-Allow-Headers", "*")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug(fmt, *args)
+
+    def do_OPTIONS(self):  # CORS preflight
+        self._send_json(204, {})
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        try:
+            if parsed.path == "/api/health":
+                self._send_json(200, handle_health({}))
+            elif parsed.path == "/api/quote":
+                self._send_json(200, handle_quote(parse_qs(parsed.query)))
+            else:
+                self._send_json(404, {"detail": "not found"})
+        except ApiError as e:
+            self._send_json(e.status, {"detail": e.detail})
+        except Exception as e:  # noqa: BLE001 — server must not die
+            logger.exception("GET %s failed", parsed.path)
+            self._send_json(500, {"detail": str(e)})
+
+    def do_POST(self):
+        parsed = urlparse(self.path)
+        handler = POST_ROUTES.get(parsed.path)
+        if handler is None:
+            self._send_json(404, {"detail": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            self._send_json(200, handler(body))
+        except ApiError as e:
+            self._send_json(e.status, {"detail": e.detail})
+        except (ValidationError, json.JSONDecodeError) as e:
+            self._send_json(422, {"detail": str(e)})
+        except Exception as e:  # noqa: BLE001
+            logger.exception("POST %s failed", parsed.path)
+            self._send_json(500, {"detail": str(e)})
+
+
+def serve(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    logger.info("mcos_tpu API listening on %s:%d", host, port)
+    return httpd
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Optional FastAPI transport (parity with the reference when available)
+# ─────────────────────────────────────────────────────────────────────────────
+def create_fastapi_app():
+    """Equivalent ASGI app when fastapi is installed (engine/app.py:36-47)."""
+    from fastapi import FastAPI, HTTPException
+    from fastapi.middleware.cors import CORSMiddleware
+
+    app = FastAPI(title="NIFTY Monte Carlo Engine (TPU)",
+                  description="TPU-native SVJ pricing & risk engine",
+                  version=VERSION)
+    app.add_middleware(CORSMiddleware, allow_origins=["*"],
+                       allow_methods=["*"], allow_headers=["*"])
+
+    @app.get("/api/health")
+    async def health():
+        return handle_health({})
+
+    def _wrap(fn):
+        async def endpoint(body: dict):
+            try:
+                return fn(body)
+            except ApiError as e:
+                raise HTTPException(e.status, detail=e.detail)
+        return endpoint
+
+    for path, fn in POST_ROUTES.items():
+        app.post(path)(_wrap(fn))
+    return app
+
+
+def main():
+    parser = argparse.ArgumentParser(description="mcos_tpu pricing API")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args()
+    serve(args.host, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

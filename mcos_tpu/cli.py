@@ -1,0 +1,145 @@
+"""Command-line interface for batch pricing, Greeks, and benchmarks.
+
+The reference is API/browser-only; batch/desk workflows need a CLI. Usage:
+
+    python -m mcos_tpu.cli price --spot 22500 --strike 22500 --T 0.04
+    python -m mcos_tpu.cli greeks --spot 22500 --strike 22500 --T 0.04
+    python -m mcos_tpu.cli smile --spot 22500 --T 0.1
+    python -m mcos_tpu.cli bench
+    python -m mcos_tpu.cli smoke
+
+All commands print JSON to stdout (one document), so output pipes into jq.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_contract_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--spot", type=float, required=True)
+    p.add_argument("--strike", type=float, required=True)
+    p.add_argument("--T", type=float, required=True)
+    p.add_argument("--put", action="store_true", help="price a put")
+    p.add_argument("--num-paths", type=int, default=500_000)
+    p.add_argument("--num-steps", type=int, default=252)
+    p.add_argument("--seed", type=int, default=42)
+    _add_param_args(p)
+
+
+def _add_param_args(p: argparse.ArgumentParser) -> None:
+    for name, default in (("kappa", 3.0), ("theta", 0.04), ("xi", 0.5),
+                          ("rho", -0.7), ("v0", 0.04), ("lambda-j", 1.0),
+                          ("mu-j", -0.05), ("sigma-j", 0.10),
+                          ("r", 0.065), ("q", 0.012)):
+        p.add_argument(f"--{name}", type=float, default=default)
+
+
+def _params_from(args) -> "SVJParams":
+    from mcos_tpu.models.params import SVJParams
+
+    return SVJParams(kappa=args.kappa, theta=args.theta, xi=args.xi,
+                     rho=args.rho, v0=args.v0, lambda_j=args.lambda_j,
+                     mu_j=args.mu_j, sigma_j=args.sigma_j, r=args.r, q=args.q)
+
+
+def cmd_price(args) -> dict:
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+
+    eng = MonteCarloEngine(_params_from(args), num_paths=args.num_paths,
+                           num_steps=args.num_steps, seed=args.seed)
+    return eng.price(args.spot, args.strike, args.T, not args.put)
+
+
+def cmd_greeks(args) -> dict:
+    from mcos_tpu.engine.greeks import GreeksEngine
+
+    eng = GreeksEngine(_params_from(args), num_paths=args.num_paths,
+                       num_steps=args.num_steps, seed=args.seed)
+    return eng.all_greeks(args.spot, args.strike, args.T, not args.put)
+
+
+def cmd_smile(args) -> dict:
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.engine.surface import implied_vol
+
+    params = _params_from(args)
+    eng = MonteCarloEngine(params, num_paths=args.num_paths, seed=args.seed)
+    strikes = np.linspace(args.spot * 0.7, args.spot * 1.3, args.points)
+    rows = eng.price_batch(args.spot, strikes, args.T)
+    for row in rows:
+        iv = implied_vol(row["price"], args.spot, row["strike"], args.T,
+                         float(params.r), float(params.q), True)
+        row["iv"] = iv if iv is not None else 0.0
+    return {"smile": rows}
+
+
+def cmd_stress(args) -> dict:
+    from mcos_tpu.engine.risk import StressTestEngine
+
+    eng = StressTestEngine(_params_from(args), num_paths=args.num_paths,
+                           seed=args.seed)
+    return eng.full_stress_report(args.spot, args.strike, args.T,
+                                  not args.put)
+
+
+def cmd_bench(_args) -> dict:
+    import bench  # repo-root benchmark, prints its own JSON line
+
+    bench.main()
+    return {}
+
+
+def cmd_smoke(_args) -> dict:
+    import smoke_test
+
+    code = smoke_test.main()
+    if code != 0:
+        sys.exit(code)
+    return {}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="mcos_tpu",
+                                     description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("price", help="price a European option")
+    _add_contract_args(p)
+    p.set_defaults(fn=cmd_price)
+
+    p = sub.add_parser("greeks", help="all Greeks (AD)")
+    _add_contract_args(p)
+    p.set_defaults(fn=cmd_greeks)
+
+    p = sub.add_parser("smile", help="vol smile over a strike range")
+    p.add_argument("--spot", type=float, required=True)
+    p.add_argument("--T", type=float, required=True)
+    p.add_argument("--num-paths", type=int, default=100_000)
+    p.add_argument("--points", type=int, default=21)
+    p.add_argument("--seed", type=int, default=42)
+    _add_param_args(p)
+    p.set_defaults(fn=cmd_smile)
+
+    p = sub.add_parser("stress", help="stress-test ladders")
+    _add_contract_args(p)
+    p.set_defaults(fn=cmd_stress)
+
+    p = sub.add_parser("bench", help="headline throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("smoke", help="full-stack smoke test")
+    p.set_defaults(fn=cmd_smoke)
+
+    args = parser.parse_args(argv)
+    out = args.fn(args)
+    if out:
+        print(json.dumps(out, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

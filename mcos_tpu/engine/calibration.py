@@ -200,9 +200,14 @@ class CalibrationEngine:
             r=r, q=q, key=k_price, num_paths=num_paths, num_steps=num_steps,
             is_call=is_call,
         )
+        # Warm-start member: reference defaults with the surface-consistent
+        # v0 = θ = ATM_IV² initialization (models.py:152-158 heuristic).
+        x0_heston = jnp.asarray(
+            [3.0, atm_vol**2, 0.5, -0.7, atm_vol**2], jnp.float32)
         iters1 = max(cfg.stage1_max_iter // 4, 25)  # vmapped DE converges in
         res1 = differential_evolution(obj1, HESTON_BOUNDS, k_de1,            # fewer, bigger steps
-                                      pop_size=pop_size, iters=iters1)
+                                      pop_size=pop_size, iters=iters1,
+                                      x0=x0_heston)
         x1, f1 = res1.x, res1.fun
         if polish:
             x1p, f1p = adam_polish(obj1, x1, HESTON_BOUNDS,
@@ -224,7 +229,9 @@ class CalibrationEngine:
         )
         iters2 = max(cfg.stage2_max_iter // 4, 25)
         res2 = differential_evolution(obj2, JUMP_BOUNDS, k_de2,
-                                      pop_size=pop_size, iters=iters2)
+                                      pop_size=pop_size, iters=iters2,
+                                      x0=jnp.asarray([1.0, -0.05, 0.10],
+                                                     jnp.float32))
         x2, f2 = res2.x, res2.fun
         logger.info("Stage 2 done: λ=%.3f μ_J=%.4f σ_J=%.4f err=%.6g",
                     *[float(v) for v in x2], float(f2))

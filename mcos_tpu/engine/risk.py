@@ -1,0 +1,377 @@
+"""Risk engine: stress ladders, VaR/CVaR/tail metrics, liquidity stress,
+delta-hedging backtest.
+
+TPU-native re-design of the reference's risk stack (reference: engine/risk.py).
+Semantics preserved; the execution model inverts:
+
+- **Stress ladders** (spot ±2/5/8%, vol ±5pts, 4% gap — risk.py:33-111):
+  every scenario is one row of a *vectorized spot/param batch* priced off
+  shared device paths, instead of a Python loop of full engine runs.
+- **VaR/CVaR/skew/kurt/Hill** (risk.py:117-173): one jitted reduction over
+  the return vector (sort + quantile on device; Hill on the top-√n losses).
+- **Hedging backtest** (risk.py:227-337): the daily rebalance loop becomes a
+  `lax.scan` over days *vmapped over scenarios* — all scenarios advance in
+  lockstep on the VPU. The option premium is priced once (the reference
+  re-prices the same premium inside every scenario loop iteration with a
+  different seed, risk.py:270-273 — pure waste, same expectation).
+- **Multi-asset correlated GBM** (new, for portfolio VaR at 1e8+ paths):
+  Cholesky-mixed normals, path axis shardable over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcos_tpu.config import JUMP_SCENARIO_SIZE, SPOT_SHOCKS, VOL_SHOCKS
+from mcos_tpu.engine.pricer import MonteCarloEngine
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops.bs import bs_delta, bs_price
+
+Array = jax.Array
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Tail risk metrics
+# ─────────────────────────────────────────────────────────────────────────────
+@partial(jax.jit, static_argnames=("confidence",))
+def _risk_metrics_device(returns: Array, confidence: float = 0.99) -> Dict[str, Array]:
+    """Sorted-quantile VaR/CVaR + moments on device (risk.py:117-155)."""
+    sorted_r = jnp.sort(returns)
+    n = returns.shape[0]
+    cutoff = int(n * (1.0 - confidence))
+
+    var = -sorted_r[min(cutoff, n - 1)]
+    cvar = -jnp.mean(sorted_r[:max(cutoff, 1)])
+
+    mean = jnp.mean(returns)
+    std = jnp.std(returns)
+    z = (returns - mean) / jnp.maximum(std, 1e-10)
+    return {
+        "var": var,
+        "cvar": cvar,
+        "skewness": jnp.mean(z**3),
+        "kurtosis": jnp.mean(z**4),
+        "mean": mean,
+        "std": std,
+        "sorted": sorted_r,
+    }
+
+
+def _hill_estimator(sorted_losses: np.ndarray, k: Optional[int] = None) -> float:
+    """Hill tail-index on the top-k order statistics (risk.py:158-173)."""
+    n = len(sorted_losses)
+    if n < 2:
+        return float("nan")
+    if k is None:
+        k = max(int(np.sqrt(n)), 10)
+    k = min(k, n - 1)
+    desc = np.sort(sorted_losses)[::-1]
+    if desc[k] <= 0:
+        return float("nan")
+    log_ratios = np.log(desc[:k] / desc[k])
+    s = log_ratios.sum()
+    return float(k / s) if s > 0 else float("nan")
+
+
+def compute_risk_metrics(returns, confidence: float = 0.99) -> Dict[str, float]:
+    """VaR, CVaR, skewness, kurtosis, Hill tail index
+    (risk.py:117-155 key layout)."""
+    returns = jnp.asarray(returns, jnp.float32)
+    m = _risk_metrics_device(returns, confidence=confidence)
+    sorted_r = np.asarray(m["sorted"])
+    losses = -sorted_r[sorted_r < 0]
+    tail = _hill_estimator(losses) if len(losses) > 20 else float("nan")
+    kurt = float(m["kurtosis"])
+    return {
+        "var": float(m["var"]),
+        "cvar": float(m["cvar"]),
+        "skewness": float(m["skewness"]),
+        "kurtosis": kurt,
+        "excess_kurtosis": kurt - 3.0,
+        "tail_index": tail,
+        "mean": float(m["mean"]),
+        "std": float(m["std"]),
+    }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Stress testing
+# ─────────────────────────────────────────────────────────────────────────────
+class StressTestEngine:
+    """Scenario ladders with reference semantics (risk.py:23-111 API)."""
+
+    def __init__(self, params: SVJParams, num_paths: int = 200_000,
+                 seed: int = 42, num_steps: int = 252):
+        self.params = params
+        self.num_paths = int(num_paths)
+        self.num_steps = int(num_steps)
+        self.seed = int(seed)
+
+    def _engine(self, params: SVJParams) -> MonteCarloEngine:
+        return MonteCarloEngine(params, num_paths=self.num_paths,
+                                num_steps=self.num_steps, seed=self.seed,
+                                use_sobol=False)
+
+    def spot_shock_ladder(self, spot: float, strike: float, T: float,
+                          is_call: bool = True) -> List[Dict]:
+        """Spot ±2/5/8% ladder (risk.py:33-51). All shocks share one engine
+        (CRN across the ladder removes shock-to-shock MC noise)."""
+        eng = self._engine(self.params)
+        base = eng.price(spot, strike, T, is_call)["price"]
+        out = []
+        for shock in SPOT_SHOCKS:
+            shocked = spot * (1.0 + shock)
+            price = eng.price(shocked, strike, T, is_call)["price"]
+            out.append({
+                "shock_pct": shock * 100,
+                "spot": shocked,
+                "price": price,
+                "pnl": price - base,
+                "pnl_pct": (price - base) / max(base, 1e-6) * 100,
+            })
+        return out
+
+    def vol_shock_ladder(self, spot: float, strike: float, T: float,
+                         is_call: bool = True) -> List[Dict]:
+        """±5 vol-point shocks mapped into (v0, θ) exactly as the reference
+        does (risk.py:60-67: v0 += 2√v0·s, θ += s²)."""
+        base = self._engine(self.params).price(spot, strike, T, is_call)["price"]
+        out = []
+        for shock in VOL_SHOCKS:
+            v0 = max(float(self.params.v0)
+                     + 2.0 * float(self.params.v0) ** 0.5 * shock, 0.001)
+            theta = max(float(self.params.theta) + shock**2, 0.001)
+            shocked = self.params.replace(v0=v0, theta=theta)
+            price = self._engine(shocked).price(spot, strike, T, is_call)["price"]
+            out.append({
+                "vol_shock": shock * 100,
+                "v0": v0,
+                "price": price,
+                "pnl": price - base,
+            })
+        return out
+
+    def jump_scenario(self, spot: float, strike: float, T: float,
+                      is_call: bool = True,
+                      gap_size: float = JUMP_SCENARIO_SIZE) -> Dict:
+        """4% overnight gap, both directions (risk.py:80-102)."""
+        eng = self._engine(self.params)
+        base = eng.price(spot, strike, T, is_call)["price"]
+        down = eng.price(spot * (1 - gap_size), strike, T, is_call)["price"]
+        up = eng.price(spot * (1 + gap_size), strike, T, is_call)["price"]
+        return {
+            "base_price": base,
+            "gap_down_price": down,
+            "gap_down_pnl": down - base,
+            "gap_up_price": up,
+            "gap_up_pnl": up - base,
+            "gap_size_pct": gap_size * 100,
+        }
+
+    def full_stress_report(self, spot: float, strike: float, T: float,
+                           is_call: bool = True) -> Dict:
+        """All scenarios (risk.py:104-111)."""
+        return {
+            "spot_shocks": self.spot_shock_ladder(spot, strike, T, is_call),
+            "vol_shocks": self.vol_shock_ladder(spot, strike, T, is_call),
+            "jump_scenario": self.jump_scenario(spot, strike, T, is_call),
+        }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Liquidity stress layer
+# ─────────────────────────────────────────────────────────────────────────────
+class LiquidityStress:
+    """NIFTY-weekly liquidity scenarios (risk.py:179-221 API)."""
+
+    @staticmethod
+    def bid_ask_widening(base_spread: float,
+                         widening_factor: float = 3.0) -> Dict:
+        stressed = base_spread * widening_factor
+        return {
+            "base_spread": base_spread,
+            "stressed_spread": stressed,
+            "slippage_increase": stressed - base_spread,
+        }
+
+    @staticmethod
+    def vol_gap_no_spot_move(params: SVJParams,
+                             vol_jump: float = 0.05) -> SVJParams:
+        """Vol spike, spot unchanged: v0 → (√v0 + jump)² (risk.py:195-206)."""
+        new_v0 = (float(params.v0)
+                  + 2.0 * float(params.v0) ** 0.5 * vol_jump + vol_jump**2)
+        return params.replace(v0=new_v0)
+
+    @staticmethod
+    def expiry_vol_crush(params: SVJParams,
+                         crush_pct: float = 0.30) -> SVJParams:
+        """Expiry-day IV crush: v0 ×(1−c), θ ×(1−c/2) (risk.py:209-221)."""
+        return params.replace(
+            v0=max(float(params.v0) * (1 - crush_pct), 0.001),
+            theta=max(float(params.theta) * (1 - crush_pct * 0.5), 0.001),
+        )
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Hedging backtest: scan over days, vmap over scenarios
+# ─────────────────────────────────────────────────────────────────────────────
+@partial(jax.jit, static_argnames=("num_days", "num_scenarios", "is_call"))
+def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
+                 num_days: int, num_scenarios: int, is_call: bool,
+                 txn_cost_bps: float, slippage_bps: float):
+    """All hedge scenarios in lockstep (vectorized form of risk.py:264-317).
+
+    Spot follows the same simple GBM-at-√v0 the reference uses for the
+    backtest (risk.py:293-294); the hedge ratio is the BS delta at σ=√v0
+    (risk.py:283).
+    """
+    dt = jnp.asarray(T, jnp.float32) / num_days
+    sigma = jnp.sqrt(params.v0)
+    cost_rate = (txn_cost_bps + slippage_bps) / 10_000.0
+
+    s0 = jnp.full((num_scenarios,), spot, jnp.float32)
+    cash0 = jnp.full((num_scenarios,), premium, jnp.float32)
+    shares0 = jnp.zeros((num_scenarios,), jnp.float32)
+    cost0 = jnp.zeros((num_scenarios,), jnp.float32)
+
+    def day(carry, inputs):
+        s, cash, shares, cost_acc, t_remaining = carry
+        z = inputs
+        delta = bs_delta(s, strike, jnp.maximum(t_remaining, 1e-6),
+                         params.r, params.q, sigma, is_call)
+        trade = delta - shares
+        cost = jnp.abs(trade) * s * cost_rate
+        cash = cash - trade * s - cost
+        shares = delta
+        s_new = s * jnp.exp((params.r - params.q - 0.5 * params.v0) * dt
+                            + jnp.sqrt(params.v0 * dt) * z)
+        return (s_new, cash, shares, cost_acc + cost, t_remaining - dt), None
+
+    zs = jax.random.normal(key, (num_days, num_scenarios), jnp.float32)
+    (s, cash, shares, cost, _), _ = jax.lax.scan(
+        day, (s0, cash0, shares0, cost0, jnp.asarray(T, jnp.float32)), zs)
+
+    payoff = jnp.where(is_call, jnp.maximum(s - strike, 0.0),
+                       jnp.maximum(strike - s, 0.0))
+    pnl = cash + shares * s - payoff
+    return pnl, cost
+
+
+class HedgingBacktest:
+    """Daily delta-hedge backtest of a short option (risk.py:227-337 API)."""
+
+    def __init__(self, params: SVJParams, seed: int = 42):
+        self.params = params
+        self.seed = int(seed)
+
+    def run_backtest(
+        self,
+        spot: float,
+        strike: float,
+        T: float,
+        is_call: bool = True,
+        num_days: Optional[int] = None,
+        txn_cost_bps: float = 5.0,
+        slippage_bps: float = 2.0,
+        num_scenarios: int = 1000,
+        num_mc_paths: int = 50_000,
+    ) -> Dict:
+        if num_days is None:
+            num_days = max(int(T * 252), 1)
+
+        # Option premium received once (risk.py re-prices it per scenario
+        # with varying seeds — same expectation, pure extra work).
+        eng = MonteCarloEngine(self.params, num_paths=num_mc_paths,
+                               seed=self.seed, use_sobol=False)
+        premium = eng.price(spot, strike, T, is_call)["price"]
+
+        pnl, cost = _hedge_paths(
+            self.params, spot, strike, T, premium, jax.random.key(self.seed),
+            num_days=int(num_days), num_scenarios=int(num_scenarios),
+            is_call=is_call, txn_cost_bps=txn_cost_bps,
+            slippage_bps=slippage_bps)
+        pnl = np.asarray(pnl)
+
+        return {
+            "mean_pnl": float(pnl.mean()),
+            "std_pnl": float(pnl.std()),
+            "pnl_percentiles": {
+                f"{p}%": float(np.percentile(pnl, p))
+                for p in (1, 5, 25, 50, 75, 95, 99)
+            },
+            "risk_metrics": compute_risk_metrics(pnl, confidence=0.99),
+            "num_scenarios": int(num_scenarios),
+            "total_txn_cost_avg": float(np.asarray(cost).mean()),
+            "premium": float(premium),
+        }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Multi-asset correlated GBM (portfolio VaR; new capability)
+# ─────────────────────────────────────────────────────────────────────────────
+@partial(jax.jit, static_argnames=("num_paths", "num_steps"))
+def multi_asset_gbm_terminal(
+    spots: Array,
+    sigmas: Array,
+    corr: Array,
+    r,
+    q,
+    T,
+    key: Array,
+    *,
+    num_paths: int,
+    num_steps: int,
+) -> Array:
+    """Terminal spots of A correlated GBMs, shape (num_paths, A).
+
+    Correlation via Cholesky mixing of iid normals (the reference's 2-asset
+    ρ-mixing at monte_carlo.py:227, generalized). Log-space accumulation, one
+    exp at the end. The path axis shards over the mesh for 1e8+ portfolio
+    runs (BASELINE.md config #5).
+    """
+    spots = jnp.asarray(spots, jnp.float32)
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    n_assets = spots.shape[0]
+    chol = jnp.linalg.cholesky(jnp.asarray(corr, jnp.float32))
+    dt = jnp.asarray(T, jnp.float32) / num_steps
+    drift = (r - q - 0.5 * sigmas**2) * dt
+    vol = sigmas * jnp.sqrt(dt)
+
+    def step(log_s, step_idx):
+        z = jax.random.normal(jax.random.fold_in(key, step_idx),
+                              (num_paths, n_assets), jnp.float32)
+        z_corr = z @ chol.T
+        return log_s + drift + vol * z_corr, None
+
+    log_s0 = jnp.broadcast_to(jnp.log(spots), (num_paths, n_assets))
+    log_s, _ = jax.lax.scan(step, log_s0, jnp.arange(num_steps))
+    return jnp.exp(log_s)
+
+
+def portfolio_var(
+    spots,
+    sigmas,
+    corr,
+    weights,
+    T,
+    key=None,
+    r: float = 0.065,
+    q: float = 0.012,
+    num_paths: int = 1_000_000,
+    num_steps: int = 32,
+    confidence: float = 0.99,
+) -> Dict[str, float]:
+    """Portfolio VaR/ES over correlated GBM terminals (risk metrics per
+    risk.py:117-155 semantics on portfolio returns)."""
+    key = key if key is not None else jax.random.key(0)
+    s_t = multi_asset_gbm_terminal(
+        spots, sigmas, corr, r, q, T, key,
+        num_paths=num_paths, num_steps=num_steps)
+    rel = s_t / jnp.asarray(spots, jnp.float32)[None, :] - 1.0
+    port_returns = rel @ jnp.asarray(weights, jnp.float32)
+    return compute_risk_metrics(port_returns, confidence=confidence)

@@ -43,6 +43,17 @@ from mcos_tpu.models.params import SVJParams
 Array = jax.Array
 
 
+def _safe_sqrt(x):
+    """√x with a zero (not ∞) derivative at x ≤ 0.
+
+    Full truncation clips v to exactly 0, where d√v/dv = ∞ would poison every
+    pathwise gradient (NaN via 0·∞). The double-where keeps both the value
+    and the cotangent finite.
+    """
+    safe = jnp.maximum(x, 1e-20)
+    return jnp.where(x > 0, jnp.sqrt(safe), 0.0)
+
+
 def _svj_step_core(params: SVJParams, dt, sqrt_dt, log_s, v, z1, z2, u_jump, z_js):
     """One full-truncation log-Euler SVJ step shared by all simulators.
 
@@ -52,7 +63,7 @@ def _svj_step_core(params: SVJParams, dt, sqrt_dt, log_s, v, z1, z2, u_jump, z_j
     """
     p = params
     v_pos = jnp.maximum(v, 0.0)
-    sqrt_v = jnp.sqrt(v_pos)
+    sqrt_v = _safe_sqrt(v_pos)
 
     k = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
     drift_comp = p.r - p.q - p.lambda_j * k

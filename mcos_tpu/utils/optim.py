@@ -39,6 +39,7 @@ def differential_evolution(
     iters: int = 100,
     mutation: float = 0.7,
     crossover: float = 0.9,
+    x0: Array | None = None,
 ) -> DEResult:
     """DE/rand/1/bin with a fully vectorized population.
 
@@ -47,6 +48,9 @@ def differential_evolution(
             inside becomes one batched simulation per generation).
         bounds: (D, 2) array of [lo, hi] per dimension.
         key: PRNG key (deterministic optimization given the key).
+        x0: optional (D,) warm-start — replaces population member 0
+            (e.g. the surface-consistent heuristic v0=θ=ATM_IV²; DE keeps the
+            global search while converging far faster from a sane seed).
 
     Returns:
         DEResult with the best member, value, and per-generation best history.
@@ -58,6 +62,8 @@ def differential_evolution(
 
     k_init, k_loop = jax.random.split(key)
     pop = lo + (hi - lo) * jax.random.uniform(k_init, (pop_size, dim))
+    if x0 is not None:
+        pop = pop.at[0].set(jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi))
     fitness = batched_obj(pop)
 
     def generation(carry, k_gen):

@@ -1,0 +1,146 @@
+"""Sequential smoke test of the full engine stack (role of the reference's
+verify.py:1-97, extended to the TPU-only capabilities).
+
+Run: python smoke_test.py          (uses the default backend — TPU if attached)
+     JAX_PLATFORMS=cpu python smoke_test.py
+Exit code 0 iff every stage passes.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+FAILURES = []
+
+
+def stage(name):
+    print(f"\n[{name}]")
+
+
+def check(label, ok):
+    print(f"    {label}: {'PASS' if ok else 'FAIL'}")
+    if not ok:
+        FAILURES.append(label)
+
+
+def main():
+    import jax
+
+    print("=" * 64)
+    print("mcos_tpu — engine smoke test")
+    print("devices:", jax.devices())
+    print("=" * 64)
+
+    # 1. Models / substrate
+    stage("1. models")
+    from mcos_tpu.models.params import SVJParams, forward_price, gbm_params
+    p = SVJParams(kappa=5.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04,
+                  lambda_j=0.0, mu_j=0.0, sigma_j=0.01)
+    check("Feller satisfied (2·5·0.04 > 0.09)", p.feller_satisfied)
+    fwd = float(forward_price(22500.0, 0.065, 0.012, 0.04))
+    check(f"forward {fwd:.2f} > spot", fwd > 22500)
+
+    # 2. Black-Scholes analytics
+    stage("2. black-scholes")
+    from mcos_tpu.ops.bs import bs_price
+    atm = float(bs_price(22500, 22500, 0.04, 0.065, 0.012, 0.2, True))
+    print(f"    ATM call: {atm:.4f}")
+    check("ATM call in sane band", 300 < atm < 500)
+
+    # 3. MC vs BS oracle (the reference's key test, verify.py:26-42)
+    stage("3. MC-vs-BS oracle (50k paths, degenerate SVJ)")
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    bs_params = gbm_params(0.2, r=0.065, q=0.012)
+    eng = MonteCarloEngine(bs_params, num_paths=50_000, num_steps=100)
+    t0 = time.time()
+    res = eng.price(22500, 22500, 0.04, True)
+    dt = (time.time() - t0) * 1000
+    diff = abs(res["price"] - atm)
+    print(f"    MC={res['price']:.4f}  BS={atm:.4f}  |diff|={diff:.4f}  "
+          f"se={res['std_error']:.6f}  ({dt:.0f}ms)")
+    check("|MC − BS| < max(3σ, 0.01)", diff < max(3 * res["std_error"], 0.01))
+    check("|MC − BS| < 20 (reference gate)", diff < 20)
+
+    # 4. Full SVJ pricing
+    stage("4. SVJ call+put")
+    svj = SVJParams(kappa=5.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.10)
+    eng2 = MonteCarloEngine(svj, num_paths=50_000, num_steps=100)
+    t0 = time.time()
+    call = eng2.price(22500, 22500, 0.04, True)
+    put = eng2.price(22500, 22500, 0.04, False)
+    dt = (time.time() - t0) * 1000
+    print(f"    call={call['price']:.4f} put={put['price']:.4f} ({dt:.0f}ms)")
+    parity = 22500 * np.exp(-0.012 * 0.04) - 22500 * np.exp(-0.065 * 0.04)
+    check("put-call parity within noise",
+          abs((call["price"] - put["price"]) - parity)
+          < max(6 * (call["std_error"] + put["std_error"]), 2.0))
+
+    # 5. AD Greeks vs closed form
+    stage("5. greeks (one AD pass) vs BS closed form")
+    from mcos_tpu.engine.greeks import GreeksEngine
+    from mcos_tpu.ops.bs import bs_delta
+    ge = GreeksEngine(bs_params, num_paths=50_000, num_steps=252, seed=1)
+    d = ge.delta(22500, 22500, 0.04)
+    ref_delta = float(bs_delta(22500, 22500, 0.04, 0.065, 0.012, 0.2, True))
+    print(f"    AD delta={d['pathwise']:.4f}  FD={d['finite_diff']:.4f}  "
+          f"BS={ref_delta:.4f}  diff%={d['diff_pct']:.2f}")
+    check("delta within 1% of BS", abs(d["pathwise"] - ref_delta) < 0.01)
+
+    # 6. Regime detection (verify.py:58-69 canned inputs)
+    stage("6. regime")
+    from mcos_tpu.engine.regime import RegimeDetector
+    det = RegimeDetector()
+    r = [det.classify(0.12, 25, 0.02)["regime"],
+         det.classify(0.22, 60, 0.06)["regime"],
+         det.classify(0.35, 85, 0.12)["regime"]]
+    print(f"    {r}")
+    check("calm/event/crisis", r == ["calm", "event", "crisis"])
+
+    # 7. Guards
+    stage("7. guards")
+    from mcos_tpu.engine.guards import PricingGuard
+    pre = PricingGuard(svj).check_pre_price(22500, 22500, 0.04)
+    check("pre-price guard passes sane params", pre["pass"])
+    bad = PricingGuard(svj.replace(v0=99.0)).check_pre_price(22500, 22500, 0.04)
+    check("pre-price guard rejects v0=99", not bad["pass"])
+
+    # 8. Risk metrics (verify.py:80-91)
+    stage("8. risk metrics")
+    from mcos_tpu.engine.risk import compute_risk_metrics
+    rng = np.random.default_rng(42)
+    m = compute_risk_metrics(rng.standard_normal(10_000) * 0.02 - 0.001)
+    print(f"    VaR={m['var']:.4f} CVaR={m['cvar']:.4f} "
+          f"skew={m['skewness']:.3f} kurt={m['kurtosis']:.3f}")
+    check("VaR ≈ 2.33σ", abs(m["var"] - (2.326 * 0.02 + 0.001)) < 0.01)
+
+    # 9. IV surface
+    stage("9. implied vol")
+    from mcos_tpu.engine.surface import implied_vol
+    iv = implied_vol(atm, 22500, 22500, 0.04, 0.065, 0.012, True)
+    print(f"    IV(BS ATM price) = {iv:.5f}")
+    check("IV round-trip", iv is not None and abs(iv - 0.2) < 1e-3)
+
+    # 10. Sharded pricing on the device mesh
+    stage("10. mesh-sharded pricing")
+    from mcos_tpu.parallel.mesh import make_mesh, sharded_price
+    mesh = make_mesh()
+    sh = sharded_price(bs_params, 22500.0, [22500.0], 0.04, jax.random.key(0),
+                       mesh=mesh, num_paths=64_000, num_steps=50)
+    sh_price = float(sh["price"][0])
+    print(f"    {mesh.shape}: price={sh_price:.4f}")
+    check("sharded price within 3σ of BS",
+          abs(sh_price - atm) < max(3 * float(sh["std_error"][0]), 0.5))
+
+    print("\n" + "=" * 64)
+    if FAILURES:
+        print(f"FAILED: {len(FAILURES)} checks: {FAILURES}")
+        return 1
+    print("ALL SMOKE CHECKS PASSED")
+    print("Serve the API:  python -m mcos_tpu.api.server --port 8000")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

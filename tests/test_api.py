@@ -1,0 +1,146 @@
+"""HTTP API: endpoint surface parity with the reference (engine/app.py),
+driven over a real socket against the stdlib server."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mcos_tpu.api import server as api_server
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    httpd = api_server.serve(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def post(url, body, timeout=300):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def get(url, timeout=60):
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+PRICE_BODY = {
+    "spot": 22500, "strike": 22500, "T": 0.04,
+    "num_paths": 20_000, "use_sobol": False,
+}
+
+
+def test_health(base_url):
+    out = get(f"{base_url}/api/health")
+    assert out["status"] == "healthy"
+    assert "version" in out
+
+
+def test_price_endpoint(base_url):
+    out = post(f"{base_url}/api/price", PRICE_BODY)
+    assert out["price"] > 0
+    assert out["std_error"] >= 0
+    assert out["pre_checks"]["pass"] and out["post_checks"]["pass"]
+    assert "elapsed_ms" in out and "params_used" in out
+    # 50 sample paths for the dashboard's path chart (engine/app.py:149-150).
+    paths = np.asarray(out["sample_paths"])
+    assert paths.shape[0] == 50 and paths.shape[1] > 10
+
+
+def test_price_endpoint_guard_rejection(base_url):
+    bad = dict(PRICE_BODY)
+    bad["params"] = {"v0": 99.0}
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/price", bad)
+    assert exc.value.code == 400
+    detail = json.loads(exc.value.read())["detail"]
+    assert detail["failures"]
+
+
+def test_greeks_endpoint(base_url):
+    out = post(f"{base_url}/api/greeks", {
+        "spot": 22500, "strike": 22500, "T": 0.04, "num_paths": 20_000})
+    assert 0 < out["delta"]["pathwise"] < 1
+    assert "vega_per_vol_point" in out["vega"]
+    assert "gamma" in out["gamma"]
+    assert "theta_daily" in out["theta"]
+    assert "rho" in out["rho"]
+
+
+def test_stress_endpoint(base_url):
+    out = post(f"{base_url}/api/stress", {
+        "spot": 22500, "strike": 22500, "T": 0.04, "num_paths": 10_000})
+    assert len(out["spot_shocks"]) == 6
+    assert len(out["vol_shocks"]) == 2
+    assert "jump_scenario" in out
+
+
+def test_regime_endpoint(base_url):
+    out = post(f"{base_url}/api/regime", {
+        "realized_vol": 0.35, "iv_percentile": 85, "skew_slope": 0.12})
+    assert out["regime"] == "crisis"
+
+
+def test_hedge_endpoint(base_url):
+    out = post(f"{base_url}/api/hedge", {
+        "spot": 22500, "strike": 22500, "T": 0.04, "num_scenarios": 100})
+    assert "mean_pnl" in out and "pnl_percentiles" in out
+
+
+def test_smile_endpoint(base_url):
+    out = post(f"{base_url}/api/smile", {"spot": 22500, "T": 0.1})
+    assert len(out["smile"]) == 21
+    strikes = [p["strike"] for p in out["smile"]]
+    assert strikes[0] == pytest.approx(22500 * 0.7)
+    assert strikes[-1] == pytest.approx(22500 * 1.3)
+    prices = [p["price"] for p in out["smile"]]
+    assert all(a > b for a, b in zip(prices, prices[1:]))  # calls ↓ in K
+
+
+def test_calibrate_endpoint(base_url):
+    from mcos_tpu.ops.bs import bs_price
+    strikes = list(np.linspace(0.95, 1.05, 5) * 22500)
+    market = [float(bs_price(22500, k, 0.25, 0.065, 0.012, 0.18, True))
+              for k in strikes]
+    out = post(f"{base_url}/api/calibrate", {
+        "spot": 22500, "strikes": strikes, "T": 0.25,
+        "market_prices": market, "atm_vol": 0.18, "num_paths": 8192})
+    assert "params" in out and "stage1_result" in out
+    assert out["params"]["v0"] > 0
+
+
+def test_quote_endpoint_fallback(base_url):
+    # Zero-egress environment: the live fetch fails, fallback serves the
+    # static universe with source=CACHED (js/app.js:126-142 contract).
+    out = get(f"{base_url}/api/quote?symbol=RELIANCE")
+    assert out["source"] in ("CACHED", "LIVE")
+    assert out["price"] > 0 and 0 < out["volatility"] < 1
+
+
+def test_quote_endpoint_unknown_symbol(base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        get(f"{base_url}/api/quote?symbol=NOSUCHSTOCK")
+    assert exc.value.code == 503
+
+
+def test_unknown_route_404(base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/nope", {})
+    assert exc.value.code == 404
+
+
+def test_malformed_body_422(base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/price", {"spot": "not-a-number"})
+    assert exc.value.code == 422

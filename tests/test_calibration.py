@@ -1,0 +1,109 @@
+"""Calibration engine: vega weights, objectives, DE recovery, two-stage flow.
+
+Full market-quality calibration runs are TPU-scale work; these tests shrink
+paths/iterations and check (a) machinery correctness and (b) that the fit
+actually reduces the pricing error on a synthetic chain.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcos_tpu.engine import calibration as cal
+from mcos_tpu.engine.pricer import MonteCarloEngine
+from mcos_tpu.models.params import SVJParams, gbm_params
+from mcos_tpu.ops.bs import bs_price
+from mcos_tpu.utils.optim import differential_evolution, to_box, from_box
+
+SPOT, T = 22500.0, 0.25
+R, Q = 0.065, 0.012
+
+
+def test_vega_weights_normalized_and_atm_peaked():
+    strikes = np.linspace(0.85, 1.15, 7) * SPOT
+    w = np.asarray(cal.compute_vega_weights(SPOT, strikes, T, R, Q, 0.2))
+    assert w.sum() == pytest.approx(1.0, abs=1e-5)
+    assert w.argmax() in (3, 4)  # ATM-ish strike dominates
+    spreads = np.ones(7)
+    spreads[0] = 100.0  # wide quote → crushed weight
+    w2 = np.asarray(cal.compute_vega_weights(SPOT, strikes, T, R, Q, 0.2,
+                                             bid_ask_spreads=spreads))
+    assert w2[0] < w[0] * 0.1
+
+
+def test_de_minimizes_quadratic():
+    bounds = np.array([[-5, 5], [-5, 5], [-5, 5]], np.float32)
+    target = jnp.asarray([1.0, -2.0, 3.0])
+    res = differential_evolution(
+        lambda x: jnp.sum((x - target) ** 2), bounds, jax.random.key(0),
+        pop_size=24, iters=120)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(target),
+                               atol=0.02)
+    assert float(res.fun) < 1e-3
+    # history is monotone non-increasing
+    h = np.asarray(res.history)
+    assert np.all(np.diff(h) <= 1e-9)
+
+
+def test_box_reparam_roundtrip():
+    bounds = np.array([[0.1, 15.0], [0.005, 1.5]], np.float32)
+    x = jnp.asarray([3.0, 0.04])
+    u = from_box(x, bounds)
+    np.testing.assert_allclose(np.asarray(to_box(u, bounds)), np.asarray(x),
+                               rtol=1e-5)
+
+
+def test_heston_objective_prefers_truth():
+    """Objective evaluated at the generating parameters beats wrong ones."""
+    true = gbm_params(0.2, r=R, q=Q)  # σ=0.2 ⇒ v0=θ=0.04
+    strikes = np.linspace(0.95, 1.05, 5) * SPOT
+    market = np.array([float(bs_price(SPOT, k, T, R, Q, 0.2, True))
+                       for k in strikes], np.float32)
+    w = cal.compute_vega_weights(SPOT, strikes, T, R, Q, 0.2)
+    kw = dict(spot=SPOT, strikes=jnp.asarray(strikes), T=T,
+              market_prices=jnp.asarray(market), weights=w, r=R, q=Q,
+              key=jax.random.key(0), num_paths=20_000, num_steps=32)
+    # x = [kappa, theta, xi, rho, v0]
+    f_true = float(cal.heston_objective(
+        jnp.asarray([1.0, 0.04, 0.05, -0.1, 0.04]), **kw))
+    f_wrong = float(cal.heston_objective(
+        jnp.asarray([1.0, 0.09, 0.05, -0.1, 0.09]), **kw))
+    assert f_true < f_wrong
+
+
+def test_two_stage_calibration_recovers_vol_level():
+    """End-to-end two-stage fit on a synthetic BS chain: the calibrated v0
+    must land near the generating σ² and the final chain error must be small
+    relative to the option premia."""
+    sigma_true = 0.18
+    strikes = np.linspace(0.90, 1.10, 9) * SPOT
+    market = np.array([float(bs_price(SPOT, k, T, R, Q, sigma_true, True))
+                       for k in strikes], np.float32)
+
+    eng = cal.CalibrationEngine()
+    result = eng.calibrate(
+        SPOT, strikes, T, market, r=R, q=Q, atm_vol=sigma_true,
+        num_paths=16_384, num_steps=32, pop_size=12, polish=True, seed=0)
+
+    p = result["params"]
+    assert isinstance(p, SVJParams)
+    # Single-maturity chains only identify the *integrated* variance
+    # v̄ = θ + (v0−θ)(1−e^{−κT})/(κT): (κ, θ, v0) individually are degenerate
+    # (true of the reference's calibration too). Assert the identifiable
+    # quantity.
+    kappa, theta, v0 = float(p.kappa), float(p.theta), float(p.v0)
+    decay = (1.0 - np.exp(-kappa * T)) / (kappa * T)
+    v_bar = theta + (v0 - theta) * decay
+    assert v_bar == pytest.approx(sigma_true**2, abs=0.006)
+
+    # Refit quality: model chain within 1% of spot-scale ATM premium.
+    model = MonteCarloEngine(p, num_paths=50_000, num_steps=128,
+                             use_sobol=False, seed=9).price_batch(
+        SPOT, strikes, T)
+    errs = [abs(m["price"] - mk) for m, mk in zip(model, market)]
+    atm_premium = market[4]
+    assert max(errs) < 0.05 * atm_premium
+
+    assert len(eng.get_history()) == 1
+    assert "stage1_result" in result and "stage2_result" in result

@@ -1,0 +1,95 @@
+"""Greeks engine: AD values vs closed-form BS in the degenerate limit, and
+AD-vs-CRN-FD consistency on full SVJ (the reference's own oracle,
+greeks.py:79-95 diff_pct)."""
+
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.greeks import GreeksEngine
+from mcos_tpu.models.params import SVJParams, gbm_params
+from mcos_tpu.ops import bs
+
+SPOT, STRIKE, T = 22500.0, 22500.0, 0.25
+SIGMA = 0.2
+R, Q = 0.065, 0.012
+
+
+@pytest.fixture(scope="module")
+def bs_engine():
+    return GreeksEngine(gbm_params(SIGMA, r=R, q=Q),
+                        num_paths=50_000, num_steps=128, seed=5)
+
+
+@pytest.fixture(scope="module")
+def svj_engine():
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    return GreeksEngine(p, num_paths=50_000, num_steps=128, seed=5)
+
+
+def test_delta_matches_bs(bs_engine):
+    d = bs_engine.delta(SPOT, STRIKE, T)
+    ref = float(bs.bs_delta(SPOT, STRIKE, T, R, Q, SIGMA, True))
+    assert d["pathwise"] == pytest.approx(ref, abs=0.01)
+    assert d["diff_pct"] < 3.0  # AD vs CRN-FD agree (reference's own metric)
+
+
+def test_put_delta_matches_bs(bs_engine):
+    d = bs_engine.delta(SPOT, STRIKE, T, is_call=False)
+    ref = float(bs.bs_delta(SPOT, STRIKE, T, R, Q, SIGMA, False))
+    assert d["pathwise"] == pytest.approx(ref, abs=0.01)
+
+
+def test_vega_matches_bs(bs_engine):
+    v = bs_engine.vega(SPOT, STRIKE, T)
+    # dP/dv0 = vega_sigma / (2σ) in the BS limit.
+    ref_v0 = float(bs.bs_vega(SPOT, STRIKE, T, R, Q, SIGMA)) / (2 * SIGMA)
+    assert v["ad_vega_v0"] == pytest.approx(ref_v0, rel=0.08)
+    assert v["diff_pct"] < 10.0
+
+
+def test_gamma_matches_bs(bs_engine):
+    g = bs_engine.gamma(SPOT, STRIKE, T)
+    ref = float(bs.bs_gamma(SPOT, STRIKE, T, R, Q, SIGMA))
+    assert g["gamma"] == pytest.approx(ref, rel=0.15)
+
+
+def test_theta_matches_bs(bs_engine):
+    t = bs_engine.theta(SPOT, STRIKE, T)
+    ref = float(bs.bs_theta(SPOT, STRIKE, T, R, Q, SIGMA, True))
+    # reference convention: 'theta_daily' holds the annualized decay rate.
+    assert t["theta_daily"] == pytest.approx(ref, rel=0.05)
+    assert t["theta_annual"] == pytest.approx(ref * 252, rel=0.05)
+
+
+def test_rho_matches_bs(bs_engine):
+    r = bs_engine.rho(SPOT, STRIKE, T)
+    ref = float(bs.bs_rho(SPOT, STRIKE, T, R, Q, SIGMA, True))
+    assert r["rho"] == pytest.approx(ref, rel=0.05)
+
+
+def test_svj_ad_fd_consistency(svj_engine):
+    """On full SVJ there is no closed form — AD must agree with CRN-FD."""
+    d = svj_engine.delta(SPOT, STRIKE, T)
+    assert d["diff_pct"] < 5.0
+    v = svj_engine.vega(SPOT, STRIKE, T)
+    assert v["diff_pct"] < 15.0  # FD bump 0.01 on v0=0.04 has O(h²) curvature
+
+
+def test_jump_sensitivities(svj_engine):
+    j = svj_engine.jump_sensitivities(SPOT, STRIKE, T)
+    # More frequent crash-jumps raise ATM option value via fatter tails; the
+    # CRN-FD lambda sensitivity must dominate the drift-only AD term.
+    assert np.isfinite(j["lambda_j"])
+    assert abs(j["lambda_j"] - j["lambda_j_drift_only"]) > 1e-3
+    # Wider jump sizes add convexity value.
+    assert j["sigma_j"] > 0
+
+
+def test_all_greeks_layout(svj_engine):
+    g = svj_engine.all_greeks(SPOT, STRIKE, T)
+    assert set(g) == {"delta", "vega", "gamma", "theta", "rho", "jumps"}
+    assert "pathwise" in g["delta"] and "finite_diff" in g["delta"]
+    assert "vega_per_vol_point" in g["vega"]
+    assert "gamma" in g["gamma"]
+    assert "theta_daily" in g["theta"] and "rho" in g["rho"]

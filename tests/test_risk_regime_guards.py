@@ -1,0 +1,216 @@
+"""Risk engine, regime detector, guards — reference-parity behavior tests.
+
+The regime expectations mirror verify.py:58-69's three canned inputs; the risk
+metrics match the reference estimator definitions on a synthetic normal
+sample (verify.py:80-91)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.guards import PricingGuard, validate_simulation_output
+from mcos_tpu.engine.regime import (
+    MarketRegime,
+    RegimeDetector,
+    compute_iv_percentile,
+    compute_realized_vol,
+    compute_skew_slope,
+    rolling_realized_vol,
+)
+from mcos_tpu.engine.risk import (
+    HedgingBacktest,
+    LiquidityStress,
+    StressTestEngine,
+    compute_risk_metrics,
+    multi_asset_gbm_terminal,
+    portfolio_var,
+)
+from mcos_tpu.models.params import SVJParams, gbm_params
+
+SPOT, STRIKE, T = 22500.0, 22500.0, 0.1
+SVJ = SVJParams(kappa=3.0, theta=0.04, xi=0.3, rho=-0.6, v0=0.04,
+                lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+
+
+# ── risk metrics ─────────────────────────────────────────────────────────────
+def test_risk_metrics_normal_sample():
+    rng = np.random.default_rng(42)
+    returns = rng.standard_normal(10_000) * 0.02 - 0.001
+    m = compute_risk_metrics(returns)
+    # 99% normal VaR ≈ 2.326σ − μ.
+    assert m["var"] == pytest.approx(2.326 * 0.02 + 0.001, rel=0.1)
+    assert m["cvar"] > m["var"]
+    assert abs(m["skewness"]) < 0.1
+    assert m["kurtosis"] == pytest.approx(3.0, abs=0.2)
+    assert np.isfinite(m["tail_index"])
+
+
+def test_risk_metrics_fat_tails():
+    rng = np.random.default_rng(0)
+    heavy = rng.standard_t(df=3, size=20_000)
+    m = compute_risk_metrics(heavy)
+    assert m["excess_kurtosis"] > 1.0
+    # Hill index should sit near the true tail exponent (3) for Student-t.
+    assert 1.5 < m["tail_index"] < 6.0
+
+
+# ── stress testing ───────────────────────────────────────────────────────────
+@pytest.fixture(scope="module")
+def stress():
+    return StressTestEngine(SVJ, num_paths=20_000, seed=1)
+
+
+def test_spot_ladder_monotone_for_calls(stress):
+    ladder = stress.spot_shock_ladder(SPOT, STRIKE, T, is_call=True)
+    assert len(ladder) == 6
+    prices = [row["price"] for row in ladder]
+    assert all(a < b for a, b in zip(prices, prices[1:]))  # calls ↑ in spot
+    assert ladder[0]["pnl"] < 0 < ladder[-1]["pnl"]
+
+
+def test_vol_ladder_sign(stress):
+    ladder = stress.vol_shock_ladder(SPOT, STRIKE, T)
+    assert len(ladder) == 2
+    down, up = ladder
+    assert down["pnl"] < 0 < up["pnl"]  # long option: short vol shock hurts
+
+
+def test_jump_scenario_keys(stress):
+    j = stress.jump_scenario(SPOT, STRIKE, T)
+    assert j["gap_size_pct"] == pytest.approx(4.0)
+    assert j["gap_down_pnl"] < 0 < j["gap_up_pnl"]  # ATM call
+
+
+def test_full_report(stress):
+    rep = stress.full_stress_report(SPOT, STRIKE, T)
+    assert set(rep) == {"spot_shocks", "vol_shocks", "jump_scenario"}
+
+
+# ── liquidity stress ─────────────────────────────────────────────────────────
+def test_liquidity_stress():
+    w = LiquidityStress.bid_ask_widening(2.0, 3.0)
+    assert w["stressed_spread"] == 6.0
+    vg = LiquidityStress.vol_gap_no_spot_move(SVJ, 0.05)
+    assert float(vg.v0) == pytest.approx((0.2 + 0.05) ** 2, rel=1e-6)
+    crush = LiquidityStress.expiry_vol_crush(SVJ, 0.30)
+    assert float(crush.v0) == pytest.approx(0.04 * 0.7, rel=1e-6)
+    assert float(crush.theta) == pytest.approx(0.04 * 0.85, rel=1e-6)
+
+
+# ── hedging backtest ─────────────────────────────────────────────────────────
+def test_hedging_backtest():
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    bt = HedgingBacktest(p, seed=3)
+    res = bt.run_backtest(SPOT, STRIKE, 0.1, num_scenarios=500,
+                          num_mc_paths=20_000)
+    # Delta-hedging a fairly-priced short option in its own model: PnL
+    # centered near zero (minus costs), tight relative to the premium.
+    assert abs(res["mean_pnl"]) < 0.2 * res["premium"]
+    assert res["std_pnl"] < 0.5 * res["premium"]
+    assert res["pnl_percentiles"]["1%"] < res["pnl_percentiles"]["99%"]
+    assert res["total_txn_cost_avg"] > 0
+    assert res["num_scenarios"] == 500
+
+
+# ── multi-asset / portfolio VaR ──────────────────────────────────────────────
+def test_multi_asset_correlation_recovered():
+    corr = np.array([[1.0, 0.8], [0.8, 1.0]], np.float32)
+    s = multi_asset_gbm_terminal(
+        np.array([100.0, 200.0]), np.array([0.2, 0.3]), corr, 0.0, 0.0, 1.0,
+        jax.random.key(0), num_paths=100_000, num_steps=16)
+    lr = np.log(np.asarray(s) / np.array([100.0, 200.0]))
+    est = np.corrcoef(lr[:, 0], lr[:, 1])[0, 1]
+    assert est == pytest.approx(0.8, abs=0.02)
+    assert np.std(lr[:, 0]) == pytest.approx(0.2, rel=0.05)
+
+
+def test_portfolio_var_diversification():
+    spots = np.array([100.0, 100.0])
+    sigmas = np.array([0.25, 0.25])
+    w = np.array([0.5, 0.5])
+    kw = dict(T=0.25, num_paths=100_000, num_steps=8)
+    v_corr = portfolio_var(spots, sigmas, np.array([[1, .95], [.95, 1]],
+                                                   np.float32), w, **kw)
+    v_ind = portfolio_var(spots, sigmas, np.eye(2, dtype=np.float32), w, **kw)
+    assert v_ind["var"] < v_corr["var"]  # diversification lowers VaR
+
+
+# ── regime detection ─────────────────────────────────────────────────────────
+def test_regime_canned_inputs():
+    det = RegimeDetector()
+    assert det.classify(0.12, 25, 0.02)["regime"] == "calm"
+    assert det.classify(0.22, 60, 0.06)["regime"] == "event"
+    assert det.classify(0.35, 85, 0.12)["regime"] == "crisis"
+    assert len(det.get_regime_history()) == 3
+
+
+def test_regime_adjustments_widen_with_stress():
+    det = RegimeDetector()
+    calm = det.classify(0.1, 10, 0.01)["calibration_adjustments"]
+    crisis = det.classify(0.4, 90, 0.15)["calibration_adjustments"]
+    assert crisis["xi_bounds"][1] > calm["xi_bounds"][1]
+    assert crisis["lambda_bounds"][1] > calm["lambda_bounds"][1]
+    assert crisis["regularization_scale"] < calm["regularization_scale"]
+
+
+def test_regime_helpers():
+    prices = 100 * np.exp(np.cumsum(np.random.default_rng(1).normal(
+        0, 0.01, 100)))
+    rv = compute_realized_vol(prices)
+    assert rv == pytest.approx(0.01 * np.sqrt(252), rel=0.5)
+    roll = rolling_realized_vol(prices)
+    assert roll.shape == (80,)
+    assert compute_iv_percentile(0.2, np.linspace(0.1, 0.3, 100)) == pytest.approx(50, abs=2)
+    assert compute_iv_percentile(0.2, np.array([])) == 50.0
+    assert compute_skew_slope(0.25, 0.20) == pytest.approx(0.05)
+
+
+# ── guards ───────────────────────────────────────────────────────────────────
+def test_pre_price_guard_passes_sane_params():
+    g = PricingGuard(SVJ)
+    res = g.check_pre_price(SPOT, STRIKE, T)
+    assert res["pass"]
+
+
+def test_pre_price_guard_rejects_bad_params():
+    g = PricingGuard(SVJ.replace(v0=50.0))
+    assert not g.check_pre_price(SPOT, STRIKE, T)["pass"]
+    g2 = PricingGuard(SVJ.replace(rho=-0.9999))
+    assert not g2.check_pre_price(SPOT, STRIKE, T)["pass"]
+    g3 = PricingGuard(SVJ)
+    assert not g3.check_pre_price(SPOT, STRIKE, -0.1)["pass"]
+
+
+def test_pre_price_guard_alerts():
+    g = PricingGuard(SVJ.replace(xi=4.5))
+    res = g.check_pre_price(SPOT, SPOT * 2, T)  # deep OTM + high ξ
+    assert res["pass"]  # alerts, not failures
+    assert any("Moneyness" in a for a in res["alerts"])
+    assert any("ξ" in a for a in res["alerts"])
+    assert any("Feller" in a for a in res["alerts"])
+
+
+def test_post_price_guard():
+    g = PricingGuard(SVJ)
+    ok = g.check_post_price(
+        {"price": 300.0, "std_error": 0.1}, SPOT, STRIKE, T)
+    assert ok["pass"]
+    bad = g.check_post_price(
+        {"price": SPOT * 2.0, "std_error": 0.1}, SPOT, STRIKE, T)
+    assert not bad["pass"]
+    neg = g.check_post_price({"price": -5.0, "std_error": 0.1},
+                             SPOT, STRIKE, T)
+    assert not neg["pass"]
+
+
+def test_validate_simulation_output():
+    rng = np.random.default_rng(0)
+    s = rng.lognormal(0, 0.2, 1000).astype(np.float32) * 100
+    v = np.abs(rng.normal(0.04, 0.01, 1000)).astype(np.float32)
+    out = validate_simulation_output(s, v)
+    assert out["valid"]
+    s_bad = s.copy()
+    s_bad[0] = np.nan
+    out2 = validate_simulation_output(s_bad, v)
+    assert not out2["valid"]
+    assert any("NaN" in i for i in out2["issues"])
