@@ -1,0 +1,217 @@
+"""Benchmark suite over the five BASELINE.md workloads.
+
+Run: python benchmarks/suite.py [--quick]
+Prints one JSON document with a result block per config. The repo-root
+bench.py stays the driver's single-line headline; this suite is the full
+performance story.
+
+Configs (BASELINE.json):
+  1. European call: 50k GBM paths × 250 steps, price + CI vs Black-Scholes.
+  2. Full-chain Greeks via pathwise AD (one backward pass per chain).
+  3. IV surface: vmapped Newton inversion + SABR fit over strikes × expiries.
+  4. Path-dependent payoffs: Asian/barrier/lookback with antithetic + CV.
+  5. Portfolio risk: multi-asset correlated GBM at 1e8 paths, VaR/ES.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Runnable as `python benchmarks/suite.py` from anywhere: the package lives
+# at the repo root (this file's parent's parent is not installed).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, warmup=1, trials=3, **kw):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return out, min(times) * 1000
+
+
+def config1_european(quick):
+    import jax
+    from mcos_tpu.engine.pricer import mc_price_pallas, mc_price_core
+    from mcos_tpu.models.params import gbm_params
+    from mcos_tpu.ops.bs import bs_price
+
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    n, steps = (25_000, 250)  # 50k total with antithetic
+
+    def run(seed):
+        if jax.default_backend() == "tpu":
+            return mc_price_pallas(p, 22500.0, np.array([22500.0], np.float32),
+                                   1.0, seed, num_paths=n, num_steps=steps)
+        return mc_price_core(p, 22500.0, np.array([22500.0], np.float32),
+                             1.0, jax.random.key(seed),
+                             num_paths=n, num_steps=steps)
+
+    res, ms = timed(run, 0)
+    ref = float(bs_price(22500.0, 22500.0, 1.0, 0.065, 0.012, 0.2, True))
+    price = float(res["price"][0])
+    se = float(res["std_error"][0])
+    return {
+        "workload": "European call 50k paths x 250 steps",
+        "price": price, "bs_ref": ref, "std_error": se,
+        "abs_error": abs(price - ref),
+        "within_3sigma": bool(abs(price - ref) < max(3 * se, 1e-2)),
+        "latency_ms": round(ms, 2),
+        "path_steps_per_sec": round(2 * n * steps / (ms / 1000)),
+    }
+
+
+def config2_greeks_chain(quick):
+    import jax
+    from mcos_tpu.engine.greeks import price_and_greeks
+    from mcos_tpu.models.params import SVJParams
+
+    p = SVJParams()
+    n = 50_000 if quick else 200_000
+    strikes = np.linspace(0.9, 1.1, 11) * 22500.0
+
+    def chain(seed):
+        outs = []
+        for k in strikes:
+            outs.append(price_and_greeks(
+                p, 22500.0, float(k), 0.1, jax.random.key(seed),
+                num_paths=n, num_steps=25, is_call=True))
+        return outs
+
+    outs, ms = timed(chain, 0, trials=2)
+    deltas = [float(o[1]) for o in outs]
+    return {
+        "workload": f"11-strike chain, all first-order Greeks, {n} paths",
+        "latency_ms": round(ms, 2),
+        "ms_per_contract_all_greeks": round(ms / len(strikes), 2),
+        "delta_range": [min(deltas), max(deltas)],
+        "backward_passes_per_contract": 1,
+        "reference_kernel_passes_per_contract": 13,
+    }
+
+
+def config3_surface(quick):
+    from mcos_tpu.engine.surface import calibrate_sabr, implied_vol_grid, sabr_vol
+    from mcos_tpu.ops.bs import bs_price
+
+    n_k, n_t = (21, 6)
+    strikes = np.linspace(0.8, 1.2, n_k) * 22500.0
+    mats = np.linspace(0.05, 1.0, n_t)
+    sigma = 0.2 + 0.1 * np.abs(strikes / 22500.0 - 1.0)[None, :] \
+        + 0.02 * np.sqrt(mats)[:, None]
+    prices = np.asarray(bs_price(22500.0, strikes[None, :], mats[:, None],
+                                 0.065, 0.012, sigma, True))
+
+    t0 = time.perf_counter()
+    ivs = implied_vol_grid(prices, 22500.0, strikes[None, :], mats[:, None],
+                           0.065, 0.012)
+    iv_ms = (time.perf_counter() - t0) * 1000
+    max_err = float(np.nanmax(np.abs(np.asarray(ivs) - sigma)))
+
+    F = 22500.0 * np.exp(0.053 * 0.25)
+    true_ivs = np.asarray(sabr_vol(F, strikes, 0.25, 1.2, 0.8, -0.4, 0.9))
+    t0 = time.perf_counter()
+    fit = calibrate_sabr(F, strikes, 0.25, true_ivs, beta_fixed=0.8,
+                         iters=60 if quick else 150)
+    sabr_ms = (time.perf_counter() - t0) * 1000
+    return {
+        "workload": f"{n_t}x{n_k} IV grid inversion + SABR fit",
+        "iv_grid_ms": round(iv_ms, 2),
+        "iv_max_abs_error": max_err,
+        "sabr_fit_ms": round(sabr_ms, 2),
+        "sabr_fit_error": fit["error"],
+    }
+
+
+def config4_exotics(quick):
+    from mcos_tpu.engine.exotics import ExoticEngine
+    from mcos_tpu.models.params import gbm_params
+    from mcos_tpu.ops.exotics import geometric_asian_bs
+
+    n = 100_000 if quick else 500_000
+    eng = ExoticEngine(gbm_params(0.25, r=0.05, q=0.01), num_paths=n,
+                       num_steps=64, seed=7)
+    t0 = time.perf_counter()
+    asian = eng.price_asian(100.0, 100.0, 1.0)
+    barrier = eng.price_barrier(100.0, 100.0, 1.0, 130.0, knock="out")
+    lookback = eng.price_lookback(100.0, 1.0)
+    ms = (time.perf_counter() - t0) * 1000
+    geo_cf = float(geometric_asian_bs(100.0, 100.0, 1.0, 0.05, 0.01, 0.25,
+                                      asian["num_steps"], True))
+    return {
+        "workload": f"Asian+barrier+lookback, {n} paths x 64 steps each",
+        "total_ms_first_call": round(ms, 1),
+        "asian": {"price": asian["price"], "se": asian["std_error"],
+                  "cv_beta": asian.get("cv_beta"),
+                  "geometric_cf_lower_bound": geo_cf},
+        "barrier_up_out": {"price": barrier["price"],
+                           "se": barrier["std_error"]},
+        "lookback_float": {"price": lookback["price"],
+                           "se": lookback["std_error"]},
+    }
+
+
+def config5_portfolio(quick):
+    import jax
+    from mcos_tpu.engine.risk import multi_asset_gbm_terminal, compute_risk_metrics
+
+    n = 10_000_000 if quick else 100_000_000
+    a = 4
+    corr = np.full((a, a), 0.4, np.float32)
+    np.fill_diagonal(corr, 1.0)
+    spots = np.full(a, 100.0, np.float32)
+    sigmas = np.linspace(0.15, 0.35, a).astype(np.float32)
+    w = np.full(a, 1.0 / a, np.float32)
+
+    def run(seed):
+        s = multi_asset_gbm_terminal(spots, sigmas, corr, 0.05, 0.0, 0.25,
+                                     jax.random.key(seed),
+                                     num_paths=n, num_steps=16)
+        rel = s / spots[None, :] - 1.0
+        return rel @ w
+
+    rets, ms = timed(run, 0, trials=2)
+    m = compute_risk_metrics(rets)
+    return {
+        "workload": f"{a}-asset correlated GBM, {n:.0e} paths x 16 steps",
+        "latency_ms": round(ms, 1),
+        "asset_path_steps_per_sec": round(a * n * 16 / (ms / 1000)),
+        "var_99": m["var"], "cvar_99": m["cvar"],
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="smaller workloads (CPU-friendly)")
+    args = parser.parse_args()
+
+    import jax
+
+    report = {"backend": jax.default_backend(),
+              "devices": [str(d) for d in jax.devices()]}
+    for name, fn in [("config1_european", config1_european),
+                     ("config2_greeks_chain", config2_greeks_chain),
+                     ("config3_surface", config3_surface),
+                     ("config4_exotics", config4_exotics),
+                     ("config5_portfolio", config5_portfolio)]:
+        try:
+            report[name] = fn(args.quick)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            report[name] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(report, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

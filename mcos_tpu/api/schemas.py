@@ -87,6 +87,21 @@ class SmileRequest(BaseModel):
     params: SVJParamsRequest = SVJParamsRequest()
 
 
+class ExoticRequest(BaseModel):
+    """POST /api/exotic — Asian / barrier / lookback pricing (capability
+    beyond the reference's European-only engine)."""
+    spot: float
+    T: float
+    kind: str  # "asian" | "barrier" | "lookback"
+    strike: Optional[float] = None       # None ⇒ floating-strike lookback
+    is_call: bool = True
+    averaging: str = "arithmetic"        # asian only
+    barrier: Optional[float] = None      # barrier only
+    knock: str = "out"                   # barrier only
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = 200_000
+
+
 class CalibrateRequest(BaseModel):
     """POST /api/calibrate — advertised by the reference's docstring
     (engine/app.py:9) but never implemented there (SURVEY.md §1); this

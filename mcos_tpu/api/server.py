@@ -164,6 +164,32 @@ def handle_smile(body: dict) -> dict:
     return {"smile": smile}
 
 
+def handle_exotic(body: dict) -> dict:
+    """POST /api/exotic — Asian / barrier / lookback (beyond the reference)."""
+    from mcos_tpu.engine.exotics import ExoticEngine
+
+    req = schemas.ExoticRequest(**body)
+    start = time.time()
+    eng = ExoticEngine(req.params.to_params(), num_paths=req.num_paths)
+    if req.kind == "asian":
+        if req.strike is None:
+            raise ApiError(400, "asian requires strike")
+        out = eng.price_asian(req.spot, req.strike, req.T, req.is_call,
+                              averaging=req.averaging)
+    elif req.kind == "barrier":
+        if req.strike is None or req.barrier is None:
+            raise ApiError(400, "barrier requires strike and barrier")
+        out = eng.price_barrier(req.spot, req.strike, req.T, req.barrier,
+                                req.is_call, knock=req.knock)
+    elif req.kind == "lookback":
+        out = eng.price_lookback(req.spot, req.T, req.is_call,
+                                 strike=req.strike)
+    else:
+        raise ApiError(400, f"unknown kind {req.kind!r}")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_calibrate(body: dict) -> dict:
     """POST /api/calibrate — completes the endpoint the reference only
     documents (engine/app.py:9)."""
@@ -203,6 +229,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/hedge": handle_hedge,
     "/api/smile": handle_smile,
     "/api/calibrate": handle_calibrate,
+    "/api/exotic": handle_exotic,
 }
 
 

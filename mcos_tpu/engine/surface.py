@@ -44,73 +44,63 @@ bs_put_price = partial(bs_price, is_call=False)
 # ─────────────────────────────────────────────────────────────────────────────
 # Implied volatility: vmapped bisection + Newton polish
 # ─────────────────────────────────────────────────────────────────────────────
-@partial(jax.jit, static_argnames=("is_call", "bisect_iters", "newton_iters"))
-def _implied_vol_grid_impl(
-    price,
-    S,
-    K,
-    T,
-    r,
-    q,
-    is_call: bool = True,
-    lo: float = 0.001,
-    hi: float = 5.0,
-    bisect_iters: int = 60,
-    newton_iters: int = 4,
-) -> Array:
-    price, S, K, T, r, q = jnp.broadcast_arrays(
-        *map(jnp.asarray, (price, S, K, T, r, q)))
-    shape = price.shape
-    dtype = price.dtype
+def _bs_price_np(S, K, T, r, q, sigma, is_call: bool):
+    """Vectorized f64 Black-Scholes on the host (numpy/scipy)."""
+    from scipy.special import ndtr as ndtr_np
 
-    def f(sigma):
-        return bs_price(S, K, T, r, q, sigma, is_call) - price
-
-    lo_a = jnp.full(shape, lo, dtype)
-    hi_a = jnp.full(shape, hi, dtype)
-    f_lo = f(lo_a)
-    f_hi = f(hi_a)
-    bracketed = f_lo * f_hi <= 0
-
-    def bisect_body(_, carry):
-        lo_c, hi_c = carry
-        mid = 0.5 * (lo_c + hi_c)
-        f_mid = f(mid)
-        go_left = jnp.sign(f_mid) == jnp.sign(f(lo_c))
-        lo_c = jnp.where(go_left, mid, lo_c)
-        hi_c = jnp.where(go_left, hi_c, mid)
-        return lo_c, hi_c
-
-    lo_f, hi_f = jax.lax.fori_loop(0, bisect_iters, bisect_body, (lo_a, hi_a))
-    sigma = 0.5 * (lo_f + hi_f)
-
-    def newton_body(_, sigma):
-        vega = jnp.maximum(bs_vega(S, K, T, r, q, sigma), 1e-10)
-        step = f(sigma) / vega
-        return jnp.clip(sigma - step, lo, hi)
-
-    sigma = jax.lax.fori_loop(0, newton_iters, newton_body, sigma)
-    return jnp.where(bracketed, sigma, jnp.nan)
+    sqrt_t = np.sqrt(np.maximum(T, 1e-300))
+    denom = np.maximum(sigma * sqrt_t, 1e-300)
+    d1 = (np.log(S / K) + (r - q + 0.5 * sigma**2) * T) / denom
+    d2 = d1 - sigma * sqrt_t
+    df_r, df_q = np.exp(-r * T), np.exp(-q * T)
+    if is_call:
+        return S * df_q * ndtr_np(d1) - K * df_r * ndtr_np(d2)
+    return K * df_r * ndtr_np(-d2) - S * df_q * ndtr_np(-d1)
 
 
 def implied_vol_grid(price, S, K, T, r, q, is_call: bool = True,
-                     lo: float = 0.001, hi: float = 5.0) -> Array:
-    """Implied vols for a whole grid in one compiled solve.
+                     lo: float = 0.001, hi: float = 5.0,
+                     bisect_iters: int = 60, newton_iters: int = 3):
+    """Implied vols for a whole broadcast grid in one vectorized f64 solve.
 
-    All args broadcast. Runs in float64 (`enable_x64` scope): deep-ITM quotes
+    Runs on the **host** in numpy float64, deliberately: (a) deep-ITM quotes
     carry their information in a tiny extrinsic value on top of a large
-    intrinsic one, which f32 cancellation destroys — the reference gets f64
-    for free from scipy's Brent (surface.py:48-66). 60 bisection halvings +
-    a Newton polish reach ~1e-12; non-bracketed inputs (arbitrage-violating
-    or stale quotes) come back NaN, mirroring the reference's None.
+    intrinsic one, which f32 cancellation destroys (the reference gets f64
+    for free from scipy's Brent, surface.py:48-66); (b) IV grids are ≤ O(10³)
+    points — an earlier on-TPU f64 version cost ~8 minutes of emulated-f64
+    compile for a 126-point grid vs sub-ms here. 60 bisection halvings + a
+    Newton polish reach ~1e-12; non-bracketed inputs (arbitrage-violating or
+    stale quotes) come back NaN, mirroring the reference's None.
     """
-    with jax.enable_x64():
-        out = _implied_vol_grid_impl(
-            np.asarray(price, np.float64), np.asarray(S, np.float64),
-            np.asarray(K, np.float64), np.asarray(T, np.float64),
-            np.asarray(r, np.float64), np.asarray(q, np.float64),
-            is_call, lo=lo, hi=hi)
-        return jax.device_get(out)
+    price, S, K, T, r, q = np.broadcast_arrays(
+        *[np.asarray(a, np.float64) for a in (price, S, K, T, r, q)])
+    shape = price.shape
+
+    def f(sigma):
+        return _bs_price_np(S, K, T, r, q, sigma, is_call) - price
+
+    lo_a = np.full(shape, lo)
+    hi_a = np.full(shape, hi)
+    bracketed = f(lo_a) * f(hi_a) <= 0
+
+    f_lo_sign = np.sign(f(lo_a))
+    for _ in range(bisect_iters):
+        mid = 0.5 * (lo_a + hi_a)
+        go_left = np.sign(f(mid)) == f_lo_sign
+        lo_a = np.where(go_left, mid, lo_a)
+        hi_a = np.where(go_left, hi_a, mid)
+    sigma = 0.5 * (lo_a + hi_a)
+
+    from scipy.stats import norm as _norm
+
+    for _ in range(newton_iters):
+        d1 = (np.log(S / K) + (r - q + 0.5 * sigma**2) * T) / np.maximum(
+            sigma * np.sqrt(T), 1e-300)
+        vega = np.maximum(
+            S * np.exp(-q * T) * np.sqrt(T) * _norm.pdf(d1), 1e-12)
+        sigma = np.clip(sigma - f(sigma) / vega, lo, hi)
+
+    return np.where(bracketed, sigma, np.nan)
 
 
 def implied_vol(price: float, S: float, K: float, T: float,

@@ -1,0 +1,217 @@
+"""Path-dependent simulation and exotic-payoff analytics.
+
+Capability extension beyond the reference (which prices Europeans only —
+engine/monte_carlo.py:327-335); BASELINE.md config #4 names Asian / barrier /
+lookback with antithetic + control variates as a target workload.
+
+Design: one scan pass tracks the path functionals every exotic needs —
+running arithmetic sum, log-sum (geometric mean), running max/min of log S —
+for both the SVJ leg and the GBM companion leg. Running extrema are kept in
+log space (monotone ⇒ max log S = log max S), so the only per-step `exp` is
+for the arithmetic average.
+
+Control variate for arithmetic Asians: the *discrete geometric Asian on the
+companion GBM leg*, whose price is closed-form (`geometric_asian_bs`) — the
+classic Kemna-Vorst control, correlation ≈ 0.99+ in practice.
+
+Monitoring is discrete at the simulation grid (t_i = i·T/n, i = 1..n);
+continuous-monitoring barrier/lookback values differ by the usual
+Broadie-Glasserman-Kou O(1/√n) gap — documented, not hidden.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import ndtr
+
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops.simulate import _svj_step_core
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
+                                   "companion"))
+def simulate_path_stats(
+    params: SVJParams,
+    spot,
+    T,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = True,
+) -> Dict[str, Array]:
+    """SVJ paths with running functionals; one fused scan.
+
+    Returns dict of (n_branch, num_paths) arrays:
+        s_final, v_final, avg (arithmetic mean of S at t_1..t_n),
+        log_avg (mean of log S — geometric mean is exp of it),
+        max_s, min_s, and the companion-leg counterparts (g_final, g_avg,
+        g_log_avg, g_max, g_min) when companion=True.
+    """
+    dtype = jnp.float32
+    n_branch = 2 if antithetic else 1
+    spot = jnp.asarray(spot, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (n_branch, num_paths)).astype(dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_branch, num_paths))
+    zeros = jnp.zeros_like(log_s0)
+    neg_inf = jnp.full_like(log_s0, -jnp.inf)
+    pos_inf = jnp.full_like(log_s0, jnp.inf)
+
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    def step(carry, step_idx):
+        (log_s, v, sum_s, sum_log, max_log, min_log,
+         log_g, g_sum_s, g_sum_log, g_max_log, g_min_log) = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
+        z1 = z[0] * sign
+
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z1, z[1] * sign, u_jump[None, :],
+                                  z[2] * sign)
+        sum_s = sum_s + jnp.exp(log_s)
+        sum_log = sum_log + log_s
+        max_log = jnp.maximum(max_log, log_s)
+        min_log = jnp.minimum(min_log, log_s)
+
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z1 * sqrt_dt
+            g_sum_s = g_sum_s + jnp.exp(log_g)
+            g_sum_log = g_sum_log + log_g
+            g_max_log = jnp.maximum(g_max_log, log_g)
+            g_min_log = jnp.minimum(g_min_log, log_g)
+        return (log_s, v, sum_s, sum_log, max_log, min_log,
+                log_g, g_sum_s, g_sum_log, g_max_log, g_min_log), None
+
+    init = (log_s0, v0, zeros, zeros, neg_inf, pos_inf,
+            log_s0, zeros, zeros, neg_inf, pos_inf)
+    carry, _ = jax.lax.scan(step, init, jnp.arange(num_steps))
+    (log_s, v, sum_s, sum_log, max_log, min_log,
+     log_g, g_sum_s, g_sum_log, g_max_log, g_min_log) = carry
+
+    n = jnp.float32(num_steps)
+    out = {
+        "s_final": jnp.exp(log_s),
+        "v_final": v,
+        "avg": sum_s / n,
+        "log_avg": sum_log / n,
+        "max_s": jnp.exp(max_log),
+        "min_s": jnp.exp(min_log),
+    }
+    if companion:
+        out.update({
+            "g_final": jnp.exp(log_g),
+            "g_avg": g_sum_s / n,
+            "g_log_avg": g_sum_log / n,
+            "g_max": jnp.exp(g_max_log),
+            "g_min": jnp.exp(g_min_log),
+        })
+    return out
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Closed forms (control variates / test oracles)
+# ─────────────────────────────────────────────────────────────────────────────
+def geometric_asian_bs(S, K, T, r, q, sigma, num_obs: int,
+                       is_call: bool = True):
+    """Discrete geometric-average Asian option under Black-Scholes.
+
+    Observations at t_i = i·T/n, i = 1..n. ln G ~ N(m, v) with
+        m = ln S + (r − q − σ²/2) · T(n+1)/(2n)
+        v = σ² T (n+1)(2n+1) / (6n²)
+    Price = e^{−rT} (F_G N(d₁) − K N(d₂)), F_G = e^{m+v/2}.
+    Exact (Kemna-Vorst discrete form) — used as the arithmetic-Asian control
+    variate and as the test oracle.
+    """
+    S, K, T, r, q, sigma = map(jnp.asarray, (S, K, T, r, q, sigma))
+    n = float(num_obs)
+    t_bar = T * (n + 1.0) / (2.0 * n)
+    v = sigma**2 * T * (n + 1.0) * (2.0 * n + 1.0) / (6.0 * n * n)
+    m = jnp.log(S) + (r - q - 0.5 * sigma**2) * t_bar
+    sqrt_v = jnp.sqrt(jnp.maximum(v, 1e-20))
+    f_g = jnp.exp(m + 0.5 * v)
+    d2 = (m - jnp.log(K)) / sqrt_v
+    d1 = d2 + sqrt_v
+    df = jnp.exp(-r * T)
+    if is_call:
+        return df * (f_g * ndtr(d1) - K * ndtr(d2))
+    return df * (K * ndtr(-d2) - f_g * ndtr(-d1))
+
+
+def lookback_float_bs(S, T, r, q, sigma, is_call: bool = True):
+    """Continuously-monitored floating-strike lookback, fresh contract
+    (Goldman-Sosin-Gatto; Haug §4.15.1 form with m = M = S).
+
+    Call pays S_T − min S; put pays max S − S_T. Discretely-monitored MC at n
+    steps is worth *less* (call) / less (put) by the usual O(1/√n)
+    extremum-undershoot — tests bound that gap rather than hide it.
+    Requires b = r − q ≠ 0 (the σ²/2b term; b→0 needs the limit form).
+    """
+    S, T, r, q, sigma = map(jnp.asarray, (S, T, r, q, sigma))
+    b = r - q
+    sqrt_t = jnp.sqrt(T)
+    df_r = jnp.exp(-r * T)
+    df_q = jnp.exp(-q * T)
+    a1 = (b + 0.5 * sigma**2) * sqrt_t / sigma
+    a2 = a1 - sigma * sqrt_t
+    k = 2.0 * b / sigma**2
+    if is_call:
+        return (S * df_q * ndtr(a1) - S * df_r * ndtr(a2)
+                + S * df_r * (sigma**2 / (2.0 * b))
+                * (ndtr(-a1 + k * sigma * sqrt_t) - jnp.exp(b * T) * ndtr(-a1)))
+    return (S * df_r * ndtr(-a2) - S * df_q * ndtr(-a1)
+            + S * df_r * (sigma**2 / (2.0 * b))
+            * (-ndtr(a1 - k * sigma * sqrt_t) + jnp.exp(b * T) * ndtr(a1)))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Exotic payoffs from path stats
+# ─────────────────────────────────────────────────────────────────────────────
+def asian_payoff(stats: Dict[str, Array], strike, is_call: bool,
+                 averaging: str = "arithmetic", leg: str = "") -> Array:
+    key = {"arithmetic": f"{leg}avg" if leg else "avg",
+           "geometric": f"{leg}log_avg" if leg else "log_avg"}[averaging]
+    avg = stats[key]
+    if averaging == "geometric":
+        avg = jnp.exp(avg)
+    return jnp.maximum(avg - strike, 0.0) if is_call \
+        else jnp.maximum(strike - avg, 0.0)
+
+
+def barrier_payoff(stats: Dict[str, Array], strike, barrier, is_call: bool,
+                   knock: str = "out", direction: str = "up") -> Array:
+    """Discretely-monitored barrier payoff.
+
+    direction: 'up' monitors max S vs barrier; 'down' monitors min S.
+    knock: 'out' voids on touch; 'in' activates on touch.
+    """
+    s_t = stats["s_final"]
+    vanilla = jnp.maximum(s_t - strike, 0.0) if is_call \
+        else jnp.maximum(strike - s_t, 0.0)
+    touched = (stats["max_s"] >= barrier if direction == "up"
+               else stats["min_s"] <= barrier)
+    alive = ~touched if knock == "out" else touched
+    return jnp.where(alive, vanilla, 0.0)
+
+
+def lookback_payoff(stats: Dict[str, Array], is_call: bool,
+                    strike=None) -> Array:
+    """Floating-strike (strike=None) or fixed-strike lookback payoff."""
+    if strike is None:
+        return (stats["s_final"] - stats["min_s"] if is_call
+                else stats["max_s"] - stats["s_final"])
+    return (jnp.maximum(stats["max_s"] - strike, 0.0) if is_call
+            else jnp.maximum(strike - stats["min_s"], 0.0))

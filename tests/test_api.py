@@ -120,6 +120,21 @@ def test_calibrate_endpoint(base_url):
     assert out["params"]["v0"] > 0
 
 
+def test_exotic_endpoint(base_url):
+    out = post(f"{base_url}/api/exotic", {
+        "spot": 100, "strike": 100, "T": 0.5, "kind": "asian",
+        "num_paths": 10_000})
+    assert out["price"] > 0 and "cv_beta" in out
+    out2 = post(f"{base_url}/api/exotic", {
+        "spot": 100, "strike": 100, "T": 0.5, "kind": "barrier",
+        "barrier": 130, "num_paths": 10_000})
+    assert out2["price"] >= 0
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/exotic", {
+            "spot": 100, "T": 0.5, "kind": "barrier", "num_paths": 1000})
+    assert exc.value.code == 400
+
+
 def test_quote_endpoint_fallback(base_url):
     # Zero-egress environment: the live fetch fails, fallback serves the
     # static universe with source=CACHED (js/app.js:126-142 contract).

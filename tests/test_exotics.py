@@ -1,0 +1,116 @@
+"""Exotic pricing: closed-form oracles, CV effectiveness, no-arbitrage
+orderings, barrier in-out parity."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.exotics import ExoticEngine
+from mcos_tpu.models.params import SVJParams, gbm_params
+from mcos_tpu.ops import exotics as ops_exotics
+from mcos_tpu.ops.bs import bs_price
+
+S, K, T = 100.0, 100.0, 1.0
+R, Q, SIGMA = 0.05, 0.01, 0.25
+
+
+@pytest.fixture(scope="module")
+def gbm_engine():
+    return ExoticEngine(gbm_params(SIGMA, r=R, q=Q), num_paths=100_000,
+                        num_steps=64, seed=3)
+
+
+def test_geometric_asian_matches_closed_form(gbm_engine):
+    res = gbm_engine.price_asian(S, K, T, averaging="geometric")
+    cf = float(ops_exotics.geometric_asian_bs(S, K, T, R, Q, SIGMA,
+                                              res["num_steps"], True))
+    assert abs(res["price"] - cf) < max(4 * res["std_error"], 0.02)
+    # In the BS limit the geometric CV is the payoff itself: σ collapses.
+    assert res["std_error"] < 0.01
+
+
+def test_arithmetic_asian_cv_effectiveness(gbm_engine):
+    res = gbm_engine.price_asian(S, K, T, averaging="arithmetic")
+    raw = ExoticEngine(gbm_params(SIGMA, r=R, q=Q), num_paths=100_000,
+                       num_steps=64, seed=3,
+                       use_control_variate=False).price_asian(S, K, T)
+    # Kemna-Vorst control: ≥10× stderr reduction, β ≈ 1, same price.
+    assert res["std_error"] < 0.1 * raw["std_error"]
+    assert res["cv_beta"] == pytest.approx(1.0, abs=0.15)
+    assert abs(res["price"] - raw["price"]) < 4 * raw["std_error"]
+    # Arithmetic mean ≥ geometric mean ⇒ arithmetic Asian call ≥ geometric.
+    geo = gbm_engine.price_asian(S, K, T, averaging="geometric")
+    assert res["price"] > geo["price"]
+
+
+def test_asian_below_european(gbm_engine):
+    """Averaging reduces effective volatility: Asian call < European call."""
+    asian = gbm_engine.price_asian(S, K, T)
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    assert asian["price"] < euro
+
+
+def test_barrier_in_out_parity(gbm_engine):
+    """knock-in + knock-out = vanilla (same paths, exact identity)."""
+    barrier = 120.0
+    out = gbm_engine.price_barrier(S, K, T, barrier, knock="out")
+    kin = gbm_engine.price_barrier(S, K, T, barrier, knock="in")
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    total = out["raw_mc_price"] + kin["raw_mc_price"]
+    assert total == pytest.approx(euro, abs=max(
+        6 * (out["std_error"] + kin["std_error"]), 0.15))
+
+
+def test_barrier_orderings(gbm_engine):
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    tight = gbm_engine.price_barrier(S, K, T, 110.0, knock="out")
+    wide = gbm_engine.price_barrier(S, K, T, 160.0, knock="out")
+    assert tight["price"] < wide["price"] <= euro + 0.1
+    # Down-and-out call with a far barrier ≈ vanilla.
+    dout = gbm_engine.price_barrier(S, K, T, 40.0, knock="out")
+    assert dout["price"] == pytest.approx(euro, rel=0.05)
+
+
+def test_lookback_floating_call(gbm_engine):
+    res = gbm_engine.price_lookback(S, T, is_call=True)
+    cf = float(ops_exotics.lookback_float_bs(S, T, R, Q, SIGMA, True))
+    # Discrete monitoring undershoots the continuous extremum: MC ≤ CF,
+    # within the O(1/√n) band (≈ 0.58·σ·S·√(T/n)).
+    gap = 0.583 * SIGMA * S * np.sqrt(T / res["num_steps"])
+    assert res["price"] < cf
+    assert cf - res["price"] < 2.5 * gap
+    # Floating lookback call ≥ ATM European call (dominates pathwise).
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    assert res["price"] > euro
+
+
+def test_lookback_fixed_vs_floating(gbm_engine):
+    fixed = gbm_engine.price_lookback(S, T, is_call=True, strike=K)
+    # Fixed-strike lookback call pays (max−K)+ ≥ (S_T−K)+ pathwise.
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    assert fixed["price"] > euro
+
+
+def test_exotics_on_full_svj():
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    eng = ExoticEngine(svj, num_paths=50_000, num_steps=64, seed=4)
+    asian = eng.price_asian(S, K, 0.5)
+    barrier = eng.price_barrier(S, K, 0.5, 130.0, knock="out")
+    lb = eng.price_lookback(S, 0.5)
+    for res in (asian, barrier, lb):
+        assert np.isfinite(res["price"]) and res["price"] >= 0
+        assert res["std_error"] < res["price"] + 1.0
+
+
+def test_path_stats_consistency():
+    p = gbm_params(0.2)
+    stats = ops_exotics.simulate_path_stats(
+        p, 100.0, 0.5, jax.random.key(0), num_paths=4096, num_steps=32)
+    assert bool((stats["max_s"] >= stats["s_final"]).all())
+    assert bool((stats["min_s"] <= stats["s_final"]).all())
+    assert bool((stats["max_s"] >= stats["avg"]).all())
+    assert bool((stats["min_s"] <= stats["avg"]).all())
+    # Geometric mean ≤ arithmetic mean, pathwise.
+    geo = np.exp(np.asarray(stats["log_avg"]))
+    assert (geo <= np.asarray(stats["avg"]) + 1e-3).all()
