@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional, Tuple
@@ -164,6 +165,16 @@ def handle_smile(body: dict) -> dict:
     return {"smile": smile}
 
 
+def handle_convergence(body: dict) -> dict:
+    """POST /api/convergence — true prefix-mean convergence series (the
+    reference UI fakes this chart from one price, js/app.js:415-420)."""
+    req = schemas.PriceRequest(**body)
+    engine = MonteCarloEngine(
+        req.params.to_params(), num_paths=min(req.num_paths, 500_000),
+        use_sobol=False, use_antithetic=req.use_antithetic)
+    return engine.convergence(req.spot, req.strike, req.T, req.is_call)
+
+
 def handle_exotic(body: dict) -> dict:
     """POST /api/exotic — Asian / barrier / lookback (beyond the reference)."""
     from mcos_tpu.engine.exotics import ExoticEngine
@@ -230,7 +241,27 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/smile": handle_smile,
     "/api/calibrate": handle_calibrate,
     "/api/exotic": handle_exotic,
+    "/api/convergence": handle_convergence,
 }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Static UI serving (role of engine/app.py:239-252 + traversal guard per
+# server.js:103-124)
+# ─────────────────────────────────────────────────────────────────────────────
+WEB_DIR = os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "web"))
+_MIME = {".html": "text/html", ".js": "application/javascript",
+         ".css": "text/css", ".svg": "image/svg+xml", ".png": "image/png"}
+
+
+def _static_file(name: str) -> Optional[Tuple[bytes, str]]:
+    path = os.path.normpath(os.path.join(WEB_DIR, name))
+    if not path.startswith(WEB_DIR) or not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    return data, _MIME.get(os.path.splitext(path)[1], "application/octet-stream")
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -257,6 +288,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_OPTIONS(self):  # CORS preflight
         self._send_json(204, {})
 
+    def _send_file(self, data: bytes, mime: str) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", mime)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def do_GET(self):
         parsed = urlparse(self.path)
         try:
@@ -264,6 +302,18 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(200, handle_health({}))
             elif parsed.path == "/api/quote":
                 self._send_json(200, handle_quote(parse_qs(parsed.query)))
+            elif parsed.path in ("/", "/index.html", "/advanced"):
+                hit = _static_file("index.html")
+                if hit:
+                    self._send_file(*hit)
+                else:
+                    self._send_json(404, {"detail": "UI not bundled"})
+            elif parsed.path.startswith("/static/"):
+                hit = _static_file(parsed.path[len("/static/"):])
+                if hit:
+                    self._send_file(*hit)
+                else:
+                    self._send_json(404, {"detail": "not found"})
             else:
                 self._send_json(404, {"detail": "not found"})
         except ApiError as e:

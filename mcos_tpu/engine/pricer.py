@@ -363,6 +363,46 @@ class MonteCarloEngine:
             results.append(row)
         return results
 
+    def convergence(self, spot: float, strike: float, T: float,
+                    is_call: bool = True,
+                    num_checkpoints: int = 12) -> Dict[str, list]:
+        """True MC convergence diagnostics: the estimate at geometrically
+        spaced path-count checkpoints, from prefix means of ONE path set.
+
+        The reference computes this honestly only in its legacy browser
+        engine (js/engine.js:195-214) and *fakes* it in the Gen-2 UI from the
+        single API price (js/app.js:415-420 — a documented bug). This is the
+        real thing: checkpoint k uses the first n_k paths, so the series is
+        a martingale converging to the full-sample estimate.
+        """
+        steps = self._steps(T)
+        s_final, _, _ = simulate.simulate_terminal(
+            self.params, spot, T, self._key(),
+            num_paths=self.num_paths, num_steps=steps,
+            antithetic=self.use_antithetic,
+        )
+        pay = simulate.combine_antithetic(
+            simulate.vanilla_payoff(s_final, strike, is_call))
+        pay = np.asarray(pay, np.float64)
+        discount = float(np.exp(-float(self.params.r) * T))
+
+        counts = np.unique(np.geomspace(
+            max(self.num_paths // (2 ** (num_checkpoints - 1)), 64),
+            self.num_paths, num_checkpoints).astype(int))
+        csum = np.cumsum(pay)
+        csum_sq = np.cumsum(pay * pay)
+        prices, errors = [], []
+        for n in counts:
+            mean = csum[n - 1] / n
+            var = max(csum_sq[n - 1] / n - mean * mean, 0.0)
+            prices.append(discount * mean)
+            errors.append(discount * np.sqrt(var / n))
+        return {
+            "num_paths": counts.tolist(),
+            "price": prices,
+            "std_error": errors,
+        }
+
     def get_sample_paths(self, spot: float, T: float,
                          num_samples: int = 50) -> np.ndarray:
         """Record a few full paths for visualization

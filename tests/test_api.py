@@ -159,3 +159,10 @@ def test_malformed_body_422(base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         post(f"{base_url}/api/price", {"spot": "not-a-number"})
     assert exc.value.code == 422
+
+
+def test_convergence_endpoint(base_url):
+    out = post(f"{base_url}/api/convergence", {
+        "spot": 22500, "strike": 22500, "T": 0.04, "num_paths": 20_000})
+    assert len(out["num_paths"]) == len(out["price"]) == len(out["std_error"])
+    assert out["num_paths"][-1] == 20_000

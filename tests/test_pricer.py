@@ -133,3 +133,17 @@ def test_maturity_scaled_steps():
     assert res["num_steps"] == 10  # floor (monte_carlo.py:287)
     res2 = eng.price(SPOT, SPOT, 1.0)
     assert res2["num_steps"] == 252
+
+
+def test_convergence_series():
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    eng = MonteCarloEngine(p, num_paths=50_000, num_steps=50, use_sobol=False)
+    conv = eng.convergence(SPOT, SPOT, T)
+    counts = conv["num_paths"]
+    assert counts[-1] == 50_000
+    assert all(a < b for a, b in zip(counts, counts[1:]))
+    # stderr shrinks ~1/sqrt(n): last checkpoint much tighter than first.
+    assert conv["std_error"][-1] < 0.3 * conv["std_error"][0]
+    # Final estimate within 3 sigma of BS.
+    ref = float(bs_price(SPOT, SPOT, T, 0.065, 0.012, 0.2, True))
+    assert abs(conv["price"][-1] - ref) < 3 * conv["std_error"][-1] + 1.0

@@ -1,0 +1,260 @@
+/* mcos_tpu desk — vanilla-JS client of the TPU pricing API.
+ *
+ * Role of the reference's js/app.js + js/charts.js, rebuilt from scratch:
+ * no Chart.js CDN (zero-egress deployments), one tiny canvas plotting core,
+ * and the convergence chart is REAL (POST /api/convergence prefix means —
+ * the reference fakes it from a single price, js/app.js:415-420).
+ */
+"use strict";
+
+const $ = (id) => document.getElementById(id);
+const api = (path, body) =>
+  fetch(path, body === undefined ? {} : {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(body),
+  }).then(async (r) => {
+    if (!r.ok) throw new Error((await r.text()).slice(0, 300));
+    return r.json();
+  });
+
+/* ── SVJ parameter sliders ────────────────────────────────────────────── */
+const PARAMS = [
+  ["kappa",   "κ",  0.1, 15,   0.05, 3.0],
+  ["theta",   "θ",  0.005, 0.5, 0.005, 0.04],
+  ["xi",      "ξ",  0.05, 3,   0.01, 0.5],
+  ["rho",     "ρ",  -0.99, 0,  0.01, -0.7],
+  ["v0",      "v₀", 0.005, 0.5, 0.005, 0.04],
+  ["lambda_j","λ",  0, 10,     0.1,  1.0],
+  ["mu_j",    "μⱼ", -0.2, 0.05, 0.005, -0.05],
+  ["sigma_j", "σⱼ", 0.01, 0.5, 0.01, 0.10],
+];
+
+function buildSliders() {
+  const host = $("sliders");
+  for (const [key, label, lo, hi, step, init] of PARAMS) {
+    const row = document.createElement("div");
+    row.className = "slider-row";
+    row.innerHTML = `<span>${label}</span>
+      <input type="range" id="p-${key}" min="${lo}" max="${hi}"
+             step="${step}" value="${init}">
+      <span class="val" id="pv-${key}">${init}</span>`;
+    host.appendChild(row);
+    row.querySelector("input").addEventListener("input", (e) => {
+      $(`pv-${key}`).textContent = Number(e.target.value).toFixed(3);
+    });
+  }
+}
+
+const modelParams = () =>
+  Object.fromEntries(PARAMS.map(([k]) => [k, Number($(`p-${k}`).value)]));
+
+/* ── tiny canvas plotting core ────────────────────────────────────────── */
+const COLORS = { line: "#4fd1c5", alt: "#f6ad55", dim: "#8a94a6",
+                 grid: "#2a3342", band: "rgba(79,209,197,0.15)",
+                 up: "#68d391", down: "#fc8181" };
+
+function frame(canvas, xs, ys) {
+  const ctx = canvas.getContext("2d");
+  const W = canvas.width, H = canvas.height, pad = { l: 54, r: 12, t: 10, b: 24 };
+  ctx.clearRect(0, 0, W, H);
+  const xmin = Math.min(...xs), xmax = Math.max(...xs);
+  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  const yspan = (ymax - ymin) || 1;
+  const x = (v) => pad.l + ((v - xmin) / ((xmax - xmin) || 1)) * (W - pad.l - pad.r);
+  const y = (v) => H - pad.b - ((v - ymin + 0.05 * yspan) / (1.1 * yspan)) * (H - pad.t - pad.b);
+  // gridlines + labels
+  ctx.strokeStyle = COLORS.grid; ctx.fillStyle = COLORS.dim;
+  ctx.font = "11px monospace"; ctx.lineWidth = 1;
+  for (let i = 0; i <= 4; i++) {
+    const v = ymin + (i / 4) * yspan, py = y(v);
+    ctx.beginPath(); ctx.moveTo(pad.l, py); ctx.lineTo(W - pad.r, py); ctx.stroke();
+    ctx.fillText(fmt(v), 4, py + 4);
+  }
+  ctx.fillText(fmt(xmin), pad.l, H - 6);
+  ctx.fillText(fmt(xmax), W - pad.r - 40, H - 6);
+  return { ctx, x, y };
+}
+
+const fmt = (v) => Math.abs(v) >= 1000 ? v.toFixed(0)
+  : Math.abs(v) >= 10 ? v.toFixed(1) : v.toFixed(3);
+
+function polyline(f, xs, ys, color, width = 1.5) {
+  f.ctx.strokeStyle = color; f.ctx.lineWidth = width; f.ctx.beginPath();
+  xs.forEach((xv, i) => i ? f.ctx.lineTo(f.x(xv), f.y(ys[i]))
+                          : f.ctx.moveTo(f.x(xv), f.y(ys[i])));
+  f.ctx.stroke();
+}
+
+function hline(f, yv, color, dash = [5, 4]) {
+  f.ctx.save(); f.ctx.setLineDash(dash); f.ctx.strokeStyle = color;
+  f.ctx.beginPath();
+  f.ctx.moveTo(f.x.range ? 0 : 54, f.y(yv));
+  f.ctx.lineTo(f.ctx.canvas.width - 12, f.y(yv));
+  f.ctx.stroke(); f.ctx.restore();
+}
+
+/* ── charts ───────────────────────────────────────────────────────────── */
+function drawPaths(paths, strike) {
+  const canvas = $("chart-paths");
+  const steps = paths[0].length;
+  const xs = [...Array(steps).keys()];
+  const flat = paths.flat();
+  const f = frame(canvas, xs, [...flat, strike]);
+  for (const p of paths.slice(0, 40)) {
+    const endUp = p[p.length - 1] >= strike;
+    f.ctx.globalAlpha = 0.35;
+    polyline(f, xs, p, endUp ? COLORS.up : COLORS.down, 1);
+  }
+  f.ctx.globalAlpha = 1;
+  hline(f, strike, COLORS.alt);
+}
+
+function drawConvergence(conv) {
+  const canvas = $("chart-conv");
+  const xs = conv.num_paths.map((n) => Math.log10(n));
+  const hi = conv.price.map((p, i) => p + 2 * conv.std_error[i]);
+  const lo = conv.price.map((p, i) => p - 2 * conv.std_error[i]);
+  const f = frame(canvas, xs, [...hi, ...lo]);
+  // CI band
+  f.ctx.fillStyle = COLORS.band; f.ctx.beginPath();
+  xs.forEach((xv, i) => i ? f.ctx.lineTo(f.x(xv), f.y(hi[i]))
+                          : f.ctx.moveTo(f.x(xv), f.y(hi[i])));
+  [...xs].reverse().forEach((xv, i) =>
+    f.ctx.lineTo(f.x(xv), f.y([...lo].reverse()[i])));
+  f.ctx.closePath(); f.ctx.fill();
+  polyline(f, xs, conv.price, COLORS.line, 2);
+  hline(f, conv.price[conv.price.length - 1], COLORS.dim);
+}
+
+function drawSmile(smile) {
+  const canvas = $("chart-smile");
+  const pts = smile.filter((p) => p.iv > 0);
+  if (!pts.length) return;
+  const f = frame(canvas, pts.map((p) => p.strike), pts.map((p) => p.iv));
+  polyline(f, pts.map((p) => p.strike), pts.map((p) => p.iv), COLORS.alt, 2);
+}
+
+function drawPayoff(spot, strike, isCall, premium) {
+  const canvas = $("chart-payoff");
+  const xs = [], ys = [];
+  for (let m = 0.7; m <= 1.3001; m += 0.01) {
+    const s = spot * m;
+    const intrinsic = isCall ? Math.max(s - strike, 0) : Math.max(strike - s, 0);
+    xs.push(s); ys.push(intrinsic - premium);
+  }
+  const f = frame(canvas, xs, ys);
+  hline(f, 0, COLORS.dim);
+  // color by sign
+  for (let i = 1; i < xs.length; i++) {
+    polyline(f, [xs[i - 1], xs[i]], [ys[i - 1], ys[i]],
+             ys[i] >= 0 ? COLORS.up : COLORS.down, 2);
+  }
+}
+
+/* ── greeks panel ─────────────────────────────────────────────────────── */
+function renderGreeks(g) {
+  const rows = [
+    ["Δ delta", g.delta.pathwise],
+    ["Γ gamma", g.gamma.gamma],
+    ["ν vega/pt", g.vega.vega_per_vol_point],
+    ["Θ daily", g.theta.theta_daily / 252],
+    ["ρ rho", g.rho.rho],
+    ["λ jump", g.jumps ? g.jumps.lambda_j : NaN],
+  ];
+  $("greeks").innerHTML = rows.map(([label, v]) => `
+    <div class="card"><div class="card-label">${label}</div>
+    <div class="card-value">${Number(v).toPrecision(4)}</div></div>`).join("");
+}
+
+/* ── orchestration ────────────────────────────────────────────────────── */
+async function loadSymbols() {
+  // Static list is served by the quote endpoint per-symbol; populate common ones.
+  const symbols = ["NIFTY", "RELIANCE", "TCS", "HDFCBANK", "INFY", "ICICIBANK",
+                   "SBIN", "TATAMOTORS", "BAJFINANCE", "ADANIENT"];
+  $("symbol").innerHTML = symbols.map((s) => `<option>${s}</option>`).join("");
+}
+
+async function fetchQuote() {
+  try {
+    const q = await api(`/api/quote?symbol=${$("symbol").value}`);
+    $("spot").value = q.price.toFixed(2);
+    $("strike").value = (Math.round(q.price / 50) * 50).toFixed(0);
+    const badge = $("quote-badge");
+    badge.textContent = `${q.source} σ=${(q.volatility * 100).toFixed(1)}%`;
+    badge.className = `pill ${q.source === "LIVE" ? "ok" : "warn"}`;
+    const vol2 = q.volatility * q.volatility;
+    $("p-v0").value = vol2; $("pv-v0").textContent = vol2.toFixed(3);
+    $("p-theta").value = vol2; $("pv-theta").textContent = vol2.toFixed(3);
+  } catch (e) { console.warn("quote failed", e); }
+}
+
+async function run() {
+  const btn = $("run");
+  btn.disabled = true; btn.textContent = "pricing…";
+  const body = {
+    spot: Number($("spot").value),
+    strike: Number($("strike").value),
+    T: Number($("days").value) / 252,
+    is_call: $("is-call").checked,
+    num_paths: Number($("paths").value),
+    params: modelParams(),
+  };
+  try {
+    const [price, greeks, conv, smile] = await Promise.all([
+      api("/api/price", body),
+      api("/api/greeks", { ...body, num_paths: Math.min(body.num_paths, 200000) }),
+      api("/api/convergence", { ...body, num_paths: Math.min(body.num_paths, 100000) }),
+      api("/api/smile", { spot: body.spot, T: body.T, params: body.params }),
+    ]);
+    $("c-price").textContent = price.price.toFixed(2);
+    $("c-se").textContent = `± ${price.std_error.toFixed(3)}`;
+    $("c-bs").textContent = (price.bs_ref ?? NaN).toFixed(2);
+    $("c-ms").textContent = `${price.elapsed_ms} ms`;
+    drawPaths(price.sample_paths, body.strike);
+    drawConvergence(conv);
+    drawSmile(smile.smile);
+    drawPayoff(body.spot, body.strike, body.is_call, price.price);
+    renderGreeks(greeks);
+    $("stress-out").classList.add("hidden");
+  } catch (e) {
+    alert(`pricing failed: ${e.message}`);
+  } finally {
+    btn.disabled = false; btn.textContent = "Price it";
+  }
+}
+
+async function stress() {
+  const out = $("stress-out");
+  out.classList.remove("hidden");
+  out.textContent = "running stress ladders…";
+  try {
+    const rep = await api("/api/stress", {
+      spot: Number($("spot").value),
+      strike: Number($("strike").value),
+      T: Number($("days").value) / 252,
+      is_call: $("is-call").checked,
+      num_paths: 50000,
+      params: modelParams(),
+    });
+    out.textContent = JSON.stringify(rep, null, 2);
+  } catch (e) { out.textContent = `stress failed: ${e.message}`; }
+}
+
+async function init() {
+  buildSliders();
+  loadSymbols();
+  try {
+    const h = await api("/api/health");
+    $("status").textContent = `${h.engine} v${h.version}`;
+    $("status").className = "pill ok";
+  } catch {
+    $("status").textContent = "API unreachable";
+    $("status").className = "pill warn";
+  }
+  $("run").addEventListener("click", run);
+  $("stress-btn").addEventListener("click", stress);
+  $("quote-btn").addEventListener("click", fetchQuote);
+}
+
+init();
