@@ -91,6 +91,8 @@ def handle_price(body: dict) -> dict:
 
     sample_paths = engine.get_sample_paths(req.spot, req.T, num_samples=50)
     result["sample_paths"] = np.asarray(sample_paths).tolist()
+    result["terminal_samples"] = [
+        round(float(x), 2) for x in engine.terminal_samples(req.spot, req.T)]
 
     post = guard.check_post_price(result, req.spot, req.strike, req.T,
                                   req.is_call)

@@ -414,3 +414,45 @@ class MonteCarloEngine:
             num_paths=int(num_samples), num_steps=steps,
         )
         return np.asarray(paths)
+
+    def terminal_samples(self, spot: float, T: float,
+                         num_samples: int = 1024) -> np.ndarray:
+        """A small sample of terminal spots for distribution visualization
+        (the reference's dashboard histograms its 50 viz paths' endpoints,
+        dashboard.html — here the histogram gets a real sample)."""
+        s_final, _, _ = simulate.simulate_terminal(
+            self.params, spot, T, jax.random.key(self.seed + 1234),
+            num_paths=int(num_samples), num_steps=self._steps(T),
+            antithetic=False,
+        )
+        return np.asarray(s_final[0])
+
+
+def price_term_structure(
+    ts,
+    spot: float,
+    strikes,
+    maturities,
+    is_call: bool = True,
+    num_paths: int = 100_000,
+    num_steps: int = 252,
+    seed: int = 42,
+) -> list:
+    """Price a strikes × maturities grid under a `TermStructureSVJ`.
+
+    Materializes the maturity-interpolated `SVJParams`
+    (models.py:114-124 semantics) per expiry and batch-prices each slice off
+    one shared path set. Returns one dict per maturity with the strike rows.
+    """
+    out = []
+    for T in maturities:
+        params_t = ts.get_params_at_maturity(float(T))
+        eng = MonteCarloEngine(params_t, num_paths=num_paths,
+                               num_steps=num_steps, seed=seed,
+                               use_sobol=False)
+        out.append({
+            "maturity": float(T),
+            "params": params_t.as_dict(),
+            "chain": eng.price_batch(spot, strikes, float(T), is_call),
+        })
+    return out

@@ -152,6 +152,63 @@ function drawPayoff(spot, strike, isCall, premium) {
   }
 }
 
+function drawHistogram(samples, strike) {
+  const canvas = $("chart-hist");
+  const lo = Math.min(...samples), hi = Math.max(...samples);
+  const nb = 30, width = (hi - lo) / nb || 1;
+  const bins = new Array(nb).fill(0);
+  for (const s of samples) {
+    bins[Math.min(Math.floor((s - lo) / width), nb - 1)]++;
+  }
+  const centers = bins.map((_, i) => lo + (i + 0.5) * width);
+  const f = frame(canvas, [...centers, strike], [...bins, 0]);
+  const bw = (f.x(centers[1]) - f.x(centers[0])) * 0.85;
+  bins.forEach((c, i) => {
+    f.ctx.fillStyle = centers[i] >= strike ? COLORS.up : COLORS.down;
+    f.ctx.globalAlpha = 0.75;
+    f.ctx.fillRect(f.x(centers[i]) - bw / 2, f.y(c), bw, f.y(0) - f.y(c));
+  });
+  f.ctx.globalAlpha = 1;
+  hline(f, 0, COLORS.grid, []);
+}
+
+/* ── local BS engine (client-side fallback; role of js/engine.js) ─────── */
+/* Keeps sensitivity sweeps instant and lets the payoff/sens charts work
+ * even if the API is briefly unreachable. Abramowitz-Stegun normal CDF. */
+const localBS = {
+  ncdf(x) {
+    const t = 1 / (1 + 0.2316419 * Math.abs(x));
+    const d = 0.3989422804014327 * Math.exp(-x * x / 2);
+    let p = d * t * (0.31938153 + t * (-0.356563782 + t * (1.781477937 +
+            t * (-1.821255978 + t * 1.330274429))));
+    return x >= 0 ? 1 - p : p;
+  },
+  price(S, K, T, r, q, sigma, isCall) {
+    if (T <= 0 || sigma <= 0) {
+      const intr = isCall ? S - K : K - S;
+      return Math.max(intr, 0);
+    }
+    const st = sigma * Math.sqrt(T);
+    const d1 = (Math.log(S / K) + (r - q + sigma * sigma / 2) * T) / st;
+    const d2 = d1 - st;
+    const dfq = Math.exp(-q * T), dfr = Math.exp(-r * T);
+    return isCall
+      ? S * dfq * this.ncdf(d1) - K * dfr * this.ncdf(d2)
+      : K * dfr * this.ncdf(-d2) - S * dfq * this.ncdf(-d1);
+  },
+};
+
+function drawSensitivity(spot, strike, T, isCall) {
+  const canvas = $("chart-sens");
+  const xs = [], ys = [];
+  for (let vol = 0.05; vol <= 0.8001; vol += 0.01) {
+    xs.push(vol);
+    ys.push(localBS.price(spot, strike, T, 0.065, 0.012, vol, isCall));
+  }
+  const f = frame(canvas, xs, ys);
+  polyline(f, xs, ys, COLORS.line, 2);
+}
+
 /* ── greeks panel ─────────────────────────────────────────────────────── */
 function renderGreeks(g) {
   const rows = [
@@ -215,6 +272,8 @@ async function run() {
     drawConvergence(conv);
     drawSmile(smile.smile);
     drawPayoff(body.spot, body.strike, body.is_call, price.price);
+    if (price.terminal_samples) drawHistogram(price.terminal_samples, body.strike);
+    drawSensitivity(body.spot, body.strike, body.T, body.is_call);
     renderGreeks(greeks);
     $("stress-out").classList.add("hidden");
   } catch (e) {
