@@ -47,6 +47,8 @@ import numpy as np
 from mcos_tpu.config import (
     DEFAULT_NUM_PATHS,
     DEFAULT_NUM_STEPS,
+    DEFAULT_TOLERANCE,
+    MAX_PATHS,
     scaled_steps,
 )
 from mcos_tpu.models.params import SVJParams
@@ -69,8 +71,15 @@ def _finalize_price(
     params: SVJParams, spot, strikes, T, discount,
     pay: Array, s_final: Array, g_final: Optional[Array],
     is_call: bool, control_variate: bool, cv_mode: str,
+    cv_beta: str = "one",
 ) -> Dict[str, Array]:
-    """Shared price/stderr/CV arithmetic for both random drivers."""
+    """Shared price/stderr/CV arithmetic for both random drivers.
+
+    cv_beta: "one" = β=1 (reference convention, monte_carlo.py:364-366);
+    "optimal" = β* = Cov(pay, ctrl)/Var(ctrl) estimated per strike on the
+    same sample (never worse in expectation; matters when ξ or λ decorrelate
+    the SVJ payoff from its GBM companion).
+    """
     raw_mean, raw_se = simulate.mc_mean_stderr(pay)
     raw_price = discount * raw_mean
     out: Dict[str, Array] = {
@@ -92,12 +101,27 @@ def _finalize_price(
                 s_final[0][None], strikes[:, None], is_call)
         else:
             raise ValueError(f"unknown cv_mode: {cv_mode!r}")
+
+        if cv_beta == "optimal":
+            ctrl_c = ctrl - jnp.mean(ctrl, axis=-1, keepdims=True)
+            var_c = jnp.mean(ctrl_c**2, axis=-1)
+            cov = jnp.mean(
+                (pay - jnp.mean(pay, axis=-1, keepdims=True)) * ctrl_c,
+                axis=-1)
+            beta = jnp.where(var_c > 1e-12, cov / jnp.maximum(var_c, 1e-12),
+                             0.0)
+            out["cv_beta"] = beta
+        elif cv_beta == "one":
+            beta = jnp.ones_like(raw_price)
+        else:
+            raise ValueError(f"unknown cv_beta: {cv_beta!r}")
+
         ctrl_mc = discount * jnp.mean(ctrl, axis=-1)
-        out["price"] = raw_price - (ctrl_mc - bs_ref)
+        out["price"] = raw_price - beta * (ctrl_mc - bs_ref)
         out["bs_cv_adjustment"] = ctrl_mc - bs_ref
         out["bs_ref"] = bs_ref
-        # CV-adjusted stderr (β=1; monte_carlo.py:372-373 shape).
-        cv_pay = pay - (ctrl - bs_ref[:, None] / discount)
+        # CV-adjusted stderr (β=1 shape mirrors monte_carlo.py:372-373).
+        cv_pay = pay - beta[:, None] * (ctrl - bs_ref[:, None] / discount)
         _, cv_se = simulate.mc_mean_stderr(cv_pay)
         out["std_error"] = discount * cv_se
     return out
@@ -107,7 +131,7 @@ def _finalize_price(
     jax.jit,
     static_argnames=(
         "num_paths", "num_steps", "is_call", "antithetic", "control_variate",
-        "cv_mode",
+        "cv_mode", "cv_beta",
     ),
 )
 def mc_price_core(
@@ -123,6 +147,7 @@ def mc_price_core(
     antithetic: bool = True,
     control_variate: bool = True,
     cv_mode: str = "companion",
+    cv_beta: str = "one",
 ) -> Dict[str, Array]:
     """Price European options at one or many strikes off one shared path set.
 
@@ -144,7 +169,7 @@ def mc_price_core(
     pay = _payoff_table(s_final, strikes, is_call)
     out = _finalize_price(params, spot, strikes, T, discount,
                           pay, s_final, g_final, is_call,
-                          control_variate, cv_mode)
+                          control_variate, cv_mode, cv_beta)
     # Terminal-state diagnostics for guards (engine/guards.py:173-218 inputs).
     out["s_mean"] = jnp.mean(s_final)
     out["v_mean"] = jnp.mean(v_final)
@@ -157,7 +182,7 @@ def mc_price_core(
     jax.jit,
     static_argnames=(
         "num_paths", "num_steps", "is_call", "antithetic", "control_variate",
-        "cv_mode",
+        "cv_mode", "cv_beta",
     ),
 )
 def mc_price_pallas(
@@ -173,6 +198,7 @@ def mc_price_pallas(
     antithetic: bool = True,
     control_variate: bool = True,
     cv_mode: str = "companion",
+    cv_beta: str = "one",
 ) -> Dict[str, Array]:
     """`mc_price_core` with terminal spots from the fused Pallas kernel.
 
@@ -192,7 +218,7 @@ def mc_price_pallas(
     pay = _payoff_table(s_final, strikes, is_call)
     out = _finalize_price(params, spot, strikes, T, discount,
                           pay, s_final, g_final, is_call,
-                          control_variate, cv_mode)
+                          control_variate, cv_mode, cv_beta)
     out["s_mean"] = jnp.mean(s_final)
     out["v_mean"] = jnp.mean(v_final)
     out["v_max"] = jnp.max(v_final)
@@ -202,7 +228,7 @@ def mc_price_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("is_call", "control_variate", "cv_mode"),
+    static_argnames=("is_call", "control_variate", "cv_mode", "cv_beta"),
 )
 def mc_price_from_draws(
     params: SVJParams,
@@ -217,6 +243,7 @@ def mc_price_from_draws(
     is_call: bool = True,
     control_variate: bool = True,
     cv_mode: str = "companion",
+    cv_beta: str = "one",
 ) -> Dict[str, Array]:
     """QMC / CRN pricing path: externally supplied draws, antithetic pairing.
 
@@ -237,7 +264,7 @@ def mc_price_from_draws(
     pay = _payoff_table(s_final, strikes, is_call)
     out = _finalize_price(params, spot, strikes, T, discount,
                           pay, s_final, g_final, is_call,
-                          control_variate, cv_mode)
+                          control_variate, cv_mode, cv_beta)
     out["s_mean"] = jnp.mean(s_final)
     out["v_mean"] = jnp.mean(v_base)
     out["v_max"] = jnp.max(v_base)
@@ -269,6 +296,7 @@ class MonteCarloEngine:
         use_antithetic: bool = True,
         use_control_variate: bool = True,
         cv_mode: str = "companion",
+        cv_beta: str = "one",
         backend: str = "auto",
     ):
         self.params = params
@@ -279,6 +307,7 @@ class MonteCarloEngine:
         self.use_antithetic = bool(use_antithetic)
         self.use_control_variate = bool(use_control_variate)
         self.cv_mode = cv_mode
+        self.cv_beta = cv_beta
         self.backend = backend
 
     # -- internals ------------------------------------------------------------
@@ -306,7 +335,7 @@ class MonteCarloEngine:
                 self.params, spot, jnp.asarray(strikes), T,
                 z1, z2, u_jump, z_js,
                 is_call=is_call, control_variate=self.use_control_variate,
-                cv_mode=self.cv_mode,
+                cv_mode=self.cv_mode, cv_beta=self.cv_beta,
             )
         if self._resolved_backend() == "pallas":
             return mc_price_pallas(
@@ -314,14 +343,14 @@ class MonteCarloEngine:
                 num_paths=self.num_paths, num_steps=steps, is_call=is_call,
                 antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
-                cv_mode=self.cv_mode,
+                cv_mode=self.cv_mode, cv_beta=self.cv_beta,
             )
         return mc_price_core(
             self.params, spot, jnp.asarray(strikes), T, self._key(),
             num_paths=self.num_paths, num_steps=steps, is_call=is_call,
             antithetic=self.use_antithetic,
             control_variate=self.use_control_variate,
-            cv_mode=self.cv_mode,
+            cv_mode=self.cv_mode, cv_beta=self.cv_beta,
         )
 
     # -- reference API ----------------------------------------------------------
@@ -362,6 +391,62 @@ class MonteCarloEngine:
                 row["bs_ref"] = float(res["bs_ref"][i])
             results.append(row)
         return results
+
+    def price_to_tolerance(self, spot: float, strike: float, T: float,
+                           is_call: bool = True,
+                           tolerance: float = DEFAULT_TOLERANCE,
+                           max_paths: int = MAX_PATHS,
+                           batch_paths: int = 250_000) -> Dict[str, float]:
+        """Adaptive pricing: add path batches until stderr/price ≤ tolerance.
+
+        The reference *configures* this contract (DEFAULT_TOLERANCE 0.1% of
+        premium, MAX_PATHS 2M cap — config.py:23-26; guards alert on
+        violation at guards.py:139-142) but never implements the adaptive
+        loop. Batches use independent key folds and combine by exact moment
+        pooling, so the result is identical in law to one big run.
+        """
+        steps = self._steps(T)
+        strikes = jnp.asarray([strike], jnp.float32)
+        total_n = 0
+        sum_mean = 0.0      # Σ nᵢ·meanᵢ
+        sum_sq = 0.0        # Σ nᵢ·E[x²]ᵢ
+        batches = 0
+        price = se = 0.0
+        bs_ref = None
+        while total_n < max_paths:
+            n_batch = min(batch_paths, max_paths - total_n)
+            key = jax.random.fold_in(self._key(), batches)
+            res = mc_price_core(
+                self.params, spot, strikes, T, key,
+                num_paths=n_batch, num_steps=steps, is_call=is_call,
+                antithetic=self.use_antithetic,
+                control_variate=self.use_control_variate,
+                cv_mode=self.cv_mode)
+            p_i = float(res["price"][0])
+            se_i = float(res["std_error"][0])
+            if bs_ref is None and "bs_ref" in res:
+                bs_ref = float(res["bs_ref"][0])
+            # Pool raw moments: E[x²]ᵢ = n·seᵢ² + meanᵢ².
+            sum_mean += n_batch * p_i
+            sum_sq += n_batch * (n_batch * se_i**2 + p_i**2)
+            total_n += n_batch
+            batches += 1
+            price = sum_mean / total_n
+            var = max(sum_sq / total_n - price**2, 0.0)
+            se = (var / total_n) ** 0.5
+            if price > 0 and se / price <= tolerance:
+                break
+        out = {
+            "price": price,
+            "std_error": se,
+            "num_paths_used": total_n,
+            "num_steps": steps,
+            "num_batches": batches,
+            "tolerance_met": bool(price > 0 and se / price <= tolerance),
+        }
+        if bs_ref is not None:
+            out["bs_ref"] = bs_ref
+        return out
 
     def convergence(self, spot: float, strike: float, T: float,
                     is_call: bool = True,

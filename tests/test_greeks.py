@@ -93,3 +93,21 @@ def test_all_greeks_layout(svj_engine):
     assert "vega_per_vol_point" in g["vega"]
     assert "gamma" in g["gamma"]
     assert "theta_daily" in g["theta"] and "rho" in g["rho"]
+
+
+def test_lambda_lr_agrees_with_crn_fd():
+    """Score-function lambda-greek vs the CRN finite difference: two
+    independent estimators of the same quantity."""
+    from mcos_tpu.engine.greeks import lambda_lr_estimate
+    import jax
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.3, rho=-0.5, v0=0.04,
+                  lambda_j=2.0, mu_j=-0.08, sigma_j=0.15)
+    eng = GreeksEngine(p, num_paths=200_000, num_steps=128, seed=11)
+    j = eng.jump_sensitivities(SPOT, SPOT, 0.5, bump=0.25)
+    assert "lambda_j_lr" in j
+    # LR and CRN-FD must agree within the LR noise band (LR is noisier).
+    tol = max(5 * j["lambda_j_lr_se"], 0.3 * abs(j["lambda_j"]))
+    assert abs(j["lambda_j_lr"] - j["lambda_j"]) < tol
+    # Crash-jumps with negative mean size raise ATM value: positive vega-like.
+    assert j["lambda_j"] > 0

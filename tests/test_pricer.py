@@ -147,3 +147,40 @@ def test_convergence_series():
     # Final estimate within 3 sigma of BS.
     ref = float(bs_price(SPOT, SPOT, T, 0.065, 0.012, 0.2, True))
     assert abs(conv["price"][-1] - ref) < 3 * conv["std_error"][-1] + 1.0
+
+
+def test_price_to_tolerance():
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    eng = MonteCarloEngine(svj, num_paths=10_000, num_steps=64,
+                           use_sobol=False, use_control_variate=False)
+    res = eng.price_to_tolerance(SPOT, SPOT, 0.25, tolerance=0.002,
+                                 max_paths=400_000, batch_paths=50_000)
+    assert res["tolerance_met"]
+    assert res["std_error"] / res["price"] <= 0.002
+    assert res["num_paths_used"] <= 400_000
+    assert res["num_batches"] >= 1
+    # Tighter tolerance needs more paths.
+    res2 = eng.price_to_tolerance(SPOT, SPOT, 0.25, tolerance=0.02,
+                                  max_paths=400_000, batch_paths=50_000)
+    assert res2["num_paths_used"] <= res["num_paths_used"]
+    # Cap respected when tolerance is unreachable.
+    res3 = eng.price_to_tolerance(SPOT, SPOT, 0.25, tolerance=1e-9,
+                                  max_paths=150_000, batch_paths=50_000)
+    assert res3["num_paths_used"] == 150_000
+    assert not res3["tolerance_met"]
+
+
+def test_optimal_beta_cv():
+    """Optimal-beta CV: never worse than beta=1, and beta<1 when vol-of-vol
+    decorrelates the SVJ payoff from its GBM companion."""
+    svj = SVJParams(kappa=2.0, theta=0.09, xi=1.2, rho=-0.8, v0=0.04,
+                    lambda_j=3.0, mu_j=-0.1, sigma_j=0.2)
+    kw = dict(num_paths=50_000, num_steps=64, use_sobol=False, seed=13)
+    one = MonteCarloEngine(svj, cv_beta="one", **kw).price(SPOT, SPOT, 0.5)
+    opt_eng = MonteCarloEngine(svj, cv_beta="optimal", **kw)
+    opt = opt_eng.price(SPOT, SPOT, 0.5)
+    assert opt["std_error"] <= one["std_error"] * 1.01
+    # Same estimand: prices agree within joint bands.
+    joint = 5 * np.hypot(opt["std_error"], one["std_error"])
+    assert abs(opt["price"] - one["price"]) < max(joint, 3.0)
