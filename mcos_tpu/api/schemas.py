@@ -102,6 +102,17 @@ class ExoticRequest(BaseModel):
     num_paths: int = 200_000
 
 
+class AmericanRequest(BaseModel):
+    """POST /api/american — Longstaff-Schwartz American pricing (beyond the
+    reference's European-only engine)."""
+    spot: float
+    strike: float
+    T: float
+    is_call: bool = True
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = 200_000
+
+
 class CalibrateRequest(BaseModel):
     """POST /api/calibrate — advertised by the reference's docstring
     (engine/app.py:9) but never implemented there (SURVEY.md §1); this

@@ -203,6 +203,18 @@ def handle_exotic(body: dict) -> dict:
     return out
 
 
+def handle_american(body: dict) -> dict:
+    """POST /api/american — LSM American pricing (beyond the reference)."""
+    from mcos_tpu.engine.american import AmericanEngine
+
+    req = schemas.AmericanRequest(**body)
+    start = time.time()
+    eng = AmericanEngine(req.params.to_params(), num_paths=req.num_paths)
+    out = eng.price(req.spot, req.strike, req.T, req.is_call)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_calibrate(body: dict) -> dict:
     """POST /api/calibrate — completes the endpoint the reference only
     documents (engine/app.py:9)."""
@@ -243,6 +255,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/smile": handle_smile,
     "/api/calibrate": handle_calibrate,
     "/api/exotic": handle_exotic,
+    "/api/american": handle_american,
     "/api/convergence": handle_convergence,
 }
 

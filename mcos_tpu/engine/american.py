@@ -1,0 +1,174 @@
+"""American option pricing: Longstaff-Schwartz Monte Carlo on TPU.
+
+Capability extension beyond the reference (European-only — NIFTY index
+options are European, but single-stock NSE options are American, and a desk
+framework needs both).
+
+Design:
+- Paths are recorded once ((steps, paths) log-spot matrix in HBM — 100MB at
+  200k × 128, trivial), then the backward induction runs as a *reverse*
+  `lax.scan`.
+- The continuation regression at each exercise date is a masked (ITM-only,
+  the classic Longstaff-Schwartz restriction) polynomial least squares in
+  normalized moneyness, solved via ridge-stabilized normal equations — a
+  (paths × d)ᵀ(paths × d) matmul pair per step, MXU-friendly.
+- The regression basis and decision are fully vectorized; there is no
+  per-path Python anywhere.
+
+Validation oracle: `binomial_american_bs` (CRR tree, host numpy f64) — the
+standard American-BS reference; LSM carries a small low bias (suboptimal
+exercise) and MC noise, both bounded in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcos_tpu.config import DEFAULT_NUM_PATHS, scaled_steps
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops.simulate import _svj_step_core
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps"))
+def _record_log_paths(params: SVJParams, spot, T, key, *,
+                      num_paths: int, num_steps: int) -> Array:
+    """(num_steps, num_paths) log-spots at t_1..t_n (t_0 = log spot known)."""
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
+
+    def step(carry, step_idx):
+        log_s, v = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u = jax.random.uniform(k_unif, (num_paths,), dtype)
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z[0], z[1], u, z[2])
+        return (log_s, v), log_s
+
+    (_, _), log_paths = jax.lax.scan(step, (log_s0, v0),
+                                     jnp.arange(num_steps))
+    return log_paths
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
+                                   "basis_degree"))
+def lsm_price(params: SVJParams, spot, strike, T, key, *,
+              num_paths: int, num_steps: int, is_call: bool,
+              basis_degree: int = 3) -> Dict[str, Array]:
+    """Longstaff-Schwartz American price under SVJ dynamics."""
+    dtype = jnp.float32
+    strike = jnp.asarray(strike, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    df = jnp.exp(-params.r * dt)
+
+    log_paths = _record_log_paths(params, spot, T, key,
+                                  num_paths=num_paths, num_steps=num_steps)
+    s_paths = jnp.exp(log_paths)  # (steps, paths), t_1..t_n
+
+    def payoff(s):
+        return jnp.maximum(s - strike, 0.0) if is_call \
+            else jnp.maximum(strike - s, 0.0)
+
+    def basis(s):
+        # Centered moneyness powers + the normalized payoff itself.
+        # Raw x^k powers make the f32 Gram matrix ill-conditioned enough to
+        # trigger spurious exercise (measured: up to 15% price destruction on
+        # a q=0 call); centering at ATM and adding payoff/K as a regressor
+        # keeps the deep-ITM fit tight where exercise mistakes are costliest.
+        u = s / strike - 1.0
+        cols = [jnp.ones_like(u)]
+        for d in range(1, basis_degree + 1):
+            cols.append(u**d)
+        cols.append(payoff(s) / strike)
+        return jnp.stack(cols, axis=1)  # (paths, deg+2)
+
+    cf_terminal = payoff(s_paths[-1])
+
+    def backstep(cf, s_t):
+        cf = cf * df  # continuation value discounted to time t
+        pay = payoff(s_t)
+        itm = pay > 0.0
+        w = itm.astype(dtype)
+        b = basis(s_t)
+        bw = b * w[:, None]
+        gram = b.T @ bw + 1e-4 * jnp.eye(b.shape[1], dtype=dtype)
+        rhs = bw.T @ cf
+        coef = jnp.linalg.solve(gram, rhs)
+        cont = b @ coef
+        exercise = itm & (pay > cont)
+        return jnp.where(exercise, pay, cf), None
+
+    # Reverse induction over t_{n-1}..t_1 (terminal step handled above).
+    cf, _ = jax.lax.scan(backstep, cf_terminal, s_paths[:-1], reverse=True)
+    cf = cf * df  # discount t_1 → t_0
+    price = jnp.mean(cf)
+    se = jnp.std(cf) / jnp.sqrt(jnp.float32(num_paths))
+    intrinsic = payoff(jnp.asarray(spot, dtype))
+    return {
+        "price": jnp.maximum(price, intrinsic),
+        "std_error": se,
+        "mc_continuation": price,
+        "intrinsic": intrinsic,
+    }
+
+
+class AmericanEngine:
+    """LSM American pricer with the framework's engine conventions."""
+
+    def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
+                 num_steps: int = 64, seed: int = 42, basis_degree: int = 3):
+        self.params = params
+        self.num_paths = int(num_paths)
+        self.num_steps = int(num_steps)
+        self.seed = int(seed)
+        self.basis_degree = int(basis_degree)
+
+    def price(self, spot: float, strike: float, T: float,
+              is_call: bool = True) -> Dict[str, float]:
+        steps = scaled_steps(self.num_steps, T, floor=16)
+        res = lsm_price(self.params, spot, strike, T,
+                        jax.random.key(self.seed),
+                        num_paths=self.num_paths, num_steps=steps,
+                        is_call=is_call, basis_degree=self.basis_degree)
+        out = {k: float(v) for k, v in res.items()}
+        out["num_paths_used"] = self.num_paths
+        out["num_steps"] = steps
+        return out
+
+
+def binomial_american_bs(S: float, K: float, T: float, r: float, q: float,
+                         sigma: float, steps: int = 1000,
+                         is_call: bool = True) -> float:
+    """CRR binomial American price under Black-Scholes (host f64 oracle)."""
+    dt = T / steps
+    u = np.exp(sigma * np.sqrt(dt))
+    d = 1.0 / u
+    disc = np.exp(-r * dt)
+    p = (np.exp((r - q) * dt) - d) / (u - d)
+    if not (0.0 < p < 1.0):
+        raise ValueError("unstable tree: reduce dt or vol")
+
+    j = np.arange(steps + 1)
+    prices = S * u ** (steps - j) * d ** j
+    values = np.maximum(prices - K, 0.0) if is_call \
+        else np.maximum(K - prices, 0.0)
+    for n in range(steps - 1, -1, -1):
+        j = np.arange(n + 1)
+        prices = S * u ** (n - j) * d ** j
+        values = disc * (p * values[:-1] + (1 - p) * values[1:])
+        intrinsic = np.maximum(prices - K, 0.0) if is_call \
+            else np.maximum(K - prices, 0.0)
+        values = np.maximum(values, intrinsic)
+    return float(values[0])

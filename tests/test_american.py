@@ -1,0 +1,95 @@
+"""American LSM vs the CRR binomial oracle and no-arbitrage orderings."""
+
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.american import AmericanEngine, binomial_american_bs
+from mcos_tpu.models.params import SVJParams, gbm_params
+from mcos_tpu.ops.bs import bs_price
+
+S, K, T = 100.0, 100.0, 0.5
+R, Q, SIGMA = 0.06, 0.0, 0.25
+
+
+@pytest.fixture(scope="module")
+def gbm_engine():
+    return AmericanEngine(gbm_params(SIGMA, r=R, q=Q), num_paths=100_000,
+                          num_steps=100, seed=5)
+
+
+def test_binomial_oracle_converges_to_bs_european_limit():
+    """With q=0 the American call never exercises early: tree = BS."""
+    tree = binomial_american_bs(S, K, T, R, Q, SIGMA, steps=2000, is_call=True)
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    assert tree == pytest.approx(euro, rel=2e-3)
+
+
+def test_lsm_put_matches_binomial(gbm_engine):
+    lsm = gbm_engine.price(S, K, T, is_call=False)
+    tree = binomial_american_bs(S, K, T, R, Q, SIGMA, steps=2000,
+                                is_call=False)
+    # LSM: small low bias (suboptimal exercise) + discrete dates + MC noise.
+    assert lsm["price"] == pytest.approx(tree, rel=0.01)
+    assert lsm["price"] <= tree + 3 * lsm["std_error"]
+
+
+def test_lsm_itm_put_matches_binomial(gbm_engine):
+    lsm = gbm_engine.price(S, 115.0, T, is_call=False)
+    tree = binomial_american_bs(S, 115.0, T, R, Q, SIGMA, steps=2000,
+                                is_call=False)
+    assert lsm["price"] == pytest.approx(tree, rel=0.01)
+    # Deep ITM American put carries early-exercise premium over European.
+    euro = float(bs_price(S, 115.0, T, R, Q, SIGMA, False))
+    assert lsm["price"] > euro + 3 * lsm["std_error"]
+
+
+def test_american_call_no_dividends_equals_european(gbm_engine):
+    """With q=0 early exercise is never optimal: the LSM price must match
+    the *same paths'* European value (isolates false-exercise loss from MC
+    noise) and sit near the analytic BS price."""
+    import jax
+    import numpy as np
+    from mcos_tpu.engine.american import _record_log_paths
+
+    lsm = gbm_engine.price(S, K, T, is_call=True)
+    lp = _record_log_paths(gbm_engine.params, S, T,
+                           jax.random.key(gbm_engine.seed),
+                           num_paths=gbm_engine.num_paths,
+                           num_steps=lsm["num_steps"])
+    s_t = np.exp(np.asarray(lp[-1]))
+    euro_same_paths = float(np.exp(-R * T) * np.maximum(s_t - K, 0).mean())
+    # False-exercise loss bounded at 0.5% of premium.
+    assert lsm["price"] > euro_same_paths * 0.995
+    assert lsm["price"] < euro_same_paths + 3 * lsm["std_error"]
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    assert lsm["price"] == pytest.approx(euro, rel=0.02)
+
+
+def test_american_call_with_dividends_exceeds_european():
+    eng = AmericanEngine(gbm_params(SIGMA, r=0.02, q=0.08),
+                         num_paths=100_000, num_steps=100, seed=6)
+    lsm = eng.price(S, 90.0, 1.0, is_call=True)  # ITM call, heavy carry
+    euro = float(bs_price(S, 90.0, 1.0, 0.02, 0.08, SIGMA, True))
+    tree = binomial_american_bs(S, 90.0, 1.0, 0.02, 0.08, SIGMA, steps=2000,
+                                is_call=True)
+    assert lsm["price"] > euro + 3 * lsm["std_error"]
+    assert lsm["price"] == pytest.approx(tree, rel=0.015)
+
+
+def test_american_at_least_intrinsic(gbm_engine):
+    lsm = gbm_engine.price(S, 130.0, 0.05, is_call=False)
+    assert lsm["price"] >= 30.0 - 1e-6
+
+
+def test_lsm_on_svj():
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1, r=0.06, q=0.0)
+    eng = AmericanEngine(svj, num_paths=50_000, num_steps=64, seed=7)
+    amer = eng.price(S, K, 0.5, is_call=False)
+    # American ≥ its own European twin under the same dynamics.
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    euro = MonteCarloEngine(svj, num_paths=50_000, num_steps=128,
+                            use_sobol=False, seed=7).price(S, K, 0.5, False)
+    assert amer["price"] > euro["price"] - 3 * (
+        amer["std_error"] + euro["std_error"])
+    assert np.isfinite(amer["price"]) and amer["price"] > 0

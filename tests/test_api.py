@@ -166,3 +166,14 @@ def test_convergence_endpoint(base_url):
         "spot": 22500, "strike": 22500, "T": 0.04, "num_paths": 20_000})
     assert len(out["num_paths"]) == len(out["price"]) == len(out["std_error"])
     assert out["num_paths"][-1] == 20_000
+
+
+def test_american_endpoint(base_url):
+    out = post(f"{base_url}/api/american", {
+        "spot": 100, "strike": 110, "T": 0.5, "is_call": False,
+        "num_paths": 20_000,
+        "params": {"kappa": 0.0, "theta": 0.0625, "xi": 0.0, "rho": 0.0,
+                    "v0": 0.0625, "lambda_j": 0.0, "mu_j": 0.0,
+                    "sigma_j": 0.0, "r": 0.06, "q": 0.0}})
+    assert out["price"] >= out["intrinsic"] - 1e-6
+    assert out["price"] >= 10.0  # ITM put ≥ intrinsic
