@@ -27,6 +27,7 @@ from mcos_tpu.models.params import (  # noqa: F401
     forward_price,
     gbm_params,
 )
+from mcos_tpu.ops.cos_pricer import bates_cf, cos_price, heston_price  # noqa: F401
 from mcos_tpu.ops.bs import (  # noqa: F401
     bs_all_greeks,
     bs_delta,

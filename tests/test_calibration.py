@@ -107,3 +107,37 @@ def test_two_stage_calibration_recovers_vol_level():
 
     assert len(eng.get_history()) == 1
     assert "stage1_result" in result and "stage2_result" in result
+
+
+def test_calibrate_fast_recovers_svj_params():
+    """COS-objective calibration on a synthetic Bates chain: exact pricer in
+    the loop means the true parameters are recoverable to high fidelity."""
+    from mcos_tpu.ops.cos_pricer import cos_price
+    import time
+
+    true = SVJParams(kappa=3.0, theta=0.05, xi=0.5, rho=-0.6, v0=0.0324,
+                     lambda_j=1.5, mu_j=-0.07, sigma_j=0.12, r=R, q=Q)
+    strikes = np.linspace(0.85, 1.15, 13) * SPOT
+    market = cos_price(true, SPOT, strikes, T, True)
+
+    eng = cal.CalibrationEngine()
+    t0 = time.time()
+    result = eng.calibrate_fast(SPOT, strikes, T, market, r=R, q=Q,
+                                atm_vol=0.18, seed=1)
+    elapsed = time.time() - t0
+    p = result["params"]
+    refit = cos_price(p, SPOT, strikes, T, True)
+    atm = market[6]
+    # Two-stage fits cap out around ~1% on jumpy chains: stage 1 forces the
+    # Heston core to absorb jump effects near the money, then freezes it
+    # (the reference has the same structural limit, calibration.py:184-231).
+    assert np.max(np.abs(refit - market)) < 0.015 * atm
+    # (κ, θ, v0) individually — and even the diffusive integrated variance —
+    # are not identified on a single jumpy maturity: the frozen Heston core
+    # absorbs part of the jump variance. Refit quality above is the
+    # meaningful criterion; sanity-bound the total variance level only.
+    kappa, theta, v0 = float(p.kappa), float(p.theta), float(p.v0)
+    decay = (1.0 - np.exp(-kappa * T)) / (kappa * T)
+    v_bar = theta + (v0 - theta) * decay
+    assert 0.01 < v_bar < 0.10
+    assert elapsed < 120  # full two-stage DE in seconds, not hours
