@@ -273,6 +273,7 @@ class CalibrationEngine:
         bid_ask_spreads=None,
         atm_vol: float = 0.15,
         seed: int = 42,
+        regime_adjustments: Optional[Dict] = None,
     ) -> Dict:
         """Two-stage calibration against the semi-analytic COS/Bates pricer.
 
@@ -284,6 +285,13 @@ class CalibrationEngine:
         weights, Tikhonov and Feller penalties; scipy differential evolution
         on the host (the objective is host numpy by design). The MC engine
         is reserved for what actually needs it (exotics, risk, Greeks).
+
+        `regime_adjustments`: the dict emitted by
+        `RegimeDetector.classify()["calibration_adjustments"]` — tightens or
+        widens the ξ/λ/ρ search bounds and scales the Tikhonov weights per
+        regime. The reference *promises* this wiring ("Switches calibration
+        constraints per regime", regime.py:9) but never connects detector to
+        calibrator; this closes the loop.
         """
         from scipy.optimize import differential_evolution as scipy_de
 
@@ -311,6 +319,20 @@ class CalibrationEngine:
             spot, strikes[m2], T, r, q, atm_vol,
             bas[m2] if bas is not None else None))
 
+        # Regime-conditioned search space and regularization strength.
+        heston_bounds = HESTON_BOUNDS.tolist()
+        jump_bounds = JUMP_BOUNDS.tolist()
+        reg_scale = 1.0
+        if regime_adjustments:
+            adj = regime_adjustments
+            if "xi_bounds" in adj:
+                heston_bounds[2] = list(adj["xi_bounds"])
+            if "rho_bounds" in adj:
+                heston_bounds[3] = list(adj["rho_bounds"])
+            if "lambda_bounds" in adj:
+                jump_bounds[0] = list(adj["lambda_bounds"])
+            reg_scale = float(adj.get("regularization_scale", 1.0))
+
         def obj1(x):
             kappa, theta, xi, rho, v0 = x
             params = SVJParams(kappa=kappa, theta=theta, xi=xi, rho=rho,
@@ -318,12 +340,12 @@ class CalibrationEngine:
                                r=r, q=q)
             model = cos_price(params, spot, strikes[m1], T, is_call)
             err = float(np.sum(w1 * (model - market_prices[m1]) ** 2))
-            reg = (REGULARIZATION["xi"] * xi**2
-                   + REGULARIZATION["rho"] * rho**2)
+            reg = reg_scale * (REGULARIZATION["xi"] * xi**2
+                               + REGULARIZATION["rho"] * rho**2)
             viol = xi * xi - 2.0 * kappa * theta
             return err + reg + (10.0 * viol * viol if viol > 0 else 0.0)
 
-        res1 = scipy_de(obj1, HESTON_BOUNDS.tolist(),
+        res1 = scipy_de(obj1, heston_bounds,
                         maxiter=cfg.stage1_max_iter, tol=cfg.ftol, seed=seed,
                         polish=True)
         hx = res1.x
@@ -337,9 +359,9 @@ class CalibrationEngine:
                                sigma_j=sig_j, r=r, q=q)
             model = cos_price(params, spot, strikes[m2], T, is_call)
             err = float(np.sum(w2 * (model - market_prices[m2]) ** 2))
-            return err + REGULARIZATION["lambda_j"] * lam**2
+            return err + reg_scale * REGULARIZATION["lambda_j"] * lam**2
 
-        res2 = scipy_de(obj2, JUMP_BOUNDS.tolist(),
+        res2 = scipy_de(obj2, jump_bounds,
                         maxiter=cfg.stage2_max_iter, tol=cfg.ftol, seed=seed,
                         polish=True)
         jx = res2.x
@@ -365,6 +387,104 @@ class CalibrationEngine:
                               "success": bool(res2.success)},
             "warnings": warnings,
             "feller_satisfied": final.feller_satisfied,
+        }
+
+    def calibrate_term_structure(
+        self,
+        spot: float,
+        strikes,
+        maturities,
+        market_prices,
+        is_call: bool = True,
+        r: float = 0.065,
+        q: float = 0.012,
+        atm_vols=None,
+        seed: int = 42,
+    ) -> Dict:
+        """Fit a full `TermStructureSVJ` across maturities.
+
+        The reference *models* maturity-dependent θ(T)/ξ(T)/λ(T)
+        (models.py:88-144) and bootstraps curves from heuristics
+        (models.py:161-194), but ships no term-structure *calibrator*. Here:
+
+        Stage A: `calibrate_fast` on the longest maturity pins the shared
+        parameters (κ, ρ, μ_J, σ_J, v0) — the reference's own
+        fixed-across-maturities set (models.py:98).
+        Stage B: per maturity, fit (θ_T, ξ_T, λ_T) within
+        TERM_STRUCTURE_BOUNDS against that expiry's chain (COS objective,
+        no MC). Returns the TermStructureSVJ plus per-maturity errors.
+
+        Args:
+            market_prices: shape (num_maturities, num_strikes).
+            atm_vols: per-maturity ATM vols for vega weights (default 0.15).
+        """
+        from scipy.optimize import differential_evolution as scipy_de
+
+        from mcos_tpu.config import TERM_STRUCTURE_BOUNDS
+        from mcos_tpu.models.params import TermStructureSVJ
+        from mcos_tpu.ops.cos_pricer import cos_price
+
+        strikes = np.asarray(strikes, np.float64)
+        maturities = np.asarray(maturities, np.float64)
+        market_prices = np.asarray(market_prices, np.float64)
+        if atm_vols is None:
+            atm_vols = np.full(maturities.shape, 0.15)
+        atm_vols = np.asarray(atm_vols, np.float64)
+
+        # ── Stage A: shared params from the longest maturity ───────────────
+        i_ref = int(np.argmax(maturities))
+        base = self.calibrate_fast(
+            spot, strikes, float(maturities[i_ref]),
+            market_prices[i_ref], is_call=is_call, r=r, q=q,
+            atm_vol=float(atm_vols[i_ref]), seed=seed)
+        shared = base["params"]
+        logger.info("term-structure stage A (T=%.3f): κ=%.3f ρ=%.3f "
+                    "μ_J=%.4f σ_J=%.4f v0=%.4f", maturities[i_ref],
+                    float(shared.kappa), float(shared.rho),
+                    float(shared.mu_j), float(shared.sigma_j),
+                    float(shared.v0))
+
+        ts = TermStructureSVJ(
+            kappa=float(shared.kappa), rho=float(shared.rho),
+            mu_j=float(shared.mu_j), sigma_j=float(shared.sigma_j),
+            v0=float(shared.v0), r=r, q=q)
+
+        bounds = [list(TERM_STRUCTURE_BOUNDS["theta_T"]),
+                  list(TERM_STRUCTURE_BOUNDS["xi_T"]),
+                  list(TERM_STRUCTURE_BOUNDS["lambda_T"])]
+        slice_errors = {}
+
+        # ── Stage B: per-maturity (θ, ξ, λ) slices ─────────────────────────
+        for i, T_i in enumerate(maturities):
+            w = np.asarray(compute_vega_weights(
+                spot, strikes, float(T_i), r, q, float(atm_vols[i])))
+            market_i = market_prices[i]
+
+            def obj(x, T_i=T_i, w=w, market_i=market_i):
+                theta_t, xi_t, lam_t = x
+                params = SVJParams(
+                    kappa=float(shared.kappa), theta=theta_t, xi=xi_t,
+                    rho=float(shared.rho), v0=float(shared.v0),
+                    lambda_j=lam_t, mu_j=float(shared.mu_j),
+                    sigma_j=float(shared.sigma_j), r=r, q=q)
+                model = cos_price(params, spot, strikes, float(T_i), is_call)
+                return float(np.sum(w * (model - market_i) ** 2))
+
+            res = scipy_de(obj, bounds, maxiter=150, tol=1e-10,
+                           seed=seed + i, polish=True)
+            theta_t, xi_t, lam_t = res.x
+            ts.theta_curve[float(T_i)] = float(theta_t)
+            ts.xi_curve[float(T_i)] = float(xi_t)
+            ts.lambda_curve[float(T_i)] = float(lam_t)
+            slice_errors[float(T_i)] = float(res.fun)
+            logger.info("term-structure slice T=%.3f: θ=%.4f ξ=%.3f λ=%.3f "
+                        "err=%.6g", T_i, theta_t, xi_t, lam_t, res.fun)
+
+        return {
+            "term_structure": ts,
+            "shared_params": shared,
+            "slice_errors": slice_errors,
+            "stage_a_result": base,
         }
 
     def get_history(self) -> List[Dict]:

@@ -141,3 +141,61 @@ def test_calibrate_fast_recovers_svj_params():
     v_bar = theta + (v0 - theta) * decay
     assert 0.01 < v_bar < 0.10
     assert elapsed < 120  # full two-stage DE in seconds, not hours
+
+
+def test_regime_conditioned_bounds():
+    """Regime adjustments constrain the fitted parameters (C11→C7 wiring the
+    reference promises at regime.py:9 but never connects)."""
+    from mcos_tpu.engine.regime import RegimeDetector
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    true = SVJParams(kappa=3.0, theta=0.05, xi=2.5, rho=-0.6, v0=0.04,
+                     lambda_j=5.0, mu_j=-0.07, sigma_j=0.12, r=R, q=Q)
+    strikes = np.linspace(0.9, 1.1, 9) * SPOT
+    market = cos_price(true, SPOT, strikes, T, True)
+    calm_adj = RegimeDetector().classify(0.1, 10, 0.01)[
+        "calibration_adjustments"]
+    from mcos_tpu.config import CalibrationConfig
+    eng = cal.CalibrationEngine(
+        config=CalibrationConfig(stage1_max_iter=40, stage2_max_iter=40))
+    res = eng.calibrate_fast(SPOT, strikes, T, market, r=R, q=Q,
+                             atm_vol=0.2, seed=2,
+                             regime_adjustments=calm_adj)
+    p = res["params"]
+    # Calm-regime ceilings bind: ξ ≤ 1.5, λ ≤ 3 even though the chain was
+    # generated with ξ=2.5, λ=5.
+    assert float(p.xi) <= calm_adj["xi_bounds"][1] + 1e-6
+    assert float(p.lambda_j) <= calm_adj["lambda_bounds"][1] + 1e-6
+
+
+def test_term_structure_calibration():
+    """Full θ(T)/ξ(T)/λ(T) curve fit across three maturities."""
+    from mcos_tpu.models.params import TermStructureSVJ
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    true_ts = TermStructureSVJ(
+        kappa=3.0, rho=-0.6, mu_j=-0.06, sigma_j=0.12, v0=0.0324, r=R, q=Q,
+        theta_curve={0.1: 0.035, 0.25: 0.045, 0.5: 0.055},
+        xi_curve={0.1: 0.8, 0.25: 0.5, 0.5: 0.4},
+        lambda_curve={0.1: 2.0, 0.25: 1.2, 0.5: 0.8})
+    strikes = np.linspace(0.88, 1.12, 11) * SPOT
+    mats = np.array([0.1, 0.25, 0.5])
+    market = np.stack([
+        cos_price(true_ts.get_params_at_maturity(float(t)), SPOT, strikes,
+                  float(t), True) for t in mats])
+
+    from mcos_tpu.config import CalibrationConfig
+    eng = cal.CalibrationEngine(
+        config=CalibrationConfig(stage1_max_iter=60, stage2_max_iter=60))
+    out = eng.calibrate_term_structure(SPOT, strikes, mats, market,
+                                       r=R, q=Q, atm_vols=[0.19, 0.2, 0.21],
+                                       seed=0)
+    ts = out["term_structure"]
+    # Refit: every maturity's chain reproduced within 1% of its ATM premium.
+    for i, t in enumerate(mats):
+        model = cos_price(ts.get_params_at_maturity(float(t)), SPOT, strikes,
+                          float(t), True)
+        atm = market[i][5]
+        assert np.max(np.abs(model - market[i])) < 0.02 * atm, f"T={t}"
+    # Curves populated at all maturities.
+    assert set(ts.theta_curve) == {0.1, 0.25, 0.5}
