@@ -113,6 +113,17 @@ class AmericanRequest(BaseModel):
     num_paths: int = 200_000
 
 
+class BookRequest(BaseModel):
+    """POST /api/book — vectorized portfolio pricing + Greeks (new)."""
+    spots: list[float]
+    strikes: list[float]
+    Ts: list[float]
+    is_calls: list[bool]
+    quantities: Optional[list[float]] = None
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = 100_000
+
+
 class CalibrateRequest(BaseModel):
     """POST /api/calibrate — advertised by the reference's docstring
     (engine/app.py:9) but never implemented there (SURVEY.md §1); this

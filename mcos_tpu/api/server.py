@@ -215,6 +215,25 @@ def handle_american(body: dict) -> dict:
     return out
 
 
+def handle_book(body: dict) -> dict:
+    """POST /api/book — whole-portfolio pricing + Greeks in one vmapped
+    device program (beyond the reference's one-contract-per-call API)."""
+    from mcos_tpu.engine.book import BookEngine
+
+    req = schemas.BookRequest(**body)
+    if not (len(req.spots) == len(req.strikes) == len(req.Ts)
+            == len(req.is_calls)):
+        raise ApiError(400, "spots/strikes/Ts/is_calls must be equal length")
+    start = time.time()
+    eng = BookEngine(req.params.to_params(), num_paths=req.num_paths)
+    out = eng.price_book(req.spots, req.strikes, req.Ts, req.is_calls,
+                         req.quantities)
+    out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+           for k, v in out.items()}
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_calibrate(body: dict) -> dict:
     """POST /api/calibrate — completes the endpoint the reference only
     documents (engine/app.py:9)."""
@@ -256,6 +275,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/calibrate": handle_calibrate,
     "/api/exotic": handle_exotic,
     "/api/american": handle_american,
+    "/api/book": handle_book,
     "/api/convergence": handle_convergence,
 }
 

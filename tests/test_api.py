@@ -177,3 +177,17 @@ def test_american_endpoint(base_url):
                     "sigma_j": 0.0, "r": 0.06, "q": 0.0}})
     assert out["price"] >= out["intrinsic"] - 1e-6
     assert out["price"] >= 10.0  # ITM put ≥ intrinsic
+
+
+def test_book_endpoint(base_url):
+    out = post(f"{base_url}/api/book", {
+        "spots": [22500, 22500], "strikes": [22500, 23000],
+        "Ts": [0.1, 0.25], "is_calls": [True, False],
+        "quantities": [2.0, -1.0], "num_paths": 10_000})
+    assert len(out["price"]) == 2
+    assert "book_delta" in out and "book_value" in out
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/book", {
+            "spots": [1.0], "strikes": [1, 2], "Ts": [0.1],
+            "is_calls": [True]})
+    assert exc.value.code == 400
