@@ -62,7 +62,7 @@ NIFTY50: Dict[str, Dict] = {
     "ONGC": {"name": "Oil & Natural Gas Corp", "sector": "Energy", "price": 270.0, "vol": 0.30},
     "COALINDIA": {"name": "Coal India", "sector": "Mining", "price": 480.0, "vol": 0.29},
     "M&M": {"name": "Mahindra & Mahindra", "sector": "Auto", "price": 2850.0, "vol": 0.27},
-    "HHINDALCO": {"name": "Hindalco Industries", "sector": "Metals", "price": 650.0, "vol": 0.33},
+    "HINDALCO": {"name": "Hindalco Industries", "sector": "Metals", "price": 650.0, "vol": 0.33},
 }
 
 

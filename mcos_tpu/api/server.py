@@ -292,7 +292,9 @@ _MIME = {".html": "text/html", ".js": "application/javascript",
 
 def _static_file(name: str) -> Optional[Tuple[bytes, str]]:
     path = os.path.normpath(os.path.join(WEB_DIR, name))
-    if not path.startswith(WEB_DIR) or not os.path.isfile(path):
+    # Trailing separator: bare startswith(WEB_DIR) would admit sibling
+    # directories like /root/repo/webapp (review finding).
+    if not path.startswith(WEB_DIR + os.sep) or not os.path.isfile(path):
         return None
     with open(path, "rb") as f:
         data = f.read()
@@ -406,6 +408,9 @@ def create_fastapi_app():
                 return fn(body)
             except ApiError as e:
                 raise HTTPException(e.status, detail=e.detail)
+            except ValidationError as e:
+                # Match the stdlib transport's 422 contract.
+                raise HTTPException(422, detail=str(e))
         return endpoint
 
     for path, fn in POST_ROUTES.items():

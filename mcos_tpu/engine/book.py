@@ -61,14 +61,14 @@ def _price_one(params: SVJParams, spot, strike, T, phi, key, *,
 def _book_price_and_greeks(params: SVJParams, spots, strikes, Ts, phis,
                            keys, *, num_paths: int, num_steps: int):
     def scalar_price(spot, strike, T, phi, key):
-        return _price_one(params, spot, strike, T, phi, key,
-                          num_paths=num_paths, num_steps=num_steps)[0]
+        price, se = _price_one(params, spot, strike, T, phi, key,
+                               num_paths=num_paths, num_steps=num_steps)
+        return price, se  # se rides along as aux — one simulation total
 
     def one(spot, strike, T, phi, key):
-        price, grads = jax.value_and_grad(
-            scalar_price, argnums=(0, 2))(spot, strike, T, phi, key)
-        _, se = _price_one(params, spot, strike, T, phi, key,
-                           num_paths=num_paths, num_steps=num_steps)
+        (price, se), grads = jax.value_and_grad(
+            scalar_price, argnums=(0, 2), has_aux=True)(
+                spot, strike, T, phi, key)
         d_spot, d_T = grads
         return price, se, d_spot, -d_T  # theta = −∂P/∂T
 

@@ -101,39 +101,44 @@ def _chain_prices(params: SVJParams, spot, strikes, T, key, *,
 
 
 def heston_objective(
-    x: Array, spot, strikes, T, market_prices, weights, r, q, *,
-    key, num_paths: int, num_steps: int, is_call: bool = True,
+    x: Array, data: Dict, *, num_paths: int, num_steps: int,
+    is_call: bool = True,
 ) -> Array:
     """Stage-1 objective over [κ, θ, ξ, ρ, v0] (calibration.py:53-95).
 
     Jumps off (λ=0; σ_J=0.01 placeholder exactly as the reference uses).
-    Differentiable in x; deterministic given `key` (CRN).
+    `data` is a traced pytree {spot, strikes, T, market_prices, weights, r,
+    q, key} so repeated calibrations with the same shapes reuse the compiled
+    optimizer loop (the statics ride `static_kwargs`). Differentiable in x;
+    deterministic given data["key"] (CRN).
     """
     kappa, theta, xi, rho, v0 = x[0], x[1], x[2], x[3], x[4]
     params = SVJParams(kappa=kappa, theta=theta, xi=xi, rho=rho, v0=v0,
-                       lambda_j=0.0, mu_j=0.0, sigma_j=0.01, r=r, q=q)
-    model = _chain_prices(params, spot, strikes, T, key,
-                          num_paths=num_paths, num_steps=num_steps,
-                          is_call=is_call)
-    err = jnp.sum(weights * (model - market_prices) ** 2)
+                       lambda_j=0.0, mu_j=0.0, sigma_j=0.01,
+                       r=data["r"], q=data["q"])
+    model = _chain_prices(params, data["spot"], data["strikes"], data["T"],
+                          data["key"], num_paths=num_paths,
+                          num_steps=num_steps, is_call=is_call)
+    err = jnp.sum(data["weights"] * (model - data["market_prices"]) ** 2)
     reg = (REGULARIZATION["xi"] * xi**2 + REGULARIZATION["rho"] * rho**2)
     return err + reg + _feller_penalty(kappa, theta, xi)
 
 
 def svj_objective(
-    x_jump: Array, heston_x: Array, spot, strikes, T, market_prices, weights,
-    r, q, *, key, num_paths: int, num_steps: int, is_call: bool = True,
+    x_jump: Array, data: Dict, *, num_paths: int, num_steps: int,
+    is_call: bool = True,
 ) -> Array:
     """Stage-2 objective over [λ, μ_J, σ_J] with the core frozen
-    (calibration.py:98-135)."""
+    (calibration.py:98-135). `data` additionally carries `heston_x`."""
+    hx = data["heston_x"]
     params = SVJParams(
-        kappa=heston_x[0], theta=heston_x[1], xi=heston_x[2],
-        rho=heston_x[3], v0=heston_x[4],
-        lambda_j=x_jump[0], mu_j=x_jump[1], sigma_j=x_jump[2], r=r, q=q)
-    model = _chain_prices(params, spot, strikes, T, key,
-                          num_paths=num_paths, num_steps=num_steps,
-                          is_call=is_call)
-    err = jnp.sum(weights * (model - market_prices) ** 2)
+        kappa=hx[0], theta=hx[1], xi=hx[2], rho=hx[3], v0=hx[4],
+        lambda_j=x_jump[0], mu_j=x_jump[1], sigma_j=x_jump[2],
+        r=data["r"], q=data["q"])
+    model = _chain_prices(params, data["spot"], data["strikes"], data["T"],
+                          data["key"], num_paths=num_paths,
+                          num_steps=num_steps, is_call=is_call)
+    err = jnp.sum(data["weights"] * (model - data["market_prices"]) ** 2)
     return err + REGULARIZATION["lambda_j"] * x_jump[0] ** 2
 
 
@@ -193,25 +198,28 @@ class CalibrationEngine:
 
         # ── Stage 1: Heston core ────────────────────────────────────────────
         logger.info("Stage 1: Heston core on %d strikes", int(m1.sum()))
-        obj1 = partial(
-            heston_objective,
-            spot=spot, strikes=jnp.asarray(strikes[m1]), T=T,
-            market_prices=jnp.asarray(market_prices[m1]), weights=w1,
-            r=r, q=q, key=k_price, num_paths=num_paths, num_steps=num_steps,
-            is_call=is_call,
-        )
+        statics = (("num_paths", num_paths), ("num_steps", num_steps),
+                   ("is_call", is_call))
+        data1 = {
+            "spot": jnp.float32(spot), "strikes": jnp.asarray(strikes[m1]),
+            "T": jnp.float32(T),
+            "market_prices": jnp.asarray(market_prices[m1]), "weights": w1,
+            "r": jnp.float32(r), "q": jnp.float32(q), "key": k_price,
+        }
         # Warm-start member: reference defaults with the surface-consistent
         # v0 = θ = ATM_IV² initialization (models.py:152-158 heuristic).
         x0_heston = jnp.asarray(
             [3.0, atm_vol**2, 0.5, -0.7, atm_vol**2], jnp.float32)
         iters1 = max(cfg.stage1_max_iter // 4, 25)  # vmapped DE converges in
-        res1 = differential_evolution(obj1, HESTON_BOUNDS, k_de1,            # fewer, bigger steps
+        res1 = differential_evolution(heston_objective, HESTON_BOUNDS, k_de1,  # fewer, bigger steps
                                       pop_size=pop_size, iters=iters1,
-                                      x0=x0_heston)
+                                      x0=x0_heston, args=data1,
+                                      static_kwargs=statics)
         x1, f1 = res1.x, res1.fun
         if polish:
-            x1p, f1p = adam_polish(obj1, x1, HESTON_BOUNDS,
-                                   steps=40, lr=self.config.learning_rate)
+            x1p, f1p = adam_polish(heston_objective, x1, HESTON_BOUNDS,
+                                   steps=40, lr=self.config.learning_rate,
+                                   args=data1, static_kwargs=statics)
             better = float(f1p) < float(f1)
             x1 = x1p if better else x1
             f1 = f1p if better else f1
@@ -220,18 +228,19 @@ class CalibrationEngine:
 
         # ── Stage 2: jumps, core frozen ─────────────────────────────────────
         logger.info("Stage 2: jump params on %d strikes", int(m2.sum()))
-        obj2 = partial(
-            svj_objective,
-            heston_x=x1, spot=spot, strikes=jnp.asarray(strikes[m2]), T=T,
-            market_prices=jnp.asarray(market_prices[m2]), weights=w2,
-            r=r, q=q, key=k_price, num_paths=num_paths, num_steps=num_steps,
-            is_call=is_call,
-        )
+        data2 = {
+            "spot": jnp.float32(spot), "strikes": jnp.asarray(strikes[m2]),
+            "T": jnp.float32(T),
+            "market_prices": jnp.asarray(market_prices[m2]), "weights": w2,
+            "r": jnp.float32(r), "q": jnp.float32(q), "key": k_price,
+            "heston_x": x1,
+        }
         iters2 = max(cfg.stage2_max_iter // 4, 25)
-        res2 = differential_evolution(obj2, JUMP_BOUNDS, k_de2,
+        res2 = differential_evolution(svj_objective, JUMP_BOUNDS, k_de2,
                                       pop_size=pop_size, iters=iters2,
                                       x0=jnp.asarray([1.0, -0.05, 0.10],
-                                                     jnp.float32))
+                                                     jnp.float32),
+                                      args=data2, static_kwargs=statics)
         x2, f2 = res2.x, res2.fun
         logger.info("Stage 2 done: λ=%.3f μ_J=%.4f σ_J=%.4f err=%.6g",
                     *[float(v) for v in x2], float(f2))

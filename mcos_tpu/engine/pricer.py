@@ -228,7 +228,8 @@ def mc_price_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("is_call", "control_variate", "cv_mode", "cv_beta"),
+    static_argnames=("is_call", "antithetic", "control_variate", "cv_mode",
+                     "cv_beta"),
 )
 def mc_price_from_draws(
     params: SVJParams,
@@ -241,24 +242,31 @@ def mc_price_from_draws(
     z_js: Array,
     *,
     is_call: bool = True,
+    antithetic: bool = True,
     control_variate: bool = True,
     cv_mode: str = "companion",
     cv_beta: str = "one",
 ) -> Dict[str, Array]:
     """QMC / CRN pricing path: externally supplied draws, antithetic pairing.
 
-    The antithetic branch negates (z1, z2, z_js) and shares u_jump, matching
-    monte_carlo.py:318-324. Used with the Sobol+Brownian-bridge driver and by
-    the CRN finite-difference Greeks oracle.
+    When `antithetic`, the second branch negates (z1, z2, z_js) and shares
+    u_jump, matching monte_carlo.py:318-324 (note: negating Sobol points is a
+    digital reflection, not a fresh net — disable for pure-QMC studies).
+    Used with the Sobol+Brownian-bridge driver and by the CRN
+    finite-difference Greeks oracle.
     """
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
     want_g = control_variate and cv_mode == "companion"
     s_base, v_base, g_base = simulate.simulate_terminal_from_draws(
         params, spot, T, z1, z2, u_jump, z_js, companion=want_g)
-    s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
-        params, spot, T, -z1, -z2, u_jump, -z_js, companion=want_g)
-    s_final = jnp.stack([s_base, s_anti])  # (2, paths)
-    g_final = jnp.stack([g_base, g_anti]) if want_g else None
+    if antithetic:
+        s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
+            params, spot, T, -z1, -z2, u_jump, -z_js, companion=want_g)
+        s_final = jnp.stack([s_base, s_anti])  # (2, paths)
+        g_final = jnp.stack([g_base, g_anti]) if want_g else None
+    else:
+        s_final = s_base[None]
+        g_final = g_base[None] if want_g else None
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     pay = _payoff_table(s_final, strikes, is_call)
@@ -334,7 +342,8 @@ class MonteCarloEngine:
             return mc_price_from_draws(
                 self.params, spot, jnp.asarray(strikes), T,
                 z1, z2, u_jump, z_js,
-                is_call=is_call, control_variate=self.use_control_variate,
+                is_call=is_call, antithetic=self.use_antithetic,
+                control_variate=self.use_control_variate,
                 cv_mode=self.cv_mode, cv_beta=self.cv_beta,
             )
         if self._resolved_backend() == "pallas":
@@ -404,7 +413,17 @@ class MonteCarloEngine:
         violation at guards.py:139-142) but never implements the adaptive
         loop. Batches use independent key folds and combine by exact moment
         pooling, so the result is identical in law to one big run.
+
+        Honors the engine's antithetic/CV/cv_beta configuration. The random
+        driver is always threefry: batches must be mutually independent, and
+        chopping a Sobol net into batches destroys its equidistribution —
+        with use_sobol=True a note is logged and PRNG batching is used.
         """
+        if self.use_sobol:
+            import logging
+            logging.getLogger("mcos_tpu.pricer").info(
+                "price_to_tolerance uses independent PRNG batches; the "
+                "engine's Sobol driver does not batch soundly")
         steps = self._steps(T)
         strikes = jnp.asarray([strike], jnp.float32)
         total_n = 0
@@ -421,7 +440,7 @@ class MonteCarloEngine:
                 num_paths=n_batch, num_steps=steps, is_call=is_call,
                 antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
-                cv_mode=self.cv_mode)
+                cv_mode=self.cv_mode, cv_beta=self.cv_beta)
             p_i = float(res["price"][0])
             se_i = float(res["std_error"][0])
             if bs_ref is None and "bs_ref" in res:

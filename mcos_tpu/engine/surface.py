@@ -217,32 +217,43 @@ def calibrate_sabr(
         vegas = jnp.asarray(vegas, jnp.float32)
         weights = vegas / jnp.sum(vegas)
 
+    data = {"F": jnp.float32(F), "strikes": strikes, "T": jnp.float32(T),
+            "market_ivs": market_ivs, "weights": weights,
+            "beta_fixed": jnp.float32(beta_fixed if beta_fixed is not None
+                                      else 0.0)}
+    # Module-level objectives + traced data keep the DE jit cache warm
+    # across repeated fits (identical shapes don't recompile).
     if beta_fixed is not None:
         bounds = np.array([SABR_BOUNDS["alpha"], SABR_BOUNDS["rho"],
                            SABR_BOUNDS["nu"]], np.float32)
-
-        def objective(x):
-            model = sabr_vol(F, strikes, T, x[0], beta_fixed, x[1], x[2])
-            return jnp.sum(weights * (model - market_ivs) ** 2)
-
-        res = differential_evolution(objective, bounds, jax.random.key(seed),
-                                     pop_size=pop_size, iters=iters)
+        res = differential_evolution(_sabr_objective_fixed_beta, bounds,
+                                     jax.random.key(seed),
+                                     pop_size=pop_size, iters=iters,
+                                     args=data)
         return {"alpha": float(res.x[0]), "beta": float(beta_fixed),
                 "rho": float(res.x[1]), "nu": float(res.x[2]),
                 "error": float(res.fun)}
 
     bounds = np.array([SABR_BOUNDS["alpha"], SABR_BOUNDS["beta"],
                        SABR_BOUNDS["rho"], SABR_BOUNDS["nu"]], np.float32)
-
-    def objective(x):
-        model = sabr_vol(F, strikes, T, x[0], x[1], x[2], x[3])
-        return jnp.sum(weights * (model - market_ivs) ** 2)
-
-    res = differential_evolution(objective, bounds, jax.random.key(seed),
-                                 pop_size=pop_size, iters=iters)
+    res = differential_evolution(_sabr_objective_free_beta, bounds,
+                                 jax.random.key(seed),
+                                 pop_size=pop_size, iters=iters, args=data)
     return {"alpha": float(res.x[0]), "beta": float(res.x[1]),
             "rho": float(res.x[2]), "nu": float(res.x[3]),
             "error": float(res.fun)}
+
+
+def _sabr_objective_fixed_beta(x, data):
+    model = sabr_vol(data["F"], data["strikes"], data["T"],
+                     x[0], data["beta_fixed"], x[1], x[2])
+    return jnp.sum(data["weights"] * (model - data["market_ivs"]) ** 2)
+
+
+def _sabr_objective_free_beta(x, data):
+    model = sabr_vol(data["F"], data["strikes"], data["T"],
+                     x[0], x[1], x[2], x[3])
+    return jnp.sum(data["weights"] * (model - data["market_ivs"]) ** 2)
 
 
 # ─────────────────────────────────────────────────────────────────────────────

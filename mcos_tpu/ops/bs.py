@@ -62,19 +62,30 @@ def bs_price(S, K, T, r, q, sigma, is_call: bool = True):
 
 
 def bs_delta(S, K, T, r, q, sigma, is_call: bool = True):
-    """∂P/∂S (engine/monte_carlo.py:45-55 semantics)."""
+    """∂P/∂S (engine/monte_carlo.py:45-55 semantics).
+
+    Degenerate limits are consistent with `bs_price`'s: at expiry (T→0) the
+    delta is the spot-moneyness indicator; at σ→0 with time remaining it is
+    e^{-qT}·1{forward ITM} — the true N(d₁) limit (d₁ → ±∞ by the sign of
+    ln(S/K) + (r−q)T), not the spot comparison.
+    """
     S, K, T, r, q, sigma = map(jnp.asarray, (S, K, T, r, q, sigma))
-    degenerate = (T <= _EPS) | (sigma <= _EPS)
+    expired = T <= _EPS
+    zero_vol = (sigma <= _EPS) & ~expired
+    degenerate = expired | zero_vol
     T_s = jnp.where(degenerate, 1.0, T)
     sig_s = jnp.where(degenerate, 1.0, sigma)
     d1, _ = _d1_d2(S, K, T_s, r, q, sig_s)
     df_q = jnp.exp(-q * T)
+    fwd_itm_call = S * jnp.exp((r - q) * T) > K
     if is_call:
         live = df_q * ndtr(d1)
-        edge = jnp.where(S > K, 1.0, 0.0)
+        edge = jnp.where(expired, jnp.where(S > K, 1.0, 0.0),
+                         jnp.where(fwd_itm_call, df_q, 0.0))
     else:
         live = df_q * (ndtr(d1) - 1.0)
-        edge = jnp.where(S < K, -1.0, 0.0)
+        edge = jnp.where(expired, jnp.where(S < K, -1.0, 0.0),
+                         jnp.where(fwd_itm_call, 0.0, -df_q))
     return jnp.where(degenerate, edge, live)
 
 

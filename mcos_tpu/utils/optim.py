@@ -30,9 +30,8 @@ def _clip_to_bounds(x: Array, lo: Array, hi: Array) -> Array:
     return jnp.clip(x, lo, hi)
 
 
-@partial(jax.jit, static_argnames=("obj_fn", "pop_size", "iters"))
 def differential_evolution(
-    obj_fn: Callable[[Array], Array],
+    obj_fn: Callable,
     bounds: Array,
     key: Array,
     pop_size: int = 32,
@@ -40,25 +39,62 @@ def differential_evolution(
     mutation: float = 0.7,
     crossover: float = 0.9,
     x0: Array | None = None,
+    args=None,
+    static_kwargs: tuple = (),
 ) -> DEResult:
     """DE/rand/1/bin with a fully vectorized population.
 
     Args:
-        obj_fn: (D,) → scalar, pure; vmapped internally (so the MC pricing
-            inside becomes one batched simulation per generation).
+        obj_fn: pure objective. Either `f(x)` (closure; convenient but keyed
+            into the jit cache by *identity*, so fresh closures recompile) or
+            `f(x, args, **static_kwargs)` with `args` a traced pytree of data
+            — pass a stable module-level function there and repeated
+            calibrations with the same shapes reuse the compiled DE loop
+            (review finding: per-request closures forced full recompiles).
         bounds: (D, 2) array of [lo, hi] per dimension.
         key: PRNG key (deterministic optimization given the key).
         x0: optional (D,) warm-start — replaces population member 0
             (e.g. the surface-consistent heuristic v0=θ=ATM_IV²; DE keeps the
             global search while converging far faster from a sane seed).
+        args: traced data pytree forwarded to obj_fn (None ⇒ closure mode).
+        static_kwargs: ((name, value), ...) hashable compile-time settings
+            forwarded as keyword args.
 
     Returns:
         DEResult with the best member, value, and per-generation best history.
     """
-    bounds = jnp.asarray(bounds, jnp.float32)
+    closure_mode = args is None
+    return _de_impl(obj_fn, jnp.asarray(bounds, jnp.float32), key,
+                    () if closure_mode else args, x0,
+                    pop_size=pop_size, iters=iters, mutation=mutation,
+                    crossover=crossover, static_kwargs=tuple(static_kwargs),
+                    closure_mode=closure_mode)
+
+
+@partial(jax.jit, static_argnames=("obj_fn", "pop_size", "iters",
+                                   "static_kwargs", "closure_mode"))
+def _de_impl(
+    obj_fn,
+    bounds: Array,
+    key: Array,
+    args,
+    x0,
+    *,
+    pop_size: int,
+    iters: int,
+    mutation: float,
+    crossover: float,
+    static_kwargs: tuple,
+    closure_mode: bool,
+) -> DEResult:
     lo, hi = bounds[:, 0], bounds[:, 1]
     dim = bounds.shape[0]
-    batched_obj = jax.vmap(obj_fn)
+    if closure_mode:
+        scalar_obj = obj_fn
+    else:
+        static = dict(static_kwargs)
+        scalar_obj = lambda x: obj_fn(x, args, **static)  # noqa: E731
+    batched_obj = jax.vmap(scalar_obj)
 
     k_init, k_loop = jax.random.split(key)
     pop = lo + (hi - lo) * jax.random.uniform(k_init, (pop_size, dim))
@@ -115,41 +151,57 @@ def from_box(x: Array, bounds: Array, eps: float = 1e-6) -> Array:
 
 
 def adam_polish(
-    obj_fn: Callable[[Array], Array],
+    obj_fn: Callable,
     x0: Array,
     bounds: Array,
     steps: int = 50,
     lr: float = 0.05,
+    args=None,
+    static_kwargs: tuple = (),
 ) -> Tuple[Array, Array]:
     """Gradient descent in the box-reparameterized space from a DE solution.
 
     Exploits the differentiability of the MC pricer (pathwise gradients) —
     the capability the reference's derivative-free pipeline cannot use.
+    Same obj_fn calling conventions as `differential_evolution` (closure mode
+    or args mode; args mode keeps the jit cache warm across calls).
     Returns (x_best, f_best); never leaves the bounds.
     """
+    closure_mode = args is None
+    u_best, f_best, bounds_f = _polish_impl(
+        obj_fn, jnp.asarray(x0, jnp.float32),
+        jnp.asarray(bounds, jnp.float32),
+        () if closure_mode else args,
+        steps=steps, lr=lr, static_kwargs=tuple(static_kwargs),
+        closure_mode=closure_mode)
+    return to_box(u_best, bounds_f), f_best
+
+
+@partial(jax.jit, static_argnames=("obj_fn", "steps", "lr", "static_kwargs",
+                                   "closure_mode"))
+def _polish_impl(obj_fn, x0, bounds, args, *, steps, lr, static_kwargs,
+                 closure_mode):
     import optax
 
-    bounds = jnp.asarray(bounds, jnp.float32)
-    u0 = from_box(jnp.asarray(x0, jnp.float32), bounds)
+    if closure_mode:
+        scalar_obj = obj_fn
+    else:
+        static = dict(static_kwargs)
+        scalar_obj = lambda x: obj_fn(x, args, **static)  # noqa: E731
+
+    u0 = from_box(x0, bounds)
     opt = optax.adam(lr)
 
     def loss(u):
-        return obj_fn(to_box(u, bounds))
+        return scalar_obj(to_box(u, bounds))
 
-    @jax.jit
-    def run(u0):
-        state0 = opt.init(u0)
+    def step(carry, _):
+        u, state = carry
+        val, grad = jax.value_and_grad(loss)(u)
+        updates, state = opt.update(grad, state)
+        return (optax.apply_updates(u, updates), state), (u, val)
 
-        def step(carry, _):
-            u, state = carry
-            val, grad = jax.value_and_grad(loss)(u)
-            updates, state = opt.update(grad, state)
-            return (optax.apply_updates(u, updates), state), (u, val)
-
-        (_, _), (us, vals) = jax.lax.scan(step, (u0, state0), None,
-                                          length=steps)
-        best = jnp.argmin(vals)
-        return us[best], vals[best]
-
-    u_best, f_best = run(u0)
-    return to_box(u_best, bounds), f_best
+    (_, _), (us, vals) = jax.lax.scan(step, (u0, opt.init(u0)), None,
+                                      length=steps)
+    best = jnp.argmin(vals)
+    return us[best], vals[best], bounds

@@ -191,3 +191,11 @@ def test_book_endpoint(base_url):
             "spots": [1.0], "strikes": [1, 2], "Ts": [0.1],
             "is_calls": [True]})
     assert exc.value.code == 400
+
+
+def test_static_traversal_guard(base_url):
+    # Sibling-directory escape (web vs webapp) must 404 (review finding).
+    req = urllib.request.Request(f"{base_url}/static/../web/../README.md")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 404

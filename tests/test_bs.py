@@ -80,3 +80,20 @@ def test_vectorized_over_strikes():
     prices = bs.bs_price(100.0, ks, 0.5, 0.05, 0.01, 0.2, True)
     assert prices.shape == (21,)
     assert bool(jnp.all(jnp.diff(prices) < 0))  # call price decreasing in K
+
+
+def test_zero_vol_delta_uses_forward_moneyness():
+    """σ→0 with time left: delta → e^{-qT}·1{forward ITM}, not the spot
+    comparison (review finding: price/delta were inconsistent in the limit)."""
+    S, K, T, r, q = 100.0, 100.5, 1.0, 0.065, 0.012
+    # Forward = 100·e^{0.053} ≈ 105.4 > K ⇒ call delta ≈ e^{-qT}.
+    d = float(bs.bs_delta(S, K, T, r, q, 0.0, True))
+    assert d == pytest.approx(np.exp(-q * T), abs=1e-6)
+    assert float(bs.bs_delta(S, K, T, r, q, 0.0, False)) == pytest.approx(0.0)
+    # At expiry the spot comparison rules.
+    assert float(bs.bs_delta(99.0, 100.0, 0.0, r, q, 0.2, True)) == 0.0
+    # Consistency with jax.grad of the degenerate price on the live side.
+    eps_sigma = 1e-3
+    import jax
+    g = float(jax.grad(lambda s: bs.bs_price(s, K, T, r, q, eps_sigma, True))(S))
+    assert d == pytest.approx(g, abs=5e-3)

@@ -61,14 +61,16 @@ def test_heston_objective_prefers_truth():
     market = np.array([float(bs_price(SPOT, k, T, R, Q, 0.2, True))
                        for k in strikes], np.float32)
     w = cal.compute_vega_weights(SPOT, strikes, T, R, Q, 0.2)
-    kw = dict(spot=SPOT, strikes=jnp.asarray(strikes), T=T,
-              market_prices=jnp.asarray(market), weights=w, r=R, q=Q,
-              key=jax.random.key(0), num_paths=20_000, num_steps=32)
+    data = dict(spot=jnp.float32(SPOT), strikes=jnp.asarray(strikes),
+                T=jnp.float32(T), market_prices=jnp.asarray(market),
+                weights=w, r=jnp.float32(R), q=jnp.float32(Q),
+                key=jax.random.key(0))
+    kw = dict(num_paths=20_000, num_steps=32)
     # x = [kappa, theta, xi, rho, v0]
     f_true = float(cal.heston_objective(
-        jnp.asarray([1.0, 0.04, 0.05, -0.1, 0.04]), **kw))
+        jnp.asarray([1.0, 0.04, 0.05, -0.1, 0.04]), data, **kw))
     f_wrong = float(cal.heston_objective(
-        jnp.asarray([1.0, 0.09, 0.05, -0.1, 0.09]), **kw))
+        jnp.asarray([1.0, 0.09, 0.05, -0.1, 0.09]), data, **kw))
     assert f_true < f_wrong
 
 
@@ -199,3 +201,26 @@ def test_term_structure_calibration():
         assert np.max(np.abs(model - market[i])) < 0.02 * atm, f"T={t}"
     # Curves populated at all maturities.
     assert set(ts.theta_curve) == {0.1, 0.25, 0.5}
+
+
+def test_de_cache_reuse_across_calibrations():
+    """Second calibration with identical shapes must reuse the compiled DE
+    loop (review finding: per-request closures forced full recompiles)."""
+    import time
+    from mcos_tpu.ops.bs import bs_price as _bs
+
+    strikes = np.linspace(0.95, 1.05, 5) * SPOT
+    market = np.array([float(_bs(SPOT, k, T, R, Q, 0.18, True))
+                       for k in strikes], np.float32)
+    kw = dict(r=R, q=Q, atm_vol=0.18, num_paths=8192, num_steps=16,
+              pop_size=8, polish=False)
+    eng = cal.CalibrationEngine(config=__import__(
+        "mcos_tpu.config", fromlist=["CalibrationConfig"]).CalibrationConfig(
+        stage1_max_iter=20, stage2_max_iter=20))
+    t0 = time.time()
+    eng.calibrate(SPOT, strikes, T, market, seed=0, **kw)
+    first = time.time() - t0
+    t0 = time.time()
+    eng.calibrate(SPOT, strikes, T, market * 1.01, seed=1, **kw)
+    second = time.time() - t0
+    assert second < 0.5 * first, (first, second)
