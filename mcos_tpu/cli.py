@@ -87,6 +87,52 @@ def cmd_stress(args) -> dict:
                                   not args.put)
 
 
+def cmd_exotic(args) -> dict:
+    from mcos_tpu.engine.exotics import ExoticEngine
+
+    eng = ExoticEngine(_params_from(args), num_paths=args.num_paths,
+                       num_steps=args.num_steps, seed=args.seed)
+    if args.kind == "asian":
+        return eng.price_asian(args.spot, args.strike, args.T, not args.put,
+                               averaging=args.averaging)
+    if args.kind == "barrier":
+        return eng.price_barrier(args.spot, args.strike, args.T, args.barrier,
+                                 not args.put, knock=args.knock)
+    return eng.price_lookback(args.spot, args.T, not args.put,
+                              strike=args.strike if args.fixed else None)
+
+
+def cmd_american(args) -> dict:
+    from mcos_tpu.engine.american import AmericanEngine
+
+    eng = AmericanEngine(_params_from(args), num_paths=args.num_paths,
+                         num_steps=args.num_steps, seed=args.seed)
+    return eng.price(args.spot, args.strike, args.T, not args.put)
+
+
+def cmd_calibrate(args) -> dict:
+    import numpy as _np
+
+    from mcos_tpu.engine.calibration import CalibrationEngine
+    from mcos_tpu.utils.chain_loader import (
+        chain_to_calibration_inputs,
+        load_chain,
+    )
+
+    chain = load_chain(args.chain)
+    inputs = chain_to_calibration_inputs(chain, args.T)
+    if inputs["strikes"].size < 4:
+        raise SystemExit(f"only {inputs['strikes'].size} liquid strikes at "
+                         f"T={args.T} in {args.chain}")
+    eng = CalibrationEngine()
+    result = eng.calibrate_fast(
+        args.spot, inputs["strikes"], args.T, inputs["market_prices"],
+        r=args.r, q=args.q, bid_ask_spreads=inputs["bid_ask_spreads"],
+        atm_vol=args.atm_vol, seed=args.seed)
+    result["params"] = result["params"].as_dict()
+    return result
+
+
 def cmd_bench(_args) -> dict:
     import bench  # repo-root benchmark, prints its own JSON line
 
@@ -128,6 +174,33 @@ def main(argv=None):
     p = sub.add_parser("stress", help="stress-test ladders")
     _add_contract_args(p)
     p.set_defaults(fn=cmd_stress)
+
+    p = sub.add_parser("exotic", help="Asian/barrier/lookback pricing")
+    _add_contract_args(p)
+    p.add_argument("--kind", choices=["asian", "barrier", "lookback"],
+                   required=True)
+    p.add_argument("--averaging", default="arithmetic",
+                   choices=["arithmetic", "geometric"])
+    p.add_argument("--barrier", type=float, default=0.0)
+    p.add_argument("--knock", default="out", choices=["out", "in"])
+    p.add_argument("--fixed", action="store_true",
+                   help="fixed-strike lookback (default floating)")
+    p.set_defaults(fn=cmd_exotic)
+
+    p = sub.add_parser("american", help="Longstaff-Schwartz American pricing")
+    _add_contract_args(p)
+    p.set_defaults(fn=cmd_american)
+
+    p = sub.add_parser("calibrate",
+                       help="fast two-stage SVJ calibration from a chain CSV")
+    p.add_argument("--chain", required=True, help="option-chain CSV path")
+    p.add_argument("--spot", type=float, required=True)
+    p.add_argument("--T", type=float, required=True)
+    p.add_argument("--atm-vol", type=float, default=0.15)
+    p.add_argument("--r", type=float, default=0.065)
+    p.add_argument("--q", type=float, default=0.012)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)
