@@ -138,10 +138,10 @@ class AmericanEngine:
     def price(self, spot: float, strike: float, T: float,
               is_call: bool = True) -> Dict[str, float]:
         steps = scaled_steps(self.num_steps, T, floor=16)
-        res = lsm_price(self.params, spot, strike, T,
-                        jax.random.key(self.seed),
-                        num_paths=self.num_paths, num_steps=steps,
-                        is_call=is_call, basis_degree=self.basis_degree)
+        res = jax.device_get(lsm_price(
+            self.params, spot, strike, T, jax.random.key(self.seed),
+            num_paths=self.num_paths, num_steps=steps,
+            is_call=is_call, basis_degree=self.basis_degree))
         out = {k: float(v) for k, v in res.items()}
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps

@@ -56,7 +56,7 @@ def _cv_adjust(pay: Array, ctrl: Array, ctrl_mean_exact: Array):
 
 @partial(jax.jit, static_argnames=(
     "num_paths", "num_steps", "is_call", "kind", "averaging", "knock",
-    "direction", "antithetic", "control_variate", "floating"))
+    "direction", "antithetic", "control_variate", "floating", "backend"))
 def _price_exotic_core(
     params: SVJParams,
     spot,
@@ -64,6 +64,7 @@ def _price_exotic_core(
     T,
     key,
     barrier=0.0,
+    seed=0,
     *,
     kind: str,
     num_paths: int,
@@ -75,10 +76,18 @@ def _price_exotic_core(
     floating: bool = False,
     antithetic: bool = True,
     control_variate: bool = True,
+    backend: str = "scan",
 ) -> Dict[str, Array]:
-    stats = ops_exotics.simulate_path_stats(
-        params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
-        antithetic=antithetic, companion=control_variate)
+    if backend == "pallas":
+        from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
+
+        stats = svj_path_stats_pallas(
+            params, spot, T, seed, num_paths=num_paths, num_steps=num_steps,
+            antithetic=antithetic, companion=control_variate)
+    else:
+        stats = ops_exotics.simulate_path_stats(
+            params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
+            antithetic=antithetic, companion=control_variate)
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     if kind == "asian":
@@ -133,21 +142,30 @@ class ExoticEngine:
 
     def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
                  num_steps: int = 252, seed: int = 42,
-                 use_antithetic: bool = True, use_control_variate: bool = True):
+                 use_antithetic: bool = True, use_control_variate: bool = True,
+                 backend: str = "auto"):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
         self.use_antithetic = bool(use_antithetic)
         self.use_control_variate = bool(use_control_variate)
+        self.backend = backend
+
+    def _resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def _run(self, spot, strike, T, *, kind, barrier=0.0, **kw) -> Dict:
         steps = scaled_steps(self.num_steps, T)
         res = _price_exotic_core(
             self.params, spot, strike, T, jax.random.key(self.seed),
-            barrier, kind=kind, num_paths=self.num_paths, num_steps=steps,
-            antithetic=self.use_antithetic,
-            control_variate=self.use_control_variate, **kw)
+            barrier, self.seed, kind=kind, num_paths=self.num_paths,
+            num_steps=steps, antithetic=self.use_antithetic,
+            control_variate=self.use_control_variate,
+            backend=self._resolved_backend(), **kw)
+        res = jax.device_get(res)  # one transfer, not one per scalar
         out = {k: float(v) for k, v in res.items()}
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps

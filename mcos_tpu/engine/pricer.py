@@ -367,7 +367,9 @@ class MonteCarloEngine:
               is_call: bool = True) -> Dict[str, float]:
         """Price one European option. Result keys match the reference
         (monte_carlo.py:273-285 docstring + :345-373)."""
-        res = self._price_result(spot, np.array([strike], np.float32), T, is_call)
+        res = jax.device_get(  # ONE host transfer (per-scalar float() pulls
+            self._price_result(spot, np.array([strike], np.float32), T,
+                               is_call))  # cost ~10ms each over the tunnel)
         out = {
             "price": float(res["price"][0]),
             "std_error": float(res["std_error"][0]),
@@ -388,7 +390,7 @@ class MonteCarloEngine:
         """Price many strikes off one shared path set
         (monte_carlo.py:377-450 semantics, vectorized instead of looped)."""
         strikes = np.asarray(strikes, np.float32)
-        res = self._price_result(spot, strikes, T, is_call)
+        res = jax.device_get(self._price_result(spot, strikes, T, is_call))
         results = []
         for i, k in enumerate(strikes):
             row = {

@@ -244,6 +244,165 @@ def svj_terminal_pallas(
 
 
 # ─────────────────────────────────────────────────────────────────────────────
+# SVJ path-statistics kernel (exotics hot path)
+# ─────────────────────────────────────────────────────────────────────────────
+def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
+                      min_ref, g_ref, gavg_ref, glavg_ref, gmax_ref,
+                      gmin_ref, *, num_steps: int, rows: int, half_grid: int,
+                      companion: bool):
+    """Fused SVJ simulation + running path functionals.
+
+    Tracks per-path arithmetic sum, log-sum (geometric mean), and running
+    max/min of log S for the SVJ leg and the GBM companion leg — everything
+    the Asian/barrier/lookback payoffs need — in one pass with zero HBM
+    traffic for intermediates (the scan-based tracker in ops/exotics.py is
+    the differentiable twin; tests pin the two on TPU).
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    pltpu.prng_seed(seed_ref[0] + pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    log_s0 = p_ref[_P_LOGS0]
+    dt = p_ref[_P_DT]
+    sqrt_dt = p_ref[_P_SQRT_DT]
+    kappa, theta, xi = p_ref[_P_KAPPA], p_ref[_P_THETA], p_ref[_P_XI]
+    rho, rho_perp = p_ref[_P_RHO], p_ref[_P_RHO_PERP]
+    lam_dt = p_ref[_P_LAM_DT]
+    mu_j, sig_j = p_ref[_P_MU_J], p_ref[_P_SIG_J]
+    drift_dt = p_ref[_P_DRIFT_DT]
+    g_drift_dt = p_ref[_P_G_DRIFT_DT]
+    sig_cv = p_ref[_P_SIG_CV]
+
+    def body(_, carry):
+        (log_s, v, sum_s, sum_l, max_l, min_l,
+         log_g, g_sum_s, g_sum_l, g_max_l, g_min_l) = carry
+        bits = pltpu.prng_random_bits((5, rows, LANES))
+        u1 = _bits_to_uniform(bits[0])
+        u2 = _bits_to_uniform(bits[1])
+        u3 = _bits_to_uniform(bits[2])
+        u4 = _bits_to_uniform(bits[3])
+        u_jump = _bits_to_uniform(bits[4])
+
+        z1, z2 = _boxmuller(u1, u2)
+        z_js, _ = _boxmuller(u3, u4)
+        z1, z2, z_js = z1 * sign, z2 * sign, z_js * sign
+
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_pos)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
+
+        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump
+        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
+                        + xi * sqrt_v * dw2, 0.0)
+        sum_s = sum_s + jnp.exp(log_s)
+        sum_l = sum_l + log_s
+        max_l = jnp.maximum(max_l, log_s)
+        min_l = jnp.minimum(min_l, log_s)
+        if companion:
+            log_g = log_g + g_drift_dt + sig_cv * dw1
+            g_sum_s = g_sum_s + jnp.exp(log_g)
+            g_sum_l = g_sum_l + log_g
+            g_max_l = jnp.maximum(g_max_l, log_g)
+            g_min_l = jnp.minimum(g_min_l, log_g)
+        return (log_s, v, sum_s, sum_l, max_l, min_l,
+                log_g, g_sum_s, g_sum_l, g_max_l, g_min_l)
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (jnp.full(shape, log_s0, jnp.float32),
+            jnp.full(shape, p_ref[_P_V0], jnp.float32),
+            zeros, zeros,
+            jnp.full(shape, -jnp.inf, jnp.float32),
+            jnp.full(shape, jnp.inf, jnp.float32),
+            jnp.full(shape, log_s0, jnp.float32),
+            zeros, zeros,
+            jnp.full(shape, -jnp.inf, jnp.float32),
+            jnp.full(shape, jnp.inf, jnp.float32))
+    (log_s, _v, sum_s, sum_l, max_l, min_l,
+     log_g, g_sum_s, g_sum_l, g_max_l, g_min_l) = jax.lax.fori_loop(
+        0, num_steps, body, init)
+
+    inv_n = 1.0 / jnp.float32(num_steps)
+    s_ref[:] = jnp.exp(log_s)
+    avg_ref[:] = sum_s * inv_n
+    lavg_ref[:] = sum_l * inv_n
+    max_ref[:] = jnp.exp(max_l)
+    min_ref[:] = jnp.exp(min_l)
+    if companion:
+        g_ref[:] = jnp.exp(log_g)
+        gavg_ref[:] = g_sum_s * inv_n
+        glavg_ref[:] = g_sum_l * inv_n
+        gmax_ref[:] = jnp.exp(g_max_l)
+        gmin_ref[:] = jnp.exp(g_min_l)
+    else:
+        zero = jnp.zeros(shape, jnp.float32)
+        g_ref[:] = zero
+        gavg_ref[:] = zero
+        glavg_ref[:] = zero
+        gmax_ref[:] = zero
+        gmin_ref[:] = zero
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "companion",
+                     "rows"),
+)
+def svj_path_stats_pallas(
+    params: SVJParams,
+    spot,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = True,
+    rows: int = DEFAULT_ROWS,
+):
+    """Fused-kernel drop-in for `ops.exotics.simulate_path_stats`.
+
+    Returns the same dict layout ((n_branch, num_paths) arrays): s_final,
+    avg, log_avg, max_s, min_s (+ companion g_* when companion=True).
+    """
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(
+        _svj_stats_kernel, num_steps=num_steps, rows=rows,
+        half_grid=half_grid, companion=companion)
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_specs=(block_spec,) * 10,
+        out_shape=(out_shape,) * 10,
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), _pack_params(params, spot, T, num_steps))
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    names = ("s_final", "avg", "log_avg", "max_s", "min_s",
+             "g_final", "g_avg", "g_log_avg", "g_max", "g_min")
+    stats = {name: split(x) for name, x in zip(names, outs)}
+    if not companion:
+        for k in ("g_final", "g_avg", "g_log_avg", "g_max", "g_min"):
+            del stats[k]
+    return stats
+
+
+# ─────────────────────────────────────────────────────────────────────────────
 # GBM kernel (constant-vol fast path; headline throughput benchmark)
 # ─────────────────────────────────────────────────────────────────────────────
 def _gbm_kernel(seed_ref, p_ref, s_ref, *,

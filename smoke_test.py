@@ -133,6 +133,21 @@ def main():
     check("sharded price within 3σ of BS",
           abs(sh_price - atm) < max(3 * float(sh["std_error"][0]), 0.5))
 
+    # 11. Full-SVJ MC vs the semi-analytic Bates (COS) oracle
+    stage("11. full-SVJ MC vs COS oracle")
+    from mcos_tpu.ops.cos_pricer import cos_price
+    svj_o = SVJParams(kappa=3.0, theta=0.06, xi=0.5, rho=-0.7, v0=0.04,
+                      lambda_j=1.5, mu_j=-0.07, sigma_j=0.12,
+                      r=0.065, q=0.012)
+    exact = float(cos_price(svj_o, 22500.0, [22500.0], 0.25, True)[0])
+    mc = MonteCarloEngine(svj_o, num_paths=200_000, num_steps=1024,
+                          use_sobol=False, seed=3).price(22500, 22500, 0.25)
+    gap = abs(mc["price"] - exact)
+    tol = 4 * mc["std_error"] + 0.002 * exact
+    print(f"    MC={mc['price']:.3f}  COS={exact:.3f}  |diff|={gap:.3f}  "
+          f"tol={tol:.3f}")
+    check("MC within COS bands (full SVJ dynamics)", gap < tol)
+
     print("\n" + "=" * 64)
     if FAILURES:
         print(f"FAILED: {len(FAILURES)} checks: {FAILURES}")

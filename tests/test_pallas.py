@@ -96,3 +96,39 @@ def test_pricer_pallas_backend_bs_oracle():
     res = eng.price(22500.0, 22500.0, 0.1)
     ref = float(bs_price(22500.0, 22500.0, 0.1, 0.065, 0.012, 0.2, True))
     assert abs(res["price"] - ref) < max(4 * res["std_error"], 2.0)
+
+
+def test_stats_kernel_compiles_and_shapes():
+    """Interpreter smoke for the fused path-stats kernel."""
+    from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
+
+    stats = svj_path_stats_pallas(SVJParams(), 100.0, 0.5, 3,
+                                  num_paths=N, num_steps=STEPS,
+                                  companion=True, rows=8)
+    assert set(stats) >= {"s_final", "avg", "log_avg", "max_s", "min_s",
+                          "g_final", "g_avg"}
+    for v in stats.values():
+        assert v.shape == (2, N)
+
+
+@tpu_only
+def test_stats_kernel_matches_scan_tracker():
+    """Fused kernel and the differentiable scan tracker agree statistically
+    and respect the pathwise orderings."""
+    from mcos_tpu.ops.exotics import simulate_path_stats
+    from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
+
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.05, sigma_j=0.1)
+    n = 1 << 17
+    pal = svj_path_stats_pallas(p, 100.0, 0.5, 5, num_paths=n, num_steps=64)
+    scan = simulate_path_stats(p, 100.0, 0.5, jax.random.key(5),
+                               num_paths=n, num_steps=64)
+    for key in ("s_final", "avg", "max_s", "min_s", "g_final", "g_avg"):
+        se = float(np.asarray(scan[key]).std()) / np.sqrt(n)
+        gap = abs(float(pal[key].mean()) - float(np.asarray(scan[key]).mean()))
+        assert gap < 6 * se + 1e-3, key
+    # Pathwise orderings hold inside the kernel too.
+    assert bool(jnp.all(pal["max_s"] >= pal["s_final"]))
+    assert bool(jnp.all(pal["min_s"] <= pal["s_final"]))
+    assert bool(jnp.all(pal["max_s"] >= pal["avg"]))
