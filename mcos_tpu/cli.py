@@ -111,8 +111,6 @@ def cmd_american(args) -> dict:
 
 
 def cmd_calibrate(args) -> dict:
-    import numpy as _np
-
     from mcos_tpu.engine.calibration import CalibrationEngine
     from mcos_tpu.utils.chain_loader import (
         chain_to_calibration_inputs,

@@ -10,7 +10,6 @@ ordinary traced scalars; nothing here carries device state.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, Tuple
 
 # ─────────────────────────────────────────────────────────────────────────────

@@ -34,8 +34,7 @@ Architecture differences (the TPU-first part):
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

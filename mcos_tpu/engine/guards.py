@@ -15,7 +15,7 @@ scalars and never pulls path arrays to the host.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

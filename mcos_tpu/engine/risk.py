@@ -30,7 +30,7 @@ import numpy as np
 from mcos_tpu.config import JUMP_SCENARIO_SIZE, SPOT_SHOCKS, VOL_SHOCKS
 from mcos_tpu.engine.pricer import MonteCarloEngine
 from mcos_tpu.models.params import SVJParams
-from mcos_tpu.ops.bs import bs_delta, bs_price
+from mcos_tpu.ops.bs import bs_delta
 
 Array = jax.Array
 

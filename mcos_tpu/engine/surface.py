@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcos_tpu.config import SABR_BOUNDS, SABR_BETA_DEFAULT
-from mcos_tpu.ops.bs import bs_price, bs_vega
+from mcos_tpu.config import SABR_BOUNDS
+from mcos_tpu.ops.bs import bs_price
 from mcos_tpu.utils.optim import differential_evolution
 
 Array = jax.Array

@@ -23,8 +23,6 @@ cumulants with L=12.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from mcos_tpu.models.params import SVJParams

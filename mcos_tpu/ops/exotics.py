@@ -22,7 +22,7 @@ Broadie-Glasserman-Kou O(1/√n) gap — documented, not hidden.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

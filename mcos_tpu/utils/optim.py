@@ -11,7 +11,7 @@ Python loop over members × strikes), and generations advance under `lax.scan`.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
