@@ -131,7 +131,7 @@ def _finalize_price(
     jax.jit,
     static_argnames=(
         "num_paths", "num_steps", "is_call", "antithetic", "control_variate",
-        "cv_mode", "cv_beta",
+        "cv_mode", "cv_beta", "scheme",
     ),
 )
 def mc_price_core(
@@ -148,11 +148,16 @@ def mc_price_core(
     control_variate: bool = True,
     cv_mode: str = "companion",
     cv_beta: str = "one",
+    scheme: str = "euler",
 ) -> Dict[str, Array]:
     """Price European options at one or many strikes off one shared path set.
 
     Args:
         strikes: shape (num_strikes,) — vectorized payoff axis.
+        scheme: "euler" (full-truncation log-Euler, reference semantics and
+            the differentiable default) or "qe" (Andersen quadratic-
+            exponential — near-exact variance transitions, ~60x fewer steps
+            for the same bias; see ops/simulate.py:simulate_terminal_qe).
 
     Returns dict of arrays, each shaped (num_strikes,):
         price, std_error, raw_mc_price, bs_ref, bs_cv_adjustment
@@ -160,7 +165,9 @@ def mc_price_core(
         consumed by the post-price guards.
     """
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
-    s_final, v_final, g_final = simulate.simulate_terminal(
+    sim = (simulate.simulate_terminal_qe if scheme == "qe"
+           else simulate.simulate_terminal)
+    s_final, v_final, g_final = sim(
         params, spot, T, key,
         num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
         companion=control_variate and cv_mode == "companion",
@@ -305,6 +312,7 @@ class MonteCarloEngine:
         use_control_variate: bool = True,
         cv_mode: str = "companion",
         cv_beta: str = "one",
+        scheme: str = "euler",
         backend: str = "auto",
     ):
         self.params = params
@@ -316,6 +324,7 @@ class MonteCarloEngine:
         self.use_control_variate = bool(use_control_variate)
         self.cv_mode = cv_mode
         self.cv_beta = cv_beta
+        self.scheme = scheme
         self.backend = backend
 
     # -- internals ------------------------------------------------------------
@@ -330,7 +339,9 @@ class MonteCarloEngine:
             return self.backend
         # Pallas is the hot path on TPU; the scan path serves CPU/debug runs
         # and anything needing gradients. QMC always flows through the
-        # pre-drawn-array path.
+        # pre-drawn-array path; the QE scheme has no Pallas twin yet.
+        if self.scheme == "qe":
+            return "scan"
         return "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
@@ -359,7 +370,7 @@ class MonteCarloEngine:
             num_paths=self.num_paths, num_steps=steps, is_call=is_call,
             antithetic=self.use_antithetic,
             control_variate=self.use_control_variate,
-            cv_mode=self.cv_mode, cv_beta=self.cv_beta,
+            cv_mode=self.cv_mode, cv_beta=self.cv_beta, scheme=self.scheme,
         )
 
     # -- reference API ----------------------------------------------------------

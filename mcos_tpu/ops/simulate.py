@@ -237,6 +237,133 @@ def simulate_paths_recorded(
     )
 
 
+@partial(jax.jit, static_argnames=(
+    "num_paths", "num_steps", "antithetic", "companion", "dtype"))
+def simulate_terminal_qe(
+    params: SVJParams,
+    spot,
+    T,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Andersen (2008) Quadratic-Exponential Heston scheme + Merton jumps.
+
+    Near-exact variance transitions: v' is sampled by moment-matching the
+    exact noncentral-χ² law (quadratic branch for ψ ≤ 1.5, exponential tail
+    branch otherwise, selected branchlessly), and log-spot uses the
+    K0..K4 central discretization with the Broadie-Kaya integrated-variance
+    proxy. Euler full truncation (monte_carlo.py:221-239 semantics,
+    `simulate_terminal`) needs ~60× more time steps for the same bias —
+    measured: QE at 16 steps matches the semi-analytic COS price where Euler
+    at 16 steps misses by ~10σ (see tests/test_qe_scheme.py) — so at fixed
+    accuracy QE is an order-of-magnitude throughput multiplier.
+
+    Same antithetic convention (negated normals, shared jump uniforms) and
+    GBM companion CV leg as the Euler path. Not used for AD Greeks (the
+    branch selection makes gradients noisier than Euler's smooth updates).
+    """
+    p = params
+    n_branch = 2 if antithetic else 1
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+
+    kappa = jnp.asarray(p.kappa, dtype)
+    theta = jnp.asarray(p.theta, dtype)
+    xi = jnp.asarray(p.xi, dtype)
+    rho = jnp.asarray(p.rho, dtype)
+
+    # Variance-transition constants (exact conditional mean/variance).
+    e_kdt = jnp.exp(-kappa * dt)
+    c_mean = 1.0 - e_kdt
+    var1 = xi**2 * e_kdt * c_mean / jnp.maximum(kappa, 1e-12)
+    var2 = theta * xi**2 * c_mean**2 / jnp.maximum(2.0 * kappa, 1e-12)
+
+    # Log-spot constants (Andersen eqs. 33-35, γ₁=γ₂=½ central scheme).
+    gamma = 0.5
+    k_over = kappa * rho / jnp.maximum(xi, 1e-12) - 0.5
+    k0 = -rho * kappa * theta * dt / jnp.maximum(xi, 1e-12)
+    k1 = gamma * dt * k_over - rho / jnp.maximum(xi, 1e-12)
+    k2 = gamma * dt * k_over + rho / jnp.maximum(xi, 1e-12)
+    k3 = gamma * dt * (1.0 - rho**2)
+    k4 = gamma * dt * (1.0 - rho**2)
+
+    k_comp = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
+    drift_dt = (p.r - p.q - p.lambda_j * k_comp) * dt
+
+    sigma_cv = jnp.sqrt(jnp.asarray(p.v0, dtype))
+    g_drift = (p.r - p.q - 0.5 * sigma_cv**2) * dt
+    sqrt_dt = jnp.sqrt(dt)
+
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (n_branch, num_paths)).astype(dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(p.v0, dtype), (n_branch, num_paths))
+
+    psi_c = 1.5
+
+    def step(carry, step_idx):
+        log_s, v, log_g = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (2, num_paths), dtype)
+        u = jax.random.uniform(k_unif, (2, num_paths), dtype)
+        z_x = z[0] * sign          # spot-driving normal (antithetic)
+        z_js = z[1] * sign         # jump size normal (antithetic)
+        u_v = u[0][None, :]        # variance uniform (shared across pair)
+        u_jump = u[1][None, :]     # jump-occurrence uniform (shared)
+
+        # ── variance transition (QE) ────────────────────────────────────────
+        m = theta + (v - theta) * e_kdt
+        s2 = v * var1 + var2
+        psi = s2 / jnp.maximum(m * m, 1e-20)
+
+        # Quadratic branch (ψ ≤ ψ_c): v' = a (b + Z_v)².
+        two_over_psi = 2.0 / jnp.maximum(psi, 1e-12)
+        b2 = jnp.maximum(
+            two_over_psi - 1.0
+            + jnp.sqrt(jnp.maximum(two_over_psi, 1e-12))
+            * jnp.sqrt(jnp.maximum(two_over_psi - 1.0, 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        z_v = ndtri_safe(u_v)
+        v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+        # Exponential branch (ψ > ψ_c): mass p at 0, exponential tail.
+        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 0.999)
+        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-20)
+        u_clip = jnp.clip(u_v, 1e-7, 1.0 - 1e-7)
+        v_exp = jnp.where(
+            u_v <= p_mass, 0.0,
+            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u_clip, 1e-12))
+            / jnp.maximum(beta, 1e-20))
+
+        v_next = jnp.where(psi <= psi_c, v_quad, v_exp)
+
+        # ── log-spot update (central K-scheme + jumps) ──────────────────────
+        jump = jnp.where(u_jump < p.lambda_j * dt,
+                         p.mu_j + p.sigma_j * z_js, 0.0)
+        diff_var = jnp.maximum(k3 * v + k4 * v_next, 0.0)
+        log_s = (log_s + drift_dt + k0 + k1 * v + k2 * v_next
+                 + jnp.sqrt(diff_var) * z_x + jump)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z_x * sqrt_dt
+        return (log_s, v_next, log_g), None
+
+    (log_s, v, log_g), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0), jnp.arange(num_steps))
+    return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
+
+
+def ndtri_safe(u):
+    """Inverse normal CDF with clipped tails (f32-safe)."""
+    from jax.scipy.special import ndtri
+
+    return ndtri(jnp.clip(u, 1e-7, 1.0 - 1e-7))
+
+
 def vanilla_payoff(s_final: Array, strike, is_call: bool) -> Array:
     """European payoff max(±(S−K), 0) (monte_carlo.py:327-335)."""
     if is_call:

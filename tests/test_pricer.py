@@ -184,3 +184,18 @@ def test_optimal_beta_cv():
     # Same estimand: prices agree within joint bands.
     joint = 5 * np.hypot(opt["std_error"], one["std_error"])
     assert abs(opt["price"] - one["price"]) < max(joint, 3.0)
+
+
+def test_qe_scheme_via_engine():
+    """MonteCarloEngine(scheme='qe') prices a rough-Heston-ish chain within
+    the COS oracle band at a step count where Euler is biased."""
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    p = SVJParams(kappa=1.0, theta=0.09, xi=1.0, rho=-0.7, v0=0.04,
+                  lambda_j=0.0, mu_j=0.0, sigma_j=0.01)
+    exact = float(cos_price(p, SPOT, [SPOT], 1.0, True)[0])
+    eng = MonteCarloEngine(p, num_paths=200_000, num_steps=16,
+                           use_sobol=False, scheme="qe", seed=2)
+    res = eng.price(SPOT, SPOT, 1.0)
+    assert res["num_steps"] == 16
+    assert abs(res["price"] - exact) < 4 * res["std_error"] + 0.003 * exact
