@@ -124,6 +124,21 @@ class BookRequest(BaseModel):
     num_paths: int = 100_000
 
 
+class SurfaceRequest(BaseModel):
+    """POST /api/surface — full-chain IV extraction + arbitrage report +
+    per-maturity SABR fits (the reference keeps surface tooling library-only,
+    engine/surface.py)."""
+    spot: float
+    strikes: list[float]
+    maturities: list[float]
+    call_prices: list[list[float]]   # (num_maturities, num_strikes)
+    put_prices: list[list[float]]
+    bid_ask_spreads: Optional[list[list[float]]] = None
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    fit_sabr: bool = True
+
+
 class CalibrateRequest(BaseModel):
     """POST /api/calibrate — advertised by the reference's docstring
     (engine/app.py:9) but never implemented there (SURVEY.md §1); this

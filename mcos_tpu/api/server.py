@@ -253,6 +253,53 @@ def handle_calibrate(body: dict) -> dict:
     return result
 
 
+def handle_surface(body: dict) -> dict:
+    """POST /api/surface — IV surface extraction, arbitrage screening, and
+    SABR slice fits in one call (library-only in the reference)."""
+    from mcos_tpu.engine.surface import (
+        ArbitrageFreeSpline,
+        calibrate_sabr,
+        extract_iv_surface,
+    )
+    from mcos_tpu.models.params import forward_price
+
+    req = schemas.SurfaceRequest(**body)
+    start = time.time()
+    strikes = np.asarray(req.strikes, np.float64)
+    mats = np.asarray(req.maturities, np.float64)
+    surface = extract_iv_surface(
+        req.spot, req.r, req.q, strikes, mats,
+        np.asarray(req.call_prices, np.float64),
+        np.asarray(req.put_prices, np.float64),
+        bid_ask_spreads=(np.asarray(req.bid_ask_spreads, np.float64)
+                         if req.bid_ask_spreads is not None else None))
+
+    spline = ArbitrageFreeSpline()
+    report = spline.fit(strikes, mats, surface["iv_call"])
+
+    out = {
+        "iv_call": np.where(np.isfinite(surface["iv_call"]),
+                            surface["iv_call"], None).tolist(),
+        "iv_put": np.where(np.isfinite(surface["iv_put"]),
+                           surface["iv_put"], None).tolist(),
+        "valid_mask": surface["valid_mask"].tolist(),
+        "arbitrage_report": report,
+    }
+    if req.fit_sabr:
+        sabr = {}
+        for i, T in enumerate(mats):
+            ivs = surface["iv_call"][i]
+            ok = np.isfinite(ivs)
+            if ok.sum() < 4:
+                continue
+            F = float(forward_price(req.spot, req.r, req.q, float(T)))
+            sabr[str(float(T))] = calibrate_sabr(
+                F, strikes[ok], float(T), ivs[ok], beta_fixed=0.8, iters=80)
+        out["sabr_fits"] = sabr
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_quote(query: dict) -> dict:
     from mcos_tpu.api.quotes import fetch_quote
 
@@ -277,6 +324,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/american": handle_american,
     "/api/book": handle_book,
     "/api/convergence": handle_convergence,
+    "/api/surface": handle_surface,
 }
 
 

@@ -199,3 +199,22 @@ def test_static_traversal_guard(base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=30)
     assert exc.value.code == 404
+
+
+def test_surface_endpoint(base_url):
+    from mcos_tpu.ops.bs import bs_price as _bsp
+    strikes = list(np.linspace(0.9, 1.1, 7) * 22500)
+    mats = [0.1, 0.3]
+    sigma = 0.2
+    calls = [[float(_bsp(22500, k, t, 0.065, 0.012, sigma, True))
+              for k in strikes] for t in mats]
+    puts = [[float(_bsp(22500, k, t, 0.065, 0.012, sigma, False))
+             for k in strikes] for t in mats]
+    out = post(f"{base_url}/api/surface", {
+        "spot": 22500, "strikes": strikes, "maturities": mats,
+        "call_prices": calls, "put_prices": puts})
+    assert len(out["iv_call"]) == 2 and len(out["iv_call"][0]) == 7
+    ivs = [v for row in out["iv_call"] for v in row if v is not None]
+    assert all(abs(v - sigma) < 0.01 for v in ivs)
+    assert "arbitrage_report" in out
+    assert out["sabr_fits"]  # one fit per maturity
