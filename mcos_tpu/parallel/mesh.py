@@ -51,12 +51,14 @@ def make_mesh_2d(batch: int, devices: Optional[Sequence] = None,
 
 def _local_price_stats(params, spot, strikes, T, key, *,
                        paths_per_device, num_steps, is_call, antithetic,
-                       control_variate, cv_mode, axis_name):
+                       control_variate, cv_mode, axis_name, scheme="euler"):
     """Per-device path simulation + local moment sums (runs inside shard_map)."""
     idx = jax.lax.axis_index(axis_name)
     dev_key = jax.random.fold_in(key, idx)
     want_g = control_variate and cv_mode == "companion"
-    s_final, v_final, g_final = simulate.simulate_terminal(
+    sim = (simulate.simulate_terminal_qe if scheme == "qe"
+           else simulate.simulate_terminal)
+    s_final, v_final, g_final = sim(
         params, spot, T, dev_key,
         num_paths=paths_per_device, num_steps=num_steps,
         antithetic=antithetic, companion=want_g,
@@ -107,6 +109,7 @@ def sharded_price(
     antithetic: bool = True,
     control_variate: bool = True,
     cv_mode: str = "companion",
+    scheme: str = "euler",
     axis_name: str = "paths",
 ) -> Dict[str, Array]:
     """Mesh-sharded European pricing; same estimator as `mc_price_core`.
@@ -122,7 +125,7 @@ def sharded_price(
         _local_price_stats,
         paths_per_device=paths_per_device, num_steps=num_steps,
         is_call=is_call, antithetic=antithetic,
-        control_variate=control_variate, cv_mode=cv_mode,
+        control_variate=control_variate, cv_mode=cv_mode, scheme=scheme,
         axis_name=axis_name,
     )
     # Everything is replicated in; reductions produce replicated outputs.

@@ -84,3 +84,15 @@ def test_sharded_calibration_step_descends():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_sharded_qe_scheme():
+    from mcos_tpu.ops.bs import bs_price
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_price(
+        p, 22500.0, [22500.0], 0.25, jax.random.key(4),
+        mesh=m, num_paths=80_000, num_steps=16, scheme="qe")
+    ref = float(bs_price(22500.0, 22500.0, 0.25, 0.065, 0.012, 0.2, True))
+    assert abs(float(res["price"][0]) - ref) < max(
+        4 * float(res["std_error"][0]), 1.0)
