@@ -323,4 +323,5 @@ class GreeksEngine:
             "theta": self.theta(spot, strike, T, is_call),
             "rho": self.rho(spot, strike, T, is_call),
             "jumps": self.jump_sensitivities(spot, strike, T, is_call),
+            "model": self.model_sensitivities(spot, strike, T, is_call),
         }

@@ -88,7 +88,8 @@ def test_jump_sensitivities(svj_engine):
 
 def test_all_greeks_layout(svj_engine):
     g = svj_engine.all_greeks(SPOT, STRIKE, T)
-    assert set(g) == {"delta", "vega", "gamma", "theta", "rho", "jumps"}
+    assert set(g) == {"delta", "vega", "gamma", "theta", "rho", "jumps",
+                      "model"}
     assert "pathwise" in g["delta"] and "finite_diff" in g["delta"]
     assert "vega_per_vol_point" in g["vega"]
     assert "gamma" in g["gamma"]
