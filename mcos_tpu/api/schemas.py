@@ -11,8 +11,16 @@ from typing import Optional
 
 from pydantic import BaseModel, Field
 
-from mcos_tpu.config import DIVIDEND_YIELD, RISK_FREE_RATE
+from mcos_tpu.config import DIVIDEND_YIELD, MAX_PATHS, RISK_FREE_RATE
 from mcos_tpu.models.params import SVJParams
+
+# Compute-parameter admission bounds: path counts and scenario counts flow
+# straight into device allocations, so every request field that sizes a
+# buffer is clamped here (advisor finding r1 — unbounded num_paths on a
+# 0.0.0.0-bound server).
+_PATHS = dict(ge=1_000, le=MAX_PATHS)
+MAX_BOOK_POSITIONS = 4_096
+MAX_GRID_POINTS = 256
 
 
 class SVJParamsRequest(BaseModel):
@@ -37,7 +45,7 @@ class PriceRequest(BaseModel):
     T: float
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
-    num_paths: int = 500_000
+    num_paths: int = Field(500_000, **_PATHS)
     use_sobol: bool = True
     use_antithetic: bool = True
     use_control_variate: bool = True
@@ -52,7 +60,7 @@ class GreeksRequest(BaseModel):
     T: float
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
-    num_paths: int = 200_000
+    num_paths: int = Field(200_000, **_PATHS)
 
 
 class StressRequest(BaseModel):
@@ -61,7 +69,7 @@ class StressRequest(BaseModel):
     T: float
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
-    num_paths: int = 100_000
+    num_paths: int = Field(100_000, **_PATHS)
 
 
 class RegimeRequest(BaseModel):
@@ -76,7 +84,7 @@ class HedgeRequest(BaseModel):
     T: float
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
-    num_scenarios: int = 500
+    num_scenarios: int = Field(500, ge=10, le=100_000)
     txn_cost_bps: float = 5.0
     slippage_bps: float = 2.0
 
@@ -85,6 +93,8 @@ class SmileRequest(BaseModel):
     spot: float
     T: float
     params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(50_000, **_PATHS)
+    num_strikes: int = Field(21, ge=3, le=MAX_GRID_POINTS)
 
 
 class ExoticRequest(BaseModel):
@@ -99,7 +109,7 @@ class ExoticRequest(BaseModel):
     barrier: Optional[float] = None      # barrier only
     knock: str = "out"                   # barrier only
     params: SVJParamsRequest = SVJParamsRequest()
-    num_paths: int = 200_000
+    num_paths: int = Field(200_000, **_PATHS)
 
 
 class AmericanRequest(BaseModel):
@@ -110,18 +120,19 @@ class AmericanRequest(BaseModel):
     T: float
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
-    num_paths: int = 200_000
+    num_paths: int = Field(200_000, **_PATHS)
 
 
 class BookRequest(BaseModel):
     """POST /api/book — vectorized portfolio pricing + Greeks (new)."""
-    spots: list[float]
-    strikes: list[float]
-    Ts: list[float]
-    is_calls: list[bool]
-    quantities: Optional[list[float]] = None
+    spots: list[float] = Field(max_length=MAX_BOOK_POSITIONS)
+    strikes: list[float] = Field(max_length=MAX_BOOK_POSITIONS)
+    Ts: list[float] = Field(max_length=MAX_BOOK_POSITIONS)
+    is_calls: list[bool] = Field(max_length=MAX_BOOK_POSITIONS)
+    quantities: Optional[list[float]] = Field(None,
+                                              max_length=MAX_BOOK_POSITIONS)
     params: SVJParamsRequest = SVJParamsRequest()
-    num_paths: int = 100_000
+    num_paths: int = Field(100_000, **_PATHS)
 
 
 class SurfaceRequest(BaseModel):
@@ -129,8 +140,8 @@ class SurfaceRequest(BaseModel):
     per-maturity SABR fits (the reference keeps surface tooling library-only,
     engine/surface.py)."""
     spot: float
-    strikes: list[float]
-    maturities: list[float]
+    strikes: list[float] = Field(max_length=MAX_GRID_POINTS)
+    maturities: list[float] = Field(max_length=MAX_GRID_POINTS)
     call_prices: list[list[float]]   # (num_maturities, num_strikes)
     put_prices: list[list[float]]
     bid_ask_spreads: Optional[list[list[float]]] = None
@@ -144,12 +155,12 @@ class CalibrateRequest(BaseModel):
     (engine/app.py:9) but never implemented there (SURVEY.md §1); this
     framework ships it."""
     spot: float
-    strikes: list[float]
+    strikes: list[float] = Field(max_length=MAX_GRID_POINTS)
     T: float
-    market_prices: list[float]
+    market_prices: list[float] = Field(max_length=MAX_GRID_POINTS)
     is_call: bool = True
     r: float = RISK_FREE_RATE
     q: float = DIVIDEND_YIELD
     bid_ask_spreads: Optional[list[float]] = None
     atm_vol: float = 0.15
-    num_paths: int = 100_000
+    num_paths: int = Field(100_000, **_PATHS)

@@ -53,6 +53,10 @@ logging.basicConfig(
     format="%(asctime)s [%(name)s] %(levelname)s: %(message)s")
 logger = logging.getLogger("mcos_tpu.api")
 
+# Admission control: a JSON body bigger than this is rejected before parsing
+# (compute-parameter bounds live in the pydantic schemas).
+MAX_BODY_BYTES = 10 * 1024 * 1024
+
 VERSION = "1.0.0"
 
 
@@ -152,8 +156,8 @@ def handle_smile(body: dict) -> dict:
     path set, IVs inverted on the whole chain at once."""
     req = schemas.SmileRequest(**body)
     svj = req.params.to_params()
-    engine = MonteCarloEngine(svj, num_paths=50_000)
-    strikes = np.linspace(req.spot * 0.7, req.spot * 1.3, 21)
+    engine = MonteCarloEngine(svj, num_paths=req.num_paths)
+    strikes = np.linspace(req.spot * 0.7, req.spot * 1.3, req.num_strikes)
     results = engine.price_batch(req.spot, strikes, req.T, is_call=True)
     smile = []
     for row in results:
@@ -415,7 +419,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
+            if length > MAX_BODY_BYTES:
+                self._send_json(413, {"detail": "request body too large"})
+                return
+            body = json.loads(self.rfile.read(max(length, 0)) or b"{}")
             self._send_json(200, handler(body))
         except ApiError as e:
             self._send_json(e.status, {"detail": e.detail})

@@ -510,6 +510,8 @@ def make_sharded_calibration_step(
     num_steps: int,
     is_call: bool = True,
     lr: float = 0.05,
+    r: float = None,
+    q: float = None,
     batch_axis: str = "batch",
     path_axis: str = "paths",
 ):
@@ -536,12 +538,20 @@ def make_sharded_calibration_step(
     n_path_dev = mesh.shape[path_axis]
     paths_per_device = -(-num_paths // n_path_dev)
     bounds = jnp.asarray(HESTON_BOUNDS)
+    # Discounting must follow the market data's curve, not the model default:
+    # fitting with the wrong r biases every parameter (advisor finding r1).
+    rate_kwargs = {}
+    if r is not None:
+        rate_kwargs["r"] = float(r)
+    if q is not None:
+        rate_kwargs["q"] = float(q)
 
     def local_loss(u, spot, strikes, T, market, weights, key):
         x = to_box(u, bounds)
         kappa, theta, xi, rho, v0 = x[0], x[1], x[2], x[3], x[4]
         params = SVJParams(kappa=kappa, theta=theta, xi=xi, rho=rho, v0=v0,
-                           lambda_j=0.0, mu_j=0.0, sigma_j=0.01)
+                           lambda_j=0.0, mu_j=0.0, sigma_j=0.01,
+                           **rate_kwargs)
         # Per-device paths: fold in the path-shard index (CRN across steps).
         pidx = jax.lax.axis_index(path_axis)
         dev_key = jax.random.fold_in(key, pidx)

@@ -88,28 +88,29 @@ class PricingGuard:
             lo, hi = SAFE_STRIKE_RANGE
             if m < lo or m > hi:
                 alerts.append(
-                    f"Moneyness={m:.3f} outside safe range [{lo}, {hi}]. "
-                    "Surface extrapolation may be unreliable.")
+                    f"Moneyness K/S={m:.3f} lies beyond the calibrated band "
+                    f"[{lo}, {hi}] — treat the quote as extrapolated.")
 
         # Vol-of-vol spike alert.
         if xi > VOL_OF_VOL_ALERT_THRESHOLD:
             alerts.append(
-                f"ξ={xi:.3f} exceeds alert threshold="
-                f"{VOL_OF_VOL_ALERT_THRESHOLD}. Model may be unstable.")
+                f"Vol-of-vol ξ={xi:.3f} above the "
+                f"{VOL_OF_VOL_ALERT_THRESHOLD} alert line — expect noisy "
+                "variance paths and wide stderr.")
 
         # Feller alert (soft — full truncation keeps the scheme stable).
         if not p.feller_satisfied:
             alerts.append(
-                f"Feller condition violated: 2κθ="
-                f"{2 * float(p.kappa) * theta:.4f} ≤ ξ²={xi**2:.4f}. "
-                "Variance may hit zero frequently.")
+                f"Feller check fails (2κθ={2 * float(p.kappa) * theta:.4f} "
+                f"< ξ²={xi**2:.4f}): the variance process can touch zero, "
+                "full truncation will clip it.")
 
         # Maturity domain.
         if T <= 0:
             failures.append(f"T={T} is non-positive")
         if T > 5:
-            alerts.append(f"T={T:.2f} years — very long maturity, model may "
-                          "be less reliable")
+            alerts.append(f"T={T:.2f}y maturity sits outside the weekly-"
+                          "options regime this model is tuned for")
 
         self.alerts.extend(alerts)
         for f in failures:
@@ -133,14 +134,16 @@ class PricingGuard:
         # 0.1%-of-premium stderr tolerance (config.py:25 / guards.py:139-142).
         if price > 0 and std_error / price > 0.001:
             alerts.append(
-                f"Std error ratio={std_error / price:.4f} exceeds 0.1% "
-                "tolerance")
+                f"MC noise at {std_error / price:.4%} of premium — above the "
+                "0.1% production tolerance; raise num_paths")
 
         # No-arbitrage ceilings.
         if is_call and price > spot * 1.01:
-            failures.append(f"Call price={price:.2f} exceeds spot={spot:.2f}")
+            failures.append(f"Call at {price:.2f} breaches its no-arbitrage "
+                            f"ceiling (spot {spot:.2f})")
         if not is_call and price > strike * np.exp(-r * T) * 1.01:
-            failures.append(f"Put price={price:.2f} exceeds discounted strike")
+            failures.append(f"Put at {price:.2f} breaches its no-arbitrage "
+                            "ceiling (discounted strike)")
 
         # Intrinsic floor within 3σ.
         if is_call:
@@ -149,8 +152,8 @@ class PricingGuard:
             intrinsic = max(strike * np.exp(-r * T) - spot * np.exp(-q * T), 0.0)
         if price < intrinsic - 3 * std_error:
             failures.append(
-                f"Price={price:.4f} below intrinsic={intrinsic:.4f} by more "
-                "than 3σ")
+                f"Price {price:.4f} undershoots the intrinsic floor "
+                f"{intrinsic:.4f} beyond 3σ of MC noise")
 
         # Device-side diagnostics surfaced by the pricer (replaces the
         # reference's host-side array scans when available).

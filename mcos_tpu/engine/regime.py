@@ -85,7 +85,8 @@ class RegimeDetector:
                 "lambda_bounds": (0.0, 3.0),
                 "rho_bounds": (-0.95, -0.1),
                 "regularization_scale": 1.5,
-                "description": "Tight constraints — low vol environment",
+                "description": "Calm tape: clamp the fit hard and lean on "
+                               "regularization",
             }
         if regime == MarketRegime.EVENT:
             return {
@@ -93,14 +94,16 @@ class RegimeDetector:
                 "lambda_bounds": (0.5, 10.0),
                 "rho_bounds": (-0.999, 0.0),
                 "regularization_scale": 1.0,
-                "description": "Relaxed constraints — event-driven vol",
+                "description": "Event window: widen the jump/vol-of-vol box "
+                               "so the fit can chase the move",
             }
         return {
             "xi_bounds": (0.2, 5.0),
             "lambda_bounds": (1.0, 20.0),
             "rho_bounds": (-0.999, 0.0),
             "regularization_scale": 0.5,
-            "description": "Emergency constraints — crisis regime",
+            "description": "Crisis mode: open the box fully and let the data "
+                           "dominate the prior",
         }
 
     def get_regime_history(self) -> List[Dict]:

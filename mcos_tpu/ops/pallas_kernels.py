@@ -137,7 +137,9 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     block = pl.program_id(0)
     pair = block % half_grid
     # Decorrelate per-block streams; pair (b, b + half) shares a stream.
-    pltpu.prng_seed(seed_ref[0] + pair)
+    # Mixed (not added) so engines with adjacent seeds don't alias block
+    # streams: seed s block b must differ from seed s+1 block b-1.
+    pltpu.prng_seed(seed_ref[0], pair)
     sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
 
     shape = (rows, LANES)
@@ -276,7 +278,9 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
     """
     block = pl.program_id(0)
     pair = block % half_grid
-    pltpu.prng_seed(seed_ref[0] + pair)
+    # Mixed (not added) so engines with adjacent seeds don't alias block
+    # streams: seed s block b must differ from seed s+1 block b-1.
+    pltpu.prng_seed(seed_ref[0], pair)
     sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
 
     shape = (rows, LANES)
@@ -439,7 +443,9 @@ def _gbm_kernel(seed_ref, p_ref, s_ref, *,
     """
     block = pl.program_id(0)
     pair = block % half_grid
-    pltpu.prng_seed(seed_ref[0] + pair)
+    # Mixed (not added) so engines with adjacent seeds don't alias block
+    # streams: seed s block b must differ from seed s+1 block b-1.
+    pltpu.prng_seed(seed_ref[0], pair)
     sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
 
     shape = (rows, LANES)

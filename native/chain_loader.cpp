@@ -91,9 +91,11 @@ struct FileBuf {
     bool load(const char* path) {
         FILE* f = fopen(path, "rb");
         if (!f) return false;
-        fseek(f, 0, SEEK_END);
+        // Non-seekable inputs (pipes, device files) make ftell return -1;
+        // bail out rather than malloc(0)+fread(SIZE_MAX).
+        if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return false; }
         size = ftell(f);
-        fseek(f, 0, SEEK_SET);
+        if (size < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return false; }
         data = static_cast<char*>(malloc(size + 1));
         if (!data) { fclose(f); return false; }
         long got = static_cast<long>(fread(data, 1, size, f));
