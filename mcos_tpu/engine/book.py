@@ -60,17 +60,17 @@ def _price_one(params: SVJParams, spot, strike, T, phi, key, *,
 @partial(jax.jit, static_argnames=("num_paths", "num_steps"))
 def _book_price_and_greeks(params: SVJParams, spots, strikes, Ts, phis,
                            keys, *, num_paths: int, num_steps: int):
-    def scalar_price(spot, strike, T, phi, key):
-        price, se = _price_one(params, spot, strike, T, phi, key,
+    def scalar_price(spot, T, params_, strike, phi, key):
+        price, se = _price_one(params_, spot, strike, T, phi, key,
                                num_paths=num_paths, num_steps=num_steps)
         return price, se  # se rides along as aux — one simulation total
 
     def one(spot, strike, T, phi, key):
-        (price, se), grads = jax.value_and_grad(
-            scalar_price, argnums=(0, 2), has_aux=True)(
-                spot, strike, T, phi, key)
-        d_spot, d_T = grads
-        return price, se, d_spot, -d_T  # theta = −∂P/∂T
+        (price, se), (d_spot, d_T, d_params) = jax.value_and_grad(
+            scalar_price, argnums=(0, 1, 2), has_aux=True)(
+                spot, T, params, strike, phi, key)
+        # theta = −∂P/∂T; vega = ∂P/∂v0; rho = ∂P/∂r — one backward pass.
+        return price, se, d_spot, -d_T, d_params.v0, d_params.r
 
     return jax.vmap(one)(spots, strikes, Ts, phis, keys)
 
@@ -88,7 +88,7 @@ class BookEngine:
     def price_book(self, spots: Sequence[float], strikes: Sequence[float],
                    Ts: Sequence[float], is_calls: Sequence[bool],
                    quantities: Sequence[float] | None = None) -> Dict:
-        """Price + delta + theta for every position, plus book aggregates.
+        """Price + delta/vega/theta/rho for every position, plus aggregates.
 
         quantities: signed position sizes (long +, short −); default +1 each.
         """
@@ -103,17 +103,25 @@ class BookEngine:
         keys = jax.vmap(lambda i: jax.random.fold_in(
             jax.random.key(self.seed), i))(jnp.arange(n))
 
-        price, se, delta, theta = _book_price_and_greeks(
+        price, se, delta, theta, vega_v0, rho = _book_price_and_greeks(
             self.params, spots, strikes, Ts, phis, keys,
             num_paths=self.num_paths, num_steps=self.num_steps)
+        # ∂P/∂v0 → per-vol-point convention (chain rule through σ = √v0,
+        # same convention as GreeksEngine.vega).
+        vega = vega_v0 * 2.0 * jnp.sqrt(self.params.v0)
 
         return {
             "price": np.asarray(price),
             "std_error": np.asarray(se),
             "delta": np.asarray(delta),
             "theta": np.asarray(theta),
+            "vega": np.asarray(vega),
+            "vega_v0": np.asarray(vega_v0),
+            "rho": np.asarray(rho),
             "book_value": float(jnp.sum(qty * price)),
             "book_delta": float(jnp.sum(qty * delta)),
             "book_theta": float(jnp.sum(qty * theta)),
+            "book_vega": float(jnp.sum(qty * vega)),
+            "book_rho": float(jnp.sum(qty * rho)),
             "num_positions": int(n),
         }

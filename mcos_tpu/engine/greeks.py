@@ -164,6 +164,12 @@ class GreeksEngine:
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
+        # Result memos (JAX caches compilations, not executions): within one
+        # `all_greeks` call every first-order block reads the same backward
+        # pass, and the delta/gamma FD cross-checks share their CRN bump
+        # prices. Keys carry the full engine state, so mutating params/seed
+        # between calls invalidates naturally. Bounded: cleared per contract.
+        self._memo: Dict[tuple, object] = {}
 
     # -- internals -------------------------------------------------------------
     def _key(self) -> Array:
@@ -172,18 +178,37 @@ class GreeksEngine:
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
 
+    def _state_key(self, params) -> tuple:
+        return (self.num_paths, self.num_steps, self.seed,
+                tuple(sorted(params.as_dict().items())))
+
     def _price(self, params, spot, strike, T, is_call,
                control_variate=True) -> float:
-        return float(_price_scalar(
-            params, spot, strike, T, self._key(),
-            num_paths=self.num_paths, num_steps=self._steps(T),
-            is_call=is_call, control_variate=control_variate))
+        k = ("price", float(spot), float(strike), float(T), bool(is_call),
+             bool(control_variate), self._state_key(params))
+        if k not in self._memo:
+            if len(self._memo) > 256:
+                self._memo.clear()
+            self._memo[k] = float(_price_scalar(
+                params, spot, strike, T, self._key(),
+                num_paths=self.num_paths, num_steps=self._steps(T),
+                is_call=is_call, control_variate=control_variate))
+        return self._memo[k]
 
     def _grads(self, spot, strike, T, is_call):
-        return price_and_greeks(
-            self.params, spot, strike, T, self._key(),
-            num_paths=self.num_paths, num_steps=self._steps(T),
-            is_call=is_call)
+        k = ("grads", float(spot), float(strike), float(T), bool(is_call),
+             self._state_key(self.params))
+        if k not in self._memo:
+            if len(self._memo) > 256:
+                self._memo.clear()
+            out = price_and_greeks(
+                self.params, spot, strike, T, self._key(),
+                num_paths=self.num_paths, num_steps=self._steps(T),
+                is_call=is_call)
+            price, d_spot, d_T, d_params = jax.device_get(out)  # ONE transfer
+            self._memo[k] = (float(price), float(d_spot), float(d_T),
+                             jax.tree.map(float, d_params))
+        return self._memo[k]
 
     # -- reference API -----------------------------------------------------------
     def delta(self, spot: float, strike: float, T: float,
@@ -231,15 +256,18 @@ class GreeksEngine:
         h = spot * bump
         steps = self._steps(T)
         kw = dict(num_paths=self.num_paths, num_steps=steps, is_call=is_call)
-        d_up = float(_ad_delta(self.params, spot + h, strike, T, self._key(),
+        # Bumped spots spelled exactly as in delta()'s FD so the memoized CRN
+        # prices are shared between the two blocks.
+        s_up, s_dn = spot * (1 + bump), spot * (1 - bump)
+        d_up = float(_ad_delta(self.params, s_up, strike, T, self._key(),
                                **kw))
-        d_dn = float(_ad_delta(self.params, spot - h, strike, T, self._key(),
+        d_dn = float(_ad_delta(self.params, s_dn, strike, T, self._key(),
                                **kw))
-        gamma = (d_up - d_dn) / (2 * h)
+        gamma = (d_up - d_dn) / (s_up - s_dn)
 
-        p_base = self._price(self.params, spot, strike, T, is_call)
-        p_up = self._price(self.params, spot + h, strike, T, is_call)
-        p_dn = self._price(self.params, spot - h, strike, T, is_call)
+        p_base = self._grads(spot, strike, T, is_call)[0]
+        p_up = self._price(self.params, s_up, strike, T, is_call)
+        p_dn = self._price(self.params, s_dn, strike, T, is_call)
         return {
             "gamma": float(gamma),
             "gamma_fd2": float((p_up - 2 * p_base + p_dn) / (h * h)),

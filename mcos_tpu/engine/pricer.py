@@ -189,7 +189,7 @@ def mc_price_core(
     jax.jit,
     static_argnames=(
         "num_paths", "num_steps", "is_call", "antithetic", "control_variate",
-        "cv_mode", "cv_beta",
+        "cv_mode", "cv_beta", "scheme",
     ),
 )
 def mc_price_pallas(
@@ -206,17 +206,22 @@ def mc_price_pallas(
     control_variate: bool = True,
     cv_mode: str = "companion",
     cv_beta: str = "one",
+    scheme: str = "euler",
 ) -> Dict[str, Array]:
-    """`mc_price_core` with terminal spots from the fused Pallas kernel.
+    """`mc_price_core` with terminal spots from the fused Pallas kernels.
 
     Identical estimator semantics; the kernel draws its randoms from the TPU
     hardware PRNG (different stream than threefry, same law). This is the
     production hot path (~7-14 G path-steps/s/chip vs the 1e9 target).
+    scheme="qe" routes to the fused Andersen QE kernel (the accuracy-per-step
+    winner: ~16 steps match COS where Euler needs ~1000).
     """
-    from mcos_tpu.ops.pallas_kernels import svj_terminal_pallas
+    from mcos_tpu.ops.pallas_kernels import (svj_terminal_pallas,
+                                             svj_terminal_qe_pallas)
 
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
-    s_final, v_final, g_final = svj_terminal_pallas(
+    sim = svj_terminal_qe_pallas if scheme == "qe" else svj_terminal_pallas
+    s_final, v_final, g_final = sim(
         params, spot, T, seed,
         num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
         companion=control_variate and cv_mode == "companion",
@@ -337,16 +342,25 @@ class MonteCarloEngine:
     def _resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
-        # Pallas is the hot path on TPU; the scan path serves CPU/debug runs
-        # and anything needing gradients. QMC always flows through the
-        # pre-drawn-array path; the QE scheme has no Pallas twin yet.
-        if self.scheme == "qe":
-            return "scan"
+        # Pallas is the hot path on TPU (Euler and QE kernels both fused);
+        # the scan path serves CPU/debug runs and anything needing gradients.
         return "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
         steps = self._steps(T)
-        if self.use_sobol:
+        use_sobol = self.use_sobol
+        if use_sobol and self.scheme == "qe":
+            # The QMC driver feeds Brownian-increment draws into the Euler
+            # recursion; QE's variance transition consumes *uniforms* with a
+            # different dimension layout, so Sobol+QE would silently price
+            # with the wrong discretization. Honoring the scheme (the user's
+            # accuracy choice) beats honoring the driver: fall back to PRNG.
+            import logging
+            logging.getLogger("mcos_tpu.pricer").warning(
+                "scheme='qe' has no Sobol driver; using the PRNG QE path "
+                "(set use_sobol=False to silence this)")
+            use_sobol = False
+        if use_sobol:
             from mcos_tpu.ops.sobol import sobol_svj_draws  # lazy: host precompute
             z1, z2, u_jump, z_js = sobol_svj_draws(
                 self.num_paths, steps, seed=self.seed)
@@ -364,6 +378,7 @@ class MonteCarloEngine:
                 antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
                 cv_mode=self.cv_mode, cv_beta=self.cv_beta,
+                scheme=self.scheme,
             )
         return mc_price_core(
             self.params, spot, jnp.asarray(strikes), T, self._key(),
@@ -427,10 +442,13 @@ class MonteCarloEngine:
         loop. Batches use independent key folds and combine by exact moment
         pooling, so the result is identical in law to one big run.
 
-        Honors the engine's antithetic/CV/cv_beta configuration. The random
-        driver is always threefry: batches must be mutually independent, and
-        chopping a Sobol net into batches destroys its equidistribution —
-        with use_sobol=True a note is logged and PRNG batching is used.
+        Honors the engine's antithetic/CV/cv_beta configuration, its
+        discretization `scheme`, and its resolved backend (the fused Pallas
+        kernels on TPU — each batch gets a distinct hardware-PRNG seed). The
+        random driver is always counter-based: batches must be mutually
+        independent, and chopping a Sobol net into batches destroys its
+        equidistribution — with use_sobol=True a note is logged and PRNG
+        batching is used.
         """
         if self.use_sobol:
             import logging
@@ -438,6 +456,7 @@ class MonteCarloEngine:
                 "price_to_tolerance uses independent PRNG batches; the "
                 "engine's Sobol driver does not batch soundly")
         steps = self._steps(T)
+        backend = self._resolved_backend()
         strikes = jnp.asarray([strike], jnp.float32)
         total_n = 0
         sum_mean = 0.0      # Σ nᵢ·meanᵢ
@@ -447,13 +466,23 @@ class MonteCarloEngine:
         bs_ref = None
         while total_n < max_paths:
             n_batch = min(batch_paths, max_paths - total_n)
-            key = jax.random.fold_in(self._key(), batches)
-            res = mc_price_core(
-                self.params, spot, strikes, T, key,
+            kwargs = dict(
                 num_paths=n_batch, num_steps=steps, is_call=is_call,
                 antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
-                cv_mode=self.cv_mode, cv_beta=self.cv_beta)
+                cv_mode=self.cv_mode, cv_beta=self.cv_beta,
+                scheme=self.scheme)
+            if backend == "pallas":
+                # Per-batch seed: prng_seed hash-mixes its operands, so
+                # distinct ints give independent streams.
+                batch_seed = (self.seed * 1_000_003 + 7919 * batches) \
+                    & 0x7FFFFFFF
+                res = mc_price_pallas(self.params, spot, strikes, T,
+                                      batch_seed, **kwargs)
+            else:
+                key = jax.random.fold_in(self._key(), batches)
+                res = mc_price_core(self.params, spot, strikes, T, key,
+                                    **kwargs)
             p_i = float(res["price"][0])
             se_i = float(res["std_error"][0])
             if bs_ref is None and "bs_ref" in res:

@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcos_tpu.config import JUMP_SCENARIO_SIZE, SPOT_SHOCKS, VOL_SHOCKS
-from mcos_tpu.engine.pricer import MonteCarloEngine
+from mcos_tpu.config import (JUMP_SCENARIO_SIZE, SPOT_SHOCKS, VOL_SHOCKS,
+                             scaled_steps)
+from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core
 from mcos_tpu.models.params import SVJParams
 from mcos_tpu.ops.bs import bs_delta
 
@@ -102,8 +103,38 @@ def compute_risk_metrics(returns, confidence: float = 0.99) -> Dict[str, float]:
 # ─────────────────────────────────────────────────────────────────────────────
 # Stress testing
 # ─────────────────────────────────────────────────────────────────────────────
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call"))
+def _params_batch_prices(params_batch: SVJParams, spot, strike, T, key, *,
+                         num_paths: int, num_steps: int,
+                         is_call: bool) -> Array:
+    """CRN prices of one contract under a batch of parameterizations.
+
+    `params_batch` is an SVJParams pytree whose leaves carry a leading batch
+    axis; all members share `key`, so scenario-to-scenario differences are
+    pure model effects, not MC noise.
+    """
+    def one(p):
+        return mc_price_core(
+            p, spot, jnp.atleast_1d(jnp.asarray(strike, jnp.float32)), T, key,
+            num_paths=num_paths, num_steps=num_steps,
+            is_call=is_call)["price"][0]
+
+    return jax.vmap(one)(params_batch)
+
+
 class StressTestEngine:
-    """Scenario ladders with reference semantics (risk.py:23-111 API)."""
+    """Scenario ladders with reference semantics (risk.py:23-111 API).
+
+    Execution model: SVJ log-dynamics are independent of S₀, so a spot shock
+    is a *payoff-axis* transform on one shared path set —
+        max(±((1+s)·S_T − K), 0) = (1+s) · max(±(S_T − K/(1+s)), 0)
+    — which turns the whole spot ladder (and the gap scenario) into a single
+    strike-vectorized pricing call. Vol shocks change the dynamics, so they
+    ride a 3-member vmapped params batch instead. `full_stress_report` is
+    exactly 3 device programs (the reference runs 10+ sequential engine
+    calls, risk.py:33-111); CRN (one shared key) removes shock-to-shock
+    MC noise either way.
+    """
 
     def __init__(self, params: SVJParams, num_paths: int = 200_000,
                  seed: int = 42, num_steps: int = 252):
@@ -117,53 +148,70 @@ class StressTestEngine:
                                 num_steps=self.num_steps, seed=self.seed,
                                 use_sobol=False)
 
+    def _shock_prices(self, spot: float, strike: float, T: float,
+                      is_call: bool, shocks: np.ndarray) -> np.ndarray:
+        """Prices at spot·(1+sᵢ) — ONE batched call off one shared path set."""
+        rel = 1.0 + np.asarray(shocks, np.float64)
+        rows = self._engine(self.params).price_batch(
+            spot, strike / rel, T, is_call)
+        return np.array([row["price"] for row in rows]) * rel
+
     def spot_shock_ladder(self, spot: float, strike: float, T: float,
                           is_call: bool = True) -> List[Dict]:
-        """Spot ±2/5/8% ladder (risk.py:33-51). All shocks share one engine
-        (CRN across the ladder removes shock-to-shock MC noise)."""
-        eng = self._engine(self.params)
-        base = eng.price(spot, strike, T, is_call)["price"]
-        out = []
-        for shock in SPOT_SHOCKS:
-            shocked = spot * (1.0 + shock)
-            price = eng.price(shocked, strike, T, is_call)["price"]
-            out.append({
+        """Spot ±2/5/8% ladder (risk.py:33-51) as one vectorized call."""
+        shocks = np.asarray(SPOT_SHOCKS, np.float64)
+        prices = self._shock_prices(spot, strike, T, is_call,
+                                    np.concatenate([[0.0], shocks]))
+        base = prices[0]
+        return [
+            {
                 "shock_pct": shock * 100,
-                "spot": shocked,
-                "price": price,
-                "pnl": price - base,
-                "pnl_pct": (price - base) / max(base, 1e-6) * 100,
-            })
-        return out
+                "spot": spot * (1.0 + shock),
+                "price": float(price),
+                "pnl": float(price - base),
+                "pnl_pct": float((price - base) / max(base, 1e-6) * 100),
+            }
+            for shock, price in zip(shocks, prices[1:])
+        ]
 
     def vol_shock_ladder(self, spot: float, strike: float, T: float,
                          is_call: bool = True) -> List[Dict]:
         """±5 vol-point shocks mapped into (v0, θ) exactly as the reference
-        does (risk.py:60-67: v0 += 2√v0·s, θ += s²)."""
-        base = self._engine(self.params).price(spot, strike, T, is_call)["price"]
-        out = []
+        does (risk.py:60-67: v0 += 2√v0·s, θ += s²); base + both shocks run
+        as one vmapped params batch sharing a CRN key."""
+        v0_base = float(self.params.v0)
+        members = [self.params]
+        v0s = []
         for shock in VOL_SHOCKS:
-            v0 = max(float(self.params.v0)
-                     + 2.0 * float(self.params.v0) ** 0.5 * shock, 0.001)
+            v0 = max(v0_base + 2.0 * v0_base**0.5 * shock, 0.001)
             theta = max(float(self.params.theta) + shock**2, 0.001)
-            shocked = self.params.replace(v0=v0, theta=theta)
-            price = self._engine(shocked).price(spot, strike, T, is_call)["price"]
-            out.append({
+            members.append(self.params.replace(v0=v0, theta=theta))
+            v0s.append(v0)
+        batch = jax.tree.map(lambda *xs: jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in xs]), *members)
+        prices = np.asarray(_params_batch_prices(
+            batch, spot, strike, T, jax.random.key(self.seed),
+            num_paths=self.num_paths,
+            num_steps=scaled_steps(self.num_steps, T),
+            is_call=is_call))
+        base = prices[0]
+        return [
+            {
                 "vol_shock": shock * 100,
                 "v0": v0,
-                "price": price,
-                "pnl": price - base,
-            })
-        return out
+                "price": float(price),
+                "pnl": float(price - base),
+            }
+            for shock, v0, price in zip(VOL_SHOCKS, v0s, prices[1:])
+        ]
 
     def jump_scenario(self, spot: float, strike: float, T: float,
                       is_call: bool = True,
                       gap_size: float = JUMP_SCENARIO_SIZE) -> Dict:
-        """4% overnight gap, both directions (risk.py:80-102)."""
-        eng = self._engine(self.params)
-        base = eng.price(spot, strike, T, is_call)["price"]
-        down = eng.price(spot * (1 - gap_size), strike, T, is_call)["price"]
-        up = eng.price(spot * (1 + gap_size), strike, T, is_call)["price"]
+        """4% overnight gap, both directions (risk.py:80-102) — one call."""
+        prices = self._shock_prices(spot, strike, T, is_call,
+                                    np.array([0.0, -gap_size, gap_size]))
+        base, down, up = (float(p) for p in prices)
         return {
             "base_price": base,
             "gap_down_price": down,

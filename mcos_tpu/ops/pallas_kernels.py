@@ -121,6 +121,46 @@ def _boxmuller(u1: Array, u2: Array) -> Tuple[Array, Array]:
     return r * jnp.cos(ang), r * jnp.sin(ang)
 
 
+# Acklam's rational approximation of the inverse normal CDF (relative error
+# < 1.2e-9 — far below f32 resolution). Horner-form polynomials over a
+# branchless central/tail select, so the whole transform is VPU-friendly:
+# 1 log + 1 sqrt + 2 rational evals per draw.
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_ACK_PLOW = 0.02425
+
+
+def _horner(x: Array, coeffs) -> Array:
+    acc = jnp.float32(coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + jnp.float32(c)
+    return acc
+
+
+def _ndtri_kernel(u: Array) -> Array:
+    """Inverse normal CDF for u strictly inside (0, 1) (see _ACK_* above)."""
+    # Central region |u - 0.5| ≤ 0.5 - plow.
+    qc = u - 0.5
+    r = qc * qc
+    x_central = _horner(r, _ACK_A) * qc / (_horner(r, _ACK_B) * r + 1.0)
+    # Tails, symmetric via pm = min(u, 1-u); magnitude is the lower-tail value.
+    pm = jnp.minimum(u, 1.0 - u)
+    qt = jnp.sqrt(-2.0 * jnp.log(pm))
+    x_tail = _horner(qt, _ACK_C) / (_horner(qt, _ACK_D) * qt + 1.0)
+    x_tail = jnp.where(qc < 0.0, x_tail, -x_tail)
+    central = jnp.abs(qc) <= jnp.float32(0.5 - _ACK_PLOW)
+    return jnp.where(central, x_central, x_tail)
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # SVJ kernel
 # ─────────────────────────────────────────────────────────────────────────────
@@ -254,6 +294,200 @@ def svj_terminal_pallas(
         out_shape=(out_shape, out_shape, out_shape),
         interpret=_interpret(),
     )(seed_arr, p_vec)
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(s), split(v), (split(g) if companion else None)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# SVJ QE kernel (Andersen quadratic-exponential scheme)
+# ─────────────────────────────────────────────────────────────────────────────
+# Packed QE scalar layout (distinct from the Euler layout above: QE's
+# per-step constants are transition moments, not SDE coefficients).
+(_Q_LOGS0, _Q_V0, _Q_THETA, _Q_EKDT, _Q_VAR1, _Q_VAR2, _Q_K0, _Q_K1, _Q_K2,
+ _Q_K34, _Q_DRIFT_DT, _Q_LAM_DT, _Q_MU_J, _Q_SIG_J, _Q_G_DRIFT_DT, _Q_SIG_CV,
+ _Q_SQRT_DT, _Q_NPARAMS) = range(18)
+
+_QE_PSI_C = 1.5
+
+
+def _pack_qe_params(params: SVJParams, spot, T, num_steps: int) -> Array:
+    """Precompute the QE transition constants (ops/simulate.py:276-301)."""
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    p = params
+    dt = f(T) / num_steps
+    kappa, theta, xi, rho = f(p.kappa), f(p.theta), f(p.xi), f(p.rho)
+    e_kdt = jnp.exp(-kappa * dt)
+    c_mean = 1.0 - e_kdt
+    gamma = 0.5
+    k_over = kappa * rho / jnp.maximum(xi, 1e-12) - 0.5
+    k_comp = jnp.exp(f(p.mu_j) + 0.5 * f(p.sigma_j) ** 2) - 1.0
+    sigma_cv = jnp.sqrt(f(p.v0))
+    vec = jnp.zeros((_Q_NPARAMS,), jnp.float32)
+    vals = {
+        _Q_LOGS0: jnp.log(f(spot)),
+        _Q_V0: f(p.v0),
+        _Q_THETA: theta,
+        _Q_EKDT: e_kdt,
+        _Q_VAR1: xi**2 * e_kdt * c_mean / jnp.maximum(kappa, 1e-12),
+        _Q_VAR2: theta * xi**2 * c_mean**2 / jnp.maximum(2.0 * kappa, 1e-12),
+        _Q_K0: -rho * kappa * theta * dt / jnp.maximum(xi, 1e-12),
+        _Q_K1: gamma * dt * k_over - rho / jnp.maximum(xi, 1e-12),
+        _Q_K2: gamma * dt * k_over + rho / jnp.maximum(xi, 1e-12),
+        _Q_K34: gamma * dt * (1.0 - rho**2),
+        _Q_DRIFT_DT: (f(p.r) - f(p.q) - f(p.lambda_j) * k_comp) * dt,
+        _Q_LAM_DT: f(p.lambda_j) * dt,
+        _Q_MU_J: f(p.mu_j),
+        _Q_SIG_J: f(p.sigma_j),
+        _Q_G_DRIFT_DT: (f(p.r) - f(p.q) - 0.5 * sigma_cv**2) * dt,
+        _Q_SIG_CV: sigma_cv,
+        _Q_SQRT_DT: jnp.sqrt(dt),
+    }
+    for i, v in vals.items():
+        vec = vec.at[i].set(v)
+    return vec
+
+
+def _svj_qe_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
+                   num_steps: int, rows: int, half_grid: int,
+                   companion: bool):
+    """One path block of the fused QE simulator (scan twin:
+    ops/simulate.py:simulate_terminal_qe).
+
+    Draw budget per step is exactly one (4, rows, 128) random block: one
+    Box-Muller pair yields (z_x, z_js), the other two words are the variance
+    uniform (→ Acklam ndtri for the quadratic branch) and the shared
+    jump-occurrence uniform — no discarded draws, so no unroll is needed.
+    The antithetic convention matches the scan twin: z's negated, uniforms
+    shared across the pair.
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    # Mixed (not added): see _svj_kernel.
+    pltpu.prng_seed(seed_ref[0], pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    e_kdt = p_ref[_Q_EKDT]
+    theta = p_ref[_Q_THETA]
+    var1, var2 = p_ref[_Q_VAR1], p_ref[_Q_VAR2]
+    k0, k1, k2, k34 = p_ref[_Q_K0], p_ref[_Q_K1], p_ref[_Q_K2], p_ref[_Q_K34]
+    drift_dt = p_ref[_Q_DRIFT_DT]
+    lam_dt = p_ref[_Q_LAM_DT]
+    mu_j, sig_j = p_ref[_Q_MU_J], p_ref[_Q_SIG_J]
+    g_drift_dt = p_ref[_Q_G_DRIFT_DT]
+    sig_cv = p_ref[_Q_SIG_CV]
+    sqrt_dt = p_ref[_Q_SQRT_DT]
+
+    def body(_, carry):
+        log_s, v, log_g = carry
+        bits = pltpu.prng_random_bits((4, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(4)]
+        z_x, z_js = _boxmuller(u[0], u[1])
+        z_x = z_x * sign
+        z_js = z_js * sign
+        u_v = u[2]        # variance uniform (shared across the pair)
+        u_jump = u[3]     # jump-occurrence uniform (shared)
+
+        # ── variance transition (QE, simulate.py:319-343) ───────────────────
+        m = theta + (v - theta) * e_kdt
+        s2 = v * var1 + var2
+        psi = s2 / jnp.maximum(m * m, 1e-20)
+
+        two_over_psi = 2.0 / jnp.maximum(psi, 1e-12)
+        b2 = jnp.maximum(
+            two_over_psi - 1.0
+            + jnp.sqrt(jnp.maximum(two_over_psi, 1e-12))
+            * jnp.sqrt(jnp.maximum(two_over_psi - 1.0, 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        z_v = _ndtri_kernel(u_v)
+        v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 0.999)
+        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-20)
+        u_clip = jnp.clip(u_v, 1e-7, 1.0 - 1e-7)
+        v_exp = jnp.where(
+            u_v <= p_mass, 0.0,
+            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u_clip, 1e-12))
+            / jnp.maximum(beta, 1e-20))
+
+        v_next = jnp.where(psi <= jnp.float32(_QE_PSI_C), v_quad, v_exp)
+
+        # ── log-spot update (central K-scheme + jumps) ──────────────────────
+        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
+        diff_var = jnp.maximum(k34 * (v + v_next), 0.0)
+        log_s = (log_s + drift_dt + k0 + k1 * v + k2 * v_next
+                 + jnp.sqrt(diff_var) * z_x + jump)
+        if companion:
+            log_g = log_g + g_drift_dt + sig_cv * z_x * sqrt_dt
+        return log_s, v_next, log_g
+
+    log_s0 = p_ref[_Q_LOGS0]
+    init = (jnp.full(shape, log_s0, jnp.float32),
+            jnp.full(shape, p_ref[_Q_V0], jnp.float32),
+            jnp.full(shape, log_s0, jnp.float32))
+    log_s, v, log_g = jax.lax.fori_loop(0, num_steps, body, init)
+
+    s_ref[:] = jnp.exp(log_s)
+    v_ref[:] = v
+    if companion:
+        g_ref[:] = jnp.exp(log_g)
+    else:
+        g_ref[:] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "companion",
+                     "rows"),
+)
+def svj_terminal_qe_pallas(
+    params: SVJParams,
+    spot,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    rows: int = DEFAULT_ROWS,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Fused-TPU-kernel drop-in for `simulate.simulate_terminal_qe`.
+
+    Same calling convention and output layout as `svj_terminal_pallas`.
+    QE at ~16 steps matches the COS oracle where Euler needs ~1000
+    (tests/test_qe_scheme.py), so this kernel is the accuracy-normalized
+    throughput champion: fewer steps × the fused-kernel step rate.
+    """
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(
+        _svj_qe_kernel, num_steps=num_steps, rows=rows,
+        half_grid=half_grid, companion=companion,
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+
+    s, v, g = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed QE params
+        ],
+        out_specs=(block_spec, block_spec, block_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), _pack_qe_params(params, spot, T,
+                                                      num_steps))
 
     def split(x):
         return x.reshape(n_branch, padded)[:, :num_paths]

@@ -27,6 +27,9 @@ def test_book_matches_bs_per_position():
         assert abs(out["price"][i] - float(g["price"])) < tol_p, f"pos {i}"
         assert out["delta"][i] == pytest.approx(float(g["delta"]), abs=0.02)
         assert out["theta"][i] == pytest.approx(float(g["theta"]), rel=0.1)
+        # vega is per vol point (∂P/∂σ), rho per unit rate — BS conventions.
+        assert out["vega"][i] == pytest.approx(float(g["vega"]), rel=0.05)
+        assert out["rho"][i] == pytest.approx(float(g["rho"]), rel=0.05)
 
 
 def test_book_aggregates_with_quantities():
@@ -40,6 +43,8 @@ def test_book_aggregates_with_quantities():
     out = eng.price_book(spots, strikes, Ts, is_calls, quantities=[1.0, -1.0])
     assert out["book_value"] == pytest.approx(0.0, abs=1e-4)
     assert out["book_delta"] == pytest.approx(0.0, abs=1e-6)
+    assert out["book_vega"] == pytest.approx(0.0, abs=1e-4)
+    assert out["book_rho"] == pytest.approx(0.0, abs=1e-4)
 
 
 def test_book_straddle_delta_small():

@@ -112,3 +112,44 @@ def test_lambda_lr_agrees_with_crn_fd():
     assert abs(j["lambda_j_lr"] - j["lambda_j"]) < tol
     # Crash-jumps with negative mean size raise ATM value: positive vega-like.
     assert j["lambda_j"] > 0
+
+
+def test_all_greeks_single_backward_pass(monkeypatch):
+    """The seven result blocks must share ONE backward-pass execution and
+    the delta/gamma FD cross-checks must share their CRN bump prices
+    (JAX caches compilations, not results — this pins the result memo)."""
+    import mcos_tpu.engine.greeks as gmod
+
+    calls = {"grads": 0, "price": 0}
+    real_grads = gmod.price_and_greeks
+    real_price = gmod._price_scalar
+
+    def counting_grads(*a, **kw):
+        calls["grads"] += 1
+        return real_grads(*a, **kw)
+
+    def counting_price(*a, **kw):
+        calls["price"] += 1
+        return real_price(*a, **kw)
+
+    monkeypatch.setattr(gmod, "price_and_greeks", counting_grads)
+    monkeypatch.setattr(gmod, "_price_scalar", counting_price)
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.3, rho=-0.5, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.10)
+    eng = GreeksEngine(p, num_paths=20_000, num_steps=16, seed=3)
+    eng.all_greeks(SPOT, STRIKE, 0.1)
+    assert calls["grads"] == 1
+    # FD bump prices: delta 2 (shared with gamma via the memo) + vega 2 +
+    # lambda 2 = 6, plus at most 2 trace-time invocations from fresh jits.
+    assert calls["price"] <= 8
+    first = dict(calls)
+
+    # A repeated identical request is a pure memo hit: zero new executions.
+    eng.all_greeks(SPOT, STRIKE, 0.1)
+    assert calls == first
+
+    # Mutating engine state invalidates the memo (fresh pass, not stale).
+    eng.params = p.replace(v0=0.05)
+    eng.all_greeks(SPOT, STRIKE, 0.1)
+    assert calls["grads"] == 2

@@ -132,3 +132,69 @@ def test_stats_kernel_matches_scan_tracker():
     assert bool(jnp.all(pal["max_s"] >= pal["s_final"]))
     assert bool(jnp.all(pal["min_s"] <= pal["s_final"]))
     assert bool(jnp.all(pal["max_s"] >= pal["avg"]))
+
+
+def test_qe_kernel_compiles_and_shape():
+    """Interpreter smoke for the fused QE kernel (statistics are TPU-gated)."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_qe_pallas
+
+    s, v, g = svj_terminal_qe_pallas(SVJParams(), 100.0, 0.5, 3,
+                                     num_paths=N, num_steps=8,
+                                     companion=True, rows=8)
+    for a in (s, v, g):
+        assert a.shape == (2, N)
+        assert bool(jnp.all(jnp.isfinite(a)))
+    assert bool(jnp.all(v >= 0.0))
+
+
+def test_ndtri_kernel_accuracy():
+    """Acklam inverse-CDF helper vs scipy, f32-arithmetic tolerance."""
+    from scipy.special import ndtri as ref
+
+    from mcos_tpu.ops.pallas_kernels import _ndtri_kernel
+
+    u = np.linspace(1e-5, 1 - 1e-5, 50_001)
+    ours = np.asarray(_ndtri_kernel(jnp.asarray(u, jnp.float32)), np.float64)
+    exact = ref(np.asarray(u, np.float32).astype(np.float64))
+    assert np.abs(ours - exact).max() < 5e-4
+
+
+@tpu_only
+def test_qe_kernel_matches_scan_statistics():
+    """Fused QE kernel vs its differentiable scan twin: same law."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_qe_pallas
+
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.05, sigma_j=0.1)
+    n = 1 << 18
+    s_pal, v_pal, g_pal = svj_terminal_qe_pallas(
+        p, 22500.0, 0.5, 17, num_paths=n, num_steps=16, companion=True)
+    s_scan, v_scan, g_scan = simulate.simulate_terminal_qe(
+        p, 22500.0, 0.5, jax.random.key(17), num_paths=n, num_steps=16,
+        companion=True)
+    se = float(jnp.std(s_scan)) / np.sqrt(n)
+    assert abs(float(s_pal.mean()) - float(s_scan.mean())) < 6 * se
+    assert abs(float(v_pal.mean()) - float(v_scan.mean())) < 0.005
+    g_se = float(jnp.std(g_scan)) / np.sqrt(n)
+    assert abs(float(g_pal.mean()) - float(g_scan.mean())) < 6 * g_se
+    assert bool(jnp.all(v_pal >= 0.0))
+    # Dispersion agreement (distribution shape, not just the mean).
+    assert float(jnp.std(s_pal)) == pytest.approx(float(jnp.std(s_scan)),
+                                                  rel=0.02)
+
+
+@tpu_only
+def test_qe_pallas_price_matches_cos_oracle():
+    """The flagship accuracy claim: QE at 16 steps through the fused kernel
+    reproduces the semi-analytic COS price of the full SVJ model."""
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    spot, strike, T = 22500.0, 22500.0, 0.25
+    eng = MonteCarloEngine(p, num_paths=1 << 19, num_steps=64, seed=7,
+                           use_sobol=False, scheme="qe", backend="pallas")
+    res = eng.price(spot, strike, T)
+    ref = float(cos_price(p, spot, [strike], T, True)[0])
+    assert abs(res["price"] - ref) < max(4 * res["std_error"], 1.0)

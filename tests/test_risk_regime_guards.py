@@ -86,6 +86,41 @@ def test_full_report(stress):
     assert set(rep) == {"spot_shocks", "vol_shocks", "jump_scenario"}
 
 
+def test_spot_ladder_matches_loop(stress):
+    """The batched payoff-axis ladder must reproduce shock-by-shock engine
+    re-pricing: max((1+s)S_T − K) = (1+s)·max(S_T − K/(1+s)) pathwise, so
+    with CRN the two differ only by f32 rounding."""
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+
+    ladder = stress.spot_shock_ladder(SPOT, STRIKE, T, is_call=True)
+    eng = MonteCarloEngine(SVJ, num_paths=stress.num_paths,
+                           num_steps=stress.num_steps, seed=stress.seed,
+                           use_sobol=False)
+    for row in ladder:
+        looped = eng.price(row["spot"], STRIKE, T, True)["price"]
+        assert row["price"] == pytest.approx(looped, rel=2e-4)
+
+
+def test_vol_ladder_matches_loop(stress):
+    """The vmapped params batch must agree with member-by-member pricing
+    (same key => same draws; identical estimator)."""
+    import jax.numpy as jnp
+
+    from mcos_tpu.config import VOL_SHOCKS, scaled_steps
+    from mcos_tpu.engine.pricer import mc_price_core
+
+    ladder = stress.vol_shock_ladder(SPOT, STRIKE, T)
+    for shock, row in zip(VOL_SHOCKS, ladder):
+        p = SVJ.replace(v0=row["v0"],
+                        theta=max(float(SVJ.theta) + shock**2, 0.001))
+        res = mc_price_core(
+            p, SPOT, jnp.asarray([STRIKE], jnp.float32), T,
+            jax.random.key(stress.seed),
+            num_paths=stress.num_paths,
+            num_steps=scaled_steps(stress.num_steps, T), is_call=True)
+        assert row["price"] == pytest.approx(float(res["price"][0]), rel=1e-5)
+
+
 # ── liquidity stress ─────────────────────────────────────────────────────────
 def test_liquidity_stress():
     w = LiquidityStress.bid_ask_widening(2.0, 3.0)
