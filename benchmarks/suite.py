@@ -91,10 +91,27 @@ def config2_greeks_chain(quick):
 
     outs, ms = timed(chain, 0, trials=2)
     deltas = [float(o[1]) for o in outs]
+
+    # Full engine contract: every block of all_greeks (incl. CRN-FD
+    # cross-checks and the LR lambda estimator) off ONE memoized backward
+    # pass per contract (r2: result memo replaced ~6 redundant executions).
+    from mcos_tpu.engine.greeks import GreeksEngine
+    eng = GreeksEngine(p, num_paths=n, num_steps=25, seed=0)
+
+    def engine_chain():
+        return [eng.all_greeks(22500.0, float(k), 0.1) for k in strikes]
+
+    engine_chain()  # warm compile
+    t0 = time.perf_counter()
+    eng2 = GreeksEngine(p, num_paths=n, num_steps=25, seed=1)
+    [eng2.all_greeks(22500.0, float(k), 0.1) for k in strikes]
+    eng_ms = (time.perf_counter() - t0) * 1000
+
     return {
         "workload": f"11-strike chain, all first-order Greeks, {n} paths",
         "latency_ms": round(ms, 2),
         "ms_per_contract_all_greeks": round(ms / len(strikes), 2),
+        "ms_per_contract_full_engine": round(eng_ms / len(strikes), 2),
         "delta_range": [min(deltas), max(deltas)],
         "backward_passes_per_contract": 1,
         "reference_kernel_passes_per_contract": 13,
@@ -191,6 +208,63 @@ def config5_portfolio(quick):
     }
 
 
+def config6_serving_default(quick):
+    """The /api/price default configuration (Sobol driver): scan vs the
+    fused draws kernel — VERDICT r1 item #1's before/after."""
+    import jax
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.models.params import SVJParams
+
+    p = SVJParams()
+    n = 100_000 if quick else 500_000
+    out = {"workload": f"/api/price default body: Sobol driver, {n} paths,"
+                       " T=0.25 (63 steps)"}
+    for backend in ("scan", "pallas"):
+        if backend == "pallas" and jax.default_backend() != "tpu":
+            continue
+        eng = MonteCarloEngine(p, num_paths=n, seed=42, use_sobol=True,
+                               backend=backend)
+        _, ms = timed(lambda: eng.price(22500.0, 22600.0, 0.25)["price"],
+                      trials=3)
+        out[f"{backend}_ms"] = round(ms, 1)
+    if "pallas_ms" in out and "scan_ms" in out:
+        out["speedup"] = round(out["scan_ms"] / out["pallas_ms"], 2)
+    return out
+
+
+def config7_qe_accuracy(quick):
+    """Accuracy-normalized throughput: QE at 16 steps vs Euler at the step
+    count needed for the same bias (~1000), both through their fused
+    kernels, against the semi-analytic COS oracle."""
+    import jax
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    spot, strike, T = 22500.0, 22500.0, 0.25
+    n = 1 << (17 if quick else 19)
+    ref = float(cos_price(p, spot, [strike], T, True)[0])
+    out = {"workload": f"ATM SVJ T=0.25, {n} paths, vs COS oracle",
+           "cos_price": ref}
+    # num_steps is per-year; scaled_steps makes T=0.25 use num_steps/4.
+    for label, scheme, steps_py in (("qe_16steps", "qe", 64),
+                                    ("euler_16steps", "euler", 64),
+                                    ("euler_1000steps", "euler", 4000)):
+        eng = MonteCarloEngine(p, num_paths=n, num_steps=steps_py, seed=7,
+                               use_sobol=False, scheme=scheme)
+        res, ms = timed(lambda: eng.price(spot, strike, T)["price"], trials=2)
+        price = float(res)
+        eng2 = MonteCarloEngine(p, num_paths=n, num_steps=steps_py, seed=7,
+                                use_sobol=False, scheme=scheme)
+        se = eng2.price(spot, strike, T)["std_error"]
+        out[label] = {"price": price, "abs_err": round(abs(price - ref), 4),
+                      "err_sigmas": round(abs(price - ref) / max(se, 1e-9), 1),
+                      "latency_ms": round(ms, 1)}
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -205,7 +279,9 @@ def main():
                      ("config2_greeks_chain", config2_greeks_chain),
                      ("config3_surface", config3_surface),
                      ("config4_exotics", config4_exotics),
-                     ("config5_portfolio", config5_portfolio)]:
+                     ("config5_portfolio", config5_portfolio),
+                     ("config6_serving_default", config6_serving_default),
+                     ("config7_qe_accuracy", config7_qe_accuracy)]:
         try:
             report[name] = fn(args.quick)
         except Exception as e:  # noqa: BLE001 — report partial results

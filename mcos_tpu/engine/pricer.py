@@ -241,7 +241,7 @@ def mc_price_pallas(
 @partial(
     jax.jit,
     static_argnames=("is_call", "antithetic", "control_variate", "cv_mode",
-                     "cv_beta"),
+                     "cv_beta", "backend", "steps_major"),
 )
 def mc_price_from_draws(
     params: SVJParams,
@@ -250,14 +250,17 @@ def mc_price_from_draws(
     T,
     z1: Array,
     z2: Array,
-    u_jump: Array,
+    u_jump: Optional[Array],
     z_js: Array,
     *,
+    seed=0,
     is_call: bool = True,
     antithetic: bool = True,
     control_variate: bool = True,
     cv_mode: str = "companion",
     cv_beta: str = "one",
+    backend: str = "scan",
+    steps_major: bool = False,
 ) -> Dict[str, Array]:
     """QMC / CRN pricing path: externally supplied draws, antithetic pairing.
 
@@ -266,19 +269,43 @@ def mc_price_from_draws(
     digital reflection, not a fresh net — disable for pure-QMC studies).
     Used with the Sobol+Brownian-bridge driver and by the CRN
     finite-difference Greeks oracle.
+
+    backend="pallas" streams the draw arrays through the fused
+    `svj_terminal_from_draws_pallas` kernel (each draw word read exactly
+    once, both antithetic branches on one streamed block) — the production
+    default for /api/price on TPU, where the Sobol driver is the default
+    driver. Tests pin the two backends to ~1e-6 relative on the same draws.
     """
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
     want_g = control_variate and cv_mode == "companion"
-    s_base, v_base, g_base = simulate.simulate_terminal_from_draws(
-        params, spot, T, z1, z2, u_jump, z_js, companion=want_g)
-    if antithetic:
-        s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
-            params, spot, T, -z1, -z2, u_jump, -z_js, companion=want_g)
-        s_final = jnp.stack([s_base, s_anti])  # (2, paths)
-        g_final = jnp.stack([g_base, g_anti]) if want_g else None
+    if backend == "pallas":
+        from mcos_tpu.ops.pallas_kernels import svj_terminal_from_draws_pallas
+
+        # u_jump=None → jump uniforms from the hardware PRNG inside the
+        # kernel (no (paths × steps) uniform array is ever materialized).
+        s_final, v_all, g_final = svj_terminal_from_draws_pallas(
+            params, spot, T, z1, z2, u_jump, z_js, seed=seed,
+            antithetic=antithetic, companion=want_g, steps_major=steps_major)
+        v_base = v_all[0]
     else:
-        s_final = s_base[None]
-        g_final = g_base[None] if want_g else None
+        if u_jump is None:
+            # Same stream the Sobol driver would have generated (seed+1,
+            # monte_carlo.py:306-308 convention), drawn inside this jit.
+            u_jump = jax.random.uniform(
+                jax.random.key(jnp.asarray(seed, jnp.int32) + 1),
+                z1.shape, jnp.float32)
+        s_base, v_base, g_base = simulate.simulate_terminal_from_draws(
+            params, spot, T, z1, z2, u_jump, z_js, companion=want_g,
+            steps_major=steps_major)
+        if antithetic:
+            s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
+                params, spot, T, -z1, -z2, u_jump, -z_js, companion=want_g,
+                steps_major=steps_major)
+            s_final = jnp.stack([s_base, s_anti])  # (2, paths)
+            g_final = jnp.stack([g_base, g_anti]) if want_g else None
+        else:
+            s_final = s_base[None]
+            g_final = g_base[None] if want_g else None
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     pay = _payoff_table(s_final, strikes, is_call)
@@ -363,13 +390,15 @@ class MonteCarloEngine:
         if use_sobol:
             from mcos_tpu.ops.sobol import sobol_svj_draws  # lazy: host precompute
             z1, z2, u_jump, z_js = sobol_svj_draws(
-                self.num_paths, steps, seed=self.seed)
+                self.num_paths, steps, seed=self.seed, layout="steps",
+                jump_uniforms=False)
             return mc_price_from_draws(
                 self.params, spot, jnp.asarray(strikes), T,
-                z1, z2, u_jump, z_js,
+                z1, z2, u_jump, z_js, seed=self.seed,
                 is_call=is_call, antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
                 cv_mode=self.cv_mode, cv_beta=self.cv_beta,
+                backend=self._resolved_backend(), steps_major=True,
             )
         if self._resolved_backend() == "pallas":
             return mc_price_pallas(

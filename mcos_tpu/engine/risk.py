@@ -413,10 +413,66 @@ def portfolio_var(
     num_paths: int = 1_000_000,
     num_steps: int = 32,
     confidence: float = 0.99,
+    mesh=None,
 ) -> Dict[str, float]:
     """Portfolio VaR/ES over correlated GBM terminals (risk metrics per
-    risk.py:117-155 semantics on portfolio returns)."""
+    risk.py:117-155 semantics on portfolio returns).
+
+    Scaling: pass a `jax.sharding.Mesh` (or rely on the default mesh over
+    all visible devices) and the path axis shards across it — per-device
+    simulation, psum'd moments, and an exact distributed tail via per-device
+    top-k + all_gather, so the full (num_paths,) return vector never
+    materializes on any single device. 1e8+ path runs (BASELINE.md config
+    #5) hold ~num_paths/n_dev floats per chip.
+    """
     key = key if key is not None else jax.random.key(0)
+
+    if mesh is None and len(jax.devices()) > 1:
+        from mcos_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+
+    if n_dev > 1:
+        from mcos_tpu.parallel.mesh import sharded_portfolio_returns
+
+        # Quota: global tail size k spread over devices, with a 2× + 4√k
+        # margin so the union of per-device worst sets contains the global
+        # worst-k with overwhelming probability (Binomial concentration).
+        k_tail = max(int(num_paths * (1.0 - confidence)), 1)
+        quota = int(2.0 * k_tail / n_dev + 4.0 * np.sqrt(k_tail) + 64)
+        stats = jax.device_get(sharded_portfolio_returns(
+            spots, sigmas, corr, weights, T, key,
+            mesh=mesh, num_paths=num_paths, num_steps=num_steps,
+            r=r, q=q, tail_quota=quota))
+        n = float(stats["n"])
+        m1 = stats["sum1"] / n
+        m2 = stats["sum2"] / n
+        m3 = stats["sum3"] / n
+        m4 = stats["sum4"] / n
+        std = float(np.sqrt(max(m2 - m1 * m1, 1e-20)))
+        # Central moments from raw moments (f64 host arithmetic).
+        mu3 = m3 - 3 * m1 * m2 + 2 * m1**3
+        mu4 = m4 - 4 * m1 * m3 + 6 * m1**2 * m2 - 3 * m1**4
+        tail = np.sort(np.asarray(stats["tail"], np.float64))  # worst first
+        k = min(k_tail, len(tail))
+        var = -tail[min(k, len(tail) - 1)]
+        cvar = -tail[:max(k, 1)].mean()
+        losses = -tail[tail < 0]
+        hill = _hill_estimator(losses) if len(losses) > 20 else float("nan")
+        kurt = float(mu4 / max(std**4, 1e-20))
+        return {
+            "var": float(var),
+            "cvar": float(cvar),
+            "skewness": float(mu3 / max(std**3, 1e-20)),
+            "kurtosis": kurt,
+            "excess_kurtosis": kurt - 3.0,
+            "tail_index": hill,
+            "mean": float(m1),
+            "std": std,
+            "num_devices": n_dev,
+            "num_paths_used": int(n),
+        }
+
     s_t = multi_asset_gbm_terminal(
         spots, sigmas, corr, r, q, T, key,
         num_paths=num_paths, num_steps=num_steps)

@@ -302,6 +302,209 @@ def svj_terminal_pallas(
 
 
 # ─────────────────────────────────────────────────────────────────────────────
+# SVJ draws-driven kernel (QMC / CRN hot path)
+# ─────────────────────────────────────────────────────────────────────────────
+def _svj_draws_kernel(*refs,
+                      chunk: int, num_steps: int, rows: int, n_branch: int,
+                      companion: bool, rng_jumps: bool):
+    """SVJ recursion fed by *pre-drawn* randoms streaming from HBM.
+
+    This is the fused twin of `simulate.simulate_terminal_from_draws` — the
+    Sobol+Brownian-bridge driver's execution engine. Unlike the PRNG kernels
+    above, the randoms already live in HBM (they carry QMC structure), so the
+    kernel is bandwidth-bound by construction: each draw word is read exactly
+    once, both antithetic branches ride the same streamed block (sign flip on
+    the normals, shared jump uniforms — the convention of
+    monte_carlo.py:318-324), and nothing else touches HBM until the final
+    terminal-state write.
+
+    Grid: (path blocks ∥, step chunks →). The (log S, v, log G) carry
+    persists across step chunks in VMEM scratch; outputs are written once on
+    the last chunk. Steps are padded up to a chunk multiple and masked by
+    global step index.
+
+    rng_jumps=True drops the u_jump input entirely: jump-occurrence uniforms
+    carry no QMC structure (the reference draws them from a plain PRNG too),
+    so they come from the hardware PRNG — one less (paths × steps) array
+    generated, stored, and streamed. The stream is seeded per (path block,
+    chunk) so it is identical for both antithetic branches and independent
+    across grid cells.
+    """
+    if rng_jumps:
+        (seed_ref, p_ref, z1_ref, z2_ref, zjs_ref,
+         s_ref, v_ref, g_ref, ls_s, v_s, lg_s) = refs
+        uj_ref = None
+        # One stream per (path block, chunk) grid cell, identical for both
+        # antithetic branches (they share this block). Mosaic accepts at
+        # most 2 seed words, so the cell index is flattened.
+        cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], cell)
+    else:
+        (p_ref, z1_ref, z2_ref, uj_ref, zjs_ref,
+         s_ref, v_ref, g_ref, ls_s, v_s, lg_s) = refs
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    shape = (n_branch, rows, LANES)
+    log_s0 = p_ref[_P_LOGS0]
+
+    @pl.when(c == 0)
+    def _init():
+        ls_s[:] = jnp.full(shape, log_s0, jnp.float32)
+        v_s[:] = jnp.full(shape, p_ref[_P_V0], jnp.float32)
+        lg_s[:] = jnp.full(shape, log_s0, jnp.float32)
+
+    dt = p_ref[_P_DT]
+    sqrt_dt = p_ref[_P_SQRT_DT]
+    kappa, theta, xi = p_ref[_P_KAPPA], p_ref[_P_THETA], p_ref[_P_XI]
+    rho, rho_perp = p_ref[_P_RHO], p_ref[_P_RHO_PERP]
+    lam_dt = p_ref[_P_LAM_DT]
+    mu_j, sig_j = p_ref[_P_MU_J], p_ref[_P_SIG_J]
+    drift_dt = p_ref[_P_DRIFT_DT]
+    g_drift_dt = p_ref[_P_G_DRIFT_DT]
+    sig_cv = p_ref[_P_SIG_CV]
+
+    # sign[0] = +1 (base branch), sign[1] = −1 (antithetic branch).
+    # (int32 iota: Mosaic rejects float iota results.)
+    sign = (1 - 2 * jax.lax.broadcasted_iota(
+        jnp.int32, (n_branch, 1, 1), 0)).astype(jnp.float32)
+
+    def body(i, carry):
+        log_s, v, log_g = carry
+        z1 = z1_ref[i] * sign       # (rows, L) ⊗ sign → (n_branch, rows, L)
+        z2 = z2_ref[i] * sign
+        z_js = zjs_ref[i] * sign
+        if rng_jumps:               # shared across the antithetic pair
+            u_jump = _bits_to_uniform(pltpu.prng_random_bits((rows, LANES)))
+        else:
+            u_jump = uj_ref[i]
+
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_pos)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
+        new_log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump
+        new_v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
+                            + xi * sqrt_v * dw2, 0.0)
+        valid = (c * chunk + i) < num_steps  # step-padding mask
+        log_s = jnp.where(valid, new_log_s, log_s)
+        v = jnp.where(valid, new_v, v)
+        if companion:
+            log_g = jnp.where(valid, log_g + g_drift_dt + sig_cv * dw1, log_g)
+        return log_s, v, log_g
+
+    carry = (ls_s[:], v_s[:], lg_s[:])
+    log_s, v, log_g = jax.lax.fori_loop(0, chunk, body, carry)
+    ls_s[:] = log_s
+    v_s[:] = v
+    lg_s[:] = log_g
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        s_ref[:] = jnp.exp(log_s)
+        v_ref[:] = v
+        if companion:
+            g_ref[:] = jnp.exp(log_g)
+        else:
+            g_ref[:] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("antithetic", "companion", "rows", "chunk",
+                     "steps_major"),
+)
+def svj_terminal_from_draws_pallas(
+    params: SVJParams,
+    spot,
+    T,
+    z1: Array,
+    z2: Array,
+    u_jump: Optional[Array],
+    z_js: Array,
+    *,
+    seed=0,
+    antithetic: bool = True,
+    companion: bool = False,
+    rows: int = 16,
+    chunk: int = 32,
+    steps_major: bool = False,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Fused-kernel drop-in for `simulate.simulate_terminal_from_draws`.
+
+    Args:
+        z1, z2, z_js, u_jump: (num_paths, num_steps) draw arrays (the
+            reference layout) or (num_steps, num_paths) with
+            `steps_major=True` — the layout `sobol_svj_draws` produces,
+            which streams into the kernel with zero transposes.
+    Returns:
+        (S, v, G or None), each (n_branch, num_paths): row 0 is the base
+        branch, row 1 (when antithetic) negates the normals and shares the
+        jump uniforms. Unlike the PRNG kernels this one consumes external
+        randoms, so it is deterministic given the draws and CPU-testable in
+        the Pallas interpreter (tests pin it bit-close to the scan twin).
+    """
+    if steps_major:
+        num_steps, num_paths = z1.shape
+    else:
+        num_paths, num_steps = z1.shape
+    n_chunks = max(1, -(-num_steps // chunk))
+    steps_pad = n_chunks * chunk
+    block_paths = rows * LANES
+    n_blocks = max(1, -(-num_paths // block_paths))
+    r_tot = n_blocks * rows
+    padded_paths = n_blocks * block_paths
+    n_branch = 2 if antithetic else 1
+
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        if not steps_major:
+            x = x.T  # (steps, paths)
+        x = jnp.pad(x, ((0, steps_pad - num_steps),
+                        (0, padded_paths - num_paths)))
+        return x.reshape(steps_pad, r_tot, LANES)
+
+    rng_jumps = u_jump is None
+    kernel = functools.partial(
+        _svj_draws_kernel, chunk=chunk, num_steps=num_steps, rows=rows,
+        n_branch=n_branch, companion=companion, rng_jumps=rng_jumps)
+    in_spec = pl.BlockSpec((chunk, rows, LANES), lambda b, c: (c, b, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_branch, rows, LANES), lambda b, c: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_branch, r_tot, LANES), jnp.float32)
+    scratch = pltpu.VMEM((n_branch, rows, LANES), jnp.float32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if rng_jumps:
+        inputs = (jnp.asarray([seed], jnp.int32),
+                  _pack_params(params, spot, T, num_steps),
+                  prep(z1), prep(z2), prep(z_js))
+        in_specs = [smem, smem, in_spec, in_spec, in_spec]
+    else:
+        inputs = (_pack_params(params, spot, T, num_steps),
+                  prep(z1), prep(z2), prep(u_jump), prep(z_js))
+        in_specs = [smem, in_spec, in_spec, in_spec, in_spec]
+
+    s, v, g = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[scratch, scratch, scratch],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(*inputs)
+
+    def split(x):
+        return x.reshape(n_branch, padded_paths)[:, :num_paths]
+
+    return split(s), split(v), (split(g) if companion else None)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
 # SVJ QE kernel (Andersen quadratic-exponential scheme)
 # ─────────────────────────────────────────────────────────────────────────────
 # Packed QE scalar layout (distinct from the Euler layout above: QE's

@@ -147,7 +147,7 @@ def simulate_terminal(
     return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
 
 
-@partial(jax.jit, static_argnames=("companion",))
+@partial(jax.jit, static_argnames=("companion", "steps_major"))
 def simulate_terminal_from_draws(
     params: SVJParams,
     spot,
@@ -157,12 +157,16 @@ def simulate_terminal_from_draws(
     u_jump: Array,
     z_js: Array,
     companion: bool = False,
+    steps_major: bool = False,
 ) -> Tuple[Array, Array, Optional[Array]]:
     """Simulate with externally supplied randoms (QMC driver / CRN oracles).
 
     Args:
         z1, z2, z_js: standard normals, shape (num_paths, num_steps) —
-            the reference kernel's exact input layout (monte_carlo.py:190-198).
+            the reference kernel's exact input layout (monte_carlo.py:190-198)
+            — or (num_steps, num_paths) when `steps_major=True` (the Sobol
+            driver's zero-transpose layout; the scan walks the step axis, so
+            steps-major is its native orientation).
         u_jump: U(0,1) jump-occurrence uniforms, same shape.
         companion: also evolve the σ=√v0 GBM control-variate leg on dW₁
             (see `simulate_terminal`).
@@ -170,14 +174,16 @@ def simulate_terminal_from_draws(
     Returns:
         (S_final, v_final, G_final or None), each shape (num_paths,).
     """
-    num_steps = z1.shape[1]
+    if not steps_major:
+        z1, z2, u_jump, z_js = z1.T, z2.T, u_jump.T, z_js.T
+    num_steps, num_paths = z1.shape
     dtype = z1.dtype
     spot = jnp.asarray(spot, dtype)
     dt = jnp.asarray(T, dtype) / num_steps
     sqrt_dt = jnp.sqrt(dt)
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (z1.shape[0],))
-    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (z1.shape[0],))
+    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
     sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
     g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
 
@@ -190,8 +196,8 @@ def simulate_terminal_from_draws(
             log_g = log_g + g_drift + sigma_cv * z1_t * sqrt_dt
         return (log_s, v, log_g), None
 
-    draws = (z1.T, z2.T, u_jump.T, z_js.T)  # scan over the step axis
-    (log_s, v, log_g), _ = jax.lax.scan(step, (log_s0, v0, log_s0), draws)
+    (log_s, v, log_g), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0), (z1, z2, u_jump, z_js))
     return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
 
 

@@ -95,6 +95,80 @@ def _local_price_stats(params, spot, strikes, T, key, *,
     return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
 
 
+def sharded_portfolio_returns(
+    spots,
+    sigmas,
+    corr,
+    weights,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    r: float,
+    q: float,
+    tail_quota: int,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Correlated-GBM portfolio returns, path-sharded, with a distributed
+    exact-tail reduction.
+
+    Per device: simulate `num_paths / n_dev` paths (device-folded key), form
+    portfolio returns, psum the raw moment sums, and contribute its local
+    worst `tail_quota` returns via all_gather. The global worst-k order
+    statistics (k ≤ tail_quota) are a subset of the union of per-device
+    worst-`tail_quota` sets whenever no single device holds more than
+    `tail_quota` of them — guaranteed when tail_quota ≥ k, and true with
+    overwhelming probability for tail_quota ≳ 1.5·k/n_dev + O(√k) under iid
+    sampling (the caller sizes the quota; see risk.portfolio_var).
+
+    Returns replicated arrays: n, sum1..sum4 (raw moment sums) and
+    `tail` — the (n_dev · tail_quota,) gathered worst returns.
+    """
+    from mcos_tpu.engine.risk import multi_asset_gbm_terminal
+
+    n_dev = mesh.shape[axis_name]
+    paths_per_device = -(-num_paths // n_dev)
+    quota = min(tail_quota, paths_per_device)
+
+    def local(spots_, sigmas_, corr_, weights_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        s_t = multi_asset_gbm_terminal(
+            spots_, sigmas_, corr_, r, q, T_, dev_key,
+            num_paths=paths_per_device, num_steps=num_steps)
+        rel = s_t / spots_[None, :] - 1.0
+        returns = rel @ weights_
+
+        n = jnp.float32(returns.shape[0])
+        sums = {
+            "n": n,
+            "sum1": jnp.mean(returns) * n,       # pairwise-accurate means
+            "sum2": jnp.mean(returns**2) * n,
+            "sum3": jnp.mean(returns**3) * n,
+            "sum4": jnp.mean(returns**4) * n,
+        }
+        sums = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+        # Local worst `quota` returns (most negative first), then gather.
+        worst = -jax.lax.top_k(-returns, quota)[0]
+        sums["tail"] = jax.lax.all_gather(
+            worst, axis_name, tiled=True)
+        return sums
+
+    spec = P()
+    shmapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(shmapped)(
+        jnp.asarray(spots, jnp.float32), jnp.asarray(sigmas, jnp.float32),
+        jnp.asarray(corr, jnp.float32), jnp.asarray(weights, jnp.float32),
+        jnp.float32(T), key)
+
+
 def sharded_price(
     params: SVJParams,
     spot,

@@ -198,3 +198,55 @@ def test_qe_pallas_price_matches_cos_oracle():
     res = eng.price(spot, strike, T)
     ref = float(cos_price(p, spot, [strike], T, True)[0])
     assert abs(res["price"] - ref) < max(4 * res["std_error"], 1.0)
+
+
+def test_draws_kernel_matches_scan_exactly():
+    """The Sobol/CRN draws kernel is deterministic given the draws, so the
+    interpreter pins it to the scan twin at f32-rounding tolerance — the
+    QMC production path is fully CPU-testable (unlike the PRNG kernels)."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_from_draws_pallas
+
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.05, sigma_j=0.1)
+    rng = np.random.default_rng(0)
+    n, steps = 2048, 20   # deliberately not multiples of block/chunk
+    z1 = rng.standard_normal((n, steps)).astype(np.float32)
+    z2 = rng.standard_normal((n, steps)).astype(np.float32)
+    uj = rng.uniform(size=(n, steps)).astype(np.float32)
+    zjs = rng.standard_normal((n, steps)).astype(np.float32)
+
+    s_pal, v_pal, g_pal = svj_terminal_from_draws_pallas(
+        p, 22500.0, 0.5, z1, z2, uj, zjs, antithetic=True, companion=True,
+        rows=8, chunk=8)
+    s_b, v_b, g_b = simulate.simulate_terminal_from_draws(
+        p, 22500.0, 0.5, jnp.asarray(z1), jnp.asarray(z2), jnp.asarray(uj),
+        jnp.asarray(zjs), companion=True)
+    s_a, v_a, g_a = simulate.simulate_terminal_from_draws(
+        p, 22500.0, 0.5, -jnp.asarray(z1), -jnp.asarray(z2), jnp.asarray(uj),
+        -jnp.asarray(zjs), companion=True)
+
+    for pal, ref in [(s_pal[0], s_b), (s_pal[1], s_a), (v_pal[0], v_b),
+                     (v_pal[1], v_a), (g_pal[0], g_b), (g_pal[1], g_a)]:
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                                   rtol=5e-5)
+
+    # steps-major input is the same computation.
+    s_sm, _, _ = svj_terminal_from_draws_pallas(
+        p, 22500.0, 0.5, z1.T, z2.T, uj.T, zjs.T, antithetic=True,
+        companion=True, rows=8, chunk=8, steps_major=True)
+    np.testing.assert_allclose(np.asarray(s_sm), np.asarray(s_pal), rtol=1e-6)
+
+
+@tpu_only
+def test_sobol_pallas_engine_matches_bs_oracle():
+    """Default production config (Sobol driver + Pallas draws kernel +
+    in-kernel PRNG jumps) against the degenerate-GBM BS oracle."""
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.ops.bs import bs_price
+
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    eng = MonteCarloEngine(p, num_paths=1 << 17, num_steps=252,
+                           use_sobol=True, backend="pallas")
+    res = eng.price(22500.0, 22500.0, 0.25)
+    ref = float(bs_price(22500.0, 22500.0, 0.25, 0.065, 0.012, 0.2, True))
+    assert abs(res["price"] - ref) < max(4 * res["std_error"], 1.0)

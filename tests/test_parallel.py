@@ -96,3 +96,44 @@ def test_sharded_qe_scheme():
     ref = float(bs_price(22500.0, 22500.0, 0.25, 0.065, 0.012, 0.2, True))
     assert abs(float(res["price"][0]) - ref) < max(
         4 * float(res["std_error"][0]), 1.0)
+
+
+def test_sharded_portfolio_var_matches_single_device():
+    """Mesh-sharded VaR path (psum moments + distributed exact tail) agrees
+    with the single-device estimator on the same workload."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mcos_tpu.engine.risk import portfolio_var
+
+    spots = [100.0, 200.0, 50.0, 80.0]
+    sigmas = [0.2, 0.3, 0.25, 0.15]
+    corr = np.eye(4) * 0.7 + 0.3
+    w = [0.4, 0.2, 0.2, 0.2]
+
+    sharded = portfolio_var(spots, sigmas, corr, w, 0.1,
+                            num_paths=400_000, num_steps=8)
+    assert sharded["num_devices"] == len(jax.devices())
+    single = portfolio_var(spots, sigmas, corr, w, 0.1,
+                           num_paths=400_000, num_steps=8,
+                           mesh=Mesh(np.asarray(jax.devices()[:1]),
+                                     ("paths",)))
+    for k in ("var", "cvar", "mean", "std", "skewness"):
+        assert sharded[k] == pytest.approx(single[k], rel=0.05, abs=2e-3), k
+
+
+def test_sharded_portfolio_var_analytic_lognormal():
+    """One asset: S_T/S_0 is exactly lognormal, so the 99% VaR has the
+    closed form 1 − exp(μ_log − 2.326·σ√T)."""
+    import numpy as np
+
+    from mcos_tpu.engine.risk import portfolio_var
+
+    sigma, T = 0.2, 0.05
+    out = portfolio_var([100.0], [sigma], np.eye(1), [1.0], T,
+                        r=0.0, q=0.0, num_paths=1_000_000, num_steps=4)
+    s = sigma * np.sqrt(T)
+    mu_log = -0.5 * sigma**2 * T
+    exact = 1.0 - np.exp(mu_log - 2.326 * s)
+    assert out["var"] == pytest.approx(exact, rel=0.02)
+    assert out["cvar"] > out["var"]

@@ -54,16 +54,37 @@ def test_sobol_low_discrepancy_vs_prng():
 
 
 def test_svj_draws_shapes_and_scaling():
+    # Default layout is steps-major (the zero-transpose hot path).
     z1, z2, u, zj = sobol.sobol_svj_draws(1024, 16, seed=3)
     for a in (z1, z2, u, zj):
-        assert a.shape == (1024, 16)
-    # z1 columns are unit-variance normals after the √n rescale.
-    v = np.asarray(z1).var(axis=0)
+        assert a.shape == (16, 1024)
+    # "paths" layout reproduces the reference orientation, same values.
+    z1p, _, _, _ = sobol.sobol_svj_draws(1024, 16, seed=3, layout="paths")
+    np.testing.assert_array_equal(np.asarray(z1p), np.asarray(z1).T)
+    # z1 rows are unit-variance normals after the √n rescale.
+    v = np.asarray(z1).var(axis=1)
     assert np.all(np.abs(v - 1.0) < 0.1)
     # u is uniform in (0,1)
     u = np.asarray(u)
     assert u.min() > 0 and u.max() < 1
     assert abs(u.mean() - 0.5) < 0.02
+
+
+def test_svj_draws_layouts_price_identically():
+    """steps-major and paths-major must be the same draws, so the two
+    simulator entry points price identically."""
+    import jax.numpy as jnp
+
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.simulate import simulate_terminal_from_draws
+
+    p = SVJParams()
+    zs = sobol.sobol_svj_draws(2048, 12, seed=5, layout="steps")
+    zp = sobol.sobol_svj_draws(2048, 12, seed=5, layout="paths")
+    s_s, _, _ = simulate_terminal_from_draws(p, 100.0, 0.25, *zs,
+                                             steps_major=True)
+    s_p, _, _ = simulate_terminal_from_draws(p, 100.0, 0.25, *zp)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_p), rtol=1e-6)
 
 
 def test_scramble_streams_differ():

@@ -246,6 +246,39 @@ async function fetchQuote() {
   } catch (e) { console.warn("quote failed", e); }
 }
 
+/* Offline fallback (role of the reference's Gen-1 js/engine.js): local GBM
+ * MC at σ = √v0 — real paths, a real convergence series, BS greeks — so the
+ * desk keeps working with the network pulled. */
+function runLocal(body) {
+  const r = 0.065, q = 0.012;
+  const sigma = Math.sqrt(body.params.v0);
+  const pairs = Math.min(Math.max(Math.floor(body.num_paths / 2), 1000), 50000);
+  const t0 = performance.now();
+  const mc = localMC.price(body.spot, body.strike, body.T, r, q, sigma,
+                           body.is_call, pairs, 64);
+  const ms = Math.round(performance.now() - t0);
+  $("c-price").textContent = mc.price.toFixed(2);
+  $("c-se").textContent = `± ${mc.std_error.toFixed(3)}`;
+  $("c-bs").textContent = localBS.price(
+    body.spot, body.strike, body.T, r, q, sigma, body.is_call).toFixed(2);
+  $("c-ms").textContent = `${ms} ms LOCAL`;
+  drawPaths(mc.sample_paths, body.strike);
+  drawConvergence(localMC.convergence(mc.pay, mc.disc));
+  const smile = [];
+  for (let m = 0.85; m <= 1.1501; m += 0.025) {
+    smile.push({ strike: body.spot * m, iv: sigma, price: 0 });
+  }
+  drawSmile(smile);
+  drawPayoff(body.spot, body.strike, body.is_call, mc.price);
+  drawHistogram(Array.from(mc.terminals.slice(0, 1024)), body.strike);
+  drawSensitivity(body.spot, body.strike, body.T, body.is_call);
+  renderGreeks(localBSGreeks(body.spot, body.strike, body.T, r, q, sigma,
+                             body.is_call));
+  const badge = $("status");
+  badge.textContent = "LOCAL engine (API unreachable)";
+  badge.className = "pill warn";
+}
+
 async function run() {
   const btn = $("run");
   btn.disabled = true; btn.textContent = "pricing…";
@@ -277,7 +310,9 @@ async function run() {
     renderGreeks(greeks);
     $("stress-out").classList.add("hidden");
   } catch (e) {
-    alert(`pricing failed: ${e.message}`);
+    console.warn("API pricing failed; using the local engine", e);
+    try { runLocal(body); }
+    catch (e2) { alert(`pricing failed: ${e.message}`); }
   } finally {
     btn.disabled = false; btn.textContent = "Price it";
   }
