@@ -49,9 +49,11 @@ class PriceRequest(BaseModel):
     use_sobol: bool = True
     use_antithetic: bool = True
     use_control_variate: bool = True
-    # Extension over the reference: CV semantics selector (see
-    # engine/pricer.py on the reference's biased control variate).
+    # Extensions over the reference: CV semantics selector (see
+    # engine/pricer.py on the reference's biased control variate) and
+    # randomized-QMC error bars (R independent Owen scrambles).
     cv_mode: str = "companion"
+    rqmc_randomizations: Optional[int] = Field(None, ge=2, le=64)
 
 
 class GreeksRequest(BaseModel):

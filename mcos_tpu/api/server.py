@@ -91,7 +91,12 @@ def handle_price(body: dict) -> dict:
         svj, num_paths=req.num_paths, use_sobol=req.use_sobol,
         use_antithetic=req.use_antithetic,
         use_control_variate=req.use_control_variate, cv_mode=req.cv_mode)
-    result = engine.price(req.spot, req.strike, req.T, req.is_call)
+    if req.rqmc_randomizations:
+        # R independent Owen scrambles → spread-based (honest QMC) stderr.
+        result = engine.price_rqmc(req.spot, req.strike, req.T, req.is_call,
+                                   randomizations=req.rqmc_randomizations)
+    else:
+        result = engine.price(req.spot, req.strike, req.T, req.is_call)
 
     sample_paths = engine.get_sample_paths(req.spot, req.T, num_samples=50)
     result["sample_paths"] = np.asarray(sample_paths).tolist()

@@ -10,10 +10,11 @@ Differences from the reference — all deliberate:
   *direction numbers* (dims × 30 uint32, a few KB) come from scipy's tables;
   the gray-code XOR expansion, digital-shift scrambling, uniform conversion and
   inverse-CDF all run inside one jit on the TPU.
-- **Digital-shift scrambling** replaces scipy's Owen/LMS scrambling: each
-  dimension is XORed with an independent random 30-bit shift. This preserves
-  the (t, m, s)-net equidistribution and randomizes the origin; Owen scrambling
-  is stronger in theory but sequential in construction and host-bound.
+- **Hash-based Owen scrambling** (Burley, JCGT 2020: bit-reverse →
+  Laine-Karras multiply-xor permutation → bit-reverse) replaces scipy's
+  sequential Owen tree walk: statistically equivalent nested-uniform
+  scrambling, O(1) per point, fully vectorized on the VPU. A cheaper
+  digital-shift mode (scramble="shift") is kept for studies.
 - **The Brownian bridge is a precomputed matrix**, so path construction is a
   single (paths × steps) @ (steps × steps) matmul on the MXU instead of the
   reference's per-dimension Python loop (monte_carlo.py:115-145).
@@ -118,13 +119,49 @@ def brownian_bridge_matrix(num_steps: int) -> np.ndarray:
 # Device-side point generation (dims-major: the natural layout for both the
 # BB matmul and the step-streaming consumers)
 # ─────────────────────────────────────────────────────────────────────────────
-@partial(jax.jit, static_argnames=("num_points",))
-def _sobol_uniforms_T(sv: Array, shift: Array, num_points: int) -> Array:
-    """Sobol points via gray-code XOR expansion + digital-shift scramble.
+def _reverse_bits32(x: Array) -> Array:
+    """Bit-reverse each uint32 lane (5 masked swap rounds, all VPU ops)."""
+    x = ((x >> 1) & jnp.uint32(0x55555555)) | ((x & jnp.uint32(0x55555555)) << 1)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    return (x >> 16) | (x << 16)
+
+
+def _owen_scramble30(x: Array, seed: Array) -> Array:
+    """Hash-based Owen (nested-uniform) scrambling of 30-bit Sobol integers.
+
+    Burley's construction (Practical Hash-based Owen Scrambling, JCGT 2020):
+    reverse bits → Laine-Karras multiply-xor permutation (each output bit
+    depends only on lower bits, i.e. on the *prefix* in the original
+    orientation) → reverse back. Statistically equivalent to Owen's random
+    binary-tree scrambling — the estimator-variance gold standard for
+    digital nets — at O(1) per point and fully vectorized, unlike the
+    sequential tree walk (which is why the reference leans on scipy for it,
+    monte_carlo.py:78-79). `seed` is one uint32 per dimension.
+    """
+    x = x << jnp.uint32(2)          # occupy the full 32-bit space
+    x = _reverse_bits32(x)
+    x = x + seed                    # Laine-Karras permutation
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    x = _reverse_bits32(x)
+    return x >> jnp.uint32(2)
+
+
+@partial(jax.jit, static_argnames=("num_points", "scramble"))
+def _sobol_uniforms_T(sv: Array, shift: Array, num_points: int,
+                      scramble: str = "owen") -> Array:
+    """Sobol points via gray-code XOR expansion + scrambling.
 
     Args:
         sv: (dims, 30) uint32 direction numbers.
-        shift: (dims,) uint32 30-bit digital shift.
+        shift: (dims,) uint32 scramble seed per dimension (30-bit digital
+            shift for scramble="shift"; LK hash seed for scramble="owen").
+        scramble: "owen" (hash-based nested-uniform — Owen-quality variance)
+            or "shift" (digital shift — preserves equidistribution only).
     Returns:
         (dims, num_points) float32 uniforms in (0, 1) — dims-major.
     """
@@ -138,17 +175,21 @@ def _sobol_uniforms_T(sv: Array, shift: Array, num_points: int) -> Array:
     # ⌈log2(num_points)⌉ gray-code bits can ever be set, so the chain is
     # ~19 terms at 2^19 points, not 30.
     n_bits = max(1, int(np.ceil(np.log2(max(num_points, 2)))))
-    acc = shift[:, None]
+    dims = sv.shape[0]
+    acc = jnp.zeros((dims, 1), jnp.uint32) if scramble == "owen" \
+        else shift[:, None]
     for b in range(min(n_bits, _SOBOL_BITS)):
         bit = ((gray >> jnp.uint32(b)) & jnp.uint32(1)).astype(bool)
         acc = acc ^ jnp.where(bit[None, :], sv[:, b][:, None], jnp.uint32(0))
+    if scramble == "owen":
+        acc = _owen_scramble30(acc, shift[:, None])
     # Center each 30-bit integer in its cell for an unbiased uniform.
     return (acc.astype(jnp.float32) + 0.5) * _U32_SCALE
 
 
-@partial(jax.jit, static_argnames=("num_points", "num_keep"))
+@partial(jax.jit, static_argnames=("num_points", "num_keep", "scramble"))
 def _sobol_normals_T(sv: Array, shift: Array, num_points: int,
-                     num_keep: int) -> Array:
+                     num_keep: int, scramble: str = "owen") -> Array:
     """(dims, num_keep) scrambled-Sobol normals — one fused device program.
 
     The inverse CDF is the Acklam rational approximation (shared with the
@@ -158,13 +199,13 @@ def _sobol_normals_T(sv: Array, shift: Array, num_points: int,
     """
     from mcos_tpu.ops.pallas_kernels import _ndtri_kernel
 
-    u = _sobol_uniforms_T(sv, shift, num_points)
+    u = _sobol_uniforms_T(sv, shift, num_points, scramble)
     return _ndtri_kernel(jnp.clip(u, _CLIP, 1.0 - _CLIP))[:, :num_keep]
 
 
-@partial(jax.jit, static_argnames=("num_points", "num_keep"))
+@partial(jax.jit, static_argnames=("num_points", "num_keep", "scramble"))
 def _sobol_bb_normals_T(sv: Array, shift: Array, bb: Array, num_points: int,
-                        num_keep: int) -> Array:
+                        num_keep: int, scramble: str = "owen") -> Array:
     """Brownian-bridge-ordered per-step normals, (num_steps, num_keep).
 
     Fuses uniforms → inverse-CDF → bridge matmul → √n rescale in ONE compiled
@@ -172,7 +213,7 @@ def _sobol_bb_normals_T(sv: Array, shift: Array, bb: Array, num_points: int,
     eager pipeline this replaces held 3+ such arrays live — 5 GB at 2M×252 —
     and OOM'd the chip).
     """
-    z = _sobol_normals_T(sv, shift, num_points, num_keep)
+    z = _sobol_normals_T(sv, shift, num_points, num_keep, scramble)
     num_steps = bb.shape[0]
     # dW (unit horizon) = bb @ Z; convert to per-step unit normals by √n.
     return (bb @ z) * jnp.sqrt(jnp.float32(num_steps))
@@ -184,7 +225,7 @@ def _scramble_shift(key: Array, dims: int) -> Array:
 
 
 def sobol_normals(num_paths: int, dims: int, seed: int = 0,
-                  stream: int = 0) -> Array:
+                  stream: int = 0, scramble: str = "owen") -> Array:
     """Scrambled-Sobol standard normals, shape (num_paths, dims).
 
     Mirrors generate_sobol_normals (monte_carlo.py:61-85): rounds the point
@@ -196,11 +237,12 @@ def sobol_normals(num_paths: int, dims: int, seed: int = 0,
     sv = jnp.asarray(sobol_direction_numbers(dims))
     key = jax.random.fold_in(jax.random.key(seed), stream)
     shift = _scramble_shift(key, dims)
-    return _sobol_normals_T(sv, shift, n_sobol, num_paths).T
+    return _sobol_normals_T(sv, shift, n_sobol, num_paths, scramble).T
 
 
 def sobol_svj_draws(num_paths: int, num_steps: int, seed: int = 0,
                     layout: str = "steps", jump_uniforms: bool = True,
+                    scramble: str = "owen",
                     ) -> Tuple[Array, Array, Array, Array]:
     """Full SVJ draw set from one scrambled Sobol stream.
 
@@ -228,10 +270,12 @@ def sobol_svj_draws(num_paths: int, num_steps: int, seed: int = 0,
     shift = _scramble_shift(jax.random.key(seed), 3 * s)
     bb = jnp.asarray(brownian_bridge_matrix(s))
 
-    z1 = _sobol_bb_normals_T(sv[:s], shift[:s], bb, n_sobol, num_paths)
+    z1 = _sobol_bb_normals_T(sv[:s], shift[:s], bb, n_sobol, num_paths,
+                             scramble)
     z2 = _sobol_bb_normals_T(sv[s:2 * s], shift[s:2 * s], bb, n_sobol,
-                             num_paths)
-    z_js = _sobol_normals_T(sv[2 * s:], shift[2 * s:], n_sobol, num_paths)
+                             num_paths, scramble)
+    z_js = _sobol_normals_T(sv[2 * s:], shift[2 * s:], n_sobol, num_paths,
+                            scramble)
     if jump_uniforms:
         u_jump = jax.random.uniform(jax.random.key(seed + 1), (s, num_paths),
                                     jnp.float32)
