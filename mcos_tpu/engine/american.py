@@ -44,7 +44,9 @@ def _record_log_paths(params: SVJParams, spot, T, key, *,
     spot = jnp.asarray(spot, dtype)
     dt = jnp.asarray(T, dtype) / num_steps
     sqrt_dt = jnp.sqrt(dt)
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    # log(S/S0) carry (see ops/simulate.py on f32 drift quantization);
+    # log(spot) is added back to the recorded sheet at the end.
+    log_s0 = jnp.zeros((num_paths,), dtype)
     v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
 
     def step(carry, step_idx):
@@ -59,7 +61,7 @@ def _record_log_paths(params: SVJParams, spot, T, key, *,
 
     (_, _), log_paths = jax.lax.scan(step, (log_s0, v0),
                                      jnp.arange(num_steps))
-    return log_paths
+    return log_paths + jnp.log(spot)
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",

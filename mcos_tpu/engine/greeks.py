@@ -43,9 +43,17 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from mcos_tpu.config import DEFAULT_NUM_PATHS, scaled_steps
 from mcos_tpu.engine.pricer import mc_price_core
 from mcos_tpu.models.params import SVJParams
+
+# Shared FD bump defaults: vega() and jump_sensitivities() ride ONE vmapped
+# params-batch device call per contract when called with their defaults (the
+# all_greeks path), so the bump pair is part of that batch's memo key.
+DEFAULT_VEGA_BUMP = 0.01
+DEFAULT_LAMBDA_BUMP = 0.1
 
 Array = jax.Array
 
@@ -88,12 +96,32 @@ def price_and_greeks(params: SVJParams, spot, strike, T, key, *,
     jax.jit,
     static_argnames=("num_paths", "num_steps", "is_call"),
 )
-def _ad_delta(params, spot, strike, T, key, *, num_paths, num_steps, is_call):
-    return jax.grad(
-        lambda s: _price_scalar(params, s, strike, T, key,
-                                num_paths=num_paths, num_steps=num_steps,
-                                is_call=is_call)
-    )(jnp.float32(spot))
+def _ad_delta_batch(params, spots, strike, T, key, *, num_paths, num_steps,
+                    is_call):
+    """Pathwise AD delta at several spots in ONE vmapped backward pass
+    (gamma's central difference needs two — they ride together)."""
+    def one(s):
+        return jax.grad(
+            lambda ss: _price_scalar(params, ss, strike, T, key,
+                                     num_paths=num_paths,
+                                     num_steps=num_steps, is_call=is_call))(s)
+
+    return jax.vmap(one)(jnp.asarray(spots, jnp.float32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "is_call"),
+)
+def _params_batch_price(params_batch, spot, strike, T, key, *, num_paths,
+                        num_steps, is_call):
+    """CRN prices under a batch of parameterizations (leaves carry a leading
+    batch axis) — the vega/lambda FD bumps in ONE vmapped simulation."""
+    def one(pp):
+        return _price_scalar(pp, spot, strike, T, key, num_paths=num_paths,
+                             num_steps=num_steps, is_call=is_call)
+
+    return jax.vmap(one)(params_batch)
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call"))
@@ -121,7 +149,7 @@ def lambda_lr_estimate(params: SVJParams, spot, strike, T, key, *,
     sqrt_dt = jnp.sqrt(dt)
     prob = jnp.clip(p.lambda_j * dt, 1e-7, 1.0 - 1e-7)
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    log_s0 = jnp.zeros((num_paths,), dtype)  # log(S/S0), see ops/simulate.py
     v0 = jnp.broadcast_to(jnp.asarray(p.v0, dtype), (num_paths,))
     score0 = jnp.zeros((num_paths,), dtype)
 
@@ -139,7 +167,7 @@ def lambda_lr_estimate(params: SVJParams, spot, strike, T, key, *,
 
     (log_s, _, score), _ = jax.lax.scan(
         step, (log_s0, v0, score0), jnp.arange(num_steps))
-    s_final = jnp.exp(log_s)
+    s_final = spot * jnp.exp(log_s)
     pay = jnp.maximum(s_final - strike, 0.0) if is_call \
         else jnp.maximum(strike - s_final, 0.0)
     discount = jnp.exp(-p.r * jnp.asarray(T, dtype))
@@ -153,6 +181,45 @@ def lambda_lr_estimate(params: SVJParams, spot, strike, T, key, *,
         jnp.where(pay > 0, 1.0, 0.0) * s_final * (-k_comp)
         * jnp.asarray(T, dtype)) * jnp.where(is_call, 1.0, -1.0)
     return lr_term + drift_term, se
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "is_call", "with_lr"),
+)
+def _all_greeks_device(params, params_batch, spot, bump_strikes, spots_pair,
+                       strike, T, key, *, num_paths, num_steps, is_call,
+                       with_lr):
+    """Every all_greeks ingredient as ONE compiled device program.
+
+    One backward pass (price + all first-order Greeks), the spot-bump CRN
+    prices (strike-homogeneity batch), the (v0±, λ±) params batch, the
+    vmapped AD-delta pair for gamma, and the LR λ-estimator — a single
+    dispatch/transfer instead of five (the per-call link latency dominated
+    the ms/contract figure on remote-attached TPUs).
+    """
+    price, d_spot, d_T, d_params = price_and_greeks(
+        params, spot, strike, T, key, num_paths=num_paths,
+        num_steps=num_steps, is_call=is_call)
+    spot_bumped = mc_price_core(
+        params, spot, bump_strikes, T, key, num_paths=num_paths,
+        num_steps=num_steps, is_call=is_call, antithetic=True,
+        control_variate=True, cv_mode="companion")["price"]
+    pbatch = _params_batch_price(
+        params_batch, spot, strike, T, key, num_paths=num_paths,
+        num_steps=num_steps, is_call=is_call)
+    d_pair = _ad_delta_batch(
+        params, spots_pair, strike, T, key, num_paths=num_paths,
+        num_steps=num_steps, is_call=is_call)
+    out = {
+        "price": price, "d_spot": d_spot, "d_T": d_T, "d_params": d_params,
+        "spot_bumped": spot_bumped, "pbatch": pbatch, "d_pair": d_pair,
+    }
+    if with_lr:
+        out["lr"], out["lr_se"] = lambda_lr_estimate(
+            params, spot, strike, T, key, num_paths=num_paths,
+            num_steps=num_steps, is_call=is_call)
+    return out
 
 
 class GreeksEngine:
@@ -210,6 +277,72 @@ class GreeksEngine:
                              jax.tree.map(float, d_params))
         return self._memo[k]
 
+    def _spot_bump_prices(self, spot, strike, T, is_call, bump):
+        """(P(spot(1+b), K), P(spot(1−b), K)) in ONE device call.
+
+        SVJ log-dynamics are independent of S₀, so a spot bump is a payoff
+        transform on the shared path set: P((1±b)S, K) = (1±b)·P(S, K/(1±b))
+        — both bumps are rows of one strike-vectorized pricing (the same
+        identity the stress ladder uses, engine/risk.py).
+        """
+        k = ("spot2", float(spot), float(strike), float(T), bool(is_call),
+             float(bump), self._state_key(self.params))
+        if k not in self._memo:
+            if len(self._memo) > 256:
+                self._memo.clear()
+            rel = np.array([1.0 + bump, 1.0 - bump])
+            res = mc_price_core(
+                self.params, spot, jnp.asarray(strike / rel, jnp.float32), T,
+                self._key(), num_paths=self.num_paths,
+                num_steps=self._steps(T), is_call=is_call,
+                antithetic=True, control_variate=True, cv_mode="companion")
+            pr = np.asarray(jax.device_get(res["price"]), np.float64) * rel
+            self._memo[k] = (float(pr[0]), float(pr[1]))
+        return self._memo[k]
+
+    def _param_bump_prices(self, spot, strike, T, is_call,
+                           v_bump, l_bump):
+        """CRN prices at (v0±b_v, λ±b_λ) — one vmapped params batch."""
+        k = ("pbatch", float(spot), float(strike), float(T), bool(is_call),
+             float(v_bump), float(l_bump), self._state_key(self.params))
+        if k not in self._memo:
+            if len(self._memo) > 256:
+                self._memo.clear()
+            p = self.params
+            v0, lam = float(p.v0), float(p.lambda_j)
+            v0_up, v0_dn = v0 + v_bump, max(v0 - v_bump, 0.001)
+            lam_up, lam_dn = lam + l_bump, max(lam - l_bump, 0.0)
+            members = [p.replace(v0=v0_up), p.replace(v0=v0_dn),
+                       p.replace(lambda_j=lam_up), p.replace(lambda_j=lam_dn)]
+            batch = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32)
+                                       for x in xs]), *members)
+            arr = np.asarray(jax.device_get(_params_batch_price(
+                batch, spot, strike, T, self._key(),
+                num_paths=self.num_paths, num_steps=self._steps(T),
+                is_call=is_call)), np.float64)
+            self._memo[k] = {
+                "v0_up": (v0_up, float(arr[0])),
+                "v0_dn": (v0_dn, float(arr[1])),
+                "lam_up": (lam_up, float(arr[2])),
+                "lam_dn": (lam_dn, float(arr[3])),
+            }
+        return self._memo[k]
+
+    def _ad_delta_pair(self, spot, strike, T, is_call, bump):
+        """AD deltas at spot(1±b) — one vmapped backward pass."""
+        k = ("adpair", float(spot), float(strike), float(T), bool(is_call),
+             float(bump), self._state_key(self.params))
+        if k not in self._memo:
+            if len(self._memo) > 256:
+                self._memo.clear()
+            d = np.asarray(jax.device_get(_ad_delta_batch(
+                self.params, [spot * (1 + bump), spot * (1 - bump)], strike,
+                T, self._key(), num_paths=self.num_paths,
+                num_steps=self._steps(T), is_call=is_call)), np.float64)
+            self._memo[k] = (float(d[0]), float(d[1]))
+        return self._memo[k]
+
     # -- reference API -----------------------------------------------------------
     def delta(self, spot: float, strike: float, T: float,
               is_call: bool = True, bump: float = 0.01) -> Dict[str, float]:
@@ -217,8 +350,7 @@ class GreeksEngine:
         _, d_spot, _, _ = self._grads(spot, strike, T, is_call)
         pathwise = float(d_spot)
 
-        p_up = self._price(self.params, spot * (1 + bump), strike, T, is_call)
-        p_dn = self._price(self.params, spot * (1 - bump), strike, T, is_call)
+        p_up, p_dn = self._spot_bump_prices(spot, strike, T, is_call, bump)
         fd = (p_up - p_dn) / (2 * spot * bump)
         return {
             "pathwise": pathwise,
@@ -227,18 +359,17 @@ class GreeksEngine:
         }
 
     def vega(self, spot: float, strike: float, T: float,
-             is_call: bool = True, bump: float = 0.01) -> Dict[str, float]:
+             is_call: bool = True,
+             bump: float = DEFAULT_VEGA_BUMP) -> Dict[str, float]:
         """Exact ∂P/∂v₀ via AD; ×2σ per-vol-point conversion
         (greeks.py:156-160 convention); CRN-FD cross-check."""
         _, _, _, d_params = self._grads(spot, strike, T, is_call)
         ad_vega = float(d_params.v0)
 
         v0 = float(self.params.v0)
-        v0_up, v0_dn = v0 + bump, max(v0 - bump, 0.001)
-        p_up = self._price(self.params.replace(v0=v0_up), spot, strike, T,
-                           is_call)
-        p_dn = self._price(self.params.replace(v0=v0_dn), spot, strike, T,
-                           is_call)
+        pb = self._param_bump_prices(spot, strike, T, is_call,
+                                     v_bump=bump, l_bump=DEFAULT_LAMBDA_BUMP)
+        (v0_up, p_up), (v0_dn, p_dn) = pb["v0_up"], pb["v0_dn"]
         fd = (p_up - p_dn) / (v0_up - v0_dn)
         sigma = v0 ** 0.5
         return {
@@ -254,20 +385,13 @@ class GreeksEngine:
         second-order AD). Returns the reference's key set
         (greeks.py:196-203) with prices from the same CRN stream."""
         h = spot * bump
-        steps = self._steps(T)
-        kw = dict(num_paths=self.num_paths, num_steps=steps, is_call=is_call)
-        # Bumped spots spelled exactly as in delta()'s FD so the memoized CRN
-        # prices are shared between the two blocks.
         s_up, s_dn = spot * (1 + bump), spot * (1 - bump)
-        d_up = float(_ad_delta(self.params, s_up, strike, T, self._key(),
-                               **kw))
-        d_dn = float(_ad_delta(self.params, s_dn, strike, T, self._key(),
-                               **kw))
+        d_up, d_dn = self._ad_delta_pair(spot, strike, T, is_call, bump)
         gamma = (d_up - d_dn) / (s_up - s_dn)
 
         p_base = self._grads(spot, strike, T, is_call)[0]
-        p_up = self._price(self.params, s_up, strike, T, is_call)
-        p_dn = self._price(self.params, s_dn, strike, T, is_call)
+        # Same bump as delta()'s FD, so the batched CRN prices are shared.
+        p_up, p_dn = self._spot_bump_prices(spot, strike, T, is_call, bump)
         return {
             "gamma": float(gamma),
             "gamma_fd2": float((p_up - 2 * p_base + p_dn) / (h * h)),
@@ -302,7 +426,8 @@ class GreeksEngine:
 
     def jump_sensitivities(self, spot: float, strike: float, T: float,
                            is_call: bool = True,
-                           bump: float = 0.1) -> Dict[str, float]:
+                           bump: float = DEFAULT_LAMBDA_BUMP
+                           ) -> Dict[str, float]:
         """Jump-parameter sensitivities.
 
         μ_J, σ_J: exact pathwise AD. λ: CRN central FD (shared jump uniforms
@@ -311,12 +436,9 @@ class GreeksEngine:
         is exposed for comparison. Capability absent from the reference.
         """
         _, _, _, d_params = self._grads(spot, strike, T, is_call)
-        lam = float(self.params.lambda_j)
-        lam_up, lam_dn = lam + bump, max(lam - bump, 0.0)
-        p_up = self._price(self.params.replace(lambda_j=lam_up), spot, strike,
-                           T, is_call)
-        p_dn = self._price(self.params.replace(lambda_j=lam_dn), spot, strike,
-                           T, is_call)
+        pb = self._param_bump_prices(spot, strike, T, is_call,
+                                     v_bump=DEFAULT_VEGA_BUMP, l_bump=bump)
+        (lam_up, p_up), (lam_dn, p_dn) = pb["lam_up"], pb["lam_dn"]
         denom = max(lam_up - lam_dn, 1e-12)
         out = {
             "lambda_j": float((p_up - p_dn) / denom),
@@ -325,12 +447,15 @@ class GreeksEngine:
             "sigma_j": float(d_params.sigma_j),
         }
         if float(self.params.lambda_j) > 1e-6:
-            lr, lr_se = lambda_lr_estimate(
-                self.params, spot, strike, T, self._key(),
-                num_paths=self.num_paths, num_steps=self._steps(T),
-                is_call=is_call)
-            out["lambda_j_lr"] = float(lr)
-            out["lambda_j_lr_se"] = float(lr_se)
+            klr = ("lr", float(spot), float(strike), float(T), bool(is_call),
+                   self._state_key(self.params))
+            if klr not in self._memo:
+                lr, lr_se = jax.device_get(lambda_lr_estimate(
+                    self.params, spot, strike, T, self._key(),
+                    num_paths=self.num_paths, num_steps=self._steps(T),
+                    is_call=is_call))
+                self._memo[klr] = (float(lr), float(lr_se))
+            out["lambda_j_lr"], out["lambda_j_lr_se"] = self._memo[klr]
         return out
 
     def model_sensitivities(self, spot: float, strike: float, T: float,
@@ -340,10 +465,63 @@ class GreeksEngine:
         return {"kappa": float(d.kappa), "theta": float(d.theta),
                 "xi": float(d.xi), "rho_corr": float(d.rho)}
 
+    def _prefetch_all(self, spot: float, strike: float, T: float,
+                      is_call: bool) -> None:
+        """Fill every block's memo from ONE fused device program + ONE
+        host transfer (see _all_greeks_device)."""
+        state = self._state_key(self.params)
+        kg = ("grads", float(spot), float(strike), float(T), bool(is_call),
+              state)
+        if kg in self._memo:
+            return
+        if len(self._memo) > 256:
+            self._memo.clear()
+        p = self.params
+        bump = 0.01
+        v0, lam = float(p.v0), float(p.lambda_j)
+        v0_up, v0_dn = v0 + DEFAULT_VEGA_BUMP, max(v0 - DEFAULT_VEGA_BUMP,
+                                                   0.001)
+        lam_up = lam + DEFAULT_LAMBDA_BUMP
+        lam_dn = max(lam - DEFAULT_LAMBDA_BUMP, 0.0)
+        members = [p.replace(v0=v0_up), p.replace(v0=v0_dn),
+                   p.replace(lambda_j=lam_up), p.replace(lambda_j=lam_dn)]
+        batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32)
+                                   for x in xs]), *members)
+        rel = np.array([1.0 + bump, 1.0 - bump])
+        with_lr = lam > 1e-6
+        out = jax.device_get(_all_greeks_device(
+            p, batch, spot, jnp.asarray(strike / rel, jnp.float32),
+            jnp.asarray([spot * (1 + bump), spot * (1 - bump)], jnp.float32),
+            strike, T, self._key(), num_paths=self.num_paths,
+            num_steps=self._steps(T), is_call=is_call, with_lr=with_lr))
+
+        args = (float(spot), float(strike), float(T), bool(is_call))
+        self._memo[kg] = (float(out["price"]), float(out["d_spot"]),
+                          float(out["d_T"]),
+                          jax.tree.map(float, out["d_params"]))
+        pr = np.asarray(out["spot_bumped"], np.float64) * rel
+        self._memo[("spot2", *args, float(bump), state)] = \
+            (float(pr[0]), float(pr[1]))
+        pb = np.asarray(out["pbatch"], np.float64)
+        self._memo[("pbatch", *args, float(DEFAULT_VEGA_BUMP),
+                    float(DEFAULT_LAMBDA_BUMP), state)] = {
+            "v0_up": (v0_up, float(pb[0])), "v0_dn": (v0_dn, float(pb[1])),
+            "lam_up": (lam_up, float(pb[2])),
+            "lam_dn": (lam_dn, float(pb[3])),
+        }
+        dp = np.asarray(out["d_pair"], np.float64)
+        self._memo[("adpair", *args, float(bump), state)] = \
+            (float(dp[0]), float(dp[1]))
+        if with_lr:
+            self._memo[("lr", *args, state)] = (float(out["lr"]),
+                                                float(out["lr_se"]))
+
     def all_greeks(self, spot: float, strike: float, T: float,
                    is_call: bool = True) -> Dict[str, Dict]:
-        """All Greeks (reference key layout, greeks.py:254-263) — the five
-        first-order blocks share ONE AD pass internally."""
+        """All Greeks (reference key layout, greeks.py:254-263) — ONE fused
+        device program + ONE host transfer feeds all seven blocks."""
+        self._prefetch_all(spot, strike, T, is_call)
         return {
             "delta": self.delta(spot, strike, T, is_call),
             "vega": self.vega(spot, strike, T, is_call),

@@ -61,7 +61,9 @@ def simulate_path_stats(
     sqrt_dt = jnp.sqrt(dt)
     sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (n_branch, num_paths)).astype(dtype)
+    # Carry log(S/S0) (see ops/simulate.py on the f32 drift-quantization
+    # bias of an absolute-log carry); spot scales back at materialization.
+    log_s0 = jnp.zeros((n_branch, num_paths), dtype)
     v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_branch, num_paths))
     zeros = jnp.zeros_like(log_s0)
     neg_inf = jnp.full_like(log_s0, -jnp.inf)
@@ -103,21 +105,22 @@ def simulate_path_stats(
      log_g, g_sum_s, g_sum_log, g_max_log, g_min_log) = carry
 
     n = jnp.float32(num_steps)
+    log_spot = jnp.log(spot)
     out = {
-        "s_final": jnp.exp(log_s),
+        "s_final": spot * jnp.exp(log_s),
         "v_final": v,
-        "avg": sum_s / n,
-        "log_avg": sum_log / n,
-        "max_s": jnp.exp(max_log),
-        "min_s": jnp.exp(min_log),
+        "avg": spot * (sum_s / n),
+        "log_avg": log_spot + sum_log / n,
+        "max_s": spot * jnp.exp(max_log),
+        "min_s": spot * jnp.exp(min_log),
     }
     if companion:
         out.update({
-            "g_final": jnp.exp(log_g),
-            "g_avg": g_sum_s / n,
-            "g_log_avg": g_sum_log / n,
-            "g_max": jnp.exp(g_max_log),
-            "g_min": jnp.exp(g_min_log),
+            "g_final": spot * jnp.exp(log_g),
+            "g_avg": spot * (g_sum_s / n),
+            "g_log_avg": log_spot + g_sum_log / n,
+            "g_max": spot * jnp.exp(g_max_log),
+            "g_min": spot * jnp.exp(g_min_log),
         })
     return out
 

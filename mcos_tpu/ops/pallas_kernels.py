@@ -13,8 +13,10 @@ Design:
   (paths × steps) random tensors ever touch HBM, unlike the reference's
   pre-drawn Z arrays (monte_carlo.py:290-308). HBM traffic per path is 4-12
   output bytes total, so the kernel is compute-bound by design.
-- **Log-space spot.** The carry holds log S; there is no per-step `exp`
-  (the reference exponentiates every step, monte_carlo.py:236). One `exp` at
+- **Log-space spot, relative to S0.** The carry holds log(S/S0); there is no
+  per-step `exp` (the reference exponentiates every step, monte_carlo.py:236)
+  and the O(0.1) accumulator resolves tiny drift increments ~150× finer than
+  an absolute log S ≈ 10 would in f32 (see ops/simulate.py). One `exp` at
   the end materializes S_T.
 - **Antithetic via paired grid blocks.** Grid blocks b and b + G/2 reseed the
   PRNG with the same per-pair seed and apply opposite signs to the normals,
@@ -63,7 +65,7 @@ def _interpret():
     return pltpu.InterpretParams()
 
 # Packed scalar-parameter layout (single SMEM vector, see _pack_params).
-_P_LOGS0, _P_V0, _P_DT, _P_SQRT_DT, _P_KAPPA, _P_THETA, _P_XI, _P_RHO, \
+_P_SPOT, _P_V0, _P_DT, _P_SQRT_DT, _P_KAPPA, _P_THETA, _P_XI, _P_RHO, \
     _P_RHO_PERP, _P_LAM_DT, _P_MU_J, _P_SIG_J, _P_DRIFT_DT, _P_G_DRIFT_DT, \
     _P_SIG_CV, _P_NPARAMS = range(16)
 
@@ -76,7 +78,7 @@ def _pack_params(params: SVJParams, spot, T, num_steps: int) -> Array:
     sigma_cv = jnp.sqrt(f(params.v0))
     vec = jnp.zeros((_P_NPARAMS,), jnp.float32)
     vals = {
-        _P_LOGS0: jnp.log(f(spot)),
+        _P_SPOT: f(spot),
         _P_V0: f(params.v0),
         _P_DT: dt,
         _P_SQRT_DT: jnp.sqrt(dt),
@@ -183,7 +185,7 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
 
     shape = (rows, LANES)
-    log_s0 = p_ref[_P_LOGS0]
+    spot = p_ref[_P_SPOT]
     dt = p_ref[_P_DT]
     sqrt_dt = p_ref[_P_SQRT_DT]
     kappa, theta, xi = p_ref[_P_KAPPA], p_ref[_P_THETA], p_ref[_P_XI]
@@ -221,9 +223,9 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
                                    z_d * sign, z_e * sign, z_f * sign, u[7])
         return log_s, v, log_g
 
-    init = (jnp.full(shape, log_s0, jnp.float32),
-            jnp.full(shape, p_ref[_P_V0], jnp.float32),
-            jnp.full(shape, log_s0, jnp.float32))
+    # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (zeros, jnp.full(shape, p_ref[_P_V0], jnp.float32), zeros)
     log_s, v, log_g = jax.lax.fori_loop(0, num_steps // 2, body, init)
 
     if num_steps % 2 == 1:  # static tail step
@@ -234,10 +236,10 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
         log_s, v, log_g = one_step(log_s, v, log_g,
                                    z1 * sign, z2 * sign, z_js * sign, u[4])
 
-    s_ref[:] = jnp.exp(log_s)
+    s_ref[:] = spot * jnp.exp(log_s)
     v_ref[:] = v
     if companion:
-        g_ref[:] = jnp.exp(log_g)
+        g_ref[:] = spot * jnp.exp(log_g)
     else:
         g_ref[:] = jnp.zeros(shape, jnp.float32)
 
@@ -345,13 +347,13 @@ def _svj_draws_kernel(*refs,
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     shape = (n_branch, rows, LANES)
-    log_s0 = p_ref[_P_LOGS0]
 
     @pl.when(c == 0)
     def _init():
-        ls_s[:] = jnp.full(shape, log_s0, jnp.float32)
+        # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
+        ls_s[:] = jnp.zeros(shape, jnp.float32)
         v_s[:] = jnp.full(shape, p_ref[_P_V0], jnp.float32)
-        lg_s[:] = jnp.full(shape, log_s0, jnp.float32)
+        lg_s[:] = jnp.zeros(shape, jnp.float32)
 
     dt = p_ref[_P_DT]
     sqrt_dt = p_ref[_P_SQRT_DT]
@@ -401,10 +403,11 @@ def _svj_draws_kernel(*refs,
 
     @pl.when(c == n_chunks - 1)
     def _finish():
-        s_ref[:] = jnp.exp(log_s)
+        spot = p_ref[_P_SPOT]
+        s_ref[:] = spot * jnp.exp(log_s)
         v_ref[:] = v
         if companion:
-            g_ref[:] = jnp.exp(log_g)
+            g_ref[:] = spot * jnp.exp(log_g)
         else:
             g_ref[:] = jnp.zeros(shape, jnp.float32)
 
@@ -509,7 +512,7 @@ def svj_terminal_from_draws_pallas(
 # ─────────────────────────────────────────────────────────────────────────────
 # Packed QE scalar layout (distinct from the Euler layout above: QE's
 # per-step constants are transition moments, not SDE coefficients).
-(_Q_LOGS0, _Q_V0, _Q_THETA, _Q_EKDT, _Q_VAR1, _Q_VAR2, _Q_K0, _Q_K1, _Q_K2,
+(_Q_SPOT, _Q_V0, _Q_THETA, _Q_EKDT, _Q_VAR1, _Q_VAR2, _Q_K0, _Q_K1, _Q_K2,
  _Q_K34, _Q_DRIFT_DT, _Q_LAM_DT, _Q_MU_J, _Q_SIG_J, _Q_G_DRIFT_DT, _Q_SIG_CV,
  _Q_SQRT_DT, _Q_NPARAMS) = range(18)
 
@@ -530,7 +533,7 @@ def _pack_qe_params(params: SVJParams, spot, T, num_steps: int) -> Array:
     sigma_cv = jnp.sqrt(f(p.v0))
     vec = jnp.zeros((_Q_NPARAMS,), jnp.float32)
     vals = {
-        _Q_LOGS0: jnp.log(f(spot)),
+        _Q_SPOT: f(spot),
         _Q_V0: f(p.v0),
         _Q_THETA: theta,
         _Q_EKDT: e_kdt,
@@ -627,16 +630,16 @@ def _svj_qe_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
             log_g = log_g + g_drift_dt + sig_cv * z_x * sqrt_dt
         return log_s, v_next, log_g
 
-    log_s0 = p_ref[_Q_LOGS0]
-    init = (jnp.full(shape, log_s0, jnp.float32),
-            jnp.full(shape, p_ref[_Q_V0], jnp.float32),
-            jnp.full(shape, log_s0, jnp.float32))
+    # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (zeros, jnp.full(shape, p_ref[_Q_V0], jnp.float32), zeros)
     log_s, v, log_g = jax.lax.fori_loop(0, num_steps, body, init)
 
-    s_ref[:] = jnp.exp(log_s)
+    spot = p_ref[_Q_SPOT]
+    s_ref[:] = spot * jnp.exp(log_s)
     v_ref[:] = v
     if companion:
-        g_ref[:] = jnp.exp(log_g)
+        g_ref[:] = spot * jnp.exp(log_g)
     else:
         g_ref[:] = jnp.zeros(shape, jnp.float32)
 
@@ -721,7 +724,8 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
     sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
 
     shape = (rows, LANES)
-    log_s0 = p_ref[_P_LOGS0]
+    spot = p_ref[_P_SPOT]
+    log_spot = jnp.log(spot)
     dt = p_ref[_P_DT]
     sqrt_dt = p_ref[_P_SQRT_DT]
     kappa, theta, xi = p_ref[_P_KAPPA], p_ref[_P_THETA], p_ref[_P_XI]
@@ -769,13 +773,15 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         carry = one_step(carry, z_d * sign, z_e * sign, z_f * sign, u[7])
         return carry
 
+    # log(S/S0) carry (see ops/simulate.py on f32 drift quantization);
+    # running sums track exp(rel) and rel, spot scales at materialization.
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (jnp.full(shape, log_s0, jnp.float32),
+    init = (zeros,
             jnp.full(shape, p_ref[_P_V0], jnp.float32),
             zeros, zeros,
             jnp.full(shape, -jnp.inf, jnp.float32),
             jnp.full(shape, jnp.inf, jnp.float32),
-            jnp.full(shape, log_s0, jnp.float32),
+            zeros,
             zeros, zeros,
             jnp.full(shape, -jnp.inf, jnp.float32),
             jnp.full(shape, jnp.inf, jnp.float32))
@@ -790,17 +796,17 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
      log_g, g_sum_s, g_sum_l, g_max_l, g_min_l) = carry
 
     inv_n = 1.0 / jnp.float32(num_steps)
-    s_ref[:] = jnp.exp(log_s)
-    avg_ref[:] = sum_s * inv_n
-    lavg_ref[:] = sum_l * inv_n
-    max_ref[:] = jnp.exp(max_l)
-    min_ref[:] = jnp.exp(min_l)
+    s_ref[:] = spot * jnp.exp(log_s)
+    avg_ref[:] = spot * (sum_s * inv_n)
+    lavg_ref[:] = log_spot + sum_l * inv_n
+    max_ref[:] = spot * jnp.exp(max_l)
+    min_ref[:] = spot * jnp.exp(min_l)
     if companion:
-        g_ref[:] = jnp.exp(log_g)
-        gavg_ref[:] = g_sum_s * inv_n
-        glavg_ref[:] = g_sum_l * inv_n
-        gmax_ref[:] = jnp.exp(g_max_l)
-        gmin_ref[:] = jnp.exp(g_min_l)
+        g_ref[:] = spot * jnp.exp(log_g)
+        gavg_ref[:] = spot * (g_sum_s * inv_n)
+        glavg_ref[:] = log_spot + g_sum_l * inv_n
+        gmax_ref[:] = spot * jnp.exp(g_max_l)
+        gmin_ref[:] = spot * jnp.exp(g_min_l)
     else:
         zero = jnp.zeros(shape, jnp.float32)
         g_ref[:] = zero
@@ -906,9 +912,10 @@ def _gbm_kernel(seed_ref, p_ref, s_ref, *,
             log_s = log_s + drift_dt + sig_sqrt_dt * (z_b * sign)
         return log_s
 
+    # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     log_s = jax.lax.fori_loop(
-        0, n_pairs, body, jnp.full(shape, p_ref[_P_LOGS0], jnp.float32))
-    s_ref[:] = jnp.exp(log_s)
+        0, n_pairs, body, jnp.zeros(shape, jnp.float32))
+    s_ref[:] = p_ref[_P_SPOT] * jnp.exp(log_s)
 
 
 @functools.partial(
@@ -932,7 +939,7 @@ def gbm_terminal_pallas(
     f = lambda x: jnp.asarray(x, jnp.float32)
     dt = f(T) / num_steps
     p_vec = jnp.zeros((_P_NPARAMS,), jnp.float32)
-    p_vec = p_vec.at[_P_LOGS0].set(jnp.log(f(spot)))
+    p_vec = p_vec.at[_P_SPOT].set(f(spot))
     p_vec = p_vec.at[_P_SQRT_DT].set(jnp.sqrt(dt))
     p_vec = p_vec.at[_P_DRIFT_DT].set((f(r) - f(q) - 0.5 * f(sigma) ** 2) * dt)
     p_vec = p_vec.at[_P_SIG_CV].set(f(sigma))

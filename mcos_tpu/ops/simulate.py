@@ -119,7 +119,13 @@ def simulate_terminal(
     # sign[0] = +1 (base), sign[1] = -1 (antithetic); broadcast over paths.
     sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (n_branch, num_paths)).astype(dtype)
+    # The carry holds log(S/S0), not log S: per-step drift increments are
+    # O(1e-5) while log S ≈ 10 has an f32 ulp of ~1e-6, so an absolute-log
+    # carry quantizes the (path-identical) drift the same way every step —
+    # a bias that grows linearly in steps (measured ~6e-4 on the forward at
+    # 4000 steps). Relative to S0 the accumulator stays O(0.1) and the same
+    # increments resolve ~150x finer. S0 multiplies back at the end.
+    log_s0 = jnp.zeros((n_branch, num_paths), dtype)
     v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_branch, num_paths))
 
     sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
@@ -144,7 +150,8 @@ def simulate_terminal(
 
     (log_s, v, log_g), _ = jax.lax.scan(
         step, (log_s0, v0, log_s0), jnp.arange(num_steps))
-    return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
+    return (spot * jnp.exp(log_s), v,
+            (spot * jnp.exp(log_g) if companion else None))
 
 
 @partial(jax.jit, static_argnames=("companion", "steps_major"))
@@ -182,7 +189,7 @@ def simulate_terminal_from_draws(
     dt = jnp.asarray(T, dtype) / num_steps
     sqrt_dt = jnp.sqrt(dt)
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    log_s0 = jnp.zeros((num_paths,), dtype)  # log(S/S0) carry, see above
     v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
     sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
     g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
@@ -198,7 +205,8 @@ def simulate_terminal_from_draws(
 
     (log_s, v, log_g), _ = jax.lax.scan(
         step, (log_s0, v0, log_s0), (z1, z2, u_jump, z_js))
-    return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
+    return (spot * jnp.exp(log_s), v,
+            (spot * jnp.exp(log_g) if companion else None))
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps"))
@@ -223,7 +231,7 @@ def simulate_paths_recorded(
     dt = jnp.asarray(T, dtype) / num_steps
     sqrt_dt = jnp.sqrt(dt)
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (num_paths,))
+    log_s0 = jnp.zeros((num_paths,), dtype)  # log(S/S0) carry, see above
     v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
 
     def step(carry, step_idx):
@@ -237,7 +245,7 @@ def simulate_paths_recorded(
         return (log_s, v), log_s
 
     (_, _), log_path = jax.lax.scan(step, (log_s0, v0), jnp.arange(num_steps))
-    paths = jnp.exp(log_path).T  # (num_paths, num_steps)
+    paths = spot * jnp.exp(log_path).T  # (num_paths, num_steps)
     return jnp.concatenate(
         [jnp.broadcast_to(spot, (num_paths, 1)), paths], axis=1
     )
@@ -306,7 +314,7 @@ def simulate_terminal_qe(
     g_drift = (p.r - p.q - 0.5 * sigma_cv**2) * dt
     sqrt_dt = jnp.sqrt(dt)
 
-    log_s0 = jnp.broadcast_to(jnp.log(spot), (n_branch, num_paths)).astype(dtype)
+    log_s0 = jnp.zeros((n_branch, num_paths), dtype)  # log(S/S0), see above
     v0 = jnp.broadcast_to(jnp.asarray(p.v0, dtype), (n_branch, num_paths))
 
     psi_c = 1.5
@@ -360,7 +368,8 @@ def simulate_terminal_qe(
 
     (log_s, v, log_g), _ = jax.lax.scan(
         step, (log_s0, v0, log_s0), jnp.arange(num_steps))
-    return jnp.exp(log_s), v, (jnp.exp(log_g) if companion else None)
+    return (spot * jnp.exp(log_s), v,
+            (spot * jnp.exp(log_g) if companion else None))
 
 
 def ndtri_safe(u):

@@ -114,42 +114,46 @@ def test_lambda_lr_agrees_with_crn_fd():
     assert j["lambda_j"] > 0
 
 
-def test_all_greeks_single_backward_pass(monkeypatch):
-    """The seven result blocks must share ONE backward-pass execution and
-    the delta/gamma FD cross-checks must share their CRN bump prices
-    (JAX caches compilations, not results — this pins the result memo)."""
+def test_all_greeks_single_device_program(monkeypatch):
+    """all_greeks must run as ONE fused device program (+ memo): the seven
+    result blocks share one dispatch, a repeat identical call executes
+    nothing, and mutating engine state invalidates cleanly."""
     import mcos_tpu.engine.greeks as gmod
 
-    calls = {"grads": 0, "price": 0}
-    real_grads = gmod.price_and_greeks
-    real_price = gmod._price_scalar
+    calls = {"fused": 0}
+    real_fused = gmod._all_greeks_device
 
-    def counting_grads(*a, **kw):
-        calls["grads"] += 1
-        return real_grads(*a, **kw)
+    def counting_fused(*a, **kw):
+        calls["fused"] += 1
+        return real_fused(*a, **kw)
 
-    def counting_price(*a, **kw):
-        calls["price"] += 1
-        return real_price(*a, **kw)
-
-    monkeypatch.setattr(gmod, "price_and_greeks", counting_grads)
-    monkeypatch.setattr(gmod, "_price_scalar", counting_price)
+    monkeypatch.setattr(gmod, "_all_greeks_device", counting_fused)
 
     p = SVJParams(kappa=3.0, theta=0.05, xi=0.3, rho=-0.5, v0=0.04,
                   lambda_j=1.0, mu_j=-0.05, sigma_j=0.10)
     eng = GreeksEngine(p, num_paths=20_000, num_steps=16, seed=3)
-    eng.all_greeks(SPOT, STRIKE, 0.1)
-    assert calls["grads"] == 1
-    # FD bump prices: delta 2 (shared with gamma via the memo) + vega 2 +
-    # lambda 2 = 6, plus at most 2 trace-time invocations from fresh jits.
-    assert calls["price"] <= 8
-    first = dict(calls)
+    g1 = eng.all_greeks(SPOT, STRIKE, 0.1)
+    assert calls["fused"] == 1
 
-    # A repeated identical request is a pure memo hit: zero new executions.
-    eng.all_greeks(SPOT, STRIKE, 0.1)
-    assert calls == first
+    # A repeated identical request is a pure memo hit: zero new dispatches.
+    g2 = eng.all_greeks(SPOT, STRIKE, 0.1)
+    assert calls["fused"] == 1
+    assert g1 == g2
 
     # Mutating engine state invalidates the memo (fresh pass, not stale).
     eng.params = p.replace(v0=0.05)
-    eng.all_greeks(SPOT, STRIKE, 0.1)
-    assert calls["grads"] == 2
+    g3 = eng.all_greeks(SPOT, STRIKE, 0.1)
+    assert calls["fused"] == 2
+    assert g3["vega"]["ad_vega_v0"] != g1["vega"]["ad_vega_v0"]
+
+    # The fused prefetch and the individual block paths agree: a fresh
+    # engine whose blocks are called directly must reproduce the numbers.
+    eng2 = GreeksEngine(p, num_paths=20_000, num_steps=16, seed=3)
+    d = eng2.delta(SPOT, STRIKE, 0.1)
+    v = eng2.vega(SPOT, STRIKE, 0.1)
+    gm = eng2.gamma(SPOT, STRIKE, 0.1)
+    j = eng2.jump_sensitivities(SPOT, STRIKE, 0.1)
+    assert d == g1["delta"]
+    assert v == g1["vega"]
+    assert gm == g1["gamma"]
+    assert j == g1["jumps"]

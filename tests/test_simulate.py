@@ -114,3 +114,19 @@ def test_crn_determinism():
     s1, _, _ = simulate.simulate_terminal(p, 100.0, 0.5, KEY, num_paths=1024, num_steps=16)
     s2, _, _ = simulate.simulate_terminal(p, 100.0, 0.5, KEY, num_paths=1024, num_steps=16)
     assert bool(jnp.all(s1 == s2))
+
+
+def test_high_step_count_forward_unbiased():
+    """Regression: with an absolute-log f32 carry, the path-identical drift
+    increment (~1e-5) quantizes against log S ≈ 10 (ulp ~1e-6) the same way
+    every step, biasing E[S_T] by ~6e-4 at 4000 steps. The log(S/S0) carry
+    must keep the forward within MC noise (~3e-5 at this n) at any depth."""
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    spot, T = 22500.0, 0.25
+    n = 1 << 18
+    fwd = spot * np.exp(np.float32(0.053 * T))
+    for steps in (250, 4000):
+        s, _, _ = simulate.simulate_terminal(p, spot, T, KEY,
+                                             num_paths=n, num_steps=steps)
+        ratio = float(jnp.mean(s)) / float(fwd)
+        assert abs(ratio - 1.0) < 1.5e-4, (steps, ratio)
