@@ -95,19 +95,42 @@ function hline(f, yv, color, dash = [5, 4]) {
 }
 
 /* ── charts ───────────────────────────────────────────────────────────── */
+let pathAnim = 0; // token: a new run cancels the previous animation
+
 function drawPaths(paths, strike) {
   const canvas = $("chart-paths");
   const steps = paths[0].length;
   const xs = [...Array(steps).keys()];
   const flat = paths.flat();
   const f = frame(canvas, xs, [...flat, strike]);
-  for (const p of paths.slice(0, 40)) {
-    const endUp = p[p.length - 1] >= strike;
-    f.ctx.globalAlpha = 0.35;
-    polyline(f, xs, p, endUp ? COLORS.up : COLORS.down, 1);
+  const shown = paths.slice(0, 40);
+  const token = ++pathAnim;
+
+  // Progressive reveal (role of the reference's animated renderer,
+  // js/charts.js): each frame extends every path a few steps; color fades
+  // with distance from the strike at the path's current head.
+  const perFrame = Math.max(2, Math.ceil(steps / 45));
+  let upto = 1;
+
+  function shade(p, end) {
+    const d = Math.min(Math.abs(p[end] - strike) / (0.06 * strike), 1);
+    const a = 0.25 + 0.45 * d; // far from strike → more saturated
+    return p[end] >= strike
+      ? `rgba(104, 211, 145, ${a})` : `rgba(252, 129, 129, ${a})`;
   }
-  f.ctx.globalAlpha = 1;
-  hline(f, strike, COLORS.alt);
+
+  function tick() {
+    if (token !== pathAnim) return; // superseded by a newer run
+    const next = Math.min(upto + perFrame, steps - 1);
+    for (const p of shown) {
+      polyline(f, xs.slice(upto - 1, next + 1), p.slice(upto - 1, next + 1),
+               shade(p, next), 1);
+    }
+    upto = next;
+    hline(f, strike, COLORS.alt);
+    if (upto < steps - 1) requestAnimationFrame(tick);
+  }
+  tick();
 }
 
 function drawConvergence(conv) {
