@@ -241,7 +241,7 @@ def mc_price_pallas(
 @partial(
     jax.jit,
     static_argnames=("is_call", "antithetic", "control_variate", "cv_mode",
-                     "cv_beta", "backend", "steps_major"),
+                     "cv_beta", "backend", "steps_major", "scheme"),
 )
 def mc_price_from_draws(
     params: SVJParams,
@@ -261,8 +261,14 @@ def mc_price_from_draws(
     cv_beta: str = "one",
     backend: str = "scan",
     steps_major: bool = False,
+    scheme: str = "euler",
 ) -> Dict[str, Array]:
     """QMC / CRN pricing path: externally supplied draws, antithetic pairing.
+
+    scheme="qe" interprets the draw tuple as the QE layout (z1 slot = z_x
+    log-spot normals, z2 slot = u_v variance-transition *uniforms*, see
+    ops/sobol.py:sobol_qe_draws) and runs the Andersen scheme from draws
+    (scan execution — the QE draws path has no fused kernel yet).
 
     When `antithetic`, the second branch negates (z1, z2, z_js) and shares
     u_jump, matching monte_carlo.py:318-324 (note: negating Sobol points is a
@@ -278,7 +284,17 @@ def mc_price_from_draws(
     """
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
     want_g = control_variate and cv_mode == "companion"
-    if backend == "pallas":
+    if scheme == "qe":
+        if u_jump is None:
+            shape = z1.shape
+            u_jump = jax.random.uniform(
+                jax.random.key(jnp.asarray(seed, jnp.int32) + 1),
+                shape, jnp.float32)
+        s_final, v_all, g_final = simulate.simulate_terminal_qe_from_draws(
+            params, spot, T, z1, z2, u_jump, z_js, antithetic=antithetic,
+            companion=want_g, steps_major=steps_major)
+        v_base = v_all[0]
+    elif backend == "pallas":
         from mcos_tpu.ops.pallas_kernels import svj_terminal_from_draws_pallas
 
         # u_jump=None → jump uniforms from the hardware PRNG inside the
@@ -358,10 +374,29 @@ class MonteCarloEngine:
         self.cv_beta = cv_beta
         self.scheme = scheme
         self.backend = backend
+        # One-slot Sobol draw-set cache: a serving process re-prices the same
+        # (paths, steps, seed) shape on every request; regenerating the nets
+        # costs tens of ms and ~GBs of HBM churn. The cached arrays live on
+        # device; the slot invalidates on any keying attribute change.
+        self._draws_cache: Dict = {}
 
     # -- internals ------------------------------------------------------------
     def _key(self) -> Array:
         return jax.random.key(self.seed)
+
+    def _sobol_draws(self, steps: int):
+        from mcos_tpu.ops.sobol import sobol_qe_draws, sobol_svj_draws
+
+        key = (self.scheme, steps, self.num_paths, self.seed)
+        if self._draws_cache.get("key") != key:
+            if self.scheme == "qe":
+                draws = sobol_qe_draws(self.num_paths, steps, seed=self.seed,
+                                       jump_uniforms=False)
+            else:
+                draws = sobol_svj_draws(self.num_paths, steps, seed=self.seed,
+                                        layout="steps", jump_uniforms=False)
+            self._draws_cache = {"key": key, "draws": draws}
+        return self._draws_cache["draws"]
 
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
@@ -376,22 +411,8 @@ class MonteCarloEngine:
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
         steps = self._steps(T)
         use_sobol = self.use_sobol
-        if use_sobol and self.scheme == "qe":
-            # The QMC driver feeds Brownian-increment draws into the Euler
-            # recursion; QE's variance transition consumes *uniforms* with a
-            # different dimension layout, so Sobol+QE would silently price
-            # with the wrong discretization. Honoring the scheme (the user's
-            # accuracy choice) beats honoring the driver: fall back to PRNG.
-            import logging
-            logging.getLogger("mcos_tpu.pricer").warning(
-                "scheme='qe' has no Sobol driver; using the PRNG QE path "
-                "(set use_sobol=False to silence this)")
-            use_sobol = False
         if use_sobol:
-            from mcos_tpu.ops.sobol import sobol_svj_draws  # lazy: host precompute
-            z1, z2, u_jump, z_js = sobol_svj_draws(
-                self.num_paths, steps, seed=self.seed, layout="steps",
-                jump_uniforms=False)
+            z1, z2, u_jump, z_js = self._sobol_draws(steps)
             return mc_price_from_draws(
                 self.params, spot, jnp.asarray(strikes), T,
                 z1, z2, u_jump, z_js, seed=self.seed,
@@ -399,6 +420,7 @@ class MonteCarloEngine:
                 control_variate=self.use_control_variate,
                 cv_mode=self.cv_mode, cv_beta=self.cv_beta,
                 backend=self._resolved_backend(), steps_major=True,
+                scheme=self.scheme,
             )
         if self._resolved_backend() == "pallas":
             return mc_price_pallas(

@@ -372,6 +372,121 @@ def simulate_terminal_qe(
             (spot * jnp.exp(log_g) if companion else None))
 
 
+@partial(jax.jit, static_argnames=("antithetic", "companion", "steps_major"))
+def simulate_terminal_qe_from_draws(
+    params: SVJParams,
+    spot,
+    T,
+    z_x: Array,
+    u_v: Array,
+    u_jump: Array,
+    z_js: Array,
+    antithetic: bool = True,
+    companion: bool = False,
+    steps_major: bool = False,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Andersen QE scheme driven by externally supplied randoms (QMC driver).
+
+    Args:
+        z_x: standard normals driving the log-spot diffusion (the Brownian-
+            bridge-reordered Sobol block, exactly like Euler's z1).
+        u_v: U(0,1) variance-transition uniforms — QE consumes *uniforms*
+            here (quadratic branch inverts them, exponential branch uses
+            them directly), so the Sobol dims map through unchanged.
+        u_jump: U(0,1) jump-occurrence uniforms (PRNG stream, shared across
+            the antithetic pair).
+        z_js: jump-size normals.
+        antithetic: add the branch with negated (z_x, z_js); u_v and u_jump
+            are shared, so the variance path is identical across the pair —
+            the same convention as `simulate_terminal_qe`.
+
+    Returns (S, v, G or None), each (n_branch, num_paths).
+    """
+    if not steps_major:
+        z_x, u_v, u_jump, z_js = z_x.T, u_v.T, u_jump.T, z_js.T
+    num_steps, num_paths = z_x.shape
+    dtype = z_x.dtype
+    p = params
+    n_branch = 2 if antithetic else 1
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+
+    kappa = jnp.asarray(p.kappa, dtype)
+    theta = jnp.asarray(p.theta, dtype)
+    xi = jnp.asarray(p.xi, dtype)
+    rho = jnp.asarray(p.rho, dtype)
+
+    e_kdt = jnp.exp(-kappa * dt)
+    c_mean = 1.0 - e_kdt
+    var1 = xi**2 * e_kdt * c_mean / jnp.maximum(kappa, 1e-12)
+    var2 = theta * xi**2 * c_mean**2 / jnp.maximum(2.0 * kappa, 1e-12)
+
+    gamma = 0.5
+    k_over = kappa * rho / jnp.maximum(xi, 1e-12) - 0.5
+    k0 = -rho * kappa * theta * dt / jnp.maximum(xi, 1e-12)
+    k1 = gamma * dt * k_over - rho / jnp.maximum(xi, 1e-12)
+    k2 = gamma * dt * k_over + rho / jnp.maximum(xi, 1e-12)
+    k3 = gamma * dt * (1.0 - rho**2)
+    k4 = gamma * dt * (1.0 - rho**2)
+
+    k_comp = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
+    drift_dt = (p.r - p.q - p.lambda_j * k_comp) * dt
+    sigma_cv = jnp.sqrt(jnp.asarray(p.v0, dtype))
+    g_drift = (p.r - p.q - 0.5 * sigma_cv**2) * dt
+    sqrt_dt = jnp.sqrt(dt)
+
+    log_s0 = jnp.zeros((n_branch, num_paths), dtype)  # log(S/S0)
+    v0 = jnp.broadcast_to(jnp.asarray(p.v0, dtype), (n_branch, num_paths))
+    psi_c = 1.5
+
+    def step(carry, draws):
+        log_s, v, log_g = carry
+        zx_t, uv_t, uj_t, zjs_t = draws
+        z_x_b = zx_t[None, :] * sign
+        z_js_b = zjs_t[None, :] * sign
+        u_v_b = uv_t[None, :]
+        u_jump_b = uj_t[None, :]
+
+        m = theta + (v - theta) * e_kdt
+        s2 = v * var1 + var2
+        psi = s2 / jnp.maximum(m * m, 1e-20)
+
+        two_over_psi = 2.0 / jnp.maximum(psi, 1e-12)
+        b2 = jnp.maximum(
+            two_over_psi - 1.0
+            + jnp.sqrt(jnp.maximum(two_over_psi, 1e-12))
+            * jnp.sqrt(jnp.maximum(two_over_psi - 1.0, 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        z_v = ndtri_safe(u_v_b)
+        v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 0.999)
+        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-20)
+        u_clip = jnp.clip(u_v_b, 1e-7, 1.0 - 1e-7)
+        v_exp = jnp.where(
+            u_v_b <= p_mass, 0.0,
+            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u_clip, 1e-12))
+            / jnp.maximum(beta, 1e-20))
+
+        v_next = jnp.where(psi <= psi_c, v_quad, v_exp)
+
+        jump = jnp.where(u_jump_b < p.lambda_j * dt,
+                         p.mu_j + p.sigma_j * z_js_b, 0.0)
+        diff_var = jnp.maximum(k3 * v + k4 * v_next, 0.0)
+        log_s = (log_s + drift_dt + k0 + k1 * v + k2 * v_next
+                 + jnp.sqrt(diff_var) * z_x_b + jump)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z_x_b * sqrt_dt
+        return (log_s, v_next, log_g), None
+
+    (log_s, v, log_g), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0), (z_x, u_v, u_jump, z_js))
+    return (spot * jnp.exp(log_s), v,
+            (spot * jnp.exp(log_g) if companion else None))
+
+
 def ndtri_safe(u):
     """Inverse normal CDF with clipped tails (f32-safe)."""
     from jax.scipy.special import ndtri

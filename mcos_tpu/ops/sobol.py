@@ -290,3 +290,44 @@ def sobol_svj_draws(num_paths: int, num_steps: int, seed: int = 0,
     if layout != "steps":
         raise ValueError(f"unknown layout: {layout!r}")
     return z1, z2, u_jump, z_js
+
+
+@partial(jax.jit, static_argnames=("num_points", "num_keep", "scramble"))
+def _sobol_uniforms_keep_T(sv: Array, shift: Array, num_points: int,
+                           num_keep: int, scramble: str = "owen") -> Array:
+    u = _sobol_uniforms_T(sv, shift, num_points, scramble)
+    return jnp.clip(u, _CLIP, 1.0 - _CLIP)[:, :num_keep]
+
+
+def sobol_qe_draws(num_paths: int, num_steps: int, seed: int = 0,
+                   jump_uniforms: bool = True, scramble: str = "owen",
+                   ) -> Tuple[Array, Array, Array, Array]:
+    """Draw set for the Andersen QE scheme from one scrambled Sobol stream.
+
+    Dimension assignment (3·steps dims, importance-ordered like the Euler
+    set): dims 0..s drive the log-spot Brownian motion (Brownian-bridge
+    reordered, exactly like Euler's z1); dims s..2s are the variance-
+    transition *uniforms* — QE consumes uniforms directly (quadratic branch
+    inverts them, exponential branch uses them raw), so no inverse-CDF is
+    applied; dims 2s..3s are jump-size normals. Jump-occurrence uniforms are
+    a PRNG stream (or in-kernel when jump_uniforms=False), as in the Euler
+    driver.
+
+    Returns (z_x, u_v, u_jump, z_js), steps-major (num_steps, num_paths).
+    """
+    m = int(np.ceil(np.log2(max(num_paths, 2))))
+    n_sobol = 2**m
+    s = num_steps
+    sv = jnp.asarray(sobol_direction_numbers(3 * s))
+    shift = _scramble_shift(jax.random.key(seed), 3 * s)
+    bb = jnp.asarray(brownian_bridge_matrix(s))
+
+    z_x = _sobol_bb_normals_T(sv[:s], shift[:s], bb, n_sobol, num_paths,
+                              scramble)
+    u_v = _sobol_uniforms_keep_T(sv[s:2 * s], shift[s:2 * s], n_sobol,
+                                 num_paths, scramble)
+    z_js = _sobol_normals_T(sv[2 * s:], shift[2 * s:], n_sobol, num_paths,
+                            scramble)
+    u_jump = (jax.random.uniform(jax.random.key(seed + 1), (s, num_paths),
+                                 jnp.float32) if jump_uniforms else None)
+    return z_x, u_v, u_jump, z_js

@@ -80,3 +80,39 @@ def test_qe_antithetic_shares_variance_path():
     # expect clearly sub-unit correlation, not strong anti-correlation.
     corr = np.corrcoef(np.log(np.asarray(s[0])), np.log(np.asarray(s[1])))[0, 1]
     assert corr < 0.3
+
+
+def test_qe_sobol_driver_matches_cos():
+    """The scheme x driver matrix is complete: QE + Sobol (u_v consumed as
+    raw uniforms, z_x bridge-ordered) reproduces the COS oracle at a step
+    count where QE is essentially exact."""
+    import jax.numpy as jnp
+
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    S, T = 22500.0, 0.25
+    exact = float(cos_price(p, S, [S], T, True)[0])
+    eng = MonteCarloEngine(p, num_paths=1 << 16, num_steps=64, seed=9,
+                           use_sobol=True, scheme="qe")
+    res = eng.price(S, S, T)
+    assert abs(res["price"] - exact) < max(4 * res["std_error"], 1.5)
+
+
+def test_engine_draws_cache_reused():
+    """Repeated pricing on one engine reuses the cached Sobol draw set
+    (same device buffers); changing the seed invalidates the slot."""
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.models.params import gbm_params
+
+    eng = MonteCarloEngine(gbm_params(0.2), num_paths=4096, num_steps=16,
+                           seed=5, use_sobol=True)
+    eng.price(100.0, 100.0, 0.1)
+    d1 = eng._draws_cache["draws"]
+    eng.price(100.0, 105.0, 0.1)
+    d2 = eng._draws_cache["draws"]
+    assert d1[0] is d2[0]  # same device buffer, no regeneration
+    eng.seed = 6
+    eng.price(100.0, 100.0, 0.1)
+    assert eng._draws_cache["draws"][0] is not d1[0]
