@@ -515,8 +515,13 @@ class MonteCarloEngine:
         batches = 0
         price = se = 0.0
         bs_ref = None
+        # Geometric schedule: batch k doubles (power-of-two sizes), so a run
+        # to the 2M cap costs ~log₂ host round trips and a bounded compile
+        # universe, instead of max_paths/batch_paths sequential launches.
+        n_next = 1 << max(int(np.ceil(np.log2(max(batch_paths, 1024)))), 10)
         while total_n < max_paths:
-            n_batch = min(batch_paths, max_paths - total_n)
+            n_batch = min(n_next, max_paths - total_n)
+            n_next *= 2
             kwargs = dict(
                 num_paths=n_batch, num_steps=steps, is_call=is_call,
                 antithetic=self.use_antithetic,
