@@ -112,6 +112,7 @@ class ExoticRequest(BaseModel):
     knock: str = "out"                   # barrier only
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
+    with_greeks: bool = False  # delta/vega (AD; CRN-FD for barriers)
 
 
 class AmericanRequest(BaseModel):

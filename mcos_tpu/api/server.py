@@ -208,6 +208,12 @@ def handle_exotic(body: dict) -> dict:
                                  strike=req.strike)
     else:
         raise ApiError(400, f"unknown kind {req.kind!r}")
+    if req.with_greeks:
+        out["greeks"] = eng.greeks(
+            req.spot, req.strike if req.strike is not None else 0.0, req.T,
+            kind=req.kind, is_call=req.is_call, barrier=req.barrier,
+            knock=req.knock, averaging=req.averaging,
+            floating=req.kind == "lookback" and req.strike is None)
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

@@ -136,6 +136,35 @@ def _price_exotic_core(
     return out
 
 
+@partial(jax.jit, static_argnames=(
+    "kind", "num_paths", "num_steps", "is_call", "averaging", "knock",
+    "direction", "floating", "antithetic", "control_variate"))
+def _exotic_value_and_greeks(
+    params: SVJParams, spot, strike, T, key, barrier, *,
+    kind: str, num_paths: int, num_steps: int, is_call: bool,
+    averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
+    floating: bool = False, antithetic: bool = True,
+    control_variate: bool = True,
+):
+    """(price, ∂P/∂spot, ∂P/∂params) through the differentiable stat scan.
+
+    Valid for Lipschitz path functionals (Asian averages, lookback extrema
+    — max/min carry a.e.-correct subgradients). NOT for barriers: the
+    knock indicator has zero pathwise derivative (the engine uses CRN-FD
+    there instead, see ExoticEngine.greeks)."""
+    def f(s, p_):
+        return _price_exotic_core(
+            p_, s, strike, T, key, barrier, 0, kind=kind,
+            num_paths=num_paths, num_steps=num_steps, is_call=is_call,
+            averaging=averaging, knock=knock, direction=direction,
+            floating=floating, antithetic=antithetic,
+            control_variate=control_variate, backend="scan")["price"]
+
+    price, (d_spot, d_params) = jax.value_and_grad(
+        f, argnums=(0, 1))(jnp.float32(spot), params)
+    return price, d_spot, d_params
+
+
 class ExoticEngine:
     """Asian / barrier / lookback pricer sharing the framework's estimator
     conventions (antithetic, CRN keys, maturity-scaled steps)."""
@@ -198,3 +227,74 @@ class ExoticEngine:
         return self._run(spot, strike if strike is not None else 0.0, T,
                          kind="lookback", is_call=is_call,
                          floating=strike is None)
+
+    def greeks(self, spot: float, strike: float, T: float,
+               kind: str = "asian", is_call: bool = True,
+               barrier: Optional[float] = None, knock: str = "out",
+               averaging: str = "arithmetic", floating: bool = False,
+               bump: float = 0.01) -> Dict[str, float]:
+        """Delta and vega for path-dependent payoffs (beyond the reference,
+        which has no exotics at all).
+
+        Asian / lookback: exact pathwise AD through the differentiable stat
+        scan (the payoffs are Lipschitz in the path functionals), vega
+        converted per vol point (2√v0 · ∂P/∂v0). Barrier: the knock
+        indicator has zero pathwise derivative, so delta comes from a CRN
+        central difference using payoff homogeneity — SVJ paths scale with
+        S₀, so P((1±h)S, K, B) = (1±h)·P(S, K/(1±h), B/(1±h)) off the same
+        paths — and vega from a CRN v0 bump (shared draws keep indicator
+        flips to the near-barrier band).
+        """
+        steps = scaled_steps(self.num_steps, T)
+        key = jax.random.key(self.seed)
+        if kind in ("asian", "lookback"):
+            price, d_spot, d_params = jax.device_get(_exotic_value_and_greeks(
+                self.params, spot, strike, T, key, barrier or 0.0,
+                kind=kind, num_paths=self.num_paths, num_steps=steps,
+                is_call=is_call, averaging=averaging, floating=floating,
+                antithetic=self.use_antithetic,
+                control_variate=self.use_control_variate))
+            v0 = float(self.params.v0)
+            return {
+                "price": float(price),
+                "delta": float(d_spot),
+                "vega_v0": float(d_params.v0),
+                "vega": float(d_params.v0) * 2.0 * v0 ** 0.5,
+                "rho": float(d_params.r),
+                "method": "pathwise_ad",
+            }
+        if kind != "barrier":
+            raise ValueError(f"unknown exotic kind: {kind!r}")
+        if barrier is None:
+            raise ValueError("barrier greeks need barrier=")
+        direction = "up" if barrier >= spot else "down"
+        base = self.price_barrier(spot, strike, T, barrier, is_call, knock,
+                                  direction)
+        rel = (1.0 + bump, 1.0 - bump)
+        shocked = [
+            r * self.price_barrier(spot, strike / r, T, barrier / r,
+                                   is_call, knock, direction)["price"]
+            for r in rel
+        ]
+        delta = (shocked[0] - shocked[1]) / (2 * spot * bump)
+        v0 = float(self.params.v0)
+        dv = 0.25 * v0  # relative v0 bump keeps CRN indicator flips local
+        prices_v = []
+        for v0b in (v0 + dv, max(v0 - dv, 1e-4)):
+            eng = ExoticEngine(self.params.replace(v0=v0b),
+                               num_paths=self.num_paths,
+                               num_steps=self.num_steps, seed=self.seed,
+                               use_antithetic=self.use_antithetic,
+                               use_control_variate=self.use_control_variate,
+                               backend=self.backend)
+            prices_v.append(eng.price_barrier(spot, strike, T, barrier,
+                                              is_call, knock,
+                                              direction)["price"])
+        vega_v0 = (prices_v[0] - prices_v[1]) / (2 * dv)
+        return {
+            "price": base["price"],
+            "delta": float(delta),
+            "vega_v0": float(vega_v0),
+            "vega": float(vega_v0) * 2.0 * v0 ** 0.5,
+            "method": "crn_fd_homogeneity",
+        }

@@ -114,3 +114,43 @@ def test_path_stats_consistency():
     # Geometric mean ≤ arithmetic mean, pathwise.
     geo = np.exp(np.asarray(stats["log_avg"]))
     assert (geo <= np.asarray(stats["avg"]) + 1e-3).all()
+
+
+def test_asian_greeks_ad_vs_fd():
+    """Pathwise AD delta for the arithmetic Asian agrees with a CRN central
+    difference (same engine seed ⇒ shared paths)."""
+    eng = ExoticEngine(gbm_params(0.2, r=0.05, q=0.01), num_paths=50_000,
+                       num_steps=64, seed=3, backend="scan")
+    g = eng.greeks(100.0, 100.0, 0.5, kind="asian")
+    assert g["method"] == "pathwise_ad"
+    h = 1.0
+    p_up = eng.price_asian(101.0, 100.0, 0.5)["price"]
+    p_dn = eng.price_asian(99.0, 100.0, 0.5)["price"]
+    fd = (p_up - p_dn) / (2 * h)
+    assert g["delta"] == pytest.approx(fd, abs=0.03)
+    # ATM Asian call delta sits near e^{-qT}/2-ish; sanity band.
+    assert 0.3 < g["delta"] < 0.8
+    assert g["vega"] > 0  # long vol
+
+
+def test_lookback_greeks_signs():
+    eng = ExoticEngine(gbm_params(0.25, r=0.05, q=0.0), num_paths=30_000,
+                       num_steps=64, seed=5, backend="scan")
+    g = eng.greeks(100.0, 0.0, 0.5, kind="lookback", floating=True)
+    # Floating-strike lookbacks are homogeneous degree 1 in spot, so the
+    # pathwise delta must equal price/spot exactly — a three-way pin of the
+    # AD machinery against Euler's theorem.
+    assert g["delta"] == pytest.approx(g["price"] / 100.0, rel=1e-4)
+    assert g["vega"] > 0
+
+
+def test_barrier_greeks_fd():
+    eng = ExoticEngine(gbm_params(0.2, r=0.05, q=0.01), num_paths=60_000,
+                       num_steps=64, seed=7, backend="scan")
+    g = eng.greeks(100.0, 100.0, 0.5, kind="barrier", barrier=130.0,
+                   knock="out")
+    assert g["method"] == "crn_fd_homogeneity"
+    # Up-and-out call: positive delta near the money, SHORT vega (higher
+    # vol raises knock-out probability).
+    assert 0.0 < g["delta"] < 1.0
+    assert g["vega"] < 0
