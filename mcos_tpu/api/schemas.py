@@ -89,6 +89,7 @@ class HedgeRequest(BaseModel):
     num_scenarios: int = Field(500, ge=10, le=100_000)
     txn_cost_bps: float = 5.0
     slippage_bps: float = 2.0
+    dynamics: str = "gbm"  # "svj" replays the full jump-diffusion world
 
 
 class SmileRequest(BaseModel):

@@ -151,7 +151,7 @@ def handle_hedge(body: dict) -> dict:
     result = bt.run_backtest(
         req.spot, req.strike, req.T, req.is_call,
         txn_cost_bps=req.txn_cost_bps, slippage_bps=req.slippage_bps,
-        num_scenarios=req.num_scenarios)
+        num_scenarios=req.num_scenarios, dynamics=req.dynamics)
     result["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return result
 

@@ -268,41 +268,62 @@ class LiquidityStress:
 # ─────────────────────────────────────────────────────────────────────────────
 # Hedging backtest: scan over days, vmap over scenarios
 # ─────────────────────────────────────────────────────────────────────────────
-@partial(jax.jit, static_argnames=("num_days", "num_scenarios", "is_call"))
+@partial(jax.jit, static_argnames=("num_days", "num_scenarios", "is_call",
+                                   "dynamics"))
 def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
                  num_days: int, num_scenarios: int, is_call: bool,
-                 txn_cost_bps: float, slippage_bps: float):
+                 txn_cost_bps: float, slippage_bps: float,
+                 dynamics: str = "gbm"):
     """All hedge scenarios in lockstep (vectorized form of risk.py:264-317).
 
-    Spot follows the same simple GBM-at-√v0 the reference uses for the
-    backtest (risk.py:293-294); the hedge ratio is the BS delta at σ=√v0
-    (risk.py:283).
+    dynamics="gbm" follows the reference: spot is GBM-at-√v0
+    (risk.py:293-294). dynamics="svj" replays the full jump-diffusion with
+    stochastic variance (one SVJ step per day via `_svj_step_core`), so the
+    backtest exposes the REAL hedging shortfall of delta-only replication —
+    gap risk through jumps and vega bleed through v-moves — which the
+    GBM world structurally cannot show. The hedge ratio stays the desk's
+    BS delta at σ=√v0 (risk.py:283) in both modes.
     """
+    from mcos_tpu.ops.simulate import _svj_step_core
+
     dt = jnp.asarray(T, jnp.float32) / num_days
+    sqrt_dt = jnp.sqrt(dt)
     sigma = jnp.sqrt(params.v0)
     cost_rate = (txn_cost_bps + slippage_bps) / 10_000.0
 
-    s0 = jnp.full((num_scenarios,), spot, jnp.float32)
+    log_s0 = jnp.zeros((num_scenarios,), jnp.float32)  # log(S/S0) carry
+    v0 = jnp.full((num_scenarios,), params.v0, jnp.float32)
     cash0 = jnp.full((num_scenarios,), premium, jnp.float32)
     shares0 = jnp.zeros((num_scenarios,), jnp.float32)
     cost0 = jnp.zeros((num_scenarios,), jnp.float32)
 
-    def day(carry, inputs):
-        s, cash, shares, cost_acc, t_remaining = carry
-        z = inputs
+    def day(carry, day_idx):
+        log_s, v, cash, shares, cost_acc, t_remaining = carry
+        s = spot * jnp.exp(log_s)
         delta = bs_delta(s, strike, jnp.maximum(t_remaining, 1e-6),
                          params.r, params.q, sigma, is_call)
         trade = delta - shares
         cost = jnp.abs(trade) * s * cost_rate
         cash = cash - trade * s - cost
         shares = delta
-        s_new = s * jnp.exp((params.r - params.q - 0.5 * params.v0) * dt
-                            + jnp.sqrt(params.v0 * dt) * z)
-        return (s_new, cash, shares, cost_acc + cost, t_remaining - dt), None
+        k_day = jax.random.fold_in(key, day_idx)
+        if dynamics == "svj":
+            kn, ku = jax.random.split(k_day)
+            z = jax.random.normal(kn, (3, num_scenarios), jnp.float32)
+            u = jax.random.uniform(ku, (num_scenarios,), jnp.float32)
+            log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                      z[0], z[1], u, z[2])
+        else:
+            z = jax.random.normal(k_day, (num_scenarios,), jnp.float32)
+            log_s = log_s + (params.r - params.q - 0.5 * params.v0) * dt \
+                + jnp.sqrt(params.v0 * dt) * z
+        return (log_s, v, cash, shares, cost_acc + cost,
+                t_remaining - dt), None
 
-    zs = jax.random.normal(key, (num_days, num_scenarios), jnp.float32)
-    (s, cash, shares, cost, _), _ = jax.lax.scan(
-        day, (s0, cash0, shares0, cost0, jnp.asarray(T, jnp.float32)), zs)
+    (log_s, _, cash, shares, cost, _), _ = jax.lax.scan(
+        day, (log_s0, v0, cash0, shares0, cost0, jnp.asarray(T, jnp.float32)),
+        jnp.arange(num_days))
+    s = spot * jnp.exp(log_s)
 
     payoff = jnp.where(is_call, jnp.maximum(s - strike, 0.0),
                        jnp.maximum(strike - s, 0.0))
@@ -328,7 +349,11 @@ class HedgingBacktest:
         slippage_bps: float = 2.0,
         num_scenarios: int = 1000,
         num_mc_paths: int = 50_000,
+        dynamics: str = "gbm",
     ) -> Dict:
+        """dynamics="svj" replays the true jump-diffusion world (gap risk +
+        vega bleed against a delta-only BS hedge); "gbm" is the reference's
+        constant-vol backtest world (risk.py:293-294)."""
         if num_days is None:
             num_days = max(int(T * 252), 1)
 
@@ -342,10 +367,11 @@ class HedgingBacktest:
             self.params, spot, strike, T, premium, jax.random.key(self.seed),
             num_days=int(num_days), num_scenarios=int(num_scenarios),
             is_call=is_call, txn_cost_bps=txn_cost_bps,
-            slippage_bps=slippage_bps)
+            slippage_bps=slippage_bps, dynamics=dynamics)
         pnl = np.asarray(pnl)
 
         return {
+            "dynamics": dynamics,
             "mean_pnl": float(pnl.mean()),
             "std_pnl": float(pnl.std()),
             "pnl_percentiles": {

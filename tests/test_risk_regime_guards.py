@@ -249,3 +249,20 @@ def test_validate_simulation_output():
     out2 = validate_simulation_output(s_bad, v)
     assert not out2["valid"]
     assert any("NaN" in i for i in out2["issues"])
+
+
+def test_hedge_backtest_svj_dynamics_fatter_left_tail():
+    """Hedging a short option with a BS delta in the TRUE SVJ world must be
+    riskier than in the reference's GBM world: jumps gap through the hedge,
+    so the left tail of the PnL widens."""
+    from mcos_tpu.engine.risk import HedgingBacktest
+
+    p = SVJParams(kappa=3.0, theta=0.04, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=3.0, mu_j=-0.06, sigma_j=0.08)
+    bt = HedgingBacktest(p, seed=2)
+    kw = dict(num_scenarios=3000, num_mc_paths=20_000)
+    gbm = bt.run_backtest(22500.0, 22500.0, 0.1, **kw)
+    svj = bt.run_backtest(22500.0, 22500.0, 0.1, dynamics="svj", **kw)
+    assert gbm["dynamics"] == "gbm" and svj["dynamics"] == "svj"
+    assert svj["std_pnl"] > gbm["std_pnl"]
+    assert svj["pnl_percentiles"]["1%"] < gbm["pnl_percentiles"]["1%"]
