@@ -54,6 +54,10 @@ class PriceRequest(BaseModel):
     # randomized-QMC error bars (R independent Owen scrambles).
     cv_mode: str = "companion"
     rqmc_randomizations: Optional[int] = Field(None, ge=2, le=64)
+    # Discretization: "euler" (reference semantics) or "qe" (Andersen —
+    # near-exact variance transitions, ~60x fewer steps at fixed bias).
+    scheme: str = "euler"
+    num_steps: Optional[int] = Field(None, ge=4, le=8192)
 
 
 class GreeksRequest(BaseModel):

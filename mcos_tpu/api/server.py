@@ -87,10 +87,14 @@ def handle_price(body: dict) -> dict:
         raise ApiError(400, {"failures": pre["failures"],
                              "alerts": pre["alerts"]})
 
-    engine = MonteCarloEngine(
-        svj, num_paths=req.num_paths, use_sobol=req.use_sobol,
+    engine_kwargs = dict(
+        num_paths=req.num_paths, use_sobol=req.use_sobol,
         use_antithetic=req.use_antithetic,
-        use_control_variate=req.use_control_variate, cv_mode=req.cv_mode)
+        use_control_variate=req.use_control_variate, cv_mode=req.cv_mode,
+        scheme=req.scheme)
+    if req.num_steps is not None:
+        engine_kwargs["num_steps"] = req.num_steps
+    engine = MonteCarloEngine(svj, **engine_kwargs)
     if req.rqmc_randomizations:
         # R independent Owen scrambles → spread-based (honest QMC) stderr.
         result = engine.price_rqmc(req.spot, req.strike, req.T, req.is_call,

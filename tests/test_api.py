@@ -218,3 +218,33 @@ def test_surface_endpoint(base_url):
     assert all(abs(v - sigma) < 0.01 for v in ivs)
     assert "arbitrage_report" in out
     assert out["sabr_fits"]  # one fit per maturity
+
+
+def test_price_endpoint_qe_scheme():
+    """POST /api/price with scheme='qe' prices with the Andersen scheme
+    (matches the COS oracle at a step count where Euler would be biased)."""
+    from mcos_tpu.api.server import handle_price
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    body = {"spot": 22500.0, "strike": 22500.0, "T": 0.25,
+            "num_paths": 65536, "scheme": "qe", "num_steps": 64,
+            "use_sobol": False,
+            "params": {"kappa": 3.0, "theta": 0.05, "xi": 0.4, "rho": -0.6,
+                       "v0": 0.04, "lambda_j": 1.0, "mu_j": -0.05,
+                       "sigma_j": 0.1}}
+    out = handle_price(body)
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    exact = float(cos_price(p, 22500.0, [22500.0], 0.25, True)[0])
+    assert abs(out["price"] - exact) < max(4 * out["std_error"], 3.0)
+
+
+def test_serverless_entry_importable():
+    """The managed-platform entry must import cleanly, pin the jit cache to
+    a writable path, and expose the stdlib fallback."""
+    import mcos_tpu.api.serverless as sl
+
+    assert callable(sl.serve_wsgi)
+    # fastapi absent in this image → app is None (ASGI path documented).
+    assert sl.app is None or hasattr(sl.app, "router")
