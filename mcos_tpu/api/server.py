@@ -57,6 +57,44 @@ logger = logging.getLogger("mcos_tpu.api")
 # (compute-parameter bounds live in the pydantic schemas).
 MAX_BODY_BYTES = 10 * 1024 * 1024
 
+
+class _Metrics:
+    """Per-endpoint serving counters: requests, errors, latency EWMA/max.
+
+    Thread-safe via a plain lock (the stdlib transport serves from a thread
+    pool); exposed on GET /api/metrics for scrapers.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._stats: Dict[str, Dict[str, float]] = {}
+        self.started = time.time()
+
+    def observe(self, path: str, ms: float, ok: bool) -> None:
+        with self._lock:
+            st = self._stats.setdefault(
+                path, {"count": 0, "errors": 0, "ewma_ms": 0.0,
+                       "max_ms": 0.0})
+            st["count"] += 1
+            if not ok:
+                st["errors"] += 1
+            alpha = 0.2
+            st["ewma_ms"] = ms if st["count"] == 1 else                 alpha * ms + (1 - alpha) * st["ewma_ms"]
+            st["max_ms"] = max(st["max_ms"], ms)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "uptime_s": round(time.time() - self.started, 1),
+                "endpoints": {k: {kk: round(vv, 2) for kk, vv in v.items()}
+                              for k, v in self._stats.items()},
+            }
+
+
+METRICS = _Metrics()
+
 VERSION = "1.0.0"
 
 
@@ -404,6 +442,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if parsed.path == "/api/health":
                 self._send_json(200, handle_health({}))
+            elif parsed.path == "/api/metrics":
+                self._send_json(200, METRICS.snapshot())
             elif parsed.path == "/api/quote":
                 self._send_json(200, handle_quote(parse_qs(parsed.query)))
             elif parsed.path in ("/", "/index.html", "/advanced"):
@@ -432,13 +472,17 @@ class _Handler(BaseHTTPRequestHandler):
         if handler is None:
             self._send_json(404, {"detail": "not found"})
             return
+        t0 = time.time()
+        ok = False
         try:
             length = int(self.headers.get("Content-Length", 0))
             if length > MAX_BODY_BYTES:
                 self._send_json(413, {"detail": "request body too large"})
                 return
             body = json.loads(self.rfile.read(max(length, 0)) or b"{}")
-            self._send_json(200, handler(body))
+            out = handler(body)
+            ok = True
+            self._send_json(200, out)
         except ApiError as e:
             self._send_json(e.status, {"detail": e.detail})
         except (ValidationError, json.JSONDecodeError) as e:
@@ -446,6 +490,8 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001
             logger.exception("POST %s failed", parsed.path)
             self._send_json(500, {"detail": str(e)})
+        finally:
+            METRICS.observe(parsed.path, (time.time() - t0) * 1000, ok)
 
 
 def serve(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
@@ -488,11 +534,37 @@ def create_fastapi_app():
     return app
 
 
+def warmup() -> None:
+    """Pre-compile the hot endpoint programs at default request shapes.
+
+    First-request jit compiles cost tens of seconds (minutes over a remote
+    TPU link); a resident server should eat that at startup, not on the
+    first client request. Covers /api/price (Sobol default), /api/greeks,
+    and /api/smile at their schema-default shapes; combined with the
+    persistent compilation cache (utils/checkpoint.py) later restarts warm
+    from disk.
+    """
+    t0 = time.time()
+    logger.info("warmup: compiling default-shape endpoint programs…")
+    spot, strike, T = 22500.0, 22500.0, 0.1
+    try:
+        handle_price({"spot": spot, "strike": strike, "T": T})
+        handle_greeks({"spot": spot, "strike": strike, "T": T})
+        handle_smile({"spot": spot, "T": T})
+    except Exception:  # noqa: BLE001 — warmup must never kill the server
+        logger.exception("warmup failed (server continues cold)")
+    logger.info("warmup done in %.1fs", time.time() - t0)
+
+
 def main():
     parser = argparse.ArgumentParser(description="mcos_tpu pricing API")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile hot endpoints before serving")
     args = parser.parse_args()
+    if args.warmup:
+        warmup()
     serve(args.host, args.port).serve_forever()
 
 

@@ -248,3 +248,18 @@ def test_serverless_entry_importable():
     assert callable(sl.serve_wsgi)
     # fastapi absent in this image → app is None (ASGI path documented).
     assert sl.app is None or hasattr(sl.app, "router")
+
+
+def test_metrics_endpoint_counts_requests():
+    from mcos_tpu.api import server as srv
+
+    before = srv.METRICS.snapshot()["endpoints"].get(
+        "/api/regime", {"count": 0})["count"]
+    srv.handle_regime({"realized_vol": 0.12, "iv_percentile": 30.0,
+                       "skew_slope": 0.01})
+    # handle_* is transport-agnostic; observe() rides the HTTP layer — call
+    # it directly the way do_POST does.
+    srv.METRICS.observe("/api/regime", 1.0, True)
+    snap = srv.METRICS.snapshot()
+    assert snap["endpoints"]["/api/regime"]["count"] == before + 1
+    assert "uptime_s" in snap
