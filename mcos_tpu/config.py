@@ -153,26 +153,26 @@ def check_feller(kappa: float, theta: float, xi: float) -> bool:
     return 2.0 * kappa * theta > xi * xi
 
 
+def _bounds_of(name: str):
+    return PARAM_BOUNDS.get(name)
+
+
 def check_params_in_bounds(params: Dict[str, float]) -> Dict[str, bool]:
-    """Per-parameter bound check against PARAM_BOUNDS."""
-    out = {}
-    for name, value in params.items():
-        if name in PARAM_BOUNDS:
-            lo, hi = PARAM_BOUNDS[name]
-            out[name] = lo <= value <= hi
-    return out
+    """{name: in-bounds?} for every parameter that has a PARAM_BOUNDS entry."""
+    return {
+        name: _bounds_of(name)[0] <= value <= _bounds_of(name)[1]
+        for name, value in params.items() if _bounds_of(name) is not None
+    }
 
 
 def clamp_params(params: Dict[str, float]) -> Dict[str, float]:
-    """Clamp each parameter into its bound interval (identity for unknown keys)."""
-    out = {}
-    for name, value in params.items():
-        if name in PARAM_BOUNDS:
-            lo, hi = PARAM_BOUNDS[name]
-            out[name] = min(max(value, lo), hi)
-        else:
-            out[name] = value
-    return out
+    """Project each parameter onto its bound interval (unknown keys pass
+    through untouched)."""
+    def clip(name, value):
+        b = _bounds_of(name)
+        return value if b is None else min(max(value, b[0]), b[1])
+
+    return {name: clip(name, value) for name, value in params.items()}
 
 
 def round_up(n: int, multiple: int) -> int:

@@ -36,140 +36,195 @@ class PricingGuard:
 
     check_pre_price → {'pass': bool, 'failures': [...], 'alerts': [...]}
     check_post_price → same shape, applied to the pricer's result dict.
+
+    Implementation: each check is one entry in a declarative rule table —
+    (severity, predicate → message-or-None) — evaluated in order. Adding a
+    rule is adding a row, and the tables double as a readable policy spec.
     """
 
     def __init__(self, params: SVJParams):
         self.params = params
         self.alerts: list = []
 
-    def check_pre_price(self, spot: float, strike: float, T: float) -> Dict:
-        """Parameter/domain admission checks (guards.py:41-115 rule set)."""
-        failures = []
-        alerts = []
-        p = self.params
-        v0, theta, xi = float(p.v0), float(p.theta), float(p.xi)
-        rho = float(p.rho)
+    # ── pre-price rule table ──────────────────────────────────────────────
+    # Each rule maps the request context to a message (triggered) or None.
+    @staticmethod
+    def _pre_rules():
+        def variance_domain(c):
+            for label, val in (("v0", c["v0"]), ("θ", c["theta"])):
+                if val > MAX_VARIANCE:
+                    return (f"{label}={val:.4f} exceeds "
+                            f"MAX_VARIANCE={MAX_VARIANCE}")
+                if val <= 0:
+                    return f"{label}={val:.6f} is non-positive"
+            return None
 
-        # Variance sanity.
-        if v0 > MAX_VARIANCE:
-            failures.append(f"v0={v0:.4f} exceeds MAX_VARIANCE={MAX_VARIANCE}")
-        if v0 <= 0:
-            failures.append(f"v0={v0:.6f} is non-positive")
-        if theta > MAX_VARIANCE:
-            failures.append(f"θ={theta:.4f} exceeds MAX_VARIANCE={MAX_VARIANCE}")
-        if theta <= 0:
-            failures.append(f"θ={theta:.6f} is non-positive")
+        def correlation_domain(c):
+            if abs(c["rho"]) > MAX_CORRELATION:
+                return f"|ρ|={abs(c['rho']):.4f} exceeds {MAX_CORRELATION}"
+            return None
 
-        # Correlation bound.
-        if abs(rho) > MAX_CORRELATION:
-            failures.append(f"|ρ|={abs(rho):.4f} exceeds {MAX_CORRELATION}")
-
-        # Jump-compensation self-consistency (guards.py:67-73: the engine's k
-        # must match exp(μ+σ²/2)−1; a mismatch means corrupted params).
-        # Both sides evaluated in f64 on host: comparing the device-f32
-        # jnp.exp against host np.exp falsely fails the 1e-6 tolerance on TPU
-        # (exp differs by ~2e-6 between the two) — found by the on-TPU drive.
-        mu, sig = float(p.mu_j), float(p.sigma_j)
-        if not (np.isfinite(mu) and np.isfinite(sig)):
-            failures.append(
-                f"Jump parameters non-finite: μ_J={mu}, σ_J={sig}")
-        else:
+        def jump_consistency(c):
+            # The engine's compensator k must equal exp(μ+σ²/2)−1; a
+            # mismatch means corrupted params (guards.py:67-73). Both sides
+            # in f64 on host: comparing device-f32 exp against host np.exp
+            # falsely fails the 1e-6 tolerance on TPU (~2e-6 gap) — found
+            # by the on-TPU drive.
+            mu, sig = c["mu_j"], c["sigma_j"]
+            if not (np.isfinite(mu) and np.isfinite(sig)):
+                return f"Jump parameters non-finite: μ_J={mu}, σ_J={sig}"
             k = float(np.exp(mu + 0.5 * sig**2) - 1.0)
-            device_k = float(p.jump_compensation)
-            if abs(k - device_k) > max(JUMP_COMPENSATION_TOL,
-                                       5e-6 * max(abs(k), 1.0)):
-                failures.append(
-                    f"Jump compensation misaligned: k={device_k:.6f} "
-                    f"vs expected={k:.6f}")
+            if abs(k - c["device_k"]) > max(JUMP_COMPENSATION_TOL,
+                                            5e-6 * max(abs(k), 1.0)):
+                return (f"Jump compensation misaligned: k={c['device_k']:.6f}"
+                        f" vs expected={k:.6f}")
+            return None
 
-        # Surface extrapolation alert.
-        if spot > 0:
-            m = strike / spot
+        def maturity_positive(c):
+            return f"T={c['T']} is non-positive" if c["T"] <= 0 else None
+
+        def moneyness_band(c):
+            if c["spot"] <= 0:
+                return None
+            m = c["strike"] / c["spot"]
             lo, hi = SAFE_STRIKE_RANGE
             if m < lo or m > hi:
-                alerts.append(
-                    f"Moneyness K/S={m:.3f} lies beyond the calibrated band "
-                    f"[{lo}, {hi}] — treat the quote as extrapolated.")
+                return (f"Moneyness K/S={m:.3f} lies beyond the calibrated "
+                        f"band [{lo}, {hi}] — treat the quote as "
+                        "extrapolated.")
+            return None
 
-        # Vol-of-vol spike alert.
-        if xi > VOL_OF_VOL_ALERT_THRESHOLD:
-            alerts.append(
-                f"Vol-of-vol ξ={xi:.3f} above the "
-                f"{VOL_OF_VOL_ALERT_THRESHOLD} alert line — expect noisy "
-                "variance paths and wide stderr.")
+        def vol_of_vol_spike(c):
+            if c["xi"] > VOL_OF_VOL_ALERT_THRESHOLD:
+                return (f"Vol-of-vol ξ={c['xi']:.3f} above the "
+                        f"{VOL_OF_VOL_ALERT_THRESHOLD} alert line — expect "
+                        "noisy variance paths and wide stderr.")
+            return None
 
-        # Feller alert (soft — full truncation keeps the scheme stable).
-        if not p.feller_satisfied:
-            alerts.append(
-                f"Feller check fails (2κθ={2 * float(p.kappa) * theta:.4f} "
-                f"< ξ²={xi**2:.4f}): the variance process can touch zero, "
-                "full truncation will clip it.")
+        def feller_soft(c):
+            if not c["feller_ok"]:
+                return (f"Feller check fails (2κθ={c['two_kt']:.4f} "
+                        f"< ξ²={c['xi']**2:.4f}): the variance process can "
+                        "touch zero, full truncation will clip it.")
+            return None
 
-        # Maturity domain.
-        if T <= 0:
-            failures.append(f"T={T} is non-positive")
-        if T > 5:
-            alerts.append(f"T={T:.2f}y maturity sits outside the weekly-"
-                          "options regime this model is tuned for")
+        def long_maturity(c):
+            if c["T"] > 5:
+                return (f"T={c['T']:.2f}y maturity sits outside the weekly-"
+                        "options regime this model is tuned for")
+            return None
 
-        self.alerts.extend(alerts)
-        for f in failures:
-            logger.error("PRE-PRICE FAILURE: %s", f)
-        for a in alerts:
-            logger.warning("PRE-PRICE ALERT: %s", a)
-        return {"pass": not failures, "failures": failures, "alerts": alerts}
+        return (
+            ("fail", variance_domain),
+            ("fail", correlation_domain),
+            ("fail", jump_consistency),
+            ("fail", maturity_positive),
+            ("alert", moneyness_band),
+            ("alert", vol_of_vol_spike),
+            ("alert", feller_soft),
+            ("alert", long_maturity),
+        )
+
+    def check_pre_price(self, spot: float, strike: float, T: float) -> Dict:
+        """Parameter/domain admission checks (guards.py:41-115 rule set)."""
+        p = self.params
+        ctx = {
+            "spot": spot, "strike": strike, "T": T,
+            "v0": float(p.v0), "theta": float(p.theta), "xi": float(p.xi),
+            "rho": float(p.rho), "mu_j": float(p.mu_j),
+            "sigma_j": float(p.sigma_j),
+            "device_k": float(p.jump_compensation),
+            "feller_ok": bool(p.feller_satisfied),
+            "two_kt": 2 * float(p.kappa) * float(p.theta),
+        }
+        return self._evaluate(self._pre_rules(), ctx, log_prefix="PRE-PRICE")
+
+    # ── post-price rule table ─────────────────────────────────────────────
+    @staticmethod
+    def _post_rules():
+        def negative_price(c):
+            if c["price"] < -1e-6:
+                return f"Negative price={c['price']:.6f}"
+            return None
+
+        def arbitrage_ceiling(c):
+            # Call ≤ spot; put ≤ discounted strike (guards.py:145-151).
+            if c["is_call"] and c["price"] > c["spot"] * 1.01:
+                return (f"Call at {c['price']:.2f} breaches its no-arbitrage"
+                        f" ceiling (spot {c['spot']:.2f})")
+            if not c["is_call"] and c["price"] > c["disc_strike"] * 1.01:
+                return (f"Put at {c['price']:.2f} breaches its no-arbitrage "
+                        "ceiling (discounted strike)")
+            return None
+
+        def intrinsic_floor(c):
+            if c["price"] < c["intrinsic"] - 3 * c["std_error"]:
+                return (f"Price {c['price']:.4f} undershoots the intrinsic "
+                        f"floor {c['intrinsic']:.4f} beyond 3σ of MC noise")
+            return None
+
+        def nonfinite_paths(c):
+            if c["frac_nonfinite"] > 0:
+                return (f"{c['frac_nonfinite']:.2e} fraction of non-finite "
+                        "terminal spots")
+            return None
+
+        def stderr_budget(c):
+            # 0.1%-of-premium tolerance (config.py:25 / guards.py:139-142).
+            if c["price"] > 0 and c["std_error"] / c["price"] > 0.001:
+                return (f"MC noise at {c['std_error'] / c['price']:.4%} of "
+                        "premium — above the 0.1% production tolerance; "
+                        "raise num_paths")
+            return None
+
+        def variance_explosion(c):
+            if c["v_max"] > MAX_VARIANCE:
+                return (f"Max terminal variance={c['v_max']:.4f} exceeds "
+                        f"limit={MAX_VARIANCE}")
+            return None
+
+        return (
+            ("fail", negative_price),
+            ("fail", arbitrage_ceiling),
+            ("fail", intrinsic_floor),
+            ("fail", nonfinite_paths),
+            ("alert", stderr_budget),
+            ("alert", variance_explosion),
+        )
 
     def check_post_price(self, result: Dict, spot: float, strike: float,
                          T: float, is_call: bool = True) -> Dict:
         """Result sanity checks (guards.py:117-170 rule set)."""
-        failures = []
-        alerts = []
-        price = result.get("price", 0.0)
-        std_error = result.get("std_error", 0.0)
         r, q = float(self.params.r), float(self.params.q)
+        fwd_spot = spot * np.exp(-q * T)
+        disc_strike = strike * np.exp(-r * T)
+        intrinsic = max(fwd_spot - disc_strike, 0.0) if is_call \
+            else max(disc_strike - fwd_spot, 0.0)
+        ctx = {
+            "price": result.get("price", 0.0),
+            "std_error": result.get("std_error", 0.0),
+            "frac_nonfinite": result.get("frac_nonfinite", 0.0),
+            "v_max": result.get("v_max", 0.0),
+            "spot": spot, "is_call": is_call,
+            "disc_strike": disc_strike, "intrinsic": intrinsic,
+        }
+        return self._evaluate(self._post_rules(), ctx,
+                              log_prefix="POST-PRICE")
 
-        if price < -1e-6:
-            failures.append(f"Negative price={price:.6f}")
-
-        # 0.1%-of-premium stderr tolerance (config.py:25 / guards.py:139-142).
-        if price > 0 and std_error / price > 0.001:
-            alerts.append(
-                f"MC noise at {std_error / price:.4%} of premium — above the "
-                "0.1% production tolerance; raise num_paths")
-
-        # No-arbitrage ceilings.
-        if is_call and price > spot * 1.01:
-            failures.append(f"Call at {price:.2f} breaches its no-arbitrage "
-                            f"ceiling (spot {spot:.2f})")
-        if not is_call and price > strike * np.exp(-r * T) * 1.01:
-            failures.append(f"Put at {price:.2f} breaches its no-arbitrage "
-                            "ceiling (discounted strike)")
-
-        # Intrinsic floor within 3σ.
-        if is_call:
-            intrinsic = max(spot * np.exp(-q * T) - strike * np.exp(-r * T), 0.0)
-        else:
-            intrinsic = max(strike * np.exp(-r * T) - spot * np.exp(-q * T), 0.0)
-        if price < intrinsic - 3 * std_error:
-            failures.append(
-                f"Price {price:.4f} undershoots the intrinsic floor "
-                f"{intrinsic:.4f} beyond 3σ of MC noise")
-
-        # Device-side diagnostics surfaced by the pricer (replaces the
-        # reference's host-side array scans when available).
-        if result.get("frac_nonfinite", 0.0) > 0:
-            failures.append(
-                f"{result['frac_nonfinite']:.2e} fraction of non-finite "
-                "terminal spots")
-        if result.get("v_max", 0.0) > MAX_VARIANCE:
-            alerts.append(
-                f"Max terminal variance={result['v_max']:.4f} exceeds "
-                f"limit={MAX_VARIANCE}")
-
-        for f in failures:
-            logger.error("POST-PRICE FAILURE: %s", f)
-        for a in alerts:
-            logger.warning("POST-PRICE ALERT: %s", a)
+    # ── shared evaluator ──────────────────────────────────────────────────
+    def _evaluate(self, rules, ctx, log_prefix: str) -> Dict:
+        failures, alerts = [], []
+        for severity, rule in rules:
+            msg = rule(ctx)
+            if msg is None:
+                continue
+            (failures if severity == "fail" else alerts).append(msg)
+        if log_prefix == "PRE-PRICE":
+            self.alerts.extend(alerts)
+        for msg in failures:
+            logger.error("%s FAILURE: %s", log_prefix, msg)
+        for msg in alerts:
+            logger.warning("%s ALERT: %s", log_prefix, msg)
         return {"pass": not failures, "failures": failures, "alerts": alerts}
 
 

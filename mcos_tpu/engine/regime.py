@@ -29,43 +29,55 @@ class MarketRegime(enum.Enum):
 
 
 class RegimeDetector:
-    """Three-input regime classifier (regime.py:25-130 API)."""
+    """Three-input regime classifier (regime.py:25-130 API).
+
+    Structure: each indicator is one row of a scoring table —
+    (result key, weight, value extractor, (calm ceiling, event ceiling)) —
+    bucketed 0/1/2 by which ceiling the value clears; the weighted bucket
+    sum maps onto CALM/EVENT/CRISIS bands. Semantics pinned to the
+    reference's thresholds/weights/bands exactly (tests).
+    """
+
+    # (total-score lower bound, regime) — checked top-down.
+    _BANDS = ((1.5, MarketRegime.CRISIS), (0.7, MarketRegime.EVENT),
+              (0.0, MarketRegime.CALM))
 
     def __init__(self, thresholds: Optional[RegimeThresholds] = None):
         self.thresholds = thresholds or REGIME_THRESHOLDS
         self.history: List[Dict] = []
 
+    def _scoring_table(self):
+        th = self.thresholds
+        return (
+            ("vol_score", 0.40, lambda rv, iv, sk: rv,
+             (th.calm_rvol_upper, th.event_rvol_upper)),
+            ("iv_score", 0.35, lambda rv, iv, sk: iv,
+             (th.calm_iv_pctile_upper, th.event_iv_pctile_upper)),
+            ("skew_score", 0.25, lambda rv, iv, sk: abs(sk),
+             (th.calm_skew_upper, th.event_skew_upper)),
+        )
+
+    @staticmethod
+    def _bucket(value: float, ceilings) -> int:
+        """0 below the calm ceiling, 1 below the event ceiling, else 2."""
+        return sum(value > c for c in ceilings)
+
     def classify(self, realized_vol: float, iv_percentile: float,
                  skew_slope: float) -> Dict:
-        th = self.thresholds
+        scores = {}
+        total = 0.0
+        for key, weight, extract, ceilings in self._scoring_table():
+            bucket = self._bucket(
+                extract(realized_vol, iv_percentile, skew_slope), ceilings)
+            scores[key] = bucket
+            total += weight * bucket
 
-        def score(value, calm_upper, event_upper):
-            if value > event_upper:
-                return 2
-            if value > calm_upper:
-                return 1
-            return 0
-
-        vol_score = score(realized_vol, th.calm_rvol_upper, th.event_rvol_upper)
-        iv_score = score(iv_percentile, th.calm_iv_pctile_upper,
-                         th.event_iv_pctile_upper)
-        skew_score = score(abs(skew_slope), th.calm_skew_upper,
-                           th.event_skew_upper)
-
-        total = 0.40 * vol_score + 0.35 * iv_score + 0.25 * skew_score
-        if total >= 1.5:
-            regime = MarketRegime.CRISIS
-        elif total >= 0.7:
-            regime = MarketRegime.EVENT
-        else:
-            regime = MarketRegime.CALM
+        regime = next(r for floor, r in self._BANDS if total >= floor)
 
         result = {
             "regime": regime.value,
             "score": float(total),
-            "vol_score": vol_score,
-            "iv_score": iv_score,
-            "skew_score": skew_score,
+            **scores,
             "inputs": {
                 "realized_vol": realized_vol,
                 "iv_percentile": iv_percentile,
