@@ -102,6 +102,8 @@ class SmileRequest(BaseModel):
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(50_000, **_PATHS)
     num_strikes: int = Field(21, ge=3, le=MAX_GRID_POINTS)
+    # "mc" (reference behavior) or "cos" — exact semi-analytic smile in ms.
+    method: str = "mc"
 
 
 class ExoticRequest(BaseModel):
@@ -109,7 +111,7 @@ class ExoticRequest(BaseModel):
     beyond the reference's European-only engine)."""
     spot: float
     T: float
-    kind: str  # "asian" | "barrier" | "lookback"
+    kind: str  # asian | barrier | lookback | digital | variance_swap
     strike: Optional[float] = None       # None ⇒ floating-strike lookback
     is_call: bool = True
     averaging: str = "arithmetic"        # asian only

@@ -203,11 +203,22 @@ def handle_smile(body: dict) -> dict:
     path set, IVs inverted on the whole chain at once."""
     req = schemas.SmileRequest(**body)
     svj = req.params.to_params()
-    engine = MonteCarloEngine(svj, num_paths=req.num_paths)
     strikes = np.linspace(req.spot * 0.7, req.spot * 1.3, req.num_strikes)
-    results = engine.price_batch(req.spot, strikes, req.T, is_call=True)
+    if req.method == "cos":
+        # Exact semi-analytic Bates smile — no MC noise, host-side, ms-scale
+        # (capability beyond the reference, whose smile is always MC).
+        from mcos_tpu.ops.cos_pricer import cos_price
+
+        prices = np.asarray(cos_price(svj, req.spot, strikes, req.T, True))
+        rows = [{"strike": float(k), "price": float(p)}
+                for k, p in zip(strikes, prices)]
+    elif req.method == "mc":
+        engine = MonteCarloEngine(svj, num_paths=req.num_paths)
+        rows = engine.price_batch(req.spot, strikes, req.T, is_call=True)
+    else:
+        raise ApiError(400, f"unknown smile method {req.method!r}")
     smile = []
-    for row in results:
+    for row in rows:
         iv = implied_vol(row["price"], req.spot, row["strike"], req.T,
                          float(svj.r), float(svj.q), True)
         smile.append({
@@ -215,7 +226,7 @@ def handle_smile(body: dict) -> dict:
             "price": row["price"],
             "iv": iv if iv is not None else 0.0,
         })
-    return {"smile": smile}
+    return {"smile": smile, "method": req.method}
 
 
 def handle_convergence(body: dict) -> dict:
@@ -248,6 +259,14 @@ def handle_exotic(body: dict) -> dict:
     elif req.kind == "lookback":
         out = eng.price_lookback(req.spot, req.T, req.is_call,
                                  strike=req.strike)
+    elif req.kind == "digital":
+        if req.strike is None:
+            raise ApiError(400, "digital requires strike")
+        out = eng.price_digital(req.spot, req.strike, req.T, req.is_call)
+    elif req.kind == "variance_swap":
+        from mcos_tpu.engine.exotics import variance_swap_fair_strike
+
+        out = variance_swap_fair_strike(req.params.to_params(), req.T)
     else:
         raise ApiError(400, f"unknown kind {req.kind!r}")
     if req.with_greeks:

@@ -29,6 +29,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mcos_tpu.config import DEFAULT_NUM_PATHS, scaled_steps
 from mcos_tpu.models.params import SVJParams
@@ -165,6 +166,52 @@ def _exotic_value_and_greeks(
     return price, d_spot, d_params
 
 
+def variance_swap_fair_strike(params: SVJParams, T: float) -> Dict[str, float]:
+    """Fair strike of a variance swap (annualized quadratic variation).
+
+    Closed form under SVJ/Bates — capability beyond the reference:
+        QV/T = θ + (v0 − θ)·(1 − e^{−κT})/(κT)   (CIR mean integral)
+             + λ·(μ_J² + σ_J²)                    (E[J²] per unit time)
+    The jump leg is the second moment of the log jump size times intensity
+    (each jump adds J² to realized variance). Discrete daily sampling adds
+    only an O(dt²) drift² term — negligible and ignored, as is market
+    convention. Returns both legs and the total, in variance units
+    (vol strike = √total).
+    """
+    kappa = float(params.kappa)
+    theta = float(params.theta)
+    v0 = float(params.v0)
+    kt = max(kappa * T, 1e-12)
+    diffusion = theta + (v0 - theta) * (1.0 - np.exp(-kt)) / kt
+    jumps = float(params.lambda_j) * (float(params.mu_j) ** 2
+                                      + float(params.sigma_j) ** 2)
+    total = diffusion + jumps
+    return {
+        "fair_variance": total,
+        "fair_vol_strike": float(np.sqrt(max(total, 0.0))),
+        "diffusion_leg": diffusion,
+        "jump_leg": jumps,
+    }
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call"))
+def _digital_core(params: SVJParams, spot, strikes, T, key, *,
+                  num_paths: int, num_steps: int, is_call: bool):
+    """Cash-or-nothing digital prices at a strike vector off one path set."""
+    from mcos_tpu.ops import simulate
+
+    s_final, _, _ = simulate.simulate_terminal(
+        params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
+        antithetic=True, companion=False)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    hit = (s_final[None] > strikes[:, None, None]) if is_call \
+        else (s_final[None] < strikes[:, None, None])
+    pay = combine_antithetic(jnp.swapaxes(hit.astype(jnp.float32), 0, 1))
+    mean, se = mc_mean_stderr(pay)
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+    return discount * mean, discount * se
+
+
 class ExoticEngine:
     """Asian / barrier / lookback pricer sharing the framework's estimator
     conventions (antithetic, CRN keys, maturity-scaled steps)."""
@@ -227,6 +274,32 @@ class ExoticEngine:
         return self._run(spot, strike if strike is not None else 0.0, T,
                          kind="lookback", is_call=is_call,
                          floating=strike is None)
+
+    def price_digital(self, spot: float, strike: float, T: float,
+                      is_call: bool = True,
+                      bump: float = 0.01) -> Dict[str, float]:
+        """Cash-or-nothing digital (payout 1) with delta — beyond the
+        reference.
+
+        The indicator has zero pathwise derivative, so delta is a CRN
+        central difference using 0-homogeneity: 1{(1±h)S_T > K} =
+        1{S_T > K/(1±h)} — the three strike rows ride ONE path set, so the
+        FD noise comes only from paths inside the flip band.
+        """
+        steps = scaled_steps(self.num_steps, T)
+        rel = np.array([1.0, 1.0 + bump, 1.0 - bump])
+        prices, ses = _digital_core(
+            self.params, spot, jnp.asarray(strike / rel, jnp.float32), T,
+            jax.random.key(self.seed), num_paths=self.num_paths,
+            num_steps=steps, is_call=is_call)
+        prices = np.asarray(jax.device_get(prices), np.float64)
+        return {
+            "price": float(prices[0]),
+            "std_error": float(np.asarray(ses)[0]),
+            "delta": float((prices[1] - prices[2]) / (2 * spot * bump)),
+            "num_paths_used": self.num_paths,
+            "num_steps": steps,
+        }
 
     def greeks(self, spot: float, strike: float, T: float,
                kind: str = "asian", is_call: bool = True,

@@ -154,3 +154,43 @@ def test_barrier_greeks_fd():
     # vol raises knock-out probability).
     assert 0.0 < g["delta"] < 1.0
     assert g["vega"] < 0
+
+
+def test_variance_swap_closed_form_vs_mc():
+    """Fair variance strike (CIR mean integral + jump second moment) must
+    match the MC realized quadratic variation of simulated paths."""
+    import jax
+
+    from mcos_tpu.engine.exotics import variance_swap_fair_strike
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.simulate import simulate_paths_recorded
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.3, rho=-0.5, v0=0.09,
+                  lambda_j=2.0, mu_j=-0.04, sigma_j=0.06)
+    T = 0.5
+    out = variance_swap_fair_strike(p, T)
+    assert out["jump_leg"] == pytest.approx(2.0 * (0.04**2 + 0.06**2))
+
+    paths = simulate_paths_recorded(p, 100.0, T, jax.random.key(3),
+                                    num_paths=4000, num_steps=128)
+    lp = np.log(np.asarray(paths, np.float64))
+    rv = np.sum(np.diff(lp, axis=1) ** 2, axis=1) / T
+    se = rv.std() / np.sqrt(len(rv))
+    assert abs(rv.mean() - out["fair_variance"]) < 4 * se + 2e-3
+
+
+def test_digital_matches_bs_closed_form():
+    """GBM mode: digital call = e^{-rT} N(d2); delta from the homogeneity
+    FD agrees with the analytic digital delta."""
+    from scipy.stats import norm
+
+    S, K, T, r, q, sig = 100.0, 102.0, 0.25, 0.05, 0.01, 0.2
+    eng = ExoticEngine(gbm_params(sig, r=r, q=q), num_paths=200_000,
+                       num_steps=64, seed=11, backend="scan")
+    out = eng.price_digital(S, K, T, is_call=True)
+    st = sig * np.sqrt(T)
+    d2 = (np.log(S / K) + (r - q - sig**2 / 2) * T) / st
+    ref = np.exp(-r * T) * norm.cdf(d2)
+    assert out["price"] == pytest.approx(ref, abs=4 * out["std_error"] + 1e-3)
+    ref_delta = np.exp(-r * T) * norm.pdf(d2) / (S * st)
+    assert out["delta"] == pytest.approx(ref_delta, rel=0.15)
