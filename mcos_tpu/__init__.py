@@ -39,6 +39,7 @@ from mcos_tpu.ops.bs import (  # noqa: F401
 )
 from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core  # noqa: F401
 from mcos_tpu.engine.american import AmericanEngine, binomial_american_bs  # noqa: F401
+from mcos_tpu.engine.basket import BasketEngine  # noqa: F401
 from mcos_tpu.engine.book import BookEngine  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401
 from mcos_tpu.engine.greeks import GreeksEngine  # noqa: F401

@@ -145,6 +145,20 @@ class BookRequest(BaseModel):
     num_paths: int = Field(100_000, **_PATHS)
 
 
+class BasketRequest(BaseModel):
+    """POST /api/basket — European option on a weighted basket of correlated
+    SVJ assets (multi-asset capability beyond the reference)."""
+    spots: list[float] = Field(max_length=64)
+    weights: list[float] = Field(max_length=64)
+    strike: float
+    T: float
+    is_call: bool = True
+    corr: list[list[float]]          # (A, A) spot-shock correlation
+    params: list[SVJParamsRequest] = Field(default_factory=list,
+                                           max_length=64)
+    num_paths: int = Field(200_000, **_PATHS)
+
+
 class SurfaceRequest(BaseModel):
     """POST /api/surface — full-chain IV extraction + arbitrage report +
     per-maturity SABR fits (the reference keeps surface tooling library-only,

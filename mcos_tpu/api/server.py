@@ -310,6 +310,26 @@ def handle_book(body: dict) -> dict:
     return out
 
 
+def handle_basket(body: dict) -> dict:
+    """POST /api/basket — correlated multi-asset SVJ basket pricing (new)."""
+    from mcos_tpu.engine.basket import BasketEngine
+
+    req = schemas.BasketRequest(**body)
+    n = len(req.spots)
+    if len(req.weights) != n or len(req.corr) != n:
+        raise ApiError(400, "spots/weights/corr dimensions must agree")
+    params = ([p.to_params() for p in req.params] if req.params
+              else [schemas.SVJParamsRequest().to_params()] * n)
+    if len(params) != n:
+        raise ApiError(400, "params list must match spots length")
+    start = time.time()
+    eng = BasketEngine(params, np.asarray(req.corr, np.float64),
+                       num_paths=req.num_paths)
+    out = eng.price(req.spots, req.weights, req.strike, req.T, req.is_call)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_calibrate(body: dict) -> dict:
     """POST /api/calibrate — completes the endpoint the reference only
     documents (engine/app.py:9)."""
@@ -399,6 +419,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/exotic": handle_exotic,
     "/api/american": handle_american,
     "/api/book": handle_book,
+    "/api/basket": handle_basket,
     "/api/convergence": handle_convergence,
     "/api/surface": handle_surface,
 }
