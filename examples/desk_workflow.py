@@ -1,0 +1,106 @@
+"""End-to-end desk workflow on the TPU pricing framework.
+
+The full loop a NIFTY options desk runs each morning, as library calls:
+
+    quote → calibrate to the chain → price the book → Greeks → stress →
+    exotics → hedge-backtest → risk report
+
+Run: python examples/desk_workflow.py  (CPU or TPU; ~1-2 min cold)
+Every stage prints one line; the script exits non-zero on any failed sanity
+check, so it doubles as an integration smoke for the documented workflow.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo-root execution
+
+import mcos_tpu as m                                  # noqa: E402
+from mcos_tpu.engine.basket import BasketEngine       # noqa: E402
+from mcos_tpu.engine.exotics import (                 # noqa: E402
+    ExoticEngine, variance_swap_fair_strike)
+from mcos_tpu.engine.risk import (                    # noqa: E402
+    HedgingBacktest, StressTestEngine, portfolio_var)
+from mcos_tpu.models.params import SVJParams          # noqa: E402
+
+
+def stage(name, value):
+    print(f"[{name:<12}] {value}")
+
+
+def main():
+    # ── 1. market snapshot (offline fallback quote) ─────────────────────
+    from mcos_tpu.api.quotes import fetch_quote
+
+    q = fetch_quote("NIFTY")
+    spot = q["price"]
+    stage("quote", f"NIFTY {spot:.1f} σ={q['volatility']:.1%} ({q['source']})")
+
+    # ── 2. calibrate the SVJ model to a synthetic chain (COS-generated) ──
+    strikes = np.linspace(0.92, 1.08, 9) * spot
+    true = SVJParams(kappa=3.0, theta=0.05, xi=0.45, rho=-0.65, v0=0.055,
+                     lambda_j=1.2, mu_j=-0.05, sigma_j=0.1)
+    T = 0.1
+    market = np.asarray(m.cos_price(true, spot, strikes, T, True))
+    eng = m.CalibrationEngine()
+    fit = eng.calibrate_fast(spot, strikes, T, market, atm_vol=0.22)
+    fitted = fit["params"]
+    refit = np.asarray(m.cos_price(fitted, spot, strikes, T, True))
+    rmse = float(np.sqrt(np.mean((refit - market) ** 2)))
+    stage("calibrate", f"κ={float(fitted.kappa):.2f} "
+                       f"θ={float(fitted.theta):.4f} "
+                       f"v0={float(fitted.v0):.4f} rmse={rmse:.3f}")
+    assert rmse < 0.01 * spot, "calibration failed to fit the chain"
+
+    # ── 3. price + honest error bars (RQMC) ─────────────────────────────
+    pricer = m.MonteCarloEngine(fitted, num_paths=200_000)
+    atm = pricer.price_rqmc(spot, spot, T, randomizations=4)
+    stage("price", f"ATM straddle leg {atm['price']:.2f} "
+                   f"± {atm['std_error']:.3f} (RQMC, 4 scrambles)")
+
+    # ── 4. all Greeks off one fused device program ───────────────────────
+    greeks = m.GreeksEngine(fitted, num_paths=200_000).all_greeks(
+        spot, spot, T)
+    stage("greeks", f"Δ={greeks['delta']['pathwise']:.3f} "
+                    f"Γ={greeks['gamma']['gamma']:.2e} "
+                    f"ν/pt={greeks['vega']['vega_per_vol_point']:.1f} "
+                    f"λ-sens={greeks['jumps']['lambda_j']:.2f}")
+    assert 0.3 < greeks["delta"]["pathwise"] < 0.7
+
+    # ── 5. stress ladders (3 device programs) ────────────────────────────
+    stress = StressTestEngine(fitted, num_paths=100_000).full_stress_report(
+        spot, spot, T)
+    worst = stress["spot_shocks"][0]
+    stage("stress", f"worst ladder rung {worst['shock_pct']:+.0f}% → "
+                    f"PnL {worst['pnl']:+.1f}")
+
+    # ── 6. exotics + variance swap ───────────────────────────────────────
+    ex = ExoticEngine(fitted, num_paths=100_000)
+    asian = ex.price_asian(spot, spot, T)
+    vswap = variance_swap_fair_strike(fitted, T)
+    stage("exotics", f"Asian {asian['price']:.2f} | var-swap vol strike "
+                     f"{vswap['fair_vol_strike']:.1%}")
+    assert asian["price"] < atm["price"], "Asian must be cheaper than vanilla"
+
+    # ── 7. multi-asset book: basket + portfolio VaR ──────────────────────
+    corr = np.eye(3) * 0.55 + 0.45
+    basket = BasketEngine([fitted] * 3, corr, num_paths=100_000).price(
+        [spot] * 3, [1 / 3] * 3, spot, T)
+    var = portfolio_var([spot] * 3, [0.2, 0.25, 0.3], corr, [1 / 3] * 3, T,
+                        num_paths=1_000_000, num_steps=16)
+    stage("portfolio", f"basket {basket['price']:.2f} | 99% VaR "
+                       f"{var['var']:.2%} CVaR {var['cvar']:.2%}")
+
+    # ── 8. hedge the short straddle leg in the TRUE jump world ───────────
+    bt = HedgingBacktest(fitted, seed=7).run_backtest(
+        spot, spot, T, num_scenarios=2000, num_mc_paths=50_000,
+        dynamics="svj")
+    stage("hedge", f"delta-hedge PnL p1={bt['pnl_percentiles']['1%']:.0f} "
+                   f"p50={bt['pnl_percentiles']['50%']:.0f} (SVJ world)")
+
+    print("\nworkflow complete — all sanity checks passed")
+
+
+if __name__ == "__main__":
+    main()
