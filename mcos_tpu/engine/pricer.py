@@ -267,8 +267,8 @@ def mc_price_from_draws(
 
     scheme="qe" interprets the draw tuple as the QE layout (z1 slot = z_x
     log-spot normals, z2 slot = u_v variance-transition *uniforms*, see
-    ops/sobol.py:sobol_qe_draws) and runs the Andersen scheme from draws
-    (scan execution — the QE draws path has no fused kernel yet).
+    ops/sobol.py:sobol_qe_draws) and runs the Andersen scheme from draws —
+    fused (svj_terminal_qe_from_draws_pallas) when backend="pallas".
 
     When `antithetic`, the second branch negates (z1, z2, z_js) and shares
     u_jump, matching monte_carlo.py:318-324 (note: negating Sobol points is a
@@ -285,14 +285,24 @@ def mc_price_from_draws(
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
     want_g = control_variate and cv_mode == "companion"
     if scheme == "qe":
-        if u_jump is None:
-            shape = z1.shape
-            u_jump = jax.random.uniform(
-                jax.random.key(jnp.asarray(seed, jnp.int32) + 1),
-                shape, jnp.float32)
-        s_final, v_all, g_final = simulate.simulate_terminal_qe_from_draws(
-            params, spot, T, z1, z2, u_jump, z_js, antithetic=antithetic,
-            companion=want_g, steps_major=steps_major)
+        if backend == "pallas":
+            from mcos_tpu.ops.pallas_kernels import (
+                svj_terminal_qe_from_draws_pallas)
+
+            s_final, v_all, g_final = svj_terminal_qe_from_draws_pallas(
+                params, spot, T, z1, z2, u_jump, z_js, seed=seed,
+                antithetic=antithetic, companion=want_g,
+                steps_major=steps_major)
+        else:
+            if u_jump is None:
+                u_jump = jax.random.uniform(
+                    jax.random.key(jnp.asarray(seed, jnp.int32) + 1),
+                    z1.shape, jnp.float32)
+            s_final, v_all, g_final = \
+                simulate.simulate_terminal_qe_from_draws(
+                    params, spot, T, z1, z2, u_jump, z_js,
+                    antithetic=antithetic, companion=want_g,
+                    steps_major=steps_major)
         v_base = v_all[0]
     elif backend == "pallas":
         from mcos_tpu.ops.pallas_kernels import svj_terminal_from_draws_pallas
@@ -587,6 +597,7 @@ class MonteCarloEngine:
         bs_ref = None
         for rep in range(randomizations):
             eng = copy.copy(self)
+            eng._draws_cache = {}  # don't clobber the parent engine's slot
             eng.seed = self.seed + 7919 * rep
             eng.use_sobol = True
             res = eng.price(spot, strike, T, is_call)

@@ -556,6 +556,33 @@ def _pack_qe_params(params: SVJParams, spot, T, num_steps: int) -> Array:
     return vec
 
 
+def _qe_variance_step(v, u_v, theta, e_kdt, var1, var2):
+    """Andersen QE variance transition v → v' from one uniform (shared by
+    the PRNG and draws QE kernels; scan twin: simulate.py:319-343)."""
+    m = theta + (v - theta) * e_kdt
+    s2 = v * var1 + var2
+    psi = s2 / jnp.maximum(m * m, 1e-20)
+
+    two_over_psi = 2.0 / jnp.maximum(psi, 1e-12)
+    b2 = jnp.maximum(
+        two_over_psi - 1.0
+        + jnp.sqrt(jnp.maximum(two_over_psi, 1e-12))
+        * jnp.sqrt(jnp.maximum(two_over_psi - 1.0, 0.0)), 0.0)
+    a = m / (1.0 + b2)
+    z_v = _ndtri_kernel(u_v)
+    v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+    p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 0.999)
+    beta = (1.0 - p_mass) / jnp.maximum(m, 1e-20)
+    u_clip = jnp.clip(u_v, 1e-7, 1.0 - 1e-7)
+    v_exp = jnp.where(
+        u_v <= p_mass, 0.0,
+        jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u_clip, 1e-12))
+        / jnp.maximum(beta, 1e-20))
+
+    return jnp.where(psi <= jnp.float32(_QE_PSI_C), v_quad, v_exp)
+
+
 def _svj_qe_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
                    num_steps: int, rows: int, half_grid: int,
                    companion: bool):
@@ -597,29 +624,7 @@ def _svj_qe_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
         u_v = u[2]        # variance uniform (shared across the pair)
         u_jump = u[3]     # jump-occurrence uniform (shared)
 
-        # ── variance transition (QE, simulate.py:319-343) ───────────────────
-        m = theta + (v - theta) * e_kdt
-        s2 = v * var1 + var2
-        psi = s2 / jnp.maximum(m * m, 1e-20)
-
-        two_over_psi = 2.0 / jnp.maximum(psi, 1e-12)
-        b2 = jnp.maximum(
-            two_over_psi - 1.0
-            + jnp.sqrt(jnp.maximum(two_over_psi, 1e-12))
-            * jnp.sqrt(jnp.maximum(two_over_psi - 1.0, 0.0)), 0.0)
-        a = m / (1.0 + b2)
-        z_v = _ndtri_kernel(u_v)
-        v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
-
-        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 0.999)
-        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-20)
-        u_clip = jnp.clip(u_v, 1e-7, 1.0 - 1e-7)
-        v_exp = jnp.where(
-            u_v <= p_mass, 0.0,
-            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u_clip, 1e-12))
-            / jnp.maximum(beta, 1e-20))
-
-        v_next = jnp.where(psi <= jnp.float32(_QE_PSI_C), v_quad, v_exp)
+        v_next = _qe_variance_step(v, u_v, theta, e_kdt, var1, var2)
 
         # ── log-spot update (central K-scheme + jumps) ──────────────────────
         jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
@@ -697,6 +702,178 @@ def svj_terminal_qe_pallas(
 
     def split(x):
         return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(s), split(v), (split(g) if companion else None)
+
+
+def _svj_qe_draws_kernel(*refs, chunk: int, num_steps: int, rows: int,
+                         n_branch: int, companion: bool, rng_jumps: bool):
+    """QE recursion fed by pre-drawn randoms streaming from HBM.
+
+    The QE twin of `_svj_draws_kernel`: draws are (z_x, u_v, z_js) blocks in
+    steps-major chunks (u_v consumed as raw uniforms by the variance
+    transition); jump-occurrence uniforms come from the hardware PRNG when
+    rng_jumps (seeded per grid cell, shared across the antithetic pair) or
+    from a fourth streamed array otherwise. Carry in VMEM scratch across
+    step chunks; outputs written on the last chunk; step padding masked.
+    """
+    if rng_jumps:
+        (seed_ref, p_ref, zx_ref, uv_ref, zjs_ref,
+         s_ref, v_ref, g_ref, ls_s, v_s, lg_s) = refs
+        uj_ref = None
+        cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], cell)
+    else:
+        (p_ref, zx_ref, uv_ref, uj_ref, zjs_ref,
+         s_ref, v_ref, g_ref, ls_s, v_s, lg_s) = refs
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    shape = (n_branch, rows, LANES)
+
+    @pl.when(c == 0)
+    def _init():
+        ls_s[:] = jnp.zeros(shape, jnp.float32)  # log(S/S0) carry
+        v_s[:] = jnp.full(shape, p_ref[_Q_V0], jnp.float32)
+        lg_s[:] = jnp.zeros(shape, jnp.float32)
+
+    e_kdt = p_ref[_Q_EKDT]
+    theta = p_ref[_Q_THETA]
+    var1, var2 = p_ref[_Q_VAR1], p_ref[_Q_VAR2]
+    k0, k1, k2, k34 = p_ref[_Q_K0], p_ref[_Q_K1], p_ref[_Q_K2], p_ref[_Q_K34]
+    drift_dt = p_ref[_Q_DRIFT_DT]
+    lam_dt = p_ref[_Q_LAM_DT]
+    mu_j, sig_j = p_ref[_Q_MU_J], p_ref[_Q_SIG_J]
+    g_drift_dt = p_ref[_Q_G_DRIFT_DT]
+    sig_cv = p_ref[_Q_SIG_CV]
+    sqrt_dt = p_ref[_Q_SQRT_DT]
+
+    sign = (1 - 2 * jax.lax.broadcasted_iota(
+        jnp.int32, (n_branch, 1, 1), 0)).astype(jnp.float32)
+
+    def body(i, carry):
+        log_s, v, log_g = carry
+        z_x = zx_ref[i] * sign
+        z_js = zjs_ref[i] * sign
+        u_v = uv_ref[i]                 # shared across the antithetic pair
+        if rng_jumps:
+            u_jump = _bits_to_uniform(pltpu.prng_random_bits((rows, LANES)))
+        else:
+            u_jump = uj_ref[i]
+
+        v_next = _qe_variance_step(v, u_v, theta, e_kdt, var1, var2)
+        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
+        diff_var = jnp.maximum(k34 * (v + v_next), 0.0)
+        new_log_s = (log_s + drift_dt + k0 + k1 * v + k2 * v_next
+                     + jnp.sqrt(diff_var) * z_x + jump)
+        valid = (c * chunk + i) < num_steps  # step-padding mask
+        log_s = jnp.where(valid, new_log_s, log_s)
+        v = jnp.where(valid, v_next, v)
+        if companion:
+            log_g = jnp.where(valid,
+                              log_g + g_drift_dt + sig_cv * z_x * sqrt_dt,
+                              log_g)
+        return log_s, v, log_g
+
+    carry = (ls_s[:], v_s[:], lg_s[:])
+    log_s, v, log_g = jax.lax.fori_loop(0, chunk, body, carry)
+    ls_s[:] = log_s
+    v_s[:] = v
+    lg_s[:] = log_g
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        spot = p_ref[_Q_SPOT]
+        s_ref[:] = spot * jnp.exp(log_s)
+        v_ref[:] = v
+        if companion:
+            g_ref[:] = spot * jnp.exp(log_g)
+        else:
+            g_ref[:] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("antithetic", "companion", "rows", "chunk",
+                     "steps_major"),
+)
+def svj_terminal_qe_from_draws_pallas(
+    params: SVJParams,
+    spot,
+    T,
+    z_x: Array,
+    u_v: Array,
+    u_jump: Optional[Array],
+    z_js: Array,
+    *,
+    seed=0,
+    antithetic: bool = True,
+    companion: bool = False,
+    rows: int = 16,
+    chunk: int = 32,
+    steps_major: bool = False,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Fused-kernel drop-in for `simulate.simulate_terminal_qe_from_draws`.
+
+    Completes the scheme × driver × backend matrix: the Sobol-driven QE
+    path runs fused like the others. Deterministic given the draws when
+    u_jump is supplied (pinned bit-close to the scan twin on CPU);
+    u_jump=None draws jump uniforms from the hardware PRNG in-kernel.
+    """
+    if steps_major:
+        num_steps, num_paths = z_x.shape
+    else:
+        num_paths, num_steps = z_x.shape
+    n_chunks = max(1, -(-num_steps // chunk))
+    steps_pad = n_chunks * chunk
+    block_paths = rows * LANES
+    n_blocks = max(1, -(-num_paths // block_paths))
+    r_tot = n_blocks * rows
+    padded_paths = n_blocks * block_paths
+    n_branch = 2 if antithetic else 1
+
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        if not steps_major:
+            x = x.T  # (steps, paths)
+        x = jnp.pad(x, ((0, steps_pad - num_steps),
+                        (0, padded_paths - num_paths)))
+        return x.reshape(steps_pad, r_tot, LANES)
+
+    rng_jumps = u_jump is None
+    kernel = functools.partial(
+        _svj_qe_draws_kernel, chunk=chunk, num_steps=num_steps, rows=rows,
+        n_branch=n_branch, companion=companion, rng_jumps=rng_jumps)
+    in_spec = pl.BlockSpec((chunk, rows, LANES), lambda b, c: (c, b, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_branch, rows, LANES), lambda b, c: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_branch, r_tot, LANES), jnp.float32)
+    scratch = pltpu.VMEM((n_branch, rows, LANES), jnp.float32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    p_vec = _pack_qe_params(params, spot, T, num_steps)
+    if rng_jumps:
+        inputs = (jnp.asarray([seed], jnp.int32), p_vec,
+                  prep(z_x), prep(u_v), prep(z_js))
+        in_specs = [smem, smem, in_spec, in_spec, in_spec]
+    else:
+        inputs = (p_vec, prep(z_x), prep(u_v), prep(u_jump), prep(z_js))
+        in_specs = [smem, in_spec, in_spec, in_spec, in_spec]
+
+    s, v, g = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[scratch, scratch, scratch],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(*inputs)
+
+    def split(x):
+        return x.reshape(n_branch, padded_paths)[:, :num_paths]
 
     return split(s), split(v), (split(g) if companion else None)
 

@@ -250,3 +250,46 @@ def test_sobol_pallas_engine_matches_bs_oracle():
     res = eng.price(22500.0, 22500.0, 0.25)
     ref = float(bs_price(22500.0, 22500.0, 0.25, 0.065, 0.012, 0.2, True))
     assert abs(res["price"] - ref) < max(4 * res["std_error"], 1.0)
+
+
+def test_qe_draws_kernel_matches_scan_exactly():
+    """QE draws kernel (Sobol/CRN QE path) pinned to its scan twin on the
+    interpreter — deterministic given the draws."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_qe_from_draws_pallas
+
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.05, sigma_j=0.1)
+    rng = np.random.default_rng(0)
+    n, steps = 2048, 20
+    z_x = rng.standard_normal((steps, n)).astype(np.float32)
+    u_v = rng.uniform(0.01, 0.99, (steps, n)).astype(np.float32)
+    uj = rng.uniform(size=(steps, n)).astype(np.float32)
+    zjs = rng.standard_normal((steps, n)).astype(np.float32)
+    s_pal, v_pal, g_pal = svj_terminal_qe_from_draws_pallas(
+        p, 22500.0, 0.5, z_x, u_v, uj, zjs, antithetic=True, companion=True,
+        rows=8, chunk=8, steps_major=True)
+    s_ref, v_ref, g_ref = simulate.simulate_terminal_qe_from_draws(
+        p, 22500.0, 0.5, jnp.asarray(z_x), jnp.asarray(u_v), jnp.asarray(uj),
+        jnp.asarray(zjs), antithetic=True, companion=True, steps_major=True)
+    # 2e-3 window: the kernel inverts u_v with the Acklam ndtri, the scan
+    # with jax.scipy's — a few-ulp f32 gap that compounds through v.
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-5)
+
+
+@tpu_only
+def test_qe_sobol_pallas_engine_matches_cos():
+    """Engine config (use_sobol + scheme='qe' + backend='pallas'): the fully
+    fused QMC-QE path against the COS oracle."""
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    eng = MonteCarloEngine(p, num_paths=1 << 17, num_steps=64, seed=9,
+                           use_sobol=True, scheme="qe", backend="pallas")
+    res = eng.price(22500.0, 22500.0, 0.25)
+    ref = float(cos_price(p, 22500.0, [22500.0], 0.25, True)[0])
+    assert abs(res["price"] - ref) < max(4 * res["std_error"], 2.0)
