@@ -2,6 +2,7 @@
 relations that must hold for EVERY parameterization, not just fixtures."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from mcos_tpu.ops import bs
@@ -67,3 +68,59 @@ def test_iv_roundtrip_property(S, T, r, q, sigma):
     iv = implied_vol(price, S, S, T, r, q, True)
     assert iv is not None
     assert abs(iv - sigma) < 1e-5 * max(sigma, 1.0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_owen_scramble_is_bijective_nested_permutation(seed):
+    """For ANY hash seed, Owen scrambling must permute each dyadic prefix
+    class bijectively (the net-preservation property)."""
+    import jax.numpy as jnp
+
+    from mcos_tpu.ops import sobol
+
+    x = jnp.arange(0, 2**12, dtype=jnp.uint32) << 18  # 12-bit prefixes
+    y = np.asarray(sobol._owen_scramble30(x[None, :], jnp.uint32(seed)))[0]
+    for k in (1, 6, 12):
+        c = np.bincount((y >> (30 - k)).astype(int), minlength=2**k)
+        assert c.min() == c.max() == 2**12 // 2**k
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.floats(min_value=0.2, max_value=3.0),
+       st.floats(min_value=0.02, max_value=0.2),
+       st.floats(min_value=0.05, max_value=1.0))
+def test_variance_swap_legs_positive_and_additive(lam, sig_j, T):
+    """Fair variance = diffusion leg + jump leg for any jump intensity."""
+    from mcos_tpu.engine.exotics import variance_swap_fair_strike
+    from mcos_tpu.models.params import SVJParams
+
+    p = SVJParams(lambda_j=lam, sigma_j=sig_j)
+    out = variance_swap_fair_strike(p, T)
+    assert out["fair_variance"] == pytest.approx(
+        out["diffusion_leg"] + out["jump_leg"])
+    assert out["jump_leg"] == pytest.approx(
+        lam * (float(p.mu_j) ** 2 + sig_j**2))
+    assert out["fair_vol_strike"] > 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.floats(min_value=0.9, max_value=1.1),
+       st.integers(min_value=0, max_value=10_000))
+def test_qe_sobol_put_call_parity(m, seed):
+    """Put-call parity holds for the fused QMC-QE configuration at any
+    strike/seed (the two sides share one path set, so parity is exact up
+    to the CV adjustment noise)."""
+    from mcos_tpu.engine.pricer import MonteCarloEngine
+    from mcos_tpu.models.params import SVJParams
+
+    p = SVJParams()
+    S, T = 22500.0, 0.1
+    K = S * m
+    eng = MonteCarloEngine(p, num_paths=16_384, num_steps=32, seed=seed,
+                           use_sobol=True, scheme="qe")
+    call = eng.price(S, K, T, True)["price"]
+    put = eng.price(S, K, T, False)["price"]
+    r, q = float(p.r), float(p.q)
+    parity = S * np.exp(-q * T) - K * np.exp(-r * T)
+    assert call - put == pytest.approx(parity, abs=0.02 * S * 0.05 + 3.0)
