@@ -58,6 +58,10 @@ class PriceRequest(BaseModel):
     # near-exact variance transitions, ~60x fewer steps at fixed bias).
     scheme: str = "euler"
     num_steps: Optional[int] = Field(None, ge=4, le=8192)
+    # Importance sampling: exponentially tilt the spot Brownian toward the
+    # strike and reweight by the likelihood ratio — 10-100x variance
+    # reduction on deep-OTM contracts (engine/pricer.py:mc_price_importance).
+    use_importance: bool = False
 
 
 class GreeksRequest(BaseModel):

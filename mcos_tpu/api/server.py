@@ -133,7 +133,12 @@ def handle_price(body: dict) -> dict:
     if req.num_steps is not None:
         engine_kwargs["num_steps"] = req.num_steps
     engine = MonteCarloEngine(svj, **engine_kwargs)
-    if req.rqmc_randomizations:
+    if req.use_importance:
+        # Exponential tilt toward the strike + likelihood-ratio reweighting —
+        # the deep-OTM configuration (engine/pricer.py:mc_price_importance).
+        result = engine.price_importance(req.spot, req.strike, req.T,
+                                         req.is_call)
+    elif req.rqmc_randomizations:
         # R independent Owen scrambles → spread-based (honest QMC) stderr.
         result = engine.price_rqmc(req.spot, req.strike, req.T, req.is_call,
                                    randomizations=req.rqmc_randomizations)

@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mcos_tpu.models.params import SVJParams
 
@@ -485,6 +486,101 @@ def simulate_terminal_qe_from_draws(
         step, (log_s0, v0, log_s0), (z_x, u_v, u_jump, z_js))
     return (spot * jnp.exp(log_s), v,
             (spot * jnp.exp(log_g) if companion else None))
+
+
+@partial(jax.jit, static_argnames=(
+    "num_paths", "num_steps", "antithetic", "companion", "dtype"))
+def simulate_terminal_tilted(
+    params: SVJParams,
+    spot,
+    T,
+    key: Array,
+    shift,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array, Optional[Array], Array]:
+    """`simulate_terminal` under an exponentially tilted spot-Brownian measure.
+
+    Importance sampling for far-from-the-money payoffs: each spot-driving
+    normal is drawn as z + `shift` (a per-step constant drift on dW₁ only —
+    the variance Brownian, jump occurrences, and jump sizes keep their
+    nominal law), and every path carries the exact Radon-Nikodym weight
+
+        L = exp(−shift·Σᵢ zᵢ − num_steps·shift²/2)
+
+    so that E[L·f(path)] equals the untilted expectation for any payoff f.
+    A positive shift pushes paths upward (deep OTM calls); negative pushes
+    down (deep OTM puts). The GBM companion leg rides the same tilted dW₁,
+    so E[L·payoff(G_T)] is still the Black-Scholes price and the companion
+    control variate remains valid under the weighted estimator.
+
+    Antithetic branches negate the *standard* normal before tilting
+    (z̃ = ±z, dynamics use z̃ + shift) and carry their own weight
+    L(z̃) — each branch is an unbiased tilted estimator on its own.
+
+    Capability absent from the reference (plain MC only,
+    monte_carlo.py:290-324). Returns (S_final, v_final, G_final or None,
+    log_weight), the first three shaped (n_branch, num_paths) and
+    log_weight likewise.
+    """
+    n_branch = 2 if antithetic else 1
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    shift = jnp.asarray(shift, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+
+    log_s0 = jnp.zeros((n_branch, num_paths), dtype)  # log(S/S0) carry
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_branch, num_paths))
+    lw0 = jnp.zeros((n_branch, num_paths), dtype)
+
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    def step(carry, step_idx):
+        log_s, v, log_g, log_w = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
+        z1_std = z[0] * sign               # the branch's standard normal z̃
+        z1 = z1_std + shift                # tilted draw used by the dynamics
+        z2 = z[1] * sign
+        z_js = z[2] * sign
+        log_w = log_w - shift * z1_std - 0.5 * shift * shift
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z1, z2, u_jump[None, :], z_js)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z1 * sqrt_dt
+        return (log_s, v, log_g, log_w), None
+
+    (log_s, v, log_g, log_w), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0, lw0), jnp.arange(num_steps))
+    return (spot * jnp.exp(log_s), v,
+            (spot * jnp.exp(log_g) if companion else None), log_w)
+
+
+def optimal_tilt(params: SVJParams, spot, strike, T, num_steps: int) -> float:
+    """Per-step drift shift that aims the GBM proxy's terminal mean at K.
+
+    Under σ = √v0 GBM, log(S_T/S0) gains σ·shift·√(n·T) of extra drift from a
+    per-step shift on z₁, so targeting E[log S_T] = log K gives
+
+        shift = (log(K/S0) − (r − q − σ²/2)·T) / (σ·√(n·T)).
+
+    Positive for OTM calls (K > forward-ish), negative for OTM puts — the
+    standard "tilt to the money" heuristic; any fixed shift keeps the
+    estimator unbiased, this one just minimizes variance approximately.
+    """
+    sigma = float(np.sqrt(float(params.v0)))
+    d = float(np.log(float(strike) / float(spot))
+              - (float(params.r) - float(params.q) - 0.5 * sigma * sigma)
+              * float(T))
+    return d / max(sigma * float(np.sqrt(num_steps * float(T))), 1e-12)
 
 
 def ndtri_safe(u):

@@ -240,6 +240,25 @@ def test_price_endpoint_qe_scheme():
     assert abs(out["price"] - exact) < max(4 * out["std_error"], 3.0)
 
 
+def test_price_endpoint_importance_sampling():
+    """POST /api/price with use_importance=true prices a deep-OTM strike the
+    plain estimator can't see (tilted measure + likelihood-ratio weights)."""
+    from mcos_tpu.api.server import handle_price
+    from mcos_tpu.ops.bs import bs_price as _bsp
+
+    body = {"spot": 22500.0, "strike": 22500.0 * 1.30, "T": 1.0 / 12.0,
+            "num_paths": 100_000, "use_importance": True,
+            "params": {"kappa": 3.0, "theta": 0.04, "xi": 1e-4, "rho": 0.0,
+                       "v0": 0.04, "lambda_j": 0.0, "mu_j": 0.0,
+                       "sigma_j": 1e-4}}
+    out = handle_price(body)
+    ref = float(_bsp(22500.0, 22500.0 * 1.30, 1.0 / 12.0, 0.065, 0.012,
+                     0.2, True))
+    assert out["std_error"] > 0
+    assert abs(out["price"] - ref) < max(4 * out["std_error"], 0.01 * ref)
+    assert out["ess"] > 0
+
+
 def test_serverless_entry_importable():
     """The managed-platform entry must import cleanly, pin the jit cache to
     a writable path, and expose the stdlib fallback."""
