@@ -45,6 +45,7 @@ from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401
 from mcos_tpu.engine.greeks import GreeksEngine  # noqa: F401
 from mcos_tpu.engine.calibration import CalibrationEngine  # noqa: F401
 from mcos_tpu.engine.guards import PricingGuard, validate_simulation_output  # noqa: F401
+from mcos_tpu.engine.localvol import LocalVolEngine, LocalVolSurface  # noqa: F401
 from mcos_tpu.engine.mlmc import mlmc_price  # noqa: F401
 from mcos_tpu.engine.regime import MarketRegime, RegimeDetector  # noqa: F401
 from mcos_tpu.engine.risk import (  # noqa: F401

@@ -178,6 +178,23 @@ class SurfaceRequest(BaseModel):
     fit_sabr: bool = True
 
 
+class LocalVolRequest(BaseModel):
+    """POST /api/localvol — build a Dupire local-vol surface from an IV grid
+    and price a strike chain under the surface-consistent diffusion (model
+    family absent from the reference; engine/localvol.py)."""
+    spot: float
+    strikes: list[float] = Field(max_length=MAX_GRID_POINTS)
+    maturities: list[float] = Field(max_length=MAX_GRID_POINTS)
+    iv: list[list[float]]            # (num_maturities, num_strikes)
+    price_strikes: list[float] = Field(max_length=MAX_GRID_POINTS)
+    T: float
+    is_call: bool = True
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    num_paths: int = Field(200_000, **_PATHS)
+    num_steps: int = Field(100, ge=16, le=2048)
+
+
 class CalibrateRequest(BaseModel):
     """POST /api/calibrate — advertised by the reference's docstring
     (engine/app.py:9) but never implemented there (SURVEY.md §1); this

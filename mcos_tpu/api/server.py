@@ -401,6 +401,33 @@ def handle_surface(body: dict) -> dict:
     return out
 
 
+def handle_localvol(body: dict) -> dict:
+    """POST /api/localvol — Dupire surface build + surface-consistent MC
+    pricing (engine/localvol.py; model family absent from the reference)."""
+    from mcos_tpu.engine.localvol import LocalVolEngine, LocalVolSurface
+
+    req = schemas.LocalVolRequest(**body)
+    start = time.time()
+    try:
+        surf = LocalVolSurface.from_iv_points(
+            req.spot, req.strikes, req.maturities,
+            np.asarray(req.iv, np.float64), r=req.r, q=req.q)
+    except ValueError as e:
+        raise ApiError(400, str(e))
+    eng = LocalVolEngine(surf, num_paths=req.num_paths,
+                         num_steps=req.num_steps)
+    chain = eng.price_batch(req.spot, req.price_strikes, req.T, req.is_call)
+    return {
+        "chain": chain,
+        "local_vol_grid": {
+            "t": surf.t_grid.tolist(),
+            "y": surf.y_grid.tolist(),
+            "local_vol": np.sqrt(surf.local_var).round(6).tolist(),
+        },
+        "elapsed_ms": round((time.time() - start) * 1000, 1),
+    }
+
+
 def handle_quote(query: dict) -> dict:
     from mcos_tpu.api.quotes import fetch_quote
 
@@ -427,6 +454,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/basket": handle_basket,
     "/api/convergence": handle_convergence,
     "/api/surface": handle_surface,
+    "/api/localvol": handle_localvol,
 }
 
 

@@ -268,8 +268,10 @@ def simulate_terminal_localvol(
         z = jax.random.normal(jax.random.fold_in(key, step_idx),
                               (num_paths,), dtype) * sign
         y = log_s - (r - q) * t
-        pos = jnp.clip((y - y0) / dy, 0.0, n_y - 1.000001)
-        i = pos.astype(jnp.int32)
+        pos = jnp.clip((y - y0) / dy, 0.0, float(n_y - 1))
+        # Integer clamp (not a float-epsilon clip: n_y − 1 − ε rounds back up
+        # to n_y − 1 in f32 once n_y ≳ 100, and i+1 would gather OOB → NaN).
+        i = jnp.minimum(pos.astype(jnp.int32), n_y - 2)
         frac = pos - i.astype(dtype)
         v = jnp.take(row, i) * (1.0 - frac) + jnp.take(row, i + 1) * frac
         sig = jnp.sqrt(jnp.clip(v, _VAR_FLOOR, _VAR_CAP))

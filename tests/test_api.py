@@ -259,6 +259,31 @@ def test_price_endpoint_importance_sampling():
     assert out["ess"] > 0
 
 
+def test_localvol_endpoint():
+    """POST /api/localvol prices a chain under a Dupire surface built from a
+    flat IV grid — must match Black-Scholes."""
+    from mcos_tpu.api.server import handle_localvol
+    from mcos_tpu.ops.bs import bs_price as _bsp
+
+    strikes = [np.round(22500.0 * m, 2) for m in np.linspace(0.8, 1.2, 9)]
+    body = {"spot": 22500.0, "strikes": strikes,
+            "maturities": [0.25, 0.5, 1.0],
+            "iv": [[0.2] * 9] * 3,
+            "price_strikes": [21000.0, 22500.0, 24000.0], "T": 0.5,
+            "num_paths": 100_000, "num_steps": 64,
+            "r": 0.065, "q": 0.012}
+    out = handle_localvol(body)
+    assert len(out["chain"]) == 3
+    for row in out["chain"]:
+        ref = float(_bsp(22500.0, row["strike"], 0.5, 0.065, 0.012, 0.2,
+                         True))
+        assert abs(row["price"] - ref) < max(4 * row["std_error"],
+                                             0.005 * ref)
+    lv = np.asarray(out["local_vol_grid"]["local_vol"])
+    assert lv.shape == (len(out["local_vol_grid"]["t"]),
+                        len(out["local_vol_grid"]["y"]))
+
+
 def test_serverless_entry_importable():
     """The managed-platform entry must import cleanly, pin the jit cache to
     a writable path, and expose the stdlib fallback."""
