@@ -130,6 +130,12 @@ def config3_surface(quick):
     prices = np.asarray(bs_price(22500.0, strikes[None, :], mats[:, None],
                                  0.065, 0.012, sigma, True))
 
+    # Cold first call (scipy import + jit compile) vs warm steady state —
+    # serving latency is the warm number; both are reported.
+    t0 = time.perf_counter()
+    ivs = implied_vol_grid(prices, 22500.0, strikes[None, :], mats[:, None],
+                           0.065, 0.012)
+    iv_cold_ms = (time.perf_counter() - t0) * 1000
     t0 = time.perf_counter()
     ivs = implied_vol_grid(prices, 22500.0, strikes[None, :], mats[:, None],
                            0.065, 0.012)
@@ -138,15 +144,22 @@ def config3_surface(quick):
 
     F = 22500.0 * np.exp(0.053 * 0.25)
     true_ivs = np.asarray(sabr_vol(F, strikes, 0.25, 1.2, 0.8, -0.4, 0.9))
+    iters = 60 if quick else 150
     t0 = time.perf_counter()
     fit = calibrate_sabr(F, strikes, 0.25, true_ivs, beta_fixed=0.8,
-                         iters=60 if quick else 150)
+                         iters=iters)
+    sabr_cold_ms = (time.perf_counter() - t0) * 1000
+    t0 = time.perf_counter()
+    fit = calibrate_sabr(F, strikes, 0.25, true_ivs, beta_fixed=0.8,
+                         iters=iters)
     sabr_ms = (time.perf_counter() - t0) * 1000
     return {
         "workload": f"{n_t}x{n_k} IV grid inversion + SABR fit",
         "iv_grid_ms": round(iv_ms, 2),
+        "iv_grid_cold_ms": round(iv_cold_ms, 2),
         "iv_max_abs_error": max_err,
         "sabr_fit_ms": round(sabr_ms, 2),
+        "sabr_fit_cold_ms": round(sabr_cold_ms, 2),
         "sabr_fit_error": fit["error"],
     }
 

@@ -38,7 +38,13 @@ from mcos_tpu.ops.bs import (  # noqa: F401
     bs_vega,
 )
 from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core  # noqa: F401
-from mcos_tpu.engine.american import AmericanEngine, binomial_american_bs  # noqa: F401
+from mcos_tpu.engine.american import (  # noqa: F401
+    AmericanEngine,
+    binomial_american_bs,
+    dual_upper_bound,
+    lsm_lower_bound,
+    lsm_train,
+)
 from mcos_tpu.engine.basket import BasketEngine  # noqa: F401
 from mcos_tpu.engine.book import BookEngine  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401

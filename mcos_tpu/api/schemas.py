@@ -71,6 +71,9 @@ class GreeksRequest(BaseModel):
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
+    # Second-order cross Greeks (vanna/volga via CRN-FD of AD first
+    # derivatives, engine/greeks.py:cross_greeks) — one extra device call.
+    with_cross: bool = False
 
 
 class StressRequest(BaseModel):
@@ -135,6 +138,11 @@ class AmericanRequest(BaseModel):
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
+    # Bracket the price: out-of-sample LSM lower bound + Andersen-Broadie/
+    # Haugh-Kogan dual upper bound with the duality gap (engine/american.py).
+    with_bounds: bool = False
+    n_outer: int = Field(2048, ge=256, le=65536)
+    n_inner: int = Field(128, ge=16, le=2048)
 
 
 class BookRequest(BaseModel):

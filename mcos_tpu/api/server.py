@@ -168,6 +168,9 @@ def handle_greeks(body: dict) -> dict:
     start = time.time()
     engine = GreeksEngine(req.params.to_params(), num_paths=req.num_paths)
     greeks = engine.all_greeks(req.spot, req.strike, req.T, req.is_call)
+    if req.with_cross:
+        greeks["cross"] = engine.cross_greeks(req.spot, req.strike, req.T,
+                                              req.is_call)
     greeks["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return greeks
 
@@ -292,6 +295,10 @@ def handle_american(body: dict) -> dict:
     start = time.time()
     eng = AmericanEngine(req.params.to_params(), num_paths=req.num_paths)
     out = eng.price(req.spot, req.strike, req.T, req.is_call)
+    if req.with_bounds:
+        out["bounds"] = eng.price_bounds(
+            req.spot, req.strike, req.T, req.is_call,
+            n_outer=req.n_outer, n_inner=req.n_inner)
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

@@ -126,6 +126,252 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
     }
 
 
+def _payoff_fn(strike, is_call: bool):
+    def payoff(s):
+        return jnp.maximum(s - strike, 0.0) if is_call \
+            else jnp.maximum(strike - s, 0.0)
+    return payoff
+
+
+def _basis_fn(strike, is_call: bool, basis_degree: int):
+    payoff = _payoff_fn(strike, is_call)
+
+    def basis(s):
+        # Stacked on the LAST axis so it broadcasts over any leading batch
+        # shape (1-D training paths, 2-D (inner × outer) nested states).
+        u = s / strike - 1.0
+        cols = [jnp.ones_like(u)]
+        for d in range(1, basis_degree + 1):
+            cols.append(u**d)
+        cols.append(payoff(s) / strike)
+        return jnp.stack(cols, axis=-1)
+    return basis
+
+
+def _value_basis(strike):
+    """Well-conditioned basis for the dual's value regression: centered
+    moneyness powers only. The policy basis's payoff/K regressor is exactly
+    collinear with u on an all-ITM put sample (payoff/K = −u there), which
+    leaves the coefficient split arbitrary — harmless for the in-manifold
+    policy decision, fatal for the dual, which evaluates the fit everywhere.
+    """
+    def basis(s):
+        u = s / strike - 1.0
+        return jnp.stack([jnp.ones_like(u), u, u**2, u**3], axis=-1)
+    return basis
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
+                                   "basis_degree"))
+def lsm_train(params: SVJParams, spot, strike, T, key, *,
+              num_paths: int, num_steps: int, is_call: bool,
+              basis_degree: int = 3) -> Dict[str, Array]:
+    """Fit the per-date continuation regressions on a training path set.
+
+    Returns {"policy": (num_steps−1, n_basis), "value": (num_steps−1, 4)} —
+    row k is the regression for exercise date t_{k+1} (dates t_1..t_{n−1};
+    at t_n the value is the payoff). "policy" is the classic ITM-masked
+    LSM fit driving the stopping rule; "value" is an *unmasked* fit of the
+    continuation value on the powers-only basis, used by the dual bound
+    (which needs a sane V̂ on every state the outer paths visit, not just
+    ITM ones). Training is separated from evaluation so the stopping rule
+    can be applied out of sample — in-sample LSM peeks at the future
+    through the fit and is biased high (Longstaff-Schwartz 2001 recommend
+    the split).
+    """
+    dtype = jnp.float32
+    strike = jnp.asarray(strike, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    df = jnp.exp(-params.r * dt)
+    payoff = _payoff_fn(strike, is_call)
+    basis = _basis_fn(strike, is_call, basis_degree)
+    vbasis = _value_basis(strike)
+
+    log_paths = _record_log_paths(params, spot, T, key,
+                                  num_paths=num_paths, num_steps=num_steps)
+    s_paths = jnp.exp(log_paths)
+    cf_terminal = payoff(s_paths[-1])
+
+    def backstep(cf, s_t):
+        cf = cf * df
+        pay = payoff(s_t)
+        itm = pay > 0.0
+        w = itm.astype(dtype)
+        b = basis(s_t)
+        bw = b * w[:, None]
+        gram = b.T @ bw + 1e-4 * jnp.eye(b.shape[1], dtype=dtype)
+        rhs = bw.T @ cf
+        coef = jnp.linalg.solve(gram, rhs)
+        cont = b @ coef
+        bv = vbasis(s_t)
+        gram_v = bv.T @ bv + 1e-4 * jnp.eye(bv.shape[1], dtype=dtype)
+        coef_v = jnp.linalg.solve(gram_v, bv.T @ cf)
+        exercise = itm & (pay > cont)
+        return jnp.where(exercise, pay, cf), (coef, coef_v)
+
+    _, (coefs, coefs_v) = jax.lax.scan(backstep, cf_terminal, s_paths[:-1],
+                                       reverse=True)
+    return {"policy": coefs, "value": coefs_v}
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
+                                   "basis_degree"))
+def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
+                    num_paths: int, num_steps: int, is_call: bool,
+                    basis_degree: int = 3) -> Dict[str, Array]:
+    """Evaluate the FIXED stopping rule on fresh paths → a true lower bound.
+
+    Any measurable stopping rule gives E[discounted payoff at stop] ≤ the
+    American value; the LSM rule trained on an independent set qualifies.
+    Forward pass: stop at the first date where payoff > fitted continuation
+    (and ITM); collect the discounted payoff.
+    """
+    dtype = jnp.float32
+    strike = jnp.asarray(strike, dtype)
+    dt = jnp.asarray(T, dtype) / num_steps
+    payoff = _payoff_fn(strike, is_call)
+    basis = _basis_fn(strike, is_call, basis_degree)
+
+    log_paths = _record_log_paths(params, spot, T, key,
+                                  num_paths=num_paths, num_steps=num_steps)
+    s_paths = jnp.exp(log_paths)
+
+    def fwd(carry, inputs):
+        stopped, value = carry
+        k, s_t, coef = inputs
+        pay = payoff(s_t)
+        cont = basis(s_t) @ coef
+        exercise = (~stopped) & (pay > 0.0) & (pay > cont)
+        disc = jnp.exp(-params.r * dt * (k + 1.0))
+        value = jnp.where(exercise, disc * pay, value)
+        return (stopped | exercise, value), None
+
+    n_paths = s_paths.shape[1]
+    init = (jnp.zeros((n_paths,), bool), jnp.zeros((n_paths,), dtype))
+    (stopped, value), _ = jax.lax.scan(
+        fwd, init, (jnp.arange(num_steps - 1, dtype=dtype),
+                    s_paths[:-1], coefs))
+    # Unstopped paths exercise (or expire) at maturity.
+    disc_T = jnp.exp(-params.r * jnp.asarray(T, dtype))
+    value = jnp.where(stopped, value, disc_T * payoff(s_paths[-1]))
+    price = jnp.mean(value)
+    se = jnp.std(value) / jnp.sqrt(jnp.float32(num_paths))
+    return {"price": price, "std_error": se}
+
+
+@partial(jax.jit, static_argnames=("n_outer", "n_inner", "num_steps",
+                                   "is_call", "basis_degree"))
+def dual_upper_bound(params: SVJParams, spot, strike, T, key, coefs, *,
+                     n_outer: int, n_inner: int, num_steps: int,
+                     is_call: bool, basis_degree: int = 3
+                     ) -> Dict[str, Array]:
+    """Haugh-Kogan / Andersen-Broadie dual upper bound.
+
+    For ANY martingale M with M₀ = 0,
+        American price ≤ E[ max_k ( disc_k·h(S_k) − M_k ) ],
+    with equality at the Doob martingale of the value process. M is built
+    from the LSM value function V̂_k(s) = max(h(s), ĉ_k(s)):
+        M_{k+1} = M_k + Ṽ_{k+1}(S_{k+1}) − Ê_k[Ṽ_{k+1}],
+    where Ṽ is discounted to t₀ and the conditional expectation is a
+    one-step nested simulation (n_inner fresh transitions from the outer
+    state — the (outer × inner) batch is a single vectorized kernel, the
+    shape of nested MC the TPU eats for free). Zero-mean inner noise keeps
+    M a martingale, so the bound stays valid (just looser) at small
+    n_inner; the LSM lower bound + this upper bound bracket the true price
+    with a reported duality gap. Capability absent from the reference.
+    """
+    dtype = jnp.float32
+    strike = jnp.asarray(strike, dtype)
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    df_powk = lambda k: jnp.exp(-params.r * dt * k)  # noqa: E731
+    payoff = _payoff_fn(strike, is_call)
+    vbasis = _value_basis(strike)
+
+    k_outer, k_inner = jax.random.split(key)
+
+    # Outer paths: record (log S, v) at every date (v is needed to branch
+    # the inner transitions off the true state).
+    log_s0 = jnp.zeros((n_outer,), dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_outer,))
+
+    def outer_step(carry, step_idx):
+        log_s, v = carry
+        ks = jax.random.fold_in(k_outer, step_idx)
+        kn, ku = jax.random.split(ks)
+        z = jax.random.normal(kn, (3, n_outer), dtype)
+        u = jax.random.uniform(ku, (n_outer,), dtype)
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z[0], z[1], u, z[2])
+        return (log_s, v), (log_s, v)
+
+    (_, _), (log_path, v_path) = jax.lax.scan(
+        outer_step, (log_s0, v0), jnp.arange(num_steps))
+    # Prepend t_0 state; shapes (num_steps+1, n_outer).
+    log_path = jnp.concatenate([log_s0[None], log_path]) + jnp.log(spot)
+    v_path = jnp.concatenate([v0[None], v_path])
+
+    n_basis = coefs.shape[1]
+
+    def vhat(s, k, coef_k):
+        """Time-t_k value estimate in t_k money (k = 1..num_steps).
+
+        Continuation fit clamped to the no-arbitrage window [0, K] (put) /
+        [0, S] (call) — the cubic extrapolates wildly outside the training
+        cloud, and the dual evaluates it wherever the paths wander.
+        """
+        pay = payoff(s)
+        cap = jnp.broadcast_to(strike, s.shape) if not is_call else s
+        cont = jnp.clip(vbasis(s) @ coef_k, 0.0, cap)
+        # Terminal date: value IS the payoff (no continuation).
+        is_terminal = k >= num_steps
+        return jnp.where(is_terminal, pay, jnp.maximum(pay, cont))
+
+    # Walk k = 0..num_steps-1, accumulating M and the running max of
+    # (disc_k·h_k − M_k). M_0 = 0; date-0 candidate is the intrinsic.
+    def dual_step(carry, inputs):
+        m, best = carry
+        k, coef_next, log_s_k, v_k, log_s_next = inputs
+        s_next = jnp.exp(log_s_next)
+
+        # Ê_k[Ṽ_{k+1}]: n_inner fresh one-step transitions from (s_k, v_k),
+        # antithetic-paired (±z halves the estimator noise that directly
+        # loosens the bound).
+        ki = jax.random.fold_in(k_inner, k.astype(jnp.int32))
+        kn, ku = jax.random.split(ki)
+        zh = jax.random.normal(kn, (3, n_inner // 2, n_outer), dtype)
+        z = jnp.concatenate([zh, -zh], axis=1)
+        uh = jax.random.uniform(ku, (n_inner // 2, n_outer), dtype)
+        u = jnp.concatenate([uh, uh], axis=0)
+        log_si, _ = _svj_step_core(
+            params, dt, sqrt_dt,
+            jnp.broadcast_to(log_s_k, (n_inner, n_outer)),
+            jnp.broadcast_to(v_k, (n_inner, n_outer)),
+            z[0], z[1], u, z[2])
+        v_inner = vhat(jnp.exp(log_si), k + 1, coef_next)   # (inner, outer)
+        e_k = jnp.mean(v_inner, axis=0)
+
+        disc_next = df_powk(k + 1.0)
+        m = m + disc_next * (vhat(s_next, k + 1, coef_next) - e_k)
+        best = jnp.maximum(best, disc_next * payoff(s_next) - m)
+        return (m, best), None
+
+    m0 = jnp.zeros((n_outer,), dtype)
+    best0 = payoff(jnp.broadcast_to(spot, (n_outer,)))  # k = 0 candidate
+    # Date k+1 regression rows; the terminal date gets a zero row (vhat
+    # switches to pure payoff there, the row is unused).
+    coef_rows = jnp.concatenate([coefs, jnp.zeros((1, n_basis), dtype)])
+    (m, best), _ = jax.lax.scan(
+        dual_step, (m0, best0),
+        (jnp.arange(num_steps, dtype=dtype), coef_rows,
+         log_path[:-1], v_path[:-1], log_path[1:]))
+    price = jnp.mean(best)
+    se = jnp.std(best) / jnp.sqrt(jnp.float32(n_outer))
+    return {"price": price, "std_error": se}
+
+
 class AmericanEngine:
     """LSM American pricer with the framework's engine conventions."""
 
@@ -148,6 +394,45 @@ class AmericanEngine:
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps
         return out
+
+    def price_bounds(self, spot: float, strike: float, T: float,
+                     is_call: bool = True, n_outer: int = 2048,
+                     n_inner: int = 128) -> Dict[str, float]:
+        """Bracket the American price: out-of-sample LSM lower bound +
+        Haugh-Kogan/Andersen-Broadie dual upper bound, with the duality gap.
+
+        Three independent path sets: policy training, lower-bound
+        evaluation, and the dual's outer/inner simulation — so the lower
+        bound is free of foresight bias and the bracket is honest.
+        """
+        steps = scaled_steps(self.num_steps, T, floor=16)
+        key = jax.random.key(self.seed)
+        k_train, k_eval, k_dual = jax.random.split(key, 3)
+        kwargs = dict(num_steps=steps, is_call=is_call,
+                      basis_degree=self.basis_degree)
+        coefs = lsm_train(self.params, spot, strike, T, k_train,
+                          num_paths=self.num_paths, **kwargs)
+        lo = jax.device_get(lsm_lower_bound(
+            self.params, spot, strike, T, k_eval, coefs["policy"],
+            num_paths=self.num_paths, **kwargs))
+        hi = jax.device_get(dual_upper_bound(
+            self.params, spot, strike, T, k_dual, coefs["value"],
+            n_outer=n_outer, n_inner=n_inner, **kwargs))
+        intrinsic = max(spot - strike, 0.0) if is_call \
+            else max(strike - spot, 0.0)
+        lower = max(float(lo["price"]), intrinsic)
+        upper = float(hi["price"])
+        return {
+            "lower_bound": lower,
+            "lower_se": float(lo["std_error"]),
+            "upper_bound": upper,
+            "upper_se": float(hi["std_error"]),
+            "duality_gap": upper - lower,
+            "price": 0.5 * (lower + upper),
+            "num_steps": steps,
+            "n_outer": n_outer,
+            "n_inner": n_inner,
+        }
 
 
 def binomial_american_bs(S: float, K: float, T: float, r: float, q: float,

@@ -93,3 +93,47 @@ def test_lsm_on_svj():
     assert amer["price"] > euro["price"] - 3 * (
         amer["std_error"] + euro["std_error"])
     assert np.isfinite(amer["price"]) and amer["price"] > 0
+
+
+# ── Dual bounds (Andersen-Broadie / Haugh-Kogan) ─────────────────────────────
+@pytest.fixture(scope="module")
+def bounds_engine():
+    return AmericanEngine(gbm_params(SIGMA, r=R, q=Q), num_paths=100_000,
+                          num_steps=32, seed=5)
+
+
+@pytest.mark.parametrize("strike", [90.0, 100.0, 110.0])
+def test_bounds_bracket_crr(bounds_engine, strike):
+    """lower − 3σ ≤ CRR American ≤ upper + 3σ, with a tight duality gap.
+
+    (The MC prices a 16-date Bermudan, whose true value sits slightly below
+    the continuous American CRR value — the upper bound must still clear
+    CRR only within its Bermudan-vs-American slack, hence the soft floor.)
+    """
+    res = bounds_engine.price_bounds(S, strike, T, is_call=False,
+                                     n_inner=256)
+    crr = binomial_american_bs(S, strike, T, R, Q, SIGMA, is_call=False)
+    assert res["lower_bound"] - 3 * res["lower_se"] <= crr + 0.02
+    assert res["upper_bound"] + 3 * res["upper_se"] >= crr - 0.05
+    assert res["lower_bound"] <= res["upper_bound"] + 1e-6
+    assert res["duality_gap"] < 0.10 * max(crr, 1.0)
+
+
+def test_bounds_call_no_dividends_collapse(bounds_engine):
+    """q=0 American call = European call; both bounds must sit on it."""
+    res = bounds_engine.price_bounds(S, K, T, is_call=True, n_inner=256)
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, True))
+    assert abs(res["lower_bound"] - euro) < max(4 * res["lower_se"], 0.10)
+    assert res["upper_bound"] >= res["lower_bound"] - 1e-6
+    assert res["duality_gap"] < 0.05 * euro
+
+
+def test_bounds_svj_ordering():
+    """Under full SVJ: lower ≤ upper and both ≥ discounted intrinsic."""
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1, r=R, q=0.012)
+    eng = AmericanEngine(svj, num_paths=65_536, num_steps=32, seed=11)
+    res = eng.price_bounds(S, 105.0, 0.5, is_call=False, n_inner=128)
+    assert res["lower_bound"] <= res["upper_bound"] + 1e-6
+    assert res["upper_bound"] >= 5.0 - 1e-6  # ≥ intrinsic
+    assert res["duality_gap"] < 0.15 * res["upper_bound"]

@@ -157,3 +157,38 @@ def test_all_greeks_single_device_program(monkeypatch):
     assert v == g1["vega"]
     assert gm == g1["gamma"]
     assert j == g1["jumps"]
+
+
+# ── Cross Greeks (vanna / volga) ─────────────────────────────────────────────
+def _bs_cross_oracle():
+    """Exact BS vanna/volga via second-order AD of the closed form (smooth —
+    no kink, so raw second-order AD is exact here, unlike the MC payoff)."""
+    import jax
+
+    def price(s, sig):
+        return bs.bs_price(s, STRIKE, T, R, Q, sig, True)
+
+    vanna = float(jax.grad(jax.grad(price, argnums=0), argnums=1)(
+        SPOT, SIGMA))
+    volga = float(jax.grad(jax.grad(price, argnums=1), argnums=1)(
+        SPOT, SIGMA))
+    return vanna, volga
+
+
+def test_cross_greeks_match_bs(bs_engine):
+    cg = bs_engine.cross_greeks(SPOT, STRIKE, T)
+    vanna_ref, volga_ref = _bs_cross_oracle()
+    assert cg["vanna"] == pytest.approx(vanna_ref, rel=0.15)
+    assert cg["volga"] == pytest.approx(volga_ref, rel=0.15)
+    # Schwarz symmetry: the two FD routes to vanna agree.
+    assert cg["vanna"] == pytest.approx(cg["vanna_cross_check"], rel=0.15)
+
+
+def test_cross_greeks_svj_finite(svj_engine):
+    cg = svj_engine.cross_greeks(SPOT, STRIKE, T)
+    for k, v in cg.items():
+        assert np.isfinite(v), k
+    # ATM vanilla: volga is small but vanna should be clearly nonzero
+    # under a skewed smile-consistent model once we move off-ATM.
+    cg_otm = svj_engine.cross_greeks(SPOT, SPOT * 1.08, T)
+    assert abs(cg_otm["vanna"]) > 0
