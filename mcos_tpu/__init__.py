@@ -40,6 +40,7 @@ from mcos_tpu.ops.bs import (  # noqa: F401
 from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core  # noqa: F401
 from mcos_tpu.engine.american import (  # noqa: F401
     AmericanEngine,
+    american_greeks_ad,
     binomial_american_bs,
     dual_upper_bound,
     lsm_lower_bound,

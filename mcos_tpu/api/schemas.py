@@ -141,6 +141,9 @@ class AmericanRequest(BaseModel):
     # Bracket the price: out-of-sample LSM lower bound + Andersen-Broadie/
     # Haugh-Kogan dual upper bound with the duality gap (engine/american.py).
     with_bounds: bool = False
+    # Policy-fixed pathwise AD Greeks (delta/gamma/vega/theta/rho) of the
+    # out-of-sample LSM estimator (engine/american.py:AmericanEngine.greeks).
+    with_greeks: bool = False
     n_outer: int = Field(2048, ge=256, le=65536)
     n_inner: int = Field(128, ge=16, le=2048)
 

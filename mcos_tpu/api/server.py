@@ -299,6 +299,8 @@ def handle_american(body: dict) -> dict:
         out["bounds"] = eng.price_bounds(
             req.spot, req.strike, req.T, req.is_call,
             n_outer=req.n_outer, n_inner=req.n_inner)
+    if req.with_greeks:
+        out["greeks"] = eng.greeks(req.spot, req.strike, req.T, req.is_call)
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

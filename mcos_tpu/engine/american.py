@@ -214,17 +214,16 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
     return {"policy": coefs, "value": coefs_v}
 
 
-@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree"))
-def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
-                    num_paths: int, num_steps: int, is_call: bool,
-                    basis_degree: int = 3) -> Dict[str, Array]:
-    """Evaluate the FIXED stopping rule on fresh paths → a true lower bound.
+def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
+                        num_paths: int, num_steps: int, is_call: bool,
+                        basis_degree: int = 3) -> Array:
+    """Per-path discounted payoffs at the FIXED stopping rule (traceable).
 
-    Any measurable stopping rule gives E[discounted payoff at stop] ≤ the
-    American value; the LSM rule trained on an independent set qualifies.
-    Forward pass: stop at the first date where payoff > fitted continuation
-    (and ITM); collect the discounted payoff.
+    Differentiable in (spot, params, T): the stop decision rides through
+    boolean `jnp.where` selects, so AD differentiates the *realized* branch
+    with the stopping time held fixed — exactly the policy-fixed pathwise
+    estimator American Greeks need (the envelope theorem makes the ignored
+    ∂policy term second-order at a near-optimal policy).
     """
     dtype = jnp.float32
     strike = jnp.asarray(strike, dtype)
@@ -253,10 +252,74 @@ def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
                     s_paths[:-1], coefs))
     # Unstopped paths exercise (or expire) at maturity.
     disc_T = jnp.exp(-params.r * jnp.asarray(T, dtype))
-    value = jnp.where(stopped, value, disc_T * payoff(s_paths[-1]))
+    return jnp.where(stopped, value, disc_T * payoff(s_paths[-1]))
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
+                                   "basis_degree"))
+def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
+                    num_paths: int, num_steps: int, is_call: bool,
+                    basis_degree: int = 3) -> Dict[str, Array]:
+    """Evaluate the FIXED stopping rule on fresh paths → a true lower bound.
+
+    Any measurable stopping rule gives E[discounted payoff at stop] ≤ the
+    American value; the LSM rule trained on an independent set qualifies.
+    Forward pass: stop at the first date where payoff > fitted continuation
+    (and ITM); collect the discounted payoff.
+    """
+    value = _lower_bound_values(params, spot, strike, T, key, coefs,
+                                num_paths=num_paths, num_steps=num_steps,
+                                is_call=is_call, basis_degree=basis_degree)
     price = jnp.mean(value)
     se = jnp.std(value) / jnp.sqrt(jnp.float32(num_paths))
     return {"price": price, "std_error": se}
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
+                                   "basis_degree"))
+def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
+                       num_paths: int, num_steps: int, is_call: bool,
+                       basis_degree: int = 3):
+    """(price, ∂P/∂spot, ∂P/∂v₀, ∂P/∂T, ∂P/∂r) of the policy-fixed American
+    lower-bound estimator — ONE forward+backward pass.
+
+    The regression coefficients are constants here (trained on an
+    independent path set), so the gradient is the fixed-stopping-time
+    pathwise derivative; at a near-optimal policy the neglected policy
+    sensitivity is second-order (envelope theorem). The same argument the
+    reference cannot make at all — it has no American pricer (greeks.py is
+    European-only).
+    """
+    def f(spot_, v0_, T_, r_):
+        p = params.replace(v0=v0_, r=r_)
+        value = _lower_bound_values(p, spot_, strike, T_, key, coefs,
+                                    num_paths=num_paths, num_steps=num_steps,
+                                    is_call=is_call,
+                                    basis_degree=basis_degree)
+        return jnp.mean(value)
+
+    price, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+        jnp.float32(spot), jnp.asarray(params.v0, jnp.float32),
+        jnp.float32(T), jnp.asarray(params.r, jnp.float32))
+    return price, grads
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
+                                   "basis_degree"))
+def _american_delta_batch(params: SVJParams, spots, strike, T, key, coefs, *,
+                          num_paths: int, num_steps: int, is_call: bool,
+                          basis_degree: int = 3):
+    """Policy-fixed AD delta at a batch of spots (CRN: same key/coefs) —
+    gamma's central difference rides one vmapped backward pass."""
+    def one(s):
+        def f(s_):
+            return jnp.mean(_lower_bound_values(
+                params, s_, strike, T, key, coefs, num_paths=num_paths,
+                num_steps=num_steps, is_call=is_call,
+                basis_degree=basis_degree))
+        return jax.grad(f)(s)
+
+    return jax.vmap(one)(jnp.asarray(spots, jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("n_outer", "n_inner", "num_steps",
@@ -394,6 +457,49 @@ class AmericanEngine:
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps
         return out
+
+    def greeks(self, spot: float, strike: float, T: float,
+               is_call: bool = True, spot_bump: float = 0.01
+               ) -> Dict[str, float]:
+        """American Greeks: policy-fixed pathwise AD (see american_greeks_ad).
+
+        delta/vega/theta/rho from ONE backward pass through the stopped-
+        payoff scan; gamma = central CRN-FD of the AD delta (the same
+        kinked-payoff recipe as the European GreeksEngine). Early exercise
+        shows up where it must: a deep-ITM American put's delta → −1 and
+        theta → −rK side, which no European estimator reproduces.
+
+        Key conventions mirror GreeksEngine.all_greeks (vega_per_vol_point
+        = 2σ·∂P/∂v₀; the reference's theta_daily label holds the annualized
+        rate — engine/greeks.py:425-436).
+        """
+        steps = scaled_steps(self.num_steps, T, floor=16)
+        key = jax.random.key(self.seed)
+        k_train, k_eval = jax.random.split(key)
+        kwargs = dict(num_steps=steps, is_call=is_call,
+                      basis_degree=self.basis_degree)
+        coefs = lsm_train(self.params, spot, strike, T, k_train,
+                          num_paths=self.num_paths, **kwargs)["policy"]
+        price, (d_s, d_v, d_T, d_r) = jax.device_get(american_greeks_ad(
+            self.params, spot, strike, T, k_eval, coefs,
+            num_paths=self.num_paths, **kwargs))
+        s_up, s_dn = spot * (1 + spot_bump), spot * (1 - spot_bump)
+        deltas = jax.device_get(_american_delta_batch(
+            self.params, [s_up, s_dn], strike, T, k_eval, coefs,
+            num_paths=self.num_paths, **kwargs))
+        sigma = float(np.sqrt(float(self.params.v0)))
+        theta_val = -float(d_T)
+        return {
+            "price": float(price),
+            "delta": float(d_s),
+            "gamma": float((deltas[0] - deltas[1]) / (s_up - s_dn)),
+            "ad_vega_v0": float(d_v),
+            "vega_per_vol_point": float(d_v) * 2 * sigma,
+            "theta_daily": theta_val,
+            "theta_annual": theta_val * 252,
+            "rho": float(d_r),
+            "num_steps": steps,
+        }
 
     def price_bounds(self, spot: float, strike: float, T: float,
                      is_call: bool = True, n_outer: int = 2048,

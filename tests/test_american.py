@@ -137,3 +137,68 @@ def test_bounds_svj_ordering():
     assert res["lower_bound"] <= res["upper_bound"] + 1e-6
     assert res["upper_bound"] >= 5.0 - 1e-6  # ≥ intrinsic
     assert res["duality_gap"] < 0.15 * res["upper_bound"]
+
+
+# ── Policy-fixed pathwise AD Greeks ──────────────────────────────────────────
+def _crr_fd(greek, strike, is_call=False, h=0.01):
+    """CRR central-difference oracle for American Greeks (host f64)."""
+    def f(S_=S, sig=SIGMA, r_=R, T_=T):
+        return binomial_american_bs(S_, strike, T_, r_, Q, sig, steps=1500,
+                                    is_call=is_call)
+    if greek == "delta":
+        return (f(S_=S * (1 + h)) - f(S_=S * (1 - h))) / (2 * S * h)
+    if greek == "gamma":
+        return (f(S_=S * (1 + h)) - 2 * f() + f(S_=S * (1 - h))) / (S * h)**2
+    if greek == "vega":
+        return (f(sig=SIGMA + h) - f(sig=SIGMA - h)) / (2 * h)
+    if greek == "rho":
+        return (f(r_=R + h / 10) - f(r_=R - h / 10)) / (2 * h / 10)
+    if greek == "theta":
+        return -(f(T_=T + h / 10) - f(T_=T - h / 10)) / (2 * h / 10)
+    raise ValueError(greek)
+
+
+@pytest.fixture(scope="module")
+def put_greeks(bounds_engine):
+    return bounds_engine.greeks(S, K, T, is_call=False)
+
+
+def test_american_delta_matches_crr(put_greeks):
+    assert put_greeks["delta"] == pytest.approx(
+        _crr_fd("delta", K), abs=0.02)
+
+
+def test_american_gamma_matches_crr(put_greeks):
+    assert put_greeks["gamma"] == pytest.approx(
+        _crr_fd("gamma", K), rel=0.25)
+
+
+def test_american_vega_rho_theta_match_crr(put_greeks):
+    # σ-vega: the engine reports 2σ·∂P/∂v0 = ∂P/∂σ.
+    assert put_greeks["vega_per_vol_point"] == pytest.approx(
+        _crr_fd("vega", K), rel=0.10)
+    assert put_greeks["rho"] == pytest.approx(_crr_fd("rho", K), rel=0.15)
+    # theta: policy-fixed AD vs tree FD; both small — loose band.
+    assert put_greeks["theta_daily"] == pytest.approx(
+        _crr_fd("theta", K), rel=0.25)
+
+
+def test_american_deep_itm_put_delta_near_minus_one(bounds_engine):
+    g = bounds_engine.greeks(S, 140.0, T, is_call=False)
+    # Immediate exercise region: value ≈ intrinsic ⇒ delta ≈ −1, far below
+    # the European put's e^{-qT}·(N(d1)−1) ≈ −0.95 here.
+    assert g["delta"] < -0.97
+    assert g["gamma"] == pytest.approx(0.0, abs=0.02)
+
+
+def test_american_call_q0_greeks_equal_european(bounds_engine):
+    """q=0 ⇒ no early exercise: American call Greeks = BS closed form."""
+    import jax
+
+    g = bounds_engine.greeks(S, K, T, is_call=True)
+    delta_bs = float(jax.grad(
+        lambda s: bs_price(s, K, T, R, Q, SIGMA, True))(S))
+    vega_bs = float(jax.grad(
+        lambda sig: bs_price(S, K, T, R, Q, sig, True))(SIGMA))
+    assert g["delta"] == pytest.approx(delta_bs, abs=0.02)
+    assert g["vega_per_vol_point"] == pytest.approx(vega_bs, rel=0.08)

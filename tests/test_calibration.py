@@ -207,7 +207,15 @@ def test_de_cache_reuse_across_calibrations():
     """Second calibration with identical shapes must reuse the compiled DE
     loop (review finding: per-request closures forced full recompiles)."""
     import time
+
+    import jax
+
     from mcos_tpu.ops.bs import bs_price as _bs
+
+    # Other suite modules may already have compiled the DE loop, which would
+    # make `first` warm and the cold/warm ratio below meaningless — start
+    # from a clean jit cache so the first call always pays compilation.
+    jax.clear_caches()
 
     strikes = np.linspace(0.95, 1.05, 5) * SPOT
     market = np.array([float(_bs(SPOT, k, T, R, Q, 0.18, True))
