@@ -164,7 +164,7 @@ class BasketRequest(BaseModel):
     """POST /api/basket — European option on a weighted basket of correlated
     SVJ assets (multi-asset capability beyond the reference)."""
     spots: list[float] = Field(max_length=64)
-    weights: list[float] = Field(max_length=64)
+    weights: list[float] = Field(default_factory=list, max_length=64)
     strike: float
     T: float
     is_call: bool = True
@@ -172,6 +172,10 @@ class BasketRequest(BaseModel):
     params: list[SVJParamsRequest] = Field(default_factory=list,
                                            max_length=64)
     num_paths: int = Field(200_000, **_PATHS)
+    # "basket" (weighted sum; needs weights), "worst_of"/"best_of" rainbow
+    # (exact Stulz companion CV for 2 assets), or "spread" (S1-S2-K; exact
+    # Margrabe companion CV) — engine/basket.py.
+    payoff: str = "basket"
 
 
 class SurfaceRequest(BaseModel):

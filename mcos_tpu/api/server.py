@@ -330,8 +330,12 @@ def handle_basket(body: dict) -> dict:
 
     req = schemas.BasketRequest(**body)
     n = len(req.spots)
-    if len(req.weights) != n or len(req.corr) != n:
-        raise ApiError(400, "spots/weights/corr dimensions must agree")
+    if len(req.corr) != n:
+        raise ApiError(400, "spots/corr dimensions must agree")
+    if req.payoff == "basket" and len(req.weights) != n:
+        raise ApiError(400, "basket payoff needs one weight per spot")
+    if req.payoff == "spread" and n != 2:
+        raise ApiError(400, "spread payoff needs exactly 2 assets")
     params = ([p.to_params() for p in req.params] if req.params
               else [schemas.SVJParamsRequest().to_params()] * n)
     if len(params) != n:
@@ -339,7 +343,16 @@ def handle_basket(body: dict) -> dict:
     start = time.time()
     eng = BasketEngine(params, np.asarray(req.corr, np.float64),
                        num_paths=req.num_paths)
-    out = eng.price(req.spots, req.weights, req.strike, req.T, req.is_call)
+    if req.payoff == "basket":
+        out = eng.price(req.spots, req.weights, req.strike, req.T,
+                        req.is_call)
+    elif req.payoff in ("worst_of", "best_of"):
+        out = eng.price_rainbow(req.spots, req.strike, req.T,
+                                kind=req.payoff, is_call=req.is_call)
+    elif req.payoff == "spread":
+        out = eng.price_spread(req.spots, req.strike, req.T, req.is_call)
+    else:
+        raise ApiError(400, f"unknown payoff {req.payoff!r}")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

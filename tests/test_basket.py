@@ -60,3 +60,90 @@ def test_diversification_discount():
     single = BasketEngine([SVJ], np.eye(1), num_paths=60_000, num_steps=32,
                           seed=9).price([100.0], [1.0], 100.0, 0.5)["price"]
     assert basket < single
+
+
+# ── Rainbow (best-of / worst-of) and spread options ──────────────────────────
+G1 = gbm_params(0.25, r=0.05, q=0.01)
+G2 = gbm_params(0.35, r=0.05, q=0.03)
+RHO = 0.4
+
+
+@pytest.fixture(scope="module")
+def rainbow_engine():
+    corr = np.array([[1.0, RHO], [RHO, 1.0]])
+    return BasketEngine([G1, G2], corr, num_paths=150_000, num_steps=32,
+                        seed=3)
+
+
+@pytest.mark.parametrize("kind", ["worst_of", "best_of"])
+@pytest.mark.parametrize("is_call", [True, False])
+def test_rainbow_matches_stulz_gbm(rainbow_engine, kind, is_call):
+    """Degenerate GBM dynamics: MC == Stulz closed form, and the companion
+    control (the same payoff on the SAME simulated legs) makes se tiny."""
+    from mcos_tpu.ops.rainbow import rainbow_price
+
+    out = rainbow_engine.price_rainbow([100.0, 95.0], 100.0, 0.75,
+                                       kind=kind, is_call=is_call)
+    ref = rainbow_price(100.0, 95.0, 100.0, 0.75, 0.05, 0.01, 0.03,
+                        0.25, 0.35, RHO, kind=kind, is_call=is_call)
+    assert out["price"] == pytest.approx(ref, abs=max(5 * out["std_error"],
+                                                      0.02))
+    assert out["std_error"] < 0.01  # CV is exact in GBM mode
+    assert out["cv_beta"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_rainbow_ordering(rainbow_engine):
+    """worst-of call ≤ each single-asset call ≤ best-of call."""
+    worst = rainbow_engine.price_rainbow([100.0, 95.0], 100.0, 0.75,
+                                         kind="worst_of")["price"]
+    best = rainbow_engine.price_rainbow([100.0, 95.0], 100.0, 0.75,
+                                        kind="best_of")["price"]
+    c1 = float(bs_price(100.0, 100.0, 0.75, 0.05, 0.01, 0.25, True))
+    c2 = float(bs_price(95.0, 100.0, 0.75, 0.05, 0.03, 0.35, True))
+    assert worst <= min(c1, c2) + 0.02
+    assert best >= max(c1, c2) - 0.02
+    # max + min = sum parity: c_best + c_worst = c1 + c2.
+    assert best + worst == pytest.approx(c1 + c2, abs=0.05)
+
+
+def test_spread_margrabe_k0(rainbow_engine):
+    """K=0 spread call IS the exchange option: exact Margrabe."""
+    from mcos_tpu.ops.rainbow import margrabe_exchange
+
+    out = rainbow_engine.price_spread([100.0, 95.0], 0.0, 0.75)
+    ref = margrabe_exchange(100.0, 95.0, 0.75, 0.01, 0.03, 0.25, 0.35, RHO)
+    assert out["price"] == pytest.approx(ref, abs=max(5 * out["std_error"],
+                                                      0.02))
+    assert out["std_error"] < 0.01
+
+
+def test_spread_k_positive_behaves(rainbow_engine):
+    """K>0 spread: cheaper than K=0; Margrabe control still cuts variance
+    vs the plain estimator."""
+    cv = rainbow_engine.price_spread([100.0, 95.0], 5.0, 0.75)
+    corr = np.array([[1.0, RHO], [RHO, 1.0]])
+    plain = BasketEngine([G1, G2], corr, num_paths=150_000, num_steps=32,
+                         seed=3, use_control_variate=False
+                         ).price_spread([100.0, 95.0], 5.0, 0.75)
+    k0 = rainbow_engine.price_spread([100.0, 95.0], 0.0, 0.75)
+    assert cv["price"] < k0["price"]
+    assert cv["std_error"] < 0.5 * plain["std_error"]
+    assert cv["price"] == pytest.approx(plain["price"],
+                                        abs=4 * plain["std_error"])
+
+
+def test_rainbow_svj_sanity():
+    """Full SVJ 3-asset worst-of: plain antithetic (no 2-asset closed form),
+    finite, ordered below the 2-asset worst-of on the same pair."""
+    corr3 = np.eye(3) * 0.6 + 0.4
+    bk3 = BasketEngine([SVJ] * 3, corr3, num_paths=80_000, num_steps=32,
+                       seed=6)
+    out3 = bk3.price_rainbow([100.0] * 3, 100.0, 0.5, kind="worst_of")
+    corr2 = np.eye(2) * 0.6 + 0.4
+    bk2 = BasketEngine([SVJ] * 2, corr2, num_paths=80_000, num_steps=32,
+                       seed=6)
+    out2 = bk2.price_rainbow([100.0] * 2, 100.0, 0.5, kind="worst_of")
+    assert np.isfinite(out3["price"]) and out3["price"] > 0
+    assert "cv_beta" not in out3  # no 3-asset closed-form control
+    assert out3["price"] <= out2["price"] + 3 * (out3["std_error"]
+                                                 + out2["std_error"])
