@@ -193,6 +193,22 @@ class SurfaceRequest(BaseModel):
     fit_sabr: bool = True
 
 
+class VarRequest(BaseModel):
+    """POST /api/var — correlated-GBM portfolio VaR/CVaR with per-asset
+    Euler risk contributions (engine/risk.py:portfolio_risk_contributions;
+    the reference reports portfolio scalars only, risk.py:117-155)."""
+    spots: list[float] = Field(max_length=64)
+    sigmas: list[float] = Field(max_length=64)
+    weights: list[float] = Field(max_length=64)
+    corr: list[list[float]]
+    T: float
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    num_paths: int = Field(500_000, **_PATHS)
+    confidence: float = Field(0.99, gt=0.5, lt=1.0)
+    with_contributions: bool = True
+
+
 class LocalVolRequest(BaseModel):
     """POST /api/localvol — build a Dupire local-vol surface from an IV grid
     and price a strike chain under the surface-consistent diffusion (model

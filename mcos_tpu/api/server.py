@@ -450,6 +450,31 @@ def handle_localvol(body: dict) -> dict:
     }
 
 
+def handle_var(body: dict) -> dict:
+    """POST /api/var — portfolio VaR/CVaR + Euler per-asset contributions
+    (engine/risk.py; the reference has portfolio scalars only)."""
+    from mcos_tpu.engine.risk import (portfolio_risk_contributions,
+                                      portfolio_var)
+
+    req = schemas.VarRequest(**body)
+    n = len(req.spots)
+    if len(req.sigmas) != n or len(req.weights) != n or len(req.corr) != n:
+        raise ApiError(400, "spots/sigmas/weights/corr dimensions must agree")
+    start = time.time()
+    if req.with_contributions:
+        out = portfolio_risk_contributions(
+            req.spots, req.sigmas, np.asarray(req.corr, np.float64),
+            req.weights, req.T, r=req.r, q=req.q,
+            num_paths=req.num_paths, confidence=req.confidence)
+    else:
+        out = portfolio_var(
+            req.spots, req.sigmas, np.asarray(req.corr, np.float64),
+            req.weights, req.T, r=req.r, q=req.q,
+            num_paths=req.num_paths, confidence=req.confidence)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_quote(query: dict) -> dict:
     from mcos_tpu.api.quotes import fetch_quote
 
@@ -477,6 +502,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/convergence": handle_convergence,
     "/api/surface": handle_surface,
     "/api/localvol": handle_localvol,
+    "/api/var": handle_var,
 }
 
 

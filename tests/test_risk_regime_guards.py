@@ -266,3 +266,63 @@ def test_hedge_backtest_svj_dynamics_fatter_left_tail():
     assert gbm["dynamics"] == "gbm" and svj["dynamics"] == "svj"
     assert svj["std_pnl"] > gbm["std_pnl"]
     assert svj["pnl_percentiles"]["1%"] < gbm["pnl_percentiles"]["1%"]
+
+
+# ── Euler risk contributions (component VaR / CVaR) ──────────────────────────
+def test_risk_contributions_tie_out():
+    """Σ component_cvar = CVaR exactly (tail-mean identity); Σ component_var
+    = VaR after the band rescale with a near-1 scale; both consistent with
+    portfolio_var on the same key."""
+    from mcos_tpu.engine.risk import portfolio_risk_contributions
+
+    spots = np.array([100.0, 80.0, 120.0], np.float32)
+    sigmas = np.array([0.2, 0.3, 0.25], np.float32)
+    corr = np.eye(3) * 0.6 + 0.4
+    w = np.array([0.5, 0.3, 0.2], np.float32)
+    kw = dict(T=0.1, key=jax.random.key(3), num_paths=400_000, num_steps=16)
+    out = portfolio_risk_contributions(spots, sigmas, corr, w, **kw)
+    assert sum(out["component_cvar"]) == pytest.approx(out["cvar"], rel=1e-4)
+    assert sum(out["component_var"]) == pytest.approx(out["var"], rel=1e-6)
+    assert out["var_scale"] == pytest.approx(1.0, abs=0.15)
+    ref = portfolio_var(spots, sigmas, corr, w, **kw)
+    assert out["var"] == pytest.approx(ref["var"], rel=0.02)
+    assert out["cvar"] == pytest.approx(ref["cvar"], rel=0.02)
+
+
+def test_risk_contributions_match_normal_oracle():
+    """Short-horizon GBM ⇒ returns ≈ multivariate normal, where Euler
+    contributions are analytic: componentᵢ/risk = wᵢ(Σw)ᵢ / wᵀΣw for BOTH
+    VaR and CVaR (elliptical distribution)."""
+    from mcos_tpu.engine.risk import portfolio_risk_contributions
+
+    spots = np.array([100.0, 100.0, 100.0], np.float32)
+    sigmas = np.array([0.2, 0.35, 0.15], np.float32)
+    corr = np.array([[1.0, 0.5, 0.1], [0.5, 1.0, 0.3], [0.1, 0.3, 1.0]])
+    w = np.array([0.4, 0.35, 0.25])
+    T = 0.05
+    cov = np.outer(sigmas, sigmas) * corr * T
+    expected_pct = w * (cov @ w) / (w @ cov @ w) * 100
+    out = portfolio_risk_contributions(
+        spots, sigmas, corr, w, T=T, key=jax.random.key(9),
+        num_paths=500_000, num_steps=16)
+    np.testing.assert_allclose(out["component_cvar_pct"], expected_pct,
+                               atol=2.5)
+    np.testing.assert_allclose(out["component_var_pct"], expected_pct,
+                               atol=4.0)
+
+
+def test_risk_contributions_zero_weight_asset():
+    """A zero-weight asset contributes nothing (component = 0) but keeps a
+    finite marginal (it WOULD add risk if bought — correlation with the
+    book)."""
+    from mcos_tpu.engine.risk import portfolio_risk_contributions
+
+    spots = np.array([100.0, 100.0], np.float32)
+    sigmas = np.array([0.25, 0.25], np.float32)
+    corr = np.eye(2) * 0.3 + 0.7
+    w = np.array([1.0, 0.0])
+    out = portfolio_risk_contributions(
+        spots, sigmas, corr, w, T=0.1, key=jax.random.key(1),
+        num_paths=200_000, num_steps=16)
+    assert out["component_cvar"][1] == pytest.approx(0.0, abs=1e-9)
+    assert out["marginal_cvar"][1] > 0.5 * out["marginal_cvar"][0]
