@@ -47,6 +47,11 @@ from mcos_tpu.engine.american import (  # noqa: F401
     lsm_train,
 )
 from mcos_tpu.engine.basket import BasketEngine  # noqa: F401
+from mcos_tpu.engine.cliquet import (  # noqa: F401
+    CliquetEngine,
+    cliquet_bs,
+    forward_start_bs,
+)
 from mcos_tpu.engine.book import BookEngine  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401
 from mcos_tpu.engine.greeks import GreeksEngine  # noqa: F401

@@ -193,6 +193,27 @@ class SurfaceRequest(BaseModel):
     fit_sabr: bool = True
 
 
+class CliquetRequest(BaseModel):
+    """POST /api/cliquet — cliquet (ratchet) / forward-start pricing under
+    SVJ (forward-skew instruments; engine/cliquet.py)."""
+    T: float
+    kind: str = "cliquet"            # "cliquet" | "forward_start"
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
+    steps_per_period: int = Field(16, ge=2, le=256)
+    # cliquet terms
+    n_periods: int = Field(4, ge=1, le=64)
+    local_floor: float = 0.0
+    local_cap: float = 0.08
+    global_floor: float = 0.0
+    global_cap: float = 1e18
+    notional: float = Field(1.0, gt=0, le=1e12)
+    # forward-start terms
+    t1: float = 0.25
+    k: float = 1.0
+    is_call: bool = True
+
+
 class VarRequest(BaseModel):
     """POST /api/var — correlated-GBM portfolio VaR/CVaR with per-asset
     Euler risk contributions (engine/risk.py:portfolio_risk_contributions;

@@ -450,6 +450,30 @@ def handle_localvol(body: dict) -> dict:
     }
 
 
+def handle_cliquet(body: dict) -> dict:
+    """POST /api/cliquet — cliquet/forward-start (engine/cliquet.py)."""
+    from mcos_tpu.engine.cliquet import CliquetEngine
+
+    req = schemas.CliquetRequest(**body)
+    start = time.time()
+    eng = CliquetEngine(req.params.to_params(), num_paths=req.num_paths,
+                        steps_per_period=req.steps_per_period)
+    if req.kind == "cliquet":
+        out = eng.price_cliquet(
+            req.T, n_periods=req.n_periods, local_floor=req.local_floor,
+            local_cap=req.local_cap, global_floor=req.global_floor,
+            global_cap=req.global_cap, notional=req.notional)
+    elif req.kind == "forward_start":
+        if not 0.0 < req.t1 < req.T:
+            raise ApiError(400, "need 0 < t1 < T")
+        out = eng.price_forward_start(req.t1, req.T, k=req.k,
+                                      is_call=req.is_call)
+    else:
+        raise ApiError(400, f"unknown kind {req.kind!r}")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_var(body: dict) -> dict:
     """POST /api/var — portfolio VaR/CVaR + Euler per-asset contributions
     (engine/risk.py; the reference has portfolio scalars only)."""
@@ -503,6 +527,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/surface": handle_surface,
     "/api/localvol": handle_localvol,
     "/api/var": handle_var,
+    "/api/cliquet": handle_cliquet,
 }
 
 

@@ -1,0 +1,249 @@
+"""Forward-start and cliquet (ratchet) options under SVJ dynamics.
+
+Capability beyond the reference (European vanillas only). These are the
+canonical *forward-skew* instruments: a cliquet's value is driven by the
+distribution of future period returns, which a calibrated SVJ model prices
+very differently from sticky-strike BS — exactly the model-risk question a
+desk holds this framework for.
+
+TPU shape: a `lax.scan` over reset periods whose body is an inner scan over
+the steps inside the period — only the running (log S, v, log G) carry lives
+across steps, and one period return is emitted per outer step (no
+(steps, paths) sheet in HBM). The GBM companion legs ride the same dW₁, and
+both payoffs (clipped-sum cliquet, forward-start performance) have exact
+closed forms on the companions (`cliquet_bs`, `forward_start_bs`) — the same
+exact-control construction as the vanilla/basket engines.
+
+Oracles (host f64): a forward-start performance call is Rubinstein (1991) —
+Black-Scholes on the ratio S_T/S_t₁, which is independent of F_t₁; the
+uncapped-sum cliquet decomposes per period into clip(R, f, c) =
+f + (R−f)⁺ − (R−c)⁺, each term a forward-start call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import norm
+
+from mcos_tpu.config import DEFAULT_NUM_PATHS
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops.simulate import (_svj_step_core, combine_antithetic,
+                                   mc_mean_stderr)
+
+Array = jax.Array
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Closed-form GBM oracles (host f64)
+# ─────────────────────────────────────────────────────────────────────────────
+def _performance_call_undisc(k: float, tau: float, r: float, q: float,
+                             sigma: float) -> float:
+    """E[max(S_{t+τ}/S_t − k, 0)] under GBM — Black-76 on the gross return
+    (forward F = e^{(r−q)τ}, unit notional)."""
+    if k <= 0.0:
+        return float(np.exp((r - q) * tau) - k)
+    st = sigma * np.sqrt(tau)
+    F = np.exp((r - q) * tau)
+    d1 = (np.log(F / k) + 0.5 * st**2) / max(st, 1e-12)
+    d2 = d1 - st
+    return float(F * norm.cdf(d1) - k * norm.cdf(d2))
+
+
+def forward_start_bs(t1: float, T: float, k: float, r: float, q: float,
+                     sigma: float, is_call: bool = True) -> float:
+    """Forward-start performance option e^{-rT}·E[max(±(S_T/S_t₁ − k), 0)].
+
+    Rubinstein (1991): the ratio is lognormal over τ = T − t₁ and
+    independent of S_t₁, so the t₁-measurability integrates out.
+    """
+    tau = T - t1
+    call = np.exp(-r * T) * _performance_call_undisc(k, tau, r, q, sigma)
+    if is_call:
+        return float(call)
+    # Parity on the ratio: E[ratio] = e^{(r−q)τ}.
+    return float(call - np.exp(-r * T)
+                 * (np.exp((r - q) * tau) - k))
+
+
+def cliquet_bs(T: float, n_periods: int, r: float, q: float, sigma: float,
+               local_floor: float, local_cap: float,
+               notional: float = 1.0) -> float:
+    """Uncapped-sum cliquet e^{-rT}·N·Σⱼ E[clip(Rⱼ, f, c)] under GBM.
+
+    Period returns are iid, and clip(R, f, c) = f + (R−f)⁺ − (R−c)⁺ — two
+    forward-start calls per period. Exact only without the global floor/cap
+    (those couple the periods); the MC handles the general contract.
+    """
+    tau = T / n_periods
+    e_clip = (local_floor
+              + _performance_call_undisc(1.0 + local_floor, tau, r, q, sigma)
+              - _performance_call_undisc(1.0 + local_cap, tau, r, q, sigma))
+    return float(notional * n_periods * e_clip * np.exp(-r * T))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# SVJ Monte Carlo
+# ─────────────────────────────────────────────────────────────────────────────
+@partial(jax.jit, static_argnames=("num_paths", "n_periods",
+                                   "steps_per_period", "companion"))
+def simulate_period_log_returns(params: SVJParams, T, key, *,
+                                num_paths: int, n_periods: int,
+                                steps_per_period: int,
+                                companion: bool = True):
+    """(n_periods, 2, num_paths) per-period log returns of S (and of the GBM
+    companion on the same dW₁), antithetic branches on axis 1.
+
+    Outer scan over reset periods, inner scan over intra-period steps; the
+    reset is free (the period carry starts at 0 — log returns are
+    increments), so nothing but the (log S, v, log G) running state crosses
+    period boundaries.
+    """
+    dtype = jnp.float32
+    T = jnp.asarray(T, dtype)
+    n_steps = n_periods * steps_per_period
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:, None]
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (2, num_paths))
+
+    def inner_step(carry, global_idx):
+        log_s, v, log_g = carry
+        k_step = jax.random.fold_in(key, global_idx)
+        k_n, k_u = jax.random.split(k_step)
+        z = jax.random.normal(k_n, (3, num_paths), dtype)
+        u = jax.random.uniform(k_u, (num_paths,), dtype)
+        z1, z2, z_js = (z[0][None] * sign, z[1][None] * sign,
+                        z[2][None] * sign)
+        u2 = u[None].repeat(2, axis=0)
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z1, z2, u2, z_js)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * sqrt_dt * z1
+        return (log_s, v, log_g), None
+
+    def period(v_carry, p_idx):
+        zero = jnp.zeros((2, num_paths), dtype)
+        idx = p_idx * steps_per_period + jnp.arange(steps_per_period)
+        (dlog_s, v_carry, dlog_g), _ = jax.lax.scan(
+            inner_step, (zero, v_carry, zero), idx)
+        return v_carry, (dlog_s, dlog_g)
+
+    _, (dlog_s, dlog_g) = jax.lax.scan(period, v0, jnp.arange(n_periods))
+    return dlog_s, (dlog_g if companion else None)
+
+
+def _cliquet_payoff(dlog, local_floor, local_cap, global_floor, global_cap):
+    """Clipped-sum cliquet payoff from (n_periods, 2, paths) log returns."""
+    r_per = jnp.clip(jnp.exp(dlog) - 1.0, local_floor, local_cap)
+    total = jnp.clip(jnp.sum(r_per, axis=0), global_floor, global_cap)
+    return combine_antithetic(total)
+
+
+class CliquetEngine:
+    """Cliquet and forward-start pricing with exact companion controls."""
+
+    def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
+                 steps_per_period: int = 16, seed: int = 42,
+                 use_control_variate: bool = True):
+        self.params = params
+        self.num_paths = int(num_paths)
+        self.steps_per_period = int(steps_per_period)
+        self.seed = int(seed)
+        self.use_control_variate = bool(use_control_variate)
+
+    def _cv(self, out, pay, ctrl_pay, ctrl_exact_disc, discount):
+        ctrl_c = ctrl_pay - jnp.mean(ctrl_pay)
+        var_c = float(jnp.mean(ctrl_c**2))
+        cov = float(jnp.mean((pay - jnp.mean(pay)) * ctrl_c))
+        beta = cov / max(var_c, 1e-12) if var_c > 1e-12 else 0.0
+        adj = pay - beta * (ctrl_pay - ctrl_exact_disc / discount)
+        mean, se = mc_mean_stderr(adj)
+        out["price"] = discount * float(mean)
+        out["std_error"] = discount * float(se)
+        out["cv_beta"] = float(beta)
+        return out
+
+    def price_cliquet(self, T: float, n_periods: int = 4,
+                      local_floor: float = 0.0, local_cap: float = 0.08,
+                      global_floor: float = 0.0,
+                      global_cap: float = float("inf"),
+                      notional: float = 1.0) -> Dict[str, float]:
+        """N · clip(Σⱼ clip(Rⱼ, f_loc, c_loc), f_glob, c_glob), paid at T."""
+        p = self.params
+        dlog_s, dlog_g = simulate_period_log_returns(
+            p, T, jax.random.key(self.seed), num_paths=self.num_paths,
+            n_periods=n_periods, steps_per_period=self.steps_per_period,
+            companion=self.use_control_variate)
+        pay = notional * _cliquet_payoff(dlog_s, local_floor, local_cap,
+                                         global_floor, global_cap)
+        discount = float(np.exp(-float(p.r) * T))
+        mean, se = mc_mean_stderr(pay)
+        out = {
+            "price": discount * float(mean),
+            "std_error": discount * float(se),
+            "n_periods": n_periods,
+            "num_paths_used": self.num_paths,
+            "num_steps": n_periods * self.steps_per_period,
+        }
+        if self.use_control_variate:
+            # Control: the UNCAPPED-sum cliquet on the companion legs —
+            # exact closed form (cliquet_bs); the global clip only weakens
+            # correlation, it never biases (optimal-β absorbs the slope).
+            ctrl_pay = notional * _cliquet_payoff(
+                dlog_g, local_floor, local_cap, -np.inf, np.inf)
+            ctrl_exact = cliquet_bs(
+                T, n_periods, float(p.r), float(p.q),
+                float(np.sqrt(float(p.v0))), local_floor, local_cap,
+                notional)
+            out = self._cv(out, pay, ctrl_pay, ctrl_exact, discount)
+        return out
+
+    def price_forward_start(self, t1: float, T: float, k: float = 1.0,
+                            is_call: bool = True) -> Dict[str, float]:
+        """Forward-start performance option max(±(S_T/S_t₁ − k), 0).
+
+        Simulated as a 2-period cliquet grid with period lengths (t1, T−t1):
+        steps are laid on a uniform grid over [0, T] and the reset falls on
+        the nearest step — exact when t1/T is a round fraction.
+        """
+        p = self.params
+        n_total = 2 * self.steps_per_period
+        split = max(min(int(round(t1 / T * n_total)), n_total - 1), 1)
+        # Simulate as one "period" per leg by using gcd-free direct scan:
+        # reuse the period machinery with unequal legs via two calls is
+        # wasteful; instead simulate n_total steps as 1 period and split the
+        # log-return at the reset index.
+        dlog_s, dlog_g = simulate_period_log_returns(
+            p, T, jax.random.key(self.seed), num_paths=self.num_paths,
+            n_periods=n_total, steps_per_period=1,
+            companion=self.use_control_variate)
+        ratio = jnp.exp(jnp.sum(dlog_s[split:], axis=0))
+        phi = 1.0 if is_call else -1.0
+        pay = combine_antithetic(jnp.maximum(phi * (ratio - k), 0.0))
+        discount = float(np.exp(-float(p.r) * T))
+        mean, se = mc_mean_stderr(pay)
+        t1_eff = split / n_total * T
+        out = {
+            "price": discount * float(mean),
+            "std_error": discount * float(se),
+            "t1_effective": t1_eff,
+            "num_paths_used": self.num_paths,
+            "num_steps": n_total,
+        }
+        if self.use_control_variate:
+            ratio_g = jnp.exp(jnp.sum(dlog_g[split:], axis=0))
+            ctrl_pay = combine_antithetic(
+                jnp.maximum(phi * (ratio_g - k), 0.0))
+            ctrl_exact = forward_start_bs(
+                t1_eff, T, k, float(p.r), float(p.q),
+                float(np.sqrt(float(p.v0))), is_call)
+            out = self._cv(out, pay, ctrl_pay, ctrl_exact, discount)
+        return out
