@@ -278,6 +278,50 @@ def config7_qe_accuracy(quick):
     return out
 
 
+def config8_sustained(quick):
+    """Sustained kernel throughput: chained invocations inside one jit
+    amortize the fixed per-dispatch host-device round-trip (~28 ms over
+    the axon tunnel), reporting the rate a production batch actually
+    sustains. Same methodology as the repo-root bench.py headline."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.pallas_kernels import (gbm_terminal_pallas,
+                                             svj_terminal_pallas)
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "fused kernels are TPU-only"}
+
+    n, steps, chain = (1 << 20, 256, 2) if quick else (1 << 22, 1024, 4)
+    p = SVJParams()
+    out = {"workload": f"{chain} chained calls x 2^{n.bit_length() - 1} "
+                       f"paths x 2 branches x {steps} steps"}
+
+    @functools.partial(jax.jit, static_argnames=("model",))
+    def sustained(seed0, model):
+        acc = jnp.float32(0.0)
+        for i in range(chain):
+            if model == "gbm":
+                s = gbm_terminal_pallas(22500.0, 0.2, 0.065, 0.012, 1.0,
+                                        seed0 + i, num_paths=n,
+                                        num_steps=steps)
+            else:
+                s, _, _ = svj_terminal_pallas(p, 22500.0, 1.0, seed0 + i,
+                                              num_paths=n, num_steps=steps)
+            acc = acc + jnp.sum(jnp.maximum(s - 22500.0, 0.0))
+        return acc
+
+    for model in ("gbm", "svj"):
+        _, ms = timed(lambda seed: sustained(seed, model), 0, trials=3)
+        out[f"{model}_path_steps_per_sec"] = round(
+            chain * 2 * n * steps / (ms / 1000))
+        out[f"{model}_latency_ms"] = round(ms, 1)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -294,7 +338,8 @@ def main():
                      ("config4_exotics", config4_exotics),
                      ("config5_portfolio", config5_portfolio),
                      ("config6_serving_default", config6_serving_default),
-                     ("config7_qe_accuracy", config7_qe_accuracy)]:
+                     ("config7_qe_accuracy", config7_qe_accuracy),
+                     ("config8_sustained", config8_sustained)]:
         try:
             report[name] = fn(args.quick)
         except Exception as e:  # noqa: BLE001 — report partial results
