@@ -53,6 +53,8 @@ from mcos_tpu.engine.cliquet import (  # noqa: F401
     forward_start_bs,
 )
 from mcos_tpu.engine.book import BookEngine  # noqa: F401
+from mcos_tpu.engine.rough import RoughBergomiEngine  # noqa: F401
+from mcos_tpu.ops.rough import RoughBergomiParams  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401
 from mcos_tpu.engine.greeks import GreeksEngine  # noqa: F401
 from mcos_tpu.engine.calibration import CalibrationEngine  # noqa: F401

@@ -193,6 +193,27 @@ class SurfaceRequest(BaseModel):
     fit_sabr: bool = True
 
 
+class RoughRequest(BaseModel):
+    """POST /api/rough — rough Bergomi pricing/smile/Greeks
+    (engine/rough.py; model family beyond the reference)."""
+    spot: float = Field(gt=0)
+    T: float = Field(gt=0, le=10.0)
+    mode: str = "price"              # "price" | "greeks" | "smile" | "skew"
+    strike: float = 0.0              # 0 → ATM (price/greeks modes)
+    is_call: bool = True
+    # model parameters
+    hurst: float = Field(0.07, gt=0.0, le=0.5)
+    xi: float = Field(0.04, gt=0.0, le=4.0)
+    eta: float = Field(1.9, ge=0.0, le=10.0)
+    rho: float = Field(-0.9, ge=-0.999, le=0.999)
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    # discretization
+    num_paths: int = Field(131_072, **_PATHS)
+    num_steps: int = Field(128, ge=8, le=512)
+    moneyness: Optional[list] = None  # smile mode grid (≤ MAX_GRID_POINTS)
+
+
 class CliquetRequest(BaseModel):
     """POST /api/cliquet — cliquet (ratchet) / forward-start pricing under
     SVJ (forward-skew instruments; engine/cliquet.py)."""

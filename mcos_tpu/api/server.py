@@ -474,6 +474,35 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_rough(body: dict) -> dict:
+    """POST /api/rough — rough Bergomi price/greeks/smile/skew
+    (engine/rough.py; rough-volatility family beyond the reference)."""
+    from mcos_tpu.engine.rough import RoughBergomiEngine
+    from mcos_tpu.ops.rough import RoughBergomiParams
+
+    req = schemas.RoughRequest(**body)
+    if req.moneyness is not None and len(req.moneyness) > schemas.MAX_GRID_POINTS:
+        raise ApiError(400, f"moneyness grid > {schemas.MAX_GRID_POINTS}")
+    start = time.time()
+    params = RoughBergomiParams(xi=req.xi, eta=req.eta, rho=req.rho,
+                                r=req.r, q=req.q, hurst=req.hurst)
+    eng = RoughBergomiEngine(params, num_paths=req.num_paths,
+                             num_steps=req.num_steps)
+    strike = req.strike if req.strike > 0 else req.spot
+    if req.mode == "price":
+        out = eng.price(req.spot, strike, req.T, is_call=req.is_call)
+    elif req.mode == "greeks":
+        out = eng.greeks(req.spot, strike, req.T, is_call=req.is_call)
+    elif req.mode == "smile":
+        out = eng.smile(req.spot, req.T, moneyness=req.moneyness)
+    elif req.mode == "skew":
+        out = eng.atm_skew(req.spot, req.T)
+    else:
+        raise ApiError(400, f"unknown mode {req.mode!r}")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_var(body: dict) -> dict:
     """POST /api/var — portfolio VaR/CVaR + Euler per-asset contributions
     (engine/risk.py; the reference has portfolio scalars only)."""
@@ -528,6 +557,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/localvol": handle_localvol,
     "/api/var": handle_var,
     "/api/cliquet": handle_cliquet,
+    "/api/rough": handle_rough,
 }
 
 

@@ -1,0 +1,239 @@
+r"""Rough Bergomi (rBergomi) simulation — exact-covariance, matmul-only.
+
+Capability beyond the reference (which stops at Markovian SVJ,
+/root/reference/engine/monte_carlo.py:189-243): the rough-volatility model
+of Bayer-Friz-Gatheral (2016),
+
+    v_t = xi(t) * exp(eta * W~_t - eta^2/2 * t^{2H}),
+    dS/S = (r - q) dt + sqrt(v_t) (rho dW_t + sqrt(1-rho^2) dW'_t),
+
+where W~ is a Riemann-Liouville fractional Brownian motion
+W~_t = sqrt(2H) \int_0^t (t-u)^{H-1/2} dW_u with Hurst H in (0, 1/2].
+Small H produces the steep short-dated skew and the t^{H-1/2} ATM-skew
+explosion that Markovian models cannot match.
+
+TPU-first design — NO sequential step loop at all:
+
+  * W~ is non-Markovian, so instead of a scan we sample the *exact* joint
+    Gaussian of (W~ at the grid times, the dW increments): the covariance
+    has a closed form (Gauss hypergeometric, computed on host in f64), its
+    Cholesky factor L is a static (2n, 2n) input, and sampling is ONE MXU
+    matmul  Z @ L^T  over the whole path batch. The usual CPU designs
+    (per-step hybrid-scheme convolution) are replaced by dense linear
+    algebra at tensor-core speed — this is the idiomatic mapping, and it is
+    *exact* in the law of (W~, W) (no Volterra discretization bias; the
+    only bias left is the Riemann price integral).
+  * The price leg never simulates S: the Romano-Touzi conditional
+    ("mixed") estimator integrates the orthogonal noise W' out in closed
+    form — conditional on the W path, S_T is lognormal, so each path
+    contributes a Black formula on
+
+        F_eff = S0 e^{(r-q)T} exp(rho*I1 - rho^2/2 * I2),
+        s^2   = (1 - rho^2) * I2,
+        I1 = sum_i sqrt(v_i) dW_i,   I2 = sum_i v_i dt.
+
+    This removes the orthogonal-noise variance entirely (at rho = 0 that
+    is all of the spot noise), needs half the random numbers, and —
+    because the Black formula is smooth — makes *pathwise AD deliver
+    smooth delta and even gamma* where kinked-payoff MC cannot.
+
+All device work is f32; the covariance and its Cholesky are prepared once
+per (H, T, n) on host in f64 (an n<=512 Cholesky is microseconds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import hyp2f1
+
+from mcos_tpu.config import DIVIDEND_YIELD, RISK_FREE_RATE
+
+Array = jax.Array
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Parameters
+# ─────────────────────────────────────────────────────────────────────────────
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RoughBergomiParams:
+    """rBergomi parameters. `hurst` is static (it shapes the host-side
+    covariance); the rest are traced leaves, so eta/rho/xi sensitivities
+    come out of the same `jax.grad` pass as delta."""
+
+    xi: float = 0.04        # flat forward-variance level xi(t) = xi
+    eta: float = 1.9        # vol-of-vol of the Wick exponential
+    rho: float = -0.9       # spot/vol correlation
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    hurst: float = dataclasses.field(default=0.07,
+                                     metadata={"static": True})
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Exact joint covariance of (W~ grid values, dW increments) — host, f64
+# ─────────────────────────────────────────────────────────────────────────────
+def volterra_cov(s: np.ndarray, t: np.ndarray, hurst: float) -> np.ndarray:
+    """E[W~_s W~_t] for the Riemann-Liouville fBM, elementwise.
+
+    For s <= t:  C = 2H/(H+1/2) * s^{H+1/2} t^{H-1/2}
+                     * 2F1(1, 1/2-H; H+3/2; s/t),
+    which reduces to min(s,t) at H = 1/2 and to s^{2H} on the diagonal.
+    The hypergeometric argument s/t lies in [0, 1] — well-conditioned
+    everywhere (tests pin this form against brute-force quadrature).
+    """
+    s = np.asarray(s, np.float64)
+    t = np.asarray(t, np.float64)
+    lo, hi = np.minimum(s, t), np.maximum(s, t)
+    ratio = np.where(hi > 0.0, lo / np.where(hi > 0.0, hi, 1.0), 0.0)
+    h = float(hurst)
+    pref = 2.0 * h / (h + 0.5) * lo ** (h + 0.5) * hi ** (h - 0.5)
+    return pref * hyp2f1(1.0, 0.5 - h, h + 1.5, ratio)
+
+
+def volterra_increment_cov(t_grid: np.ndarray, hurst: float,
+                           dt: float) -> np.ndarray:
+    """E[W~_{t_i} dW_j] for grid-aligned increments dW_j over
+    (t_{j-1}, t_j]:  sqrt(2H)/(H+1/2) * [(t_i-t_{j-1})^{H+1/2}
+    - (t_i-t_j)^{H+1/2}]  for j <= i, zero for j > i."""
+    h = float(hurst)
+    n = len(t_grid)
+    ti = np.asarray(t_grid, np.float64)[:, None]          # (n, 1)
+    tj = np.asarray(t_grid, np.float64)[None, :]          # (1, n) right ends
+    tjm1 = tj - dt
+    a = np.maximum(ti - tjm1, 0.0) ** (h + 0.5)
+    b = np.maximum(ti - tj, 0.0) ** (h + 0.5)
+    out = np.sqrt(2.0 * h) / (h + 0.5) * (a - b)
+    out[np.broadcast_to(tj, (n, n)) > ti + 1e-14] = 0.0
+    return out
+
+
+@lru_cache(maxsize=32)
+def _chol_cached(hurst: float, T: float, num_steps: int) -> np.ndarray:
+    """Cholesky factor (f32) of the joint (2n, 2n) covariance of
+    [W~_{t_1..t_n}, dW_{1..n}] on the uniform grid t_i = i*T/n."""
+    n = int(num_steps)
+    dt = float(T) / n
+    t = dt * np.arange(1, n + 1)
+    cov = np.empty((2 * n, 2 * n), np.float64)
+    cov[:n, :n] = volterra_cov(t[:, None], t[None, :], hurst)
+    cross = volterra_increment_cov(t, hurst, dt)
+    cov[:n, n:] = cross
+    cov[n:, :n] = cross.T
+    cov[n:, n:] = dt * np.eye(n)
+    # Tiny diagonal lift: the W~ block is ill-conditioned for small H at
+    # fine grids; 1e-12 relative is far below the f32 sampling noise.
+    cov[np.diag_indices(2 * n)] += 1e-12 * cov.diagonal().max()
+    return np.linalg.cholesky(cov).astype(np.float32)
+
+
+def rbergomi_chol(hurst: float, T: float, num_steps: int) -> np.ndarray:
+    """Public cached accessor (host). Keyed on rounded floats so jitter in
+    float(T) does not defeat the cache."""
+    return _chol_cached(round(float(hurst), 10), round(float(T), 10),
+                        int(num_steps))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Device simulation — one matmul + elementwise
+# ─────────────────────────────────────────────────────────────────────────────
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
+def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
+                  num_paths: int, num_steps: int,
+                  antithetic: bool = True) -> Tuple[Array, Array, Array]:
+    """Simulate the W-conditional sufficient statistics of rBergomi.
+
+    Returns (v_mean_t, I1, I2):
+      v_grid : (n,) grid-mean of v (diagnostic / E[v]=xi tests),
+      I1     : (branches, paths) = sum_i sqrt(v_{i-1}) dW_i,
+      I2     : (branches, paths) = sum_i v_{i-1} dt,
+    with antithetic branches on axis 0 (Z and -Z share one draw set).
+    """
+    dtype = jnp.float32
+    n = num_steps
+    T = jnp.asarray(T, dtype)
+    dt = T / n
+    t_left = dt * jnp.arange(n, dtype=dtype)              # left endpoints
+
+    z = jax.random.normal(key, (num_paths, 2 * n), dtype)
+    branches = (1.0, -1.0) if antithetic else (1.0,)
+
+    i1s, i2s, v_means = [], [], []
+    for sign in branches:
+        g = (sign * z) @ chol.T                           # MXU: (paths, 2n)
+        w_tilde = g[:, :n]
+        dw = g[:, n:]
+        # Left-point W~: W~_{t_0}=0, then the first n-1 grid values.
+        w_left = jnp.concatenate(
+            [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
+        v = params.xi * jnp.exp(
+            params.eta * w_left
+            - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
+        i1s.append(jnp.sum(jnp.sqrt(v) * dw, axis=1))
+        i2s.append(jnp.sum(v, axis=1) * dt)
+        v_means.append(jnp.mean(v, axis=0))
+    return (jnp.mean(jnp.stack(v_means), axis=0),
+            jnp.stack(i1s), jnp.stack(i2s))
+
+
+def _black_on_forward(F, K, s, is_call):
+    """Undiscounted Black price with total volatility s = sigma*sqrt(T),
+    smooth in all inputs (the s -> 0 limit is handled by a floor that is
+    far below any realistic conditional vol)."""
+    s = jnp.maximum(s, 1e-6)
+    d1 = jnp.log(F / K) / s + 0.5 * s
+    d2 = d1 - s
+    phi = jax.scipy.stats.norm.cdf
+    call = F * phi(d1) - K * phi(d2)
+    return jnp.where(is_call, call, call - (F - K))       # Black parity
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
+def rbergomi_conditional_payoffs(params: RoughBergomiParams, spot, strikes,
+                                 T, chol, key, *, num_paths: int,
+                                 num_steps: int, is_call,
+                                 antithetic: bool = True) -> Array:
+    """(branches, paths, strikes) per-path *conditional Black* payoffs
+    (undiscounted). Averaging over paths and discounting gives the price;
+    the estimator is exact in the orthogonal noise, so its variance is
+    (1-rho^2)-suppressed and every payoff is smooth for AD."""
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
+    T = jnp.asarray(T, dtype)
+    _, i1, i2 = rbergomi_core(params, T, chol, key, num_paths=num_paths,
+                              num_steps=num_steps, antithetic=antithetic)
+    f_eff = spot * jnp.exp((params.r - params.q) * T
+                           + params.rho * i1
+                           - 0.5 * params.rho ** 2 * i2)  # (branches, paths)
+    s_eff = jnp.sqrt(jnp.maximum((1.0 - params.rho ** 2) * i2, 0.0))
+    return _black_on_forward(f_eff[..., None], strikes[None, None, :],
+                             s_eff[..., None], is_call)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
+def rbergomi_terminal(params: RoughBergomiParams, spot, T, chol, key, *,
+                      num_paths: int, num_steps: int,
+                      antithetic: bool = True) -> Array:
+    """(branches, paths) terminal spots S_T via the *plain* estimator
+    (explicit orthogonal noise). Used to validate the conditional
+    estimator and for payoffs that need the full terminal law."""
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    k_w, k_perp = jax.random.split(key)
+    _, i1, i2 = rbergomi_core(params, T, chol, k_w, num_paths=num_paths,
+                              num_steps=num_steps, antithetic=antithetic)
+    # Orthogonal leg: conditional on v, int sqrt(v) dW' ~ N(0, I2) exactly —
+    # one normal per path per branch (antithetic in the orthogonal draw too).
+    zp = jax.random.normal(k_perp, (num_paths,), dtype)
+    zp = jnp.stack([zp, -zp])[: i1.shape[0]]
+    growth = ((params.r - params.q) * T - 0.5 * i2 + params.rho * i1
+              + jnp.sqrt(jnp.maximum((1.0 - params.rho ** 2) * i2, 0.0)) * zp)
+    return spot * jnp.exp(growth)

@@ -284,6 +284,29 @@ def test_localvol_endpoint():
                         len(out["local_vol_grid"]["y"]))
 
 
+def test_rough_endpoint_modes():
+    """POST /api/rough: price mode hits BS in the degenerate limit; smile
+    mode returns a skewed vol curve at full rough parameters."""
+    from mcos_tpu.api.server import handle_rough
+    from mcos_tpu.ops.bs import bs_price as _bsp
+
+    deg = {"spot": 100.0, "T": 0.5, "strike": 105.0, "mode": "price",
+           "eta": 1e-8, "rho": 0.0, "xi": 0.04, "hurst": 0.07,
+           "num_paths": 4_096, "num_steps": 32}
+    out = handle_rough(deg)
+    ref = float(_bsp(100.0, 105.0, 0.5, out.get("r", 0.065), 0.012, 0.2,
+                     True))
+    assert out["price"] == pytest.approx(ref, abs=max(
+        4 * out["std_error"], 2e-3))
+
+    sm = handle_rough({"spot": 100.0, "T": 0.25, "mode": "smile",
+                       "num_paths": 32_768, "num_steps": 32,
+                       "moneyness": [0.9, 1.0, 1.1]})
+    ivs = sm["implied_vols"]
+    assert ivs[0] > ivs[1] > ivs[2]
+    assert "elapsed_ms" in sm
+
+
 def test_serverless_entry_importable():
     """The managed-platform entry must import cleanly, pin the jit cache to
     a writable path, and expose the stdlib fallback."""

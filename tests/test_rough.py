@@ -1,0 +1,204 @@
+"""Rough Bergomi: covariance closed forms, BS limits, estimator agreement,
+AD Greeks, and the rough ATM-skew power law.
+
+Oracles: brute-force quadrature for the Volterra covariance; Black-Scholes
+in the eta -> 0 limit; estimator cross-validation (conditional vs plain);
+the t^{2H} variance law of the Riemann-Liouville fBM.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import quad
+
+from mcos_tpu.engine.rough import RoughBergomiEngine
+from mcos_tpu.ops.bs import bs_delta, bs_gamma, bs_price
+from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
+                                rbergomi_conditional_payoffs, rbergomi_core,
+                                rbergomi_terminal, volterra_cov,
+                                volterra_increment_cov)
+
+H = 0.07
+FULL = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=H)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Covariance closed forms
+# ─────────────────────────────────────────────────────────────────────────────
+@pytest.mark.parametrize("s,t", [(0.3, 1.0), (0.5, 0.5), (0.9, 1.0),
+                                 (0.1, 2.0), (1.7, 0.2)])
+def test_volterra_cov_matches_quadrature(s, t):
+    g = H - 0.5
+    lo = min(s, t)
+    brute = 2 * H * quad(lambda u: (t - u) ** g * (s - u) ** g, 0.0, lo,
+                         points=[lo], limit=200)[0]
+    assert volterra_cov(np.float64(s), np.float64(t), H) == pytest.approx(
+        brute, rel=1e-8)
+
+
+def test_volterra_cov_half_hurst_is_brownian():
+    # H = 1/2 ⇒ W~ = W ⇒ C(s, t) = min(s, t).
+    s = np.array([0.2, 0.7, 1.3])
+    t = np.array([0.5, 0.5, 0.5])
+    np.testing.assert_allclose(volterra_cov(s, t, 0.5), np.minimum(s, t),
+                               rtol=1e-12)
+
+
+def test_volterra_variance_power_law():
+    t = np.array([0.1, 0.5, 2.0])
+    np.testing.assert_allclose(volterra_cov(t, t, H), t ** (2 * H),
+                               rtol=1e-12)
+
+
+def test_increment_cov_matches_quadrature():
+    n, T = 8, 1.0
+    dt = T / n
+    tg = dt * np.arange(1, n + 1)
+    cc = volterra_increment_cov(tg, H, dt)
+    g = H - 0.5
+    for i, j in [(5, 2), (3, 3), (7, 0)]:
+        brute = np.sqrt(2 * H) * quad(lambda u: (tg[i] - u) ** g,
+                                      tg[j] - dt, tg[j], points=[tg[j]],
+                                      limit=200)[0]
+        assert cc[i, j] == pytest.approx(brute, rel=1e-8)
+    assert cc[2, 5] == 0.0  # future increments are independent
+
+
+def test_chol_reproduces_covariance():
+    L = rbergomi_chol(H, 1.0, 16).astype(np.float64)
+    cov = L @ L.T
+    t = (1.0 / 16) * np.arange(1, 17)
+    np.testing.assert_allclose(cov[:16, :16],
+                               volterra_cov(t[:, None], t[None, :], H),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.diag(cov[16:, 16:]), 1.0 / 16, atol=1e-6)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Simulation law
+# ─────────────────────────────────────────────────────────────────────────────
+def test_variance_process_is_martingale_in_xi():
+    # E[v_t] = xi exactly (lognormal Wick exponential).
+    vm, _, i2 = rbergomi_core(FULL, 1.0, jnp.asarray(rbergomi_chol(H, 1.0, 64)),
+                              jax.random.key(0), num_paths=40_000,
+                              num_steps=64)
+    np.testing.assert_allclose(np.asarray(vm), 0.04, rtol=0.05)
+    assert float(i2.mean()) == pytest.approx(0.04, rel=0.03)
+
+
+def test_martingale_terminal_spot():
+    T = 0.5
+    s = rbergomi_terminal(FULL, 100.0, T, jnp.asarray(rbergomi_chol(H, T, 64)),
+                          jax.random.key(1), num_paths=200_000, num_steps=64)
+    fwd = float(np.exp((FULL.r - FULL.q) * T)) * 100.0
+    mean = float(s.mean())
+    se = float(s.std()) / np.sqrt(s.shape[0] * s.shape[1] / 2)
+    assert abs(mean - fwd) < 4 * se + 0.05
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Pricing oracles
+# ─────────────────────────────────────────────────────────────────────────────
+def _cond_price(p, spot, Ks, T, n, paths, seed=1):
+    L = jnp.asarray(rbergomi_chol(float(p.hurst), T, n))
+    pay = rbergomi_conditional_payoffs(p, spot, jnp.asarray(Ks, jnp.float32),
+                                       T, L, jax.random.key(seed),
+                                       num_paths=paths, num_steps=n,
+                                       is_call=True)
+    comb = pay.mean(axis=0)
+    disc = np.exp(-p.r * T)
+    return (disc * np.asarray(comb.mean(axis=0)),
+            disc * np.asarray(comb.std(axis=0)) / np.sqrt(comb.shape[0]))
+
+
+def test_degenerate_rho0_is_exact_bs():
+    # eta→0, rho=0: the conditional estimator is deterministic ⇒ exact BS.
+    p = RoughBergomiParams(xi=0.04, eta=1e-8, rho=0.0, hurst=H)
+    mc, _ = _cond_price(p, 100.0, [90.0, 100.0, 110.0], 0.5, 32, 512)
+    for px, k in zip(mc, [90.0, 100.0, 110.0]):
+        ref = float(bs_price(100.0, k, 0.5, p.r, p.q, 0.2, True))
+        assert px == pytest.approx(ref, abs=2e-3)
+
+
+def test_degenerate_correlated_within_ci():
+    p = RoughBergomiParams(xi=0.04, eta=1e-8, rho=-0.9, hurst=H)
+    mc, se = _cond_price(p, 100.0, [95.0, 105.0], 0.5, 32, 100_000)
+    for px, s, k in zip(mc, se, [95.0, 105.0]):
+        ref = float(bs_price(100.0, k, 0.5, p.r, p.q, 0.2, True))
+        assert abs(px - ref) < 4 * s + 5e-3
+
+
+def test_conditional_matches_plain_estimator():
+    T, n = 0.25, 64
+    Ks = [90.0, 100.0, 110.0]
+    mc_c, se_c = _cond_price(FULL, 100.0, Ks, T, n, 100_000, seed=2)
+    st = rbergomi_terminal(FULL, 100.0, T,
+                           jnp.asarray(rbergomi_chol(H, T, n)),
+                           jax.random.key(3), num_paths=200_000, num_steps=n)
+    pays = jnp.maximum(st[..., None] - jnp.asarray(Ks), 0.0).mean(axis=0)
+    disc = np.exp(-FULL.r * T)
+    mc_p = disc * np.asarray(pays.mean(axis=0))
+    se_p = disc * np.asarray(pays.std(axis=0)) / np.sqrt(pays.shape[0])
+    sig = np.abs(mc_c - mc_p) / np.hypot(se_c, se_p)
+    assert np.all(sig < 4.0), sig
+
+
+def test_put_call_parity_exact_per_path():
+    # The conditional Black payoff satisfies parity path-by-path.
+    T, n = 0.5, 32
+    L = jnp.asarray(rbergomi_chol(H, T, n))
+    kw = dict(num_paths=2_000, num_steps=n)
+    c = rbergomi_conditional_payoffs(FULL, 100.0, 100.0, T, L,
+                                     jax.random.key(4), is_call=True, **kw)
+    p = rbergomi_conditional_payoffs(FULL, 100.0, 100.0, T, L,
+                                     jax.random.key(4), is_call=False, **kw)
+    _, i1, i2 = rbergomi_core(FULL, T, L, jax.random.key(4), **kw)
+    f_eff = 100.0 * jnp.exp((FULL.r - FULL.q) * T + FULL.rho * i1
+                            - 0.5 * FULL.rho ** 2 * i2)
+    np.testing.assert_allclose(np.asarray(c[..., 0] - p[..., 0]),
+                               np.asarray(f_eff) - 100.0, atol=2e-3)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Engine: Greeks by nested AD, smile, skew power law
+# ─────────────────────────────────────────────────────────────────────────────
+def test_engine_ad_greeks_match_bs_in_degenerate_limit():
+    p = RoughBergomiParams(xi=0.04, eta=1e-8, rho=0.0, hurst=H)
+    eng = RoughBergomiEngine(p, num_paths=4_096, num_steps=32)
+    g = eng.greeks(100.0, 105.0, 0.5)
+    assert g["delta"] == pytest.approx(
+        float(bs_delta(100, 105, 0.5, p.r, p.q, 0.2, True)), abs=1e-4)
+    assert g["gamma"] == pytest.approx(
+        float(bs_gamma(100, 105, 0.5, p.r, p.q, 0.2)), abs=1e-4)
+
+
+def test_engine_ad_delta_gamma_match_crn_fd():
+    eng = RoughBergomiEngine(FULL, num_paths=32_768, num_steps=32, seed=5)
+    g = eng.greeks(100.0, 100.0, 0.25)
+    h = 0.5
+    pu = eng.price(100.0 + h, 100.0, 0.25)["price"]
+    pm = eng.price(100.0, 100.0, 0.25)["price"]
+    pd = eng.price(100.0 - h, 100.0, 0.25)["price"]
+    assert g["delta"] == pytest.approx((pu - pd) / (2 * h), abs=2e-3)
+    assert g["gamma"] == pytest.approx((pu - 2 * pm + pd) / h**2, abs=2e-3)
+
+
+def test_smile_is_downward_skewed():
+    eng = RoughBergomiEngine(FULL, num_paths=32_768, num_steps=32, seed=6)
+    sm = eng.smile(100.0, 0.25, moneyness=[0.9, 1.0, 1.1])
+    ivs = sm["implied_vols"]
+    assert all(v is not None for v in ivs)
+    assert ivs[0] > ivs[1] > ivs[2]      # negative-rho skew
+
+
+def test_atm_skew_steepens_as_maturity_shrinks():
+    # |skew(T1)| / |skew(T2)| ≈ (T1/T2)^{H-1/2} for T1 < T2 — the rough
+    # signature (±35% tolerance at MC resolution).
+    eng = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=64, seed=7)
+    s_short = eng.atm_skew(100.0, 0.1)["skew"]
+    s_long = eng.atm_skew(100.0, 0.8)["skew"]
+    assert s_short < 0 and s_long < 0
+    ratio = s_short / s_long
+    expect = (0.1 / 0.8) ** (H - 0.5)
+    assert 0.65 * expect < ratio < 1.35 * expect
