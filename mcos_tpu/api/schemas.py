@@ -193,6 +193,33 @@ class SurfaceRequest(BaseModel):
     fit_sabr: bool = True
 
 
+class ExposurePosition(BaseModel):
+    kind: str = "call"               # "call" | "put" | "forward"
+    strike: float = Field(gt=0)
+    T: float = Field(gt=0, le=30.0)
+    qty: float = Field(1.0, ge=-1e9, le=1e9)
+    asset: int = Field(0, ge=0)
+
+
+class ExposureRequest(BaseModel):
+    """POST /api/exposure — counterparty EE/PFE profiles + CVA/DVA
+    (engine/exposure.py; XVA layer beyond the reference)."""
+    spots: list
+    sigmas: list
+    corr: list
+    positions: list                  # of ExposurePosition dicts
+    r: float = RISK_FREE_RATE
+    q: Optional[list] = None
+    num_paths: int = Field(65_536, **_PATHS)
+    num_dates: int = Field(32, ge=2, le=MAX_GRID_POINTS)
+    quantile: float = Field(0.975, gt=0.5, lt=1.0)
+    # credit inputs (CVA block; hazard 0 → profile only)
+    hazard_rate: float = Field(0.02, ge=0.0, le=5.0)
+    own_hazard: float = Field(0.0, ge=0.0, le=5.0)
+    lgd: float = Field(0.6, ge=0.0, le=1.0)
+    with_cva_delta: bool = False
+
+
 class RoughRequest(BaseModel):
     """POST /api/rough — rough Bergomi pricing/smile/Greeks
     (engine/rough.py; model family beyond the reference)."""

@@ -474,6 +474,37 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_exposure(body: dict) -> dict:
+    """POST /api/exposure — EE/ENE/PFE profile + CVA/DVA (+ AD CVA delta)
+    for a vanilla netting set (engine/exposure.py; XVA layer beyond the
+    reference's same-day risk)."""
+    from mcos_tpu.engine.exposure import ExposureEngine
+
+    req = schemas.ExposureRequest(**body)
+    positions = [schemas.ExposurePosition(**p).model_dump()
+                 for p in req.positions]
+    if not positions or len(positions) > schemas.MAX_BOOK_POSITIONS:
+        raise ApiError(400, f"need 1..{schemas.MAX_BOOK_POSITIONS} positions")
+    n = len(req.spots)
+    if len(req.sigmas) != n or len(req.corr) != n:
+        raise ApiError(400, "spots/sigmas/corr dimensions must agree")
+    start = time.time()
+    eng = ExposureEngine(req.spots, req.sigmas,
+                         np.asarray(req.corr, np.float64), positions,
+                         r=req.r, q=req.q, num_paths=req.num_paths)
+    out = eng.profile(num_dates=req.num_dates, quantile=req.quantile)
+    if req.hazard_rate > 0.0:
+        out["credit"] = eng.cva(hazard_rate=req.hazard_rate, lgd=req.lgd,
+                                num_dates=req.num_dates,
+                                own_hazard=req.own_hazard)
+    if req.with_cva_delta:
+        out["cva_delta"] = eng.cva_delta(
+            hazard_rate=req.hazard_rate, lgd=req.lgd,
+            num_dates=req.num_dates)["cva_delta"]
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_rough(body: dict) -> dict:
     """POST /api/rough — rough Bergomi price/greeks/smile/skew
     (engine/rough.py; rough-volatility family beyond the reference)."""
@@ -558,6 +589,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/var": handle_var,
     "/api/cliquet": handle_cliquet,
     "/api/rough": handle_rough,
+    "/api/exposure": handle_exposure,
 }
 
 

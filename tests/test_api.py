@@ -307,6 +307,27 @@ def test_rough_endpoint_modes():
     assert "elapsed_ms" in sm
 
 
+def test_exposure_endpoint():
+    """POST /api/exposure on a single long call: discounted EE must be flat
+    at C0 (martingale) and the credit block must carry CVA ≈ LGD·C0·PD."""
+    from mcos_tpu.api.server import handle_exposure
+    from mcos_tpu.ops.bs import bs_price as _bsp
+
+    out = handle_exposure({
+        "spots": [100.0], "sigmas": [0.25], "corr": [[1.0]],
+        "positions": [{"kind": "call", "strike": 100.0, "T": 1.0}],
+        "r": 0.05, "q": [0.0], "num_paths": 100_000, "num_dates": 8,
+        "hazard_rate": 0.03, "lgd": 0.6, "with_cva_delta": True})
+    c0 = float(_bsp(100.0, 100.0, 1.0, 0.05, 0.0, 0.25, True))
+    t = np.asarray(out["dates"])
+    live = t < 1.0 - 1e-6
+    disc_ee = np.exp(-0.05 * t[live]) * np.asarray(out["ee"])[live]
+    np.testing.assert_allclose(disc_ee, c0, rtol=0.02)
+    assert out["credit"]["cva"] == pytest.approx(
+        0.6 * c0 * out["credit"]["pd_horizon"], rel=0.05)
+    assert len(out["cva_delta"]) == 1 and out["cva_delta"][0] > 0
+
+
 def test_serverless_entry_importable():
     """The managed-platform entry must import cleanly, pin the jit cache to
     a writable path, and expose the stdlib fallback."""
