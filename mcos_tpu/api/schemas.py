@@ -191,6 +191,7 @@ class SurfaceRequest(BaseModel):
     r: float = RISK_FREE_RATE
     q: float = DIVIDEND_YIELD
     fit_sabr: bool = True
+    fit_ssvi: bool = False           # global SSVI surface fit + no-arb report
 
 
 class ExposurePosition(BaseModel):

@@ -419,6 +419,24 @@ def handle_surface(body: dict) -> dict:
             sabr[str(float(T))] = calibrate_sabr(
                 F, strikes[ok], float(T), ivs[ok], beta_fixed=0.8, iters=80)
         out["sabr_fits"] = sabr
+    if req.fit_ssvi:
+        from mcos_tpu.engine.ssvi import calibrate_ssvi
+
+        rows_ok = [i for i in range(len(mats))
+                   if np.isfinite(surface["iv_call"][i]).sum() >= 4]
+        if len(rows_ok) >= 2:
+            sel = np.asarray(rows_ok)
+            fwds = np.array([forward_price(req.spot, req.r, req.q,
+                                           float(mats[i])) for i in sel])
+            fit = calibrate_ssvi(
+                mats[sel], fwds,
+                np.tile(strikes, (len(sel), 1)),
+                surface["iv_call"][sel], iters=100)
+            fit.pop("surface")
+            out["ssvi_fit"] = fit
+        else:
+            out["ssvi_fit"] = {"error": "need >=2 maturities with >=4 "
+                                        "valid quotes each"}
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 
