@@ -144,6 +144,9 @@ class AmericanRequest(BaseModel):
     # Policy-fixed pathwise AD Greeks (delta/gamma/vega/theta/rho) of the
     # out-of-sample LSM estimator (engine/american.py:AmericanEngine.greeks).
     with_greeks: bool = False
+    # Bermudan schedule: exercise allowed every m-th simulation date only
+    # (1 = American; >= num_steps = European).
+    exercise_every: int = Field(1, ge=1, le=8192)
     n_outer: int = Field(2048, ge=256, le=65536)
     n_inner: int = Field(128, ge=16, le=2048)
 

@@ -294,7 +294,8 @@ def handle_american(body: dict) -> dict:
     req = schemas.AmericanRequest(**body)
     start = time.time()
     eng = AmericanEngine(req.params.to_params(), num_paths=req.num_paths)
-    out = eng.price(req.spot, req.strike, req.T, req.is_call)
+    out = eng.price(req.spot, req.strike, req.T, req.is_call,
+                    exercise_every=req.exercise_every)
     if req.with_bounds:
         out["bounds"] = eng.price_bounds(
             req.spot, req.strike, req.T, req.is_call,

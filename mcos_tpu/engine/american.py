@@ -64,12 +64,28 @@ def _record_log_paths(params: SVJParams, spot, T, key, *,
     return log_paths + jnp.log(spot)
 
 
+def _exercise_mask(num_steps: int, exercise_every: int) -> np.ndarray:
+    """(num_steps-1,) bool: is exercise allowed at date t_k, k = 1..n-1?
+
+    `exercise_every = 1` is the American schedule (every step);
+    `exercise_every = m` keeps only dates t_m, t_2m, ... (a Bermudan
+    schedule on the simulation grid); `exercise_every = num_steps` leaves
+    no early date at all — the European degenerate case, a test oracle.
+    Maturity t_n is always an exercise date (handled by the terminal
+    payoff), and t_0 is never one (a just-written Bermudan cannot be
+    struck same-day; the American engine keeps its intrinsic floor).
+    """
+    k = np.arange(1, num_steps)
+    return (k % int(exercise_every)) == 0
+
+
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree"))
+                                   "basis_degree", "exercise_every"))
 def lsm_price(params: SVJParams, spot, strike, T, key, *,
               num_paths: int, num_steps: int, is_call: bool,
-              basis_degree: int = 3) -> Dict[str, Array]:
-    """Longstaff-Schwartz American price under SVJ dynamics."""
+              basis_degree: int = 3,
+              exercise_every: int = 1) -> Dict[str, Array]:
+    """Longstaff-Schwartz American/Bermudan price under SVJ dynamics."""
     dtype = jnp.float32
     strike = jnp.asarray(strike, dtype)
     dt = jnp.asarray(T, dtype) / num_steps
@@ -97,8 +113,10 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
         return jnp.stack(cols, axis=1)  # (paths, deg+2)
 
     cf_terminal = payoff(s_paths[-1])
+    allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
 
-    def backstep(cf, s_t):
+    def backstep(cf, inputs):
+        s_t, allow = inputs
         cf = cf * df  # continuation value discounted to time t
         pay = payoff(s_t)
         itm = pay > 0.0
@@ -109,17 +127,21 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
         rhs = bw.T @ cf
         coef = jnp.linalg.solve(gram, rhs)
         cont = b @ coef
-        exercise = itm & (pay > cont)
+        exercise = itm & (pay > cont) & allow
         return jnp.where(exercise, pay, cf), None
 
     # Reverse induction over t_{n-1}..t_1 (terminal step handled above).
-    cf, _ = jax.lax.scan(backstep, cf_terminal, s_paths[:-1], reverse=True)
+    cf, _ = jax.lax.scan(backstep, cf_terminal, (s_paths[:-1], allowed),
+                         reverse=True)
     cf = cf * df  # discount t_1 → t_0
     price = jnp.mean(cf)
     se = jnp.std(cf) / jnp.sqrt(jnp.float32(num_paths))
     intrinsic = payoff(jnp.asarray(spot, dtype))
+    # The t_0 intrinsic floor applies only when t_0-style exercise exists
+    # (the American schedule); a Bermudan's first right is t_m.
+    floored = jnp.maximum(price, intrinsic) if exercise_every == 1 else price
     return {
-        "price": jnp.maximum(price, intrinsic),
+        "price": floored,
         "std_error": se,
         "mc_continuation": price,
         "intrinsic": intrinsic,
@@ -162,10 +184,11 @@ def _value_basis(strike):
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree"))
+                                   "basis_degree", "exercise_every"))
 def lsm_train(params: SVJParams, spot, strike, T, key, *,
               num_paths: int, num_steps: int, is_call: bool,
-              basis_degree: int = 3) -> Dict[str, Array]:
+              basis_degree: int = 3,
+              exercise_every: int = 1) -> Dict[str, Array]:
     """Fit the per-date continuation regressions on a training path set.
 
     Returns {"policy": (num_steps−1, n_basis), "value": (num_steps−1, 4)} —
@@ -192,7 +215,10 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
     s_paths = jnp.exp(log_paths)
     cf_terminal = payoff(s_paths[-1])
 
-    def backstep(cf, s_t):
+    allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
+
+    def backstep(cf, inputs):
+        s_t, allow = inputs
         cf = cf * df
         pay = payoff(s_t)
         itm = pay > 0.0
@@ -206,17 +232,19 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
         bv = vbasis(s_t)
         gram_v = bv.T @ bv + 1e-4 * jnp.eye(bv.shape[1], dtype=dtype)
         coef_v = jnp.linalg.solve(gram_v, bv.T @ cf)
-        exercise = itm & (pay > cont)
+        exercise = itm & (pay > cont) & allow
         return jnp.where(exercise, pay, cf), (coef, coef_v)
 
-    _, (coefs, coefs_v) = jax.lax.scan(backstep, cf_terminal, s_paths[:-1],
+    _, (coefs, coefs_v) = jax.lax.scan(backstep, cf_terminal,
+                                       (s_paths[:-1], allowed),
                                        reverse=True)
     return {"policy": coefs, "value": coefs_v}
 
 
 def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
                         num_paths: int, num_steps: int, is_call: bool,
-                        basis_degree: int = 3) -> Array:
+                        basis_degree: int = 3,
+                        exercise_every: int = 1) -> Array:
     """Per-path discounted payoffs at the FIXED stopping rule (traceable).
 
     Differentiable in (spot, params, T): the stop decision rides through
@@ -237,29 +265,31 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
 
     def fwd(carry, inputs):
         stopped, value = carry
-        k, s_t, coef = inputs
+        k, s_t, coef, allow = inputs
         pay = payoff(s_t)
         cont = basis(s_t) @ coef
-        exercise = (~stopped) & (pay > 0.0) & (pay > cont)
+        exercise = (~stopped) & (pay > 0.0) & (pay > cont) & allow
         disc = jnp.exp(-params.r * dt * (k + 1.0))
         value = jnp.where(exercise, disc * pay, value)
         return (stopped | exercise, value), None
 
     n_paths = s_paths.shape[1]
+    allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
     init = (jnp.zeros((n_paths,), bool), jnp.zeros((n_paths,), dtype))
     (stopped, value), _ = jax.lax.scan(
         fwd, init, (jnp.arange(num_steps - 1, dtype=dtype),
-                    s_paths[:-1], coefs))
+                    s_paths[:-1], coefs, allowed))
     # Unstopped paths exercise (or expire) at maturity.
     disc_T = jnp.exp(-params.r * jnp.asarray(T, dtype))
     return jnp.where(stopped, value, disc_T * payoff(s_paths[-1]))
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree"))
+                                   "basis_degree", "exercise_every"))
 def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
                     num_paths: int, num_steps: int, is_call: bool,
-                    basis_degree: int = 3) -> Dict[str, Array]:
+                    basis_degree: int = 3,
+                    exercise_every: int = 1) -> Dict[str, Array]:
     """Evaluate the FIXED stopping rule on fresh paths → a true lower bound.
 
     Any measurable stopping rule gives E[discounted payoff at stop] ≤ the
@@ -269,7 +299,8 @@ def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
     """
     value = _lower_bound_values(params, spot, strike, T, key, coefs,
                                 num_paths=num_paths, num_steps=num_steps,
-                                is_call=is_call, basis_degree=basis_degree)
+                                is_call=is_call, basis_degree=basis_degree,
+                                exercise_every=exercise_every)
     price = jnp.mean(value)
     se = jnp.std(value) / jnp.sqrt(jnp.float32(num_paths))
     return {"price": price, "std_error": se}
@@ -447,15 +478,24 @@ class AmericanEngine:
         self.basis_degree = int(basis_degree)
 
     def price(self, spot: float, strike: float, T: float,
-              is_call: bool = True) -> Dict[str, float]:
+              is_call: bool = True,
+              exercise_every: int = 1) -> Dict[str, float]:
+        """American price; `exercise_every = m > 1` restricts exercise to
+        every m-th simulation date — a Bermudan schedule (e.g. with the
+        default 64 steps/yr, `exercise_every=16` ≈ quarterly rights).
+        `exercise_every >= num_steps` degenerates to European (the test
+        oracle)."""
         steps = scaled_steps(self.num_steps, T, floor=16)
         res = jax.device_get(lsm_price(
             self.params, spot, strike, T, jax.random.key(self.seed),
             num_paths=self.num_paths, num_steps=steps,
-            is_call=is_call, basis_degree=self.basis_degree))
+            is_call=is_call, basis_degree=self.basis_degree,
+            exercise_every=min(int(exercise_every), steps)))
         out = {k: float(v) for k, v in res.items()}
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps
+        if exercise_every != 1:
+            out["exercise_every"] = min(int(exercise_every), steps)
         return out
 
     def greeks(self, spot: float, strike: float, T: float,

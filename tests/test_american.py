@@ -202,3 +202,43 @@ def test_american_call_q0_greeks_equal_european(bounds_engine):
         lambda sig: bs_price(S, K, T, R, Q, sig, True))(SIGMA))
     assert g["delta"] == pytest.approx(delta_bs, abs=0.02)
     assert g["vega_per_vol_point"] == pytest.approx(vega_bs, rel=0.08)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Bermudan schedules (exercise_every)
+# ─────────────────────────────────────────────────────────────────────────────
+def test_bermudan_no_early_dates_is_european(gbm_engine):
+    """exercise_every >= num_steps leaves only maturity — the LSM machinery
+    must reproduce the European put exactly (same paths, no stopping)."""
+    res = gbm_engine.price(S, K, T, is_call=False, exercise_every=10_000)
+    euro = float(bs_price(S, K, T, R, Q, SIGMA, False))
+    assert abs(res["price"] - euro) < max(4 * res["std_error"], 0.02)
+
+
+def test_bermudan_ordering_euro_leq_bermudan_leq_american(gbm_engine):
+    """More exercise rights can only add value: E <= B(quarterly) <= A,
+    on one CRN path set (same seed) so the ordering is pathwise-tight."""
+    amer = gbm_engine.price(S, K, T, is_call=False, exercise_every=1)
+    berm = gbm_engine.price(S, K, T, is_call=False, exercise_every=25)
+    euro = gbm_engine.price(S, K, T, is_call=False, exercise_every=10_000)
+    tol = 3 * amer["std_error"]
+    assert euro["price"] <= berm["price"] + tol
+    assert berm["price"] <= amer["price"] + tol
+    # the deep-ITM-put premium really is graded (strict at 4 sigma)
+    itm_a = gbm_engine.price(S, 120.0, T, is_call=False, exercise_every=1)
+    itm_e = gbm_engine.price(S, 120.0, T, is_call=False,
+                             exercise_every=10_000)
+    assert itm_a["price"] > itm_e["price"] + 4 * itm_a["std_error"]
+
+
+def test_bermudan_converges_to_american_with_schedule_density(gbm_engine):
+    """Halving the exercise spacing moves the Bermudan price toward the
+    American from below (monotone in the schedule refinement)."""
+    p = {m: gbm_engine.price(S, 115.0, T, is_call=False,
+                             exercise_every=m)["price"]
+         for m in (50, 10, 2, 1)}
+    se = gbm_engine.price(S, 115.0, T, is_call=False)["std_error"]
+    assert p[50] <= p[10] + 3 * se
+    assert p[10] <= p[2] + 3 * se
+    assert p[2] <= p[1] + 3 * se
+    assert p[1] - p[50] > 0  # the refinement ladder actually climbs
