@@ -232,6 +232,76 @@ function drawSensitivity(spot, strike, T, isCall) {
   polyline(f, xs, ys, COLORS.line, 2);
 }
 
+/* ── rough vol + exposure panels ──────────────────────────────────────── */
+async function roughSmile() {
+  const btn = $("rough-btn");
+  btn.disabled = true; btn.textContent = "simulating…";
+  const spot = Number($("spot").value);
+  const T = Number($("days").value) / 252;
+  const moneyness = [];
+  for (let m = 0.88; m <= 1.1201; m += 0.02) moneyness.push(Number(m.toFixed(3)));
+  try {
+    const [rough, svj, skew] = await Promise.all([
+      api("/api/rough", {
+        spot, T, mode: "smile", moneyness,
+        hurst: Number($("r-hurst").value), eta: Number($("r-eta").value),
+        rho: Number($("r-rho").value), xi: Number($("p-v0").value),
+      }),
+      api("/api/smile", { spot, T, params: modelParams() }),
+      api("/api/rough", {
+        spot, T, mode: "skew",
+        hurst: Number($("r-hurst").value), eta: Number($("r-eta").value),
+        rho: Number($("r-rho").value), xi: Number($("p-v0").value),
+      }),
+    ]);
+    $("fig-rough").classList.remove("hidden");
+    const canvas = $("chart-rough");
+    const rpts = rough.strikes
+      .map((k, i) => [k, rough.implied_vols[i]])
+      .filter(([, v]) => v != null && v > 0);          // IV inversion can fail
+    const sv = svj.smile.filter((p) => p.iv > 0);
+    const f = frame(canvas, [...rpts.map(([k]) => k), ...sv.map((p) => p.strike)],
+                    [...rpts.map(([, v]) => v), ...sv.map((p) => p.iv)]);
+    polyline(f, rpts.map(([k]) => k), rpts.map(([, v]) => v),
+             COLORS.line, 2);                          // rough
+    polyline(f, sv.map((p) => p.strike), sv.map((p) => p.iv),
+             COLORS.alt, 2);                           // SVJ
+    f.ctx.fillStyle = COLORS.line; f.ctx.fillText("rough", 60, 18);
+    f.ctx.fillStyle = COLORS.alt; f.ctx.fillText("SVJ", 110, 18);
+    $("rough-skew").textContent =
+      `ATM skew ${skew.skew.toFixed(3)} (T^{H-1/2} regime)`;
+  } catch (e) { alert(`rough smile failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "Rough smile + skew"; }
+}
+
+async function exposureProfile() {
+  const btn = $("exposure-btn");
+  btn.disabled = true; btn.textContent = "simulating…";
+  const spot = Number($("spot").value);
+  const T = Math.max(Number($("days").value) / 252, 0.05);
+  try {
+    const out = await api("/api/exposure", {
+      spots: [spot], sigmas: [Math.sqrt(Number($("p-v0").value))],
+      corr: [[1.0]],
+      positions: [{ kind: $("is-call").checked ? "call" : "put",
+                    strike: Number($("strike").value), T, qty: 1.0 }],
+      num_paths: 65536, num_dates: 24,
+      hazard_rate: Number($("x-hazard").value),
+      lgd: Number($("x-lgd").value),
+    });
+    $("fig-exposure").classList.remove("hidden");
+    const canvas = $("chart-exposure");
+    const f = frame(canvas, out.dates, [...out.pfe, ...out.ee, 0]);
+    polyline(f, out.dates, out.pfe, COLORS.down, 2);   // PFE 97.5%
+    polyline(f, out.dates, out.ee, COLORS.line, 2);    // EE
+    f.ctx.fillStyle = COLORS.down; f.ctx.fillText("PFE 97.5%", 60, 18);
+    f.ctx.fillStyle = COLORS.line; f.ctx.fillText("EE", 130, 18);
+    $("cva-badge").textContent =
+      `CVA ${out.credit.cva.toFixed(2)} · EPE ${out.epe.toFixed(2)}`;
+  } catch (e) { alert(`exposure failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "EE / PFE + CVA"; }
+}
+
 /* ── greeks panel ─────────────────────────────────────────────────────── */
 function renderGreeks(g) {
   const rows = [
@@ -372,6 +442,8 @@ async function init() {
   $("run").addEventListener("click", run);
   $("stress-btn").addEventListener("click", stress);
   $("quote-btn").addEventListener("click", fetchQuote);
+  $("rough-btn").addEventListener("click", roughSmile);
+  $("exposure-btn").addEventListener("click", exposureProfile);
 }
 
 init();
