@@ -229,9 +229,13 @@ class RoughRequest(BaseModel):
     (engine/rough.py; model family beyond the reference)."""
     spot: float = Field(gt=0)
     T: float = Field(gt=0, le=10.0)
-    mode: str = "price"              # "price" | "greeks" | "smile" | "skew"
-    strike: float = 0.0              # 0 → ATM (price/greeks modes)
+    # "price" | "greeks" | "smile" | "skew" | "asian" | "barrier" | "lookback"
+    mode: str = "price"
+    strike: float = 0.0              # 0 → ATM (price/greeks/exotic modes)
     is_call: bool = True
+    # barrier-mode terms
+    barrier: float = 0.0
+    knock: str = "out"               # "out" | "in"
     # model parameters
     hurst: float = Field(0.07, gt=0.0, le=0.5)
     xi: float = Field(0.04, gt=0.0, le=4.0)

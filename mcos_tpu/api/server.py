@@ -547,6 +547,17 @@ def handle_rough(body: dict) -> dict:
         out = eng.smile(req.spot, req.T, moneyness=req.moneyness)
     elif req.mode == "skew":
         out = eng.atm_skew(req.spot, req.T)
+    elif req.mode == "asian":
+        out = eng.price_asian(req.spot, strike, req.T, is_call=req.is_call)
+    elif req.mode == "barrier":
+        if req.barrier <= 0:
+            raise ApiError(400, "barrier mode needs barrier > 0")
+        out = eng.price_barrier(req.spot, strike, req.T, req.barrier,
+                                is_call=req.is_call, knock=req.knock)
+    elif req.mode == "lookback":
+        out = eng.price_lookback(
+            req.spot, req.T, is_call=req.is_call,
+            strike=req.strike if req.strike > 0 else None)
     else:
         raise ApiError(400, f"unknown mode {req.mode!r}")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)

@@ -22,7 +22,7 @@ import numpy as np
 from mcos_tpu.engine.surface import implied_vol
 from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
                                 rbergomi_conditional_payoffs,
-                                rbergomi_terminal)
+                                rbergomi_path_stats, rbergomi_terminal)
 
 Array = jax.Array
 
@@ -143,6 +143,64 @@ class RoughBergomiEngine:
             return {"skew": float("nan"), "T": T}
         return {"skew": (hi - lo) / (2.0 * dm), "T": T,
                 "atm_vol": sm["implied_vols"][1]}
+
+    # ── path-dependent payoffs (rough-vol exotics) ───────────────────────
+    def _stats(self, spot: float, T: float):
+        return rbergomi_path_stats(
+            self.params, spot, T, self._chol(T), self._key(),
+            num_paths=self.num_paths, num_steps=self.num_steps)
+
+    def _reduce(self, pay: Array, T: float) -> Dict[str, float]:
+        comb = jnp.mean(pay, axis=0)                 # antithetic combine
+        disc = float(np.exp(-float(self.params.r) * T))
+        return {
+            "price": disc * float(jnp.mean(comb)),
+            "std_error": disc * float(jnp.std(comb))
+            / float(np.sqrt(comb.shape[0])),
+            "num_paths_used": self.num_paths,
+            "num_steps": self.num_steps,
+        }
+
+    def price_asian(self, spot: float, strike: float, T: float,
+                    is_call: bool = True) -> Dict[str, float]:
+        """Discretely-averaged arithmetic Asian under rough volatility
+        (observations at the simulation grid incl. t_0, matching
+        ops/exotics.py's tracker semantics)."""
+        st = self._stats(spot, T)
+        phi = 1.0 if is_call else -1.0
+        return self._reduce(
+            jnp.maximum(phi * (st["s_mean"] - strike), 0.0), T)
+
+    def price_barrier(self, spot: float, strike: float, T: float,
+                      barrier: float, is_call: bool = True,
+                      knock: str = "out",
+                      direction: Optional[str] = None) -> Dict[str, float]:
+        """Discretely-monitored barrier under rough volatility."""
+        st = self._stats(spot, T)
+        if direction is None:
+            direction = "up" if barrier >= spot else "down"
+        hit = (st["s_max"] >= barrier if direction == "up"
+               else st["s_min"] <= barrier)
+        alive = hit if knock == "in" else ~hit
+        phi = 1.0 if is_call else -1.0
+        pay = jnp.maximum(phi * (st["s_terminal"] - strike), 0.0) * alive
+        out = self._reduce(pay, T)
+        out["hit_fraction"] = float(jnp.mean(hit))
+        return out
+
+    def price_lookback(self, spot: float, T: float, is_call: bool = True,
+                       strike: Optional[float] = None) -> Dict[str, float]:
+        """Lookback under rough volatility: floating strike when `strike`
+        is None (call pays S_T − min, put pays max − S_T), else fixed."""
+        st = self._stats(spot, T)
+        if strike is None:
+            pay = (st["s_terminal"] - st["s_min"] if is_call
+                   else st["s_max"] - st["s_terminal"])
+        else:
+            phi = 1.0 if is_call else -1.0
+            extreme = st["s_max"] if is_call else st["s_min"]
+            pay = jnp.maximum(phi * (extreme - strike), 0.0)
+        return self._reduce(pay, T)
 
     def terminal_sample(self, spot: float, T: float,
                         num_paths: Optional[int] = None) -> np.ndarray:

@@ -237,3 +237,51 @@ def rbergomi_terminal(params: RoughBergomiParams, spot, T, chol, key, *,
     growth = ((params.r - params.q) * T - 0.5 * i2 + params.rho * i1
               + jnp.sqrt(jnp.maximum((1.0 - params.rho ** 2) * i2, 0.0)) * zp)
     return spot * jnp.exp(growth)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
+def rbergomi_path_stats(params: RoughBergomiParams, spot, T, chol, key, *,
+                        num_paths: int, num_steps: int,
+                        antithetic: bool = True) -> dict:
+    """Path statistics for path-dependent payoffs under rough volatility.
+
+    The exact-covariance sampler already yields the whole (W~, dW) path
+    law, so the full spot sheet is one cumsum over the step axis — still
+    no sequential scan. The orthogonal leg needs explicit per-step W'
+    increments here (the path, not just S_T, depends on them). Returns
+    per-branch (branches, paths) arrays: terminal, arithmetic mean, max,
+    min of S over the observation grid t_1..t_n — t_0 excluded, matching
+    ops/exotics.py's trackers (tests pin the engines to each other in the
+    degenerate GBM limit on matched grids).
+    """
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    n = num_steps
+    dt = T / n
+    t_left = dt * jnp.arange(n, dtype=dtype)
+    k_w, k_perp = jax.random.split(key)
+    z = jax.random.normal(k_w, (num_paths, 2 * n), dtype)
+    zp = jax.random.normal(k_perp, (num_paths, n), dtype)
+    branches = (1.0, -1.0) if antithetic else (1.0,)
+
+    outs = {"s_terminal": [], "s_mean": [], "s_max": [], "s_min": []}
+    rho = params.rho
+    orth = jnp.sqrt(jnp.maximum(1.0 - rho ** 2, 0.0))
+    for sign in branches:
+        g = (sign * z) @ chol.T
+        w_tilde, dw = g[:, :n], g[:, n:]
+        w_left = jnp.concatenate(
+            [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
+        v = params.xi * jnp.exp(
+            params.eta * w_left
+            - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
+        dz = rho * dw + orth * (sign * zp) * jnp.sqrt(dt)
+        dlog = (params.r - params.q - 0.5 * v) * dt + jnp.sqrt(v) * dz
+        log_s = jnp.cumsum(dlog, axis=1)
+        s = spot * jnp.exp(log_s)                     # (paths, n)
+        outs["s_terminal"].append(s[:, -1])
+        outs["s_mean"].append(jnp.mean(s, axis=1))
+        outs["s_max"].append(jnp.max(s, axis=1))
+        outs["s_min"].append(jnp.min(s, axis=1))
+    return {k2: jnp.stack(v2) for k2, v2 in outs.items()}

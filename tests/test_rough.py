@@ -202,3 +202,56 @@ def test_atm_skew_steepens_as_maturity_shrinks():
     ratio = s_short / s_long
     expect = (0.1 / 0.8) ** (H - 0.5)
     assert 0.65 * expect < ratio < 1.35 * expect
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Path-dependent payoffs under rough vol
+# ─────────────────────────────────────────────────────────────────────────────
+def _deg_engines():
+    from mcos_tpu.engine.exotics import ExoticEngine
+    from mcos_tpu.models.params import gbm_params
+    p0 = RoughBergomiParams(xi=0.04, eta=1e-8, rho=0.0, r=0.05, q=0.01,
+                            hurst=H)
+    rb = RoughBergomiEngine(p0, num_paths=131_072, num_steps=64, seed=9)
+    # ExoticEngine scales steps by maturity: 128/yr -> 64 at T=0.5, so both
+    # engines observe the same grid (the tracker-semantics pin needs that).
+    ex = ExoticEngine(gbm_params(0.2, r=0.05, q=0.01), num_paths=262_144,
+                      num_steps=128, seed=11)
+    return rb, ex
+
+
+@pytest.mark.parametrize("which", ["asian", "barrier", "lookback"])
+def test_rough_exotics_degenerate_match_gbm_engine(which):
+    rb, ex = _deg_engines()
+    if which == "asian":
+        r = rb.price_asian(100.0, 100.0, 0.5)
+        g = ex.price_asian(100.0, 100.0, 0.5)
+    elif which == "barrier":
+        r = rb.price_barrier(100.0, 100.0, 0.5, 120.0)
+        g = ex.price_barrier(100.0, 100.0, 0.5, 120.0)
+    else:
+        r = rb.price_lookback(100.0, 0.5)
+        g = ex.price_lookback(100.0, 0.5)
+    joint = np.hypot(r["std_error"], max(g["std_error"], 1e-4))
+    assert abs(r["price"] - g["price"]) < 4 * joint
+
+
+def test_rough_barrier_in_out_parity():
+    eng = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=64, seed=12)
+    van = eng.price(100.0, 100.0, 0.5)["price"]
+    uo = eng.price_barrier(100.0, 100.0, 0.5, 130.0, knock="out")
+    ui = eng.price_barrier(100.0, 100.0, 0.5, 130.0, knock="in")
+    # in + out = vanilla; vanilla comes from the (lower-variance)
+    # conditional estimator, the barrier legs from the plain path sheet.
+    joint = 4 * np.hypot(uo["std_error"], ui["std_error"]) + 0.02
+    assert abs(uo["price"] + ui["price"] - van) < joint
+
+
+def test_rough_asian_below_vanilla_and_barrier_monotone():
+    eng = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=64, seed=13)
+    van = eng.price(100.0, 100.0, 0.5)["price"]
+    asian = eng.price_asian(100.0, 100.0, 0.5)["price"]
+    assert asian < van            # averaging strictly reduces variance
+    b_lo = eng.price_barrier(100.0, 100.0, 0.5, 115.0)["price"]
+    b_hi = eng.price_barrier(100.0, 100.0, 0.5, 140.0)["price"]
+    assert b_lo < b_hi <= van + 0.02   # higher barrier knocks out less
