@@ -99,6 +99,27 @@ def main():
     stage("hedge", f"delta-hedge PnL p1={bt['pnl_percentiles']['1%']:.0f} "
                    f"p50={bt['pnl_percentiles']['50%']:.0f} (SVJ world)")
 
+    # ── 9. model risk: reprice the smile under rough Bergomi ─────────────
+    from mcos_tpu.engine.rough import RoughBergomiEngine
+    from mcos_tpu.ops.rough import RoughBergomiParams
+    rb = RoughBergomiEngine(
+        RoughBergomiParams(xi=float(fitted.v0), eta=1.9, rho=-0.9,
+                           r=float(fitted.r), q=float(fitted.q), hurst=0.07),
+        num_paths=65_536, num_steps=64)
+    rsk = rb.atm_skew(spot, T)
+    stage("rough", f"rBergomi ATM skew {rsk['skew']:.3f} at T={T} "
+                   f"(SVJ world has no T^(H-1/2) blowup)")
+
+    # ── 10. counterparty exposure of the sold book ───────────────────────
+    from mcos_tpu.engine.exposure import ExposureEngine
+    xva = ExposureEngine(
+        [spot], [float(np.sqrt(float(fitted.v0)))], [[1.0]],
+        [{"kind": "call", "strike": spot, "T": T, "qty": 1.0}],
+        r=float(fitted.r), q=[float(fitted.q)], num_paths=50_000)
+    credit = xva.cva(hazard_rate=0.02, lgd=0.6, num_dates=16)
+    stage("xva", f"EPE {credit['epe']:.2f} | CVA {credit['cva']:.3f} "
+                 f"(flat 2% hazard, 60% LGD)")
+
     print("\nworkflow complete — all sanity checks passed")
 
 

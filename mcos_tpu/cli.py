@@ -131,6 +131,38 @@ def cmd_calibrate(args) -> dict:
     return result
 
 
+def cmd_rough(args) -> dict:
+    from mcos_tpu.engine.rough import RoughBergomiEngine
+    from mcos_tpu.ops.rough import RoughBergomiParams
+
+    p = RoughBergomiParams(xi=args.xi, eta=args.eta, rho=args.rho,
+                           r=args.r, q=args.q, hurst=args.hurst)
+    eng = RoughBergomiEngine(p, num_paths=args.num_paths,
+                             num_steps=args.num_steps, seed=args.seed)
+    strike = args.strike or args.spot
+    if args.mode == "price":
+        return eng.price(args.spot, strike, args.T, not args.put)
+    if args.mode == "greeks":
+        return eng.greeks(args.spot, strike, args.T, not args.put)
+    if args.mode == "smile":
+        return eng.smile(args.spot, args.T)
+    return eng.atm_skew(args.spot, args.T)
+
+
+def cmd_exposure(args) -> dict:
+    from mcos_tpu.engine.exposure import ExposureEngine
+
+    eng = ExposureEngine(
+        [args.spot], [args.sigma], [[1.0]],
+        [{"kind": "put" if args.put else "call",
+          "strike": args.strike, "T": args.T}],
+        r=args.r, q=[args.q], num_paths=args.num_paths, seed=args.seed)
+    out = eng.profile(num_dates=args.num_dates)
+    out["credit"] = eng.cva(hazard_rate=args.hazard, lgd=args.lgd,
+                            num_dates=args.num_dates)
+    return out
+
+
 def cmd_bench(_args) -> dict:
     import bench  # repo-root benchmark, prints its own JSON line
 
@@ -199,6 +231,40 @@ def main(argv=None):
     p.add_argument("--q", type=float, default=0.012)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("rough", help="rough Bergomi price/greeks/smile/skew")
+    p.add_argument("--spot", type=float, required=True)
+    p.add_argument("--strike", type=float, default=0.0, help="0 = ATM")
+    p.add_argument("--T", type=float, required=True)
+    p.add_argument("--mode", default="price",
+                   choices=["price", "greeks", "smile", "skew"])
+    p.add_argument("--put", action="store_true")
+    p.add_argument("--hurst", type=float, default=0.07)
+    p.add_argument("--xi", type=float, default=0.04)
+    p.add_argument("--eta", type=float, default=1.9)
+    p.add_argument("--rho", type=float, default=-0.9)
+    p.add_argument("--r", type=float, default=0.065)
+    p.add_argument("--q", type=float, default=0.012)
+    p.add_argument("--num-paths", type=int, default=131_072)
+    p.add_argument("--num-steps", type=int, default=128)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_rough)
+
+    p = sub.add_parser("exposure",
+                       help="EE/PFE profile + CVA for one option position")
+    p.add_argument("--spot", type=float, required=True)
+    p.add_argument("--strike", type=float, required=True)
+    p.add_argument("--T", type=float, required=True)
+    p.add_argument("--sigma", type=float, default=0.2)
+    p.add_argument("--put", action="store_true")
+    p.add_argument("--hazard", type=float, default=0.02)
+    p.add_argument("--lgd", type=float, default=0.6)
+    p.add_argument("--num-dates", type=int, default=24)
+    p.add_argument("--r", type=float, default=0.065)
+    p.add_argument("--q", type=float, default=0.012)
+    p.add_argument("--num-paths", type=int, default=65_536)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_exposure)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

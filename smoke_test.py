@@ -148,6 +148,54 @@ def main():
           f"tol={tol:.3f}")
     check("MC within COS bands (full SVJ dynamics)", gap < tol)
 
+    stage("12. rough Bergomi (conditional estimator vs BS limit)")
+    from mcos_tpu.engine.rough import RoughBergomiEngine
+    from mcos_tpu.ops.rough import RoughBergomiParams
+    rp0 = RoughBergomiParams(xi=0.04, eta=1e-8, rho=0.0, r=0.065, q=0.012,
+                             hurst=0.07)
+    rb = RoughBergomiEngine(rp0, num_paths=4_096, num_steps=32)
+    rres = rb.price(22500.0, 22500.0 * 1.02, 0.25)
+    rbs = float(bs_price(22500.0, 22500.0 * 1.02, 0.25, 0.065, 0.012, 0.2,
+                         True))
+    print(f"    rough(eta→0)={rres['price']:.3f}  BS={rbs:.3f}")
+    check("rough degenerate hits BS", abs(rres["price"] - rbs) < 0.05)
+    rfull = RoughBergomiEngine(
+        RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07),
+        num_paths=32_768, num_steps=32)
+    sk = rfull.atm_skew(22500.0, 0.1)["skew"]
+    print(f"    ATM skew (T=0.1): {sk:.3f}")
+    check("rough skew steep and negative", sk < -0.4)
+
+    stage("13. exposure / CVA (martingale EE oracle)")
+    from mcos_tpu.engine.exposure import ExposureEngine
+    xe = ExposureEngine([22500.0], [0.2], [[1.0]],
+                        [{"kind": "call", "strike": 22500.0, "T": 0.5}],
+                        r=0.065, q=[0.012], num_paths=50_000)
+    prof = xe.profile(num_dates=6, horizon=0.45)
+    c0 = float(bs_price(22500, 22500, 0.5, 0.065, 0.012, 0.2, True))
+    disc_ee = [np.exp(-0.065 * t) * e
+               for t, e in zip(prof["dates"], prof["ee"])]
+    drift = max(abs(e - c0) for e in disc_ee) / c0
+    print(f"    e^-rt·EE vs C0={c0:.1f}: max drift {drift * 100:.2f}%")
+    check("discounted EE flat at C0 (martingale)", drift < 0.02)
+    check("PFE dominates EE", all(p_ >= e_ for p_, e_
+                                  in zip(prof["pfe"], prof["ee"])))
+
+    stage("14. SSVI surface (round-trip + no-arb)")
+    from mcos_tpu.engine.ssvi import calibrate_ssvi, ssvi_total_variance
+    mats_s = np.array([0.25, 0.5, 1.0])
+    fwds_s = 22500.0 * np.exp(0.053 * mats_s)
+    ks = np.stack([f * np.exp(np.linspace(-0.2, 0.2, 9)) for f in fwds_s])
+    w_true = np.asarray(ssvi_total_variance(
+        np.log(ks / fwds_s[:, None]), (0.04 * mats_s)[:, None],
+        -0.65, 1.1, 0.4))
+    ssvi = calibrate_ssvi(mats_s, fwds_s, ks,
+                          np.sqrt(w_true / mats_s[:, None]), iters=80)
+    print(f"    fit rho={ssvi['rho']:.3f} (true -0.65), "
+          f"rmse={ssvi['rmse_total_variance']:.2e}")
+    check("SSVI recovers rho", abs(ssvi["rho"] + 0.65) < 0.05)
+    check("SSVI fit arbitrage-free", ssvi["arbitrage"]["butterfly_free"])
+
     print("\n" + "=" * 64)
     if FAILURES:
         print(f"FAILED: {len(FAILURES)} checks: {FAILURES}")
