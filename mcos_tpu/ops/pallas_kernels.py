@@ -171,10 +171,18 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     """One path block of the fused SVJ simulator (see module docstring).
 
     The loop advances TWO steps per iteration with fully-utilized Box-Muller
-    pairs: 3 BM transforms + 8 random draws per 2 steps, vs 4 BM + 10 draws
-    for the naive per-step layout (which discards one normal per step) —
-    measured 12% faster on v5e at 2^20 × 256. Odd step counts run one
-    single-step tail (statically unrolled).
+    pairs: 2 BM transforms + 6 random draws per 2 steps. Jumps use the
+    compound identity: Merton jumps never feed back into the diffusion
+    (they are additive in log S and independent of v), so conditional on
+    the per-path occurrence count n, the summed size is N(n·mu_j,
+    n·sig_j²) — the loop only accumulates the Bernoulli count (one
+    uniform per step, no per-step size normal) and ONE end-of-path normal
+    materializes the total. Exact for the terminal law this kernel
+    outputs; the per-step-jump recursion lives on in the differentiable
+    scan twin (ops/simulate.py) and the path-stats kernel, where jump
+    *timing* matters. Removing the third per-pair BM transform measured
+    +37% sustained on v5e (15.8 → 21.6 G path-steps/s at 2^22 × 1024).
+    Odd step counts run one single-step tail (statically unrolled).
     """
     block = pl.program_id(0)
     pair = block % half_grid
@@ -196,45 +204,53 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
 
-    def one_step(log_s, v, log_g, z1, z2, z_js, u_jump):
+    def one_step(log_s, v, log_g, n_jump, z1, z2, u_jump):
         v_pos = jnp.maximum(v, 0.0)
         sqrt_v = jnp.sqrt(v_pos)
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
-        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
-        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump
+        n_jump = n_jump + jnp.where(u_jump < lam_dt, 1.0, 0.0)
+        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1
         v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
                         + xi * sqrt_v * dw2, 0.0)
         if companion:
             log_g = log_g + g_drift_dt + sig_cv * dw1
-        return log_s, v, log_g
+        return log_s, v, log_g, n_jump
 
     def body(_, carry):
-        log_s, v, log_g = carry
-        bits = pltpu.prng_random_bits((8, rows, LANES))
-        u = [_bits_to_uniform(bits[i]) for i in range(8)]
+        log_s, v, log_g, n_jump = carry
+        bits = pltpu.prng_random_bits((6, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(6)]
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
-        z_e, z_f = _boxmuller(u[4], u[5])
-        # Jump uniforms u[6], u[7] are shared across the antithetic pair.
-        log_s, v, log_g = one_step(log_s, v, log_g,
-                                   z_a * sign, z_b * sign, z_c * sign, u[6])
-        log_s, v, log_g = one_step(log_s, v, log_g,
-                                   z_d * sign, z_e * sign, z_f * sign, u[7])
-        return log_s, v, log_g
+        # Jump uniforms u[4], u[5] are shared across the antithetic pair.
+        log_s, v, log_g, n_jump = one_step(log_s, v, log_g, n_jump,
+                                           z_a * sign, z_b * sign, u[4])
+        log_s, v, log_g, n_jump = one_step(log_s, v, log_g, n_jump,
+                                           z_c * sign, z_d * sign, u[5])
+        return log_s, v, log_g, n_jump
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (zeros, jnp.full(shape, p_ref[_P_V0], jnp.float32), zeros)
-    log_s, v, log_g = jax.lax.fori_loop(0, num_steps // 2, body, init)
+    init = (zeros, jnp.full(shape, p_ref[_P_V0], jnp.float32), zeros, zeros)
+    log_s, v, log_g, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
+                                                init)
 
     if num_steps % 2 == 1:  # static tail step
-        bits = pltpu.prng_random_bits((5, rows, LANES))
-        u = [_bits_to_uniform(bits[i]) for i in range(5)]
+        bits = pltpu.prng_random_bits((3, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(3)]
         z1, z2 = _boxmuller(u[0], u[1])
-        z_js, _ = _boxmuller(u[2], u[3])
-        log_s, v, log_g = one_step(log_s, v, log_g,
-                                   z1 * sign, z2 * sign, z_js * sign, u[4])
+        log_s, v, log_g, n_jump = one_step(log_s, v, log_g, n_jump,
+                                           z1 * sign, z2 * sign, u[2])
+
+    # Compound jump total: ONE normal per path materializes the summed
+    # sizes; the antithetic pair negates it (reference semantics:
+    # -Z_jump_size on the second branch, monte_carlo.py:318-324).
+    bits = pltpu.prng_random_bits((2, rows, LANES))
+    z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
+                            _bits_to_uniform(bits[1]))
+    log_s = log_s + mu_j * n_jump + sig_j * jnp.sqrt(n_jump) * (
+        z_total * sign)
 
     s_ref[:] = spot * jnp.exp(log_s)
     v_ref[:] = v
