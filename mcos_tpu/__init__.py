@@ -56,6 +56,8 @@ from mcos_tpu.engine.book import BookEngine  # noqa: F401
 from mcos_tpu.engine.rough import RoughBergomiEngine  # noqa: F401
 from mcos_tpu.engine.exposure import ExposureEngine  # noqa: F401
 from mcos_tpu.engine.ssvi import SSVISurface, calibrate_ssvi  # noqa: F401
+from mcos_tpu.engine.hhw import HHWEngine  # noqa: F401
+from mcos_tpu.ops.hhw import HHWParams, bsm_hullwhite, vasicek_bond  # noqa: F401
 from mcos_tpu.ops.rough import RoughBergomiParams  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401
 from mcos_tpu.engine.greeks import GreeksEngine  # noqa: F401

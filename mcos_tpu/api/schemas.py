@@ -224,6 +224,32 @@ class ExposureRequest(BaseModel):
     with_cva_delta: bool = False
 
 
+class HHWRequest(BaseModel):
+    """POST /api/hhw — Heston-Hull-White hybrid pricing (stochastic vol
+    AND stochastic rates; engine/hhw.py, beyond the reference's flat r)."""
+    spot: float = Field(gt=0)
+    strike: float = Field(gt=0)
+    T: float = Field(gt=0, le=30.0)
+    is_call: bool = True
+    mode: str = "price"              # "price" | "greeks" | "impact"
+    # Heston block
+    kappa: float = Field(2.0, gt=0, le=50)
+    theta: float = Field(0.04, gt=0, le=4.0)
+    xi: float = Field(0.4, gt=0, le=10.0)
+    v0: float = Field(0.04, gt=0, le=4.0)
+    rho_sv: float = Field(-0.7, ge=-0.999, le=0.999)
+    # Hull-White block
+    a: float = Field(0.1, gt=0, le=10.0)
+    b: float = Field(0.05, ge=-0.1, le=1.0)
+    sigma_r: float = Field(0.01, ge=0.0, le=0.5)
+    r0: float = Field(0.05, ge=-0.1, le=1.0)
+    rho_sr: float = Field(0.3, ge=-0.999, le=0.999)
+    rho_vr: float = Field(0.0, ge=-0.999, le=0.999)
+    q: float = DIVIDEND_YIELD
+    num_paths: int = Field(200_000, **_PATHS)
+    num_steps: int = Field(128, ge=8, le=1024)
+
+
 class RoughRequest(BaseModel):
     """POST /api/rough — rough Bergomi pricing/smile/Greeks
     (engine/rough.py; model family beyond the reference)."""

@@ -493,6 +493,33 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_hhw(body: dict) -> dict:
+    """POST /api/hhw — Heston-Hull-White hybrid: price / AD greeks /
+    stochastic-rates impact (engine/hhw.py)."""
+    from mcos_tpu.engine.hhw import HHWEngine
+    from mcos_tpu.ops.hhw import HHWParams
+
+    req = schemas.HHWRequest(**body)
+    start = time.time()
+    params = HHWParams(kappa=req.kappa, theta=req.theta, xi=req.xi,
+                       v0=req.v0, a=req.a, b=req.b, sigma_r=req.sigma_r,
+                       r0=req.r0, rho_sv=req.rho_sv, rho_sr=req.rho_sr,
+                       rho_vr=req.rho_vr, q=req.q)
+    eng = HHWEngine(params, num_paths=req.num_paths,
+                    num_steps=req.num_steps)
+    if req.mode == "price":
+        out = eng.price(req.spot, req.strike, req.T, is_call=req.is_call)
+    elif req.mode == "greeks":
+        out = eng.greeks(req.spot, req.strike, req.T, is_call=req.is_call)
+    elif req.mode == "impact":
+        out = eng.rate_vol_impact(req.spot, req.strike, req.T,
+                                  is_call=req.is_call)
+    else:
+        raise ApiError(400, f"unknown mode {req.mode!r}")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_exposure(body: dict) -> dict:
     """POST /api/exposure — EE/ENE/PFE profile + CVA/DVA (+ AD CVA delta)
     for a vanilla netting set (engine/exposure.py; XVA layer beyond the
@@ -620,6 +647,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/cliquet": handle_cliquet,
     "/api/rough": handle_rough,
     "/api/exposure": handle_exposure,
+    "/api/hhw": handle_hhw,
 }
 
 

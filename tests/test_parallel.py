@@ -137,3 +137,35 @@ def test_sharded_portfolio_var_analytic_lognormal():
     exact = 1.0 - np.exp(mu_log - 2.326 * s)
     assert out["var"] == pytest.approx(exact, rel=0.02)
     assert out["cvar"] > out["var"]
+
+
+def test_sharded_rough_price_matches_bs_and_single_device():
+    """8-device rough Bergomi pricing: degenerate limit hits BS exactly
+    (deterministic conditional estimator), full params within joint CI of
+    a single-device run."""
+    from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
+                                    rbergomi_conditional_payoffs)
+
+    m = pmesh.make_mesh()
+    deg = RoughBergomiParams(xi=0.04, eta=1e-8, rho=0.0, hurst=0.07)
+    out = pmesh.sharded_rough_price(
+        deg, 100.0, [95.0, 105.0], 0.5, jax.random.key(3), mesh=m,
+        num_paths=8_192, num_steps=32)
+    for px, k in zip(np.asarray(out["price"]), [95.0, 105.0]):
+        ref = float(bs_price(100.0, k, 0.5, deg.r, deg.q, 0.2, True))
+        assert px == pytest.approx(ref, abs=5e-3)
+    assert float(out["num_paths_used"]) >= 8_192
+
+    full = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
+    sh = pmesh.sharded_rough_price(
+        full, 100.0, [100.0], 0.25, jax.random.key(5), mesh=m,
+        num_paths=65_536, num_steps=32)
+    chol = jnp.asarray(rbergomi_chol(0.07, 0.25, 32))
+    pay = rbergomi_conditional_payoffs(
+        full, 100.0, jnp.asarray([100.0]), 0.25, chol, jax.random.key(9),
+        num_paths=65_536, num_steps=32, is_call=True).mean(axis=0)
+    disc = float(np.exp(-full.r * 0.25))
+    single = disc * float(pay.mean())
+    se1 = disc * float(pay.std()) / np.sqrt(pay.shape[0])
+    joint = np.hypot(float(sh["std_error"][0]), se1)
+    assert abs(float(sh["price"][0]) - single) < 4 * joint
