@@ -53,7 +53,10 @@ from mcos_tpu.engine.cliquet import (  # noqa: F401
     forward_start_bs,
 )
 from mcos_tpu.engine.book import BookEngine  # noqa: F401
-from mcos_tpu.engine.rough import RoughBergomiEngine  # noqa: F401
+from mcos_tpu.engine.rough import (  # noqa: F401
+    RoughBergomiEngine,
+    calibrate_rbergomi,
+)
 from mcos_tpu.engine.exposure import ExposureEngine  # noqa: F401
 from mcos_tpu.engine.ssvi import SSVISurface, calibrate_ssvi  # noqa: F401
 from mcos_tpu.engine.hhw import HHWEngine  # noqa: F401

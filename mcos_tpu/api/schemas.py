@@ -273,6 +273,11 @@ class RoughRequest(BaseModel):
     num_paths: int = Field(131_072, **_PATHS)
     num_steps: int = Field(128, ge=8, le=512)
     moneyness: Optional[list] = None  # smile mode grid (≤ MAX_GRID_POINTS)
+    # calibrate mode: (m,) maturities, (m, k) strikes and call prices
+    maturities: Optional[list] = None
+    cal_strikes: Optional[list] = None
+    market_prices: Optional[list] = None
+    hurst_grid: Optional[list] = None
 
 
 class CliquetRequest(BaseModel):

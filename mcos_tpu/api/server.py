@@ -585,6 +585,29 @@ def handle_rough(body: dict) -> dict:
         out = eng.price_lookback(
             req.spot, req.T, is_call=req.is_call,
             strike=req.strike if req.strike > 0 else None)
+    elif req.mode == "calibrate":
+        from mcos_tpu.engine.rough import calibrate_rbergomi
+
+        if not (req.maturities and req.cal_strikes and req.market_prices):
+            raise ApiError(400, "calibrate mode needs maturities, "
+                                "cal_strikes, market_prices")
+        mkt = np.asarray(req.market_prices, np.float64)
+        ks = np.asarray(req.cal_strikes, np.float64)
+        if ks.shape != mkt.shape or ks.shape[0] != len(req.maturities):
+            raise ApiError(400, "cal_strikes/market_prices must be (m, k) "
+                                "matching maturities")
+        if mkt.size > schemas.MAX_GRID_POINTS * 8:
+            raise ApiError(400, "calibration grid too large")
+        kw = {}
+        if req.hurst_grid:
+            kw["hurst_grid"] = tuple(float(h) for h in req.hurst_grid[:8])
+        out = calibrate_rbergomi(
+            req.spot, req.maturities, ks, mkt, r=req.r, q=req.q,
+            num_paths=min(req.num_paths, 65_536), num_steps=req.num_steps,
+            **kw)
+        p = out.pop("params")
+        out["params"] = {"hurst": p.hurst, "eta": float(p.eta),
+                         "rho": float(p.rho), "xi": float(p.xi)}
     else:
         raise ApiError(400, f"unknown mode {req.mode!r}")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
@@ -817,6 +840,12 @@ def warmup() -> None:
         handle_price({"spot": spot, "strike": strike, "T": T})
         handle_greeks({"spot": spot, "strike": strike, "T": T})
         handle_smile({"spot": spot, "T": T})
+        # Newer model families at their schema-default shapes.
+        handle_rough({"spot": spot, "T": T, "mode": "price"})
+        handle_hhw({"spot": spot, "strike": strike, "T": 1.0})
+        handle_exposure({"spots": [spot], "sigmas": [0.2], "corr": [[1.0]],
+                         "positions": [{"kind": "call", "strike": strike,
+                                        "T": 1.0}]})
     except Exception:  # noqa: BLE001 — warmup must never kill the server
         logger.exception("warmup failed (server continues cold)")
     logger.info("warmup done in %.1fs", time.time() - t0)

@@ -23,8 +23,15 @@ from mcos_tpu.engine.surface import implied_vol
 from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
                                 rbergomi_conditional_payoffs,
                                 rbergomi_path_stats, rbergomi_terminal)
+from mcos_tpu.utils.optim import adam_polish, differential_evolution
 
 Array = jax.Array
+
+RBERGOMI_CAL_BOUNDS = {
+    "eta": (0.3, 4.0),
+    "rho": (-0.99, -0.05),
+    "xi": (0.002, 0.40),
+}
 
 
 def _mean_price(params: RoughBergomiParams, spot, strikes, T, chol, key, *,
@@ -210,3 +217,103 @@ class RoughBergomiEngine:
                               self._key(), num_paths=n,
                               num_steps=self.num_steps)
         return np.asarray(s).reshape(-1)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Calibration: fit (eta, rho, xi) per H over the Hurst grid
+# ─────────────────────────────────────────────────────────────────────────────
+def _rbergomi_cal_objective(x, data, *, hurst, num_paths, num_steps):
+    """Weighted price-space SSE over the (maturity, strike) grid.
+
+    One DE/Adam candidate: x = [eta, rho, xi]. The same draws (same key,
+    same chols) price every candidate — CRN makes the objective a
+    deterministic smooth function, so DE's ranking is noise-free and
+    Adam's gradient is exact for the sampled measure. Maturities vmap
+    over their own Cholesky factors; H is static per call (it shapes the
+    host-built covariance, so the Hurst axis is an outer grid search).
+    """
+    params = RoughBergomiParams(xi=x[2], eta=x[0], rho=x[1],
+                                r=data["r"], q=data["q"], hurst=hurst)
+
+    def one_maturity(chol, T, strikes, key):
+        pay = rbergomi_conditional_payoffs(
+            params, data["spot"], strikes, T, chol, key,
+            num_paths=num_paths, num_steps=num_steps, is_call=True)
+        return jnp.exp(-data["r"] * T) * jnp.mean(pay, axis=(0, 1))
+
+    model = jax.vmap(one_maturity)(data["chols"], data["Ts"],
+                                   data["strikes"], data["keys"])
+    return jnp.sum(data["weights"] * (model - data["market"]) ** 2)
+
+
+def calibrate_rbergomi(spot, maturities, strikes, market_prices,
+                       r: float = None, q: float = None,
+                       weights=None,
+                       hurst_grid=(0.05, 0.07, 0.10, 0.15, 0.25, 0.40),
+                       num_paths: int = 16_384, num_steps: int = 48,
+                       pop_size: int = 24, iters: int = 40,
+                       polish_steps: int = 80, seed: int = 0
+                       ) -> Dict[str, object]:
+    """Fit rough Bergomi to a call-price surface.
+
+    (eta, rho, xi) are fit by the repo's vmapped-DE + Adam stack per
+    Hurst-grid point; H is selected by the best polished objective. Using
+    SEVERAL maturities is what identifies H — the T^{H-1/2} skew
+    term-structure separates (H, eta) where a single slice cannot.
+
+    Args:
+        maturities: (m,) years; strikes: (m, k); market_prices: (m, k)
+        call prices; weights: optional (m, k) quote weights.
+    """
+    from mcos_tpu.config import DIVIDEND_YIELD, RISK_FREE_RATE
+    r = RISK_FREE_RATE if r is None else float(r)
+    q = DIVIDEND_YIELD if q is None else float(q)
+    mats = np.asarray(maturities, np.float64)
+    strikes = np.asarray(strikes, np.float64)
+    market = np.asarray(market_prices, np.float64)
+    if weights is None:
+        weights = np.ones_like(market)
+    weights = np.asarray(weights, np.float64) / np.sum(weights)
+
+    base_keys = jax.random.split(jax.random.key(seed), len(mats))
+    bounds = np.array([RBERGOMI_CAL_BOUNDS["eta"],
+                       RBERGOMI_CAL_BOUNDS["rho"],
+                       RBERGOMI_CAL_BOUNDS["xi"]], np.float32)
+    best = None
+    per_h = {}
+    for h in hurst_grid:
+        chols = np.stack([rbergomi_chol(float(h), float(t), num_steps)
+                          for t in mats])
+        data = {"spot": jnp.float32(spot),
+                "Ts": jnp.asarray(mats, jnp.float32),
+                "strikes": jnp.asarray(strikes, jnp.float32),
+                "market": jnp.asarray(market, jnp.float32),
+                "weights": jnp.asarray(weights, jnp.float32),
+                "chols": jnp.asarray(chols),
+                "keys": base_keys,
+                "r": jnp.float32(r), "q": jnp.float32(q)}
+        statics = (("hurst", float(h)), ("num_paths", num_paths),
+                   ("num_steps", num_steps))
+        res = differential_evolution(
+            _rbergomi_cal_objective, bounds, jax.random.key(seed + 1),
+            pop_size=pop_size, iters=iters, args=data,
+            static_kwargs=statics)
+        x, fun = adam_polish(_rbergomi_cal_objective, res.x, bounds,
+                             steps=polish_steps, lr=0.02, args=data,
+                             static_kwargs=statics)
+        entry = {"hurst": float(h), "eta": float(x[0]), "rho": float(x[1]),
+                 "xi": float(x[2]), "objective": float(fun)}
+        per_h[f"{h:g}"] = entry
+        if best is None or entry["objective"] < best["objective"]:
+            best = entry
+    params = RoughBergomiParams(xi=best["xi"], eta=best["eta"],
+                                rho=best["rho"], r=r, q=q,
+                                hurst=best["hurst"])
+    return {
+        "params": params,
+        **best,
+        "rmse_price": float(np.sqrt(best["objective"])),
+        "hurst_grid": dict(sorted(per_h.items(),
+                                  key=lambda kv: kv[1]["objective"])),
+        "n_quotes": int(market.size),
+    }

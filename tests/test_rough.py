@@ -255,3 +255,33 @@ def test_rough_asian_below_vanilla_and_barrier_monotone():
     b_lo = eng.price_barrier(100.0, 100.0, 0.5, 115.0)["price"]
     b_hi = eng.price_barrier(100.0, 100.0, 0.5, 140.0)["price"]
     assert b_lo < b_hi <= van + 0.02   # higher barrier knocks out less
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Calibration
+# ─────────────────────────────────────────────────────────────────────────────
+def test_calibration_recovers_rough_parameters():
+    """Fit to a synthetic 2-maturity surface generated from known params:
+    the Hurst grid must select the true H (the skew term-structure
+    identifies it) and (eta, rho, xi) must land near truth."""
+    from mcos_tpu.engine.rough import calibrate_rbergomi
+
+    true = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, r=0.05, q=0.01,
+                              hurst=H)
+    spot, mats = 100.0, [0.1, 0.5]
+    strikes = np.stack([spot * np.linspace(0.92, 1.08, 7) for _ in mats])
+    market = np.asarray([
+        RoughBergomiEngine(true, num_paths=131_072, num_steps=48,
+                           seed=99).price(spot, ks, t)["price"]
+        for t, ks in zip(mats, strikes)])
+
+    fit = calibrate_rbergomi(spot, mats, strikes, market, r=0.05, q=0.01,
+                             hurst_grid=(H, 0.3), num_paths=8_192,
+                             num_steps=48, pop_size=12, iters=25,
+                             polish_steps=40)
+    assert fit["hurst"] == H                    # grid selects the true H
+    assert abs(fit["eta"] - 1.9) < 0.35
+    assert abs(fit["rho"] + 0.9) < 0.10
+    assert fit["xi"] == pytest.approx(0.04, abs=0.004)
+    assert fit["rmse_price"] < 0.05
+    assert fit["params"].hurst == H
