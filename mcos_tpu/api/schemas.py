@@ -272,6 +272,8 @@ class RoughRequest(BaseModel):
     # discretization
     num_paths: int = Field(131_072, **_PATHS)
     num_steps: int = Field(128, ge=8, le=512)
+    # Owen-Sobol through the PCA factor + RQMC error bars (price mode)
+    use_sobol: bool = False
     moneyness: Optional[list] = None  # smile mode grid (≤ MAX_GRID_POINTS)
     # calibrate mode: (m,) maturities, (m, k) strikes and call prices
     maturities: Optional[list] = None

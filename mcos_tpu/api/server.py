@@ -564,7 +564,8 @@ def handle_rough(body: dict) -> dict:
     params = RoughBergomiParams(xi=req.xi, eta=req.eta, rho=req.rho,
                                 r=req.r, q=req.q, hurst=req.hurst)
     eng = RoughBergomiEngine(params, num_paths=req.num_paths,
-                             num_steps=req.num_steps)
+                             num_steps=req.num_steps,
+                             use_sobol=req.use_sobol)
     strike = req.strike if req.strike > 0 else req.spot
     if req.mode == "price":
         out = eng.price(req.spot, strike, req.T, is_call=req.is_call)

@@ -55,17 +55,22 @@ class RoughBergomiEngine:
 
     def __init__(self, params: RoughBergomiParams,
                  num_paths: int = 131_072, num_steps: int = 128,
-                 seed: int = 42):
+                 seed: int = 42, use_sobol: bool = False,
+                 rqmc_randomizations: int = 8):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
+        self.use_sobol = bool(use_sobol)
+        self.rqmc = int(rqmc_randomizations)
 
     # ── internals ────────────────────────────────────────────────────────
     def _chol(self, T: float) -> Array:
-        return jnp.asarray(
-            rbergomi_chol(float(self.params.hurst), float(T),
-                          self.num_steps))
+        # PCA factor under QMC: the first Sobol dimensions then drive the
+        # largest variance directions (classic QMC construction).
+        return jnp.asarray(rbergomi_chol(
+            float(self.params.hurst), float(T), self.num_steps,
+            transform="pca" if self.use_sobol else "cholesky"))
 
     def _key(self):
         return jax.random.key(self.seed)
@@ -74,15 +79,46 @@ class RoughBergomiEngine:
     def price(self, spot: float, strikes, T: float,
               is_call: bool = True) -> Dict[str, object]:
         strikes_arr = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+        disc = float(np.exp(-float(self.params.r) * T))
+        scalar = np.ndim(strikes) == 0
+        chol = self._chol(T)
+        if self.use_sobol:
+            # Randomized QMC: R independent Owen scrambles of num_paths/R
+            # points each; the spread of the R estimates IS the error bar
+            # (plain per-path stderr is meaningless for correlated QMC
+            # points). Same total path budget as the PRNG estimator.
+            from mcos_tpu.ops.sobol import sobol_normals
+
+            per = max(self.num_paths // self.rqmc, 256)
+            ests = []
+            for r_i in range(self.rqmc):
+                z = sobol_normals(per, 2 * self.num_steps, seed=self.seed,
+                                  stream=r_i)
+                pay = rbergomi_conditional_payoffs(
+                    self.params, spot, strikes_arr, T, chol, self._key(),
+                    num_paths=per, num_steps=self.num_steps,
+                    is_call=is_call, z=z)
+                ests.append(np.asarray(jnp.mean(pay, axis=(0, 1))))
+            ests = np.stack(ests)                     # (R, strikes)
+            mean = ests.mean(axis=0)
+            se = ests.std(axis=0, ddof=1) / np.sqrt(self.rqmc)
+            price, stderr = disc * mean, disc * se
+            return {
+                "price": float(price[0]) if scalar else price.tolist(),
+                "std_error": float(stderr[0]) if scalar
+                else stderr.tolist(),
+                "num_paths_used": per * self.rqmc,
+                "num_steps": self.num_steps,
+                "estimator": "conditional-black+rqmc",
+                "rqmc_randomizations": self.rqmc,
+            }
         pay = rbergomi_conditional_payoffs(
-            self.params, spot, strikes_arr, T, self._chol(T), self._key(),
+            self.params, spot, strikes_arr, T, chol, self._key(),
             num_paths=self.num_paths, num_steps=self.num_steps,
             is_call=is_call)
-        disc = float(np.exp(-float(self.params.r) * T))
         comb = jnp.mean(pay, axis=0)                     # (paths, strikes)
         mean = np.asarray(jnp.mean(comb, axis=0))
         se = np.asarray(jnp.std(comb, axis=0)) / np.sqrt(comb.shape[0])
-        scalar = np.ndim(strikes) == 0
         price = disc * mean
         stderr = disc * se
         return {

@@ -115,9 +115,17 @@ def volterra_increment_cov(t_grid: np.ndarray, hurst: float,
 
 
 @lru_cache(maxsize=32)
-def _chol_cached(hurst: float, T: float, num_steps: int) -> np.ndarray:
-    """Cholesky factor (f32) of the joint (2n, 2n) covariance of
-    [W~_{t_1..t_n}, dW_{1..n}] on the uniform grid t_i = i*T/n."""
+def _factor_cached(hurst: float, T: float, num_steps: int,
+                   transform: str) -> np.ndarray:
+    """Factor A (f32, A Aᵀ = cov) of the joint (2n, 2n) covariance of
+    [W~_{t_1..t_n}, dW_{1..n}] on the uniform grid t_i = i*T/n.
+
+    transform="cholesky": triangular factor (any sampling order works for
+    iid normals). transform="pca": U diag(sqrt(lambda)) with eigenvalues
+    descending — the classic QMC construction, so the FIRST input
+    dimensions carry the largest variance directions; paired with
+    low-discrepancy draws this is where Sobol's low-dim uniformity pays.
+    """
     n = int(num_steps)
     dt = float(T) / n
     t = dt * np.arange(1, n + 1)
@@ -130,14 +138,19 @@ def _chol_cached(hurst: float, T: float, num_steps: int) -> np.ndarray:
     # Tiny diagonal lift: the W~ block is ill-conditioned for small H at
     # fine grids; 1e-12 relative is far below the f32 sampling noise.
     cov[np.diag_indices(2 * n)] += 1e-12 * cov.diagonal().max()
+    if transform == "pca":
+        lam, u = np.linalg.eigh(cov)          # ascending
+        lam = np.maximum(lam[::-1], 0.0)
+        return (u[:, ::-1] * np.sqrt(lam)[None, :]).astype(np.float32)
     return np.linalg.cholesky(cov).astype(np.float32)
 
 
-def rbergomi_chol(hurst: float, T: float, num_steps: int) -> np.ndarray:
+def rbergomi_chol(hurst: float, T: float, num_steps: int,
+                  transform: str = "cholesky") -> np.ndarray:
     """Public cached accessor (host). Keyed on rounded floats so jitter in
     float(T) does not defeat the cache."""
-    return _chol_cached(round(float(hurst), 10), round(float(T), 10),
-                        int(num_steps))
+    return _factor_cached(round(float(hurst), 10), round(float(T), 10),
+                          int(num_steps), transform)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -146,7 +159,8 @@ def rbergomi_chol(hurst: float, T: float, num_steps: int) -> np.ndarray:
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
 def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
                   num_paths: int, num_steps: int,
-                  antithetic: bool = True) -> Tuple[Array, Array, Array]:
+                  antithetic: bool = True,
+                  z: Optional[Array] = None) -> Tuple[Array, Array, Array]:
     """Simulate the W-conditional sufficient statistics of rBergomi.
 
     Returns (v_mean_t, I1, I2):
@@ -154,6 +168,10 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
       I1     : (branches, paths) = sum_i sqrt(v_{i-1}) dW_i,
       I2     : (branches, paths) = sum_i v_{i-1} dt,
     with antithetic branches on axis 0 (Z and -Z share one draw set).
+
+    `z` optionally supplies the (num_paths, 2n) standard normals — e.g.
+    Owen-scrambled Sobol points through the PCA factor (QMC driving);
+    None draws PRNG normals from `key`.
     """
     dtype = jnp.float32
     n = num_steps
@@ -161,7 +179,8 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
     dt = T / n
     t_left = dt * jnp.arange(n, dtype=dtype)              # left endpoints
 
-    z = jax.random.normal(key, (num_paths, 2 * n), dtype)
+    if z is None:
+        z = jax.random.normal(key, (num_paths, 2 * n), dtype)
     branches = (1.0, -1.0) if antithetic else (1.0,)
 
     i1s, i2s, v_means = [], [], []
@@ -198,17 +217,20 @@ def _black_on_forward(F, K, s, is_call):
 def rbergomi_conditional_payoffs(params: RoughBergomiParams, spot, strikes,
                                  T, chol, key, *, num_paths: int,
                                  num_steps: int, is_call,
-                                 antithetic: bool = True) -> Array:
+                                 antithetic: bool = True,
+                                 z: Optional[Array] = None) -> Array:
     """(branches, paths, strikes) per-path *conditional Black* payoffs
     (undiscounted). Averaging over paths and discounting gives the price;
     the estimator is exact in the orthogonal noise, so its variance is
-    (1-rho^2)-suppressed and every payoff is smooth for AD."""
+    (1-rho^2)-suppressed and every payoff is smooth for AD. `z` as in
+    `rbergomi_core` (QMC driving)."""
     dtype = jnp.float32
     spot = jnp.asarray(spot, dtype)
     strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
     T = jnp.asarray(T, dtype)
     _, i1, i2 = rbergomi_core(params, T, chol, key, num_paths=num_paths,
-                              num_steps=num_steps, antithetic=antithetic)
+                              num_steps=num_steps, antithetic=antithetic,
+                              z=z)
     f_eff = spot * jnp.exp((params.r - params.q) * T
                            + params.rho * i1
                            - 0.5 * params.rho ** 2 * i2)  # (branches, paths)

@@ -285,3 +285,26 @@ def test_calibration_recovers_rough_parameters():
     assert fit["xi"] == pytest.approx(0.04, abs=0.004)
     assert fit["rmse_price"] < 0.05
     assert fit["params"].hurst == H
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# QMC driving
+# ─────────────────────────────────────────────────────────────────────────────
+def test_pca_factor_reproduces_covariance():
+    A = rbergomi_chol(H, 1.0, 16, transform="pca").astype(np.float64)
+    L = rbergomi_chol(H, 1.0, 16).astype(np.float64)
+    np.testing.assert_allclose(A @ A.T, L @ L.T, atol=1e-6)
+
+
+def test_rqmc_price_matches_prng_within_bars():
+    Ks = [90.0, 100.0, 110.0]
+    prng = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=32, seed=3)
+    qmc = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=32, seed=3,
+                             use_sobol=True)
+    a, b = prng.price(100.0, Ks, 0.25), qmc.price(100.0, Ks, 0.25)
+    assert b["estimator"] == "conditional-black+rqmc"
+    for x, y, sx, sy in zip(a["price"], b["price"], a["std_error"],
+                            b["std_error"]):
+        assert abs(x - y) < 4 * np.hypot(sx, sy)
+    # ATM: the PCA+Sobol pairing should not be WORSE than PRNG
+    assert b["std_error"][1] < 1.5 * a["std_error"][1]
