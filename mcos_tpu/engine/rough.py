@@ -22,7 +22,9 @@ import numpy as np
 from mcos_tpu.engine.surface import implied_vol
 from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
                                 rbergomi_conditional_payoffs,
-                                rbergomi_path_stats, rbergomi_terminal)
+                                rbergomi_path_stats, rbergomi_terminal,
+                                sample_xi_curve,
+                                xi_curve_from_variance_swaps)
 from mcos_tpu.utils.optim import adam_polish, differential_evolution
 
 Array = jax.Array
@@ -35,11 +37,13 @@ RBERGOMI_CAL_BOUNDS = {
 
 
 def _mean_price(params: RoughBergomiParams, spot, strikes, T, chol, key, *,
-                num_paths: int, num_steps: int, is_call) -> Array:
+                num_paths: int, num_steps: int, is_call,
+                xi_t=None) -> Array:
     """(strikes,) discounted prices — the scalar-per-strike AD target."""
     pay = rbergomi_conditional_payoffs(
         params, spot, strikes, T, chol, key,
-        num_paths=num_paths, num_steps=num_steps, is_call=is_call)
+        num_paths=num_paths, num_steps=num_steps, is_call=is_call,
+        xi_t=xi_t)
     return jnp.exp(-params.r * jnp.asarray(T, jnp.float32)) * jnp.mean(
         pay, axis=(0, 1))
 
@@ -56,13 +60,38 @@ class RoughBergomiEngine:
     def __init__(self, params: RoughBergomiParams,
                  num_paths: int = 131_072, num_steps: int = 128,
                  seed: int = 42, use_sobol: bool = False,
-                 rqmc_randomizations: int = 8):
+                 rqmc_randomizations: int = 8, xi_curve=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
         self.use_sobol = bool(use_sobol)
         self.rqmc = int(rqmc_randomizations)
+        # Optional forward-variance term structure (edges, values) —
+        # e.g. from `xi_curve_from_variance_swaps`; overrides params.xi.
+        self.xi_curve = xi_curve
+
+    @classmethod
+    def from_variance_swaps(cls, params: RoughBergomiParams, maturities,
+                            var_strikes, **kw) -> "RoughBergomiEngine":
+        """Engine whose forward-variance curve reprices the given
+        variance-swap quotes exactly (piecewise-constant bootstrap)."""
+        return cls(params, xi_curve=xi_curve_from_variance_swaps(
+            maturities, var_strikes), **kw)
+
+    def _xi_t(self, T: float):
+        if self.xi_curve is None:
+            return None
+        edges, vals = self.xi_curve
+        return jnp.asarray(sample_xi_curve(edges, vals, T, self.num_steps))
+
+    def variance_swap_strike(self, T: float) -> float:
+        """Model fair variance-swap strike sqrt((1/T) \\int xi) — exact
+        from the curve (E[v_t] = xi(t)), no simulation needed."""
+        if self.xi_curve is None:
+            return float(np.sqrt(float(self.params.xi)))
+        xi_t = np.asarray(self._xi_t(T), np.float64)
+        return float(np.sqrt(xi_t.mean()))
 
     # ── internals ────────────────────────────────────────────────────────
     def _chol(self, T: float) -> Array:
@@ -97,7 +126,7 @@ class RoughBergomiEngine:
                 pay = rbergomi_conditional_payoffs(
                     self.params, spot, strikes_arr, T, chol, self._key(),
                     num_paths=per, num_steps=self.num_steps,
-                    is_call=is_call, z=z)
+                    is_call=is_call, z=z, xi_t=self._xi_t(T))
                 ests.append(np.asarray(jnp.mean(pay, axis=(0, 1))))
             ests = np.stack(ests)                     # (R, strikes)
             mean = ests.mean(axis=0)
@@ -115,7 +144,7 @@ class RoughBergomiEngine:
         pay = rbergomi_conditional_payoffs(
             self.params, spot, strikes_arr, T, chol, self._key(),
             num_paths=self.num_paths, num_steps=self.num_steps,
-            is_call=is_call)
+            is_call=is_call, xi_t=self._xi_t(T))
         comb = jnp.mean(pay, axis=0)                     # (paths, strikes)
         mean = np.asarray(jnp.mean(comb, axis=0))
         se = np.asarray(jnp.std(comb, axis=0)) / np.sqrt(comb.shape[0])
@@ -139,10 +168,13 @@ class RoughBergomiEngine:
         chol, key = self._chol(T), self._key()
         k_arr = jnp.asarray([strike], jnp.float32)
 
+        xi_t = self._xi_t(T)
+
         def scalar_price(s, p: RoughBergomiParams):
             return _mean_price(p, s, k_arr, T, chol, key,
                                num_paths=self.num_paths,
-                               num_steps=self.num_steps, is_call=is_call)[0]
+                               num_steps=self.num_steps, is_call=is_call,
+                               xi_t=xi_t)[0]
 
         s0 = jnp.asarray(spot, jnp.float32)
         price, (d_s, d_p) = jax.value_and_grad(

@@ -153,6 +153,37 @@ def rbergomi_chol(hurst: float, T: float, num_steps: int,
                           int(num_steps), transform)
 
 
+def xi_curve_from_variance_swaps(maturities, var_strikes):
+    """Bootstrap the piecewise-constant forward-variance curve from
+    variance-swap quotes: K_var(T)^2 T = \\int_0^T xi(u) du, so between
+    quote maturities  xi_i = (W_{i+1} - W_i) / (T_{i+1} - T_i)  with
+    W_i = K_i^2 T_i. Returns (edges (m+1,), values (m,)) with edges[0]=0.
+    The curve is exact-by-construction: repricing every quoted variance
+    swap from the curve returns the input strikes (test-pinned).
+    """
+    mats = np.asarray(maturities, np.float64)
+    ks = np.asarray(var_strikes, np.float64)
+    if np.any(np.diff(mats) <= 0):
+        raise ValueError("maturities must be strictly increasing")
+    w = ks**2 * mats
+    w = np.concatenate([[0.0], w])
+    edges = np.concatenate([[0.0], mats])
+    vals = np.diff(w) / np.diff(edges)
+    if np.any(vals <= 0):
+        raise ValueError("variance-swap quotes imply a negative forward "
+                         "variance (calendar arbitrage)")
+    return edges, vals
+
+
+def sample_xi_curve(edges, vals, T: float, num_steps: int) -> np.ndarray:
+    """(num_steps,) forward variance at the left grid endpoints of [0, T];
+    flat extrapolation beyond the last quote."""
+    t_left = float(T) / num_steps * np.arange(num_steps)
+    idx = np.clip(np.searchsorted(edges, t_left, side="right") - 1, 0,
+                  len(vals) - 1)
+    return np.asarray(vals)[idx].astype(np.float32)
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Device simulation — one matmul + elementwise
 # ─────────────────────────────────────────────────────────────────────────────
@@ -160,7 +191,9 @@ def rbergomi_chol(hurst: float, T: float, num_steps: int,
 def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
                   num_paths: int, num_steps: int,
                   antithetic: bool = True,
-                  z: Optional[Array] = None) -> Tuple[Array, Array, Array]:
+                  z: Optional[Array] = None,
+                  xi_t: Optional[Array] = None
+                  ) -> Tuple[Array, Array, Array]:
     """Simulate the W-conditional sufficient statistics of rBergomi.
 
     Returns (v_mean_t, I1, I2):
@@ -172,6 +205,10 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
     `z` optionally supplies the (num_paths, 2n) standard normals — e.g.
     Owen-scrambled Sobol points through the PCA factor (QMC driving);
     None draws PRNG normals from `key`.
+
+    `xi_t` optionally supplies the forward-variance curve sampled at the
+    left grid endpoints, (n,) — the curve the Wick exponential rides
+    (E[v_{t_i}] = xi_t[i] exactly); None uses the flat params.xi.
     """
     dtype = jnp.float32
     n = num_steps
@@ -183,6 +220,8 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
         z = jax.random.normal(key, (num_paths, 2 * n), dtype)
     branches = (1.0, -1.0) if antithetic else (1.0,)
 
+    xi_vec = (params.xi * jnp.ones((n,), dtype) if xi_t is None
+              else jnp.asarray(xi_t, dtype))
     i1s, i2s, v_means = [], [], []
     for sign in branches:
         g = (sign * z) @ chol.T                           # MXU: (paths, 2n)
@@ -191,7 +230,7 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
         # Left-point W~: W~_{t_0}=0, then the first n-1 grid values.
         w_left = jnp.concatenate(
             [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
-        v = params.xi * jnp.exp(
+        v = xi_vec[None, :] * jnp.exp(
             params.eta * w_left
             - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
         i1s.append(jnp.sum(jnp.sqrt(v) * dw, axis=1))
@@ -218,19 +257,21 @@ def rbergomi_conditional_payoffs(params: RoughBergomiParams, spot, strikes,
                                  T, chol, key, *, num_paths: int,
                                  num_steps: int, is_call,
                                  antithetic: bool = True,
-                                 z: Optional[Array] = None) -> Array:
+                                 z: Optional[Array] = None,
+                                 xi_t: Optional[Array] = None) -> Array:
     """(branches, paths, strikes) per-path *conditional Black* payoffs
     (undiscounted). Averaging over paths and discounting gives the price;
     the estimator is exact in the orthogonal noise, so its variance is
-    (1-rho^2)-suppressed and every payoff is smooth for AD. `z` as in
-    `rbergomi_core` (QMC driving)."""
+    (1-rho^2)-suppressed and every payoff is smooth for AD. `z` and
+    `xi_t` as in `rbergomi_core` (QMC driving / forward-variance curve).
+    """
     dtype = jnp.float32
     spot = jnp.asarray(spot, dtype)
     strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
     T = jnp.asarray(T, dtype)
     _, i1, i2 = rbergomi_core(params, T, chol, key, num_paths=num_paths,
                               num_steps=num_steps, antithetic=antithetic,
-                              z=z)
+                              z=z, xi_t=xi_t)
     f_eff = spot * jnp.exp((params.r - params.q) * T
                            + params.rho * i1
                            - 0.5 * params.rho ** 2 * i2)  # (branches, paths)

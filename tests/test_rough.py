@@ -308,3 +308,51 @@ def test_rqmc_price_matches_prng_within_bars():
         assert abs(x - y) < 4 * np.hypot(sx, sy)
     # ATM: the PCA+Sobol pairing should not be WORSE than PRNG
     assert b["std_error"][1] < 1.5 * a["std_error"][1]
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Forward-variance term structure
+# ─────────────────────────────────────────────────────────────────────────────
+def test_xi_bootstrap_reprices_variance_swaps_exactly():
+    from mcos_tpu.ops.rough import (sample_xi_curve,
+                                    xi_curve_from_variance_swaps)
+    mats = [0.25, 0.5, 1.0, 2.0]
+    kv = [0.18, 0.20, 0.22, 0.23]
+    edges, vals = xi_curve_from_variance_swaps(mats, kv)
+    assert np.all(vals > 0)
+    for t, k in zip(mats, kv):
+        xi_t = sample_xi_curve(edges, vals, t, 400)
+        assert np.sqrt(xi_t.mean()) == pytest.approx(k, abs=2e-4)
+    # decreasing total variance is calendar arbitrage → rejected
+    with pytest.raises(ValueError):
+        xi_curve_from_variance_swaps([0.5, 1.0], [0.30, 0.15])
+
+
+def test_variance_process_follows_xi_curve():
+    from mcos_tpu.ops.rough import (sample_xi_curve,
+                                    xi_curve_from_variance_swaps)
+    edges, vals = xi_curve_from_variance_swaps([0.25, 1.0], [0.18, 0.22])
+    T, n = 1.0, 64
+    xi_t = sample_xi_curve(edges, vals, T, n)
+    vm, _, _ = rbergomi_core(
+        FULL, T, jnp.asarray(rbergomi_chol(H, T, n)), jax.random.key(0),
+        num_paths=40_000, num_steps=n, xi_t=jnp.asarray(xi_t))
+    np.testing.assert_allclose(np.asarray(vm), xi_t, rtol=0.07)
+
+
+def test_engine_from_variance_swaps():
+    eng = RoughBergomiEngine.from_variance_swaps(
+        FULL, [0.25, 0.5, 1.0], [0.18, 0.20, 0.22], num_paths=16_384,
+        num_steps=32, seed=3)
+    assert eng.variance_swap_strike(1.0) == pytest.approx(0.22, abs=1e-3)
+    # flat-curve engine (single quote) must agree with the flat-xi engine
+    flat_q = RoughBergomiEngine.from_variance_swaps(
+        FULL, [1.0], [0.2], num_paths=16_384, num_steps=32, seed=3)
+    flat = RoughBergomiEngine(
+        RoughBergomiParams(xi=0.04, eta=FULL.eta, rho=FULL.rho, hurst=H),
+        num_paths=16_384, num_steps=32, seed=3)
+    a = flat_q.price(100.0, 100.0, 1.0)
+    b = flat.price(100.0, 100.0, 1.0)
+    assert a["price"] == pytest.approx(b["price"], abs=1e-4)
+    g = flat_q.greeks(100.0, 100.0, 1.0)
+    assert np.isfinite(g["delta"]) and np.isfinite(g["gamma"])
