@@ -106,6 +106,28 @@ class LocalVolSurface:
         return cls(t, y, lv, float(r), float(q))
 
     @classmethod
+    def from_ssvi(cls, ssvi, spot: float, r: float = 0.065,
+                  q: float = 0.012, n_strikes: int = 21,
+                  n_mats: int = 8, **kw) -> "LocalVolSurface":
+        """Dupire table from a fitted SSVI surface (engine/ssvi.py).
+
+        SSVI gives an arbitrage-aware parametric IV everywhere, which is
+        exactly what the Dupire derivatives want — the smooth w(k, t)
+        avoids the quote-noise amplification of raw-grid differentiation.
+        Samples the SSVI surface on a (maturity, strike) grid spanning its
+        fitted maturities and feeds `from_iv_points`.
+        """
+        t_lo = float(ssvi.maturities[0])
+        t_hi = float(ssvi.maturities[-1])
+        mats = np.linspace(t_lo, t_hi, n_mats)
+        # Strike span: ±3 ATM sigmas at the longest maturity.
+        sig = float(np.sqrt(ssvi.theta_at(t_hi) / t_hi))
+        strikes = spot * np.exp(np.linspace(-3.0, 3.0, n_strikes)
+                                * sig * np.sqrt(t_hi))
+        iv = ssvi.iv_grid(spot, strikes, mats, r, q)
+        return cls.from_iv_points(spot, strikes, mats, iv, r=r, q=q, **kw)
+
+    @classmethod
     def from_iv_points(
         cls,
         spot: float,
