@@ -317,6 +317,10 @@ class VarRequest(BaseModel):
     num_paths: int = Field(500_000, **_PATHS)
     confidence: float = Field(0.99, gt=0.5, lt=1.0)
     with_contributions: bool = True
+    # dependence structure: "gaussian" (default; mesh-shardable) or
+    # "student_t" (tail-dependent joint crashes, lognormal marginals kept)
+    copula: str = "gaussian"
+    nu: float = Field(5.0, ge=1.0, le=300.0)
 
 
 class LocalVolRequest(BaseModel):

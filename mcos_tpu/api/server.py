@@ -626,7 +626,7 @@ def handle_var(body: dict) -> dict:
     if len(req.sigmas) != n or len(req.weights) != n or len(req.corr) != n:
         raise ApiError(400, "spots/sigmas/weights/corr dimensions must agree")
     start = time.time()
-    if req.with_contributions:
+    if req.with_contributions and req.copula == "gaussian":
         out = portfolio_risk_contributions(
             req.spots, req.sigmas, np.asarray(req.corr, np.float64),
             req.weights, req.T, r=req.r, q=req.q,
@@ -635,7 +635,8 @@ def handle_var(body: dict) -> dict:
         out = portfolio_var(
             req.spots, req.sigmas, np.asarray(req.corr, np.float64),
             req.weights, req.T, r=req.r, q=req.q,
-            num_paths=req.num_paths, confidence=req.confidence)
+            num_paths=req.num_paths, confidence=req.confidence,
+            copula=req.copula, nu=req.nu)
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

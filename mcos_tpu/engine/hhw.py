@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcos_tpu.ops.hhw import (HHWParams, bsm_hullwhite, hhw_terminal,
-                              vasicek_bond)
+from mcos_tpu.ops.hhw import HHWParams, hhw_terminal, vasicek_bond
 
 Array = jax.Array
 

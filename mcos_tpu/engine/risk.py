@@ -427,6 +427,57 @@ def multi_asset_gbm_terminal(
     return jnp.exp(log_s)
 
 
+@partial(jax.jit, static_argnames=("num_paths",))
+def multi_asset_t_copula_terminal(
+    spots: Array,
+    sigmas: Array,
+    corr: Array,
+    r,
+    q,
+    T,
+    key: Array,
+    *,
+    num_paths: int,
+    nu: float = 5.0,
+) -> Array:
+    """Terminal spots under a Student-t copula with LOGNORMAL marginals.
+
+    Gaussian correlation has zero tail dependence — joint crashes are
+    asymptotically independent, which understates portfolio tail risk.
+    The t-copula adds tail dependence while leaving every per-asset
+    terminal exactly GBM-lognormal:
+
+        X = (Z @ L^T) / sqrt(G/nu),  G ~ chi2(nu)      (joint t)
+        U_i = F_t(X_i; nu)                              (t CDF, betainc)
+        z_i = ndtri(U_i)                                (normal marginals)
+        S_i = S0_i exp((r - q - sig_i^2/2) T + sig_i sqrt(T) z_i)
+
+    All on device: the t CDF is a regularized incomplete beta, the
+    normal quantile is `ndtri`. nu -> inf recovers the Gaussian copula
+    (tests pin both the marginal law and the limit).
+    """
+    from jax.scipy.special import betainc, ndtri
+
+    dtype = jnp.float32
+    spots = jnp.asarray(spots, dtype)
+    sigmas = jnp.asarray(sigmas, dtype)
+    n_assets = spots.shape[0]
+    chol = jnp.linalg.cholesky(jnp.asarray(corr, dtype))
+    k_z, k_g = jax.random.split(key)
+    z = jax.random.normal(k_z, (num_paths, n_assets), dtype)
+    g = 2.0 * jax.random.gamma(k_g, 0.5 * nu, (num_paths, 1), dtype)
+    x = (z @ chol.T) * jnp.sqrt(nu / jnp.maximum(g, 1e-10))
+    # Student-t CDF via I_{nu/(nu+x^2)}(nu/2, 1/2): F = 1 - I/2 for x>=0.
+    ib = betainc(0.5 * nu, 0.5, nu / (nu + x * x))
+    u = jnp.where(x >= 0, 1.0 - 0.5 * ib, 0.5 * ib)
+    u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+    z_marg = ndtri(u)
+    T = jnp.asarray(T, dtype)
+    log_s = (jnp.log(spots) + (r - q - 0.5 * sigmas**2) * T
+             + sigmas * jnp.sqrt(T) * z_marg)
+    return jnp.exp(log_s)
+
+
 @partial(jax.jit, static_argnames=("k_tail", "k_band"))
 def _risk_contrib_device(rel: Array, weights: Array, *, k_tail: int,
                          k_band: int):
@@ -527,18 +578,38 @@ def portfolio_var(
     num_steps: int = 32,
     confidence: float = 0.99,
     mesh=None,
+    copula: str = "gaussian",
+    nu: float = 5.0,
 ) -> Dict[str, float]:
     """Portfolio VaR/ES over correlated GBM terminals (risk metrics per
     risk.py:117-155 semantics on portfolio returns).
 
-    Scaling: pass a `jax.sharding.Mesh` (or rely on the default mesh over
-    all visible devices) and the path axis shards across it — per-device
-    simulation, psum'd moments, and an exact distributed tail via per-device
-    top-k + all_gather, so the full (num_paths,) return vector never
-    materializes on any single device. 1e8+ path runs (BASELINE.md config
-    #5) hold ~num_paths/n_dev floats per chip.
+    `copula="student_t"` (with `nu` degrees of freedom) replaces the
+    Gaussian dependence with a t-copula — tail-dependent joint crashes
+    with the lognormal marginals untouched (multi_asset_t_copula_terminal)
+    — and runs single-device (one matmul + elementwise, no step scan).
+
+    Scaling (Gaussian path): pass a `jax.sharding.Mesh` (or rely on the
+    default mesh over all visible devices) and the path axis shards across
+    it — per-device simulation, psum'd moments, and an exact distributed
+    tail via per-device top-k + all_gather, so the full (num_paths,)
+    return vector never materializes on any single device. 1e8+ path runs
+    (BASELINE.md config #5) hold ~num_paths/n_dev floats per chip.
     """
     key = key if key is not None else jax.random.key(0)
+
+    if copula == "student_t":
+        # nu > ~300 is numerically indistinguishable from Gaussian AND
+        # pushes the f32 betainc into its ill-conditioned corner — clamp.
+        s_t = multi_asset_t_copula_terminal(
+            spots, sigmas, corr, r, q, T, key,
+            num_paths=num_paths, nu=float(np.clip(nu, 1.0, 300.0)))
+        rel = s_t / jnp.asarray(spots, jnp.float32)[None, :] - 1.0
+        port = rel @ jnp.asarray(weights, jnp.float32)
+        out = compute_risk_metrics(port, confidence=confidence)
+        out["copula"] = "student_t"
+        out["nu"] = float(nu)
+        return out
 
     if mesh is None and len(jax.devices()) > 1:
         from mcos_tpu.parallel.mesh import make_mesh

@@ -326,3 +326,53 @@ def test_risk_contributions_zero_weight_asset():
         num_paths=200_000, num_steps=16)
     assert out["component_cvar"][1] == pytest.approx(0.0, abs=1e-9)
     assert out["marginal_cvar"][1] > 0.5 * out["marginal_cvar"][0]
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Student-t copula portfolio risk
+# ─────────────────────────────────────────────────────────────────────────────
+def test_t_copula_preserves_lognormal_marginals():
+    from mcos_tpu.engine.risk import multi_asset_t_copula_terminal
+    spots = np.array([100.0, 50.0], np.float32)
+    sigmas = np.array([0.2, 0.3], np.float32)
+    corr = np.array([[1.0, 0.5], [0.5, 1.0]])
+    s = multi_asset_t_copula_terminal(
+        spots, sigmas, corr, 0.05, 0.0, 0.25, jax.random.key(0),
+        num_paths=300_000, nu=4.0)
+    lr = np.log(np.asarray(s) / spots)
+    for i in range(2):
+        mu = (0.05 - 0.5 * sigmas[i] ** 2) * 0.25
+        sd = sigmas[i] * np.sqrt(0.25)
+        assert lr[:, i].mean() == pytest.approx(mu, abs=4 * sd / np.sqrt(3e5))
+        assert lr[:, i].std() == pytest.approx(sd, rel=5e-3)
+
+
+def test_t_copula_var_exceeds_gaussian_and_is_monotone_in_nu():
+    from mcos_tpu.engine.risk import portfolio_var
+    spots = [100.0, 50.0, 200.0, 80.0]
+    sigmas = [0.2, 0.3, 0.25, 0.35]
+    corr = np.full((4, 4), 0.4)
+    np.fill_diagonal(corr, 1.0)
+    w = [0.25] * 4
+    kw = dict(num_paths=400_000, key=jax.random.key(7))
+    fat = portfolio_var(spots, sigmas, corr, w, 0.25, copula="student_t",
+                        nu=3.0, **kw)
+    mild = portfolio_var(spots, sigmas, corr, w, 0.25, copula="student_t",
+                         nu=50.0, **kw)
+    gauss = portfolio_var(spots, sigmas, corr, w, 0.25, num_steps=8, **kw)
+    assert fat["cvar"] > mild["cvar"]          # fatter joint tail
+    assert fat["cvar"] > gauss["cvar"] * 1.02  # materially above Gaussian
+    # nu = 50 is within MC noise of the Gaussian copula
+    assert mild["var"] == pytest.approx(gauss["var"], rel=0.02)
+    assert fat["copula"] == "student_t" and fat["nu"] == 3.0
+
+
+def test_var_endpoint_t_copula():
+    from mcos_tpu.api.server import handle_var
+    corr = [[1.0, 0.4], [0.4, 1.0]]
+    body = {"spots": [100.0, 50.0], "sigmas": [0.25, 0.3],
+            "weights": [0.5, 0.5], "corr": corr, "T": 0.25,
+            "num_paths": 100_000, "copula": "student_t", "nu": 4.0}
+    out = handle_var(body)
+    assert out["copula"] == "student_t"
+    assert out["var"] > 0 and out["cvar"] >= out["var"]
