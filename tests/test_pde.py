@@ -1,0 +1,81 @@
+"""Crank-Nicolson PDE engine vs closed forms, CRR, and the local-vol MC.
+
+The point of the PDE engine is *independence*: a finite-difference price
+agreeing with the MC price is two different discretizations of the same
+model agreeing — the strongest internal consistency check the framework
+has (shared-kernel MC comparisons can share bugs)."""
+
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.american import binomial_american_bs
+from mcos_tpu.engine.localvol import LocalVolEngine, LocalVolSurface
+from mcos_tpu.engine.pde import PDEEngine
+from mcos_tpu.ops.bs import bs_delta, bs_gamma, bs_price
+
+S, K, T, R, Q, SIG = 100.0, 105.0, 0.5, 0.06, 0.02, 0.25
+
+
+@pytest.fixture(scope="module")
+def bs_engine():
+    return PDEEngine(sigma=SIG, r=R, q=Q)
+
+
+@pytest.mark.parametrize("is_call", [True, False])
+def test_european_matches_black_scholes(bs_engine, is_call):
+    res = bs_engine.price(S, K, T, is_call=is_call)
+    ref = float(bs_price(S, K, T, R, Q, SIG, is_call))
+    assert res["price"] == pytest.approx(ref, rel=2e-4)
+
+
+def test_grid_greeks_match_closed_forms(bs_engine):
+    res = bs_engine.price(S, K, T, is_call=True)
+    assert res["delta"] == pytest.approx(
+        float(bs_delta(S, K, T, R, Q, SIG, True)), abs=2e-4)
+    assert res["gamma"] == pytest.approx(
+        float(bs_gamma(S, K, T, R, Q, SIG)), rel=2e-3)
+
+
+def test_american_put_matches_crr(bs_engine):
+    res = bs_engine.price(S, 115.0, T, is_call=False, american=True)
+    crr = binomial_american_bs(S, 115.0, T, R, Q, SIG, steps=2000,
+                               is_call=False)
+    assert res["price"] == pytest.approx(crr, rel=5e-4)
+    assert res["method"] == "crank-nicolson-projected"
+
+
+def test_american_exceeds_european_put(bs_engine):
+    am = bs_engine.price(S, K, T, is_call=False, american=True)["price"]
+    eu = bs_engine.price(S, K, T, is_call=False)["price"]
+    assert am > eu
+
+
+def test_flat_localvol_surface_reproduces_bs():
+    surf = LocalVolSurface.flat(0.2, r=0.065, q=0.012)
+    res = PDEEngine(localvol=surf).price(22500.0, 22500.0, 0.5)
+    ref = float(bs_price(22500.0, 22500.0, 0.5, 0.065, 0.012, 0.2, True))
+    assert res["price"] == pytest.approx(ref, rel=5e-4)
+
+
+def test_pde_cross_validates_localvol_mc():
+    """Skewed Dupire surface: the PDE and the MC engine are independent
+    discretizations of the same model — they must agree within MC bars."""
+    from mcos_tpu.engine.ssvi import SSVISurface
+
+    mats = np.array([0.25, 0.5, 1.0])
+    ssvi = SSVISurface(mats, 0.04 * mats, rho=-0.7, eta=1.2, gamma=0.4)
+    lv = LocalVolSurface.from_ssvi(ssvi, 22500.0, r=0.065, q=0.012)
+    pde = PDEEngine(localvol=lv).price(22500.0, 21500.0, 0.5,
+                                       is_call=False)
+    mc = LocalVolEngine(lv, num_paths=200_000, num_steps=128, seed=2).price(
+        22500.0, 21500.0, 0.5, is_call=False)
+    assert abs(pde["price"] - mc["price"]) < 4 * mc["std_error"] + 1.0
+
+
+def test_rannacher_damps_atm_kink():
+    # Gamma at the strike is the CN-oscillation hotspot; with Rannacher
+    # start-up it must match the smooth closed form tightly.
+    eng = PDEEngine(sigma=SIG, r=R, q=Q, n_t=128)
+    res = eng.price(105.0, 105.0, 0.1, is_call=True)
+    assert res["gamma"] == pytest.approx(
+        float(bs_gamma(105.0, 105.0, 0.1, R, Q, SIG)), rel=5e-3)
