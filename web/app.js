@@ -302,6 +302,33 @@ async function exposureProfile() {
   finally { btn.disabled = false; btn.textContent = "EE / PFE + CVA"; }
 }
 
+async function hhwImpact() {
+  const btn = $("hhw-btn");
+  btn.disabled = true; btn.textContent = "simulating…";
+  try {
+    const out = await api("/api/hhw", {
+      spot: Number($("spot").value),
+      strike: Number($("strike").value),
+      T: Math.max(Number($("days").value) / 252, 0.05),
+      is_call: $("is-call").checked,
+      mode: "impact",
+      v0: Number($("p-v0").value), theta: Number($("p-theta").value),
+      kappa: Number($("p-kappa").value), xi: Number($("p-xi").value),
+      rho_sv: Number($("p-rho").value),
+      sigma_r: Number($("h-sigr").value),
+      rho_sr: Number($("h-rhosr").value),
+      a: Number($("h-a").value),
+      num_paths: 100000, num_steps: 64,
+    });
+    const el = $("hhw-out");
+    el.classList.remove("hidden");
+    el.textContent = `price ${out.price.toFixed(2)} | det-rates ` +
+      `${out.price_deterministic_rates.toFixed(2)} | premium ` +
+      `${out.stochastic_rates_premium.toFixed(3)}`;
+  } catch (e) { alert(`hhw failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "Rates premium"; }
+}
+
 /* ── greeks panel ─────────────────────────────────────────────────────── */
 function renderGreeks(g) {
   const rows = [
@@ -444,6 +471,7 @@ async function init() {
   $("quote-btn").addEventListener("click", fetchQuote);
   $("rough-btn").addEventListener("click", roughSmile);
   $("exposure-btn").addEventListener("click", exposureProfile);
+  $("hhw-btn").addEventListener("click", hhwImpact);
 }
 
 init();
