@@ -250,6 +250,22 @@ class HHWRequest(BaseModel):
     num_steps: int = Field(128, ge=8, le=1024)
 
 
+class AutocallRequest(BaseModel):
+    """POST /api/autocall — Express/Phoenix note pricing under SVJ
+    (engine/autocallable.py; structured product beyond the reference)."""
+    T: float = Field(gt=0, le=10.0)
+    n_obs: int = Field(4, ge=1, le=64)
+    autocall_barrier: float = Field(1.0, gt=0, le=100.0)
+    coupon_barrier: float = Field(0.8, ge=0.0, le=100.0)
+    protection_barrier: float = Field(0.7, ge=0.0, le=100.0)
+    coupon: float = Field(0.02, ge=0.0, le=1.0)
+    final_coupon: Optional[float] = Field(None, ge=0.0, le=10.0)
+    notional: float = Field(1.0, gt=0, le=1e12)
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
+    steps_per_period: int = Field(16, ge=2, le=256)
+
+
 class RoughRequest(BaseModel):
     """POST /api/rough — rough Bergomi pricing/smile/Greeks
     (engine/rough.py; model family beyond the reference)."""

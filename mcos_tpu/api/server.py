@@ -493,6 +493,29 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_autocall(body: dict) -> dict:
+    """POST /api/autocall — Express note: price + early-redemption
+    accounting (engine/autocallable.py)."""
+    from mcos_tpu.engine.autocallable import AutocallableEngine
+
+    req = schemas.AutocallRequest(**body)
+    if not (req.protection_barrier <= req.coupon_barrier
+            <= req.autocall_barrier):
+        raise ApiError(400, "need protection <= coupon <= autocall barrier")
+    start = time.time()
+    eng = AutocallableEngine(req.params.to_params(),
+                             num_paths=req.num_paths,
+                             steps_per_period=req.steps_per_period)
+    out = eng.price(req.T, n_obs=req.n_obs,
+                    autocall_barrier=req.autocall_barrier,
+                    coupon_barrier=req.coupon_barrier,
+                    protection_barrier=req.protection_barrier,
+                    coupon=req.coupon, final_coupon=req.final_coupon,
+                    notional=req.notional)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_hhw(body: dict) -> dict:
     """POST /api/hhw — Heston-Hull-White hybrid: price / AD greeks /
     stochastic-rates impact (engine/hhw.py)."""
@@ -673,6 +696,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/rough": handle_rough,
     "/api/exposure": handle_exposure,
     "/api/hhw": handle_hhw,
+    "/api/autocall": handle_autocall,
 }
 
 
