@@ -62,6 +62,7 @@ from mcos_tpu.engine.ssvi import SSVISurface, calibrate_ssvi  # noqa: F401
 from mcos_tpu.engine.hhw import HHWEngine  # noqa: F401
 from mcos_tpu.engine.pde import PDEEngine  # noqa: F401
 from mcos_tpu.engine.autocallable import AutocallableEngine  # noqa: F401
+from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
 from mcos_tpu.ops.hhw import HHWParams, bsm_hullwhite, vasicek_bond  # noqa: F401
 from mcos_tpu.ops.rough import RoughBergomiParams  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401

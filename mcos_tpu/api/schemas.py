@@ -250,6 +250,22 @@ class HHWRequest(BaseModel):
     num_steps: int = Field(128, ge=8, le=1024)
 
 
+class QuantoRequest(BaseModel):
+    """POST /api/quanto — quanto vanilla under SVJ (engine/quanto.py).
+    `params.r` is the FOREIGN rate; `r_domestic` discounts the payoff."""
+    spot: float = Field(gt=0)
+    strike: float = Field(gt=0)
+    T: float = Field(gt=0, le=10.0)
+    is_call: bool = True
+    r_domestic: float = 0.05
+    sigma_fx: float = Field(0.1, ge=0.0, le=2.0)
+    rho_fx: float = Field(-0.3, ge=-0.999, le=0.999)
+    fx_fixed: float = Field(1.0, gt=0)
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
+    num_steps: int = Field(64, ge=8, le=1024)
+
+
 class AutocallRequest(BaseModel):
     """POST /api/autocall — Express/Phoenix note pricing under SVJ
     (engine/autocallable.py; structured product beyond the reference)."""

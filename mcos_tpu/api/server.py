@@ -493,6 +493,22 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_quanto(body: dict) -> dict:
+    """POST /api/quanto — quanto vanilla with the pathwise sqrt(v) tilt
+    and exact companion control (engine/quanto.py)."""
+    from mcos_tpu.engine.quanto import QuantoEngine
+
+    req = schemas.QuantoRequest(**body)
+    start = time.time()
+    eng = QuantoEngine(req.params.to_params(), req.r_domestic,
+                       req.sigma_fx, req.rho_fx, num_paths=req.num_paths,
+                       num_steps=req.num_steps)
+    out = eng.price(req.spot, req.strike, req.T, is_call=req.is_call,
+                    fx_fixed=req.fx_fixed)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_autocall(body: dict) -> dict:
     """POST /api/autocall — Express note: price + early-redemption
     accounting (engine/autocallable.py)."""
@@ -697,6 +713,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/exposure": handle_exposure,
     "/api/hhw": handle_hhw,
     "/api/autocall": handle_autocall,
+    "/api/quanto": handle_quanto,
 }
 
 
