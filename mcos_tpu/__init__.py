@@ -61,7 +61,10 @@ from mcos_tpu.engine.exposure import ExposureEngine  # noqa: F401
 from mcos_tpu.engine.ssvi import SSVISurface, calibrate_ssvi  # noqa: F401
 from mcos_tpu.engine.hhw import HHWEngine  # noqa: F401
 from mcos_tpu.engine.pde import PDEEngine  # noqa: F401
-from mcos_tpu.engine.autocallable import AutocallableEngine  # noqa: F401
+from mcos_tpu.engine.autocallable import (  # noqa: F401
+    AutocallableEngine,
+    WorstOfAutocallableEngine,
+)
 from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
 from mcos_tpu.ops.hhw import HHWParams, bsm_hullwhite, vasicek_bond  # noqa: F401
 from mcos_tpu.ops.rough import RoughBergomiParams  # noqa: F401

@@ -280,6 +280,10 @@ class AutocallRequest(BaseModel):
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
     steps_per_period: int = Field(16, ge=2, le=256)
+    # Worst-of basket variant: per-asset params + correlation (the
+    # trigger/coupon/capital legs then read min_i S_i(t)/S_i(0)).
+    params_list: Optional[list] = None       # of SVJParamsRequest dicts
+    corr: Optional[list] = None              # (A, A)
 
 
 class RoughRequest(BaseModel):

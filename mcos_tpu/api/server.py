@@ -519,9 +519,23 @@ def handle_autocall(body: dict) -> dict:
             <= req.autocall_barrier):
         raise ApiError(400, "need protection <= coupon <= autocall barrier")
     start = time.time()
-    eng = AutocallableEngine(req.params.to_params(),
-                             num_paths=req.num_paths,
-                             steps_per_period=req.steps_per_period)
+    if req.params_list is not None:
+        from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+
+        if req.corr is None or len(req.corr) != len(req.params_list):
+            raise ApiError(400, "worst-of needs corr matching params_list")
+        if len(req.params_list) > 16:
+            raise ApiError(400, "at most 16 basket assets")
+        plist = [schemas.SVJParamsRequest(**p).to_params()
+                 for p in req.params_list]
+        eng = WorstOfAutocallableEngine(
+            plist, np.asarray(req.corr, np.float64),
+            num_paths=req.num_paths,
+            steps_per_period=req.steps_per_period)
+    else:
+        eng = AutocallableEngine(req.params.to_params(),
+                                 num_paths=req.num_paths,
+                                 steps_per_period=req.steps_per_period)
     out = eng.price(req.T, n_obs=req.n_obs,
                     autocall_barrier=req.autocall_barrier,
                     coupon_barrier=req.coupon_barrier,

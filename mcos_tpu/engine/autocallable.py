@@ -101,42 +101,106 @@ class AutocallableEngine:
             companion=False)
         # Gross return level at each observation date: (m, 2, paths).
         ratio = jnp.exp(jnp.cumsum(dlog_s, axis=0))
-        called = ratio >= autocall_barrier                 # (m, 2, paths)
-        ever = jnp.any(called, axis=0)
-        # First crossing index (argmax finds the first True).
-        first = jnp.argmax(called, axis=0)                 # (2, paths)
+        return _note_value(ratio, T, float(p.r), n_obs, autocall_barrier,
+                           coupon_barrier, protection_barrier, coupon,
+                           final_coupon, notional, self.num_paths)
 
-        dts = T / n_obs * jnp.arange(1, n_obs + 1, dtype=jnp.float32)
-        df = jnp.exp(-jnp.asarray(p.r, jnp.float32) * dts)  # (m,)
-        call_pay = df * (1.0 + coupon * jnp.arange(1, n_obs + 1,
-                                                   dtype=jnp.float32))
-        pay_called = call_pay[first]                       # (2, paths)
 
-        r_T = ratio[-1]
-        pay_final = jnp.where(
-            r_T >= coupon_barrier, 1.0 + final_coupon,
-            jnp.where(r_T >= protection_barrier, 1.0, r_T)) * df[-1]
-        pay = jnp.where(ever, pay_called, pay_final)
-        pay = notional * jnp.mean(pay, axis=0)             # antithetic
+def _note_value(ratio: Array, T, r, n_obs, autocall_barrier,
+                coupon_barrier, protection_barrier, coupon, final_coupon,
+                notional, num_paths) -> Dict[str, object]:
+    """Reduce (m, branches, paths) driving performance levels to the note
+    value + redemption accounting (shared by single-asset and worst-of)."""
+    called = ratio >= autocall_barrier                 # (m, 2, paths)
+    ever = jnp.any(called, axis=0)
+    # First crossing index (argmax finds the first True).
+    first = jnp.argmax(called, axis=0)                 # (2, paths)
 
-        mean = float(jnp.mean(pay))
-        se = float(jnp.std(pay)) / np.sqrt(pay.shape[0])
-        # Redemption accounting: P(call at t_i), P(survive), P(loss).
-        oh = jax.nn.one_hot(first, n_obs) * ever[..., None]  # (2, paths, m)
-        first_call = jnp.mean(oh, axis=(0, 1))               # (m,)
-        p_loss = float(jnp.mean(
-            (~ever & (r_T < protection_barrier)).astype(jnp.float32)))
-        return {
-            "price": mean,
-            "std_error": se,
-            "call_prob_by_date": np.asarray(first_call,
-                                            np.float64).tolist(),
-            "survival_prob": float(1.0 - np.asarray(first_call,
-                                                    np.float64).sum()),
-            "loss_prob": p_loss,
-            "expected_life": float(
-                jnp.sum(first_call * dts)
-                + (1.0 - first_call.sum()) * T),
-            "n_obs": n_obs,
-            "num_paths_used": self.num_paths,
-        }
+    dts = T / n_obs * jnp.arange(1, n_obs + 1, dtype=jnp.float32)
+    df = jnp.exp(-jnp.asarray(r, jnp.float32) * dts)   # (m,)
+    call_pay = df * (1.0 + coupon * jnp.arange(1, n_obs + 1,
+                                               dtype=jnp.float32))
+    pay_called = call_pay[first]                       # (2, paths)
+
+    r_T = ratio[-1]
+    pay_final = jnp.where(
+        r_T >= coupon_barrier, 1.0 + final_coupon,
+        jnp.where(r_T >= protection_barrier, 1.0, r_T)) * df[-1]
+    pay = jnp.where(ever, pay_called, pay_final)
+    pay = notional * jnp.mean(pay, axis=0)             # antithetic
+
+    mean = float(jnp.mean(pay))
+    se = float(jnp.std(pay)) / np.sqrt(pay.shape[0])
+    # Redemption accounting: P(call at t_i), P(survive), P(loss).
+    oh = jax.nn.one_hot(first, n_obs) * ever[..., None]  # (2, paths, m)
+    first_call = jnp.mean(oh, axis=(0, 1))               # (m,)
+    p_loss = float(jnp.mean(
+        (~ever & (r_T < protection_barrier)).astype(jnp.float32)))
+    return {
+        "price": mean,
+        "std_error": se,
+        "call_prob_by_date": np.asarray(first_call, np.float64).tolist(),
+        "survival_prob": float(1.0 - np.asarray(first_call,
+                                                np.float64).sum()),
+        "loss_prob": p_loss,
+        "expected_life": float(
+            jnp.sum(first_call * dts) + (1.0 - first_call.sum()) * T),
+        "n_obs": n_obs,
+        "num_paths_used": num_paths,
+    }
+
+
+class WorstOfAutocallableEngine:
+    """Worst-of autocallable on a correlated multi-asset SVJ basket —
+    the product as actually issued: trigger, coupon, and capital-at-risk
+    legs all read the WORST performer min_i S_i(t)/S_i(0)."""
+
+    def __init__(self, params_list: Sequence[SVJParams], corr,
+                 num_paths: int = DEFAULT_NUM_PATHS,
+                 steps_per_period: int = 16, seed: int = 42):
+        self.params_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32)
+                                   for x in xs]), *list(params_list))
+        self.n_assets = len(params_list)
+        corr = np.asarray(corr, np.float64)
+        if corr.shape != (self.n_assets, self.n_assets):
+            raise ValueError("corr must be (A, A)")
+        # PSD-singular correlations (rho=1 blocks, the degenerate test
+        # oracle) factor with escalating diagonal jitter, as BasketEngine.
+        for jitter in (0.0, 1e-10, 1e-8, 1e-6):
+            try:
+                chol = np.linalg.cholesky(
+                    corr + jitter * np.eye(self.n_assets))
+                break
+            except np.linalg.LinAlgError:
+                continue
+        else:
+            raise ValueError("correlation matrix is not PSD")
+        self.corr_chol = jnp.asarray(chol, jnp.float32)
+        self.r = float(np.asarray(params_list[0].r))
+        self.num_paths = int(num_paths)
+        self.steps_per_period = int(steps_per_period)
+        self.seed = int(seed)
+
+    def price(self, T: float, n_obs: int = 4,
+              autocall_barrier: float = 1.0,
+              coupon_barrier: float = 0.8,
+              protection_barrier: float = 0.7,
+              coupon: float = 0.02,
+              final_coupon: float = None,
+              notional: float = 1.0) -> Dict[str, object]:
+        from mcos_tpu.engine.basket import simulate_basket_observations
+
+        if final_coupon is None:
+            final_coupon = n_obs * coupon
+        levels = simulate_basket_observations(
+            self.params_batch, jnp.ones((self.n_assets,), jnp.float32),
+            self.corr_chol, T, jax.random.key(self.seed),
+            num_paths=self.num_paths, n_obs=n_obs,
+            steps_per_period=self.steps_per_period)
+        worst = jnp.min(levels, axis=2)        # (m, 2, paths)
+        out = _note_value(worst, T, self.r, n_obs, autocall_barrier,
+                          coupon_barrier, protection_barrier, coupon,
+                          final_coupon, notional, self.num_paths)
+        out["n_assets"] = self.n_assets
+        return out

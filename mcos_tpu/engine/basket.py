@@ -117,6 +117,77 @@ def simulate_basket_terminal(
             (spots_c * jnp.exp(log_g) if companion else None))
 
 
+@partial(jax.jit, static_argnames=("num_paths", "n_obs",
+                                   "steps_per_period"))
+def simulate_basket_observations(
+    params_batch: SVJParams,
+    spots: Array,
+    corr_chol: Array,
+    T,
+    key: Array,
+    *,
+    num_paths: int,
+    n_obs: int,
+    steps_per_period: int,
+):
+    """Gross return levels of A correlated SVJ assets at the observation
+    dates t_1..t_m: (m, n_branch, A, paths) ratios S_{t_i}/S_0.
+
+    Outer scan over observation periods, inner scan over intra-period
+    steps (the cliquet construction of engine/cliquet.py, widened to the
+    correlated multi-asset state) — only the (log S, v) sheet crosses
+    period boundaries. Used by worst-of autocallables, where both the
+    trigger and the capital-at-risk leg read the WORST performer.
+    """
+    dtype = jnp.float32
+    p = params_batch
+    n_assets = spots.shape[0]
+    T = jnp.asarray(T, dtype)
+    n_steps = n_obs * steps_per_period
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:, None, None]
+
+    col = lambda x: jnp.asarray(x, dtype)[None, :, None]
+    kappa, theta, xi = col(p.kappa), col(p.theta), col(p.xi)
+    rho = col(p.rho)
+    rho_perp = jnp.sqrt(1.0 - rho * rho)
+    k_comp = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
+    drift = col(p.r) - col(p.q) - col(p.lambda_j * k_comp)
+    lam_dt = col(p.lambda_j) * dt
+    mu_j, sig_j = col(p.mu_j), col(p.sigma_j)
+
+    shape = (2, n_assets, num_paths)
+    init = (jnp.zeros(shape, dtype), jnp.broadcast_to(col(p.v0), shape))
+
+    def inner(carry, global_idx):
+        log_s, v = carry
+        k_step = jax.random.fold_in(key, global_idx)
+        k_n, k_u = jax.random.split(k_step)
+        z = jax.random.normal(k_n, (3, n_assets, num_paths), dtype)
+        u_jump = jax.random.uniform(k_u, (n_assets, num_paths), dtype)
+        z1 = (corr_chol @ z[0])[None] * sign
+        z2 = z[1][None] * sign
+        z_js = z[2][None] * sign
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = _safe_sqrt(v_pos)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+        jump = jnp.where(u_jump[None] < lam_dt, mu_j + sig_j * z_js, 0.0)
+        log_s = log_s + (drift - 0.5 * v_pos) * dt + sqrt_v * dw1 + jump
+        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
+                        + xi * sqrt_v * dw2, 0.0)
+        return (log_s, v), None
+
+    def period(carry, p_idx):
+        idx = p_idx * steps_per_period + jnp.arange(steps_per_period)
+        carry, _ = jax.lax.scan(inner, carry, idx)
+        return carry, jnp.exp(carry[0])        # ratio level at the date
+
+    _, levels = jax.lax.scan(period, init, jnp.arange(n_obs))
+    return levels
+
+
 def _geometric_basket_undiscounted(notional, w_tilde, drifts_T, vol2_T,
                                    strike, is_call):
     """E[max(±(X − K), 0)] for the lognormal geometric basket

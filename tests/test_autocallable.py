@@ -77,3 +77,38 @@ def test_jump_risk_prices_in():
         1.0, **kw)
     assert a["price"] < b["price"] - 2 * np.hypot(a["std_error"],
                                                   b["std_error"])
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Worst-of (multi-asset) notes
+# ─────────────────────────────────────────────────────────────────────────────
+def test_worst_of_rho1_identical_assets_pins_single_asset():
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    kw = dict(n_obs=4, autocall_barrier=1.0, coupon_barrier=0.8,
+              protection_barrier=0.7, coupon=0.02)
+    single = AutocallableEngine(GBM, num_paths=100_000, seed=1).price(
+        1.0, **kw)
+    wof = WorstOfAutocallableEngine([GBM] * 3, np.full((3, 3), 1.0),
+                                    num_paths=100_000, seed=1).price(
+        1.0, **kw)
+    assert wof["price"] == pytest.approx(single["price"], abs=3e-3)
+    assert wof["n_assets"] == 3
+
+
+def test_worst_of_cheapens_with_dispersion():
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    kw = dict(n_obs=4, autocall_barrier=1.0, coupon_barrier=0.8,
+              protection_barrier=0.7, coupon=0.02)
+    corr_hi = np.full((3, 3), 0.95)
+    np.fill_diagonal(corr_hi, 1.0)
+    corr_lo = np.full((3, 3), 0.3)
+    np.fill_diagonal(corr_lo, 1.0)
+    hi = WorstOfAutocallableEngine([GBM] * 3, corr_hi, num_paths=100_000,
+                                   seed=1).price(1.0, **kw)
+    lo = WorstOfAutocallableEngine([GBM] * 3, corr_lo, num_paths=100_000,
+                                   seed=1).price(1.0, **kw)
+    # The worst of less-correlated assets is worse: lower price, higher
+    # loss probability, later expected redemption.
+    assert lo["price"] < hi["price"]
+    assert lo["loss_prob"] > hi["loss_prob"]
+    assert lo["expected_life"] > hi["expected_life"]
