@@ -66,6 +66,7 @@ from mcos_tpu.engine.autocallable import (  # noqa: F401
     WorstOfAutocallableEngine,
 )
 from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
+from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.ops.hhw import HHWParams, bsm_hullwhite, vasicek_bond  # noqa: F401
 from mcos_tpu.ops.rough import RoughBergomiParams  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401

@@ -250,6 +250,20 @@ class HHWRequest(BaseModel):
     num_steps: int = Field(128, ge=8, le=1024)
 
 
+class PnlRequest(BaseModel):
+    """POST /api/pnl — daily P&L attribution between two market states
+    (engine/pnl.py; COS-exact endpoints, deterministic report)."""
+    strike: float = Field(gt=0)
+    is_call: bool = True
+    quantity: float = Field(1.0, ge=-1e9, le=1e9)
+    spot_old: float = Field(gt=0)
+    spot_new: float = Field(gt=0)
+    T_old: float = Field(gt=0, le=30.0)
+    T_new: float = Field(gt=0, le=30.0)
+    params_old: SVJParamsRequest = SVJParamsRequest()
+    params_new: SVJParamsRequest = SVJParamsRequest()
+
+
 class QuantoRequest(BaseModel):
     """POST /api/quanto — quanto vanilla under SVJ (engine/quanto.py).
     `params.r` is the FOREIGN rate; `r_domestic` discounts the payoff."""

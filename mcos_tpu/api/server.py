@@ -493,6 +493,22 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_pnl(body: dict) -> dict:
+    """POST /api/pnl — Greeks-based attribution of a price move between
+    two market states (engine/pnl.py)."""
+    from mcos_tpu.engine.pnl import pnl_explain
+
+    req = schemas.PnlRequest(**body)
+    start = time.time()
+    out = pnl_explain(req.params_old.to_params(),
+                      req.params_new.to_params(),
+                      req.spot_old, req.spot_new, req.T_old, req.T_new,
+                      req.strike, is_call=req.is_call,
+                      quantity=req.quantity)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_quanto(body: dict) -> dict:
     """POST /api/quanto — quanto vanilla with the pathwise sqrt(v) tilt
     and exact companion control (engine/quanto.py)."""
@@ -728,6 +744,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/hhw": handle_hhw,
     "/api/autocall": handle_autocall,
     "/api/quanto": handle_quanto,
+    "/api/pnl": handle_pnl,
 }
 
 
