@@ -177,7 +177,13 @@ class WorstOfAutocallableEngine:
         else:
             raise ValueError("correlation matrix is not PSD")
         self.corr_chol = jnp.asarray(chol, jnp.float32)
-        self.r = float(np.asarray(params_list[0].r))
+        # One payoff currency ⇒ one discount rate: reject mixed r inputs
+        # rather than silently discounting at asset 0's rate.
+        rates = {float(np.asarray(p.r)) for p in params_list}
+        if len(rates) > 1:
+            raise ValueError("all basket assets must share the discount "
+                             f"rate r; got {sorted(rates)}")
+        self.r = rates.pop()
         self.num_paths = int(num_paths)
         self.steps_per_period = int(steps_per_period)
         self.seed = int(seed)
