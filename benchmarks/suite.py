@@ -322,6 +322,50 @@ def config8_sustained(quick):
     return out
 
 
+def config9_new_engines(quick):
+    """Latency of the round-2 engine families at serving shapes: rough
+    Bergomi (exact-covariance MXU sampling), Heston-Hull-White (3-factor
+    scan), PDE (tridiagonal scan), worst-of autocallable (periods scan)."""
+    import jax
+
+    from mcos_tpu.engine.hhw import HHWEngine
+    from mcos_tpu.engine.pde import PDEEngine
+    from mcos_tpu.engine.rough import RoughBergomiEngine
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.hhw import HHWParams
+    from mcos_tpu.ops.rough import RoughBergomiParams
+
+    n = 65_536 if quick else 131_072
+    out = {}
+
+    rb = RoughBergomiEngine(
+        RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07),
+        num_paths=n, num_steps=128, seed=1)
+    _, ms = timed(lambda s: rb.price(100.0, [90.0, 100.0, 110.0], 0.25),
+                  0, trials=3)
+    out["rough_3strike_ms"] = round(ms, 1)
+    out["rough_path_rate"] = round(2 * n / (ms / 1000))
+
+    hw = HHWEngine(HHWParams(), num_paths=n, num_steps=128, seed=1)
+    _, ms = timed(lambda s: hw.price(100.0, 100.0, 2.0), 0, trials=3)
+    out["hhw_ms"] = round(ms, 1)
+    out["hhw_path_steps_per_sec"] = round(2 * n * 128 / (ms / 1000))
+
+    pde = PDEEngine(sigma=0.2, n_x=401, n_t=256)
+    _, ms = timed(lambda s: pde.price(100.0, 100.0, 0.5), 0, trials=3)
+    out["pde_401x256_ms"] = round(ms, 1)
+
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    import numpy as _np
+    corr = _np.full((3, 3), 0.6)
+    _np.fill_diagonal(corr, 1.0)
+    wo = WorstOfAutocallableEngine([SVJParams()] * 3, corr,
+                                   num_paths=n, seed=1)
+    _, ms = timed(lambda s: wo.price(1.0, n_obs=4)["price"], 0, trials=2)
+    out["worst_of_autocall_ms"] = round(ms, 1)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -339,7 +383,8 @@ def main():
                      ("config5_portfolio", config5_portfolio),
                      ("config6_serving_default", config6_serving_default),
                      ("config7_qe_accuracy", config7_qe_accuracy),
-                     ("config8_sustained", config8_sustained)]:
+                     ("config8_sustained", config8_sustained),
+                     ("config9_new_engines", config9_new_engines)]:
         try:
             report[name] = fn(args.quick)
         except Exception as e:  # noqa: BLE001 — report partial results

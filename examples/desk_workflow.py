@@ -120,6 +120,30 @@ def main():
     stage("xva", f"EPE {credit['epe']:.2f} | CVA {credit['cva']:.3f} "
                  f"(flat 2% hazard, 60% LGD)")
 
+    # ── 11. structured desk: worst-of autocallable on the index triplet ──
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    corr_auto = np.full((3, 3), 0.6)
+    np.fill_diagonal(corr_auto, 1.0)
+    note = WorstOfAutocallableEngine([fitted] * 3, corr_auto,
+                                     num_paths=50_000, seed=11).price(
+        1.0, n_obs=4, coupon=0.025)
+    stage("autocall", f"worst-of note {note['price']:.4f} | first-call "
+                      f"p={note['call_prob_by_date'][0]:.2f} | loss "
+                      f"p={note['loss_prob']:.3f}")
+    assert 0.5 < note["price"] < 1.3
+
+    # ── 12. next morning: P&L explain on the ATM call ────────────────────
+    import dataclasses
+    from mcos_tpu.engine.pnl import pnl_explain
+    bumped = dataclasses.replace(fitted, v0=float(fitted.v0) * 1.15)
+    rep = pnl_explain(fitted, bumped, spot, spot * 0.992, T, T - 1 / 252,
+                      spot)
+    top = max(rep["attribution"], key=lambda k: abs(rep["attribution"][k]))
+    stage("pnl", f"ΔP {rep['total_pnl']:+.2f} | top driver {top} "
+                 f"{rep['attribution'][top]:+.2f} | unexplained "
+                 f"{rep['unexplained']:+.3f}")
+    assert abs(rep["unexplained"]) < 0.05 * abs(rep["total_pnl"]) + 0.5
+
     print("\nworkflow complete — all sanity checks passed")
 
 
