@@ -329,6 +329,30 @@ async function hhwImpact() {
   finally { btn.disabled = false; btn.textContent = "Rates premium"; }
 }
 
+async function autocallPrice() {
+  const btn = $("autocall-btn");
+  btn.disabled = true; btn.textContent = "simulating…";
+  try {
+    const out = await api("/api/autocall", {
+      T: Math.max(Number($("days").value) / 252, 0.1),
+      n_obs: 4,
+      autocall_barrier: Number($("ac-barrier").value),
+      coupon_barrier: Math.max(Number($("ac-prot").value), 0.75),
+      protection_barrier: Number($("ac-prot").value),
+      coupon: Number($("ac-coupon").value),
+      params: modelParams(),
+      num_paths: 100000,
+    });
+    const el = $("autocall-out");
+    el.classList.remove("hidden");
+    el.textContent = `note ${out.price.toFixed(4)} | ` +
+      `call@1 ${(out.call_prob_by_date[0] * 100).toFixed(0)}% | ` +
+      `loss ${(out.loss_prob * 100).toFixed(1)}% | ` +
+      `life ${out.expected_life.toFixed(2)}y`;
+  } catch (e) { alert(`autocall failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "Price note"; }
+}
+
 /* ── greeks panel ─────────────────────────────────────────────────────── */
 function renderGreeks(g) {
   const rows = [
@@ -472,6 +496,7 @@ async function init() {
   $("rough-btn").addEventListener("click", roughSmile);
   $("exposure-btn").addEventListener("click", exposureProfile);
   $("hhw-btn").addEventListener("click", hhwImpact);
+  $("autocall-btn").addEventListener("click", autocallPrice);
 }
 
 init();
