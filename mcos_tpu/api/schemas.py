@@ -250,6 +250,20 @@ class HHWRequest(BaseModel):
     num_steps: int = Field(128, ge=8, le=1024)
 
 
+class ModelRiskRequest(BaseModel):
+    """POST /api/modelrisk — one contract priced under every model family
+    (engine/modelrisk.py)."""
+    spot: float = Field(gt=0)
+    strike: float = Field(gt=0)
+    T: float = Field(gt=0, le=30.0)
+    is_call: bool = True
+    atm_vol: float = Field(0.2, gt=0, le=3.0)
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    params: Optional[SVJParamsRequest] = None   # calibrated SVJ anchor
+    num_paths: int = Field(65_536, **_PATHS)
+
+
 class PnlRequest(BaseModel):
     """POST /api/pnl — daily P&L attribution between two market states
     (engine/pnl.py; COS-exact endpoints, deterministic report)."""

@@ -493,6 +493,22 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_modelrisk(body: dict) -> dict:
+    """POST /api/modelrisk — model-risk band across the model zoo
+    (engine/modelrisk.py)."""
+    from mcos_tpu.engine.modelrisk import model_risk_report
+
+    req = schemas.ModelRiskRequest(**body)
+    start = time.time()
+    out = model_risk_report(
+        req.spot, req.strike, req.T, is_call=req.is_call,
+        atm_vol=req.atm_vol, r=req.r, q=req.q,
+        svj=req.params.to_params() if req.params is not None else None,
+        num_paths=req.num_paths)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_pnl(body: dict) -> dict:
     """POST /api/pnl — Greeks-based attribution of a price move between
     two market states (engine/pnl.py)."""
@@ -745,6 +761,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/autocall": handle_autocall,
     "/api/quanto": handle_quanto,
     "/api/pnl": handle_pnl,
+    "/api/modelrisk": handle_modelrisk,
 }
 
 
