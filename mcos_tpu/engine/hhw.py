@@ -31,21 +31,42 @@ def _disc_payoff_mean(p: HHWParams, spot, strikes, T, key, *,
 
 
 class HHWEngine:
-    """Monte Carlo pricer for the Heston-Hull-White hybrid."""
+    """Monte Carlo pricer for the Heston-Hull-White hybrid.
+
+    `backend="auto"` routes pricing through the fused Pallas kernel on
+    TPU (~44x the scan, same recursion — ops/pallas_kernels.py
+    `hhw_terminal_pallas`, statistically pinned to the scan twin);
+    Greeks always ride the differentiable scan.
+    """
 
     def __init__(self, params: HHWParams, num_paths: int = 200_000,
-                 num_steps: int = 128, seed: int = 42):
+                 num_steps: int = 128, seed: int = 42,
+                 backend: str = "auto"):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
+        self.backend = backend
+
+    def _terminal(self, spot: float, T: float):
+        use_pallas = (self.backend == "pallas"
+                      or (self.backend == "auto"
+                          and jax.default_backend() == "tpu"))
+        if use_pallas:
+            from mcos_tpu.ops.pallas_kernels import hhw_terminal_pallas
+
+            return hhw_terminal_pallas(
+                self.params, spot, T, self.seed,
+                num_paths=self.num_paths, num_steps=self.num_steps)
+        return hhw_terminal(self.params, spot, T,
+                            jax.random.key(self.seed),
+                            num_paths=self.num_paths,
+                            num_steps=self.num_steps)
 
     def price(self, spot: float, strikes, T: float,
               is_call: bool = True) -> Dict[str, object]:
         strikes_arr = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
-        s, d = hhw_terminal(self.params, spot, T, jax.random.key(self.seed),
-                            num_paths=self.num_paths,
-                            num_steps=self.num_steps)
+        s, d = self._terminal(spot, T)
         phi = 1.0 if is_call else -1.0
         pay = jnp.maximum(phi * (s[..., None] - strikes_arr[None, None, :]),
                           0.0) * d[..., None]

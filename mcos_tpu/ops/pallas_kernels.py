@@ -1158,3 +1158,154 @@ def gbm_terminal_pallas(
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), p_vec)
     return s.reshape(n_branch, padded)[:, :num_paths]
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Heston-Hull-White kernel (3-factor: spot, variance, short rate)
+# ─────────────────────────────────────────────────────────────────────────────
+# Packed-parameter layout for the HHW kernel.
+(_H_SPOT, _H_DT, _H_SQRT_DT, _H_KAPPA, _H_THETA, _H_XI, _H_V0, _H_Q,
+ _H_EADT, _H_SOU, _H_B, _H_R0, _H_L21, _H_L22, _H_L31, _H_L32, _H_L33,
+ _H_NPARAMS) = range(18)
+
+
+def _hhw_kernel(seed_ref, p_ref, s_ref, d_ref, *,
+                num_steps: int, rows: int, half_grid: int):
+    """One path block of the fused Heston-Hull-White simulator
+    (scan twin: ops/hhw.py:hhw_terminal — same recursion: full-truncation
+    Heston, EXACT Ornstein-Uhlenbeck rate transitions, left-point
+    money-market integral so D·S_T is an exact discrete martingale).
+
+    Per 2 steps: 6 normals = 3 fully-used Box-Muller pairs (no uniforms —
+    the hybrid carries no jumps), correlated through the packed 3x3
+    Cholesky rows. Outputs the terminal-spot block and the pathwise
+    discount block exp(-∫ r dt).
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    pltpu.prng_seed(seed_ref[0], pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    dt = p_ref[_H_DT]
+    sqrt_dt = p_ref[_H_SQRT_DT]
+    kappa, theta, xi = p_ref[_H_KAPPA], p_ref[_H_THETA], p_ref[_H_XI]
+    q = p_ref[_H_Q]
+    e_adt, s_ou, b = p_ref[_H_EADT], p_ref[_H_SOU], p_ref[_H_B]
+    l21, l22 = p_ref[_H_L21], p_ref[_H_L22]
+    l31, l32, l33 = p_ref[_H_L31], p_ref[_H_L32], p_ref[_H_L33]
+
+    def one_step(log_s, v, r, int_r, z1, z2, z3):
+        # Correlate: z1 drives spot; variance and rate mix through chol.
+        zv = l21 * z1 + l22 * z2
+        zr = l31 * z1 + l32 * z2 + l33 * z3
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_pos)
+        log_s = log_s + ((r - q - 0.5 * v_pos) * dt
+                         + sqrt_v * z1 * sqrt_dt)
+        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
+                        + xi * sqrt_v * zv * sqrt_dt, 0.0)
+        int_r = int_r + r * dt          # left-point (martingale-exact)
+        r = b + (r - b) * e_adt + s_ou * zr
+        return log_s, v, r, int_r
+
+    def body(_, carry):
+        log_s, v, r, int_r = carry
+        bits = pltpu.prng_random_bits((6, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(6)]
+        z_a, z_b = _boxmuller(u[0], u[1])
+        z_c, z_d = _boxmuller(u[2], u[3])
+        z_e, z_f = _boxmuller(u[4], u[5])
+        log_s, v, r, int_r = one_step(log_s, v, r, int_r,
+                                      z_a * sign, z_b * sign, z_c * sign)
+        log_s, v, r, int_r = one_step(log_s, v, r, int_r,
+                                      z_d * sign, z_e * sign, z_f * sign)
+        return log_s, v, r, int_r
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (zeros, jnp.full(shape, p_ref[_H_V0], jnp.float32),
+            jnp.full(shape, p_ref[_H_R0], jnp.float32), zeros)
+    log_s, v, r, int_r = jax.lax.fori_loop(0, num_steps // 2, body, init)
+
+    if num_steps % 2 == 1:  # static tail step
+        bits = pltpu.prng_random_bits((4, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(4)]
+        z1, z2 = _boxmuller(u[0], u[1])
+        z3, _ = _boxmuller(u[2], u[3])
+        log_s, v, r, int_r = one_step(log_s, v, r, int_r,
+                                      z1 * sign, z2 * sign, z3 * sign)
+
+    s_ref[:] = p_ref[_H_SPOT] * jnp.exp(log_s)
+    d_ref[:] = jnp.exp(-int_r)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "rows"),
+)
+def hhw_terminal_pallas(
+    params,
+    spot,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    rows: int = DEFAULT_ROWS,
+) -> Tuple[Array, Array]:
+    """Fused-TPU-kernel drop-in for `ops.hhw.hhw_terminal`.
+
+    Returns (S_final, discount), each (n_branch, num_paths) — same
+    contract and recursion as the scan twin; tests pin the statistics
+    (and the exact-martingale invariant E[D S_T] = S0 e^{-qT} holds by
+    the same left-point construction).
+    """
+    f = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    dt = f(T) / num_steps
+    corr = jnp.array([[1.0, params.rho_sv, params.rho_sr],
+                      [params.rho_sv, 1.0, params.rho_vr],
+                      [params.rho_sr, params.rho_vr, 1.0]], jnp.float32)
+    chol = jnp.linalg.cholesky(corr)
+    e_adt = jnp.exp(-f(params.a) * dt)
+    s_ou = f(params.sigma_r) * jnp.sqrt(
+        (1.0 - e_adt**2) / jnp.maximum(2.0 * f(params.a), 1e-12))
+    vals = {
+        _H_SPOT: f(spot), _H_DT: dt, _H_SQRT_DT: jnp.sqrt(dt),
+        _H_KAPPA: f(params.kappa), _H_THETA: f(params.theta),
+        _H_XI: f(params.xi), _H_V0: f(params.v0), _H_Q: f(params.q),
+        _H_EADT: e_adt, _H_SOU: s_ou, _H_B: f(params.b),
+        _H_R0: f(params.r0), _H_L21: chol[1, 0], _H_L22: chol[1, 1],
+        _H_L31: chol[2, 0], _H_L32: chol[2, 1], _H_L33: chol[2, 2],
+    }
+    p_vec = jnp.zeros((_H_NPARAMS,), jnp.float32)
+    for idx, v in vals.items():
+        p_vec = p_vec.at[idx].set(v)
+
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(_hhw_kernel, num_steps=num_steps,
+                               rows=rows, half_grid=half_grid)
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda bk: (bk, 0),
+                              memory_space=pltpu.VMEM)
+    s, d = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(block_spec, block_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), p_vec)
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(s), split(d)

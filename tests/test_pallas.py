@@ -293,3 +293,31 @@ def test_qe_sobol_pallas_engine_matches_cos():
     res = eng.price(22500.0, 22500.0, 0.25)
     ref = float(cos_price(p, 22500.0, [22500.0], 0.25, True)[0])
     assert abs(res["price"] - ref) < max(4 * res["std_error"], 2.0)
+
+
+@tpu_only
+def test_hhw_kernel_matches_scan_and_martingale():
+    """Fused HHW kernel: same recursion as the scan twin (ops/hhw.py) —
+    price statistics agree, and the left-point construction keeps
+    E[D S_T] = S0 e^{-qT} exact."""
+    from mcos_tpu.ops.hhw import HHWParams, hhw_terminal, vasicek_bond
+    from mcos_tpu.ops.pallas_kernels import hhw_terminal_pallas
+
+    p = HHWParams(kappa=2.0, theta=0.05, xi=0.4, v0=0.04, a=0.1, b=0.05,
+                  sigma_r=0.012, r0=0.05, rho_sv=-0.6, rho_sr=0.3, q=0.01)
+    spot, T, steps = 100.0, 2.0, 96
+    s, d = hhw_terminal_pallas(p, spot, T, 7, num_paths=1 << 19,
+                               num_steps=steps)
+    ds = d * s
+    se = float(ds.std()) / np.sqrt(ds.size / 2)
+    assert abs(float(ds.mean()) - spot * np.exp(-p.q * T)) < 4 * se
+    bse = float(d.std()) / np.sqrt(d.size / 2)
+    assert abs(float(d.mean()) - vasicek_bond(p, T)) < 4 * bse + 3e-4
+
+    ss, dd = hhw_terminal(p, spot, T, jax.random.key(3),
+                          num_paths=200_000, num_steps=steps)
+    pay_p = (jnp.maximum(s - 100.0, 0.0) * d).mean(axis=0)
+    pay_s = (jnp.maximum(ss - 100.0, 0.0) * dd).mean(axis=0)
+    joint = np.hypot(float(pay_p.std()) / np.sqrt(pay_p.shape[0]),
+                     float(pay_s.std()) / np.sqrt(pay_s.shape[0]))
+    assert abs(float(pay_p.mean()) - float(pay_s.mean())) < 4 * joint
