@@ -289,7 +289,9 @@ def config8_sustained(quick):
     import jax.numpy as jnp
 
     from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.hhw import HHWParams
     from mcos_tpu.ops.pallas_kernels import (gbm_terminal_pallas,
+                                             hhw_terminal_pallas,
                                              svj_terminal_pallas)
 
     if jax.default_backend() != "tpu":
@@ -300,6 +302,8 @@ def config8_sustained(quick):
     out = {"workload": f"{chain} chained calls x 2^{n.bit_length() - 1} "
                        f"paths x 2 branches x {steps} steps"}
 
+    hp = HHWParams()
+
     @functools.partial(jax.jit, static_argnames=("model",))
     def sustained(seed0, model):
         acc = jnp.float32(0.0)
@@ -308,13 +312,17 @@ def config8_sustained(quick):
                 s = gbm_terminal_pallas(22500.0, 0.2, 0.065, 0.012, 1.0,
                                         seed0 + i, num_paths=n,
                                         num_steps=steps)
-            else:
+            elif model == "svj":
                 s, _, _ = svj_terminal_pallas(p, 22500.0, 1.0, seed0 + i,
                                               num_paths=n, num_steps=steps)
+            else:
+                s, d = hhw_terminal_pallas(hp, 22500.0, 1.0, seed0 + i,
+                                           num_paths=n, num_steps=steps)
+                s = s * d
             acc = acc + jnp.sum(jnp.maximum(s - 22500.0, 0.0))
         return acc
 
-    for model in ("gbm", "svj"):
+    for model in ("gbm", "svj", "hhw"):
         _, ms = timed(lambda seed: sustained(seed, model), 0, trials=3)
         out[f"{model}_path_steps_per_sec"] = round(
             chain * 2 * n * steps / (ms / 1000))

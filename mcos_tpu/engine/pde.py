@@ -37,13 +37,19 @@ Array = jax.Array
 
 
 @partial(jax.jit, static_argnames=("n_x", "n_t", "is_call", "american"))
-def _cn_solve(sig2_grid, strike, T, r, q, x_grid, *, n_x: int, n_t: int,
-              is_call: bool, american: bool) -> Array:
+def _cn_solve(sig2_grid, strike, T, r, q, x_grid, div_shift, *,
+              n_x: int, n_t: int, is_call: bool, american: bool) -> Array:
     """Backward theta-scheme on the log-spot grid; returns V(t=0, x).
 
     sig2_grid: (n_t, n_x) local variance at each (time-step, node) — a
     constant array for Black-Scholes, the Dupire table for local vol.
     Time index 0 is the step nearest maturity (backward order).
+
+    div_shift: (n_t,) per-step log-shift for discrete PROPORTIONAL
+    dividends. When step k's interval contains an ex-date with fraction
+    d, div_shift[k] = log(1 - d) and the jump condition
+    V(t⁻, x) = V(t⁺, x + log(1-d)) is applied by linear interpolation on
+    the grid (zero entries are a no-op).
     """
     dtype = jnp.float32
     dt = jnp.asarray(T, dtype) / n_t
@@ -80,7 +86,7 @@ def _cn_solve(sig2_grid, strike, T, r, q, x_grid, *, n_x: int, n_t: int,
         return strike * disc_r - s_grid[0] * disc_q, jnp.float32(0.0)
 
     def step(v, inputs):
-        k, sig2 = inputs
+        k, sig2, dshift = inputs
         # Rannacher: two fully-implicit start-up steps, then CN.
         theta_im = jnp.where(k < 2, 1.0, 0.5) * dt
         theta_ex = dt - theta_im
@@ -94,13 +100,19 @@ def _cn_solve(sig2_grid, strike, T, r, q, x_grid, *, n_x: int, n_t: int,
         sup = sup.at[0].set(0.0).at[-1].set(0.0)
         rhs = rhs.at[0].set(lo_bc).at[-1].set(hi_bc)
         v_new = tridiagonal_solve(sub, diag, sup, rhs[:, None])[:, 0]
+        # Discrete-dividend jump condition (no-op where dshift == 0):
+        # crossing the ex-date backwards, V(t⁻, x) = V(t⁺, x + log(1-d)).
+        v_new = jnp.where(
+            dshift != 0.0,
+            jnp.interp(x_grid + dshift, x_grid, v_new), v_new)
         if american:
             v_new = jnp.maximum(v_new, intrinsic)
         return v_new, None
 
     v0 = intrinsic
     v, _ = jax.lax.scan(step, v0,
-                        (jnp.arange(n_t, dtype=dtype), sig2_grid))
+                        (jnp.arange(n_t, dtype=dtype), sig2_grid,
+                         div_shift))
     return v
 
 
@@ -149,11 +161,28 @@ class PDEEngine:
         return (jnp.asarray(x, jnp.float32), jnp.asarray(sig2))
 
     def price(self, spot: float, strike: float, T: float,
-              is_call: bool = True,
-              american: bool = False) -> Dict[str, float]:
+              is_call: bool = True, american: bool = False,
+              dividends=None) -> Dict[str, float]:
+        """`dividends`: optional [(t_ex, fraction), ...] discrete
+        PROPORTIONAL dividends (S drops to S(1-frac) at t_ex); under
+        flat vol the European price equals BS at S0·Π(1-frac_i) — the
+        classic exact adjustment, used as the test oracle. American
+        calls regain early-exercise value just before ex-dates."""
         x, sig2 = self._grids(spot, strike, T)
+        div_shift = np.zeros(self.n_t, np.float32)
+        if dividends:
+            dt = T / self.n_t
+            for t_ex, frac in dividends:
+                if not 0.0 < t_ex < T:
+                    continue
+                if not 0.0 <= frac < 1.0:
+                    raise ValueError("dividend fraction must be in [0, 1)")
+                # backward step k covers calendar (T-(k+1)dt, T-k·dt].
+                k = min(int((T - t_ex) / dt), self.n_t - 1)
+                div_shift[k] += np.log1p(-frac)
         v = _cn_solve(sig2, jnp.float32(strike), jnp.float32(T),
                       jnp.float32(self.r), jnp.float32(self.q), x,
+                      jnp.asarray(div_shift),
                       n_x=self.n_x, n_t=self.n_t, is_call=is_call,
                       american=american)
         v = np.asarray(v, np.float64)

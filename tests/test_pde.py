@@ -79,3 +79,42 @@ def test_rannacher_damps_atm_kink():
     res = eng.price(105.0, 105.0, 0.1, is_call=True)
     assert res["gamma"] == pytest.approx(
         float(bs_gamma(105.0, 105.0, 0.1, R, Q, SIG)), rel=5e-3)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Discrete proportional dividends
+# ─────────────────────────────────────────────────────────────────────────────
+def test_discrete_dividends_match_adjusted_spot_bs():
+    # Proportional dividends under flat vol: European price = BS at
+    # S0 * prod(1 - d_i) — exact.
+    eng = PDEEngine(sigma=SIG, r=R, q=0.0)
+    divs = [(0.15, 0.02), (0.35, 0.03)]
+    res = eng.price(S, K, T, is_call=True, dividends=divs)
+    ref = float(bs_price(S * 0.98 * 0.97, K, T, R, 0.0, SIG, True))
+    # 5e-4 relative: the ex-date jump interpolation adds O(dx²) on top of
+    # the scheme's 2e-4 — still <2bp of price.
+    assert res["price"] == pytest.approx(ref, rel=5e-4)
+
+
+def test_dividend_outside_life_is_noop():
+    eng = PDEEngine(sigma=SIG, r=R, q=0.0)
+    a = eng.price(S, K, T, dividends=[(T + 0.1, 0.05)])
+    b = eng.price(S, K, T)
+    assert a["price"] == pytest.approx(b["price"], abs=1e-9)
+
+
+def test_american_call_exercises_before_big_dividend():
+    # With a large ex-div drop, the American call is worth strictly more
+    # than the European (exercise just before the ex-date captures the
+    # dividend) — the classic discrete-div effect a continuous q misses.
+    eng = PDEEngine(sigma=SIG, r=R, q=0.0)
+    am = eng.price(S, 95.0, T, is_call=True, american=True,
+                   dividends=[(0.25, 0.06)])
+    eu = eng.price(S, 95.0, T, is_call=True, dividends=[(0.25, 0.06)])
+    assert am["price"] > eu["price"] + 0.1
+
+
+def test_invalid_dividend_fraction_rejected():
+    eng = PDEEngine(sigma=SIG, r=R, q=0.0)
+    with pytest.raises(ValueError):
+        eng.price(S, K, T, dividends=[(0.25, 1.5)])
