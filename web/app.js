@@ -353,6 +353,31 @@ async function autocallPrice() {
   finally { btn.disabled = false; btn.textContent = "Price note"; }
 }
 
+async function modelRisk() {
+  const btn = $("modelrisk-btn");
+  btn.disabled = true; btn.textContent = "pricing 5 models…";
+  try {
+    const out = await api("/api/modelrisk", {
+      spot: Number($("spot").value),
+      strike: Number($("strike").value),
+      T: Math.max(Number($("days").value) / 252, 0.02),
+      is_call: $("is-call").checked,
+      atm_vol: Math.sqrt(Number($("p-v0").value)),
+      num_paths: 65536,
+    });
+    const el = $("modelrisk-out");
+    el.classList.remove("hidden");
+    const ivs = out.implied_vols;
+    el.textContent = Object.keys(out.prices)
+      .map((m) => `${m} ${out.prices[m].toFixed(1)}` +
+        (ivs[m] != null ? ` (${(ivs[m] * 100).toFixed(1)}%)` : ""))
+      .join(" | ") +
+      ` — band ${(out.model_risk_band_volpts * 100).toFixed(2)} volpts`;
+  } catch (e) { alert(`model risk failed: ${e.message}`); }
+  finally { btn.disabled = false;
+            btn.textContent = "Price across the model zoo"; }
+}
+
 /* ── greeks panel ─────────────────────────────────────────────────────── */
 function renderGreeks(g) {
   const rows = [
@@ -497,6 +522,7 @@ async function init() {
   $("exposure-btn").addEventListener("click", exposureProfile);
   $("hhw-btn").addEventListener("click", hhwImpact);
   $("autocall-btn").addEventListener("click", autocallPrice);
+  $("modelrisk-btn").addEventListener("click", modelRisk);
 }
 
 init();
