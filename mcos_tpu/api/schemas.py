@@ -124,6 +124,7 @@ class ExoticRequest(BaseModel):
     averaging: str = "arithmetic"        # asian only
     barrier: Optional[float] = None      # barrier only
     knock: str = "out"                   # barrier only
+    monitoring: str = "discrete"         # barrier: "discrete" | "continuous"
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
     with_greeks: bool = False  # delta/vega (AD; CRN-FD for barriers)

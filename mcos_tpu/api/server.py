@@ -263,7 +263,8 @@ def handle_exotic(body: dict) -> dict:
         if req.strike is None or req.barrier is None:
             raise ApiError(400, "barrier requires strike and barrier")
         out = eng.price_barrier(req.spot, req.strike, req.T, req.barrier,
-                                req.is_call, knock=req.knock)
+                                req.is_call, knock=req.knock,
+                                monitoring=req.monitoring)
     elif req.kind == "lookback":
         out = eng.price_lookback(req.spot, req.T, req.is_call,
                                  strike=req.strike)

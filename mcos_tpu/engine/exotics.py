@@ -257,16 +257,40 @@ class ExoticEngine:
     def price_barrier(self, spot: float, strike: float, T: float,
                       barrier: float, is_call: bool = True,
                       knock: str = "out",
-                      direction: Optional[str] = None) -> Dict[str, float]:
-        """Discretely-monitored barrier option.
+                      direction: Optional[str] = None,
+                      monitoring: str = "discrete") -> Dict[str, float]:
+        """Barrier option; `direction` defaults from the barrier position
+        (above spot ⇒ 'up').
 
-        `direction` defaults from the barrier position: above spot ⇒ 'up'.
-        Continuous-monitoring values differ by the O(1/√n) BGK gap.
+        monitoring="discrete" (default) knocks on the simulation grid —
+        the contract most listed barriers actually specify.
+        monitoring="continuous" applies the Broadie-Glasserman-Kou
+        continuity correction: the monitored level shifts by
+        exp(∓β·σ·√dt) (β = 0.5826; up barriers shift down, down barriers
+        up), with σ = √v₀ — exact in the GBM limit, where the MC is
+        test-pinned to the Reiner-Rubinstein closed form
+        (`ops/exotics.py:barrier_bs`).
         """
         if direction is None:
             direction = "up" if barrier >= spot else "down"
-        return self._run(spot, strike, T, kind="barrier", barrier=barrier,
-                         is_call=is_call, knock=knock, direction=direction)
+        barrier_eff = barrier
+        if monitoring == "continuous":
+            from mcos_tpu.config import scaled_steps
+            from mcos_tpu.ops.exotics import BGK_BETA
+
+            steps = scaled_steps(self.num_steps, T)
+            sig = float(np.sqrt(float(self.params.v0)))
+            shift = BGK_BETA * sig * np.sqrt(T / steps)
+            barrier_eff = barrier * float(np.exp(
+                -shift if direction == "up" else shift))
+        elif monitoring != "discrete":
+            raise ValueError(f"unknown monitoring {monitoring!r}")
+        out = self._run(spot, strike, T, kind="barrier",
+                        barrier=barrier_eff, is_call=is_call, knock=knock,
+                        direction=direction)
+        out["monitoring"] = monitoring
+        out["barrier"] = barrier
+        return out
 
     def price_lookback(self, spot: float, T: float, is_call: bool = True,
                        strike: Optional[float] = None) -> Dict[str, float]:

@@ -26,6 +26,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import ndtr
 
 from mcos_tpu.models.params import SVJParams
@@ -218,3 +219,70 @@ def lookback_payoff(stats: Dict[str, Array], is_call: bool,
                 else stats["max_s"] - stats["s_final"])
     return (jnp.maximum(stats["max_s"] - strike, 0.0) if is_call
             else jnp.maximum(strike - stats["min_s"], 0.0))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Continuously-monitored barrier closed forms (GBM; Reiner-Rubinstein)
+# ─────────────────────────────────────────────────────────────────────────────
+def barrier_bs(S, K, T, r, q, sigma, barrier, is_call: bool = True,
+               knock: str = "out", direction: str = "up") -> float:
+    """Continuous-monitoring barrier option under GBM, no rebate (host f64).
+
+    Reiner-Rubinstein (1991) A/B/C/D building blocks (Haug's convention:
+    phi = option sign, eta = barrier-direction sign); knock-OUT prices come
+    from in-out parity against the vanilla, which is exact without rebates.
+    Used as the oracle for the BGK-corrected MC (`engine/exotics.py`
+    monitoring="continuous") and the continuous-limit convergence tests.
+    """
+    from scipy.stats import norm
+
+    S, K, T, H = float(S), float(K), float(T), float(barrier)
+    st = sigma * np.sqrt(T)
+    mu = (r - q - 0.5 * sigma**2) / sigma**2
+    phi = 1.0 if is_call else -1.0
+    eta = -1.0 if direction == "up" else 1.0
+    dfq, dfr = np.exp(-q * T), np.exp(-r * T)
+
+    def block(x):
+        return (phi * S * dfq * norm.cdf(phi * x)
+                - phi * K * dfr * norm.cdf(phi * (x - st)))
+
+    def block_y(y):
+        pow_s = (H / S) ** (2.0 * (mu + 1.0))
+        pow_k = (H / S) ** (2.0 * mu)
+        return (phi * S * dfq * pow_s * norm.cdf(eta * y)
+                - phi * K * dfr * pow_k * norm.cdf(eta * (y - st)))
+
+    x1 = np.log(S / K) / st + (1.0 + mu) * st
+    x2 = np.log(S / H) / st + (1.0 + mu) * st
+    y1 = np.log(H * H / (S * K)) / st + (1.0 + mu) * st
+    y2 = np.log(H / S) / st + (1.0 + mu) * st
+    A = block(x1)
+    B = block(x2)
+    C = block_y(y1)
+    D = block_y(y2)
+
+    up = direction == "up"
+    if is_call:
+        if up:
+            knock_in = A if K >= H else B - C + D
+        else:
+            knock_in = C if K >= H else A - B + D
+    else:
+        if up:
+            knock_in = A - B + D if K >= H else C
+        else:
+            knock_in = B - C + D if K >= H else A
+
+    # A path that starts through the barrier is knocked immediately.
+    if (up and S >= H) or (not up and S <= H):
+        knock_in = block(x1)                      # = vanilla
+    knock_in = float(max(knock_in, 0.0))
+    if knock == "in":
+        return knock_in
+    vanilla = float(block(x1))
+    return float(max(vanilla - knock_in, 0.0))    # in-out parity
+
+
+# Broadie-Glasserman-Kou continuity-correction constant: -zeta(1/2)/sqrt(2π).
+BGK_BETA = 0.5825971579390107

@@ -194,3 +194,67 @@ def test_digital_matches_bs_closed_form():
     assert out["price"] == pytest.approx(ref, abs=4 * out["std_error"] + 1e-3)
     ref_delta = np.exp(-r * T) * norm.pdf(d2) / (S * st)
     assert out["delta"] == pytest.approx(ref_delta, rel=0.15)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Continuous monitoring: Reiner-Rubinstein closed forms + BGK correction
+# ─────────────────────────────────────────────────────────────────────────────
+def test_barrier_bs_in_out_parity():
+    from mcos_tpu.ops.exotics import barrier_bs
+    from mcos_tpu.ops.bs import bs_price
+    S, K, T, r, q, sig = 100.0, 100.0, 0.5, 0.05, 0.01, 0.25
+    for d, B, c in [("up", 120.0, True), ("down", 85.0, True),
+                    ("up", 120.0, False), ("down", 95.0, False),
+                    ("up", 105.0, True), ("down", 95.0, True)]:
+        i = barrier_bs(S, K, T, r, q, sig, B, c, "in", d)
+        o = barrier_bs(S, K, T, r, q, sig, B, c, "out", d)
+        van = float(bs_price(S, K, T, r, q, sig, c))
+        # bs_price is the jax f32 vanilla; parity itself is exact in f64
+        assert i + o == pytest.approx(van, rel=2e-6)
+        assert i >= 0 and o >= 0
+
+
+def test_barrier_bs_started_through_is_knocked():
+    from mcos_tpu.ops.exotics import barrier_bs
+    from mcos_tpu.ops.bs import bs_price
+    # spot already beyond the barrier: 'in' = vanilla, 'out' = 0.
+    v_in = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, 95.0, True,
+                      "in", "up")
+    assert v_in == pytest.approx(
+        float(bs_price(100, 100, 0.5, 0.05, 0.01, 0.25, True)), rel=2e-6)
+    assert barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, 95.0, True,
+                      "out", "up") == 0.0
+
+
+def test_bgk_continuous_monitoring_hits_closed_form():
+    """BGK-shifted MC must land an order of magnitude closer to the
+    continuous closed form than the raw discrete MC."""
+    from mcos_tpu.ops.exotics import barrier_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=200_000, num_steps=256, seed=3)
+    for B, c, d in [(120.0, True, "up"), (88.0, False, "down")]:
+        cont = eng.price_barrier(100.0, 100.0, 0.5, B, is_call=c,
+                                 monitoring="continuous")
+        disc = eng.price_barrier(100.0, 100.0, 0.5, B, is_call=c)
+        cf = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, B, c,
+                        "out", d)
+        gap_cont = abs(cont["price"] - cf)
+        gap_disc = abs(disc["price"] - cf)
+        assert gap_cont < 0.15 * gap_disc           # kills the sqrt(dt) term
+        assert gap_cont < 4 * cont["std_error"] + 0.02  # O(dt) remainder
+        assert cont["monitoring"] == "continuous"
+        assert cont["barrier"] == B                 # reported, not shifted
+
+
+def test_bgk_remainder_shrinks_with_steps():
+    from mcos_tpu.ops.exotics import barrier_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    cf = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, 115.0, True,
+                    "out", "up")
+    gaps = []
+    for steps in (64, 512):
+        eng = ExoticEngine(gp, num_paths=300_000, num_steps=steps, seed=5)
+        res = eng.price_barrier(100.0, 100.0, 0.5, 115.0,
+                                monitoring="continuous")
+        gaps.append(abs(res["price"] - cf))
+    assert gaps[1] < gaps[0]
