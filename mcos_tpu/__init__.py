@@ -68,6 +68,12 @@ from mcos_tpu.engine.autocallable import (  # noqa: F401
 from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
 from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.engine.modelrisk import model_risk_report  # noqa: F401
+from mcos_tpu.ops.levy import (  # noqa: F401
+    VGParams,
+    vg_cos_price,
+    vg_price_mc,
+    vg_terminal,
+)
 from mcos_tpu.ops.hhw import HHWParams, bsm_hullwhite, vasicek_bond  # noqa: F401
 from mcos_tpu.ops.rough import RoughBergomiParams  # noqa: F401
 from mcos_tpu.engine.exotics import ExoticEngine  # noqa: F401

@@ -7,6 +7,7 @@ European contract under each model family the framework carries —
     bs          flat-vol Black-Scholes (closed form)
     heston      Heston core, jumps off (COS, semi-analytic)
     svj         full SVJ = Heston + Merton jumps (COS, semi-analytic)
+    vg          Variance Gamma pure-jump Levy (COS, semi-analytic)
     rough       rough Bergomi (conditional-Black MC)
     hhw         Heston-Hull-White (3-factor MC, stochastic rates)
 
@@ -61,6 +62,16 @@ def model_risk_report(spot: float, strike: float, T: float,
     prices["heston"] = float(heston_price(heston, spot, [strike], T,
                                           is_call)[0])
     prices["svj"] = float(cos_price(svj, spot, [strike], T, is_call)[0])
+
+    from mcos_tpu.ops.levy import VGParams, vg_cos_price
+
+    # VG anchored to the same total variance: sigma² + nu·theta² = v0.
+    vg_theta = -0.14
+    vg_nu = 0.2
+    vg_sigma = float(np.sqrt(max(v0 - vg_nu * vg_theta**2, 1e-6)))
+    prices["vg"] = float(vg_cos_price(
+        VGParams(sigma=vg_sigma, nu=vg_nu, theta=vg_theta, r=r, q=q),
+        spot, [strike], T, is_call)[0])
 
     from mcos_tpu.engine.rough import RoughBergomiEngine
     from mcos_tpu.ops.rough import RoughBergomiParams
