@@ -223,6 +223,10 @@ class ExposureRequest(BaseModel):
     own_hazard: float = Field(0.0, ge=0.0, le=5.0)
     lgd: float = Field(0.6, ge=0.0, le=1.0)
     with_cva_delta: bool = False
+    # CSA terms: variation margin above the threshold, held with a
+    # margin-period-of-risk lag (None = uncollateralized)
+    collateral_threshold: Optional[float] = Field(None, ge=0.0)
+    margin_period: float = Field(10.0 / 252.0, gt=0.0, le=1.0)
 
 
 class HHWRequest(BaseModel):

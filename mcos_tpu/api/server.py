@@ -624,7 +624,9 @@ def handle_exposure(body: dict) -> dict:
     eng = ExposureEngine(req.spots, req.sigmas,
                          np.asarray(req.corr, np.float64), positions,
                          r=req.r, q=req.q, num_paths=req.num_paths)
-    out = eng.profile(num_dates=req.num_dates, quantile=req.quantile)
+    out = eng.profile(num_dates=req.num_dates, quantile=req.quantile,
+                      collateral_threshold=req.collateral_threshold,
+                      margin_period=req.margin_period)
     if req.hazard_rate > 0.0:
         out["credit"] = eng.cva(hazard_rate=req.hazard_rate, lgd=req.lgd,
                                 num_dates=req.num_dates,

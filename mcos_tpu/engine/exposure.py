@@ -157,13 +157,36 @@ class ExposureEngine:
 
     def profile(self, num_dates: int = 32,
                 horizon: Optional[float] = None,
-                quantile: float = 0.975) -> Dict[str, object]:
-        """Exposure profile on a uniform date grid up to the book horizon."""
+                quantile: float = 0.975,
+                collateral_threshold: Optional[float] = None,
+                margin_period: float = 10.0 / 252.0) -> Dict[str, object]:
+        """Exposure profile on a uniform date grid up to the book horizon.
+
+        `collateral_threshold` models a CSA: the counterparty posts
+        variation margin above the threshold, but collateral lags by the
+        margin period of risk — the held amount at t is what the call at
+        t - MPR produced, C_t = max(V_{t-MPR} - threshold, 0), so the
+        residual exposure max(V_t - C_t, 0)⁺ keeps the gap risk a real
+        CSA leaves (jump over the margin period + the threshold itself).
+        Lag handling uses the nearest earlier grid date (C=0 before the
+        first); threshold=0 leaves pure gap risk, threshold→∞ recovers
+        the uncollateralized profile.
+        """
         mat = self.pos_arrays[2]
         horizon = float(horizon or mat.max())
         dates = np.linspace(horizon / num_dates, horizon,
                             num_dates).astype(np.float32)
         net, gross = self._values(dates)
+        if collateral_threshold is not None:
+            thr = jnp.float32(collateral_threshold)
+            # index of the newest grid date <= t - MPR (or -1 ⇒ no call yet)
+            lag_idx = np.searchsorted(
+                dates, dates - np.float32(margin_period), side="right") - 1
+            lagged = jnp.where(
+                jnp.asarray(lag_idx >= 0)[:, None],
+                net[jnp.maximum(jnp.asarray(lag_idx), 0)], 0.0)
+            collateral = jnp.maximum(lagged - thr, 0.0)
+            net = net - collateral
         pos = jnp.maximum(net, 0.0)
         neg = jnp.maximum(-net, 0.0)
         disc = np.exp(-self.r * dates)

@@ -107,3 +107,19 @@ def test_bcva_and_multi_asset():
     out = eng.cva(hazard_rate=0.02, lgd=0.6, own_hazard=0.01)
     assert out["cva"] > 0 and out["dva"] > 0
     assert out["bcva"] == pytest.approx(out["cva"] - out["dva"])
+
+
+def test_collateral_threshold_limits():
+    eng = _engine([CALL], num_paths=50_000)
+    un = eng.profile(num_dates=16)
+    inf_thr = eng.profile(num_dates=16, collateral_threshold=1e12)
+    zero_thr = eng.profile(num_dates=16, collateral_threshold=0.0)
+    mid_thr = eng.profile(num_dates=16, collateral_threshold=5.0)
+    # threshold -> inf recovers the uncollateralized profile exactly
+    np.testing.assert_allclose(inf_thr["ee"], un["ee"], rtol=1e-6)
+    # monotone in the threshold; full collateralization leaves only the
+    # margin-period gap risk
+    assert zero_thr["epe"] < mid_thr["epe"] < un["epe"]
+    assert zero_thr["epe"] < 0.25 * un["epe"]
+    # before the first margin call (t <= MPR) nothing is held yet
+    assert zero_thr["ee"][0] == pytest.approx(un["ee"][0], rel=1e-6)
