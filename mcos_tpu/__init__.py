@@ -70,6 +70,7 @@ from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.engine.modelrisk import model_risk_report  # noqa: F401
 from mcos_tpu.ops.levy import (  # noqa: F401
     VGParams,
+    calibrate_vg,
     vg_cos_price,
     vg_price_mc,
     vg_terminal,

@@ -158,3 +158,54 @@ def vg_price_mc(p: VGParams, spot, strikes, T, key, *, num_paths: int,
     mean = disc * jnp.mean(comb, axis=0)
     se = disc * jnp.std(comb, axis=0) / jnp.sqrt(jnp.float32(comb.shape[0]))
     return mean, se
+
+
+def calibrate_vg(spot: float, strikes, T: float, market_prices,
+                 r: float = None, q: float = None, is_call: bool = True,
+                 n_starts: int = 4, seed: int = 0) -> dict:
+    """Fit (sigma, nu, theta) to a single-maturity price smile.
+
+    The COS objective is host f64 and ~microseconds per evaluation, so a
+    multi-start trust-region least squares (scipy) is the right tool —
+    no MC noise, no device round-trips inside the optimizer. Round-trip
+    recovery of generating parameters is test-pinned.
+    """
+    from scipy.optimize import least_squares
+
+    r = RISK_FREE_RATE if r is None else float(r)
+    q = DIVIDEND_YIELD if q is None else float(q)
+    strikes = np.asarray(strikes, np.float64)
+    market = np.asarray(market_prices, np.float64)
+    lo = np.array([0.02, 0.01, -1.5])
+    hi = np.array([2.00, 2.00, 0.5])
+
+    def resid(x):
+        sigma, nu, theta = x
+        # Keep the omega log argument positive (hard model constraint).
+        if 1.0 - theta * nu - 0.5 * sigma**2 * nu <= 1e-6:
+            return np.full(market.shape, 1e3)
+        p = VGParams(sigma=sigma, nu=nu, theta=theta, r=r, q=q)
+        return vg_cos_price(p, spot, strikes, T, is_call) - market
+
+    rng = np.random.default_rng(seed)
+    best = None
+    starts = [np.array([0.2, 0.2, -0.1])] + [
+        lo + rng.random(3) * (hi - lo) for _ in range(n_starts - 1)]
+    for x0 in starts:
+        if 1.0 - x0[2] * x0[1] - 0.5 * x0[0]**2 * x0[1] <= 1e-3:
+            continue
+        try:
+            res = least_squares(resid, x0, bounds=(lo, hi), xtol=1e-12)
+        except Exception:  # noqa: BLE001 — a bad start must not kill the fit
+            continue
+        if best is None or res.cost < best.cost:
+            best = res
+    if best is None:
+        raise RuntimeError("VG calibration failed from every start")
+    sigma, nu, theta = (float(v) for v in best.x)
+    rmse = float(np.sqrt(2.0 * best.cost / max(market.size, 1)))
+    return {
+        "params": VGParams(sigma=sigma, nu=nu, theta=theta, r=r, q=q),
+        "sigma": sigma, "nu": nu, "theta": theta,
+        "rmse_price": rmse, "n_quotes": int(market.size),
+    }

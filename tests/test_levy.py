@@ -60,3 +60,15 @@ def test_put_call_parity():
     p = vg_cos_price(P, S, [100.0], T, False)[0]
     rhs = S * np.exp(-P.q * T) - 100.0 * np.exp(-P.r * T)
     assert c - p == pytest.approx(rhs, abs=1e-8)
+
+
+def test_calibration_recovers_vg_parameters():
+    from mcos_tpu.ops.levy import calibrate_vg
+    true = VGParams(sigma=0.18, nu=0.35, theta=-0.22, r=0.05, q=0.01)
+    ks = S * np.linspace(0.85, 1.15, 11)
+    mkt = vg_cos_price(true, S, ks, T, True)
+    fit = calibrate_vg(S, ks, T, mkt, r=0.05, q=0.01)
+    assert fit["sigma"] == pytest.approx(0.18, abs=1e-4)
+    assert fit["nu"] == pytest.approx(0.35, abs=1e-3)
+    assert fit["theta"] == pytest.approx(-0.22, abs=1e-3)
+    assert fit["rmse_price"] < 1e-8
