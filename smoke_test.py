@@ -196,6 +196,34 @@ def main():
     check("SSVI recovers rho", abs(ssvi["rho"] + 0.65) < 0.05)
     check("SSVI fit arbitrage-free", ssvi["arbitrage"]["butterfly_free"])
 
+    stage("15. PDE second opinion (Crank-Nicolson vs BS/CRR)")
+    from mcos_tpu.engine.pde import PDEEngine
+    pde = PDEEngine(sigma=0.2, r=0.065, q=0.012)
+    pres = pde.price(22500.0, 22500.0, 0.25)
+    pde_ref = float(bs_price(22500.0, 22500.0, 0.25, 0.065, 0.012, 0.2,
+                             True))
+    print(f"    PDE={pres['price']:.3f}  BS={pde_ref:.3f}")
+    check("PDE matches BS to 5e-4 rel",
+          abs(pres["price"] - pde_ref) < 5e-4 * pde_ref)
+    am = pde.price(22500.0, 24000.0, 0.25, is_call=False, american=True)
+    eu = pde.price(22500.0, 24000.0, 0.25, is_call=False)
+    check("American put above European (projected CN)",
+          am["price"] > eu["price"])
+
+    stage("16. Variance Gamma (exact sampler vs its COS oracle)")
+    import jax.numpy as jnp
+    from mcos_tpu.ops.levy import VGParams, vg_cos_price, vg_price_mc
+    vgp = VGParams(sigma=0.2, nu=0.2, theta=-0.14, r=0.065, q=0.012)
+    vg_cos = vg_cos_price(vgp, 22500.0, [22500.0], 0.25, True)[0]
+    vg_mc, vg_se = vg_price_mc(vgp, 22500.0, jnp.asarray([22500.0]),
+                               0.25, jax.random.key(4),
+                               num_paths=200_000, is_call=True)
+    gap_vg = abs(float(vg_mc[0]) - vg_cos)
+    print(f"    MC={float(vg_mc[0]):.3f}  COS={vg_cos:.3f}  "
+          f"({gap_vg / max(float(vg_se[0]), 1e-9):.1f}σ)")
+    check("VG exact sampler within COS bands",
+          gap_vg < 4 * float(vg_se[0]) + 1e-2)
+
     print("\n" + "=" * 64)
     if FAILURES:
         print(f"FAILED: {len(FAILURES)} checks: {FAILURES}")
