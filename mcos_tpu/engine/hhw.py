@@ -10,6 +10,7 @@ whether stochastic rates matter for this contract) come from ONE
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict
 
 import jax
@@ -19,6 +20,18 @@ import numpy as np
 from mcos_tpu.ops.hhw import HHWParams, hhw_terminal, vasicek_bond
 
 Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("is_call",))
+def _reduce_disc_payoff(s, d, strikes, *, is_call: bool):
+    """((strikes,) mean, (strikes,) stderr, scalar E[D]) in one program."""
+    phi = 1.0 if is_call else -1.0
+    pay = jnp.maximum(phi * (s[..., None] - strikes[None, None, :]),
+                      0.0) * d[..., None]
+    comb = jnp.mean(pay, axis=0)
+    mean = jnp.mean(comb, axis=0)
+    se = jnp.std(comb, axis=0) / jnp.sqrt(jnp.float32(comb.shape[0]))
+    return mean, se, jnp.mean(d)
 
 
 def _disc_payoff_mean(p: HHWParams, spot, strikes, T, key, *,
@@ -67,22 +80,20 @@ class HHWEngine:
               is_call: bool = True) -> Dict[str, object]:
         strikes_arr = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
         s, d = self._terminal(spot, T)
-        phi = 1.0 if is_call else -1.0
-        pay = jnp.maximum(phi * (s[..., None] - strikes_arr[None, None, :]),
-                          0.0) * d[..., None]
-        comb = jnp.mean(pay, axis=0)
-        mean = np.asarray(jnp.mean(comb, axis=0))
-        se = np.asarray(jnp.std(comb, axis=0)) / np.sqrt(comb.shape[0])
+        # One fused reduction program + ONE host transfer (eager jnp ops
+        # here would each pay a tunnel round-trip).
+        mean, se, zc = jax.device_get(_reduce_disc_payoff(
+            s, d, strikes_arr, is_call=is_call))
+        mean, se = np.asarray(mean), np.asarray(se)
         scalar = np.ndim(strikes) == 0
-        out = {
+        return {
             "price": float(mean[0]) if scalar else mean.tolist(),
             "std_error": float(se[0]) if scalar else se.tolist(),
-            "zero_coupon_mc": float(jnp.mean(d)),
+            "zero_coupon_mc": float(zc),
             "zero_coupon_exact": vasicek_bond(self.params, T),
             "num_paths_used": self.num_paths,
             "num_steps": self.num_steps,
         }
-        return out
 
     def greeks(self, spot: float, strike: float, T: float,
                is_call: bool = True) -> Dict[str, float]:
