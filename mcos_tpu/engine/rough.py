@@ -36,6 +36,16 @@ RBERGOMI_CAL_BOUNDS = {
 }
 
 
+@jax.jit
+def _combine_mean_se(pay):
+    """(branches, paths, strikes) payoffs → ((strikes,) mean, stderr) in
+    ONE device program (eager reductions each pay a tunnel round-trip)."""
+    comb = jnp.mean(pay, axis=0)
+    mean = jnp.mean(comb, axis=0)
+    se = jnp.std(comb, axis=0) / jnp.sqrt(jnp.float32(comb.shape[0]))
+    return mean, se
+
+
 def _mean_price(params: RoughBergomiParams, spot, strikes, T, chol, key, *,
                 num_paths: int, num_steps: int, is_call,
                 xi_t=None) -> Array:
@@ -145,11 +155,9 @@ class RoughBergomiEngine:
             self.params, spot, strikes_arr, T, chol, self._key(),
             num_paths=self.num_paths, num_steps=self.num_steps,
             is_call=is_call, xi_t=self._xi_t(T))
-        comb = jnp.mean(pay, axis=0)                     # (paths, strikes)
-        mean = np.asarray(jnp.mean(comb, axis=0))
-        se = np.asarray(jnp.std(comb, axis=0)) / np.sqrt(comb.shape[0])
-        price = disc * mean
-        stderr = disc * se
+        mean, se = jax.device_get(_combine_mean_se(pay))
+        price = disc * np.asarray(mean)
+        stderr = disc * np.asarray(se)
         return {
             "price": float(price[0]) if scalar else price.tolist(),
             "std_error": float(stderr[0]) if scalar else stderr.tolist(),
@@ -226,12 +234,11 @@ class RoughBergomiEngine:
             num_paths=self.num_paths, num_steps=self.num_steps)
 
     def _reduce(self, pay: Array, T: float) -> Dict[str, float]:
-        comb = jnp.mean(pay, axis=0)                 # antithetic combine
+        mean, se = jax.device_get(_combine_mean_se(pay[..., None]))
         disc = float(np.exp(-float(self.params.r) * T))
         return {
-            "price": disc * float(jnp.mean(comb)),
-            "std_error": disc * float(jnp.std(comb))
-            / float(np.sqrt(comb.shape[0])),
+            "price": disc * float(mean[0]),
+            "std_error": disc * float(se[0]),
             "num_paths_used": self.num_paths,
             "num_steps": self.num_steps,
         }
