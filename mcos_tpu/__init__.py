@@ -68,6 +68,7 @@ from mcos_tpu.engine.autocallable import (  # noqa: F401
 from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
 from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.engine.modelrisk import model_risk_report  # noqa: F401
+from mcos_tpu.engine.slv import SLVEngine  # noqa: F401
 from mcos_tpu.ops.levy import (  # noqa: F401
     VGParams,
     calibrate_vg,

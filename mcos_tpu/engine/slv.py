@@ -1,0 +1,175 @@
+r"""Stochastic local volatility (SLV) — the exotics desk's workhorse mix.
+
+Capability beyond the reference: local vol reprices every vanilla but
+kills forward skew; Heston has dynamics but misses today's smile. SLV
+keeps both:
+
+    dS/S = (r - q) dt + L(t, S) sqrt(v_t) dW1
+    dv   = kappa (theta - v) dt + xi sqrt(v) dW2,   <dW1, dW2> = rho dt,
+
+with the leverage surface fixed by the Gyongy/mimicking condition
+
+    L(t, S)^2 * E[v_t | S_t = S] = sigma_loc(t, S)^2,
+
+so the SLV marginals match the Dupire surface exactly (vanillas reprice)
+while the v-dynamics keep smile movement stochastic.
+
+TPU design — the particle method (Guyon & Henry-Labordere) runs entirely
+inside one `lax.scan`: at each step the conditional expectation
+E[v_t | S_t] is estimated from the path cloud itself by binning paths in
+forward log-moneyness (`jax.ops.segment_sum` over a static bin count —
+two segment-sums and a gather, no host round-trips, no kernel density
+loops), the leverage row is formed on the fly, and the step advances with
+L interpolated per path. Self-consistency emerges forward in time, the
+way the particle method is meant to run — there is no outer fixed-point
+iteration to converge.
+
+Oracles: xi -> 0 collapses v to v0 and SLV to pure local vol (pinned to
+LocalVolEngine); a flat Dupire surface makes vanillas Black-Scholes
+(pinned for full-strength Heston mixing — the leverage must neutralize
+the Heston smile); a skewed SSVI-derived surface reprices its own
+vanilla chain through the SLV mix (the property desks buy SLV for).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcos_tpu.engine.localvol import LocalVolSurface
+from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops.simulate import _safe_sqrt, combine_antithetic
+
+Array = jax.Array
+
+_VAR_FLOOR, _VAR_CAP = 1e-6, 16.0
+_LEV2_MIN, _LEV2_MAX = 0.01, 100.0      # leverage^2 clip (stability)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "n_bins"))
+def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
+                 key, *, num_paths: int, num_steps: int,
+                 n_bins: int = 101) -> Array:
+    """(2, num_paths) terminal spots under the particle-calibrated SLV.
+
+    `params` supplies the Heston block (kappa, theta, xi, rho, v0, r, q;
+    jumps ignored); `var_rows`/`t_mid`/`y0`/`dy` are the Dupire table in
+    the localvol engine's step-table layout.
+    """
+    dtype = jnp.float32
+    p = params
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    r = jnp.asarray(p.r, dtype)
+    q = jnp.asarray(p.q, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:, None]
+    n_y = var_rows.shape[1]
+    y_hi = y0 + dy * (n_y - 1)
+    bin_w = (y_hi - y0) / n_bins
+    rho_perp = jnp.sqrt(1.0 - p.rho * p.rho)
+
+    def step(carry, inputs):
+        log_s, v = carry
+        step_idx, row, t = inputs
+        k_step = jax.random.fold_in(key, step_idx)
+        z = jax.random.normal(k_step, (2, num_paths), dtype)
+        z1 = z[0][None] * sign
+        z2 = z[1][None] * sign
+
+        y = log_s - (r - q) * t                      # (2, paths)
+        # Local variance at (t, y): uniform-grid linear interp.
+        pos = jnp.clip((y - y0) / dy, 0.0, float(n_y - 1))
+        i = jnp.minimum(pos.astype(jnp.int32), n_y - 2)
+        frac = pos - i.astype(dtype)
+        sig_loc2 = (jnp.take(row, i) * (1.0 - frac)
+                    + jnp.take(row, i + 1) * frac)
+        sig_loc2 = jnp.clip(sig_loc2, _VAR_FLOOR, _VAR_CAP)
+
+        # Particle estimate of E[v | S] by binning the cloud in y (both
+        # antithetic branches pooled — they are valid particles too).
+        # Each path reads its OWN bin's mean — the self-consistent choice
+        # (interpolating between bin means overestimates the convex
+        # E[v|y] and systematically under-levers; measured). A mild
+        # ~16-particle prior toward the cloud mean stabilizes near-empty
+        # wing bins without flattening the leverage effect.
+        v_pos = jnp.maximum(v, 0.0)
+        bins = jnp.clip(((y - y0) / bin_w).astype(jnp.int32), 0,
+                        n_bins - 1).reshape(-1)
+        v_flat = v_pos.reshape(-1)
+        sums = jax.ops.segment_sum(v_flat, bins, num_segments=n_bins)
+        cnts = jax.ops.segment_sum(jnp.ones_like(v_flat), bins,
+                                   num_segments=n_bins)
+        prior = jnp.float32(16.0)
+        ev_bin = (sums + prior * jnp.mean(v_flat)) / (cnts + prior)
+        ev = ev_bin[bins].reshape(2, num_paths)
+
+        lev2 = jnp.clip(sig_loc2 / jnp.maximum(ev, _VAR_FLOOR),
+                        _LEV2_MIN, _LEV2_MAX)
+        eff_var = lev2 * v_pos
+        sig_eff = _safe_sqrt(eff_var)
+
+        log_s = log_s + (r - q - 0.5 * eff_var) * dt \
+            + sig_eff * z1 * sqrt_dt
+        dw2 = p.rho * z1 + rho_perp * z2
+        v = jnp.maximum(v_pos + p.kappa * (p.theta - v_pos) * dt
+                        + p.xi * _safe_sqrt(v_pos) * dw2 * sqrt_dt, 0.0)
+        return (log_s, v), None
+
+    init = (jnp.zeros((2, num_paths), dtype),
+            jnp.full((2, num_paths), jnp.asarray(p.v0, dtype)))
+    (log_s, _), _ = jax.lax.scan(
+        step, init,
+        (jnp.arange(num_steps), var_rows, jnp.asarray(t_mid, dtype)))
+    return spot * jnp.exp(log_s)
+
+
+class SLVEngine:
+    """Particle-method SLV pricer on a Dupire surface + Heston mix."""
+
+    def __init__(self, surface: LocalVolSurface, heston: SVJParams,
+                 num_paths: int = 200_000, num_steps: int = 128,
+                 n_bins: int = 101, seed: int = 42):
+        self.surface = surface
+        self.heston = heston.replace(lambda_j=0.0, mu_j=0.0, sigma_j=1e-4,
+                                     r=surface.r, q=surface.q)
+        self.num_paths = int(num_paths)
+        self.num_steps = int(num_steps)
+        self.n_bins = int(n_bins)
+        self.seed = int(seed)
+
+    def terminal(self, spot: float, T: float) -> Array:
+        rows, t_mid = self.surface.step_tables(T, self.num_steps)
+        return slv_terminal(
+            self.heston, jnp.asarray(rows), jnp.asarray(t_mid),
+            float(self.surface.y_grid[0]),
+            float(self.surface.y_grid[1] - self.surface.y_grid[0]),
+            spot, T, jax.random.key(self.seed),
+            num_paths=self.num_paths, num_steps=self.num_steps,
+            n_bins=self.n_bins)
+
+    def price(self, spot: float, strikes, T: float,
+              is_call: bool = True) -> Dict[str, object]:
+        strikes_arr = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+        s = self.terminal(spot, T)
+        phi = 1.0 if is_call else -1.0
+        pay = combine_antithetic(
+            jnp.maximum(phi * (s[..., None] - strikes_arr[None, None, :]),
+                        0.0))                      # (paths, strikes)
+        disc = float(np.exp(-float(self.heston.r) * T))
+        mean = np.asarray(jnp.mean(pay, axis=0))
+        se = np.asarray(jnp.std(pay, axis=0)) / np.sqrt(pay.shape[0])
+        scalar = np.ndim(strikes) == 0
+        price, stderr = disc * mean, disc * se
+        return {
+            "price": float(price[0]) if scalar else price.tolist(),
+            "std_error": float(stderr[0]) if scalar else stderr.tolist(),
+            "num_paths_used": self.num_paths,
+            "num_steps": self.num_steps,
+            "mixing_xi": float(self.heston.xi),
+        }
