@@ -255,6 +255,29 @@ class HHWRequest(BaseModel):
     num_steps: int = Field(128, ge=8, le=1024)
 
 
+class SLVRequest(BaseModel):
+    """POST /api/slv — stochastic local vol: Dupire surface from an IV
+    grid + Heston mixing, priced by the in-scan particle method
+    (engine/slv.py)."""
+    spot: float = Field(gt=0)
+    strikes: list[float] = Field(max_length=MAX_GRID_POINTS)
+    maturities: list[float] = Field(max_length=MAX_GRID_POINTS)
+    iv: list[list[float]]            # (num_maturities, num_strikes)
+    price_strikes: list[float] = Field(max_length=MAX_GRID_POINTS)
+    T: float = Field(gt=0)
+    is_call: bool = True
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+    # Heston mixing block (lambda ignored; SLV is diffusion + leverage)
+    kappa: float = Field(2.0, gt=0, le=50)
+    theta: float = Field(0.04, gt=0, le=4.0)
+    xi: float = Field(0.6, ge=0.0, le=10.0)
+    rho: float = Field(-0.7, ge=-0.999, le=0.999)
+    v0: float = Field(0.04, gt=0, le=4.0)
+    num_paths: int = Field(200_000, **_PATHS)
+    num_steps: int = Field(128, ge=16, le=2048)
+
+
 class ModelRiskRequest(BaseModel):
     """POST /api/modelrisk — one contract priced under every model family
     (engine/modelrisk.py)."""

@@ -494,6 +494,38 @@ def handle_cliquet(body: dict) -> dict:
     return out
 
 
+def handle_slv(body: dict) -> dict:
+    """POST /api/slv — particle-method SLV chain pricing
+    (engine/slv.py)."""
+    from mcos_tpu.engine.localvol import LocalVolSurface
+    from mcos_tpu.engine.slv import SLVEngine
+    from mcos_tpu.models.params import SVJParams
+
+    req = schemas.SLVRequest(**body)
+    iv = np.asarray(req.iv, np.float64)
+    if iv.shape != (len(req.maturities), len(req.strikes)):
+        raise ApiError(400, "iv must be (num_maturities, num_strikes)")
+    start = time.time()
+    surf = LocalVolSurface.from_iv_points(
+        req.spot, req.strikes, req.maturities, iv, r=req.r, q=req.q)
+    heston = SVJParams(kappa=req.kappa, theta=req.theta, xi=req.xi,
+                       rho=req.rho, v0=req.v0, lambda_j=0.0,
+                       r=req.r, q=req.q)
+    eng = SLVEngine(surf, heston, num_paths=req.num_paths,
+                    num_steps=req.num_steps)
+    res = eng.price(req.spot, req.price_strikes, req.T,
+                    is_call=req.is_call)
+    out = {
+        "chain": [{"strike": float(k), "price": p, "std_error": s}
+                  for k, p, s in zip(req.price_strikes, res["price"],
+                                     res["std_error"])],
+        "mixing_xi": res["mixing_xi"],
+        "num_paths_used": res["num_paths_used"],
+        "elapsed_ms": round((time.time() - start) * 1000, 1),
+    }
+    return out
+
+
 def handle_modelrisk(body: dict) -> dict:
     """POST /api/modelrisk — model-risk band across the model zoo
     (engine/modelrisk.py)."""
@@ -765,6 +797,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/quanto": handle_quanto,
     "/api/pnl": handle_pnl,
     "/api/modelrisk": handle_modelrisk,
+    "/api/slv": handle_slv,
 }
 
 

@@ -70,3 +70,17 @@ def test_mixing_changes_forward_smile_but_not_vanillas():
     out = eng.price(100.0, 100.0, 0.5)
     assert out["mixing_xi"] == pytest.approx(0.6)
     assert out["std_error"] > 0
+
+
+def test_slv_endpoint_flat_iv_stays_bs():
+    from mcos_tpu.api.server import handle_slv
+    strikes = [np.round(100.0 * m, 2) for m in np.linspace(0.8, 1.2, 9)]
+    out = handle_slv({
+        "spot": 100.0, "strikes": strikes, "maturities": [0.25, 0.5, 1.0],
+        "iv": [[0.2] * 9] * 3, "price_strikes": [95.0, 100.0, 105.0],
+        "T": 0.5, "r": 0.05, "q": 0.01, "num_paths": 100_000})
+    for row in out["chain"]:
+        ref = float(bs_price(100.0, row["strike"], 0.5, 0.05, 0.01, 0.2,
+                             True))
+        assert abs(row["price"] - ref) < 4 * row["std_error"] + 0.012 * ref
+    assert out["mixing_xi"] == pytest.approx(0.6)
