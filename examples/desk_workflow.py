@@ -144,6 +144,15 @@ def main():
                  f"{rep['unexplained']:+.3f}")
     assert abs(rep["unexplained"]) < 0.05 * abs(rep["total_pnl"]) + 0.5
 
+    # ── 13. quote an illiquid strike: how much is model choice? ──────────
+    from mcos_tpu.engine.modelrisk import model_risk_report
+    mr = model_risk_report(spot, spot * 0.93, T, is_call=False,
+                           svj=fitted, num_paths=65_536)
+    stage("modelrisk", f"93% put band "
+                       f"{mr['model_risk_band_volpts'] * 100:.2f} volpts "
+                       f"across {len(mr['prices'])} models")
+    assert mr["model_risk_band_volpts"] > 0
+
     print("\nworkflow complete — all sanity checks passed")
 
 

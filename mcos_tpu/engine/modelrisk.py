@@ -31,9 +31,6 @@ from mcos_tpu.models.params import SVJParams
 from mcos_tpu.ops.bs import bs_price
 from mcos_tpu.ops.cos_pricer import cos_price, heston_price
 
-Array = object
-
-
 def model_risk_report(spot: float, strike: float, T: float,
                       is_call: bool = True,
                       atm_vol: float = 0.2,
@@ -90,7 +87,8 @@ def model_risk_report(spot: float, strike: float, T: float,
                              v0=v0, a=0.1, b=r, sigma_r=0.01, r0=r,
                              rho_sv=float(svj.rho), rho_sr=0.3, q=q),
                    num_paths=num_paths, num_steps=96, seed=seed)
-    prices["hhw"] = float(hw.price(spot, strike, T, is_call)["price"])
+    h_res = hw.price(spot, strike, T, is_call)
+    prices["hhw"] = float(h_res["price"])
 
     ivs = {name: implied_vol(px, spot, strike, T, r, q, is_call)
            for name, px in prices.items()}
@@ -104,5 +102,6 @@ def model_risk_report(spot: float, strike: float, T: float,
         "model_risk_band_price": float(max(vals) - min(vals)),
         "model_risk_band_volpts": float(band_vol),
         "anchor_atm_vol": atm_vol,
-        "mc_std_errors": {"rough": float(r_res["std_error"])},
+        "mc_std_errors": {"rough": float(r_res["std_error"]),
+                          "hhw": float(h_res["std_error"])},
     }

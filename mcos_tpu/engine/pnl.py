@@ -25,8 +25,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict
 
-import numpy as np
-
 from mcos_tpu.models.params import SVJParams
 from mcos_tpu.ops.cos_pricer import cos_price
 

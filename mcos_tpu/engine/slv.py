@@ -34,7 +34,7 @@ vanilla chain through the SLV mix (the property desks buy SLV for).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
