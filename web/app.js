@@ -355,7 +355,7 @@ async function autocallPrice() {
 
 async function modelRisk() {
   const btn = $("modelrisk-btn");
-  btn.disabled = true; btn.textContent = "pricing 5 models…";
+  btn.disabled = true; btn.textContent = "pricing the model zoo…";
   try {
     const out = await api("/api/modelrisk", {
       spot: Number($("spot").value),
