@@ -84,3 +84,32 @@ def test_slv_endpoint_flat_iv_stays_bs():
                              True))
         assert abs(row["price"] - ref) < 4 * row["std_error"] + 0.012 * ref
     assert out["mixing_xi"] == pytest.approx(0.6)
+
+
+def test_forward_start_separates_slv_from_local_vol():
+    """Same Dupire surface, same vanilla prices — materially different
+    forward-start prices: the dynamics difference SLV exists to model
+    (deterministic-in-spot LV forward smiles vs persistent stochastic-v
+    smiles)."""
+    mats = np.array([0.25, 0.5, 1.0])
+    ssvi = SSVISurface(mats, 0.04 * mats, rho=-0.7, eta=1.2, gamma=0.4)
+    lv = LocalVolSurface.from_ssvi(ssvi, 100.0, r=0.05, q=0.01)
+    mix = SVJParams(kappa=2.0, theta=0.04, xi=0.8, rho=-0.7, v0=0.04,
+                    lambda_j=0.0, r=0.05, q=0.01)
+    pure = SVJParams(kappa=2.0, theta=0.04, xi=1e-4, rho=0.0, v0=0.04,
+                     lambda_j=0.0, r=0.05, q=0.01)
+    slv = SLVEngine(lv, mix, num_paths=200_000, num_steps=128, seed=3)
+    lve = SLVEngine(lv, pure, num_paths=200_000, num_steps=128, seed=3)
+
+    # vanillas agree (both reprice the surface)...
+    va = slv.price(100.0, [100.0], 1.0)
+    vb = lve.price(100.0, [100.0], 1.0)
+    assert abs(va["price"][0] - vb["price"][0]) < 4 * np.hypot(
+        va["std_error"][0], vb["std_error"][0]) + 0.015 * va["price"][0]
+
+    # ...while the forward-start ATM performance call separates hard.
+    a = slv.price_forward_start(100.0, 0.5, 1.0, k=1.0)
+    b = lve.price_forward_start(100.0, 0.5, 1.0, k=1.0)
+    joint = np.hypot(a["std_error"], b["std_error"])
+    assert abs(a["price"] - b["price"]) > 5 * joint
+    assert abs(a["t1_effective"] - 0.5) < 0.02
