@@ -51,13 +51,16 @@ _LEV2_MIN, _LEV2_MAX = 0.01, 100.0      # leverage^2 clip (stability)
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "n_bins",
-                                   "k_snapshot"))
+                                   "k_snapshot", "track_extremes"))
 def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
                  key, *, num_paths: int, num_steps: int,
-                 n_bins: int = 101, k_snapshot: int = -1) -> Array:
+                 n_bins: int = 101, k_snapshot: int = -1,
+                 track_extremes: bool = False) -> Array:
     """(2, num_paths) terminal spots under the particle-calibrated SLV —
     or, with `k_snapshot >= 0`, a (2, 2, num_paths) stack of
-    (S at step k_snapshot, S at T) for forward-start payoffs.
+    (S at step k_snapshot, S at T) for forward-start payoffs; with
+    `track_extremes`, a (3, 2, num_paths) stack of (S_T, running max,
+    running min) for barrier/lookback payoffs.
 
     `params` supplies the Heston block (kappa, theta, xi, rho, v0, r, q;
     jumps ignored); `var_rows`/`t_mid`/`y0`/`dy` are the Dupire table in
@@ -78,7 +81,7 @@ def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
     rho_perp = jnp.sqrt(1.0 - p.rho * p.rho)
 
     def step(carry, inputs):
-        log_s, v, snap = carry
+        log_s, v, snap, mx, mn = carry
         step_idx, row, t = inputs
         k_step = jax.random.fold_in(key, step_idx)
         z = jax.random.normal(k_step, (2, num_paths), dtype)
@@ -124,14 +127,19 @@ def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
                         + p.xi * _safe_sqrt(v_pos) * dw2 * sqrt_dt, 0.0)
         if k_snapshot >= 0:
             snap = jnp.where(step_idx == k_snapshot, log_s, snap)
-        return (log_s, v, snap), None
+        if track_extremes:
+            mx = jnp.maximum(mx, log_s)
+            mn = jnp.minimum(mn, log_s)
+        return (log_s, v, snap, mx, mn), None
 
     zeros = jnp.zeros((2, num_paths), dtype)
     init = (zeros, jnp.full((2, num_paths), jnp.asarray(p.v0, dtype)),
-            zeros)
-    (log_s, _, snap), _ = jax.lax.scan(
+            zeros, zeros, zeros)   # log(S/S0)=0 seeds max/min with t_0
+    (log_s, _, snap, mx, mn), _ = jax.lax.scan(
         step, init,
         (jnp.arange(num_steps), var_rows, jnp.asarray(t_mid, dtype)))
+    if track_extremes:
+        return spot * jnp.exp(jnp.stack([log_s, mx, mn]))
     if k_snapshot >= 0:
         return spot * jnp.exp(jnp.stack([snap, log_s]))
     return spot * jnp.exp(log_s)
@@ -191,6 +199,40 @@ class SLVEngine:
             "std_error": disc * float(jnp.std(pay))
             / float(np.sqrt(pay.shape[0])),
             "t1_effective": (k1 + 1) * T / self.num_steps,
+            "num_paths_used": self.num_paths,
+        }
+
+    def price_barrier(self, spot: float, strike: float, T: float,
+                      barrier: float, is_call: bool = True,
+                      knock: str = "out",
+                      direction: str = None) -> Dict[str, float]:
+        """Discretely-monitored barrier under SLV — the canonical SLV
+        product: with vanillas pinned to one surface, the barrier price
+        moves monotonically with the mixing strength between the pure-LV
+        and Heston-like values (the trader's 'mixing fraction' dial)."""
+        if direction is None:
+            direction = "up" if barrier >= spot else "down"
+        rows, t_mid = self.surface.step_tables(T, self.num_steps)
+        s = slv_terminal(
+            self.heston, jnp.asarray(rows), jnp.asarray(t_mid),
+            float(self.surface.y_grid[0]),
+            float(self.surface.y_grid[1] - self.surface.y_grid[0]),
+            spot, T, jax.random.key(self.seed),
+            num_paths=self.num_paths, num_steps=self.num_steps,
+            n_bins=self.n_bins, track_extremes=True)  # (3, 2, paths)
+        s_t, s_max, s_min = s[0], s[1], s[2]
+        hit = s_max >= barrier if direction == "up" else s_min <= barrier
+        alive = hit if knock == "in" else ~hit
+        phi = 1.0 if is_call else -1.0
+        pay = combine_antithetic(
+            jnp.maximum(phi * (s_t - strike), 0.0) * alive)
+        disc = float(np.exp(-float(self.heston.r) * T))
+        return {
+            "price": disc * float(jnp.mean(pay)),
+            "std_error": disc * float(jnp.std(pay))
+            / float(np.sqrt(pay.shape[0])),
+            "hit_fraction": float(jnp.mean(hit)),
+            "mixing_xi": float(self.heston.xi),
             "num_paths_used": self.num_paths,
         }
 

@@ -113,3 +113,27 @@ def test_forward_start_separates_slv_from_local_vol():
     joint = np.hypot(a["std_error"], b["std_error"])
     assert abs(a["price"] - b["price"]) > 5 * joint
     assert abs(a["t1_effective"] - 0.5) < 0.02
+
+
+def test_barrier_price_is_monotone_in_mixing():
+    """Vanillas pinned by the surface, the up-and-out call still moves
+    monotonically with the mixing strength — the dial traders mark
+    barriers with (pure LV at xi~0, Heston-like at full mixing)."""
+    mats = np.array([0.25, 0.5, 1.0])
+    ssvi = SSVISurface(mats, 0.04 * mats, rho=-0.7, eta=1.2, gamma=0.4)
+    lv = LocalVolSurface.from_ssvi(ssvi, 100.0, r=0.05, q=0.01)
+
+    def note(xi, rho):
+        h = SVJParams(kappa=2.0, theta=0.04, xi=xi, rho=rho, v0=0.04,
+                      lambda_j=0.0, r=0.05, q=0.01)
+        return SLVEngine(lv, h, num_paths=150_000, num_steps=128,
+                         seed=3).price_barrier(100.0, 100.0, 1.0, 115.0)
+
+    lv_p = note(1e-4, 0.0)
+    mid = note(0.4, -0.7)
+    full = note(0.8, -0.7)
+    se = 4 * max(lv_p["std_error"], mid["std_error"], full["std_error"])
+    assert lv_p["price"] + se < mid["price"] < full["price"] + se
+    assert full["price"] - lv_p["price"] > 0.3     # a real price swing
+    # knock accounting stays sane
+    assert 0.2 < lv_p["hit_fraction"] < 0.8
