@@ -276,6 +276,12 @@ class SLVRequest(BaseModel):
     v0: float = Field(0.04, gt=0, le=4.0)
     num_paths: int = Field(200_000, **_PATHS)
     num_steps: int = Field(128, ge=16, le=2048)
+    # mode "chain" (default) | "barrier" | "forward_start"
+    mode: str = "chain"
+    barrier: float = 0.0
+    knock: str = "out"
+    t1: float = 0.0                  # forward-start reset date
+    k: float = 1.0                   # forward-start performance strike
 
 
 class ModelRiskRequest(BaseModel):

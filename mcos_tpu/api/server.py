@@ -513,16 +513,30 @@ def handle_slv(body: dict) -> dict:
                        r=req.r, q=req.q)
     eng = SLVEngine(surf, heston, num_paths=req.num_paths,
                     num_steps=req.num_steps)
-    res = eng.price(req.spot, req.price_strikes, req.T,
-                    is_call=req.is_call)
-    out = {
-        "chain": [{"strike": float(k), "price": p, "std_error": s}
-                  for k, p, s in zip(req.price_strikes, res["price"],
-                                     res["std_error"])],
-        "mixing_xi": res["mixing_xi"],
-        "num_paths_used": res["num_paths_used"],
-        "elapsed_ms": round((time.time() - start) * 1000, 1),
-    }
+    if req.mode == "barrier":
+        if req.barrier <= 0:
+            raise ApiError(400, "barrier mode needs barrier > 0")
+        out = eng.price_barrier(req.spot, req.price_strikes[0], req.T,
+                                req.barrier, is_call=req.is_call,
+                                knock=req.knock)
+    elif req.mode == "forward_start":
+        if not 0.0 < req.t1 < req.T:
+            raise ApiError(400, "need 0 < t1 < T")
+        out = eng.price_forward_start(req.spot, req.t1, req.T, k=req.k,
+                                      is_call=req.is_call)
+    elif req.mode == "chain":
+        res = eng.price(req.spot, req.price_strikes, req.T,
+                        is_call=req.is_call)
+        out = {
+            "chain": [{"strike": float(k), "price": p, "std_error": s}
+                      for k, p, s in zip(req.price_strikes, res["price"],
+                                         res["std_error"])],
+            "mixing_xi": res["mixing_xi"],
+            "num_paths_used": res["num_paths_used"],
+        }
+    else:
+        raise ApiError(400, f"unknown mode {req.mode!r}")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 
 
