@@ -236,6 +236,28 @@ class SLVEngine:
             "num_paths_used": self.num_paths,
         }
 
+    def greeks(self, spot: float, strike: float, T: float,
+               is_call: bool = True,
+               rel_bump: float = 0.005) -> Dict[str, float]:
+        """delta/gamma by CRN central differences of the engine price.
+
+        Deliberately NOT pathwise AD: the particle estimator's bin
+        assignment is a discrete function of the path cloud, so AD would
+        silently drop the d(leverage)/d(spot) term; CRN bumps reprice
+        through the full self-calibrating pipeline (leverage re-forms
+        under each bumped cloud — sticky-local-vol-style dynamics).
+        """
+        h = spot * rel_bump
+        pu = self.price(spot + h, strike, T, is_call)["price"]
+        pm = self.price(spot, strike, T, is_call)
+        pd = self.price(spot - h, strike, T, is_call)["price"]
+        return {
+            "price": pm["price"],
+            "delta": (pu - pd) / (2 * h),
+            "gamma": (pu - 2 * pm["price"] + pd) / h**2,
+            "std_error": pm["std_error"],
+        }
+
     def price(self, spot: float, strikes, T: float,
               is_call: bool = True) -> Dict[str, object]:
         strikes_arr = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))

@@ -137,3 +137,15 @@ def test_barrier_price_is_monotone_in_mixing():
     assert full["price"] - lv_p["price"] > 0.3     # a real price swing
     # knock accounting stays sane
     assert 0.2 < lv_p["hit_fraction"] < 0.8
+
+
+def test_crn_fd_greeks_match_bs_on_flat_surface():
+    from mcos_tpu.ops.bs import bs_delta, bs_gamma
+    surf = LocalVolSurface.flat(0.2, r=0.05, q=0.01)
+    eng = SLVEngine(surf, HESTON, num_paths=200_000, num_steps=96)
+    g = eng.greeks(100.0, 100.0, 0.5)
+    assert g["delta"] == pytest.approx(
+        float(bs_delta(100.0, 100.0, 0.5, 0.05, 0.01, 0.2, True)),
+        abs=0.02)
+    assert g["gamma"] == pytest.approx(
+        float(bs_gamma(100.0, 100.0, 0.5, 0.05, 0.01, 0.2)), rel=0.25)
