@@ -227,6 +227,9 @@ class ExposureRequest(BaseModel):
     # margin-period-of-risk lag (None = uncollateralized)
     collateral_threshold: Optional[float] = Field(None, ge=0.0)
     margin_period: float = Field(10.0 / 252.0, gt=0.0, le=1.0)
+    # Wrong-way risk: spot-linked intensity h0 * (S0/S_t)^gamma on asset 0
+    # (0 = independent hazard, the default)
+    wwr_gamma: float = Field(0.0, ge=-10.0, le=10.0)
 
 
 class HHWRequest(BaseModel):

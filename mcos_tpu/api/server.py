@@ -677,6 +677,10 @@ def handle_exposure(body: dict) -> dict:
         out["credit"] = eng.cva(hazard_rate=req.hazard_rate, lgd=req.lgd,
                                 num_dates=req.num_dates,
                                 own_hazard=req.own_hazard)
+        if req.wwr_gamma != 0.0:
+            out["credit"]["wwr"] = eng.cva_wwr(
+                hazard_rate=req.hazard_rate, lgd=req.lgd,
+                gamma=req.wwr_gamma, num_dates=req.num_dates)
     if req.with_cva_delta:
         out["cva_delta"] = eng.cva_delta(
             hazard_rate=req.hazard_rate, lgd=req.lgd,

@@ -113,11 +113,12 @@ def _exposure_values(spots, sigmas, chol, r, q_by_asset, dates, key,
                          + sigmas * jnp.sqrt(d) * z)
         net, gross = _book_value(jnp.exp(log_s), t, kind, strike, mat, qty,
                                  asset, r, q_by_asset, sigmas)
-        return (log_s, i + 1), (net, gross)
+        # Asset 0's level ratio rides along as the wrong-way-risk driver.
+        return (log_s, i + 1), (net, gross, jnp.exp(log_s[:, 0]) / spots[0])
 
-    (_, _), (net, gross) = jax.lax.scan(
+    (_, _), (net, gross, s_ratio) = jax.lax.scan(
         step, (log_s0, jnp.int32(0)), (dates, deltas))
-    return net, gross
+    return net, gross, s_ratio
 
 
 class ExposureEngine:
@@ -176,7 +177,7 @@ class ExposureEngine:
         horizon = float(horizon or mat.max())
         dates = np.linspace(horizon / num_dates, horizon,
                             num_dates).astype(np.float32)
-        net, gross = self._values(dates)
+        net, gross, _ = self._values(dates)
         if collateral_threshold is not None:
             thr = jnp.float32(collateral_threshold)
             # index of the newest grid date <= t - MPR (or -1 ⇒ no call yet)
@@ -228,6 +229,54 @@ class ExposureEngine:
             out["bcva"] = cva - out["dva"]
         return out
 
+    def cva_wwr(self, hazard_rate: float = 0.02, lgd: float = 0.6,
+                gamma: float = 1.0, num_dates: int = 32,
+                horizon: Optional[float] = None) -> Dict[str, float]:
+        """CVA with wrong-way risk: a spot-linked stochastic intensity
+
+            lambda_t = h0 * (S_0 / S_t)^gamma        (asset 0's level),
+
+        so default clusters when the market sells off. Pathwise Cox
+        accounting: conditional on the path, the default probability in
+        bucket i is exp(-Lambda_{i-1}) - exp(-Lambda_i) with Lambda the
+        left-point intensity integral, and
+
+            CVA = LGD * E[ sum_i disc_i * V_i^+ * dPD_i(path) ].
+
+        gamma = 0 reduces EXACTLY to the independent-hazard `cva()`
+        formula (test-pinned); gamma > 0 raises the CVA of books whose
+        exposure grows as the market falls (short puts — wrong way) and
+        lowers it for books long the market (right way).
+        """
+        mat = self.pos_arrays[2]
+        horizon = float(horizon or mat.max())
+        dates = np.linspace(horizon / num_dates, horizon,
+                            num_dates).astype(np.float32)
+        net, _, s_ratio = self._values(dates)
+        pos = jnp.maximum(net, 0.0)                     # (dates, paths)
+        lam = hazard_rate * s_ratio ** (-gamma)         # intensity per date
+        deltas = jnp.asarray(
+            np.diff(np.concatenate([[0.0], dates])), jnp.float32)
+        # Left-point integral: Lambda_i = sum_{j<i} lam_j * dt_j + h0*dt_1
+        # for the first bucket (intensity from t=0 uses h0 — S ratio is 1).
+        lam_left = jnp.concatenate(
+            [jnp.full((1, lam.shape[1]), hazard_rate, jnp.float32),
+             lam[:-1]], axis=0)
+        big_lambda = jnp.cumsum(lam_left * deltas[:, None], axis=0)
+        surv = jnp.exp(-big_lambda)                     # S(t_i) per path
+        surv_prev = jnp.concatenate(
+            [jnp.ones((1, lam.shape[1]), jnp.float32), surv[:-1]], axis=0)
+        dpd = surv_prev - surv
+        disc = jnp.asarray(np.exp(-self.r * dates), jnp.float32)[:, None]
+        cva = lgd * float(jnp.mean(jnp.sum(disc * pos * dpd, axis=0)))
+        return {
+            "cva": cva,
+            "gamma": float(gamma),
+            "hazard_rate": hazard_rate,
+            "lgd": lgd,
+            "mean_pd_horizon": float(jnp.mean(1.0 - surv[-1])),
+        }
+
     def cva_delta(self, hazard_rate: float = 0.02, lgd: float = 0.6,
                   num_dates: int = 32) -> Dict[str, object]:
         """dCVA/dS0 per asset — ONE jax.grad pass through the exposure
@@ -242,7 +291,7 @@ class ExposureEngine:
         dpd = jnp.exp(-hazard_rate * t_prev) - jnp.exp(-hazard_rate * dates)
 
         def cva_of(spots):
-            net, _ = _exposure_values(
+            net, _, _ = _exposure_values(
                 spots, jnp.asarray(self.sigmas), jnp.asarray(self.chol),
                 jnp.float32(self.r), jnp.asarray(self.q), dates,
                 jax.random.key(self.seed), kind, strike, mat, qty, asset,

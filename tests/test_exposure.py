@@ -123,3 +123,28 @@ def test_collateral_threshold_limits():
     assert zero_thr["epe"] < 0.25 * un["epe"]
     # before the first margin call (t <= MPR) nothing is held yet
     assert zero_thr["ee"][0] == pytest.approx(un["ee"][0], rel=1e-6)
+
+
+def test_wrong_way_risk_cva():
+    """gamma = 0 reduces exactly to the independent-hazard CVA; positive
+    gamma lowers a long-call book's CVA (right-way: exposure grows with
+    the market, default clusters against it) and raises a long-put
+    book's (wrong-way: both grow as the market falls)."""
+    call_eng = _engine([CALL], num_paths=100_000)
+    base = call_eng.cva(hazard_rate=0.03, lgd=0.6, num_dates=16)
+    w0 = call_eng.cva_wwr(hazard_rate=0.03, lgd=0.6, gamma=0.0,
+                          num_dates=16)
+    assert w0["cva"] == pytest.approx(base["cva"], rel=1e-5)
+
+    w2 = call_eng.cva_wwr(hazard_rate=0.03, lgd=0.6, gamma=2.0,
+                          num_dates=16)
+    assert w2["cva"] < 0.9 * w0["cva"]          # right-way relief
+
+    put_eng = _engine([{"kind": "put", "strike": 100.0, "T": T}],
+                      num_paths=100_000)
+    p0 = put_eng.cva_wwr(hazard_rate=0.03, lgd=0.6, gamma=0.0,
+                         num_dates=16)
+    p2 = put_eng.cva_wwr(hazard_rate=0.03, lgd=0.6, gamma=2.0,
+                         num_dates=16)
+    assert p2["cva"] > 1.2 * p0["cva"]          # wrong-way penalty
+    assert 0.0 < p2["mean_pd_horizon"] < 0.2
