@@ -70,8 +70,11 @@ from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.engine.modelrisk import model_risk_report  # noqa: F401
 from mcos_tpu.engine.slv import SLVEngine  # noqa: F401
 from mcos_tpu.ops.levy import (  # noqa: F401
+    NIGParams,
     VGParams,
     calibrate_vg,
+    nig_cos_price,
+    nig_terminal,
     vg_cos_price,
     vg_price_mc,
     vg_terminal,

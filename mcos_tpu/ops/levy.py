@@ -209,3 +209,113 @@ def calibrate_vg(spot: float, strikes, T: float, market_prices,
         "sigma": sigma, "nu": nu, "theta": theta,
         "rmse_price": rmse, "n_quotes": int(market.size),
     }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Normal Inverse Gaussian: BM on an inverse-Gaussian clock
+# ─────────────────────────────────────────────────────────────────────────────
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NIGParams:
+    """NIG in the time-change parametrization: X_T = theta*I + sigma*
+    sqrt(I)*Z with I ~ InverseGaussian(mean=T, Var=nu*T) — the same
+    (sigma, nu, theta) reading as VGParams but with semi-heavy
+    (exponential-ish) tails instead of VG's heavier ones."""
+
+    sigma: float = 0.2
+    nu: float = 0.2
+    theta: float = -0.14
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+
+    @property
+    def omega(self):
+        """Martingale compensator from the IG Laplace transform:
+        E[e^{(theta + sigma^2/2) I}] = exp(T/nu (1 - sqrt(1 - 2 nu s)))."""
+        s = self.theta + 0.5 * self.sigma**2
+        return (jnp.sqrt(1.0 - 2.0 * self.nu * s) - 1.0) / self.nu
+
+
+def nig_cf(u: np.ndarray, p: "NIGParams", T: float,
+           spot: float) -> np.ndarray:
+    """Characteristic function E[e^{iu ln S_T}] (host complex128)."""
+    sigma, nu, theta = float(p.sigma), float(p.nu), float(p.theta)
+    r, q = float(p.r), float(p.q)
+    omega = (np.sqrt(1.0 - 2.0 * nu * (theta + 0.5 * sigma**2))
+             - 1.0) / nu
+    u = np.asarray(u, np.complex128)
+    iu = 1j * u
+    drift = iu * (np.log(spot) + (r - q + omega) * T)
+    s = 0.5 * sigma**2 * u**2 - 1j * theta * u
+    return np.exp(drift + (T / nu) * (1.0 - np.sqrt(1.0 + 2.0 * nu * s)))
+
+
+def nig_cos_price(p: "NIGParams", spot: float, strikes, T: float,
+                  is_call: bool = True, n_terms: int = 512,
+                  L: float = 14.0) -> np.ndarray:
+    """Semi-analytic NIG prices (COS; the exact-sampler's oracle)."""
+    sigma, nu, theta = float(p.sigma), float(p.nu), float(p.theta)
+    r, q = float(p.r), float(p.q)
+    omega = (np.sqrt(1.0 - 2.0 * nu * (theta + 0.5 * sigma**2))
+             - 1.0) / nu
+    strikes = np.atleast_1d(np.asarray(strikes, np.float64))
+    c1 = np.log(spot) + (r - q + omega) * T + theta * T
+    c2 = (sigma**2 + nu * theta**2) * T
+    c4 = 3.0 * (sigma**4 * nu + 2.0 * theta**4 * nu**3
+                + 4.0 * sigma**2 * theta**2 * nu**2) * T
+    half = L * np.sqrt(c2 + np.sqrt(max(c4, 0.0)))
+    a, b = c1 - half, c1 + half
+    k = np.arange(n_terms)
+    u = k * np.pi / (b - a)
+    phi = nig_cf(u, p, T, spot)
+    weights = np.ones(n_terms)
+    weights[0] = 0.5
+    x_shift = np.exp(-1j * u * a)
+    prices = np.empty(strikes.shape, np.float64)
+    for i, K in enumerate(strikes):
+        c_lo, c_hi = a, min(np.log(K), b)
+        if c_hi <= c_lo:
+            put = 0.0
+        else:
+            chi, psi = _chi_psi(a, b, c_lo, c_hi, k)
+            v_k = 2.0 / (b - a) * (K * psi - chi)
+            put = np.exp(-r * T) * np.sum(
+                weights * np.real(phi * x_shift) * v_k)
+        prices[i] = (put + spot * np.exp(-q * T) - K * np.exp(-r * T)
+                     if is_call else put)
+    return np.maximum(prices, 0.0)
+
+
+def _sample_inverse_gaussian(key, mu, lam, shape, dtype=jnp.float32):
+    """Michael-Schucany-Haas IG(mean=mu, shape=lam) sampler — branchless
+    (one normal + one uniform + a select), so it vectorizes on the VPU."""
+    k_n, k_u = jax.random.split(key)
+    z = jax.random.normal(k_n, shape, dtype)
+    u = jax.random.uniform(k_u, shape, dtype)
+    y = z * z
+    x = (mu + 0.5 * mu * mu * y / lam
+         - 0.5 * mu / lam * jnp.sqrt(4.0 * mu * lam * y
+                                     + (mu * y) ** 2))
+    x = jnp.maximum(x, 1e-12)
+    return jnp.where(u <= mu / (mu + x), x, mu * mu / x)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "antithetic"))
+def nig_terminal(p: "NIGParams", spot, T, key, *, num_paths: int,
+                 antithetic: bool = True) -> Array:
+    """(branches, paths) EXACT terminal spots — one IG draw + one normal
+    (antithetic negates Z on the shared clock, as in VG)."""
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    k_i, k_z = jax.random.split(key)
+    # I ~ IG(mean=T, Var=nu*T): Var = mu^3/lam ⇒ lam = T^2/nu... with
+    # mu = T: Var = T^3/lam = nu T ⇒ lam = T^2/nu.
+    ig = _sample_inverse_gaussian(k_i, T, T * T / p.nu, (num_paths,),
+                                  dtype)
+    z = jax.random.normal(k_z, (num_paths,), dtype)
+    n_branch = 2 if antithetic else 1
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+    growth = ((p.r - p.q + p.omega) * T + p.theta * ig[None, :]
+              + p.sigma * jnp.sqrt(ig)[None, :] * (sign * z[None, :]))
+    return spot * jnp.exp(growth)

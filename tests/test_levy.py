@@ -72,3 +72,42 @@ def test_calibration_recovers_vg_parameters():
     assert fit["nu"] == pytest.approx(0.35, abs=1e-3)
     assert fit["theta"] == pytest.approx(-0.22, abs=1e-3)
     assert fit["rmse_price"] < 1e-8
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# NIG (inverse-Gaussian clock)
+# ─────────────────────────────────────────────────────────────────────────────
+def test_nig_mc_matches_cos():
+    from mcos_tpu.ops.levy import NIGParams, nig_cos_price, nig_terminal
+    p = NIGParams(sigma=0.2, nu=0.2, theta=-0.14, r=0.05, q=0.01)
+    st = nig_terminal(p, S, T, jax.random.key(1), num_paths=500_000)
+    ks = [85.0, 100.0, 115.0]
+    pay = jnp.maximum(st[..., None] - jnp.asarray(ks), 0.0).mean(axis=0)
+    disc = np.exp(-p.r * T)
+    mc = disc * np.asarray(pay.mean(axis=0))
+    se = disc * np.asarray(pay.std(axis=0)) / np.sqrt(pay.shape[0])
+    cos = nig_cos_price(p, S, ks, T, True)
+    assert np.all(np.abs(mc - cos) / se < 4.0)
+
+
+def test_nig_martingale_and_bs_limit():
+    from mcos_tpu.ops.levy import NIGParams, nig_cos_price, nig_terminal
+    p = NIGParams(sigma=0.2, nu=0.2, theta=-0.14, r=0.05, q=0.01)
+    st = nig_terminal(p, S, T, jax.random.key(2), num_paths=1_000_000)
+    se = float(st.std()) / np.sqrt(st.size / 2)
+    assert abs(float(st.mean()) - S * np.exp((p.r - p.q) * T)) < 4 * se
+    p0 = NIGParams(sigma=0.2, nu=1e-5, theta=0.0, r=0.05, q=0.01)
+    ref = float(bs_price(S, 100.0, T, 0.05, 0.01, 0.2, True))
+    assert nig_cos_price(p0, S, [100.0], T, True)[0] == pytest.approx(
+        ref, rel=2e-4)
+
+
+def test_nig_tails_lighter_than_vg_at_same_moments():
+    # Same (sigma, nu, theta): NIG's semi-heavy tails price the deep OTM
+    # put BELOW VG's heavier polynomial-corrected exponential tails.
+    from mcos_tpu.ops.levy import NIGParams, nig_cos_price
+    pv = VGParams(sigma=0.2, nu=0.6, theta=-0.14, r=0.05, q=0.01)
+    pn = NIGParams(sigma=0.2, nu=0.6, theta=-0.14, r=0.05, q=0.01)
+    vg = vg_cos_price(pv, S, [70.0], T, False)[0]
+    nig = nig_cos_price(pn, S, [70.0], T, False)[0]
+    assert vg != pytest.approx(nig, rel=1e-3)   # genuinely different laws
