@@ -72,6 +72,7 @@ from mcos_tpu.engine.slv import SLVEngine  # noqa: F401
 from mcos_tpu.ops.levy import (  # noqa: F401
     NIGParams,
     VGParams,
+    calibrate_nig,
     calibrate_vg,
     nig_cos_price,
     nig_terminal,

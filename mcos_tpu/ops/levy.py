@@ -319,3 +319,51 @@ def nig_terminal(p: "NIGParams", spot, T, key, *, num_paths: int,
     growth = ((p.r - p.q + p.omega) * T + p.theta * ig[None, :]
               + p.sigma * jnp.sqrt(ig)[None, :] * (sign * z[None, :]))
     return spot * jnp.exp(growth)
+
+
+def calibrate_nig(spot: float, strikes, T: float, market_prices,
+                  r: float = None, q: float = None, is_call: bool = True,
+                  n_starts: int = 4, seed: int = 0) -> dict:
+    """Fit NIG (sigma, nu, theta) to a single-maturity price smile —
+    same multi-start trust-region recipe as `calibrate_vg` (the COS
+    objective is host f64 microseconds). Round-trip recovery pinned."""
+    from scipy.optimize import least_squares
+
+    r = RISK_FREE_RATE if r is None else float(r)
+    q = DIVIDEND_YIELD if q is None else float(q)
+    strikes = np.asarray(strikes, np.float64)
+    market = np.asarray(market_prices, np.float64)
+    lo = np.array([0.02, 0.01, -1.5])
+    hi = np.array([2.00, 2.00, 0.5])
+
+    def resid(x):
+        sigma, nu, theta = x
+        # The IG Laplace sqrt argument must stay positive.
+        if 1.0 - 2.0 * nu * (theta + 0.5 * sigma**2) <= 1e-6:
+            return np.full(market.shape, 1e3)
+        p = NIGParams(sigma=sigma, nu=nu, theta=theta, r=r, q=q)
+        return nig_cos_price(p, spot, strikes, T, is_call) - market
+
+    rng = np.random.default_rng(seed)
+    best = None
+    starts = [np.array([0.2, 0.2, -0.1])] + [
+        lo + rng.random(3) * (hi - lo) for _ in range(n_starts - 1)]
+    for x0 in starts:
+        if 1.0 - 2.0 * x0[1] * (x0[2] + 0.5 * x0[0]**2) <= 1e-3:
+            continue
+        try:
+            res = least_squares(resid, x0, bounds=(lo, hi), xtol=1e-12)
+        except Exception:  # noqa: BLE001
+            continue
+        if best is None or res.cost < best.cost:
+            best = res
+    if best is None:
+        raise RuntimeError("NIG calibration failed from every start")
+    sigma, nu, theta = (float(v) for v in best.x)
+    return {
+        "params": NIGParams(sigma=sigma, nu=nu, theta=theta, r=r, q=q),
+        "sigma": sigma, "nu": nu, "theta": theta,
+        "rmse_price": float(np.sqrt(2.0 * best.cost
+                                    / max(market.size, 1))),
+        "n_quotes": int(market.size),
+    }

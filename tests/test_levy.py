@@ -111,3 +111,15 @@ def test_nig_tails_lighter_than_vg_at_same_moments():
     vg = vg_cos_price(pv, S, [70.0], T, False)[0]
     nig = nig_cos_price(pn, S, [70.0], T, False)[0]
     assert vg != pytest.approx(nig, rel=1e-3)   # genuinely different laws
+
+
+def test_calibration_recovers_nig_parameters():
+    from mcos_tpu.ops.levy import NIGParams, calibrate_nig, nig_cos_price
+    true = NIGParams(sigma=0.17, nu=0.3, theta=-0.2, r=0.05, q=0.01)
+    ks = S * np.linspace(0.85, 1.15, 11)
+    mkt = nig_cos_price(true, S, ks, T, True)
+    fit = calibrate_nig(S, ks, T, mkt, r=0.05, q=0.01)
+    assert fit["sigma"] == pytest.approx(0.17, abs=1e-3)
+    assert fit["nu"] == pytest.approx(0.3, abs=5e-3)
+    assert fit["theta"] == pytest.approx(-0.2, abs=5e-3)
+    assert fit["rmse_price"] < 1e-7
