@@ -292,7 +292,8 @@ def config8_sustained(quick):
     from mcos_tpu.ops.hhw import HHWParams
     from mcos_tpu.ops.pallas_kernels import (gbm_terminal_pallas,
                                              hhw_terminal_pallas,
-                                             svj_terminal_pallas)
+                                             svj_terminal_pallas,
+                                             svj_terminal_qe_pallas)
 
     if jax.default_backend() != "tpu":
         return {"skipped": "fused kernels are TPU-only"}
@@ -315,6 +316,10 @@ def config8_sustained(quick):
             elif model == "svj":
                 s, _, _ = svj_terminal_pallas(p, 22500.0, 1.0, seed0 + i,
                                               num_paths=n, num_steps=steps)
+            elif model == "qe":
+                s, _, _ = svj_terminal_qe_pallas(
+                    p, 22500.0, 1.0, seed0 + i, num_paths=n,
+                    num_steps=steps)
             else:
                 s, d = hhw_terminal_pallas(hp, 22500.0, 1.0, seed0 + i,
                                            num_paths=n, num_steps=steps)
@@ -322,7 +327,7 @@ def config8_sustained(quick):
             acc = acc + jnp.sum(jnp.maximum(s - 22500.0, 0.0))
         return acc
 
-    for model in ("gbm", "svj", "hhw"):
+    for model in ("gbm", "svj", "qe", "hhw"):
         _, ms = timed(lambda seed: sustained(seed, model), 0, trials=3)
         out[f"{model}_path_steps_per_sec"] = round(
             chain * 2 * n * steps / (ms / 1000))
