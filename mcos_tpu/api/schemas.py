@@ -100,7 +100,9 @@ class HedgeRequest(BaseModel):
     num_scenarios: int = Field(500, ge=10, le=100_000)
     txn_cost_bps: float = 5.0
     slippage_bps: float = 2.0
-    dynamics: str = "gbm"  # "svj" replays the full jump-diffusion world
+    # "gbm" (reference world) | "svj" (full jump-diffusion) | "rough"
+    # (rough-Bergomi world from a pre-simulated exact-covariance sheet)
+    dynamics: str = "gbm"
 
 
 class SmileRequest(BaseModel):

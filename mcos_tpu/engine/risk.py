@@ -331,6 +331,43 @@ def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
     return pnl, cost
 
 
+@partial(jax.jit, static_argnames=("num_days", "is_call"))
+def _hedge_paths_from_sheet(log_sheet, spot, strike, T, premium, sigma_h,
+                            r, q, *, num_days: int, is_call: bool,
+                            txn_cost_bps: float, slippage_bps: float):
+    """Delta-hedge over a PRE-SIMULATED (scenarios, num_days) log(S/S0)
+    sheet — the path for non-Markovian worlds (rough Bergomi), where the
+    spot cannot be stepped inside the hedging scan. Same accounting as
+    `_hedge_paths`; the hedge ratio stays the desk's BS delta at
+    `sigma_h`."""
+    dt = jnp.asarray(T, jnp.float32) / num_days
+    cost_rate = (txn_cost_bps + slippage_bps) / 10_000.0
+    n_scen = log_sheet.shape[0]
+
+    def day(carry, log_s_next):
+        log_s, cash, shares, cost_acc, t_remaining = carry
+        s = spot * jnp.exp(log_s)
+        delta = bs_delta(s, strike, jnp.maximum(t_remaining, 1e-6),
+                         r, q, sigma_h, is_call)
+        trade = delta - shares
+        cost = jnp.abs(trade) * s * cost_rate
+        cash = cash - trade * s - cost
+        return (log_s_next, cash, delta, cost_acc + cost,
+                t_remaining - dt), None
+
+    init = (jnp.zeros((n_scen,), jnp.float32),
+            jnp.full((n_scen,), premium, jnp.float32),
+            jnp.zeros((n_scen,), jnp.float32),
+            jnp.zeros((n_scen,), jnp.float32),
+            jnp.asarray(T, jnp.float32))
+    (log_s, cash, shares, cost, _), _ = jax.lax.scan(
+        day, init, log_sheet.T)            # scan over the day axis
+    s = spot * jnp.exp(log_s)
+    payoff = jnp.where(is_call, jnp.maximum(s - strike, 0.0),
+                       jnp.maximum(strike - s, 0.0))
+    return cash + shares * s - payoff, cost
+
+
 class HedgingBacktest:
     """Daily delta-hedge backtest of a short option (risk.py:227-337 API)."""
 
@@ -353,21 +390,57 @@ class HedgingBacktest:
     ) -> Dict:
         """dynamics="svj" replays the true jump-diffusion world (gap risk +
         vega bleed against a delta-only BS hedge); "gbm" is the reference's
-        constant-vol backtest world (risk.py:293-294)."""
+        constant-vol backtest world (risk.py:293-294); "rough" replays a
+        rough-Bergomi world (pre-simulated exact-covariance path sheet —
+        the non-Markovian spot cannot be stepped inside the scan), with
+        the premium priced by the rough engine and the hedge ratio still
+        the desk's BS delta at sigma = sqrt(v0=xi)."""
         if num_days is None:
             num_days = max(int(T * 252), 1)
 
-        # Option premium received once (risk.py re-prices it per scenario
-        # with varying seeds — same expectation, pure extra work).
-        eng = MonteCarloEngine(self.params, num_paths=num_mc_paths,
-                               seed=self.seed, use_sobol=False)
-        premium = eng.price(spot, strike, T, is_call)["price"]
+        if dynamics == "rough":
+            from mcos_tpu.ops.rough import (RoughBergomiParams,
+                                            rbergomi_chol,
+                                            rbergomi_conditional_payoffs,
+                                            rbergomi_log_paths)
 
-        pnl, cost = _hedge_paths(
-            self.params, spot, strike, T, premium, jax.random.key(self.seed),
-            num_days=int(num_days), num_scenarios=int(num_scenarios),
-            is_call=is_call, txn_cost_bps=txn_cost_bps,
-            slippage_bps=slippage_bps, dynamics=dynamics)
+            p = self.params
+            rp = RoughBergomiParams(xi=float(p.v0), eta=1.9, rho=-0.9,
+                                    r=float(p.r), q=float(p.q), hurst=0.07)
+            chol = jnp.asarray(rbergomi_chol(rp.hurst, float(T),
+                                             int(num_days)))
+            pay = rbergomi_conditional_payoffs(
+                rp, spot, jnp.asarray([strike], jnp.float32), T, chol,
+                jax.random.key(self.seed + 1), num_paths=num_mc_paths,
+                num_steps=int(num_days), is_call=is_call)
+            premium = float(np.exp(-float(p.r) * T)
+                            * float(jnp.mean(pay)))
+            half = max(int(num_scenarios) // 2, 1)
+            sheet = rbergomi_log_paths(
+                rp, T, chol, jax.random.key(self.seed),
+                num_paths=half, num_steps=int(num_days))
+            sheet = sheet.reshape(-1, int(num_days))
+            pnl, cost = _hedge_paths_from_sheet(
+                sheet, jnp.float32(spot), jnp.float32(strike),
+                jnp.float32(T), jnp.float32(premium),
+                jnp.sqrt(jnp.float32(p.v0)), jnp.float32(p.r),
+                jnp.float32(p.q), num_days=int(num_days),
+                is_call=is_call, txn_cost_bps=txn_cost_bps,
+                slippage_bps=slippage_bps)
+        else:
+            # Option premium received once (risk.py re-prices it per
+            # scenario with varying seeds — same expectation, pure extra
+            # work).
+            eng = MonteCarloEngine(self.params, num_paths=num_mc_paths,
+                                   seed=self.seed, use_sobol=False)
+            premium = eng.price(spot, strike, T, is_call)["price"]
+
+            pnl, cost = _hedge_paths(
+                self.params, spot, strike, T, premium,
+                jax.random.key(self.seed), num_days=int(num_days),
+                num_scenarios=int(num_scenarios), is_call=is_call,
+                txn_cost_bps=txn_cost_bps, slippage_bps=slippage_bps,
+                dynamics=dynamics)
         pnl = np.asarray(pnl)
 
         return {

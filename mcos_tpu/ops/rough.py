@@ -303,6 +303,41 @@ def rbergomi_terminal(params: RoughBergomiParams, spot, T, chol, key, *,
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
+def rbergomi_log_paths(params: RoughBergomiParams, T, chol, key, *,
+                       num_paths: int, num_steps: int,
+                       antithetic: bool = True) -> Array:
+    """(branches, paths, n) log(S_t/S_0) sheet on the grid t_1..t_n.
+
+    The full-path variant of the exact-covariance sampler (one cumsum
+    over the step axis); feeds consumers that need day-by-day spots —
+    e.g. the delta-hedging backtest under rough dynamics."""
+    dtype = jnp.float32
+    T = jnp.asarray(T, dtype)
+    n = num_steps
+    dt = T / n
+    t_left = dt * jnp.arange(n, dtype=dtype)
+    k_w, k_perp = jax.random.split(key)
+    z = jax.random.normal(k_w, (num_paths, 2 * n), dtype)
+    zp = jax.random.normal(k_perp, (num_paths, n), dtype)
+    branches = (1.0, -1.0) if antithetic else (1.0,)
+    rho = params.rho
+    orth = jnp.sqrt(jnp.maximum(1.0 - rho ** 2, 0.0))
+    outs = []
+    for sign in branches:
+        g = (sign * z) @ chol.T
+        w_tilde, dw = g[:, :n], g[:, n:]
+        w_left = jnp.concatenate(
+            [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
+        v = params.xi * jnp.exp(
+            params.eta * w_left
+            - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
+        dz = rho * dw + orth * (sign * zp) * jnp.sqrt(dt)
+        dlog = (params.r - params.q - 0.5 * v) * dt + jnp.sqrt(v) * dz
+        outs.append(jnp.cumsum(dlog, axis=1))
+    return jnp.stack(outs)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
 def rbergomi_path_stats(params: RoughBergomiParams, spot, T, chol, key, *,
                         num_paths: int, num_steps: int,
                         antithetic: bool = True) -> dict:

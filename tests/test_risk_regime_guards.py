@@ -376,3 +376,21 @@ def test_var_endpoint_t_copula():
     out = handle_var(body)
     assert out["copula"] == "student_t"
     assert out["var"] > 0 and out["cvar"] >= out["var"]
+
+
+def test_hedging_backtest_rough_dynamics():
+    """dynamics='rough' replays a rough-Bergomi world from a pre-simulated
+    exact-covariance sheet: delta-only replication must show materially
+    fatter hedging-error tails than the GBM world at the same vol level
+    (stochastic rough vol is exactly what a BS delta cannot hedge)."""
+    from mcos_tpu.engine.risk import HedgingBacktest
+    from mcos_tpu.models.params import gbm_params
+
+    bt = HedgingBacktest(gbm_params(0.2, r=0.05, q=0.01), seed=7)
+    kw = dict(num_scenarios=3000, num_mc_paths=30_000)
+    g = bt.run_backtest(100.0, 100.0, 0.25, dynamics="gbm", **kw)
+    r = bt.run_backtest(100.0, 100.0, 0.25, dynamics="rough", **kw)
+    assert r["std_pnl"] > 2.0 * g["std_pnl"]
+    assert r["pnl_percentiles"]["1%"] < 2.0 * g["pnl_percentiles"]["1%"]
+    assert np.isfinite(r["mean_pnl"])
+    assert r["dynamics"] == "rough"
