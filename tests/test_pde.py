@@ -118,3 +118,14 @@ def test_invalid_dividend_fraction_rejected():
     eng = PDEEngine(sigma=SIG, r=R, q=0.0)
     with pytest.raises(ValueError):
         eng.price(S, K, T, dividends=[(0.25, 1.5)])
+
+
+def test_american_put_under_flat_localvol_matches_crr():
+    # Dupire-coefficient path + projection: flat surface must reproduce
+    # the constant-vol CRR American value.
+    surf = LocalVolSurface.flat(SIG, r=R, q=0.0)
+    eng = PDEEngine(localvol=surf)
+    res = eng.price(S, 115.0, T, is_call=False, american=True)
+    crr = binomial_american_bs(S, 115.0, T, R, 0.0, SIG, steps=2000,
+                               is_call=False)
+    assert res["price"] == pytest.approx(crr, rel=1e-3)
