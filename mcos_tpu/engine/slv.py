@@ -11,8 +11,9 @@ with the leverage surface fixed by the Gyongy/mimicking condition
 
     L(t, S)^2 * E[v_t | S_t = S] = sigma_loc(t, S)^2,
 
-so the SLV marginals match the Dupire surface exactly (vanillas reprice)
-while the v-dynamics keep smile movement stochastic.
+so the SLV marginals match the Dupire surface (exactly in the particle
+limit; the tests bound the finite-cloud remainder at <=2 sigma across a
+chain) while the v-dynamics keep smile movement stochastic.
 
 TPU design — the particle method (Guyon & Henry-Labordere) runs entirely
 inside one `lax.scan`: at each step the conditional expectation
