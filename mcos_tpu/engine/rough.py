@@ -284,6 +284,35 @@ class RoughBergomiEngine:
             pay = jnp.maximum(phi * (extreme - strike), 0.0)
         return self._reduce(pay, T)
 
+    def variance_swap_mc(self, T: float,
+                         num_paths: Optional[int] = None
+                         ) -> Dict[str, float]:
+        """MC fair variance-swap strike from realized variance on the
+        grid: K² = (1/T)·E[Σ (Δlog S)²]. Pins `variance_swap_strike`
+        (the curve value, exact since E[v_t] = ξ(t)) up to the O(dt)
+        drift² and discretization terms — the round-trip that ties the
+        forward-variance curve to what a replicating desk realizes."""
+        from mcos_tpu.ops.rough import rbergomi_log_paths
+
+        n = int(num_paths or self.num_paths)
+        sheet = rbergomi_log_paths(
+            self.params, T, self._chol(T), self._key(),
+            num_paths=n, num_steps=self.num_steps,
+            xi_t=self._xi_t(T))                          # (2, paths, n)
+        dlog = jnp.diff(
+            jnp.concatenate([jnp.zeros_like(sheet[..., :1]), sheet],
+                            axis=-1), axis=-1)
+        rv = jnp.sum(dlog * dlog, axis=-1) / T           # (2, paths)
+        mean = float(jnp.mean(rv))
+        se = float(jnp.std(jnp.mean(rv, axis=0))) / np.sqrt(n)
+        return {
+            "fair_variance": mean,
+            "fair_vol_strike": float(np.sqrt(max(mean, 0.0))),
+            "std_error_variance": se,
+            "curve_strike": self.variance_swap_strike(T),
+            "num_paths_used": n,
+        }
+
     def terminal_sample(self, spot: float, T: float,
                         num_paths: Optional[int] = None) -> np.ndarray:
         """Terminal spots from the plain estimator (for histograms/risk)."""

@@ -305,12 +305,14 @@ def rbergomi_terminal(params: RoughBergomiParams, spot, T, chol, key, *,
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
 def rbergomi_log_paths(params: RoughBergomiParams, T, chol, key, *,
                        num_paths: int, num_steps: int,
-                       antithetic: bool = True) -> Array:
+                       antithetic: bool = True,
+                       xi_t: Optional[Array] = None) -> Array:
     """(branches, paths, n) log(S_t/S_0) sheet on the grid t_1..t_n.
 
     The full-path variant of the exact-covariance sampler (one cumsum
     over the step axis); feeds consumers that need day-by-day spots —
-    e.g. the delta-hedging backtest under rough dynamics."""
+    e.g. the delta-hedging backtest under rough dynamics. `xi_t` as in
+    `rbergomi_core` (forward-variance curve at left endpoints)."""
     dtype = jnp.float32
     T = jnp.asarray(T, dtype)
     n = num_steps
@@ -322,13 +324,15 @@ def rbergomi_log_paths(params: RoughBergomiParams, T, chol, key, *,
     branches = (1.0, -1.0) if antithetic else (1.0,)
     rho = params.rho
     orth = jnp.sqrt(jnp.maximum(1.0 - rho ** 2, 0.0))
+    xi_vec = (params.xi * jnp.ones((n,), dtype) if xi_t is None
+              else jnp.asarray(xi_t, dtype))
     outs = []
     for sign in branches:
         g = (sign * z) @ chol.T
         w_tilde, dw = g[:, :n], g[:, n:]
         w_left = jnp.concatenate(
             [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
-        v = params.xi * jnp.exp(
+        v = xi_vec[None, :] * jnp.exp(
             params.eta * w_left
             - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
         dz = rho * dw + orth * (sign * zp) * jnp.sqrt(dt)

@@ -356,3 +356,18 @@ def test_engine_from_variance_swaps():
     assert a["price"] == pytest.approx(b["price"], abs=1e-4)
     g = flat_q.greeks(100.0, 100.0, 1.0)
     assert np.isfinite(g["delta"]) and np.isfinite(g["gamma"])
+
+
+def test_variance_swap_mc_round_trips_the_curve():
+    """Realized variance on the grid must recover the curve's fair strike
+    (E[v_t] = xi(t)) up to O(dt) drift terms — flat and bootstrapped."""
+    flat = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=64, seed=3)
+    out = flat.variance_swap_mc(1.0)
+    assert out["fair_vol_strike"] == pytest.approx(out["curve_strike"],
+                                                   abs=0.004)
+    curved = RoughBergomiEngine.from_variance_swaps(
+        FULL, [0.25, 1.0], [0.18, 0.22], num_paths=65_536, num_steps=64,
+        seed=3)
+    o2 = curved.variance_swap_mc(1.0)
+    assert o2["curve_strike"] == pytest.approx(0.22, abs=1e-3)
+    assert o2["fair_vol_strike"] == pytest.approx(0.22, abs=0.004)
