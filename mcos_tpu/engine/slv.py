@@ -52,11 +52,13 @@ _LEV2_MIN, _LEV2_MAX = 0.01, 100.0      # leverage^2 clip (stability)
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "n_bins",
-                                   "k_snapshot", "track_extremes"))
+                                   "k_snapshot", "track_extremes",
+                                   "emit_sheet"))
 def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
                  key, *, num_paths: int, num_steps: int,
                  n_bins: int = 101, k_snapshot: int = -1,
-                 track_extremes: bool = False) -> Array:
+                 track_extremes: bool = False,
+                 emit_sheet: bool = False) -> Array:
     """(2, num_paths) terminal spots under the particle-calibrated SLV —
     or, with `k_snapshot >= 0`, a (2, 2, num_paths) stack of
     (S at step k_snapshot, S at T) for forward-start payoffs; with
@@ -131,14 +133,16 @@ def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
         if track_extremes:
             mx = jnp.maximum(mx, log_s)
             mn = jnp.minimum(mn, log_s)
-        return (log_s, v, snap, mx, mn), None
+        return (log_s, v, snap, mx, mn), (log_s if emit_sheet else None)
 
     zeros = jnp.zeros((2, num_paths), dtype)
     init = (zeros, jnp.full((2, num_paths), jnp.asarray(p.v0, dtype)),
             zeros, zeros, zeros)   # log(S/S0)=0 seeds max/min with t_0
-    (log_s, _, snap, mx, mn), _ = jax.lax.scan(
+    (log_s, _, snap, mx, mn), sheet = jax.lax.scan(
         step, init,
         (jnp.arange(num_steps), var_rows, jnp.asarray(t_mid, dtype)))
+    if emit_sheet:
+        return sheet                       # (n, 2, paths) log(S/S0)
     if track_extremes:
         return spot * jnp.exp(jnp.stack([log_s, mx, mn]))
     if k_snapshot >= 0:
@@ -235,6 +239,49 @@ class SLVEngine:
             "hit_fraction": float(jnp.mean(hit)),
             "mixing_xi": float(self.heston.xi),
             "num_paths_used": self.num_paths,
+        }
+
+    def hedging_backtest(self, spot: float, strike: float, T: float,
+                         is_call: bool = True,
+                         num_days: int = None,
+                         txn_cost_bps: float = 5.0,
+                         slippage_bps: float = 2.0) -> Dict[str, object]:
+        """Daily BS-delta replication PnL in the SLV world.
+
+        The risk question SLV answers: two worlds calibrated to the SAME
+        vanilla surface (pure LV at xi~0 vs the full mix) produce
+        different hedging-error distributions for the same delta
+        strategy — run this at both mixing strengths to see it. Reuses
+        the sheet-driven hedge scan (`engine/risk.py`)."""
+        from mcos_tpu.engine.risk import _hedge_paths_from_sheet
+
+        if num_days is None:
+            num_days = max(int(T * 252), 16)
+        rows, t_mid = self.surface.step_tables(T, num_days)
+        sheet = slv_terminal(
+            self.heston, jnp.asarray(rows), jnp.asarray(t_mid),
+            float(self.surface.y_grid[0]),
+            float(self.surface.y_grid[1] - self.surface.y_grid[0]),
+            spot, T, jax.random.key(self.seed),
+            num_paths=self.num_paths, num_steps=int(num_days),
+            n_bins=self.n_bins, emit_sheet=True)   # (days, 2, paths)
+        sheet = jnp.moveaxis(sheet, 0, -1).reshape(-1, int(num_days))
+        premium = self.price(spot, strike, T, is_call)["price"]
+        sigma_h = float(np.sqrt(float(self.heston.v0)))
+        pnl, cost = _hedge_paths_from_sheet(
+            sheet, jnp.float32(spot), jnp.float32(strike),
+            jnp.float32(T), jnp.float32(premium), jnp.float32(sigma_h),
+            jnp.float32(self.heston.r), jnp.float32(self.heston.q),
+            num_days=int(num_days), is_call=is_call,
+            txn_cost_bps=txn_cost_bps, slippage_bps=slippage_bps)
+        pnl = np.asarray(pnl)
+        return {
+            "mean_pnl": float(pnl.mean()),
+            "std_pnl": float(pnl.std()),
+            "pnl_percentiles": {f"{p}%": float(np.percentile(pnl, p))
+                                for p in (1, 5, 50, 95, 99)},
+            "mixing_xi": float(self.heston.xi),
+            "premium": premium,
         }
 
     def greeks(self, spot: float, strike: float, T: float,

@@ -149,3 +149,26 @@ def test_crn_fd_greeks_match_bs_on_flat_surface():
         abs=0.02)
     assert g["gamma"] == pytest.approx(
         float(bs_gamma(100.0, 100.0, 0.5, 0.05, 0.01, 0.2)), rel=0.25)
+
+
+def test_hedging_error_grows_with_mixing_at_fixed_premium():
+    """Two worlds calibrated to the same vanillas charge the same premium
+    but leave very different hedging-error distributions for the BS delta
+    strategy — the risk statement behind the mixing dial."""
+    mats = np.array([0.25, 0.5, 1.0])
+    ssvi = SSVISurface(mats, 0.04 * mats, rho=-0.7, eta=1.2, gamma=0.4)
+    lv = LocalVolSurface.from_ssvi(ssvi, 100.0, r=0.05, q=0.01)
+
+    def world(xi, rho):
+        h = SVJParams(kappa=2.0, theta=0.04, xi=xi, rho=rho, v0=0.04,
+                      lambda_j=0.0, r=0.05, q=0.01)
+        return SLVEngine(lv, h, num_paths=4_000, num_steps=128,
+                         seed=3).hedging_backtest(100.0, 100.0, 0.25)
+
+    lv_w = world(1e-4, 0.0)
+    mix_w = world(0.8, -0.7)
+    # premia agree (same vanilla surface)...
+    assert mix_w["premium"] == pytest.approx(lv_w["premium"], rel=0.02)
+    # ...but the mix leaves materially fatter hedging errors.
+    assert mix_w["std_pnl"] > 1.5 * lv_w["std_pnl"]
+    assert mix_w["pnl_percentiles"]["1%"] < 2 * lv_w["pnl_percentiles"]["1%"]
