@@ -351,6 +351,10 @@ class AutocallRequest(BaseModel):
     # trigger/coupon/capital legs then read min_i S_i(t)/S_i(0)).
     params_list: Optional[list] = None       # of SVJParamsRequest dicts
     corr: Optional[list] = None              # (A, A)
+    # Issuance: solve the coupon pricing the note at `par_target`
+    # (exact by coupon-linearity on CRN paths; `coupon` is then ignored)
+    solve_par: bool = False
+    par_target: float = Field(1.0, gt=0.1, le=10.0)
 
 
 class RoughRequest(BaseModel):

@@ -615,12 +615,15 @@ def handle_autocall(body: dict) -> dict:
         eng = AutocallableEngine(req.params.to_params(),
                                  num_paths=req.num_paths,
                                  steps_per_period=req.steps_per_period)
-    out = eng.price(req.T, n_obs=req.n_obs,
-                    autocall_barrier=req.autocall_barrier,
-                    coupon_barrier=req.coupon_barrier,
-                    protection_barrier=req.protection_barrier,
-                    coupon=req.coupon, final_coupon=req.final_coupon,
-                    notional=req.notional)
+    terms = dict(n_obs=req.n_obs, autocall_barrier=req.autocall_barrier,
+                 coupon_barrier=req.coupon_barrier,
+                 protection_barrier=req.protection_barrier,
+                 notional=req.notional)
+    if req.solve_par:
+        out = eng.solve_par_coupon(req.T, target=req.par_target, **terms)
+    else:
+        out = eng.price(req.T, coupon=req.coupon,
+                        final_coupon=req.final_coupon, **terms)
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

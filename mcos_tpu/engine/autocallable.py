@@ -106,6 +106,17 @@ class AutocallableEngine:
                            final_coupon, notional, self.num_paths)
 
 
+
+    def solve_par_coupon(self, T: float, target: float = 1.0,
+                         **terms) -> Dict[str, object]:
+        """Coupon that prices the note at `target` (default par) — exact
+        from two CRN evaluations (`_solve_par_coupon`); `terms` are the
+        `price` kwargs except `coupon`."""
+        terms.pop("coupon", None)
+        return _solve_par_coupon(
+            lambda c: self.price(T, coupon=c, **terms), target)
+
+
 def _note_value(ratio: Array, T, r, n_obs, autocall_barrier,
                 coupon_barrier, protection_barrier, coupon, final_coupon,
                 notional, num_paths) -> Dict[str, object]:
@@ -147,6 +158,31 @@ def _note_value(ratio: Array, T, r, n_obs, autocall_barrier,
             jnp.sum(first_call * dts) + (1.0 - first_call.sum()) * T),
         "n_obs": n_obs,
         "num_paths_used": num_paths,
+    }
+
+
+def _solve_par_coupon(price_fn, target: float = 1.0) -> Dict[str, object]:
+    """The issuance question: which coupon prices the note at par?
+
+    On a FIXED path set the note value is exactly linear in the coupon
+    (every coupon cashflow scales with c, everything else is constant),
+    so two CRN evaluations solve it in closed form — no iteration.
+    """
+    p0 = price_fn(0.0)
+    p1 = price_fn(0.10)
+    slope = (p1["price"] - p0["price"]) / 0.10
+    if slope <= 1e-9:
+        raise ValueError("note value does not increase in the coupon "
+                         "(no feasible par coupon)")
+    coupon = (target - p0["price"]) / slope
+    check = price_fn(coupon)
+    return {
+        "par_coupon": float(coupon),
+        "price_at_par_coupon": check["price"],
+        "std_error": check["std_error"],
+        "coupon_sensitivity": float(slope),
+        **{k: check[k] for k in ("call_prob_by_date", "survival_prob",
+                                 "loss_prob", "expected_life")},
     }
 
 
@@ -210,3 +246,10 @@ class WorstOfAutocallableEngine:
                           final_coupon, notional, self.num_paths)
         out["n_assets"] = self.n_assets
         return out
+
+    def solve_par_coupon(self, T: float, target: float = 1.0,
+                         **terms) -> dict:
+        """Worst-of par coupon — exact from two CRN evaluations."""
+        terms.pop("coupon", None)
+        return _solve_par_coupon(
+            lambda c: self.price(T, coupon=c, **terms), target)

@@ -112,3 +112,26 @@ def test_worst_of_cheapens_with_dispersion():
     assert lo["price"] < hi["price"]
     assert lo["loss_prob"] > hi["loss_prob"]
     assert lo["expected_life"] > hi["expected_life"]
+
+
+def test_par_coupon_solver_exact_by_linearity():
+    """On CRN paths the note value is exactly linear in the coupon, so
+    the two-evaluation solve must land the target to float precision;
+    the worst-of par coupon must exceed the single-asset one (dispersion
+    premium)."""
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    eng = AutocallableEngine(SVJ, num_paths=50_000, seed=2)
+    sol = eng.solve_par_coupon(1.0, n_obs=4, autocall_barrier=1.0,
+                               coupon_barrier=0.8,
+                               protection_barrier=0.7)
+    assert sol["price_at_par_coupon"] == pytest.approx(1.0, abs=1e-5)
+    assert 0.0 < sol["par_coupon"] < 0.2
+    assert sol["coupon_sensitivity"] > 0
+
+    corr = np.full((3, 3), 0.6)
+    np.fill_diagonal(corr, 1.0)
+    wo = WorstOfAutocallableEngine([SVJ] * 3, corr, num_paths=50_000,
+                                   seed=2)
+    s2 = wo.solve_par_coupon(1.0, n_obs=4)
+    assert s2["price_at_par_coupon"] == pytest.approx(1.0, abs=1e-5)
+    assert s2["par_coupon"] > sol["par_coupon"]
