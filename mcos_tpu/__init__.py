@@ -46,7 +46,10 @@ from mcos_tpu.engine.american import (  # noqa: F401
     lsm_lower_bound,
     lsm_train,
 )
-from mcos_tpu.engine.basket import BasketEngine  # noqa: F401
+from mcos_tpu.engine.basket import (  # noqa: F401
+    BasketEngine,
+    implied_correlation,
+)
 from mcos_tpu.engine.cliquet import (  # noqa: F401
     CliquetEngine,
     cliquet_bs,

@@ -418,3 +418,51 @@ class BasketEngine:
                 sig[0], sig[1], float(self.corr[0, 1])) / discount
             out = self._cv_adjust(out, pay, ctrl_pay, ctrl_exact, discount)
         return out
+
+
+def implied_correlation(params_list: Sequence[SVJParams], spots, weights,
+                        strike: float, T: float, market_price: float,
+                        is_call: bool = True, num_paths: int = 200_000,
+                        seed: int = 42, tol: float = 1e-3,
+                        max_iter: int = 40) -> Dict[str, float]:
+    """Flat pairwise correlation implied by a basket option quote.
+
+    The dispersion desk's inverse problem: with CRN paths (one seed,
+    correlation entering only through the Cholesky mix) the basket price
+    is smooth and monotone increasing in the flat rho for a call — more
+    co-movement means more basket variance — so plain bisection on
+    [-1/(A-1)+eps, 0.999] converges without MC-noise chatter.
+    """
+    a = len(params_list)
+    lo = -1.0 / (a - 1) + 1e-3          # PSD boundary for the flat matrix
+    hi = 0.999
+
+    def price_at(rho: float) -> float:
+        corr = np.full((a, a), rho)
+        np.fill_diagonal(corr, 1.0)
+        eng = BasketEngine(params_list, corr, num_paths=num_paths,
+                           seed=seed)
+        return eng.price(spots, weights, strike, T, is_call)["price"]
+
+    p_lo, p_hi = price_at(lo), price_at(hi)
+    sign = 1.0 if p_hi >= p_lo else -1.0     # calls ↑ in rho, puts too
+    if not min(p_lo, p_hi) - tol <= market_price <= max(p_lo, p_hi) + tol:
+        raise ValueError(
+            f"market price {market_price:.4f} outside the attainable "
+            f"range [{min(p_lo, p_hi):.4f}, {max(p_lo, p_hi):.4f}]")
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        mid = 0.5 * (lo + hi)
+        p_mid = price_at(mid)
+        if abs(p_mid - market_price) < tol:
+            break
+        if sign * (p_mid - market_price) < 0.0:
+            lo = mid
+        else:
+            hi = mid
+    return {
+        "implied_correlation": float(0.5 * (lo + hi)),
+        "model_price": float(p_mid),
+        "market_price": float(market_price),
+        "iterations": iters,
+    }

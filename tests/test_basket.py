@@ -147,3 +147,24 @@ def test_rainbow_svj_sanity():
     assert "cv_beta" not in out3  # no 3-asset closed-form control
     assert out3["price"] <= out2["price"] + 3 * (out3["std_error"]
                                                  + out2["std_error"])
+
+
+def test_implied_correlation_round_trip():
+    """Price a basket call at a known flat rho, invert the quote: the
+    implied correlation must recover the generating value (CRN paths make
+    the price monotone and smooth in rho, so bisection is clean)."""
+    from mcos_tpu.engine.basket import implied_correlation
+
+    gp = [gbm_params(s, r=0.05, q=0.01) for s in (0.2, 0.25, 0.3)]
+    spots, w = [100.0, 50.0, 200.0], [1 / 3] * 3
+    corr = np.full((3, 3), 0.45)
+    np.fill_diagonal(corr, 1.0)
+    quote = BasketEngine(gp, corr, num_paths=100_000, seed=42).price(
+        spots, w, 115.0, 0.5)["price"]
+    out = implied_correlation(gp, spots, w, 115.0, 0.5, quote,
+                              num_paths=100_000, seed=42)
+    assert out["implied_correlation"] == pytest.approx(0.45, abs=0.02)
+    # unattainable quotes are rejected, not silently clamped
+    with pytest.raises(ValueError):
+        implied_correlation(gp, spots, w, 115.0, 0.5, quote * 3.0,
+                            num_paths=20_000, seed=42)
