@@ -120,13 +120,14 @@ class ExoticRequest(BaseModel):
     beyond the reference's European-only engine)."""
     spot: float
     T: float
-    kind: str  # asian | barrier | lookback | digital | variance_swap
+    kind: str  # asian|barrier|lookback|digital|variance_swap|one_touch
     strike: Optional[float] = None       # None ⇒ floating-strike lookback
     is_call: bool = True
     averaging: str = "arithmetic"        # asian only
     barrier: Optional[float] = None      # barrier only
     knock: str = "out"                   # barrier only
     monitoring: str = "discrete"         # barrier: "discrete" | "continuous"
+    pay_at_hit: bool = False             # one_touch only
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
     with_greeks: bool = False  # delta/vega (AD; CRN-FD for barriers)

@@ -265,6 +265,12 @@ def handle_exotic(body: dict) -> dict:
         out = eng.price_barrier(req.spot, req.strike, req.T, req.barrier,
                                 req.is_call, knock=req.knock,
                                 monitoring=req.monitoring)
+    elif req.kind == "one_touch":
+        if req.barrier is None:
+            raise ApiError(400, "one_touch requires barrier")
+        out = eng.price_one_touch(req.spot, req.T, req.barrier,
+                                  monitoring=req.monitoring,
+                                  pay_at_hit=req.pay_at_hit)
     elif req.kind == "lookback":
         out = eng.price_lookback(req.spot, req.T, req.is_call,
                                  strike=req.strike)

@@ -57,7 +57,8 @@ def _cv_adjust(pay: Array, ctrl: Array, ctrl_mean_exact: Array):
 
 @partial(jax.jit, static_argnames=(
     "num_paths", "num_steps", "is_call", "kind", "averaging", "knock",
-    "direction", "antithetic", "control_variate", "floating", "backend"))
+    "direction", "antithetic", "control_variate", "floating", "one_touch",
+    "backend"))
 def _price_exotic_core(
     params: SVJParams,
     spot,
@@ -75,6 +76,7 @@ def _price_exotic_core(
     knock: str = "out",
     direction: str = "up",
     floating: bool = False,
+    one_touch: bool = False,
     antithetic: bool = True,
     control_variate: bool = True,
     backend: str = "scan",
@@ -94,8 +96,16 @@ def _price_exotic_core(
     if kind == "asian":
         pay_b = ops_exotics.asian_payoff(stats, strike, is_call, averaging)
     elif kind == "barrier":
-        pay_b = ops_exotics.barrier_payoff(stats, strike, barrier, is_call,
-                                           knock=knock, direction=direction)
+        if one_touch:
+            # Cash-digital on the touch event: 1{barrier traded}.
+            touched = (stats["max_s"] >= barrier if direction == "up"
+                       else stats["min_s"] <= barrier)
+            pay_b = touched.astype(jnp.float32)
+            control_variate = False      # no companion control for cash
+        else:
+            pay_b = ops_exotics.barrier_payoff(
+                stats, strike, barrier, is_call, knock=knock,
+                direction=direction)
     elif kind == "lookback":
         pay_b = ops_exotics.lookback_payoff(
             stats, is_call, None if floating else strike)
@@ -290,6 +300,59 @@ class ExoticEngine:
                         direction=direction)
         out["monitoring"] = monitoring
         out["barrier"] = barrier
+        return out
+
+    def price_one_touch(self, spot: float, T: float, barrier: float,
+                        direction: Optional[str] = None,
+                        monitoring: str = "continuous",
+                        pay_at_hit: bool = False) -> Dict[str, float]:
+        """One-touch digital: pays 1 when the barrier trades.
+
+        MC prices the pay-at-expiry contract (the touch indicator rides
+        the existing max/min trackers; BGK shift under
+        monitoring="continuous"); pay-at-hit discounting uses the closed
+        form's at-hit/at-expiry ratio on top of the MC touch probability
+        (exact in the GBM limit, a documented approximation under SVJ).
+        The GBM closed form (`one_touch_bs`, reflection principle) rides
+        along as `closed_form_gbm` for reference.
+        """
+        from mcos_tpu.config import scaled_steps
+        from mcos_tpu.ops.exotics import BGK_BETA, one_touch_bs
+
+        if direction is None:
+            direction = "up" if barrier >= spot else "down"
+        sig = float(np.sqrt(float(self.params.v0)))
+        barrier_eff = barrier
+        if monitoring == "continuous":
+            steps = scaled_steps(self.num_steps, T)
+            shift = BGK_BETA * sig * np.sqrt(T / steps)
+            barrier_eff = barrier * float(np.exp(
+                -shift if direction == "up" else shift))
+        res = self._run(spot, 0.0, T, kind="barrier", barrier=barrier_eff,
+                        is_call=True, knock="in", direction=direction,
+                        one_touch=True)
+        out = {
+            "price": res["price"],
+            "std_error": res["std_error"],
+            "touch_probability": res["price"]
+            / float(np.exp(-float(self.params.r) * T)),
+            "monitoring": monitoring,
+            "closed_form_gbm": one_touch_bs(
+                spot, T, float(self.params.r), float(self.params.q), sig,
+                barrier, direction, pay_at_hit=pay_at_hit),
+            "num_paths_used": self.num_paths,
+        }
+        if pay_at_hit:
+            ratio_num = one_touch_bs(spot, T, float(self.params.r),
+                                     float(self.params.q), sig, barrier,
+                                     direction, pay_at_hit=True)
+            ratio_den = max(one_touch_bs(spot, T, float(self.params.r),
+                                         float(self.params.q), sig,
+                                         barrier, direction,
+                                         pay_at_hit=False), 1e-12)
+            out["price"] = out["price"] * ratio_num / ratio_den
+            out["std_error"] = out["std_error"] * ratio_num / ratio_den
+            out["pay_at_hit"] = True
         return out
 
     def price_lookback(self, spot: float, T: float, is_call: bool = True,

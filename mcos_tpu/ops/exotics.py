@@ -286,3 +286,40 @@ def barrier_bs(S, K, T, r, q, sigma, barrier, is_call: bool = True,
 
 # Broadie-Glasserman-Kou continuity-correction constant: -zeta(1/2)/sqrt(2π).
 BGK_BETA = 0.5825971579390107
+
+
+def one_touch_bs(S, T, r, q, sigma, barrier, direction: str = "up",
+                 pay_at_hit: bool = False) -> float:
+    """Continuous one-touch digital: pays 1 when the barrier trades.
+
+    pay_at_hit=False (cash at expiry): e^{-rT} * P(touch by T), with the
+    touch probability from the reflection principle for drifted BM,
+        P(max ln(S_t/S) >= b) = Phi((m T - b)/(sig sqrt(T)))
+                              + e^{2 m b / sig^2} Phi((-b - m T)/(sig sqrt(T))),
+    m = r - q - sig^2/2, b = ln(B/S) (mirrored for down barriers).
+    pay_at_hit=True discounts to the hit time (the rebate-at-hit closed
+    form with the sqrt(m^2 + 2 r sig^2) exponents).
+    """
+    from scipy.stats import norm
+
+    S, T, B = float(S), float(T), float(barrier)
+    if (direction == "up" and S >= B) or (direction == "down" and S <= B):
+        return 1.0                           # already through
+    st = sigma * np.sqrt(T)
+    m = r - q - 0.5 * sigma**2
+    b = np.log(B / S) if direction == "up" else np.log(S / B)
+    mm = m if direction == "up" else -m      # drift toward the barrier
+    if not pay_at_hit:
+        p_touch = (norm.cdf((mm * T - b) / st)
+                   + np.exp(2.0 * mm * b / sigma**2)
+                   * norm.cdf((-b - mm * T) / st))
+        return float(np.exp(-r * T) * min(max(p_touch, 0.0), 1.0))
+    # E[e^{-r tau} 1{tau <= T}] for the level-crossing time of drifted BM
+    # (checks: r=0 reduces to the touch probability; T -> infinity gives
+    # the Laplace transform e^{-b (lam - mm)/sigma^2}).
+    lam = np.sqrt(mm * mm + 2.0 * r * sigma**2)
+    a_dec = (mm - lam) / sigma**2            # decaying exponent (<0)
+    a_grow = (mm + lam) / sigma**2
+    val = (np.exp(a_dec * b) * norm.cdf((-b + lam * T) / st)
+           + np.exp(a_grow * b) * norm.cdf((-b - lam * T) / st))
+    return float(min(max(val, 0.0), 1.0))

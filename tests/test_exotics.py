@@ -258,3 +258,36 @@ def test_bgk_remainder_shrinks_with_steps():
                                 monitoring="continuous")
         gaps.append(abs(res["price"] - cf))
     assert gaps[1] < gaps[0]
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# One-touch digitals
+# ─────────────────────────────────────────────────────────────────────────────
+def test_one_touch_matches_reflection_closed_form():
+    from mcos_tpu.ops.exotics import one_touch_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=300_000, num_steps=256, seed=3)
+    for barrier in (115.0, 88.0):
+        res = eng.price_one_touch(100.0, 0.5, barrier)
+        assert abs(res["price"] - res["closed_form_gbm"]) < \
+            4 * res["std_error"] + 3e-3
+        assert 0.0 <= res["touch_probability"] <= 1.0
+    # pay-at-hit >= pay-at-expiry (earlier cash), both vs closed forms
+    hit = eng.price_one_touch(100.0, 0.5, 115.0, pay_at_hit=True)
+    exp_ = eng.price_one_touch(100.0, 0.5, 115.0)
+    assert hit["price"] > exp_["price"]
+    assert hit["closed_form_gbm"] == pytest.approx(
+        one_touch_bs(100.0, 0.5, 0.05, 0.01, 0.25, 115.0, "up",
+                     pay_at_hit=True), rel=1e-12)
+
+
+def test_one_touch_r0_at_hit_equals_at_expiry():
+    from mcos_tpu.ops.exotics import one_touch_bs
+    a = one_touch_bs(100.0, 0.5, 0.0, 0.01, 0.25, 115.0, "up", True)
+    b = one_touch_bs(100.0, 0.5, 0.0, 0.01, 0.25, 115.0, "up", False)
+    assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_one_touch_started_through():
+    from mcos_tpu.ops.exotics import one_touch_bs
+    assert one_touch_bs(100.0, 0.5, 0.05, 0.0, 0.2, 95.0, "up") == 1.0
