@@ -183,6 +183,9 @@ class BasketRequest(BaseModel):
     # (exact Stulz companion CV for 2 assets), or "spread" (S1-S2-K; exact
     # Margrabe companion CV) — engine/basket.py.
     payoff: str = "basket"
+    # Dispersion inverse problem: given a basket quote, return the flat
+    # implied correlation instead of a price (basket payoff only).
+    implied_corr_from_price: Optional[float] = Field(None, gt=0)
 
 
 class SurfaceRequest(BaseModel):

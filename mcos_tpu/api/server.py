@@ -349,6 +349,20 @@ def handle_basket(body: dict) -> dict:
     if len(params) != n:
         raise ApiError(400, "params list must match spots length")
     start = time.time()
+    if req.implied_corr_from_price is not None:
+        from mcos_tpu.engine.basket import implied_correlation
+
+        if req.payoff != "basket":
+            raise ApiError(400, "implied correlation needs payoff=basket")
+        try:
+            out = implied_correlation(
+                params, req.spots, req.weights, req.strike, req.T,
+                req.implied_corr_from_price, is_call=req.is_call,
+                num_paths=min(req.num_paths, 200_000))
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+        return out
     eng = BasketEngine(params, np.asarray(req.corr, np.float64),
                        num_paths=req.num_paths)
     if req.payoff == "basket":
