@@ -371,3 +371,21 @@ def test_variance_swap_mc_round_trips_the_curve():
     o2 = curved.variance_swap_mc(1.0)
     assert o2["curve_strike"] == pytest.approx(0.22, abs=1e-3)
     assert o2["fair_vol_strike"] == pytest.approx(0.22, abs=0.004)
+
+
+def test_corridor_variance_swap():
+    """Full corridor reduces exactly to the plain variance swap; under the
+    leverage effect the down-corridor concentrates realized variance far
+    beyond its accrual share while the up-corridor dilutes it."""
+    eng = RoughBergomiEngine(FULL, num_paths=65_536, num_steps=64, seed=3)
+    full = eng.corridor_variance_swap(100.0, 1.0)
+    plain = eng.variance_swap_mc(1.0)
+    assert full["fair_variance"] == pytest.approx(plain["fair_variance"],
+                                                  rel=1e-6)
+    down = eng.corridor_variance_swap(100.0, 1.0, upper=95.0)
+    up = eng.corridor_variance_swap(100.0, 1.0, lower=105.0)
+    assert down["fair_variance"] > up["fair_variance"]
+    assert down["accrual_fraction"] < up["accrual_fraction"]
+    # variance per unit accrual time: the crash-concentration statement
+    assert (down["fair_variance"] / down["accrual_fraction"]
+            > 2.0 * up["fair_variance"] / up["accrual_fraction"])
