@@ -525,9 +525,14 @@ def handle_slv(body: dict) -> dict:
     iv = np.asarray(req.iv, np.float64)
     if iv.shape != (len(req.maturities), len(req.strikes)):
         raise ApiError(400, "iv must be (num_maturities, num_strikes)")
+    if req.mode in ("barrier", "chain") and not req.price_strikes:
+        raise ApiError(400, f"{req.mode} mode needs non-empty price_strikes")
     start = time.time()
-    surf = LocalVolSurface.from_iv_points(
-        req.spot, req.strikes, req.maturities, iv, r=req.r, q=req.q)
+    try:
+        surf = LocalVolSurface.from_iv_points(
+            req.spot, req.strikes, req.maturities, iv, r=req.r, q=req.q)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     heston = SVJParams(kappa=req.kappa, theta=req.theta, xi=req.xi,
                        rho=req.rho, v0=req.v0, lambda_j=0.0,
                        r=req.r, q=req.q)

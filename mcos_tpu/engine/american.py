@@ -375,6 +375,10 @@ def dual_upper_bound(params: SVJParams, spot, strike, T, key, coefs, *,
     with a reported duality gap. Capability absent from the reference.
     """
     dtype = jnp.float32
+    # Antithetic inner draws are built as concat((n_inner//2), -(n_inner//2));
+    # an odd n_inner would broadcast-mismatch against the outer state at
+    # trace time, so round down to even (schemas allow any 16..2048).
+    n_inner -= n_inner % 2
     strike = jnp.asarray(strike, dtype)
     spot = jnp.asarray(spot, dtype)
     T = jnp.asarray(T, dtype)

@@ -118,8 +118,10 @@ class HHWEngine:
         return {
             "price": float(price),
             "delta": float(grads[0]),
-            # per-vol-point convention of engine/greeks.py (2 sigma dP/dv0)
-            "vega_per_vol_point": float(2.0 * sigma0 * grads[1]) / 100.0,
+            # per-vol-point convention of engine/greeks.py:400 and
+            # engine/american.py:537: 2*sigma*dP/dv0, NO extra /100 —
+            # the same JSON key must mean the same thing on every endpoint.
+            "vega_per_vol_point": float(2.0 * sigma0 * grads[1]),
             "rate_vega": float(grads[2]),     # dP / d sigma_r (absolute)
             "rho_rate": float(grads[3]),      # dP / d r0
         }

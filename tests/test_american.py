@@ -128,6 +128,13 @@ def test_bounds_call_no_dividends_collapse(bounds_engine):
     assert res["duality_gap"] < 0.05 * euro
 
 
+def test_bounds_odd_n_inner_traces(bounds_engine):
+    """Odd n_inner must not crash at trace time (the antithetic concat
+    rounds it down to even internally)."""
+    res = bounds_engine.price_bounds(S, K, T, is_call=False, n_inner=33)
+    assert res["lower_bound"] <= res["upper_bound"] + 1e-6
+
+
 def test_bounds_svj_ordering():
     """Under full SVJ: lower ≤ upper and both ≥ discounted intrinsic."""
     svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,

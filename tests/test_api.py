@@ -284,6 +284,21 @@ def test_localvol_endpoint():
                         len(out["local_vol_grid"]["y"]))
 
 
+def test_slv_empty_price_strikes_is_400():
+    """Barrier/chain modes with an empty price_strikes list must be a clean
+    400 (ApiError), not an IndexError-driven 500."""
+    from mcos_tpu.api.server import ApiError, handle_slv
+
+    strikes = [np.round(22500.0 * m, 2) for m in np.linspace(0.9, 1.1, 5)]
+    body = {"spot": 22500.0, "strikes": strikes,
+            "maturities": [0.25, 0.5, 1.0], "iv": [[0.2] * 5] * 3,
+            "price_strikes": [], "T": 0.5, "mode": "barrier",
+            "barrier": 21000.0, "num_paths": 1_000, "num_steps": 16}
+    with pytest.raises(ApiError) as exc:
+        handle_slv(body)
+    assert exc.value.status == 400
+
+
 def test_rough_endpoint_modes():
     """POST /api/rough: price mode hits BS in the degenerate limit; smile
     mode returns a skewed vol curve at full rough parameters."""

@@ -95,6 +95,18 @@ def test_engine_greeks_match_crn_fd():
     fd_rv = (up.price(SPOT, K, T)["price"]
              - dn.price(SPOT, K, T)["price"]) / (2 * hr)
     assert g["rate_vega"] == pytest.approx(fd_rv, rel=0.02)
+    # vega_per_vol_point must be 2*sigma*dP/dv0 (engine/greeks.py:400
+    # convention, NO /100): pin against a CRN v0-bump FD.
+    hv = 0.002
+    vu = HHWEngine(dataclasses.replace(FULL, v0=FULL.v0 + hv),
+                   num_paths=100_000, num_steps=64, seed=1)
+    vd = HHWEngine(dataclasses.replace(FULL, v0=FULL.v0 - hv),
+                   num_paths=100_000, num_steps=64, seed=1)
+    fd_dv0 = (vu.price(SPOT, K, T)["price"]
+              - vd.price(SPOT, K, T)["price"]) / (2 * hv)
+    sigma0 = np.sqrt(FULL.v0)
+    assert g["vega_per_vol_point"] == pytest.approx(2 * sigma0 * fd_dv0,
+                                                    rel=0.03)
 
 
 def test_rate_vol_impact_positive_for_long_dated_positive_corr():
