@@ -30,40 +30,69 @@ YAHOO_URL = ("https://query1.finance.yahoo.com/v8/finance/chart/"
 TRADING_DAYS = 245  # reference's annualization day-count (server.js:79)
 
 # Static NIFTY-50 universe: sector + typical price/vol for offline operation
-# (role of js/stocks.js:2-68; representative values, refreshed by any live
-# quote that succeeds).
+# (role of js/stocks.js:2-68). Full 50-constituent list matching the
+# reference universe (js/stocks.js:2-53) plus the index itself; prices are
+# approximate INR levels for demo mode, refreshed by any live quote that
+# succeeds. Symbol/sector/vol entries are factual market metadata.
 NIFTY50: Dict[str, Dict] = {
     "NIFTY": {"name": "NIFTY 50 Index", "sector": "Index", "price": 22500.0, "vol": 0.14},
-    "RELIANCE": {"name": "Reliance Industries", "sector": "Energy", "price": 2950.0, "vol": 0.22},
-    "TCS": {"name": "Tata Consultancy Services", "sector": "IT", "price": 3850.0, "vol": 0.20},
-    "HDFCBANK": {"name": "HDFC Bank", "sector": "Banking", "price": 1650.0, "vol": 0.21},
-    "INFY": {"name": "Infosys", "sector": "IT", "price": 1550.0, "vol": 0.24},
-    "ICICIBANK": {"name": "ICICI Bank", "sector": "Banking", "price": 1150.0, "vol": 0.23},
-    "HINDUNILVR": {"name": "Hindustan Unilever", "sector": "FMCG", "price": 2450.0, "vol": 0.18},
-    "ITC": {"name": "ITC", "sector": "FMCG", "price": 440.0, "vol": 0.19},
-    "SBIN": {"name": "State Bank of India", "sector": "Banking", "price": 830.0, "vol": 0.28},
-    "BHARTIARTL": {"name": "Bharti Airtel", "sector": "Telecom", "price": 1450.0, "vol": 0.23},
-    "KOTAKBANK": {"name": "Kotak Mahindra Bank", "sector": "Banking", "price": 1780.0, "vol": 0.22},
-    "LT": {"name": "Larsen & Toubro", "sector": "Infrastructure", "price": 3600.0, "vol": 0.24},
-    "AXISBANK": {"name": "Axis Bank", "sector": "Banking", "price": 1120.0, "vol": 0.26},
-    "ASIANPAINT": {"name": "Asian Paints", "sector": "Consumer", "price": 2900.0, "vol": 0.22},
-    "MARUTI": {"name": "Maruti Suzuki", "sector": "Auto", "price": 12500.0, "vol": 0.24},
-    "TITAN": {"name": "Titan Company", "sector": "Consumer", "price": 3400.0, "vol": 0.25},
-    "SUNPHARMA": {"name": "Sun Pharmaceutical", "sector": "Pharma", "price": 1600.0, "vol": 0.22},
-    "ULTRACEMCO": {"name": "UltraTech Cement", "sector": "Cement", "price": 10800.0, "vol": 0.23},
-    "WIPRO": {"name": "Wipro", "sector": "IT", "price": 520.0, "vol": 0.26},
-    "NTPC": {"name": "NTPC", "sector": "Power", "price": 360.0, "vol": 0.27},
-    "TATAMOTORS": {"name": "Tata Motors", "sector": "Auto", "price": 980.0, "vol": 0.33},
-    "TATASTEEL": {"name": "Tata Steel", "sector": "Metals", "price": 165.0, "vol": 0.32},
-    "POWERGRID": {"name": "Power Grid Corp", "sector": "Power", "price": 310.0, "vol": 0.24},
-    "BAJFINANCE": {"name": "Bajaj Finance", "sector": "NBFC", "price": 7100.0, "vol": 0.30},
-    "HCLTECH": {"name": "HCL Technologies", "sector": "IT", "price": 1480.0, "vol": 0.25},
-    "ADANIENT": {"name": "Adani Enterprises", "sector": "Conglomerate", "price": 3100.0, "vol": 0.42},
-    "ONGC": {"name": "Oil & Natural Gas Corp", "sector": "Energy", "price": 270.0, "vol": 0.30},
-    "COALINDIA": {"name": "Coal India", "sector": "Mining", "price": 480.0, "vol": 0.29},
-    "M&M": {"name": "Mahindra & Mahindra", "sector": "Auto", "price": 2850.0, "vol": 0.27},
-    "HINDALCO": {"name": "Hindalco Industries", "sector": "Metals", "price": 650.0, "vol": 0.33},
+    "RELIANCE": {"name": "Reliance Industries", "sector": "Energy", "price": 1285.0, "vol": 0.26},
+    "TCS": {"name": "Tata Consultancy Services", "sector": "IT", "price": 3780.0, "vol": 0.22},
+    "HDFCBANK": {"name": "HDFC Bank", "sector": "Banking", "price": 1640.0, "vol": 0.24},
+    "ICICIBANK": {"name": "ICICI Bank", "sector": "Banking", "price": 1220.0, "vol": 0.28},
+    "INFY": {"name": "Infosys", "sector": "IT", "price": 1870.0, "vol": 0.25},
+    "BHARTIARTL": {"name": "Bharti Airtel", "sector": "Telecom", "price": 1710.0, "vol": 0.30},
+    "ITC": {"name": "ITC Limited", "sector": "FMCG", "price": 415.0, "vol": 0.22},
+    "KOTAKBANK": {"name": "Kotak Mahindra Bank", "sector": "Banking", "price": 1870.0, "vol": 0.25},
+    "LT": {"name": "Larsen & Toubro", "sector": "Engineering", "price": 3450.0, "vol": 0.27},
+    "HINDUNILVR": {"name": "Hindustan Unilever", "sector": "FMCG", "price": 2320.0, "vol": 0.20},
+    "AXISBANK": {"name": "Axis Bank", "sector": "Banking", "price": 1050.0, "vol": 0.30},
+    "SBIN": {"name": "State Bank of India", "sector": "Banking", "price": 770.0, "vol": 0.32},
+    "BAJFINANCE": {"name": "Bajaj Finance", "sector": "NBFC", "price": 6950.0, "vol": 0.35},
+    "MARUTI": {"name": "Maruti Suzuki India", "sector": "Auto", "price": 11200.0, "vol": 0.26},
+    "HCLTECH": {"name": "HCL Technologies", "sector": "IT", "price": 1720.0, "vol": 0.24},
+    "SUNPHARMA": {"name": "Sun Pharmaceutical", "sector": "Pharma", "price": 1790.0, "vol": 0.28},
+    "ADANIPORTS": {"name": "Adani Ports & SEZ", "sector": "Infrastructure", "price": 1165.0, "vol": 0.38},
+    "TATAMOTORS": {"name": "Tata Motors", "sector": "Auto", "price": 690.0, "vol": 0.40},
+    "TITAN": {"name": "Titan Company", "sector": "Consumer", "price": 3320.0, "vol": 0.29},
+    "WIPRO": {"name": "Wipro", "sector": "IT", "price": 310.0, "vol": 0.26},
+    "ULTRACEMCO": {"name": "UltraTech Cement", "sector": "Cement", "price": 11400.0, "vol": 0.25},
+    "NTPC": {"name": "NTPC Limited", "sector": "Power", "price": 335.0, "vol": 0.28},
+    "POWERGRID": {"name": "Power Grid Corporation", "sector": "Power", "price": 295.0, "vol": 0.25},
+    "TATASTEEL": {"name": "Tata Steel", "sector": "Metals", "price": 150.0, "vol": 0.38},
+    "JSWSTEEL": {"name": "JSW Steel", "sector": "Metals", "price": 965.0, "vol": 0.36},
+    "HINDALCO": {"name": "Hindalco Industries", "sector": "Metals", "price": 640.0, "vol": 0.34},
+    "ONGC": {"name": "Oil & Natural Gas Corporation", "sector": "Energy", "price": 260.0, "vol": 0.30},
+    "DRREDDY": {"name": "Dr. Reddy's Laboratories", "sector": "Pharma", "price": 1195.0, "vol": 0.28},
+    "CIPLA": {"name": "Cipla", "sector": "Pharma", "price": 1490.0, "vol": 0.27},
+    "GRASIM": {"name": "Grasim Industries", "sector": "Diversified", "price": 2530.0, "vol": 0.26},
+    "NESTLEIND": {"name": "Nestle India", "sector": "FMCG", "price": 2250.0, "vol": 0.19},
+    "BRITANNIA": {"name": "Britannia Industries", "sector": "FMCG", "price": 5180.0, "vol": 0.22},
+    "DIVISLAB": {"name": "Divi's Laboratories", "sector": "Pharma", "price": 5250.0, "vol": 0.30},
+    "APOLLOHOSP": {"name": "Apollo Hospitals Enterprise", "sector": "Healthcare", "price": 6740.0, "vol": 0.32},
+    "BAJAJ-AUTO": {"name": "Bajaj Auto", "sector": "Auto", "price": 8750.0, "vol": 0.23},
+    "BAJAJFINSV": {"name": "Bajaj Finserv", "sector": "NBFC", "price": 1680.0, "vol": 0.32},
+    "EICHERMOT": {"name": "Eicher Motors", "sector": "Auto", "price": 5180.0, "vol": 0.27},
+    "HEROMOTOCO": {"name": "Hero MotoCorp", "sector": "Auto", "price": 4180.0, "vol": 0.24},
+    "HDFCLIFE": {"name": "HDFC Life Insurance", "sector": "Insurance", "price": 625.0, "vol": 0.26},
+    "SBILIFE": {"name": "SBI Life Insurance", "sector": "Insurance", "price": 1565.0, "vol": 0.27},
+    "SHRIRAMFIN": {"name": "Shriram Finance", "sector": "NBFC", "price": 580.0, "vol": 0.34},
+    "INDUSINDBK": {"name": "IndusInd Bank", "sector": "Banking", "price": 990.0, "vol": 0.33},
+    "ASIANPAINT": {"name": "Asian Paints", "sector": "Consumer", "price": 2290.0, "vol": 0.22},
+    "BPCL": {"name": "Bharat Petroleum Corporation", "sector": "Energy", "price": 285.0, "vol": 0.33},
+    "COALINDIA": {"name": "Coal India", "sector": "Mining", "price": 390.0, "vol": 0.28},
+    "ADANIENT": {"name": "Adani Enterprises", "sector": "Conglomerate", "price": 2435.0, "vol": 0.45},
+    "LTIM": {"name": "LTIMindtree", "sector": "IT", "price": 4960.0, "vol": 0.29},
+    "TATACONSUM": {"name": "Tata Consumer Products", "sector": "FMCG", "price": 918.0, "vol": 0.27},
+    "TECHM": {"name": "Tech Mahindra", "sector": "IT", "price": 1580.0, "vol": 0.30},
+    "UPL": {"name": "UPL Limited", "sector": "Agrochemicals", "price": 520.0, "vol": 0.35},
 }
+
+
+def list_symbols() -> list:
+    """Full universe for the UI's searchable picker (js/app.js:67-124 role):
+    one row per symbol with the metadata the dropdown filters on."""
+    return [{"symbol": sym, **info} for sym, info in NIFTY50.items()]
 
 
 def get_stock_by_symbol(symbol: str) -> Optional[Dict]:

@@ -819,6 +819,16 @@ def handle_quote(query: dict) -> dict:
     return quote
 
 
+def handle_symbols(query: dict) -> dict:
+    """GET /api/symbols — the full tradeable universe (50 NIFTY
+    constituents + index) for the UI's searchable picker. Server-side
+    source of truth replacing the reference's client-bundled
+    js/stocks.js:2-53."""
+    from mcos_tpu.api.quotes import list_symbols
+
+    return {"symbols": list_symbols()}
+
+
 POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/price": handle_price,
     "/api/greeks": handle_greeks,
@@ -908,6 +918,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(200, METRICS.snapshot())
             elif parsed.path == "/api/quote":
                 self._send_json(200, handle_quote(parse_qs(parsed.query)))
+            elif parsed.path == "/api/symbols":
+                self._send_json(200, handle_symbols(parse_qs(parsed.query)))
             elif parsed.path in ("/", "/index.html", "/advanced"):
                 hit = _static_file("index.html")
                 if hit:

@@ -143,6 +143,25 @@ def test_quote_endpoint_fallback(base_url):
     assert out["price"] > 0 and 0 < out["volatility"] < 1
 
 
+def test_symbols_endpoint_full_universe(base_url):
+    """GET /api/symbols serves the full 50-constituent NIFTY universe
+    (+ the index itself) with the metadata the searchable picker needs
+    (reference universe: js/stocks.js:2-53)."""
+    out = get(f"{base_url}/api/symbols")
+    rows = out["symbols"]
+    assert len(rows) == 51  # 50 constituents + NIFTY index
+    syms = {r["symbol"] for r in rows}
+    for must in ("NIFTY", "RELIANCE", "UPL", "LTIM", "BAJAJ-AUTO",
+                 "SHRIRAMFIN", "JSWSTEEL", "APOLLOHOSP"):
+        assert must in syms
+    for r in rows:
+        assert r["price"] > 0 and 0 < r["vol"] < 1
+        assert r["name"] and r["sector"]
+    # every universe symbol must be quotable through /api/quote
+    q = get(f"{base_url}/api/quote?symbol=UPL")
+    assert q["price"] > 0
+
+
 def test_quote_endpoint_unknown_symbol(base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         get(f"{base_url}/api/quote?symbol=NOSUCHSTOCK")

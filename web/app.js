@@ -221,15 +221,47 @@ const localBS = {
   },
 };
 
+/* Two sweep modes like the reference's tabs (js/engine.js:221-245):
+ * "vol" = price vs σ over 5-80%, "strike" = price vs K over 0.7-1.3·S.
+ * Both call and put curves are drawn so the sweep answers either side. */
+let sensMode = "vol";
+let lastSens = null; // remember the last run's contract for tab switches
+
 function drawSensitivity(spot, strike, T, isCall) {
+  lastSens = { spot, strike, T, isCall };
   const canvas = $("chart-sens");
-  const xs = [], ys = [];
-  for (let vol = 0.05; vol <= 0.8001; vol += 0.01) {
-    xs.push(vol);
-    ys.push(localBS.price(spot, strike, T, 0.065, 0.012, vol, isCall));
+  const xs = [], call = [], put = [];
+  if (sensMode === "vol") {
+    for (let vol = 0.05; vol <= 0.8001; vol += 0.025) {
+      xs.push(vol);
+      call.push(localBS.price(spot, strike, T, 0.065, 0.012, vol, true));
+      put.push(localBS.price(spot, strike, T, 0.065, 0.012, vol, false));
+    }
+  } else {
+    const sigma = Math.sqrt(Number($("p-v0").value));
+    for (let m = 0.7; m <= 1.3001; m += 0.02) {
+      xs.push(spot * m);
+      call.push(localBS.price(spot, spot * m, T, 0.065, 0.012, sigma, true));
+      put.push(localBS.price(spot, spot * m, T, 0.065, 0.012, sigma, false));
+    }
   }
-  const f = frame(canvas, xs, ys);
-  polyline(f, xs, ys, COLORS.line, 2);
+  const f = frame(canvas, xs, [...call, ...put]);
+  polyline(f, xs, call, isCall ? COLORS.line : COLORS.dim, isCall ? 2 : 1.2);
+  polyline(f, xs, put, isCall ? COLORS.dim : COLORS.line, isCall ? 1.2 : 2);
+  f.ctx.fillStyle = isCall ? COLORS.line : COLORS.dim;
+  f.ctx.fillText("call", 60, 18);
+  f.ctx.fillStyle = isCall ? COLORS.dim : COLORS.line;
+  f.ctx.fillText("put", 100, 18);
+}
+
+function setSensMode(mode) {
+  sensMode = mode;
+  $("sens-vol").classList.toggle("active", mode === "vol");
+  $("sens-strike").classList.toggle("active", mode === "strike");
+  if (lastSens) {
+    drawSensitivity(lastSens.spot, lastSens.strike, lastSens.T,
+                    lastSens.isCall);
+  }
 }
 
 /* ── rough vol + exposure panels ──────────────────────────────────────── */
@@ -379,31 +411,127 @@ async function modelRisk() {
 }
 
 /* ── greeks panel ─────────────────────────────────────────────────────── */
+/* Per-Greek explainer metadata (role of the reference's GREEK_META cards,
+ * js/app.js:470-516): plain-language INR-denominated tips rendered as a
+ * hover tooltip + a magnitude bar under each value. */
+const inr = (v) => `₹${Math.abs(v).toFixed(2)}`;
+const GREEK_META = {
+  delta: {
+    label: "Δ delta", color: "#4fd1c5", scale: 1,
+    tip: (v, c) => c.isCall
+      ? `If ${c.symbol} rises ₹10, this CALL gains ≈ ${inr(v * 10)}.`
+      : `If ${c.symbol} falls ₹10, this PUT gains ≈ ${inr(v * 10)}.`,
+  },
+  gamma: {
+    label: "Γ gamma", color: "#63b3ed", scale: 0.01,
+    tip: () => "Rate of change of delta — how fast the hedge moves. " +
+               "Largest near the money and close to expiry.",
+  },
+  vega: {
+    label: "ν vega/pt", color: "#f6ad55", scale: 30,
+    tip: (v) => `A 1-vol-point rise in implied vol moves the premium by ≈ ${inr(v)}.`,
+  },
+  theta: {
+    label: "Θ daily", color: "#fc8181", scale: 8,
+    tip: (v) => `Time decay: one calendar day costs ≈ ${inr(v)} of premium ` +
+                "(all else equal).",
+  },
+  rho: {
+    label: "ρ rho", color: "#68d391", scale: 30,
+    tip: (v, c) => c.isCall
+      ? `A 1% RBI rate hike adds ≈ ${inr(v / 100)} to this CALL.`
+      : `A 1% RBI rate hike costs ≈ ${inr(v / 100)} on this PUT.`,
+  },
+  lambda_j: {
+    label: "λ jump", color: "#b794f4", scale: 20,
+    tip: (v) => `Jump-intensity sensitivity (LR estimator): one extra ` +
+                `expected jump per year moves the premium by ≈ ${inr(v)}.`,
+  },
+};
+
 function renderGreeks(g) {
+  const ctx = { symbol: currentSymbol, isCall: $("is-call").checked };
   const rows = [
-    ["Δ delta", g.delta.pathwise],
-    ["Γ gamma", g.gamma.gamma],
-    ["ν vega/pt", g.vega.vega_per_vol_point],
-    ["Θ daily", g.theta.theta_daily / 252],
-    ["ρ rho", g.rho.rho],
-    ["λ jump", g.jumps ? g.jumps.lambda_j : NaN],
+    ["delta", g.delta.pathwise],
+    ["gamma", g.gamma.gamma],
+    ["vega", g.vega.vega_per_vol_point],
+    ["theta", g.theta.theta_daily / 252],
+    ["rho", g.rho.rho],
+    ["lambda_j", g.jumps ? g.jumps.lambda_j : NaN],
   ];
-  $("greeks").innerHTML = rows.map(([label, v]) => `
-    <div class="card"><div class="card-label">${label}</div>
-    <div class="card-value">${Number(v).toPrecision(4)}</div></div>`).join("");
+  $("greeks").innerHTML = rows.map(([key, v]) => {
+    const m = GREEK_META[key];
+    const pct = Math.min(Math.abs(v) / m.scale * 100, 100);
+    return `
+    <div class="card greek" title="${m.tip(Number(v) || 0, ctx)}">
+      <div class="card-label" style="color:${m.color}">${m.label}</div>
+      <div class="card-value">${Number(v).toPrecision(4)}</div>
+      <div class="greek-bar"><span style="width:${pct}%;background:${m.color}"></span></div>
+    </div>`;
+  }).join("");
 }
 
-/* ── orchestration ────────────────────────────────────────────────────── */
+/* ── searchable symbol picker ─────────────────────────────────────────── */
+/* Server-driven universe (GET /api/symbols, 50 NIFTY constituents + index)
+ * with search-as-you-type over symbol/name/sector — role of the
+ * reference's NIFTY-50 dropdown (js/app.js:67-124). */
+let universe = [];
+let currentSymbol = "NIFTY";
+
+function renderDropdown(filter) {
+  const dd = $("symbol-dropdown");
+  const fl = (filter || "").toLowerCase();
+  const hits = universe.filter((s) =>
+    s.symbol.toLowerCase().includes(fl) ||
+    s.name.toLowerCase().includes(fl) ||
+    s.sector.toLowerCase().includes(fl));
+  dd.innerHTML = hits.length
+    ? hits.map((s) => `
+        <div class="dd-item${s.symbol === currentSymbol ? " active" : ""}"
+             data-symbol="${s.symbol}">
+          <span class="dd-sym">${s.symbol}</span>
+          <span class="dd-name">${s.name}</span>
+          <span class="dd-sector">${s.sector}</span>
+        </div>`).join("")
+    : '<div class="dd-item dim">No results</div>';
+  for (const el of dd.querySelectorAll(".dd-item[data-symbol]")) {
+    el.addEventListener("mousedown", (e) => {
+      e.preventDefault();
+      selectSymbol(el.dataset.symbol);
+    });
+  }
+}
+
+function selectSymbol(symbol) {
+  currentSymbol = symbol;
+  const s = universe.find((u) => u.symbol === symbol);
+  $("symbol-search").value = s ? `${s.symbol} — ${s.name}` : symbol;
+  $("symbol-dropdown").classList.add("hidden");
+  fetchQuote();
+}
+
 async function loadSymbols() {
-  // Static list is served by the quote endpoint per-symbol; populate common ones.
-  const symbols = ["NIFTY", "RELIANCE", "TCS", "HDFCBANK", "INFY", "ICICIBANK",
-                   "SBIN", "TATAMOTORS", "BAJFINANCE", "ADANIENT"];
-  $("symbol").innerHTML = symbols.map((s) => `<option>${s}</option>`).join("");
+  try {
+    universe = (await api("/api/symbols")).symbols;
+  } catch {
+    universe = [{ symbol: "NIFTY", name: "NIFTY 50 Index", sector: "Index",
+                  price: 22500, vol: 0.14 }];
+  }
+  const input = $("symbol-search");
+  input.value = "NIFTY — NIFTY 50 Index";
+  input.addEventListener("focus", () => {
+    input.select();
+    renderDropdown("");
+    $("symbol-dropdown").classList.remove("hidden");
+  });
+  input.addEventListener("input", () => renderDropdown(input.value));
+  input.addEventListener("blur", () =>
+    setTimeout(() => $("symbol-dropdown").classList.add("hidden"), 150));
 }
 
 async function fetchQuote() {
   try {
-    const q = await api(`/api/quote?symbol=${$("symbol").value}`);
+    const q = await api(`/api/quote?symbol=${currentSymbol}`);
     $("spot").value = q.price.toFixed(2);
     $("strike").value = (Math.round(q.price / 50) * 50).toFixed(0);
     const badge = $("quote-badge");
@@ -518,6 +646,8 @@ async function init() {
   $("run").addEventListener("click", run);
   $("stress-btn").addEventListener("click", stress);
   $("quote-btn").addEventListener("click", fetchQuote);
+  $("sens-vol").addEventListener("click", () => setSensMode("vol"));
+  $("sens-strike").addEventListener("click", () => setSensMode("strike"));
   $("rough-btn").addEventListener("click", roughSmile);
   $("exposure-btn").addEventListener("click", exposureProfile);
   $("hhw-btn").addEventListener("click", hhwImpact);
