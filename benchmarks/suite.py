@@ -246,35 +246,42 @@ def config6_serving_default(quick):
 
 
 def config7_qe_accuracy(quick):
-    """Accuracy-normalized throughput: QE at 16 steps vs Euler at the step
-    count needed for the same bias (~1000), both through their fused
-    kernels, against the semi-analytic COS oracle."""
+    """Bias-vs-steps ladder in the regime QE is FOR: high vol-of-vol
+    Heston violating Feller (kappa=1, theta=0.09, xi=1.0 — 2*kappa*theta =
+    0.18 << xi^2 = 1.0, the same regime tests/test_qe_scheme.py pins).
+    Euler full truncation carries a large discretization bias here; QE is
+    near-exact at 16 steps. Ladder of (scheme, steps) vs the COS oracle
+    with sigma bands — the accuracy-per-step win is the point."""
     import jax
     from mcos_tpu.engine.pricer import MonteCarloEngine
     from mcos_tpu.models.params import SVJParams
     from mcos_tpu.ops.cos_pricer import cos_price
 
-    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
-                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
-    spot, strike, T = 22500.0, 22500.0, 0.25
+    p = SVJParams(kappa=1.0, theta=0.09, xi=1.0, rho=-0.7, v0=0.04,
+                  lambda_j=0.0, mu_j=0.0, sigma_j=0.01)
+    spot, strike, T = 22500.0, 22500.0, 1.0
     n = 1 << (17 if quick else 19)
     ref = float(cos_price(p, spot, [strike], T, True)[0])
-    out = {"workload": f"ATM SVJ T=0.25, {n} paths, vs COS oracle",
+    out = {"workload": f"ATM Heston (Feller-violating, xi=1.0) T=1.0, "
+                       f"{n} paths, vs COS oracle",
            "cos_price": ref}
-    # num_steps is per-year; scaled_steps makes T=0.25 use num_steps/4.
-    for label, scheme, steps_py in (("qe_16steps", "qe", 64),
-                                    ("euler_16steps", "euler", 64),
-                                    ("euler_1000steps", "euler", 4000)):
-        eng = MonteCarloEngine(p, num_paths=n, num_steps=steps_py, seed=7,
+    # num_steps is per-year; at T=1.0 it is the actual step count.
+    ladder = [("qe", 16), ("qe", 64),
+              ("euler", 16), ("euler", 64), ("euler", 256)]
+    if not quick:
+        ladder.append(("euler", 1024))
+    for scheme, steps in ladder:
+        eng = MonteCarloEngine(p, num_paths=n, num_steps=steps, seed=7,
                                use_sobol=False, scheme=scheme)
         res, ms = timed(lambda: eng.price(spot, strike, T)["price"], trials=2)
         price = float(res)
-        eng2 = MonteCarloEngine(p, num_paths=n, num_steps=steps_py, seed=7,
+        eng2 = MonteCarloEngine(p, num_paths=n, num_steps=steps, seed=7,
                                 use_sobol=False, scheme=scheme)
         se = eng2.price(spot, strike, T)["std_error"]
-        out[label] = {"price": price, "abs_err": round(abs(price - ref), 4),
-                      "err_sigmas": round(abs(price - ref) / max(se, 1e-9), 1),
-                      "latency_ms": round(ms, 1)}
+        out[f"{scheme}_{steps}steps"] = {
+            "price": price, "abs_err": round(abs(price - ref), 4),
+            "err_sigmas": round(abs(price - ref) / max(se, 1e-9), 1),
+            "latency_ms": round(ms, 1)}
     return out
 
 
@@ -383,6 +390,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="smaller workloads (CPU-friendly)")
+    parser.add_argument("--only", default=None,
+                        help="run only configs whose name contains this "
+                             "substring (e.g. --only config7)")
     args = parser.parse_args()
 
     import jax
@@ -398,6 +408,8 @@ def main():
                      ("config7_qe_accuracy", config7_qe_accuracy),
                      ("config8_sustained", config8_sustained),
                      ("config9_new_engines", config9_new_engines)]:
+        if args.only and args.only not in name:
+            continue
         try:
             report[name] = fn(args.quick)
         except Exception as e:  # noqa: BLE001 — report partial results
