@@ -55,6 +55,64 @@ def _cv_adjust(pay: Array, ctrl: Array, ctrl_mean_exact: Array):
     return mean, se, beta
 
 
+def exotic_payoff_and_control(
+    stats: Dict[str, Array], params: SVJParams, spot, strike, T, barrier,
+    *, kind: str, num_steps: int, is_call: bool,
+    averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
+    floating: bool = False, one_touch: bool = False,
+    control_variate: bool = True,
+):
+    """(pay_b, ctrl_b, ctrl_exact) from a path-stats dict.
+
+    Shared by the single-device core below and the mesh-sharded pricer
+    (parallel/mesh.py:sharded_exotic_price) so the payoff/control algebra
+    cannot drift between them. ctrl_b/ctrl_exact are None when the payoff
+    takes no companion control (one-touch cash digitals, or
+    control_variate=False).
+    """
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+    if kind == "asian":
+        pay_b = ops_exotics.asian_payoff(stats, strike, is_call, averaging)
+    elif kind == "barrier":
+        if one_touch:
+            touched = (stats["max_s"] >= barrier if direction == "up"
+                       else stats["min_s"] <= barrier)
+            pay_b = touched.astype(jnp.float32)
+            control_variate = False      # no companion control for cash
+        else:
+            pay_b = ops_exotics.barrier_payoff(
+                stats, strike, barrier, is_call, knock=knock,
+                direction=direction)
+    elif kind == "lookback":
+        pay_b = ops_exotics.lookback_payoff(
+            stats, is_call, None if floating else strike)
+    else:
+        raise ValueError(f"unknown exotic kind: {kind!r}")
+
+    if not control_variate:
+        return pay_b, None, None
+
+    sigma_bs = jnp.sqrt(params.v0)
+    if kind == "asian":
+        # Kemna-Vorst: geometric Asian on the companion leg.
+        g_geo = jnp.exp(stats["g_log_avg"])
+        ctrl_b = jnp.where(g_geo - strike > 0, g_geo - strike, 0.0) \
+            if is_call else jnp.maximum(strike - g_geo, 0.0)
+        ctrl_exact = ops_exotics.geometric_asian_bs(
+            spot, strike, T, params.r, params.q, sigma_bs, num_steps,
+            is_call) / discount
+    else:
+        # European payoff on the companion leg (terminal value only ⇒
+        # its expectation is the exact BS price, discrete or not).
+        eff_strike = jnp.where(jnp.asarray(floating), spot, strike)
+        g_t = stats["g_final"]
+        ctrl_b = jnp.maximum(g_t - eff_strike, 0.0) if is_call \
+            else jnp.maximum(eff_strike - g_t, 0.0)
+        ctrl_exact = bs_price(spot, eff_strike, T, params.r, params.q,
+                              sigma_bs, is_call) / discount
+    return pay_b, ctrl_b, ctrl_exact
+
+
 @partial(jax.jit, static_argnames=(
     "num_paths", "num_steps", "is_call", "kind", "averaging", "knock",
     "direction", "antithetic", "control_variate", "floating", "one_touch",
@@ -93,24 +151,11 @@ def _price_exotic_core(
             antithetic=antithetic, companion=control_variate)
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
-    if kind == "asian":
-        pay_b = ops_exotics.asian_payoff(stats, strike, is_call, averaging)
-    elif kind == "barrier":
-        if one_touch:
-            # Cash-digital on the touch event: 1{barrier traded}.
-            touched = (stats["max_s"] >= barrier if direction == "up"
-                       else stats["min_s"] <= barrier)
-            pay_b = touched.astype(jnp.float32)
-            control_variate = False      # no companion control for cash
-        else:
-            pay_b = ops_exotics.barrier_payoff(
-                stats, strike, barrier, is_call, knock=knock,
-                direction=direction)
-    elif kind == "lookback":
-        pay_b = ops_exotics.lookback_payoff(
-            stats, is_call, None if floating else strike)
-    else:
-        raise ValueError(f"unknown exotic kind: {kind!r}")
+    pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
+        stats, params, spot, strike, T, barrier, kind=kind,
+        num_steps=num_steps, is_call=is_call, averaging=averaging,
+        knock=knock, direction=direction, floating=floating,
+        one_touch=one_touch, control_variate=control_variate)
 
     pay = combine_antithetic(pay_b)
     raw_mean, raw_se = mc_mean_stderr(pay)
@@ -120,25 +165,7 @@ def _price_exotic_core(
         "std_error": discount * raw_se,
     }
 
-    if control_variate:
-        sigma_bs = jnp.sqrt(params.v0)
-        if kind == "asian":
-            # Kemna-Vorst: geometric Asian on the companion leg.
-            g_geo = jnp.exp(stats["g_log_avg"])
-            ctrl_b = jnp.where(g_geo - strike > 0, g_geo - strike, 0.0) \
-                if is_call else jnp.maximum(strike - g_geo, 0.0)
-            ctrl_exact = ops_exotics.geometric_asian_bs(
-                spot, strike, T, params.r, params.q, sigma_bs, num_steps,
-                is_call) / discount
-        else:
-            # European payoff on the companion leg (terminal value only ⇒
-            # its expectation is the exact BS price, discrete or not).
-            eff_strike = jnp.where(jnp.asarray(floating), spot, strike)
-            g_t = stats["g_final"]
-            ctrl_b = jnp.maximum(g_t - eff_strike, 0.0) if is_call \
-                else jnp.maximum(eff_strike - g_t, 0.0)
-            ctrl_exact = bs_price(spot, eff_strike, T, params.r, params.q,
-                                  sigma_bs, is_call) / discount
+    if ctrl_b is not None:
         ctrl = combine_antithetic(ctrl_b)
         mean, se, beta = _cv_adjust(pay, ctrl, ctrl_exact)
         out["price"] = discount * mean

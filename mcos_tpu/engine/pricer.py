@@ -29,10 +29,14 @@ Variance reduction:
   still collapses variance in the BS limit.
 
 Random drivers:
-- "threefry": counter-based keys, the default for sharded scale.
+- "threefry": counter-based keys, device-foldable for sharded scale.
 - "sobol": scrambled Sobol + Brownian-bridge (mcos_tpu.ops.sobol), the
-  reference's default driver (monte_carlo.py:290-299), kept for single-host
-  runs; the bridge is a precomputed matrix so path construction is one matmul.
+  reference's default driver (monte_carlo.py:290-299); the bridge is a
+  precomputed matrix so path construction is one matmul. Scales past one
+  chip via index-partitioned slices of the ONE global sequence
+  (parallel/mesh.py:sharded_sobol_price — each device generates points
+  [i·ppd, (i+1)·ppd) with the offset XOR expansion, so the device union is
+  exactly the single-host point set).
 """
 
 from __future__ import annotations

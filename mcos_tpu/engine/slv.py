@@ -53,12 +53,13 @@ _LEV2_MIN, _LEV2_MAX = 0.01, 100.0      # leverage^2 clip (stability)
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "n_bins",
                                    "k_snapshot", "track_extremes",
-                                   "emit_sheet"))
+                                   "emit_sheet", "axis_name"))
 def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
                  key, *, num_paths: int, num_steps: int,
                  n_bins: int = 101, k_snapshot: int = -1,
                  track_extremes: bool = False,
-                 emit_sheet: bool = False) -> Array:
+                 emit_sheet: bool = False,
+                 axis_name: str = None) -> Array:
     """(2, num_paths) terminal spots under the particle-calibrated SLV —
     or, with `k_snapshot >= 0`, a (2, 2, num_paths) stack of
     (S at step k_snapshot, S at T) for forward-start payoffs; with
@@ -68,6 +69,14 @@ def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
     `params` supplies the Heston block (kappa, theta, xi, rho, v0, r, q;
     jumps ignored); `var_rows`/`t_mid`/`y0`/`dy` are the Dupire table in
     the localvol engine's step-table layout.
+
+    `axis_name`: when running inside `shard_map` over a path-sharded mesh,
+    the per-step particle statistics (bin sums/counts and the cloud mean
+    feeding the prior) are pooled with `lax.psum` over this axis, so the
+    leverage function is estimated from the GLOBAL particle cloud — the
+    mean-field interaction is what makes SLV genuinely distributed rather
+    than N independent small-cloud runs (small clouds bias E[v|S] noisy-to-
+    flat). The caller must fold its device index into `key`.
     """
     dtype = jnp.float32
     p = params
@@ -114,8 +123,17 @@ def slv_terminal(params: SVJParams, var_rows, t_mid, y0, dy, spot, T,
         sums = jax.ops.segment_sum(v_flat, bins, num_segments=n_bins)
         cnts = jax.ops.segment_sum(jnp.ones_like(v_flat), bins,
                                    num_segments=n_bins)
+        v_sum = jnp.sum(v_flat)
+        v_cnt = jnp.float32(v_flat.shape[0])
+        if axis_name is not None:
+            # One fused psum per step: the (n_bins+2)-word vector rides ICI.
+            pooled = jax.lax.psum(
+                jnp.concatenate([sums, cnts, jnp.stack([v_sum, v_cnt])]),
+                axis_name)
+            sums, cnts = pooled[:n_bins], pooled[n_bins:2 * n_bins]
+            v_sum, v_cnt = pooled[-2], pooled[-1]
         prior = jnp.float32(16.0)
-        ev_bin = (sums + prior * jnp.mean(v_flat)) / (cnts + prior)
+        ev_bin = (sums + prior * (v_sum / v_cnt)) / (cnts + prior)
         ev = ev_bin[bins].reshape(2, num_paths)
 
         lev2 = jnp.clip(sig_loc2 / jnp.maximum(ev, _VAR_FLOOR),

@@ -150,6 +150,28 @@ def _owen_scramble30(x: Array, seed: Array) -> Array:
     return x >> jnp.uint32(2)
 
 
+def _sobol_uniforms_core(sv: Array, shift: Array, idx: Array, n_bits: int,
+                         scramble: str) -> Array:
+    """Shared XOR-expansion core: uniforms at arbitrary point indices `idx`.
+
+    Statically unrolled over `n_bits` gray-code bits: the whole chain fuses
+    into ONE elementwise pass (a fori_loop body round-trips the
+    (dims × points) accumulator through HBM every iteration — 30× the
+    traffic; measured ~5× slower end-to-end at 500k × 252 on v5e).
+    """
+    gray = idx ^ (idx >> 1)
+    dims = sv.shape[0]
+    acc = jnp.zeros((dims, 1), jnp.uint32) if scramble == "owen" \
+        else shift[:, None]
+    for b in range(min(n_bits, _SOBOL_BITS)):
+        bit = ((gray >> jnp.uint32(b)) & jnp.uint32(1)).astype(bool)
+        acc = acc ^ jnp.where(bit[None, :], sv[:, b][:, None], jnp.uint32(0))
+    if scramble == "owen":
+        acc = _owen_scramble30(acc, shift[:, None])
+    # Center each 30-bit integer in its cell for an unbiased uniform.
+    return (acc.astype(jnp.float32) + 0.5) * _U32_SCALE
+
+
 @partial(jax.jit, static_argnames=("num_points", "scramble"))
 def _sobol_uniforms_T(sv: Array, shift: Array, num_points: int,
                       scramble: str = "owen") -> Array:
@@ -165,25 +187,29 @@ def _sobol_uniforms_T(sv: Array, shift: Array, num_points: int,
         (dims, num_points) float32 uniforms in (0, 1) — dims-major.
     """
     idx = jax.lax.broadcasted_iota(jnp.uint32, (1, num_points), 1)[0]
-    gray = idx ^ (idx >> 1)
-
-    # Statically unrolled XOR expansion: the whole chain fuses into ONE
-    # elementwise pass (a fori_loop body round-trips the (dims × points)
-    # accumulator through HBM every iteration — 30× the traffic; measured
-    # ~5× slower end-to-end at 500k × 252 on v5e). Only the low
-    # ⌈log2(num_points)⌉ gray-code bits can ever be set, so the chain is
-    # ~19 terms at 2^19 points, not 30.
+    # Only the low ⌈log2(num_points)⌉ gray-code bits can ever be set, so
+    # the unrolled chain is ~19 terms at 2^19 points, not 30.
     n_bits = max(1, int(np.ceil(np.log2(max(num_points, 2)))))
-    dims = sv.shape[0]
-    acc = jnp.zeros((dims, 1), jnp.uint32) if scramble == "owen" \
-        else shift[:, None]
-    for b in range(min(n_bits, _SOBOL_BITS)):
-        bit = ((gray >> jnp.uint32(b)) & jnp.uint32(1)).astype(bool)
-        acc = acc ^ jnp.where(bit[None, :], sv[:, b][:, None], jnp.uint32(0))
-    if scramble == "owen":
-        acc = _owen_scramble30(acc, shift[:, None])
-    # Center each 30-bit integer in its cell for an unbiased uniform.
-    return (acc.astype(jnp.float32) + 0.5) * _U32_SCALE
+    return _sobol_uniforms_core(sv, shift, idx, n_bits, scramble)
+
+
+def _sobol_uniforms_slice_T(sv: Array, shift: Array, offset: Array,
+                            num_points: int, total_points: int,
+                            scramble: str = "owen") -> Array:
+    """Uniforms for the slice [offset, offset+num_points) of ONE global
+    scrambled-Sobol sequence of `total_points` points.
+
+    The sharded-QMC primitive: each device of a paths-sharded mesh
+    generates its own contiguous slice (offset = axis_index · ppd) of the
+    SAME sequence — the union over devices is exactly the single-host
+    point set, so sharded RQMC keeps the full low-discrepancy variance
+    win (device-independent streams would degrade it to √N pooling of
+    short sequences). `offset` is a traced uint32 scalar; the bit unroll
+    covers log2(total_points) so any slice is reachable.
+    """
+    idx = offset + jax.lax.broadcasted_iota(jnp.uint32, (1, num_points), 1)[0]
+    n_bits = max(1, int(np.ceil(np.log2(max(total_points, 2)))))
+    return _sobol_uniforms_core(sv, shift, idx, n_bits, scramble)
 
 
 @partial(jax.jit, static_argnames=("num_points", "num_keep", "scramble"))
@@ -296,6 +322,46 @@ def _sobol_uniforms_keep_T(sv: Array, shift: Array, num_points: int,
                            num_keep: int, scramble: str = "owen") -> Array:
     u = _sobol_uniforms_T(sv, shift, num_points, scramble)
     return jnp.clip(u, _CLIP, 1.0 - _CLIP)[:, :num_keep]
+
+
+def sobol_svj_draws_slice(paths_slice: int, total_paths: int, offset,
+                          num_steps: int, seed: int = 0,
+                          scramble: str = "owen",
+                          ) -> Tuple[Array, Array, None, Array]:
+    """Per-device slice of the GLOBAL Sobol SVJ draw set (sharded QMC).
+
+    Same dimension assignment and Brownian-bridge treatment as
+    `sobol_svj_draws`, but generates only points [offset, offset+paths_slice)
+    of a `total_paths`-point sequence (total_paths must be a power of two;
+    the caller rounds up and splits across the mesh). Called INSIDE
+    `shard_map` with `offset = axis_index · paths_slice` (a traced scalar) —
+    the device union reconstructs the exact single-host point set, so the
+    sharded estimator keeps full QMC variance behavior rather than
+    degrading to pooled short sequences.
+
+    Jump-occurrence uniforms are NOT generated here (no QMC structure;
+    monte_carlo.py:306-308 uses a plain PRNG too) — the caller draws them
+    from a device-folded threefry key. Returns steps-major
+    (z1, z2, None, z_js).
+    """
+    s = num_steps
+    sv = jnp.asarray(sobol_direction_numbers(3 * s))
+    shift = _scramble_shift(jax.random.key(seed), 3 * s)
+    bb = jnp.asarray(brownian_bridge_matrix(s))
+    offset = jnp.asarray(offset, jnp.uint32)
+    sqrt_n = jnp.sqrt(jnp.float32(s))
+
+    from mcos_tpu.ops.pallas_kernels import _ndtri_kernel
+
+    def normals(block, shift_block):
+        u = _sobol_uniforms_slice_T(block, shift_block, offset, paths_slice,
+                                    total_paths, scramble)
+        return _ndtri_kernel(jnp.clip(u, _CLIP, 1.0 - _CLIP))
+
+    z1 = (bb @ normals(sv[:s], shift[:s])) * sqrt_n
+    z2 = (bb @ normals(sv[s:2 * s], shift[s:2 * s])) * sqrt_n
+    z_js = normals(sv[2 * s:], shift[2 * s:])
+    return z1, z2, None, z_js
 
 
 def sobol_qe_draws(num_paths: int, num_steps: int, seed: int = 0,

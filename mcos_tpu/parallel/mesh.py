@@ -292,3 +292,404 @@ def sharded_price(
         out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
                                  jnp.sqrt(params.v0), is_call)
     return out
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Engine-wide sharding: greeks / exotics / HHW / SLV / Sobol-QMC
+# (the reference's one parallelism axis — paths — made first-class across
+# the whole engine surface, SURVEY.md §5.8)
+# ─────────────────────────────────────────────────────────────────────────────
+def sharded_all_greeks(
+    params: SVJParams,
+    spot,
+    strike,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    bump: float = 0.01,
+    lambda_bump: float = 0.1,
+    axis_name: str = "paths",
+) -> Dict[str, float]:
+    """All Greeks with the path simulation sharded over the mesh.
+
+    `jax.grad` THROUGH `shard_map`: the backward pass of the psum'd moment
+    pooling is itself a psum, so one value_and_grad over the sharded
+    CV-adjusted price yields price + delta + theta + rho + the full
+    ∂P/∂params pytree with every path-simulation flop distributed. Gamma is
+    the central CRN difference of the sharded AD delta (same estimator as
+    GreeksEngine.gamma — second-order pathwise AD of a kinked payoff is
+    biased); ∂P/∂λ is a CRN forward difference (the jump indicator has zero
+    pathwise derivative). Key conventions match engine/greeks.py exactly so
+    the two paths are interchangeable.
+    """
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-num_paths // n_dev)
+    strikes = jnp.atleast_1d(jnp.asarray(strike, jnp.float32))
+
+    local = partial(
+        _local_price_stats,
+        paths_per_device=ppd, num_steps=num_steps, is_call=is_call,
+        antithetic=True, control_variate=True, cv_mode="companion",
+        axis_name=axis_name)
+    spec = P()
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 5,
+                             out_specs=spec, check_vma=False)
+
+    def scalar_price(params_, spot_, T_):
+        stats = shmapped(params_, spot_, strikes, T_, key)
+        discount = jnp.exp(-params_.r * T_)
+        return (discount * stats["sum"] / stats["n"])[0]
+
+    def everything(params_, spot_, T_):
+        price, (d_params, d_spot, d_T) = jax.value_and_grad(
+            scalar_price, argnums=(0, 1, 2))(params_, spot_, T_)
+        d_up = jax.grad(scalar_price, argnums=1)(
+            params_, spot_ * (1.0 + bump), T_)
+        d_dn = jax.grad(scalar_price, argnums=1)(
+            params_, spot_ * (1.0 - bump), T_)
+        gamma = (d_up - d_dn) / (2.0 * spot_ * bump)
+        lam = params_.lambda_j
+        lam_up = lam + lambda_bump
+        lam_dn = jnp.maximum(lam - lambda_bump, 0.0)
+        p_up = scalar_price(params_.replace(lambda_j=lam_up), spot_, T_)
+        p_dn = scalar_price(params_.replace(lambda_j=lam_dn), spot_, T_)
+        lam_fd = (p_up - p_dn) / jnp.maximum(lam_up - lam_dn, 1e-12)
+        return {"price": price, "delta": d_spot, "d_T": d_T,
+                "d_params": d_params, "gamma": gamma, "lambda_j": lam_fd}
+
+    out = jax.device_get(jax.jit(everything)(
+        params, jnp.float32(spot), jnp.float32(T)))
+    d_params = out["d_params"]
+    sigma = float(np.sqrt(float(params.v0)))
+    return {
+        "price": float(out["price"]),
+        "delta": float(out["delta"]),
+        "gamma": float(out["gamma"]),
+        "vega_per_vol_point": float(d_params.v0) * 2.0 * sigma,
+        "ad_vega_v0": float(d_params.v0),
+        "theta_daily": -float(out["d_T"]),   # reference key convention
+        "rho": float(d_params.r),
+        "lambda_j": float(out["lambda_j"]),
+        "mu_j": float(d_params.mu_j),
+        "sigma_j": float(d_params.sigma_j),
+        "kappa": float(d_params.kappa),
+        "theta": float(d_params.theta),
+        "xi": float(d_params.xi),
+        "rho_corr": float(d_params.rho),
+        "num_devices": int(n_dev),
+    }
+
+
+def _pooled_cv_price(stats: Dict[str, Array], ctrl_exact):
+    """(mean, stderr, β|None) from psum'd (n, Σp, Σp², [Σc, Σc², Σpc])
+    moments with the optimal-β control variate computed on the POOLED
+    sample — exactly the single-device `_cv_adjust` estimator
+    (engine/exotics.py:43-55), reassembled from sums."""
+    n = stats["n"]
+    mean_p = stats["sum_p"] / n
+    var_p = jnp.maximum(stats["sumsq_p"] / n - mean_p**2, 0.0)
+    if ctrl_exact is None:
+        return mean_p, jnp.sqrt(var_p / n), None
+    mean_c = stats["sum_c"] / n
+    var_c = jnp.maximum(stats["sumsq_c"] / n - mean_c**2, 0.0)
+    cov = stats["sum_pc"] / n - mean_p * mean_c
+    beta = jnp.where(var_c > 1e-12, cov / jnp.maximum(var_c, 1e-12), 0.0)
+    mean_adj = mean_p - beta * (mean_c - ctrl_exact)
+    # var(p−βc) at β* = var_p − cov²/var_c = var_p − β·cov
+    var_adj = jnp.maximum(var_p - beta * cov, 0.0)
+    return mean_adj, jnp.sqrt(var_adj / n), beta
+
+
+def sharded_exotic_price(
+    params: SVJParams,
+    spot,
+    strike,
+    T,
+    key: Array,
+    barrier=0.0,
+    *,
+    mesh: Mesh,
+    kind: str,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    averaging: str = "arithmetic",
+    knock: str = "out",
+    direction: str = "up",
+    floating: bool = False,
+    one_touch: bool = False,
+    control_variate: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded exotic pricing (Asian/barrier/lookback).
+
+    Each device runs the fused path-functional scan
+    (ops/exotics.py:simulate_path_stats) on its slice with a device-folded
+    key; the payoff/control algebra is the SAME code as the single-device
+    engine (engine/exotics.py:exotic_payoff_and_control), and the
+    optimal-β control variate is computed from the psum-pooled
+    (n, Σp, Σp², Σc, Σc², Σpc) moments — identical to the single-device
+    estimator evaluated on the union sample.
+    """
+    from mcos_tpu.engine.exotics import exotic_payoff_and_control
+    from mcos_tpu.ops import exotics as ops_exotics
+
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-num_paths // n_dev)
+
+    def local(params_, spot_, strike_, T_, barrier_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        stats = ops_exotics.simulate_path_stats(
+            params_, spot_, T_, dev_key, num_paths=ppd,
+            num_steps=num_steps, antithetic=True,
+            companion=control_variate)
+        pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
+            stats, params_, spot_, strike_, T_, barrier_, kind=kind,
+            num_steps=num_steps, is_call=is_call, averaging=averaging,
+            knock=knock, direction=direction, floating=floating,
+            one_touch=one_touch, control_variate=control_variate)
+        pay = simulate.combine_antithetic(pay_b)
+        sums = {"n": jnp.float32(pay.shape[0]),
+                "sum_p": jnp.sum(pay), "sumsq_p": jnp.sum(pay * pay)}
+        if ctrl_b is not None:
+            ctrl = simulate.combine_antithetic(ctrl_b)
+            sums.update(sum_c=jnp.sum(ctrl), sumsq_c=jnp.sum(ctrl * ctrl),
+                        sum_pc=jnp.sum(pay * ctrl))
+        sums = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+        sums["ctrl_exact"] = (ctrl_exact if ctrl_exact is not None
+                              else jnp.float32(jnp.nan))
+        return sums
+
+    spec = P()
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 6,
+                             out_specs=spec, check_vma=False)
+    stats = jax.jit(shmapped)(
+        params, jnp.float32(spot), jnp.float32(strike), jnp.float32(T),
+        jnp.float32(barrier), key)
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    has_cv = "sum_c" in stats
+    mean, se, beta = _pooled_cv_price(
+        stats, stats["ctrl_exact"] if has_cv else None)
+    out = {"price": discount * mean, "std_error": discount * se,
+           "num_paths_used": stats["n"]}
+    if beta is not None:
+        out["cv_beta"] = beta
+    return out
+
+
+def sharded_hhw_price(
+    hhw_params,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded Heston–Hull-White pricing.
+
+    Per device: the joint (S, v, r) scan (ops/hhw.py:hhw_terminal — the
+    left-point ∫r martingale scheme) on a device-folded key; pathwise-
+    discounted payoffs pool via psum'd (n, Σ, Σ²) per strike.
+    """
+    from mcos_tpu.ops.hhw import hhw_terminal
+
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-num_paths // n_dev)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+
+    def local(p_, spot_, ks_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        s, d = hhw_terminal(p_, spot_, T_, dev_key, num_paths=ppd,
+                            num_steps=num_steps)          # (2, ppd) each
+        raw = (s[None] - ks_[:, None, None]) if is_call \
+            else (ks_[:, None, None] - s[None])
+        pay = simulate.combine_antithetic(
+            (jnp.maximum(raw, 0.0) * d[None]).swapaxes(0, 1))  # (K, ppd)
+        sums = {"n": jnp.float32(pay.shape[-1]),
+                "sum": jnp.sum(pay, axis=-1),
+                "sumsq": jnp.sum(pay * pay, axis=-1)}
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 5,
+                             out_specs=spec, check_vma=False)
+    stats = jax.jit(shmapped)(hhw_params, jnp.float32(spot), strikes,
+                              jnp.float32(T), key)
+    n = stats["n"]
+    mean = stats["sum"] / n
+    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
+    return {"price": mean, "std_error": jnp.sqrt(var / n),
+            "num_paths_used": n}
+
+
+def sharded_slv_price(
+    heston: SVJParams,
+    var_rows,
+    t_mid,
+    y0,
+    dy,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    n_bins: int = 101,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded SLV particle-method pricing.
+
+    SLV is a McKean-Vlasov (mean-field) simulation: the leverage function
+    at each step depends on E[v | S] over the WHOLE particle cloud. The
+    sharded run therefore psums the per-step bin statistics inside the
+    scan (engine/slv.py:slv_terminal axis_name plumbing) — one
+    (n_bins+2)-word all-reduce per step over ICI — so N devices × ppd
+    particles behave as ONE cloud of N·ppd particles, not N independent
+    small clouds (small clouds noise-flatten the leverage surface).
+    Terminal payoffs then pool via the usual psum'd moments.
+    """
+    from mcos_tpu.engine.slv import slv_terminal
+
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-num_paths // n_dev)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+
+    def local(p_, rows_, tm_, y0_, dy_, spot_, ks_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        s = slv_terminal(p_, rows_, tm_, y0_, dy_, spot_, T_, dev_key,
+                         num_paths=ppd, num_steps=num_steps, n_bins=n_bins,
+                         axis_name=axis_name)              # (2, ppd)
+        raw = (s[None] - ks_[:, None, None]) if is_call \
+            else (ks_[:, None, None] - s[None])
+        pay = simulate.combine_antithetic(
+            jnp.maximum(raw, 0.0).swapaxes(0, 1))          # (K, ppd)
+        sums = {"n": jnp.float32(pay.shape[-1]),
+                "sum": jnp.sum(pay, axis=-1),
+                "sumsq": jnp.sum(pay * pay, axis=-1)}
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 9,
+                             out_specs=spec, check_vma=False)
+    stats = jax.jit(shmapped)(
+        heston, jnp.asarray(var_rows, jnp.float32),
+        jnp.asarray(t_mid, jnp.float32), jnp.float32(y0), jnp.float32(dy),
+        jnp.float32(spot), strikes, jnp.float32(T), key)
+    discount = jnp.exp(-jnp.asarray(heston.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    n = stats["n"]
+    mean = stats["sum"] / n
+    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
+    return {"price": discount * mean,
+            "std_error": discount * jnp.sqrt(var / n),
+            "num_paths_used": n}
+
+
+def sharded_sobol_price(
+    params: SVJParams,
+    spot,
+    strikes,
+    T,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    seed: int = 42,
+    is_call: bool = True,
+    control_variate: bool = True,
+    scramble: str = "owen",
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded scrambled-Sobol QMC pricing (the serving default
+    driver, scaled past one chip).
+
+    ONE global Owen-scrambled Sobol sequence of 2^m ≥ num_paths points is
+    partitioned by index: device i generates points
+    [i·ppd, (i+1)·ppd) via the offset XOR expansion
+    (ops/sobol.py:sobol_svj_draws_slice) — the device union IS the
+    single-host point set, so the estimator keeps full QMC convergence
+    instead of degrading to pooled short streams. The Brownian-bridge
+    matrix is replicated (a few KB of static data); jump-occurrence
+    uniforms come from a device-folded threefry stream (they carry no QMC
+    structure — monte_carlo.py:306-308 uses a plain PRNG too). Fixes the
+    single-host limitation documented at engine/pricer.py:32-35.
+    """
+    from mcos_tpu.ops.sobol import sobol_svj_draws_slice
+
+    n_dev = mesh.shape[axis_name]
+    m = int(np.ceil(np.log2(max(num_paths, 2))))
+    n_global = 2 ** m
+    if n_global % n_dev:
+        raise ValueError(f"2^{m} Sobol points do not split over {n_dev} "
+                         "devices — use a power-of-two device count")
+    ppd = n_global // n_dev
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    want_g = control_variate
+
+    def local(params_, spot_, ks_, T_):
+        idx = jax.lax.axis_index(axis_name)
+        offset = idx.astype(jnp.uint32) * jnp.uint32(ppd)
+        z1, z2, _, z_js = sobol_svj_draws_slice(
+            ppd, n_global, offset, num_steps, seed=seed, scramble=scramble)
+        u_jump = jax.random.uniform(
+            jax.random.fold_in(jax.random.key(seed + 1), idx),
+            (num_steps, ppd), jnp.float32)
+        s_base, _, g_base = simulate.simulate_terminal_from_draws(
+            params_, spot_, T_, z1, z2, u_jump, z_js, companion=want_g,
+            steps_major=True)
+        s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
+            params_, spot_, T_, -z1, -z2, u_jump, -z_js, companion=want_g,
+            steps_major=True)
+        s_final = jnp.stack([s_base, s_anti])
+        pay = simulate.combine_antithetic(
+            simulate.vanilla_payoff(
+                s_final[None], ks_[:, None, None], is_call).swapaxes(0, 1))
+        if control_variate:
+            discount = jnp.exp(-params_.r * T_)
+            bs_ref = bs_price(spot_, ks_, T_, params_.r, params_.q,
+                              jnp.sqrt(params_.v0), is_call)
+            ctrl = simulate.combine_antithetic(
+                simulate.vanilla_payoff(
+                    jnp.stack([g_base, g_anti])[None], ks_[:, None, None],
+                    is_call).swapaxes(0, 1))
+            eff = pay - (ctrl - bs_ref[:, None] / discount)
+        else:
+            eff = pay
+        sums = {"n": jnp.float32(eff.shape[-1]),
+                "sum": jnp.sum(eff, axis=-1),
+                "sumsq": jnp.sum(eff * eff, axis=-1)}
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                             out_specs=spec, check_vma=False)
+    stats = jax.jit(shmapped)(params, jnp.float32(spot), strikes,
+                              jnp.float32(T))
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    n = stats["n"]
+    mean = stats["sum"] / n
+    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
+    out = {"price": discount * mean,
+           "std_error": discount * jnp.sqrt(var / n),
+           "num_paths_used": n}
+    if control_variate:
+        out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
+                                 jnp.sqrt(params.v0), is_call)
+    return out

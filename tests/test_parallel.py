@@ -169,3 +169,194 @@ def test_sharded_rough_price_matches_bs_and_single_device():
     se1 = disc * float(pay.std()) / np.sqrt(pay.shape[0])
     joint = np.hypot(float(sh["std_error"][0]), se1)
     assert abs(float(sh["price"][0]) - single) < 4 * joint
+
+
+# ── engine-wide sharding (round 3): greeks / exotics / HHW / SLV / Sobol ─────
+def test_sharded_all_greeks_matches_bs_closed_form():
+    """Sharded AD greeks on degenerate GBM params: the companion CV
+    collapses the estimator onto Black-Scholes, so every Greek must hit
+    the closed form tightly (same oracle GreeksEngine's tests use)."""
+    from mcos_tpu.ops import bs as bso
+
+    S, K, T, sig, r, q = 22500.0, 22500.0, 0.25, 0.2, 0.065, 0.012
+    p = gbm_params(sig, r=r, q=q)
+    m = pmesh.make_mesh()
+    g = pmesh.sharded_all_greeks(p, S, K, T, jax.random.key(0), mesh=m,
+                                 num_paths=40_000, num_steps=32)
+    assert g["num_devices"] == 8
+
+    f = lambda s, t, rr: bso.bs_price(s, K, t, rr, q, sig, True)  # noqa: E731
+    delta = float(jax.grad(f, 0)(S, T, r))
+    gamma = float(jax.grad(jax.grad(f, 0), 0)(S, T, r))
+    theta = -float(jax.grad(f, 1)(S, T, r))
+    rho = float(jax.grad(f, 2)(S, T, r))
+    assert g["delta"] == pytest.approx(delta, abs=5e-3)
+    assert g["gamma"] == pytest.approx(gamma, rel=0.05)
+    assert g["theta_daily"] == pytest.approx(theta, rel=0.03)
+    assert g["rho"] == pytest.approx(rho, rel=0.03)
+    # vega vs closed-form dP/dsigma = (2 sigma dP/dv0 by chain rule)
+    vega_sig = float(jax.grad(
+        lambda ss: bso.bs_price(S, K, T, r, q, ss, True))(sig))
+    assert g["vega_per_vol_point"] == pytest.approx(vega_sig, rel=0.05)
+
+
+def test_sharded_all_greeks_matches_single_engine_svj():
+    """Full SVJ: the sharded greeks agree with GreeksEngine.all_greeks on
+    the same workload (different path sets — statistical tolerance)."""
+    from mcos_tpu.engine.greeks import GreeksEngine
+
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    S, K, T = 22500.0, 22500.0, 0.25
+    m = pmesh.make_mesh()
+    g = pmesh.sharded_all_greeks(svj, S, K, T, jax.random.key(2), mesh=m,
+                                 num_paths=80_000, num_steps=32)
+    eng = GreeksEngine(svj, num_paths=80_000, num_steps=128, seed=7)
+    ref = eng.all_greeks(S, K, T)
+    assert g["delta"] == pytest.approx(ref["delta"]["pathwise"], abs=0.02)
+    assert g["vega_per_vol_point"] == pytest.approx(
+        ref["vega"]["vega_per_vol_point"], rel=0.10)
+    assert g["theta_daily"] == pytest.approx(ref["theta"]["theta_daily"],
+                                             rel=0.10)
+    assert g["rho"] == pytest.approx(ref["rho"]["rho"], rel=0.10)
+    assert g["gamma"] == pytest.approx(ref["gamma"]["gamma"], rel=0.25)
+    assert g["lambda_j"] == pytest.approx(ref["jumps"]["lambda_j"],
+                                          rel=0.25, abs=20.0)
+
+
+def test_sharded_exotic_matches_single_device():
+    """Sharded Asian/barrier vs ExoticEngine on the same workload."""
+    from mcos_tpu.engine.exotics import ExoticEngine
+
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    m = pmesh.make_mesh()
+    eng = ExoticEngine(svj, num_paths=65_536, num_steps=128, seed=5)
+
+    sh = pmesh.sharded_exotic_price(
+        svj, 100.0, 100.0, 0.5, jax.random.key(1), mesh=m, kind="asian",
+        num_paths=65_536, num_steps=64)
+    ref = eng.price_asian(100.0, 100.0, 0.5)
+    joint = np.hypot(float(sh["std_error"]), ref["std_error"])
+    assert abs(float(sh["price"]) - ref["price"]) < max(5 * joint, 0.05)
+
+    shb = pmesh.sharded_exotic_price(
+        svj, 100.0, 100.0, 0.5, jax.random.key(1), mesh=m, kind="barrier",
+        barrier=120.0, num_paths=65_536, num_steps=64, knock="out",
+        direction="up")
+    refb = eng.price_barrier(100.0, 100.0, 0.5, barrier=120.0)
+    jointb = np.hypot(float(shb["std_error"]), refb["std_error"])
+    assert abs(float(shb["price"]) - refb["price"]) < max(5 * jointb, 0.08)
+
+
+def test_sharded_hhw_matches_single_device():
+    """Sharded HHW vs HHWEngine, plus the discounted-martingale bound."""
+    from mcos_tpu.engine.hhw import HHWEngine
+    from mcos_tpu.ops.hhw import HHWParams
+
+    p = HHWParams(kappa=2.0, theta=0.05, xi=0.4, v0=0.04, a=0.1, b=0.05,
+                  sigma_r=0.012, r0=0.05, rho_sv=-0.6, rho_sr=0.3, q=0.01)
+    m = pmesh.make_mesh()
+    sh = pmesh.sharded_hhw_price(p, 100.0, [100.0], 1.0, jax.random.key(4),
+                                 mesh=m, num_paths=100_000, num_steps=48)
+    eng = HHWEngine(p, num_paths=100_000, num_steps=48, seed=9)
+    ref = eng.price(100.0, 100.0, 1.0)
+    joint = np.hypot(float(sh["std_error"][0]), ref["std_error"])
+    assert abs(float(sh["price"][0]) - ref["price"]) < max(5 * joint, 0.05)
+
+
+def test_sharded_slv_flat_surface_matches_bs():
+    """Flat 20% IV: SLV leverage must reproduce BS regardless of the
+    Heston mixing — the sharded global-cloud pooling keeps that exact."""
+    from mcos_tpu.engine.localvol import LocalVolSurface
+
+    S, T, sig, r, q = 100.0, 0.5, 0.2, 0.065, 0.012
+    strikes = [S * mny for mny in np.linspace(0.8, 1.2, 9)]
+    surf = LocalVolSurface.from_iv_points(S, strikes, [0.25, 0.5, 1.0],
+                                          np.full((3, 9), sig), r=r, q=q)
+    rows, t_mid = surf.step_tables(T, 32)
+    heston = SVJParams(kappa=2.0, theta=0.04, xi=0.6, rho=-0.7, v0=0.04,
+                       lambda_j=0.0, r=r, q=q)
+    m = pmesh.make_mesh()
+    out = pmesh.sharded_slv_price(
+        heston, rows, t_mid, float(surf.y_grid[0]),
+        float(surf.y_grid[1] - surf.y_grid[0]), S, [90.0, 100.0, 110.0], T,
+        jax.random.key(6), mesh=m, num_paths=8 * 16_384, num_steps=32)
+    for i, k in enumerate([90.0, 100.0, 110.0]):
+        ref = float(bs_price(S, k, T, r, q, sig, True))
+        tol = max(4 * float(out["std_error"][i]), 0.015 * ref + 0.02)
+        assert abs(float(out["price"][i]) - ref) < tol, (k, ref)
+
+
+def test_sharded_slv_pools_global_cloud():
+    """The psum'd particle statistics must make the N-device result track
+    the single-device result with the SAME total particle count (not the
+    much noisier N-independent-clouds estimate). Statistical pin."""
+    from mcos_tpu.engine.localvol import LocalVolSurface
+    from mcos_tpu.engine.slv import slv_terminal
+
+    S, T, r, q = 100.0, 0.5, 0.065, 0.012
+    strikes = [S * mny for mny in np.linspace(0.8, 1.2, 9)]
+    iv = 0.2 + 0.25 * (np.log(np.asarray(strikes) / S)[None, :] ** 2)
+    surf = LocalVolSurface.from_iv_points(S, strikes, [0.25, 0.5, 1.0],
+                                          np.tile(iv, (3, 1)), r=r, q=q)
+    rows, t_mid = surf.step_tables(T, 24)
+    heston = SVJParams(kappa=2.0, theta=0.04, xi=0.8, rho=-0.7, v0=0.04,
+                       lambda_j=0.0, r=r, q=q)
+    m = pmesh.make_mesh()
+    n_total = 8 * 8_192
+    sh = pmesh.sharded_slv_price(
+        heston, rows, t_mid, float(surf.y_grid[0]),
+        float(surf.y_grid[1] - surf.y_grid[0]), S, [85.0], T,
+        jax.random.key(8), mesh=m, num_paths=n_total, num_steps=24)
+    s = slv_terminal(heston, jnp.asarray(rows), jnp.asarray(t_mid),
+                     float(surf.y_grid[0]),
+                     float(surf.y_grid[1] - surf.y_grid[0]), S, T,
+                     jax.random.key(18), num_paths=n_total, num_steps=24)
+    pay = np.maximum(np.asarray(s) - 85.0, 0.0).mean(axis=0)
+    disc = float(np.exp(-r * T))
+    single = disc * pay.mean()
+    se1 = disc * pay.std() / np.sqrt(pay.shape[0])
+    joint = np.hypot(float(sh["std_error"][0]), se1)
+    assert abs(float(sh["price"][0]) - single) < max(5 * joint, 0.05)
+
+
+def test_sharded_sobol_reconstructs_single_host_sequence():
+    """The structural pin for sharded QMC: with lambda=0 (jump uniforms
+    irrelevant) the 8-device offset-sliced Sobol price equals the
+    single-host Sobol price to f32 reassociation noise — the device union
+    IS the same point set, not a statistical cousin."""
+    heston = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                       lambda_j=0.0, mu_j=0.0, sigma_j=0.01)
+    S, T = 22500.0, 0.25
+    strikes = [22000.0, 22500.0, 23000.0]
+    n = 32_768  # power of two: no truncation anywhere
+    m = pmesh.make_mesh()
+    sh = pmesh.sharded_sobol_price(heston, S, strikes, T, mesh=m,
+                                   num_paths=n, num_steps=16, seed=42)
+    eng = MonteCarloEngine(heston, num_paths=n, num_steps=64,  # 64*0.25=16
+                           use_sobol=True, backend="scan", seed=42)
+    single = eng.price_batch(S, strikes, T)
+    for i in range(3):
+        assert float(sh["price"][i]) == pytest.approx(
+            single[i]["price"], rel=2e-3), strikes[i]
+
+
+def test_sharded_sobol_rqmc_variance_matches_single_device():
+    """Sharded RQMC: independent scramble seeds give iid estimates whose
+    spread matches the single-device RQMC spread (QMC quality survives
+    sharding). Cheap proxy: R=4 replicates, ratio of spreads within 4x."""
+    heston = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                       lambda_j=0.0, mu_j=0.0, sigma_j=0.01)
+    S, T, n = 22500.0, 0.25, 8_192
+    m = pmesh.make_mesh()
+    reps_sh, reps_single = [], []
+    for s in range(4):
+        sh = pmesh.sharded_sobol_price(heston, S, [S], T, mesh=m,
+                                       num_paths=n, num_steps=8, seed=100 + s)
+        reps_sh.append(float(sh["price"][0]))
+        eng = MonteCarloEngine(heston, num_paths=n, num_steps=32,
+                               use_sobol=True, backend="scan", seed=100 + s)
+        reps_single.append(eng.price(S, S, T)["price"])
+    # identical seeds → identical points → near-identical replicate sets
+    assert np.allclose(reps_sh, reps_single, rtol=2e-3)
