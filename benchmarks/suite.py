@@ -386,6 +386,60 @@ def config9_new_engines(quick):
     return out
 
 
+def config10_rough_scaling(quick):
+    """Rough Bergomi step-axis scaling: the exact-covariance sampler's
+    matmul is O(paths·(2n)²), so latency grows quadratically in steps —
+    this row measures where the knee is, and what the conditional
+    truncated factorization (dW exact + rank-32 residual + diagonal tail,
+    ~half the matmul width) buys back at each n. Accuracy of the
+    truncation is pinned separately in tests/test_rough.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
+                                    rbergomi_conditional_factor,
+                                    rbergomi_conditional_payoffs)
+
+    p = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
+    paths = 32_768 if quick else 131_072
+    T = 1.0
+    disc = float(np.exp(-p.r * T))
+    out = {"workload": f"ATM T=1, {paths} paths, exact vs conditional "
+                       "rank-32 factorization"}
+    steps_ladder = (64, 256) if quick else (64, 256, 1024)
+    for n in steps_ladder:
+        chol = jnp.asarray(rbergomi_chol(p.hurst, T, n))
+
+        def run_exact(_):
+            pay = rbergomi_conditional_payoffs(
+                p, 100.0, jnp.asarray([100.0]), T, chol, jax.random.key(3),
+                num_paths=paths, num_steps=n, is_call=True)
+            return float(pay.mean())
+
+        px, ms = timed(run_exact, 0, trials=3)
+        row = {"exact_ms": round(ms, 1),
+               "exact_paths_per_sec": round(2 * paths / (ms / 1000)),
+               "exact_price": round(disc * px, 4)}
+
+        fac, tail = rbergomi_conditional_factor(p.hurst, T, n, rank=32)
+        fac = jnp.asarray(fac)
+        tail = jnp.asarray(tail)
+
+        def run_cond(_):
+            pay = rbergomi_conditional_payoffs(
+                p, 100.0, jnp.asarray([100.0]), T, fac, jax.random.key(3),
+                num_paths=paths, num_steps=n, is_call=True, diag_tail=tail)
+            return float(pay.mean())
+
+        pc, ms_c = timed(run_cond, 0, trials=3)
+        row.update(cond_ms=round(ms_c, 1),
+                   cond_paths_per_sec=round(2 * paths / (ms_c / 1000)),
+                   cond_price=round(disc * pc, 4),
+                   speedup=round(ms / ms_c, 2))
+        out[f"steps_{n}"] = row
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -407,7 +461,8 @@ def main():
                      ("config6_serving_default", config6_serving_default),
                      ("config7_qe_accuracy", config7_qe_accuracy),
                      ("config8_sustained", config8_sustained),
-                     ("config9_new_engines", config9_new_engines)]:
+                     ("config9_new_engines", config9_new_engines),
+                     ("config10_rough_scaling", config10_rough_scaling)]:
         if args.only and args.only not in name:
             continue
         try:

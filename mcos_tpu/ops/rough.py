@@ -116,8 +116,8 @@ def volterra_increment_cov(t_grid: np.ndarray, hurst: float,
 
 @lru_cache(maxsize=32)
 def _factor_cached(hurst: float, T: float, num_steps: int,
-                   transform: str) -> np.ndarray:
-    """Factor A (f32, A Aᵀ = cov) of the joint (2n, 2n) covariance of
+                   transform: str, rank: int = 0) -> np.ndarray:
+    """Factor A (f32, A Aᵀ ≈ cov) of the joint (2n, 2n) covariance of
     [W~_{t_1..t_n}, dW_{1..n}] on the uniform grid t_i = i*T/n.
 
     transform="cholesky": triangular factor (any sampling order works for
@@ -125,13 +125,17 @@ def _factor_cached(hurst: float, T: float, num_steps: int,
     descending — the classic QMC construction, so the FIRST input
     dimensions carry the largest variance directions; paired with
     low-discrepancy draws this is where Sobol's low-dim uniformity pays.
+
+    See `rbergomi_conditional_factor` for the truncated long-dated
+    factorization (transform="conditional" is routed there).
     """
     n = int(num_steps)
     dt = float(T) / n
     t = dt * np.arange(1, n + 1)
-    cov = np.empty((2 * n, 2 * n), np.float64)
-    cov[:n, :n] = volterra_cov(t[:, None], t[None, :], hurst)
+    cov_w = volterra_cov(t[:, None], t[None, :], hurst)
     cross = volterra_increment_cov(t, hurst, dt)
+    cov = np.empty((2 * n, 2 * n), np.float64)
+    cov[:n, :n] = cov_w
     cov[:n, n:] = cross
     cov[n:, :n] = cross.T
     cov[n:, n:] = dt * np.eye(n)
@@ -142,15 +146,90 @@ def _factor_cached(hurst: float, T: float, num_steps: int,
         lam, u = np.linalg.eigh(cov)          # ascending
         lam = np.maximum(lam[::-1], 0.0)
         return (u[:, ::-1] * np.sqrt(lam)[None, :]).astype(np.float32)
+    if rank:
+        raise ValueError(
+            "rank truncation: use rbergomi_conditional_factor (or "
+            "rbergomi_chol(transform='conditional', rank=k))")
     return np.linalg.cholesky(cov).astype(np.float32)
 
 
+@lru_cache(maxsize=32)
+def _conditional_factor_cached(hurst: float, T: float, num_steps: int,
+                               rank: int):
+    """(factor (2n, n+k), diag_tail (n,)) — the long-dated escape hatch
+    past the exact sampler's O((2n)²) matmul.
+
+    Naive joint-covariance PCA fails twice here: the W~ block carries
+    ~400× the dW block's total variance, so global PCA discards the
+    *white-noise increments* first (flat dt-spectrum, incompressible);
+    and the W~|dW regression residual — the intra-step mass of the
+    singular (t−u)^{H−1/2} kernel — is ~30% of Var[W~] at H=0.07 and
+    NEARLY DIAGONAL, so low-rank PCA cannot represent it either. The
+    structured factorization samples all three parts at their natural
+    cost:
+
+        dW  = √dt · z                     exact     (n iid columns)
+        W~  = (cross/dt)·dW               exact     (dense n×n block)
+            + B_k · ε                     rank-k PCA of the residual's
+                                          smooth off-diagonal part
+            + √diag_tail ⊙ ζ              exact diagonal tail, O(n) —
+                                          handled by rbergomi_core's
+                                          diag_tail argument, NOT a dense
+                                          column block
+
+    dW marginals, the W~/dW cross-covariance, AND every Var[W~_t] are
+    exact; only rank-truncated off-diagonal residual correlations are
+    approximate. Device cost drops from O(paths·4n²) to
+    O(paths·(2n·(n+k) + n)) ≈ 2× at k ≪ n, and the Wick compensator
+    reads delivered variance off the factor (+tail) so E[v_t] = ξ(t)
+    holds exactly under any (k) (benchmarks config10 publishes the
+    ladder; accuracy pinned in tests/test_rough.py).
+    """
+    n = int(num_steps)
+    k = int(rank)
+    dt = float(T) / n
+    t = dt * np.arange(1, n + 1)
+    cov_w = volterra_cov(t[:, None], t[None, :], hurst)
+    cross = volterra_increment_cov(t, hurst, dt)
+    a = cross / dt                         # regression W~ on dW
+    res = cov_w - cross @ cross.T / dt     # conditional covariance W~|dW
+    res[np.diag_indices(n)] += 1e-12 * max(res.diagonal().max(), 1e-30)
+    lam, u = np.linalg.eigh(res)           # ascending
+    lam = np.maximum(lam[::-1][:k], 0.0)
+    b = u[:, ::-1][:, :k] * np.sqrt(lam)[None, :]
+    diag_tail = np.maximum(res.diagonal() - np.sum(b * b, axis=1), 0.0)
+    fac = np.zeros((2 * n, n + k))
+    fac[:n, :n] = a * np.sqrt(dt)
+    fac[n:, :n] = np.sqrt(dt) * np.eye(n)
+    fac[:n, n:] = b
+    return fac.astype(np.float32), diag_tail.astype(np.float32)
+
+
+def rbergomi_conditional_factor(hurst: float, T: float, num_steps: int,
+                                rank: int = 32):
+    """Public cached accessor for the truncated factorization:
+    (factor, diag_tail) — pass BOTH to rbergomi_core /
+    rbergomi_conditional_payoffs."""
+    if rank <= 0:
+        raise ValueError("conditional factorization needs rank > 0")
+    return _conditional_factor_cached(
+        round(float(hurst), 10), round(float(T), 10), int(num_steps),
+        int(rank))
+
+
 def rbergomi_chol(hurst: float, T: float, num_steps: int,
-                  transform: str = "cholesky") -> np.ndarray:
+                  transform: str = "cholesky",
+                  rank: int = 0) -> np.ndarray:
     """Public cached accessor (host). Keyed on rounded floats so jitter in
-    float(T) does not defeat the cache."""
+    float(T) does not defeat the cache. transform="conditional" returns
+    only the dense factor — prefer `rbergomi_conditional_factor`, which
+    also returns the diagonal tail the sampler needs for exact Var[W~]."""
+    if transform == "conditional":
+        if not rank:
+            raise ValueError("transform='conditional' needs rank > 0")
+        return rbergomi_conditional_factor(hurst, T, num_steps, rank)[0]
     return _factor_cached(round(float(hurst), 10), round(float(T), 10),
-                          int(num_steps), transform)
+                          int(num_steps), transform, int(rank))
 
 
 def xi_curve_from_variance_swaps(maturities, var_strikes):
@@ -187,12 +266,29 @@ def sample_xi_curve(edges, vals, T: float, num_steps: int) -> np.ndarray:
 # ─────────────────────────────────────────────────────────────────────────────
 # Device simulation — one matmul + elementwise
 # ─────────────────────────────────────────────────────────────────────────────
+
+def _wick_var_left(chol, n: int, dtype=jnp.float32, diag_tail=None):
+    """Left-point Var[W~_t] read off the factor ITSELF: row i of the W~
+    block has variance Σ_k A[i,k]² (+ the diagonal tail when the
+    conditional factorization supplies one). For the exact factor this
+    equals t_i^{2H}; for a truncated factor it is the variance the
+    sampler actually delivers — using it in the Wick compensator keeps
+    E[v_t] = ξ(t) EXACTLY under any truncation (a martingale correction;
+    without it the lost tail variance biases prices down ~η²·Δvar/2).
+    """
+    row_var = jnp.sum(chol[:n].astype(dtype) ** 2, axis=1)
+    if diag_tail is not None:
+        row_var = row_var + jnp.asarray(diag_tail, dtype)
+    return jnp.concatenate([jnp.zeros((1,), dtype), row_var[:-1]])
+
+
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
 def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
                   num_paths: int, num_steps: int,
                   antithetic: bool = True,
                   z: Optional[Array] = None,
-                  xi_t: Optional[Array] = None
+                  xi_t: Optional[Array] = None,
+                  diag_tail: Optional[Array] = None
                   ) -> Tuple[Array, Array, Array]:
     """Simulate the W-conditional sufficient statistics of rBergomi.
 
@@ -214,10 +310,18 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
     n = num_steps
     T = jnp.asarray(T, dtype)
     dt = T / n
-    t_left = dt * jnp.arange(n, dtype=dtype)              # left endpoints
+    wick_var = _wick_var_left(chol, n, dtype, diag_tail)
 
     if z is None:
-        z = jax.random.normal(key, (num_paths, 2 * n), dtype)
+        # chol may be a truncated factor (2n, m<2n): draw m normals.
+        z = jax.random.normal(key, (num_paths, chol.shape[1]), dtype)
+    zd = None
+    if diag_tail is not None:
+        # Diagonal residual tail (conditional factorization): n extra iid
+        # normals per path at O(n) cost — see rbergomi_conditional_factor.
+        zd = jax.random.normal(jax.random.fold_in(key, 77),
+                               (num_paths, n), dtype)
+        sqrt_tail = jnp.sqrt(jnp.asarray(diag_tail, dtype))
     branches = (1.0, -1.0) if antithetic else (1.0,)
 
     xi_vec = (params.xi * jnp.ones((n,), dtype) if xi_t is None
@@ -227,12 +331,14 @@ def rbergomi_core(params: RoughBergomiParams, T, chol, key, *,
         g = (sign * z) @ chol.T                           # MXU: (paths, 2n)
         w_tilde = g[:, :n]
         dw = g[:, n:]
+        if zd is not None:
+            w_tilde = w_tilde + (sign * zd) * sqrt_tail[None, :]
         # Left-point W~: W~_{t_0}=0, then the first n-1 grid values.
         w_left = jnp.concatenate(
             [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
         v = xi_vec[None, :] * jnp.exp(
             params.eta * w_left
-            - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
+            - 0.5 * params.eta ** 2 * wick_var[None, :])
         i1s.append(jnp.sum(jnp.sqrt(v) * dw, axis=1))
         i2s.append(jnp.sum(v, axis=1) * dt)
         v_means.append(jnp.mean(v, axis=0))
@@ -258,7 +364,8 @@ def rbergomi_conditional_payoffs(params: RoughBergomiParams, spot, strikes,
                                  num_steps: int, is_call,
                                  antithetic: bool = True,
                                  z: Optional[Array] = None,
-                                 xi_t: Optional[Array] = None) -> Array:
+                                 xi_t: Optional[Array] = None,
+                                 diag_tail: Optional[Array] = None) -> Array:
     """(branches, paths, strikes) per-path *conditional Black* payoffs
     (undiscounted). Averaging over paths and discounting gives the price;
     the estimator is exact in the orthogonal noise, so its variance is
@@ -271,7 +378,7 @@ def rbergomi_conditional_payoffs(params: RoughBergomiParams, spot, strikes,
     T = jnp.asarray(T, dtype)
     _, i1, i2 = rbergomi_core(params, T, chol, key, num_paths=num_paths,
                               num_steps=num_steps, antithetic=antithetic,
-                              z=z, xi_t=xi_t)
+                              z=z, xi_t=xi_t, diag_tail=diag_tail)
     f_eff = spot * jnp.exp((params.r - params.q) * T
                            + params.rho * i1
                            - 0.5 * params.rho ** 2 * i2)  # (branches, paths)
@@ -317,9 +424,9 @@ def rbergomi_log_paths(params: RoughBergomiParams, T, chol, key, *,
     T = jnp.asarray(T, dtype)
     n = num_steps
     dt = T / n
-    t_left = dt * jnp.arange(n, dtype=dtype)
+    wick_var = _wick_var_left(chol, n, dtype)
     k_w, k_perp = jax.random.split(key)
-    z = jax.random.normal(k_w, (num_paths, 2 * n), dtype)
+    z = jax.random.normal(k_w, (num_paths, chol.shape[1]), dtype)
     zp = jax.random.normal(k_perp, (num_paths, n), dtype)
     branches = (1.0, -1.0) if antithetic else (1.0,)
     rho = params.rho
@@ -334,7 +441,7 @@ def rbergomi_log_paths(params: RoughBergomiParams, T, chol, key, *,
             [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
         v = xi_vec[None, :] * jnp.exp(
             params.eta * w_left
-            - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
+            - 0.5 * params.eta ** 2 * wick_var[None, :])
         dz = rho * dw + orth * (sign * zp) * jnp.sqrt(dt)
         dlog = (params.r - params.q - 0.5 * v) * dt + jnp.sqrt(v) * dz
         outs.append(jnp.cumsum(dlog, axis=1))
@@ -361,9 +468,9 @@ def rbergomi_path_stats(params: RoughBergomiParams, spot, T, chol, key, *,
     T = jnp.asarray(T, dtype)
     n = num_steps
     dt = T / n
-    t_left = dt * jnp.arange(n, dtype=dtype)
+    wick_var = _wick_var_left(chol, n, dtype)
     k_w, k_perp = jax.random.split(key)
-    z = jax.random.normal(k_w, (num_paths, 2 * n), dtype)
+    z = jax.random.normal(k_w, (num_paths, chol.shape[1]), dtype)
     zp = jax.random.normal(k_perp, (num_paths, n), dtype)
     branches = (1.0, -1.0) if antithetic else (1.0,)
 
@@ -377,7 +484,7 @@ def rbergomi_path_stats(params: RoughBergomiParams, spot, T, chol, key, *,
             [jnp.zeros((num_paths, 1), dtype), w_tilde[:, :-1]], axis=1)
         v = params.xi * jnp.exp(
             params.eta * w_left
-            - 0.5 * params.eta ** 2 * t_left[None, :] ** (2.0 * params.hurst))
+            - 0.5 * params.eta ** 2 * wick_var[None, :])
         dz = rho * dw + orth * (sign * zp) * jnp.sqrt(dt)
         dlog = (params.r - params.q - 0.5 * v) * dt + jnp.sqrt(v) * dz
         log_s = jnp.cumsum(dlog, axis=1)

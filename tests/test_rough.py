@@ -389,3 +389,77 @@ def test_corridor_variance_swap():
     # variance per unit accrual time: the crash-concentration statement
     assert (down["fair_variance"] / down["accrual_fraction"]
             > 2.0 * up["fair_variance"] / up["accrual_fraction"])
+
+
+def test_conditional_factor_reproduces_covariance():
+    """The conditional (dW-exact + rank-k residual + diagonal tail)
+    factorization must reproduce the dW block, the W~/dW cross-covariance,
+    AND every Var[W~_t] exactly; only off-diagonal residual correlations
+    are rank-truncated."""
+    from mcos_tpu.ops.rough import (rbergomi_conditional_factor,
+                                    volterra_cov, volterra_increment_cov)
+
+    h, T, n, k = 0.07, 0.5, 64, 16
+    fac, tail = rbergomi_conditional_factor(h, T, n, rank=k)
+    fac = np.asarray(fac, np.float64)
+    tail = np.asarray(tail, np.float64)
+    assert fac.shape == (2 * n, n + k) and tail.shape == (n,)
+    cov = fac @ fac.T
+    cov[:n, :n] += np.diag(tail)          # the sampler adds this part
+    dt = T / n
+    t = dt * np.arange(1, n + 1)
+    np.testing.assert_allclose(cov[n:, n:], dt * np.eye(n), atol=1e-7)
+    np.testing.assert_allclose(cov[:n, n:],
+                               volterra_increment_cov(t, h, dt), atol=1e-6)
+    ref_w = volterra_cov(t[:, None], t[None, :], h)
+    # Var[W~_t] exact (the Wick-relevant quantity): t^{2H} on the diagonal
+    np.testing.assert_allclose(np.diag(cov[:n, :n]), np.diag(ref_w),
+                               rtol=1e-5)
+
+
+def test_conditional_truncated_factor_matches_exact_smile():
+    """The long-dated escape hatch from the O(steps^2) matmul: dW sampled
+    exactly, W~ regressed on dW with a rank-32 PCA residual + exact
+    diagonal tail. Must reprice the whole smile (OTM puts through OTM
+    calls — skew-sensitive) within joint MC bands of the exact Cholesky
+    sampler at ~half the matmul width. (Naive joint-covariance PCA FAILS
+    this — the flat dt-spectrum dW block is what it discards first.)"""
+    from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
+                                    rbergomi_conditional_factor,
+                                    rbergomi_conditional_payoffs)
+
+    p = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
+    T, n, paths = 0.5, 256, 65_536
+    strikes = jnp.asarray([85.0, 95.0, 100.0, 105.0, 115.0])
+    fac, tail = rbergomi_conditional_factor(p.hurst, T, n, rank=32)
+    assert fac.shape == (2 * n, n + 32)
+
+    disc = float(np.exp(-p.r * T))
+    pay_full = rbergomi_conditional_payoffs(
+        p, 100.0, strikes, T, jnp.asarray(rbergomi_chol(p.hurst, T, n)),
+        jax.random.key(11), num_paths=paths, num_steps=n,
+        is_call=True).mean(axis=0)
+    pay_tr = rbergomi_conditional_payoffs(
+        p, 100.0, strikes, T, jnp.asarray(fac), jax.random.key(11),
+        num_paths=paths, num_steps=n, is_call=True,
+        diag_tail=jnp.asarray(tail)).mean(axis=0)
+    for i in range(strikes.shape[0]):
+        pf = disc * float(pay_full[:, i].mean())
+        sf = disc * float(pay_full[:, i].std()) / np.sqrt(paths)
+        pt = disc * float(pay_tr[:, i].mean())
+        st = disc * float(pay_tr[:, i].std()) / np.sqrt(paths)
+        joint = np.hypot(sf, st)
+        assert abs(pf - pt) < max(4 * joint, 0.012 * pf), (
+            float(strikes[i]), pf, pt)
+
+
+def test_factor_rank_validation():
+    from mcos_tpu.ops.rough import (rbergomi_chol,
+                                    rbergomi_conditional_factor)
+
+    with pytest.raises(ValueError):
+        rbergomi_chol(0.07, 0.5, 64, transform="cholesky", rank=16)
+    with pytest.raises(ValueError):
+        rbergomi_chol(0.07, 0.5, 64, transform="conditional")
+    with pytest.raises(ValueError):
+        rbergomi_conditional_factor(0.07, 0.5, 64, rank=0)
