@@ -107,11 +107,20 @@ def config2_greeks_chain(quick):
     [eng2.all_greeks(22500.0, float(k), 0.1) for k in strikes]
     eng_ms = (time.perf_counter() - t0) * 1000
 
+    # Chain serving path: pipelined dispatch, ONE host sync for the whole
+    # chain (all_greeks_chain) — the /api/greeks `strikes` mode.
+    t0 = time.perf_counter()
+    eng3 = GreeksEngine(p, num_paths=n, num_steps=25, seed=2)
+    eng3.all_greeks_chain(22500.0, [float(k) for k in strikes], 0.1)
+    chain_ms = (time.perf_counter() - t0) * 1000
+
     return {
         "workload": f"11-strike chain, all first-order Greeks, {n} paths",
         "latency_ms": round(ms, 2),
         "ms_per_contract_all_greeks": round(ms / len(strikes), 2),
         "ms_per_contract_full_engine": round(eng_ms / len(strikes), 2),
+        "ms_per_contract_full_engine_chain": round(chain_ms / len(strikes),
+                                                   2),
         "delta_range": [min(deltas), max(deltas)],
         "backward_passes_per_contract": 1,
         "reference_kernel_passes_per_contract": 13,

@@ -66,7 +66,7 @@ class PriceRequest(BaseModel):
 
 class GreeksRequest(BaseModel):
     spot: float
-    strike: float
+    strike: float = 0.0          # single-contract mode (ignored with strikes)
     T: float
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
@@ -74,6 +74,10 @@ class GreeksRequest(BaseModel):
     # Second-order cross Greeks (vanna/volga via CRN-FD of AD first
     # derivatives, engine/greeks.py:cross_greeks) — one extra device call.
     with_cross: bool = False
+    # Chain mode: all Greeks for every strike with pipelined dispatch (one
+    # host sync for the whole chain — engine/greeks.py:all_greeks_chain).
+    strikes: list[float] = Field(default_factory=list,
+                                 max_length=MAX_GRID_POINTS)
 
 
 class StressRequest(BaseModel):

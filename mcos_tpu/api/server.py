@@ -167,10 +167,17 @@ def handle_greeks(body: dict) -> dict:
     req = schemas.GreeksRequest(**body)
     start = time.time()
     engine = GreeksEngine(req.params.to_params(), num_paths=req.num_paths)
-    greeks = engine.all_greeks(req.spot, req.strike, req.T, req.is_call)
-    if req.with_cross:
-        greeks["cross"] = engine.cross_greeks(req.spot, req.strike, req.T,
-                                              req.is_call)
+    if req.strikes:
+        # Chain mode: one pipelined dispatch per contract, ONE host sync.
+        greeks = {"chain": engine.all_greeks_chain(
+            req.spot, req.strikes, req.T, req.is_call)}
+    else:
+        if req.strike <= 0:
+            raise ApiError(400, "need strike > 0 (or a strikes list)")
+        greeks = engine.all_greeks(req.spot, req.strike, req.T, req.is_call)
+        if req.with_cross:
+            greeks["cross"] = engine.cross_greeks(req.spot, req.strike,
+                                                  req.T, req.is_call)
     greeks["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return greeks
 
@@ -1022,9 +1029,19 @@ def warmup() -> None:
     logger.info("warmup: compiling default-shape endpoint programs…")
     spot, strike, T = 22500.0, 22500.0, 0.1
     try:
-        handle_price({"spot": spot, "strike": strike, "T": T})
+        # /api/price at the top path-count buckets (num_paths is a static
+        # jit arg — every distinct value is its own compiled program; the
+        # UI offers 50k/100k/500k/1M and the schema default is 500k).
+        for n in (50_000, 100_000, 500_000):
+            handle_price({"spot": spot, "strike": strike, "T": T,
+                          "num_paths": n})
         handle_greeks({"spot": spot, "strike": strike, "T": T})
         handle_smile({"spot": spot, "T": T})
+        handle_convergence({"spot": spot, "strike": strike, "T": T})
+        handle_stress({"spot": spot, "strike": strike, "T": T,
+                       "num_paths": 50_000})
+        handle_exotic({"spot": spot, "strike": strike, "T": T,
+                       "kind": "asian"})
         # Newer model families at their schema-default shapes.
         handle_rough({"spot": spot, "T": T, "mode": "price"})
         handle_hhw({"spot": spot, "strike": strike, "T": 1.0})

@@ -48,6 +48,8 @@ import numpy as np
 from mcos_tpu.config import DEFAULT_NUM_PATHS, scaled_steps
 from mcos_tpu.engine.pricer import mc_price_core
 from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops import simulate
+from mcos_tpu.ops.bs import bs_price
 
 # Shared FD bump defaults: vega() and jump_sensitivities() ride ONE vmapped
 # params-batch device call per contract when called with their defaults (the
@@ -209,38 +211,131 @@ def lambda_lr_estimate(params: SVJParams, spot, strike, T, key, *,
     jax.jit,
     static_argnames=("num_paths", "num_steps", "is_call", "with_lr"),
 )
-def _all_greeks_device(params, params_batch, spot, bump_strikes, spots_pair,
-                       strike, T, key, *, num_paths, num_steps, is_call,
-                       with_lr):
-    """Every all_greeks ingredient as ONE compiled device program.
+def _all_greeks_device(params, spot, strike, T, key, *, num_paths,
+                       num_steps, is_call, with_lr,
+                       bump=0.01, v_bump=DEFAULT_VEGA_BUMP,
+                       l_bump=DEFAULT_LAMBDA_BUMP):
+    """Every all_greeks ingredient off ONE simulation pass (fwd + bwd).
 
-    One backward pass (price + all first-order Greeks), the spot-bump CRN
-    prices (strike-homogeneity batch), the (v0±, λ±) params batch, the
-    vmapped AD-delta pair for gamma, and the LR λ-estimator — a single
-    dispatch/transfer instead of five (the per-call link latency dominated
-    the ms/contract figure on remote-attached TPUs).
+    v1 fused five independently-scanned blocks into one dispatch; the
+    remaining cost was *sequential scan-step latency* — ~175 steps across
+    the blocks dominated the ms/contract figure (measured 103 ms at
+    200k×25 where the backward-pass core alone is ~10 ms; each step is
+    launch-latency, not FLOPs). v2 collapses the simulation work to ONE
+    5-member vmapped scan (+ its backward), ~50 sequential steps total:
+
+    - members: [base, v0±bump, λ±bump] with stop_gradient on the bumped
+      four, all on the SAME key (CRN) — one vmapped fwd gives the base
+      terminals AND the four FD cross-check prices; value_and_grad of the
+      member-0 price gives delta/theta/rho/∂params exactly as before.
+    - spot-bump CRN prices: SVJ log-dynamics are spot-independent, so
+      P((1±b)S, K) = (1±b)·P(S, K/(1±b)) on the SAME terminals — pure
+      payoff algebra, zero extra simulation (the identity
+      _spot_bump_prices documents).
+    - AD delta pair for gamma: ∂P/∂spot at spot(1±b) differentiates only
+      the payoff/CV materialization (spot never enters the scan carry),
+      again on frozen terminals — replaces a second fwd+bwd scan pair.
+    - LR λ-score: accumulated inside the same base scan
+      (ops/simulate.py:simulate_terminal_members), zero extra passes.
     """
-    price, d_spot, d_T, d_params = price_and_greeks(
-        params, spot, strike, T, key, num_paths=num_paths,
-        num_steps=num_steps, is_call=is_call)
-    spot_bumped = mc_price_core(
-        params, spot, bump_strikes, T, key, num_paths=num_paths,
-        num_steps=num_steps, is_call=is_call, antithetic=True,
-        control_variate=True, cv_mode="companion")["price"]
-    pbatch = _params_batch_price(
-        params_batch, spot, strike, T, key, num_paths=num_paths,
-        num_steps=num_steps, is_call=is_call)
-    d_pair = _ad_delta_batch(
-        params, spots_pair, strike, T, key, num_paths=num_paths,
-        num_steps=num_steps, is_call=is_call)
+    from mcos_tpu.ops.simulate import simulate_terminal_members
+
+    strike_arr = jnp.atleast_1d(jnp.asarray(strike, jnp.float32))
+    rel = jnp.asarray([1.0 + bump, 1.0 - bump], jnp.float32)
+    sg = jax.lax.stop_gradient
+
+    def price_from_terminals(pp, s_final, g_final, spot_, strikes_, T_):
+        """CV-companion β=1 price vector — the exact mc_price_core
+        arithmetic (engine/pricer.py:_finalize_price) on given terminals."""
+        pay = simulate.vanilla_payoff(
+            s_final[None], strikes_[:, None, None], is_call)
+        pay = simulate.combine_antithetic(jnp.swapaxes(pay, 0, 1))
+        ctrl = simulate.vanilla_payoff(
+            g_final[None], strikes_[:, None, None], is_call)
+        ctrl = simulate.combine_antithetic(jnp.swapaxes(ctrl, 0, 1))
+        discount = jnp.exp(-pp.r * T_)
+        bs_ref = bs_price(spot_, strikes_, T_, pp.r, pp.q,
+                          jnp.sqrt(pp.v0), is_call)
+        eff = pay - (ctrl - bs_ref[:, None] / discount)
+        return discount * jnp.mean(eff, axis=-1)
+
+    def fused(params_, spot_, T_):
+        """Base member only: differentiable fwd; its backward is the ONE
+        scan the whole Greeks block pays for. The four FD members run in
+        a separate fwd-only scan below — putting them in this batch would
+        widen the backward 5× for zero cotangents (the TPU scheduler does
+        not DCE dead scan lanes; measured 42 → ~25 ms/contract split)."""
+        from mcos_tpu.ops.simulate import simulate_terminal_with_score
+
+        s0, _, g0, score = simulate_terminal_with_score(
+            params_, spot_, T_, key, num_paths=num_paths,
+            num_steps=num_steps, antithetic=True, companion=True)
+        price0 = price_from_terminals(params_, s0, g0, spot_, strike_arr,
+                                      T_)[0]
+        return price0, (s0, g0, score)
+
+    spot_f = jnp.float32(spot)
+    T_f = jnp.float32(T)
+    (price, aux), (d_params, d_spot, d_T) = jax.value_and_grad(
+        fused, argnums=(0, 1, 2), has_aux=True)(params, spot_f, T_f)
+    s0, g0, score = sg(aux[0]), sg(aux[1]), aux[2]
+
+    # The four CRN FD members (v0±, λ±) in one fwd-only member scan on the
+    # SAME key folding (simulate_terminal_members is draw-identical to the
+    # base sim), entirely outside the backward.
+    members4 = [
+        sg(params.replace(v0=params.v0 + v_bump)),
+        sg(params.replace(v0=jnp.maximum(params.v0 - v_bump, 0.001))),
+        sg(params.replace(lambda_j=params.lambda_j + l_bump)),
+        sg(params.replace(lambda_j=jnp.maximum(params.lambda_j - l_bump,
+                                               0.0))),
+    ]
+    batch4 = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+        *members4)
+    s4, g4, _ = simulate_terminal_members(
+        batch4, spot_f, T_f, key, num_paths=num_paths, num_steps=num_steps)
+    prices4 = jax.vmap(
+        lambda pp, s, g: price_from_terminals(pp, s, g, spot_f, strike_arr,
+                                              T_f)[0])(batch4, s4, g4)
+
+    # Spot-bump CRN prices by strike homogeneity (zero extra simulation).
+    spot_bumped = price_from_terminals(
+        params, s0, g0, spot_f, strike_arr[0] / rel, T_f)
+
+    # AD delta at spot(1±b): terminals scale linearly in spot, so only the
+    # materialization differentiates — same value the full AD gives.
+    def p_at_spot(sp):
+        scale = sp / spot_f
+        return price_from_terminals(params, s0 * scale, g0 * scale, sp,
+                                    strike_arr, T_f)[0]
+
+    d_up = jax.grad(p_at_spot)(spot_f * (1.0 + bump))
+    d_dn = jax.grad(p_at_spot)(spot_f * (1.0 - bump))
+
     out = {
         "price": price, "d_spot": d_spot, "d_T": d_T, "d_params": d_params,
-        "spot_bumped": spot_bumped, "pbatch": pbatch, "d_pair": d_pair,
+        "spot_bumped": spot_bumped, "pbatch": prices4,
+        "d_pair": jnp.stack([d_up, d_dn]),
     }
     if with_lr:
-        out["lr"], out["lr_se"] = lambda_lr_estimate(
-            params, spot, strike, T, key, num_paths=num_paths,
-            num_steps=num_steps, is_call=is_call)
+        # LR λ-estimator off the SAME base sample (2n antithetic values,
+        # score shared across the branch pair — lambda_lr_estimate
+        # arithmetic on the fused terminals).
+        discount = jnp.exp(-params.r * T_f)
+        pay_b = simulate.vanilla_payoff(s0, strike_arr[0], is_call)
+        pay_flat = pay_b.reshape(-1)
+        score_flat = jnp.broadcast_to(score[None, :], pay_b.shape
+                                      ).reshape(-1)
+        centered = pay_flat - jnp.mean(pay_flat)
+        out["lr_raw"] = discount * jnp.mean(centered * score_flat)
+        out["lr_se"] = (discount * jnp.std(centered * score_flat)
+                        / jnp.sqrt(jnp.float32(pay_flat.shape[0])))
+        k_comp = jnp.exp(params.mu_j + 0.5 * params.sigma_j**2) - 1.0
+        out["lr_drift"] = discount * jnp.mean(
+            jnp.where(pay_flat > 0, 1.0, 0.0)
+            * s0.reshape(-1) * (-k_comp) * T_f) \
+            * jnp.where(jnp.asarray(is_call), 1.0, -1.0)
     return out
 
 
@@ -537,17 +632,11 @@ class GreeksEngine:
         return {"kappa": float(d.kappa), "theta": float(d.theta),
                 "xi": float(d.xi), "rho_corr": float(d.rho)}
 
-    def _prefetch_all(self, spot: float, strike: float, T: float,
-                      is_call: bool) -> None:
-        """Fill every block's memo from ONE fused device program + ONE
-        host transfer (see _all_greeks_device)."""
+    def _store_device_out(self, out, spot: float, strike: float, T: float,
+                          is_call: bool, with_lr: bool) -> None:
+        """Fill every block's memo from a host-materialized
+        `_all_greeks_device` result."""
         state = self._state_key(self.params)
-        kg = ("grads", float(spot), float(strike), float(T), bool(is_call),
-              state)
-        if kg in self._memo:
-            return
-        if len(self._memo) > 256:
-            self._memo.clear()
         p = self.params
         bump = 0.01
         v0, lam = float(p.v0), float(p.lambda_j)
@@ -555,23 +644,11 @@ class GreeksEngine:
                                                    0.001)
         lam_up = lam + DEFAULT_LAMBDA_BUMP
         lam_dn = max(lam - DEFAULT_LAMBDA_BUMP, 0.0)
-        members = [p.replace(v0=v0_up), p.replace(v0=v0_dn),
-                   p.replace(lambda_j=lam_up), p.replace(lambda_j=lam_dn)]
-        batch = jax.tree.map(
-            lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32)
-                                   for x in xs]), *members)
         rel = np.array([1.0 + bump, 1.0 - bump])
-        with_lr = lam > 1e-6
-        out = jax.device_get(_all_greeks_device(
-            p, batch, spot, jnp.asarray(strike / rel, jnp.float32),
-            jnp.asarray([spot * (1 + bump), spot * (1 - bump)], jnp.float32),
-            strike, T, self._key(), num_paths=self.num_paths,
-            num_steps=self._steps(T), is_call=is_call, with_lr=with_lr))
-
         args = (float(spot), float(strike), float(T), bool(is_call))
-        self._memo[kg] = (float(out["price"]), float(out["d_spot"]),
-                          float(out["d_T"]),
-                          jax.tree.map(float, out["d_params"]))
+        self._memo[("grads", *args, state)] = (
+            float(out["price"]), float(out["d_spot"]), float(out["d_T"]),
+            jax.tree.map(float, out["d_params"]))
         pr = np.asarray(out["spot_bumped"], np.float64) * rel
         self._memo[("spot2", *args, float(bump), state)] = \
             (float(pr[0]), float(pr[1]))
@@ -586,8 +663,27 @@ class GreeksEngine:
         self._memo[("adpair", *args, float(bump), state)] = \
             (float(dp[0]), float(dp[1]))
         if with_lr:
-            self._memo[("lr", *args, state)] = (float(out["lr"]),
-                                                float(out["lr_se"]))
+            self._memo[("lr", *args, state)] = (
+                float(out["lr_raw"]) + float(out["lr_drift"]),
+                float(out["lr_se"]))
+
+    def _prefetch_all(self, spot: float, strike: float, T: float,
+                      is_call: bool) -> None:
+        """Fill every block's memo from ONE fused device program + ONE
+        host transfer (see _all_greeks_device)."""
+        state = self._state_key(self.params)
+        kg = ("grads", float(spot), float(strike), float(T), bool(is_call),
+              state)
+        if kg in self._memo:
+            return
+        if len(self._memo) > 256:
+            self._memo.clear()
+        with_lr = float(self.params.lambda_j) > 1e-6
+        out = jax.device_get(_all_greeks_device(
+            self.params, spot, strike, T, self._key(),
+            num_paths=self.num_paths, num_steps=self._steps(T),
+            is_call=is_call, with_lr=with_lr))
+        self._store_device_out(out, spot, strike, T, is_call, with_lr)
 
     def all_greeks(self, spot: float, strike: float, T: float,
                    is_call: bool = True) -> Dict[str, Dict]:
@@ -603,3 +699,44 @@ class GreeksEngine:
             "jumps": self.jump_sensitivities(spot, strike, T, is_call),
             "model": self.model_sensitivities(spot, strike, T, is_call),
         }
+
+    def all_greeks_chain(self, spot: float, strikes, T: float,
+                         is_call: bool = True) -> list:
+        """All Greeks for a strike CHAIN with pipelined dispatch.
+
+        `all_greeks` per contract pays one synchronous device_get per
+        call — on a remote-attached TPU the ~28 ms link round-trip, not
+        the ~10 ms of device compute, dominates the serving figure
+        (measured 39 ms/contract blocking vs ~13 ms pipelined). JAX
+        dispatch is asynchronous, so the chain path enqueues EVERY
+        contract's fused program first and synchronizes ONCE; the link
+        latency is paid once per chain instead of once per contract.
+        Returns a list of per-contract all_greeks dicts (same layout)."""
+        if len(self._memo) > 256:
+            self._memo.clear()
+        with_lr = float(self.params.lambda_j) > 1e-6
+        steps = self._steps(T)
+        pending = [
+            _all_greeks_device(
+                self.params, spot, float(k), T, self._key(),
+                num_paths=self.num_paths, num_steps=steps,
+                is_call=is_call, with_lr=with_lr)
+            for k in strikes
+        ]                                  # async enqueue, no host sync
+        outs = jax.device_get(pending)     # ONE synchronization
+        results = []
+        for k, out in zip(strikes, outs):
+            self._store_device_out(out, spot, float(k), T, is_call, with_lr)
+            results.append({
+                "strike": float(k),
+                "delta": self.delta(spot, float(k), T, is_call),
+                "vega": self.vega(spot, float(k), T, is_call),
+                "gamma": self.gamma(spot, float(k), T, is_call),
+                "theta": self.theta(spot, float(k), T, is_call),
+                "rho": self.rho(spot, float(k), T, is_call),
+                "jumps": self.jump_sensitivities(spot, float(k), T,
+                                                 is_call),
+                "model": self.model_sensitivities(spot, float(k), T,
+                                                  is_call),
+            })
+        return results

@@ -155,6 +155,137 @@ def simulate_terminal(
             (spot * jnp.exp(log_g) if companion else None))
 
 
+@partial(jax.jit, static_argnames=(
+    "num_paths", "num_steps", "antithetic", "companion", "dtype"))
+def simulate_terminal_with_score(
+    params: SVJParams,
+    spot,
+    T,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = True,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array, Optional[Array], Array]:
+    """`simulate_terminal` + the jump-count likelihood-ratio score.
+
+    Identical dynamics AND identical per-step key folding to
+    `simulate_terminal` (fold_in(key, step) → split → z(3,·), u) so CRN
+    holds between the two — the fused all-Greeks program
+    (engine/greeks.py:_all_greeks_device) relies on it. Extra output:
+        score = Σ_t (1{U_t < λdt} − λdt) / (λdt·(1−λdt)) · dt
+    shape (num_paths,) — the ∂/∂λ score of the per-step Bernoulli jump
+    indicators (engine/greeks.py:lambda_lr_estimate identity). Both
+    antithetic branches share the jump uniforms, hence ONE score row.
+    Emitted through stop_gradient: it is an estimator ingredient, not part
+    of any differentiated price.
+    """
+    n_branch = 2 if antithetic else 1
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None]
+    prob = jnp.clip(params.lambda_j * dt, 1e-7, 1.0 - 1e-7)
+
+    log_s0 = jnp.zeros((n_branch, num_paths), dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (n_branch, num_paths))
+    score0 = jnp.zeros((num_paths,), dtype)
+
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    def step(carry, step_idx):
+        log_s, v, log_g, score = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
+        z1 = z[0] * sign
+        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+                                  z1, z[1] * sign, u_jump[None, :],
+                                  z[2] * sign)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z1 * sqrt_dt
+        jumped = (u_jump < prob).astype(dtype)
+        score = score + jax.lax.stop_gradient(
+            (jumped - prob) / (prob * (1.0 - prob)) * dt)
+        return (log_s, v, log_g, score), None
+
+    (log_s, v, log_g, score), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0, score0), jnp.arange(num_steps))
+    return (spot * jnp.exp(log_s), v,
+            (spot * jnp.exp(log_g) if companion else None), score)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "dtype"))
+def simulate_terminal_members(
+    params_batch: SVJParams,
+    spot,
+    T,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array, Array]:
+    """CRN member batch in ONE scan: params leaves carry a leading (M,)
+    axis; every member rides the SAME per-step draws (the common-random-
+    numbers contract the FD Greeks need), antithetic pairs included.
+
+    This deliberately avoids `vmap(scan-with-in-kernel-RNG))` — the TPU
+    compiler handles a vmapped threefry scan pathologically (minutes of
+    compile at toy shapes, measured on the serving chip); a single scan
+    whose carries are (M, 2, paths) arrays with params broadcast as
+    (M, 1, 1) compiles in seconds and is the same math. Key folding is
+    identical to `simulate_terminal` (fold_in(key, step) → split →
+    z(3,·), u), so member results are CRN-consistent with the single-run
+    simulators.
+
+    Returns (s_final, g_final, score): (M, 2, paths), (M, 2, paths),
+    (M, paths) — the companion leg always on (its cost is one FMA), the
+    λ-score per member (prob = λ_m·dt differs; the uniforms are shared).
+    """
+    m = jax.tree.leaves(params_batch)[0].shape[0]
+    p = jax.tree.map(lambda x: jnp.asarray(x, dtype)[:, None, None],
+                     params_batch)
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[None, :, None]   # (1, 2, 1)
+    prob = jnp.clip(p.lambda_j * dt, 1e-7, 1.0 - 1e-7)    # (M, 1, 1)
+
+    log_s0 = jnp.zeros((m, 2, num_paths), dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(p.v0, dtype), (m, 2, num_paths))
+    score0 = jnp.zeros((m, num_paths), dtype)
+
+    sigma_cv = jnp.sqrt(p.v0)                             # (M, 1, 1)
+    g_drift = (p.r - p.q - 0.5 * sigma_cv**2) * dt
+
+    def step(carry, step_idx):
+        log_s, v, log_g, score = carry
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
+        z1 = z[0][None, None, :] * sign                   # (1→M, 2, paths)
+        log_s, v = _svj_step_core(p, dt, sqrt_dt, log_s, v,
+                                  z1, z[1][None, None, :] * sign,
+                                  u_jump[None, None, :],
+                                  z[2][None, None, :] * sign)
+        log_g = log_g + g_drift + sigma_cv * z1 * sqrt_dt
+        jumped = (u_jump[None, None, :] < prob).astype(dtype)[:, 0, :]
+        score = score + jax.lax.stop_gradient(
+            (jumped - prob[:, 0, :]) / (prob[:, 0, :]
+                                        * (1.0 - prob[:, 0, :])) * dt)
+        return (log_s, v, log_g, score), None
+
+    (log_s, _, log_g, score), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0, score0), jnp.arange(num_steps))
+    return spot * jnp.exp(log_s), spot * jnp.exp(log_g), score
+
+
 @partial(jax.jit, static_argnames=("companion", "steps_major"))
 def simulate_terminal_from_draws(
     params: SVJParams,

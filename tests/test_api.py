@@ -78,6 +78,20 @@ def test_greeks_endpoint(base_url):
     assert "rho" in out["rho"]
 
 
+def test_greeks_chain_endpoint(base_url):
+    out = post(f"{base_url}/api/greeks", {
+        "spot": 22500, "strikes": [22000, 22500, 23000], "T": 0.04,
+        "num_paths": 20_000})
+    chain = out["chain"]
+    assert [c["strike"] for c in chain] == [22000, 22500, 23000]
+    deltas = [c["delta"]["pathwise"] for c in chain]
+    assert deltas[0] > deltas[1] > deltas[2]  # calls: delta falls in strike
+    # strike omitted AND no strikes → clean 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/greeks", {"spot": 22500, "T": 0.04})
+    assert exc.value.code == 400
+
+
 def test_stress_endpoint(base_url):
     out = post(f"{base_url}/api/stress", {
         "spot": 22500, "strike": 22500, "T": 0.04, "num_paths": 10_000})

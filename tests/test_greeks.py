@@ -148,15 +148,24 @@ def test_all_greeks_single_device_program(monkeypatch):
 
     # The fused prefetch and the individual block paths agree: a fresh
     # engine whose blocks are called directly must reproduce the numbers.
+    # CRN makes them the same estimator on the same draws; the fused v2
+    # program reaches the FD ingredients through different XLA fusions
+    # (payoff algebra on shared terminals vs standalone re-simulation), so
+    # the match is to f32 reassociation noise, not bitwise.
     eng2 = GreeksEngine(p, num_paths=20_000, num_steps=16, seed=3)
     d = eng2.delta(SPOT, STRIKE, 0.1)
     v = eng2.vega(SPOT, STRIKE, 0.1)
     gm = eng2.gamma(SPOT, STRIKE, 0.1)
     j = eng2.jump_sensitivities(SPOT, STRIKE, 0.1)
-    assert d == g1["delta"]
-    assert v == g1["vega"]
-    assert gm == g1["gamma"]
-    assert j == g1["jumps"]
+
+    def close(a, b, keys):
+        for k in keys:
+            assert a[k] == pytest.approx(b[k], rel=2e-4, abs=1e-5), k
+
+    close(d, g1["delta"], ("pathwise", "finite_diff"))
+    close(v, g1["vega"], ("ad_vega_v0", "fd_vega_v0", "vega_per_vol_point"))
+    close(gm, g1["gamma"], ("gamma", "price_up", "price_base", "price_down"))
+    close(j, g1["jumps"], ("lambda_j", "mu_j", "sigma_j"))
 
 
 # ── Cross Greeks (vanna / volga) ─────────────────────────────────────────────
@@ -192,3 +201,22 @@ def test_cross_greeks_svj_finite(svj_engine):
     # under a skewed smile-consistent model once we move off-ATM.
     cg_otm = svj_engine.cross_greeks(SPOT, SPOT * 1.08, T)
     assert abs(cg_otm["vanna"]) > 0
+
+
+def test_all_greeks_chain_matches_per_contract():
+    """The pipelined chain path must return the same numbers as the
+    per-contract all_greeks (same fused program, same CRN key — only the
+    synchronization pattern differs)."""
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.3, rho=-0.5, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.10)
+    strikes = [21500.0, 22500.0, 23500.0]
+    eng = GreeksEngine(p, num_paths=20_000, num_steps=16, seed=3)
+    chain = eng.all_greeks_chain(SPOT, strikes, 0.1)
+    assert [c["strike"] for c in chain] == strikes
+    eng2 = GreeksEngine(p, num_paths=20_000, num_steps=16, seed=3)
+    for c in chain:
+        one = eng2.all_greeks(SPOT, c["strike"], 0.1)
+        assert c["delta"] == one["delta"]
+        assert c["vega"] == one["vega"]
+        assert c["gamma"] == one["gamma"]
+        assert c["jumps"] == one["jumps"]
