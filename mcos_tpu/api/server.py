@@ -36,6 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
+import jax
 import numpy as np
 from pydantic import ValidationError
 
@@ -133,22 +134,32 @@ def handle_price(body: dict) -> dict:
     if req.num_steps is not None:
         engine_kwargs["num_steps"] = req.num_steps
     engine = MonteCarloEngine(svj, **engine_kwargs)
+    # Enqueue every device program for this request (price + both viz
+    # samples) BEFORE the first host sync: JAX dispatch is async, so the
+    # device link round-trip (~28 ms on a remote-attached chip) is paid once
+    # per request instead of once per program.
+    paths_dev = engine.sample_paths_device(req.spot, req.T, num_samples=50)
+    terms_dev = engine.terminal_samples_device(req.spot, req.T)
     if req.use_importance:
         # Exponential tilt toward the strike + likelihood-ratio reweighting —
         # the deep-OTM configuration (engine/pricer.py:mc_price_importance).
         result = engine.price_importance(req.spot, req.strike, req.T,
                                          req.is_call)
+        sample_paths, terms = jax.device_get((paths_dev, terms_dev))
     elif req.rqmc_randomizations:
         # R independent Owen scrambles → spread-based (honest QMC) stderr.
         result = engine.price_rqmc(req.spot, req.strike, req.T, req.is_call,
                                    randomizations=req.rqmc_randomizations)
+        sample_paths, terms = jax.device_get((paths_dev, terms_dev))
     else:
-        result = engine.price(req.spot, req.strike, req.T, req.is_call)
+        res_dev = engine.price_device(req.spot, req.strike, req.T,
+                                      req.is_call)
+        res, sample_paths, terms = jax.device_get(
+            (res_dev, paths_dev, terms_dev))
+        result = engine.format_price(res, req.T)
 
-    sample_paths = engine.get_sample_paths(req.spot, req.T, num_samples=50)
     result["sample_paths"] = np.asarray(sample_paths).tolist()
-    result["terminal_samples"] = [
-        round(float(x), 2) for x in engine.terminal_samples(req.spot, req.T)]
+    result["terminal_samples"] = [round(float(x), 2) for x in terms]
 
     post = guard.check_post_price(result, req.spot, req.strike, req.T,
                                   req.is_call)
@@ -1060,6 +1071,13 @@ def main():
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile hot endpoints before serving")
     args = parser.parse_args()
+    # Persistent XLA compilation cache: restarts warm from disk instead of
+    # re-paying minutes of tunnel compiles (same contract serverless.py
+    # already has; override dir with MCOS_JIT_CACHE).
+    from mcos_tpu.utils.checkpoint import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.environ.get("MCOS_JIT_CACHE", "/tmp/mcos_tpu_jit"))
     if args.warmup:
         warmup()
     serve(args.host, args.port).serve_forever()

@@ -430,6 +430,14 @@ def mc_price_importance(
 # ─────────────────────────────────────────────────────────────────────────────
 # Stateful wrapper (reference API surface)
 # ─────────────────────────────────────────────────────────────────────────────
+# Sobol draw sets shared across engine instances (see _sobol_draws). Bounded:
+# each slot holds ~3 (steps, paths) f32 arrays in HBM (~150 MB at 500k×25).
+from collections import OrderedDict
+
+_SOBOL_DRAWS_CACHE: "OrderedDict" = OrderedDict()
+_SOBOL_DRAWS_CACHE_MAX = 6
+
+
 class MonteCarloEngine:
     """Drop-in equivalent of the reference `MonteCarloEngine`
     (engine/monte_carlo.py:249-272 constructor semantics).
@@ -466,29 +474,34 @@ class MonteCarloEngine:
         self.cv_beta = cv_beta
         self.scheme = scheme
         self.backend = backend
-        # One-slot Sobol draw-set cache: a serving process re-prices the same
-        # (paths, steps, seed) shape on every request; regenerating the nets
-        # costs tens of ms and ~GBs of HBM churn. The cached arrays live on
-        # device; the slot invalidates on any keying attribute change.
-        self._draws_cache: Dict = {}
 
     # -- internals ------------------------------------------------------------
     def _key(self) -> Array:
         return jax.random.key(self.seed)
 
     def _sobol_draws(self, steps: int):
+        # Module-level LRU (not per-instance): the HTTP layer builds a FRESH
+        # engine per request, so an instance slot would regenerate the nets
+        # (tens of ms + GBs of HBM churn) on every request. The cached arrays
+        # live on device; serving re-hits the same few (paths, steps, seed)
+        # shapes indefinitely.
+        key = (self.scheme, steps, self.num_paths, self.seed)
+        hit = _SOBOL_DRAWS_CACHE.get(key)
+        if hit is not None:
+            _SOBOL_DRAWS_CACHE.move_to_end(key)
+            return hit
         from mcos_tpu.ops.sobol import sobol_qe_draws, sobol_svj_draws
 
-        key = (self.scheme, steps, self.num_paths, self.seed)
-        if self._draws_cache.get("key") != key:
-            if self.scheme == "qe":
-                draws = sobol_qe_draws(self.num_paths, steps, seed=self.seed,
-                                       jump_uniforms=False)
-            else:
-                draws = sobol_svj_draws(self.num_paths, steps, seed=self.seed,
-                                        layout="steps", jump_uniforms=False)
-            self._draws_cache = {"key": key, "draws": draws}
-        return self._draws_cache["draws"]
+        if self.scheme == "qe":
+            draws = sobol_qe_draws(self.num_paths, steps, seed=self.seed,
+                                   jump_uniforms=False)
+        else:
+            draws = sobol_svj_draws(self.num_paths, steps, seed=self.seed,
+                                    layout="steps", jump_uniforms=False)
+        _SOBOL_DRAWS_CACHE[key] = draws
+        while len(_SOBOL_DRAWS_CACHE) > _SOBOL_DRAWS_CACHE_MAX:
+            _SOBOL_DRAWS_CACHE.popitem(last=False)
+        return draws
 
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
@@ -537,8 +550,23 @@ class MonteCarloEngine:
         """Price one European option. Result keys match the reference
         (monte_carlo.py:273-285 docstring + :345-373)."""
         res = jax.device_get(  # ONE host transfer (per-scalar float() pulls
-            self._price_result(spot, np.array([strike], np.float32), T,
-                               is_call))  # cost ~10ms each over the tunnel)
+            self.price_device(spot, strike, T, is_call))  # ~10ms each)
+        return self.format_price(res, T)
+
+    def price_device(self, spot: float, strike: float, T: float,
+                     is_call: bool = True) -> Dict[str, Array]:
+        """Enqueue the price program, return the on-device result pytree.
+
+        JAX dispatch is asynchronous, so a serving handler can enqueue this
+        plus the viz programs and pay the device link round-trip ONCE with a
+        single `jax.device_get` over all of them (the same pipelining that
+        took the Greeks chain to 12 ms/contract). Pair with `format_price`.
+        """
+        return self._price_result(spot, np.array([strike], np.float32), T,
+                                  is_call)
+
+    def format_price(self, res: Dict, T: float) -> Dict[str, float]:
+        """Host-side formatting of a fetched `price_device` pytree."""
         out = {
             "price": float(res["price"][0]),
             "std_error": float(res["std_error"][0]),
@@ -715,7 +743,6 @@ class MonteCarloEngine:
         bs_ref = None
         for rep in range(randomizations):
             eng = copy.copy(self)
-            eng._draws_cache = {}  # don't clobber the parent engine's slot
             eng.seed = self.seed + 7919 * rep
             eng.use_sobol = True
             res = eng.price(spot, strike, T, is_call)
@@ -778,25 +805,34 @@ class MonteCarloEngine:
                          num_samples: int = 50) -> np.ndarray:
         """Record a few full paths for visualization
         (monte_carlo.py:452-471 semantics: PRNG driver, ≥50 steps floor)."""
+        return np.asarray(self.sample_paths_device(spot, T, num_samples))
+
+    def sample_paths_device(self, spot: float, T: float,
+                            num_samples: int = 50) -> Array:
+        """Enqueue the viz-path recorder; return the device array unsynced."""
         steps = max(int(self.num_steps * T), 50)
         key = jax.random.key(self.seed + 999)
-        paths = simulate.simulate_paths_recorded(
+        return simulate.simulate_paths_recorded(
             self.params, spot, T, key,
             num_paths=int(num_samples), num_steps=steps,
         )
-        return np.asarray(paths)
 
     def terminal_samples(self, spot: float, T: float,
                          num_samples: int = 1024) -> np.ndarray:
         """A small sample of terminal spots for distribution visualization
         (the reference's dashboard histograms its 50 viz paths' endpoints,
         dashboard.html — here the histogram gets a real sample)."""
+        return np.asarray(self.terminal_samples_device(spot, T, num_samples))
+
+    def terminal_samples_device(self, spot: float, T: float,
+                                num_samples: int = 1024) -> Array:
+        """Enqueue the terminal-sample program; device array, unsynced."""
         s_final, _, _ = simulate.simulate_terminal(
             self.params, spot, T, jax.random.key(self.seed + 1234),
             num_paths=int(num_samples), num_steps=self._steps(T),
             antithetic=False,
         )
-        return np.asarray(s_final[0])
+        return s_final[0]
 
 
 def price_term_structure(
