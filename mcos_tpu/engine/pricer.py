@@ -427,15 +427,57 @@ def mc_price_importance(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "is_call", "antithetic",
+                     "counts"),
+)
+def _convergence_core(
+    params: SVJParams, spot, strike, T, key, *,
+    num_paths: int, num_steps: int, is_call: bool, antithetic: bool,
+    counts: tuple,
+):
+    """Prefix-mean convergence series, fully on device.
+
+    Checkpoint k reports mean/stderr of the FIRST counts[k] payoffs, so the
+    series is the same martingale the host reduction produced. Payoffs are
+    centered on the full-sample mean before the cumulative sums: the running
+    sum then stays O(√n·σ) instead of O(n·mean), which keeps f32 prefix
+    sums accurate at 2M paths without f64 (emulated and slow on TPU).
+    """
+    s_final, _, _ = simulate.simulate_terminal(
+        params, spot, T, key,
+        num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
+    )
+    pay = simulate.combine_antithetic(
+        simulate.vanilla_payoff(s_final, strike, is_call))
+    discount = jnp.exp(-params.r * T)
+    center = jnp.mean(pay)
+    c = pay - center
+    csum = jnp.cumsum(c)
+    csum_sq = jnp.cumsum(c * c)
+    idx = jnp.asarray(counts, jnp.int32) - 1
+    n = jnp.asarray(counts, jnp.float32)
+    mean_c = csum[idx] / n                       # prefix mean of centered pay
+    var = jnp.maximum(csum_sq[idx] / n - mean_c**2, 0.0)
+    prices = discount * (center + mean_c)
+    errors = discount * jnp.sqrt(var / n)
+    return prices, errors
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Stateful wrapper (reference API surface)
 # ─────────────────────────────────────────────────────────────────────────────
 # Sobol draw sets shared across engine instances (see _sobol_draws). Bounded:
 # each slot holds ~3 (steps, paths) f32 arrays in HBM (~150 MB at 500k×25).
+# 8 slots so one default price_rqmc call (8 scramble seeds) fits without
+# evicting the serving-default entries; guarded for the threaded HTTP server.
+import threading
 from collections import OrderedDict
 
 _SOBOL_DRAWS_CACHE: "OrderedDict" = OrderedDict()
-_SOBOL_DRAWS_CACHE_MAX = 6
+_SOBOL_DRAWS_CACHE_MAX = 8
+_SOBOL_DRAWS_LOCK = threading.Lock()
 
 
 class MonteCarloEngine:
@@ -486,10 +528,11 @@ class MonteCarloEngine:
         # live on device; serving re-hits the same few (paths, steps, seed)
         # shapes indefinitely.
         key = (self.scheme, steps, self.num_paths, self.seed)
-        hit = _SOBOL_DRAWS_CACHE.get(key)
-        if hit is not None:
-            _SOBOL_DRAWS_CACHE.move_to_end(key)
-            return hit
+        with _SOBOL_DRAWS_LOCK:
+            hit = _SOBOL_DRAWS_CACHE.get(key)
+            if hit is not None:
+                _SOBOL_DRAWS_CACHE.move_to_end(key)
+                return hit
         from mcos_tpu.ops.sobol import sobol_qe_draws, sobol_svj_draws
 
         if self.scheme == "qe":
@@ -498,9 +541,10 @@ class MonteCarloEngine:
         else:
             draws = sobol_svj_draws(self.num_paths, steps, seed=self.seed,
                                     layout="steps", jump_uniforms=False)
-        _SOBOL_DRAWS_CACHE[key] = draws
-        while len(_SOBOL_DRAWS_CACHE) > _SOBOL_DRAWS_CACHE_MAX:
-            _SOBOL_DRAWS_CACHE.popitem(last=False)
+        with _SOBOL_DRAWS_LOCK:
+            _SOBOL_DRAWS_CACHE[key] = draws
+            while len(_SOBOL_DRAWS_CACHE) > _SOBOL_DRAWS_CACHE_MAX:
+                _SOBOL_DRAWS_CACHE.popitem(last=False)
         return draws
 
     def _steps(self, T: float) -> int:
@@ -772,33 +816,26 @@ class MonteCarloEngine:
         single API price (js/app.js:415-420 — a documented bug). This is the
         real thing: checkpoint k uses the first n_k paths, so the series is
         a martingale converging to the full-sample estimate.
-        """
-        steps = self._steps(T)
-        s_final, _, _ = simulate.simulate_terminal(
-            self.params, spot, T, self._key(),
-            num_paths=self.num_paths, num_steps=steps,
-            antithetic=self.use_antithetic,
-        )
-        pay = simulate.combine_antithetic(
-            simulate.vanilla_payoff(s_final, strike, is_call))
-        pay = np.asarray(pay, np.float64)
-        discount = float(np.exp(-float(self.params.r) * T))
 
+        The prefix moments are reduced ON DEVICE (centered f32 cumsum — the
+        centering keeps the running sum near zero so f32 carries the full
+        display precision) and only the ~num_checkpoints scalars cross the
+        link, instead of the whole payoff vector (≈4 MB at 500k paths, the
+        dominant cost of the old host-side reduction on a remote chip).
+        """
         counts = np.unique(np.geomspace(
             max(self.num_paths // (2 ** (num_checkpoints - 1)), 64),
             self.num_paths, num_checkpoints).astype(int))
-        csum = np.cumsum(pay)
-        csum_sq = np.cumsum(pay * pay)
-        prices, errors = [], []
-        for n in counts:
-            mean = csum[n - 1] / n
-            var = max(csum_sq[n - 1] / n - mean * mean, 0.0)
-            prices.append(discount * mean)
-            errors.append(discount * np.sqrt(var / n))
+        prices, errors = jax.device_get(_convergence_core(
+            self.params, spot, strike, T, self._key(),
+            num_paths=self.num_paths, num_steps=self._steps(T),
+            is_call=is_call, antithetic=self.use_antithetic,
+            counts=tuple(int(n) for n in counts),
+        ))
         return {
             "num_paths": counts.tolist(),
-            "price": prices,
-            "std_error": errors,
+            "price": [float(x) for x in prices],
+            "std_error": [float(x) for x in errors],
         }
 
     def get_sample_paths(self, spot: float, T: float,

@@ -131,9 +131,9 @@ class StressTestEngine:
     — which turns the whole spot ladder (and the gap scenario) into a single
     strike-vectorized pricing call. Vol shocks change the dynamics, so they
     ride a 3-member vmapped params batch instead. `full_stress_report` is
-    exactly 3 device programs (the reference runs 10+ sequential engine
-    calls, risk.py:33-111); CRN (one shared key) removes shock-to-shock
-    MC noise either way.
+    exactly 2 device programs with ONE host sync (the reference runs 10+
+    sequential engine calls, risk.py:33-111); CRN (one shared key) removes
+    shock-to-shock MC noise either way.
     """
 
     def __init__(self, params: SVJParams, num_paths: int = 200_000,
@@ -223,11 +223,71 @@ class StressTestEngine:
 
     def full_stress_report(self, spot: float, strike: float, T: float,
                            is_call: bool = True) -> Dict:
-        """All scenarios (risk.py:104-111)."""
+        """All scenarios (risk.py:104-111).
+
+        Fused serving path: the spot ladder and the gap scenario are both
+        payoff-axis transforms on the SAME path set, so they merge into ONE
+        strike-vectorized program; the vol ladder is the second (vmapped
+        params) program. Both are enqueued before a single host sync — the
+        whole report costs 2 device programs and ONE link round-trip
+        (the per-ladder methods remain for standalone use).
+        """
+        gap = JUMP_SCENARIO_SIZE
+        spot_shocks = np.asarray(SPOT_SHOCKS, np.float64)
+        shocks = np.concatenate([[0.0], spot_shocks, [-gap, gap]])
+        rel = 1.0 + shocks
+        dev_spot = self._engine(self.params)._price_result(
+            spot, (strike / rel).astype(np.float32), T, is_call)
+
+        v0_base = float(self.params.v0)
+        members = [self.params]
+        v0s = []
+        for shock in VOL_SHOCKS:
+            v0 = max(v0_base + 2.0 * v0_base**0.5 * shock, 0.001)
+            theta = max(float(self.params.theta) + shock**2, 0.001)
+            members.append(self.params.replace(v0=v0, theta=theta))
+            v0s.append(v0)
+        batch = jax.tree.map(lambda *xs: jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in xs]), *members)
+        dev_vol = _params_batch_prices(
+            batch, spot, strike, T, jax.random.key(self.seed),
+            num_paths=self.num_paths,
+            num_steps=scaled_steps(self.num_steps, T), is_call=is_call)
+
+        res_spot, vol_prices = jax.device_get((dev_spot, dev_vol))
+        prices = np.asarray(res_spot["price"], np.float64) * rel
+        base = prices[0]
+        n_spot = len(spot_shocks)
+        down, up = prices[n_spot + 1], prices[n_spot + 2]
+        vol_base = float(vol_prices[0])
         return {
-            "spot_shocks": self.spot_shock_ladder(spot, strike, T, is_call),
-            "vol_shocks": self.vol_shock_ladder(spot, strike, T, is_call),
-            "jump_scenario": self.jump_scenario(spot, strike, T, is_call),
+            "spot_shocks": [
+                {
+                    "shock_pct": shock * 100,
+                    "spot": spot * (1.0 + shock),
+                    "price": float(price),
+                    "pnl": float(price - base),
+                    "pnl_pct": float((price - base) / max(base, 1e-6) * 100),
+                }
+                for shock, price in zip(spot_shocks, prices[1:n_spot + 1])
+            ],
+            "vol_shocks": [
+                {
+                    "vol_shock": shock * 100,
+                    "v0": v0,
+                    "price": float(price),
+                    "pnl": float(price - vol_base),
+                }
+                for shock, v0, price in zip(VOL_SHOCKS, v0s, vol_prices[1:])
+            ],
+            "jump_scenario": {
+                "base_price": float(base),
+                "gap_down_price": float(down),
+                "gap_down_pnl": float(down - base),
+                "gap_up_price": float(up),
+                "gap_up_pnl": float(up - base),
+                "gap_size_pct": gap * 100,
+            },
         }
 
 

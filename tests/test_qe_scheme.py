@@ -101,18 +101,24 @@ def test_qe_sobol_driver_matches_cos():
 
 
 def test_engine_draws_cache_reused():
-    """Repeated pricing on one engine reuses the cached Sobol draw set
-    (same device buffers); changing the seed invalidates the slot."""
+    """Sobol draw sets are cached at module level (keyed on scheme/steps/
+    paths/seed), so repeated pricing reuses the same device buffers even
+    across engine INSTANCES — the HTTP layer builds a fresh engine per
+    request; a different seed keys a fresh draw set."""
     from mcos_tpu.engine.pricer import MonteCarloEngine
     from mcos_tpu.models.params import gbm_params
 
     eng = MonteCarloEngine(gbm_params(0.2), num_paths=4096, num_steps=16,
                            seed=5, use_sobol=True)
     eng.price(100.0, 100.0, 0.1)
-    d1 = eng._draws_cache["draws"]
+    d1 = eng._sobol_draws(eng._steps(0.1))
     eng.price(100.0, 105.0, 0.1)
-    d2 = eng._draws_cache["draws"]
+    d2 = eng._sobol_draws(eng._steps(0.1))
     assert d1[0] is d2[0]  # same device buffer, no regeneration
+    # Fresh instance, same keying attributes → same cached buffers.
+    eng_b = MonteCarloEngine(gbm_params(0.2), num_paths=4096, num_steps=16,
+                             seed=5, use_sobol=True)
+    assert eng_b._sobol_draws(eng_b._steps(0.1))[0] is d1[0]
     eng.seed = 6
     eng.price(100.0, 100.0, 0.1)
-    assert eng._draws_cache["draws"][0] is not d1[0]
+    assert eng._sobol_draws(eng._steps(0.1))[0] is not d1[0]
