@@ -1078,6 +1078,11 @@ def main():
 
     enable_compilation_cache(
         os.environ.get("MCOS_JIT_CACHE", "/tmp/mcos_tpu_jit"))
+    # Multi-chip serving: when >1 local device is attached, every engine
+    # the handlers build auto-routes its pricing through the path-sharded
+    # drivers (engine/pricer.py:_resolved_mesh → parallel/mesh.py). On a
+    # single chip this is a no-op. Opt out with MCOS_AUTO_MESH=0.
+    os.environ.setdefault("MCOS_AUTO_MESH", "1")
     if args.warmup:
         warmup()
     serve(args.host, args.port).serve_forever()

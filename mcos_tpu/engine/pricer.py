@@ -479,6 +479,23 @@ _SOBOL_DRAWS_CACHE: "OrderedDict" = OrderedDict()
 _SOBOL_DRAWS_CACHE_MAX = 8
 _SOBOL_DRAWS_LOCK = threading.Lock()
 
+# One process-wide auto mesh (largest power-of-two device prefix), built
+# lazily on first sharded price. [None] sentinel = "computed, single device".
+_AUTO_MESH: list = []
+
+
+def _auto_mesh():
+    if not _AUTO_MESH:
+        devs = jax.devices()
+        n = 1 << (len(devs).bit_length() - 1)  # largest power of two ≤ len
+        if n >= 2:
+            from mcos_tpu.parallel.mesh import make_mesh
+
+            _AUTO_MESH.append(make_mesh(devs[:n]))
+        else:
+            _AUTO_MESH.append(None)
+    return _AUTO_MESH[0]
+
 
 class MonteCarloEngine:
     """Drop-in equivalent of the reference `MonteCarloEngine`
@@ -504,6 +521,7 @@ class MonteCarloEngine:
         cv_beta: str = "one",
         scheme: str = "euler",
         backend: str = "auto",
+        mesh=None,
     ):
         self.params = params
         self.num_paths = int(num_paths)
@@ -516,6 +534,12 @@ class MonteCarloEngine:
         self.cv_beta = cv_beta
         self.scheme = scheme
         self.backend = backend
+        # mesh: None (single device), "auto" (all local devices when >1 —
+        # largest power-of-two prefix so the Sobol net splits evenly), or an
+        # explicit jax.sharding.Mesh with a "paths" axis. None also honors
+        # the MCOS_AUTO_MESH=1 env toggle, which the API server sets so the
+        # WHOLE serving surface shards without per-handler wiring.
+        self.mesh = mesh
 
     # -- internals ------------------------------------------------------------
     def _key(self) -> Array:
@@ -550,6 +574,17 @@ class MonteCarloEngine:
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
 
+    def _resolved_mesh(self):
+        """The pricing mesh, or None for the single-device path."""
+        import os
+
+        mesh = self.mesh
+        if mesh is None and os.environ.get("MCOS_AUTO_MESH") == "1":
+            mesh = "auto"
+        if mesh == "auto":
+            mesh = _auto_mesh()
+        return mesh
+
     def _resolved_backend(self) -> str:
         if self.backend != "auto":
             return self.backend
@@ -560,6 +595,30 @@ class MonteCarloEngine:
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
         steps = self._steps(T)
         use_sobol = self.use_sobol
+        mesh = self._resolved_mesh()
+        if mesh is not None and self.cv_beta == "one" \
+                and self.cv_mode == "companion":
+            # Multi-device path-sharded pricing (parallel/mesh.py). Routed
+            # only for the serving-default estimator configuration; exotic
+            # configurations (optimal-β CV, reference-parity CV, QE×Sobol)
+            # fall through to the single-device drivers below.
+            from mcos_tpu.parallel import mesh as pmesh
+
+            if use_sobol and self.scheme != "qe" and self.use_antithetic:
+                return pmesh.sharded_sobol_price(
+                    self.params, spot, jnp.asarray(strikes), T,
+                    mesh=mesh, num_paths=self.num_paths, num_steps=steps,
+                    seed=self.seed, is_call=is_call,
+                    control_variate=self.use_control_variate,
+                )
+            if not use_sobol:
+                return pmesh.sharded_price(
+                    self.params, spot, jnp.asarray(strikes), T, self._key(),
+                    mesh=mesh, num_paths=self.num_paths, num_steps=steps,
+                    is_call=is_call, antithetic=self.use_antithetic,
+                    control_variate=self.use_control_variate,
+                    cv_mode=self.cv_mode, scheme=self.scheme,
+                )
         if use_sobol:
             z1, z2, u_jump, z_js = self._sobol_draws(steps)
             return mc_price_from_draws(
@@ -614,16 +673,25 @@ class MonteCarloEngine:
         out = {
             "price": float(res["price"][0]),
             "std_error": float(res["std_error"][0]),
-            "num_paths_used": self.num_paths,
+            "num_paths_used": int(np.asarray(
+                res.get("num_paths_used", self.num_paths))),
             "num_steps": self._steps(T),
         }
         if self.use_control_variate:
-            out["bs_cv_adjustment"] = float(res["bs_cv_adjustment"][0])
-            out["bs_ref"] = float(res["bs_ref"][0])
-            out["raw_mc_price"] = float(res["raw_mc_price"][0])
+            # The sharded drivers fold the CV into `price` on device and
+            # report bs_ref only; the single-device drivers also expose the
+            # adjustment decomposition.
+            if "bs_cv_adjustment" in res:
+                out["bs_cv_adjustment"] = float(res["bs_cv_adjustment"][0])
+            if "bs_ref" in res:
+                out["bs_ref"] = float(res["bs_ref"][0])
+            if "raw_mc_price" in res:
+                out["raw_mc_price"] = float(res["raw_mc_price"][0])
         # Guard diagnostics (not in the reference dict; cheap and useful).
-        out["v_max"] = float(res["v_max"])
-        out["frac_nonfinite"] = float(res["frac_nonfinite"])
+        if "v_max" in res:
+            out["v_max"] = float(res["v_max"])
+        if "frac_nonfinite" in res:
+            out["frac_nonfinite"] = float(res["frac_nonfinite"])
         return out
 
     def price_batch(self, spot: float, strikes: Sequence[float], T: float,

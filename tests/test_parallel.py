@@ -360,3 +360,51 @@ def test_sharded_sobol_rqmc_variance_matches_single_device():
         reps_single.append(eng.price(S, S, T)["price"])
     # identical seeds → identical points → near-identical replicate sets
     assert np.allclose(reps_sh, reps_single, rtol=2e-3)
+
+
+def test_engine_auto_mesh_routes_and_matches():
+    """MonteCarloEngine(mesh="auto") routes through the sharded drivers and
+    reproduces the single-device estimator (the serving surface inherits
+    this via MCOS_AUTO_MESH=1, set by the API server's main())."""
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    # Sobol driver: the sharded device union IS the single-host point set,
+    # so with lambda=0 (no PRNG jump uniforms in play) prices pin tightly.
+    eng_auto = MonteCarloEngine(p, num_paths=1 << 15, num_steps=64,
+                                use_sobol=True, seed=7, mesh="auto")
+    eng_one = MonteCarloEngine(p, num_paths=1 << 15, num_steps=64,
+                               use_sobol=True, seed=7, backend="scan")
+    pa = eng_auto.price(22500.0, 22500.0, 0.25)
+    po = eng_one.price(22500.0, 22500.0, 0.25)
+    assert abs(pa["price"] - po["price"]) < max(
+        3 * np.hypot(pa["std_error"], po["std_error"]), 0.5)
+    assert pa["num_paths_used"] >= 1 << 15
+    # PRNG driver: device-folded keys -> statistically identical estimator.
+    eng_auto2 = MonteCarloEngine(p, num_paths=64_000, num_steps=64,
+                                 use_sobol=False, seed=9, mesh="auto")
+    eng_one2 = MonteCarloEngine(p, num_paths=64_000, num_steps=64,
+                                use_sobol=False, seed=9, backend="scan")
+    pa2 = eng_auto2.price(22500.0, 22500.0, 0.25)
+    po2 = eng_one2.price(22500.0, 22500.0, 0.25)
+    assert abs(pa2["price"] - po2["price"]) < max(
+        5 * np.hypot(pa2["std_error"], po2["std_error"]), 2.0)
+
+
+def test_engine_auto_mesh_env_toggle(monkeypatch):
+    """MCOS_AUTO_MESH=1 makes a plain engine shard; =0 leaves it single."""
+    from mcos_tpu.engine import pricer as pricer_mod
+
+    p = gbm_params(0.2)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    eng = MonteCarloEngine(p, num_paths=8192, num_steps=16, use_sobol=False)
+    assert eng._resolved_mesh() is not None
+    assert eng._resolved_mesh().shape["paths"] == 8
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    assert eng._resolved_mesh() is None
+    # Exotic estimator configs fall back to single-device drivers: the
+    # result dict still carries the single-device decomposition keys.
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    eng_ref = MonteCarloEngine(p, num_paths=8192, num_steps=16,
+                               use_sobol=False, cv_mode="reference",
+                               backend="scan")
+    res = eng_ref.price(100.0, 100.0, 0.25)
+    assert "raw_mc_price" in res and "bs_cv_adjustment" in res
