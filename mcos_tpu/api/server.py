@@ -179,6 +179,10 @@ def handle_greeks(body: dict) -> dict:
     start = time.time()
     engine = GreeksEngine(req.params.to_params(), num_paths=req.num_paths)
     if req.strikes:
+        if req.with_cross:
+            raise ApiError(400, "with_cross is not supported in chain mode "
+                                "(strikes list) — request the cross block "
+                                "per contract with a single strike")
         # Chain mode: one pipelined dispatch per contract, ONE host sync.
         greeks = {"chain": engine.all_greeks_chain(
             req.spot, req.strikes, req.T, req.is_call)}

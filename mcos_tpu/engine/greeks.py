@@ -324,14 +324,19 @@ def _all_greeks_device(params, spot, strike, T, key, *, num_paths,
         # arithmetic on the fused terminals).
         discount = jnp.exp(-params.r * T_f)
         pay_b = simulate.vanilla_payoff(s0, strike_arr[0], is_call)
-        pay_flat = pay_b.reshape(-1)
-        score_flat = jnp.broadcast_to(score[None, :], pay_b.shape
-                                      ).reshape(-1)
-        centered = pay_flat - jnp.mean(pay_flat)
-        out["lr_raw"] = discount * jnp.mean(centered * score_flat)
-        out["lr_se"] = (discount * jnp.std(centered * score_flat)
-                        / jnp.sqrt(jnp.float32(pay_flat.shape[0])))
+        # The score is SHARED across the antithetic branch pair, so the 2n
+        # (payoff·score) values are pairwise correlated — std/√(2n) would
+        # understate the stderr by ~√2. Collapse each pair to its mean
+        # first: same point estimate, honest stderr over n iid pairs
+        # (matches lambda_lr_estimate's single-branch arithmetic).
+        pair_pay = jnp.mean(pay_b, axis=0)                       # (n,)
+        centered = pair_pay - jnp.mean(pair_pay)
+        vals = centered * score
+        out["lr_raw"] = discount * jnp.mean(vals)
+        out["lr_se"] = (discount * jnp.std(vals)
+                        / jnp.sqrt(jnp.float32(vals.shape[0])))
         k_comp = jnp.exp(params.mu_j + 0.5 * params.sigma_j**2) - 1.0
+        pay_flat = pay_b.reshape(-1)
         out["lr_drift"] = discount * jnp.mean(
             jnp.where(pay_flat > 0, 1.0, 0.0)
             * s0.reshape(-1) * (-k_comp) * T_f) \

@@ -470,13 +470,15 @@ def _convergence_core(
 # ─────────────────────────────────────────────────────────────────────────────
 # Sobol draw sets shared across engine instances (see _sobol_draws). Bounded:
 # each slot holds ~3 (steps, paths) f32 arrays in HBM (~150 MB at 500k×25).
-# 8 slots so one default price_rqmc call (8 scramble seeds) fits without
-# evicting the serving-default entries; guarded for the threaded HTTP server.
+# 12 slots: one default price_rqmc call adds 7 new-seed entries (replicate
+# 0 reuses the base seed) on top of the 3 warmed serving shapes, and all of
+# it must fit without evicting the serving-default entries. Guarded for the
+# threaded HTTP server.
 import threading
 from collections import OrderedDict
 
 _SOBOL_DRAWS_CACHE: "OrderedDict" = OrderedDict()
-_SOBOL_DRAWS_CACHE_MAX = 8
+_SOBOL_DRAWS_CACHE_MAX = 12
 _SOBOL_DRAWS_LOCK = threading.Lock()
 
 # One process-wide auto mesh (largest power-of-two device prefix), built

@@ -148,37 +148,26 @@ class StressTestEngine:
                                 num_steps=self.num_steps, seed=self.seed,
                                 use_sobol=False)
 
+    # -- shared scenario construction / formatting (used by both the
+    # standalone ladders and the fused full_stress_report) -----------------
+    def _shock_prices_device(self, spot: float, strike: float, T: float,
+                             is_call: bool, shocks: np.ndarray):
+        """Enqueue prices at spot·(1+sᵢ) — ONE batched program off one
+        shared path set; returns (rel, device result pytree), unsynced."""
+        rel = 1.0 + np.asarray(shocks, np.float64)
+        res = self._engine(self.params)._price_result(
+            spot, (strike / rel).astype(np.float32), T, is_call)
+        return rel, res
+
     def _shock_prices(self, spot: float, strike: float, T: float,
                       is_call: bool, shocks: np.ndarray) -> np.ndarray:
-        """Prices at spot·(1+sᵢ) — ONE batched call off one shared path set."""
-        rel = 1.0 + np.asarray(shocks, np.float64)
-        rows = self._engine(self.params).price_batch(
-            spot, strike / rel, T, is_call)
-        return np.array([row["price"] for row in rows]) * rel
+        rel, res = self._shock_prices_device(spot, strike, T, is_call,
+                                             shocks)
+        return np.asarray(jax.device_get(res["price"]), np.float64) * rel
 
-    def spot_shock_ladder(self, spot: float, strike: float, T: float,
-                          is_call: bool = True) -> List[Dict]:
-        """Spot ±2/5/8% ladder (risk.py:33-51) as one vectorized call."""
-        shocks = np.asarray(SPOT_SHOCKS, np.float64)
-        prices = self._shock_prices(spot, strike, T, is_call,
-                                    np.concatenate([[0.0], shocks]))
-        base = prices[0]
-        return [
-            {
-                "shock_pct": shock * 100,
-                "spot": spot * (1.0 + shock),
-                "price": float(price),
-                "pnl": float(price - base),
-                "pnl_pct": float((price - base) / max(base, 1e-6) * 100),
-            }
-            for shock, price in zip(shocks, prices[1:])
-        ]
-
-    def vol_shock_ladder(self, spot: float, strike: float, T: float,
-                         is_call: bool = True) -> List[Dict]:
-        """±5 vol-point shocks mapped into (v0, θ) exactly as the reference
-        does (risk.py:60-67: v0 += 2√v0·s, θ += s²); base + both shocks run
-        as one vmapped params batch sharing a CRN key."""
+    def _vol_members(self):
+        """Base + shocked params per the reference convention
+        (risk.py:60-67: v0 += 2√v0·s, θ += s², 0.001 floors)."""
         v0_base = float(self.params.v0)
         members = [self.params]
         v0s = []
@@ -187,14 +176,36 @@ class StressTestEngine:
             theta = max(float(self.params.theta) + shock**2, 0.001)
             members.append(self.params.replace(v0=v0, theta=theta))
             v0s.append(v0)
+        return members, v0s
+
+    def _vol_prices_device(self, spot, strike, T, is_call):
+        """Enqueue the vmapped (base + shocks) CRN params batch, unsynced."""
+        members, v0s = self._vol_members()
         batch = jax.tree.map(lambda *xs: jnp.stack(
             [jnp.asarray(x, jnp.float32) for x in xs]), *members)
-        prices = np.asarray(_params_batch_prices(
+        prices = _params_batch_prices(
             batch, spot, strike, T, jax.random.key(self.seed),
             num_paths=self.num_paths,
             num_steps=scaled_steps(self.num_steps, T),
-            is_call=is_call))
-        base = prices[0]
+            is_call=is_call)
+        return v0s, prices
+
+    @staticmethod
+    def _format_spot_rows(spot, shocks, prices, base) -> List[Dict]:
+        return [
+            {
+                "shock_pct": shock * 100,
+                "spot": spot * (1.0 + shock),
+                "price": float(price),
+                "pnl": float(price - base),
+                "pnl_pct": float((price - base) / max(base, 1e-6) * 100),
+            }
+            for shock, price in zip(shocks, prices)
+        ]
+
+    @staticmethod
+    def _format_vol_rows(v0s, prices) -> List[Dict]:
+        base = float(prices[0])
         return [
             {
                 "vol_shock": shock * 100,
@@ -205,21 +216,41 @@ class StressTestEngine:
             for shock, v0, price in zip(VOL_SHOCKS, v0s, prices[1:])
         ]
 
+    @staticmethod
+    def _format_jump(base, down, up, gap_size) -> Dict:
+        return {
+            "base_price": float(base),
+            "gap_down_price": float(down),
+            "gap_down_pnl": float(down - base),
+            "gap_up_price": float(up),
+            "gap_up_pnl": float(up - base),
+            "gap_size_pct": gap_size * 100,
+        }
+
+    # -- reference API ------------------------------------------------------
+    def spot_shock_ladder(self, spot: float, strike: float, T: float,
+                          is_call: bool = True) -> List[Dict]:
+        """Spot ±2/5/8% ladder (risk.py:33-51) as one vectorized call."""
+        shocks = np.asarray(SPOT_SHOCKS, np.float64)
+        prices = self._shock_prices(spot, strike, T, is_call,
+                                    np.concatenate([[0.0], shocks]))
+        return self._format_spot_rows(spot, shocks, prices[1:], prices[0])
+
+    def vol_shock_ladder(self, spot: float, strike: float, T: float,
+                         is_call: bool = True) -> List[Dict]:
+        """±5 vol-point shocks mapped into (v0, θ) exactly as the reference
+        does (risk.py:60-67); base + both shocks run as one vmapped params
+        batch sharing a CRN key."""
+        v0s, prices = self._vol_prices_device(spot, strike, T, is_call)
+        return self._format_vol_rows(v0s, np.asarray(prices))
+
     def jump_scenario(self, spot: float, strike: float, T: float,
                       is_call: bool = True,
                       gap_size: float = JUMP_SCENARIO_SIZE) -> Dict:
         """4% overnight gap, both directions (risk.py:80-102) — one call."""
         prices = self._shock_prices(spot, strike, T, is_call,
                                     np.array([0.0, -gap_size, gap_size]))
-        base, down, up = (float(p) for p in prices)
-        return {
-            "base_price": base,
-            "gap_down_price": down,
-            "gap_down_pnl": down - base,
-            "gap_up_price": up,
-            "gap_up_pnl": up - base,
-            "gap_size_pct": gap_size * 100,
-        }
+        return self._format_jump(prices[0], prices[1], prices[2], gap_size)
 
     def full_stress_report(self, spot: float, strike: float, T: float,
                            is_call: bool = True) -> Dict:
@@ -234,60 +265,21 @@ class StressTestEngine:
         """
         gap = JUMP_SCENARIO_SIZE
         spot_shocks = np.asarray(SPOT_SHOCKS, np.float64)
-        shocks = np.concatenate([[0.0], spot_shocks, [-gap, gap]])
-        rel = 1.0 + shocks
-        dev_spot = self._engine(self.params)._price_result(
-            spot, (strike / rel).astype(np.float32), T, is_call)
-
-        v0_base = float(self.params.v0)
-        members = [self.params]
-        v0s = []
-        for shock in VOL_SHOCKS:
-            v0 = max(v0_base + 2.0 * v0_base**0.5 * shock, 0.001)
-            theta = max(float(self.params.theta) + shock**2, 0.001)
-            members.append(self.params.replace(v0=v0, theta=theta))
-            v0s.append(v0)
-        batch = jax.tree.map(lambda *xs: jnp.stack(
-            [jnp.asarray(x, jnp.float32) for x in xs]), *members)
-        dev_vol = _params_batch_prices(
-            batch, spot, strike, T, jax.random.key(self.seed),
-            num_paths=self.num_paths,
-            num_steps=scaled_steps(self.num_steps, T), is_call=is_call)
+        rel, dev_spot = self._shock_prices_device(
+            spot, strike, T, is_call,
+            np.concatenate([[0.0], spot_shocks, [-gap, gap]]))
+        v0s, dev_vol = self._vol_prices_device(spot, strike, T, is_call)
 
         res_spot, vol_prices = jax.device_get((dev_spot, dev_vol))
         prices = np.asarray(res_spot["price"], np.float64) * rel
         base = prices[0]
         n_spot = len(spot_shocks)
-        down, up = prices[n_spot + 1], prices[n_spot + 2]
-        vol_base = float(vol_prices[0])
         return {
-            "spot_shocks": [
-                {
-                    "shock_pct": shock * 100,
-                    "spot": spot * (1.0 + shock),
-                    "price": float(price),
-                    "pnl": float(price - base),
-                    "pnl_pct": float((price - base) / max(base, 1e-6) * 100),
-                }
-                for shock, price in zip(spot_shocks, prices[1:n_spot + 1])
-            ],
-            "vol_shocks": [
-                {
-                    "vol_shock": shock * 100,
-                    "v0": v0,
-                    "price": float(price),
-                    "pnl": float(price - vol_base),
-                }
-                for shock, v0, price in zip(VOL_SHOCKS, v0s, vol_prices[1:])
-            ],
-            "jump_scenario": {
-                "base_price": float(base),
-                "gap_down_price": float(down),
-                "gap_down_pnl": float(down - base),
-                "gap_up_price": float(up),
-                "gap_up_pnl": float(up - base),
-                "gap_size_pct": gap * 100,
-            },
+            "spot_shocks": self._format_spot_rows(
+                spot, spot_shocks, prices[1:n_spot + 1], base),
+            "vol_shocks": self._format_vol_rows(v0s, vol_prices),
+            "jump_scenario": self._format_jump(
+                base, prices[n_spot + 1], prices[n_spot + 2], gap),
         }
 
 

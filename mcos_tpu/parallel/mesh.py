@@ -89,10 +89,17 @@ def _local_price_stats(params, spot, strikes, T, key, *,
         "n": n_local,
         "sum": jnp.sum(eff, axis=-1),
         "sumsq": jnp.sum(eff * eff, axis=-1),
-        "v_max": jnp.max(v_final),
         "nonfinite": jnp.sum(~jnp.isfinite(s_final)).astype(jnp.float32),
     }
-    return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
+    stats = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), stats)
+    # Max pools as max, NOT psum (a summed per-device max would report
+    # ~n_dev× the true value and fire spurious variance-explosion guards).
+    # all_gather + max rather than pmax: sharded_all_greeks differentiates
+    # through this function and pmax has no JVP rule; the gather is tiny
+    # (one scalar per device) and v_max is a diagnostic, so cut the tape.
+    stats["v_max"] = jnp.max(jax.lax.all_gather(
+        jax.lax.stop_gradient(jnp.max(v_final)), axis_name))
+    return stats
 
 
 def sharded_rough_price(
@@ -231,6 +238,30 @@ def sharded_portfolio_returns(
         jnp.float32(T), key)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _sharded_price_fn(mesh, paths_per_device, num_steps, is_call, antithetic,
+                      control_variate, cv_mode, scheme, axis_name):
+    """Build-once jitted shard_map for `sharded_price` (Mesh is hashable)."""
+    local = partial(
+        _local_price_stats,
+        paths_per_device=paths_per_device, num_steps=num_steps,
+        is_call=is_call, antithetic=antithetic,
+        control_variate=control_variate, cv_mode=cv_mode, scheme=scheme,
+        axis_name=axis_name,
+    )
+    # Everything is replicated in; reductions produce replicated outputs.
+    spec = P()
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    ))
+
+
 def sharded_price(
     params: SVJParams,
     spot,
@@ -257,22 +288,12 @@ def sharded_price(
     paths_per_device = -(-num_paths // n_dev)
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
 
-    local = partial(
-        _local_price_stats,
-        paths_per_device=paths_per_device, num_steps=num_steps,
-        is_call=is_call, antithetic=antithetic,
-        control_variate=control_variate, cv_mode=cv_mode, scheme=scheme,
-        axis_name=axis_name,
-    )
-    # Everything is replicated in; reductions produce replicated outputs.
-    spec = P()
-    shmapped = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec),
-        out_specs=spec,
-        check_vma=False,
-    )
-    stats = jax.jit(shmapped)(
+    # The jitted shard_map is cached on (mesh, static config) — a fresh
+    # closure + jax.jit per call would defeat the executable cache (keyed
+    # on function identity) and re-trace on EVERY serving request.
+    stats = _sharded_price_fn(
+        mesh, paths_per_device, num_steps, is_call, antithetic,
+        control_variate, cv_mode, scheme, axis_name)(
         params, jnp.float32(spot), strikes, jnp.float32(T), key)
 
     discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
@@ -285,7 +306,11 @@ def sharded_price(
         "std_error": discount * jnp.sqrt(var / n),
         "num_paths_used": n,
         "v_max": stats["v_max"],
-        "frac_nonfinite": stats["nonfinite"] / n,
+        # nonfinite counts every simulated terminal spot (both antithetic
+        # branches); normalize to a fraction of spots, matching
+        # mc_price_core's jnp.mean(~isfinite(s_final)) convention.
+        "frac_nonfinite": stats["nonfinite"] / ((2.0 if antithetic else 1.0)
+                                                * n),
     }
     if control_variate:
         # eff already includes +bs_ref/discount, so `price` is the CV price.
@@ -630,8 +655,6 @@ def sharded_sobol_price(
     structure — monte_carlo.py:306-308 uses a plain PRNG too). Fixes the
     single-host limitation documented at engine/pricer.py:32-35.
     """
-    from mcos_tpu.ops.sobol import sobol_svj_draws_slice
-
     n_dev = mesh.shape[axis_name]
     m = int(np.ceil(np.log2(max(num_paths, 2))))
     n_global = 2 ** m
@@ -640,6 +663,36 @@ def sharded_sobol_price(
                          "devices — use a power-of-two device count")
     ppd = n_global // n_dev
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+
+    stats = _sharded_sobol_fn(
+        mesh, ppd, n_global, num_steps, seed, is_call, control_variate,
+        scramble, axis_name)(
+        params, jnp.float32(spot), strikes, jnp.float32(T))
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    n = stats["n"]
+    mean = stats["sum"] / n
+    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
+    out = {"price": discount * mean,
+           "std_error": discount * jnp.sqrt(var / n),
+           "num_paths_used": n,
+           "v_max": stats["v_max"],
+           "frac_nonfinite": stats["nonfinite"] / (2.0 * n)}
+    if control_variate:
+        out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
+                                 jnp.sqrt(params.v0), is_call)
+    return out
+
+
+@lru_cache(maxsize=64)
+def _sharded_sobol_fn(mesh, ppd, n_global, num_steps, seed, is_call,
+                      control_variate, scramble, axis_name):
+    """Build-once jitted shard_map for `sharded_sobol_price` — a fresh
+    closure per call would re-trace on every multi-chip serving request.
+    seed stays in the cache key (serving reuses one seed; rqmc's handful
+    of replicate seeds each cache their own trace)."""
+    from mcos_tpu.ops.sobol import sobol_svj_draws_slice
+
     want_g = control_variate
 
     def local(params_, spot_, ks_, T_):
@@ -650,10 +703,10 @@ def sharded_sobol_price(
         u_jump = jax.random.uniform(
             jax.random.fold_in(jax.random.key(seed + 1), idx),
             (num_steps, ppd), jnp.float32)
-        s_base, _, g_base = simulate.simulate_terminal_from_draws(
+        s_base, v_base, g_base = simulate.simulate_terminal_from_draws(
             params_, spot_, T_, z1, z2, u_jump, z_js, companion=want_g,
             steps_major=True)
-        s_anti, _, g_anti = simulate.simulate_terminal_from_draws(
+        s_anti, v_anti, g_anti = simulate.simulate_terminal_from_draws(
             params_, spot_, T_, -z1, -z2, u_jump, -z_js, companion=want_g,
             steps_major=True)
         s_final = jnp.stack([s_base, s_anti])
@@ -673,23 +726,17 @@ def sharded_sobol_price(
             eff = pay
         sums = {"n": jnp.float32(eff.shape[-1]),
                 "sum": jnp.sum(eff, axis=-1),
-                "sumsq": jnp.sum(eff * eff, axis=-1)}
-        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+                "sumsq": jnp.sum(eff * eff, axis=-1),
+                "nonfinite": jnp.sum(~jnp.isfinite(s_final))
+                .astype(jnp.float32)}
+        sums = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+        # pmax, not psum: see _local_price_stats. These diagnostics feed the
+        # post-price guards (nonfinite_paths is a FAIL rule) — the sharded
+        # route must not silently disable them.
+        sums["v_max"] = jax.lax.pmax(
+            jnp.maximum(jnp.max(v_base), jnp.max(v_anti)), axis_name)
+        return sums
 
     spec = P()
-    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
-                             out_specs=spec, check_vma=False)
-    stats = jax.jit(shmapped)(params, jnp.float32(spot), strikes,
-                              jnp.float32(T))
-    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
-                       * jnp.asarray(T, jnp.float32))
-    n = stats["n"]
-    mean = stats["sum"] / n
-    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
-    out = {"price": discount * mean,
-           "std_error": discount * jnp.sqrt(var / n),
-           "num_paths_used": n}
-    if control_variate:
-        out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
-                                 jnp.sqrt(params.v0), is_call)
-    return out
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                                 out_specs=spec, check_vma=False))

@@ -220,3 +220,21 @@ def test_all_greeks_chain_matches_per_contract():
         assert c["vega"] == one["vega"]
         assert c["gamma"] == one["gamma"]
         assert c["jumps"] == one["jumps"]
+
+
+def test_fused_lr_se_is_calibrated():
+    """The fused LR lambda stderr must be the stderr over n iid antithetic
+    PAIRS (the score is shared within a pair): replicated estimates'
+    empirical spread should match the reported se, not be ~sqrt(2) wider
+    (the bug this pins: std over 2n pairwise-correlated values / sqrt(2n))."""
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.3, rho=-0.5, v0=0.04,
+                  lambda_j=2.0, mu_j=-0.08, sigma_j=0.15)
+    vals, ses = [], []
+    for s in range(24):
+        eng = GreeksEngine(p, num_paths=4_000, num_steps=16, seed=300 + s)
+        eng.all_greeks(SPOT, SPOT, 0.5)  # fused prefetch fills the lr memo
+        j = eng.jump_sensitivities(SPOT, SPOT, 0.5)
+        vals.append(j["lambda_j_lr"])
+        ses.append(j["lambda_j_lr_se"])
+    ratio = float(np.mean(ses) / np.std(vals, ddof=1))
+    assert 0.75 < ratio < 1.45, f"LR se miscalibrated: {ratio:.3f}"

@@ -408,3 +408,48 @@ def test_engine_auto_mesh_env_toggle(monkeypatch):
                                backend="scan")
     res = eng_ref.price(100.0, 100.0, 0.25)
     assert "raw_mc_price" in res and "bs_cv_adjustment" in res
+
+
+def test_sharded_drivers_reuse_compiled_fn():
+    """The hot sharded drivers must reuse ONE jitted shard_map per (mesh,
+    config) — a fresh jax.jit per call re-traces on every serving request."""
+    pmesh._sharded_price_fn.cache_clear()
+    pmesh._sharded_sobol_fn.cache_clear()
+    p = gbm_params(0.2)
+    m = pmesh.make_mesh()
+    for _ in range(3):
+        pmesh.sharded_price(p, 100.0, [100.0], 0.5, jax.random.key(3),
+                            mesh=m, num_paths=8192, num_steps=8)
+        pmesh.sharded_sobol_price(p, 100.0, [100.0], 0.5, mesh=m,
+                                  num_paths=8192, num_steps=8)
+    assert pmesh._sharded_price_fn.cache_info().hits >= 2
+    assert pmesh._sharded_price_fn.cache_info().misses == 1
+    assert pmesh._sharded_sobol_fn.cache_info().hits >= 2
+    assert pmesh._sharded_sobol_fn.cache_info().misses == 1
+
+
+def test_sharded_vmax_is_max_not_sum():
+    """v_max must pool as max-of-device-maxima, not psum (a summed max
+    reported ~n_dev x the truth and fired spurious variance guards); both
+    sharded drivers must also carry the guard diagnostics at all."""
+    from mcos_tpu.engine.pricer import mc_price_core
+
+    p = SVJParams(kappa=1.0, theta=0.09, xi=1.0, rho=-0.6, v0=0.09,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.1)
+    m = pmesh.make_mesh()
+    assert m.shape["paths"] == 8
+    res = pmesh.sharded_price(p, 22500.0, [22500.0], 0.5, jax.random.key(2),
+                              mesh=m, num_paths=64_000, num_steps=64)
+    single = mc_price_core(
+        p, 22500.0, jnp.asarray([22500.0], jnp.float32), 0.5,
+        jax.random.key(2), num_paths=64_000, num_steps=64, is_call=True,
+        antithetic=True, control_variate=True, cv_mode="companion",
+        cv_beta="one", scheme="euler")
+    # Max over 8 device-local maxima of a same-law sample: same order of
+    # magnitude as the single-device max (a psum bug gives ~8x).
+    assert float(res["v_max"]) < 3 * float(single["v_max"])
+    assert float(res["frac_nonfinite"]) == 0.0
+    q = pmesh.sharded_sobol_price(p, 22500.0, [22500.0], 0.5, mesh=m,
+                                  num_paths=1 << 14, num_steps=32)
+    assert "v_max" in q and "frac_nonfinite" in q
+    assert np.isfinite(float(q["v_max"]))
