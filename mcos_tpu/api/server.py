@@ -40,7 +40,7 @@ import jax
 import numpy as np
 from pydantic import ValidationError
 
-from mcos_tpu.api import schemas
+from mcos_tpu.api import coalesce, schemas
 from mcos_tpu.engine.calibration import CalibrationEngine
 from mcos_tpu.engine.greeks import GreeksEngine
 from mcos_tpu.engine.guards import PricingGuard
@@ -91,6 +91,12 @@ class _Metrics:
                 "uptime_s": round(time.time() - self.started, 1),
                 "endpoints": {k: {kk: round(vv, 2) for kk, vv in v.items()}
                               for k, v in self._stats.items()},
+                "coalescer": {
+                    "window_ms": coalesce.coalescer.window_s * 1000,
+                    "batches_run": coalesce.coalescer.batches_run,
+                    "requests_coalesced":
+                        coalesce.coalescer.requests_coalesced,
+                },
             }
 
 
@@ -134,8 +140,21 @@ def handle_price(body: dict) -> dict:
     if req.num_steps is not None:
         engine_kwargs["num_steps"] = req.num_steps
     engine = MonteCarloEngine(svj, **engine_kwargs)
-    # Enqueue every device program for this request (price + both viz
-    # samples) BEFORE the first host sync: JAX dispatch is async, so the
+
+    # Micro-batching: concurrent same-shape requests coalesce into ONE
+    # vmapped device program + ONE host sync for the whole batching window
+    # (api/coalesce.py). Solo requests pay only the window (default 3 ms).
+    ck = coalesce.bucket_key(req) if coalesce.enabled() else None
+    if ck is not None and engine._resolved_mesh() is None:
+        sl = coalesce.coalescer.submit(ck, (svj, req.spot, req.strike, req.T))
+        result = engine.format_price(sl["res"], req.T)
+        result["sample_paths"] = np.asarray(sl["paths"]).tolist()
+        result["terminal_samples"] = [round(float(x), 2)
+                                      for x in sl["terms"]]
+        return _finish_price(result, guard, pre, req, start)
+
+    # Solo path: enqueue every device program for this request (price + both
+    # viz samples) BEFORE the first host sync: JAX dispatch is async, so the
     # device link round-trip (~28 ms on a remote-attached chip) is paid once
     # per request instead of once per program.
     paths_dev = engine.sample_paths_device(req.spot, req.T, num_samples=50)
@@ -160,7 +179,12 @@ def handle_price(body: dict) -> dict:
 
     result["sample_paths"] = np.asarray(sample_paths).tolist()
     result["terminal_samples"] = [round(float(x), 2) for x in terms]
+    return _finish_price(result, guard, pre, req, start)
 
+
+def _finish_price(result: dict, guard: PricingGuard, pre: dict, req,
+                  start: float) -> dict:
+    """Shared tail of /api/price: post-guards, timing, request echo."""
     post = guard.check_post_price(result, req.spot, req.strike, req.T,
                                   req.is_call)
     result["elapsed_ms"] = round((time.time() - start) * 1000, 1)
@@ -1063,6 +1087,21 @@ def warmup() -> None:
         handle_exposure({"spots": [spot], "sigmas": [0.2], "corr": [[1.0]],
                          "positions": [{"kind": "call", "strike": strike,
                                         "T": 1.0}]})
+        # Coalesced-batch executables: one per (bucket, padded size). The
+        # handle_price calls above warmed pad=1; under load the batcher
+        # forms pads 2/4/8, each its own program — compile them now so the
+        # first concurrent burst is warm (persistent jit cache makes this
+        # near-free on restart).
+        if coalesce.enabled():
+            for n in (50_000, 100_000, 500_000):
+                req = schemas.PriceRequest(spot=spot, strike=strike, T=T,
+                                           num_paths=n)
+                key = coalesce.bucket_key(req)
+                member = (req.params.to_params(), spot, strike, T)
+                for pad in (2, 4, 8):
+                    coalesce.batch_price_viz(key, [member] * pad)
+                logger.info("warmup: coalesced pads ready for %dk paths",
+                            n // 1000)
     except Exception:  # noqa: BLE001 — warmup must never kill the server
         logger.exception("warmup failed (server continues cold)")
     logger.info("warmup done in %.1fs", time.time() - t0)
