@@ -150,3 +150,6 @@ class McosClient:
 
     def var(self, **kw) -> dict:
         return self._post("/api/var", **kw)
+
+    def svcj(self, **kw) -> dict:
+        return self._post("/api/svcj", **kw)

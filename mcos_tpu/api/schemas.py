@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, Field, model_validator
 
 from mcos_tpu.config import DIVIDEND_YIELD, MAX_PATHS, RISK_FREE_RATE
 from mcos_tpu.models.params import SVJParams
@@ -37,6 +37,42 @@ class SVJParamsRequest(BaseModel):
 
     def to_params(self) -> SVJParams:
         return SVJParams(**self.model_dump())
+
+
+class SVCJParamsRequest(SVJParamsRequest):
+    """SVJ block + the two variance-jump fields (models/params.py:SVCJParams)."""
+    mu_v: float = Field(0.05, ge=0.0, le=1.0,
+                        description="Mean variance jump E[Z_v]")
+    rho_j: float = Field(-0.5, ge=-10.0, le=10.0,
+                         description="Jump correlation loading (Z_s on Z_v)")
+
+    @model_validator(mode="after")
+    def _compensator_exists(self):
+        if self.rho_j * self.mu_v >= 1.0:
+            raise ValueError(
+                f"rho_j*mu_v={self.rho_j * self.mu_v:.3f} >= 1: "
+                "the jump compensator E[e^Z_s] diverges")
+        return self
+
+    def to_params(self) -> "SVCJParams":
+        from mcos_tpu.models.params import SVCJParams
+
+        return SVCJParams(**self.model_dump())
+
+
+class SVCJRequest(BaseModel):
+    """POST /api/svcj — correlated price/variance jumps (engine/svcj.py;
+    model family beyond the reference)."""
+    spot: float = Field(gt=0)
+    T: float = Field(gt=0, le=10.0)
+    # "price" | "greeks" | "smile" | "compare" (MC vs COS oracle rows)
+    mode: str = "price"
+    strike: float = 0.0                      # 0 → ATM
+    strikes: Optional[list] = Field(None, max_length=MAX_GRID_POINTS)
+    is_call: bool = True
+    params: SVCJParamsRequest = SVCJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
+    num_steps: Optional[int] = Field(None, ge=4, le=8192)
 
 
 class PriceRequest(BaseModel):

@@ -853,6 +853,42 @@ def handle_var(body: dict) -> dict:
     return out
 
 
+def handle_svcj(body: dict) -> dict:
+    """SVCJ — correlated price/variance jumps (Duffie-Pan-Singleton).
+
+    Modes: price (MC + companion CV), greeks (pathwise AD), smile (exact
+    COS-implied vols), compare (MC-vs-oracle rows). Model family beyond
+    the reference (engine/svcj.py; oracle in ops/svcj.py)."""
+    from mcos_tpu.engine.svcj import SVCJEngine
+
+    req = schemas.SVCJRequest(**body)
+    start = time.time()
+    p = req.params.to_params()
+    kwargs = {"num_paths": req.num_paths}
+    if req.num_steps is not None:
+        kwargs["num_steps"] = req.num_steps
+    eng = SVCJEngine(p, **kwargs)
+    strike = req.strike if req.strike > 0 else req.spot
+    strikes = req.strikes or [m * req.spot
+                              for m in (0.9, 0.95, 1.0, 1.05, 1.1)]
+    if req.mode == "price":
+        out = eng.price(req.spot, strike, req.T, req.is_call)
+    elif req.mode == "greeks":
+        out = eng.greeks(req.spot, strike, req.T, req.is_call)
+    elif req.mode == "smile":
+        out = eng.smile(req.spot, req.T, strikes)
+    elif req.mode == "compare":
+        out = eng.mc_vs_cos(req.spot, strikes, req.T, req.is_call)
+    else:
+        raise ApiError(400, f"unknown mode {req.mode!r} "
+                            "(price|greeks|smile|compare)")
+    warnings = p.validate()
+    if warnings:
+        out["model_warnings"] = warnings
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_quote(query: dict) -> dict:
     from mcos_tpu.api.quotes import fetch_quote
 
@@ -900,6 +936,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/pnl": handle_pnl,
     "/api/modelrisk": handle_modelrisk,
     "/api/slv": handle_slv,
+    "/api/svcj": handle_svcj,
 }
 
 

@@ -110,6 +110,76 @@ class SVJParams:
                 for f in dataclasses.fields(self)}
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SVCJParams:
+    """SVCJ (Duffie-Pan-Singleton 2000): contemporaneous jumps in price AND
+    variance, correlated through the variance jump size.
+
+    Dynamics (extends the SVJ dynamics the reference models at
+    engine/models.py:25-28 — the reference has no variance jumps at all):
+        dS/S = (r − q − λ k̄) dt + √v dW₁ + (e^{Z_s} − 1) dN
+        dv   = κ(θ − v) dt + ξ √v dW₂ + Z_v dN
+        Z_v ~ Exp(μ_v),  Z_s | Z_v ~ N(μ_j + ρ_J Z_v, σ_j²)
+        k̄ = E[e^{Z_s}] − 1 = e^{μ_j + σ_j²/2} / (1 − ρ_J μ_v) − 1
+
+    One Poisson clock drives both jumps: a crash event simultaneously gaps
+    the spot down and kicks variance up — the co-movement pure-SVJ cannot
+    produce (it must inflate ξ instead). Requires ρ_J μ_v < 1 for the
+    compensator to exist. All fields are pytree leaves (jit/grad/vmap-able,
+    same design as SVJParams).
+    """
+
+    kappa: float = 3.0
+    theta: float = 0.04
+    xi: float = 0.5
+    rho: float = -0.7
+    v0: float = 0.04
+    lambda_j: float = 1.0
+    mu_j: float = -0.05
+    sigma_j: float = 0.10
+    mu_v: float = 0.05        # mean variance jump  E[Z_v]
+    rho_j: float = -0.5       # jump-size correlation loading  (Z_s on Z_v)
+    r: float = RISK_FREE_RATE
+    q: float = DIVIDEND_YIELD
+
+    @property
+    def jump_compensation(self):
+        """k̄ = E[e^{Z_s} − 1]; the ρ_J μ_v tilt is the SVCJ correction."""
+        return (jnp.exp(self.mu_j + 0.5 * self.sigma_j**2)
+                / (1.0 - self.rho_j * self.mu_v) - 1.0)
+
+    @property
+    def stationary_variance(self):
+        """E[v_∞] = θ + λ μ_v / κ — variance jumps raise the long-run mean."""
+        return self.theta + self.lambda_j * self.mu_v / self.kappa
+
+    def svj_part(self) -> SVJParams:
+        """The μ_v → 0 projection (drops variance jumps; Bates limit)."""
+        return SVJParams(kappa=self.kappa, theta=self.theta, xi=self.xi,
+                         rho=self.rho, v0=self.v0, lambda_j=self.lambda_j,
+                         mu_j=self.mu_j, sigma_j=self.sigma_j,
+                         r=self.r, q=self.q)
+
+    def replace(self, **updates) -> "SVCJParams":
+        return dataclasses.replace(self, **updates)
+
+    def validate(self) -> List[str]:
+        warnings = self.svj_part().validate()
+        if float(self.rho_j) * float(self.mu_v) >= 1.0:
+            warnings.append(
+                f"ρ_J·μ_v={float(self.rho_j) * float(self.mu_v):.3f} ≥ 1: "
+                "jump compensator diverges")
+        if float(self.mu_v) < 0.0:
+            warnings.append(f"μ_v={float(self.mu_v):.4f} < 0: variance jump "
+                            "mean must be non-negative")
+        return warnings
+
+    def as_dict(self) -> Dict[str, float]:
+        return {f.name: float(getattr(self, f.name))
+                for f in dataclasses.fields(self)}
+
+
 def gbm_params(sigma: float, r: float = RISK_FREE_RATE,
                q: float = DIVIDEND_YIELD) -> SVJParams:
     """Degenerate SVJ that reduces exactly to GBM with volatility `sigma`.

@@ -117,26 +117,19 @@ def _chi_psi(a: float, b: float, c: float, d: float, k: np.ndarray):
     return chi, psi
 
 
-def cos_price(params: SVJParams, spot: float, strikes, T: float,
-              is_call: bool = True, n_terms: int = 512,
-              L: float = 12.0) -> np.ndarray:
-    """European SVJ/Bates prices for a strike vector via the COS expansion.
+def cos_expansion_from_phi(phi: np.ndarray, a: float, b: float,
+                           spot: float, strikes, T: float, r: float,
+                           q: float, is_call: bool) -> np.ndarray:
+    """COS put expansion + parity, given CF values on the term grid.
 
-    Put prices are computed directly (the put payoff is bounded on the
-    truncation interval, the numerically stable choice) and calls recovered
-    by put-call parity — standard COS practice.
+    Shared by the Bates pricer below and every other model with a
+    characteristic function (VG/NIG in ops/levy.py, SVCJ in ops/svcj.py).
+    `phi` must be the CF of ln S_T evaluated at u_k = kπ/(b−a).
     """
     strikes = np.atleast_1d(np.asarray(strikes, np.float64))
-    p = params
-    r, q = float(p.r), float(p.q)
-    a, b = _cumulant_range(params, T, spot, L=L)
-
+    n_terms = phi.shape[0]
     k = np.arange(n_terms)
     u = k * np.pi / (b - a)
-    # CF of x = ln S_T; the strike enters via the payoff coefficients with
-    # x normalized by ln K, so evaluate the CF once and phase-shift per K.
-    phi = bates_cf(u, params, T, spot)  # (N,)
-
     prices = np.empty(strikes.shape, np.float64)
     weights = np.ones(n_terms)
     weights[0] = 0.5
@@ -159,6 +152,26 @@ def cos_price(params: SVJParams, spot: float, strikes, T: float,
         else:
             prices[i] = put
     return np.maximum(prices, 0.0)
+
+
+def cos_price(params: SVJParams, spot: float, strikes, T: float,
+              is_call: bool = True, n_terms: int = 512,
+              L: float = 12.0) -> np.ndarray:
+    """European SVJ/Bates prices for a strike vector via the COS expansion.
+
+    Put prices are computed directly (the put payoff is bounded on the
+    truncation interval, the numerically stable choice) and calls recovered
+    by put-call parity — standard COS practice.
+    """
+    p = params
+    r, q = float(p.r), float(p.q)
+    a, b = _cumulant_range(params, T, spot, L=L)
+    # CF of x = ln S_T; the strike enters via the payoff coefficients with
+    # x normalized by ln K, so evaluate the CF once and phase-shift per K.
+    u = np.arange(n_terms) * np.pi / (b - a)
+    phi = bates_cf(u, params, T, spot)
+    return cos_expansion_from_phi(phi, a, b, spot, strikes, T, r, q,
+                                  is_call)
 
 
 def heston_price(params: SVJParams, spot: float, strikes, T: float,

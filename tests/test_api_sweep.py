@@ -69,6 +69,7 @@ CASES = {
     "/api/modelrisk": {"spot": SPOT, "strike": K, "T": T, **TINY},
     "/api/slv": {**IV_GRID, "price_strikes": [SPOT], "T": 0.5, **TINY,
                  "num_steps": 16},
+    "/api/svcj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16},
 }
 
 _HEADLINE = {
@@ -78,7 +79,7 @@ _HEADLINE = {
     "/api/convergence": "price",
     "/api/surface": "iv_call", "/api/localvol": "chain",
     "/api/var": "var", "/api/exposure": "ee", "/api/pnl": "total_pnl",
-    "/api/modelrisk": "prices", "/api/slv": "chain",
+    "/api/modelrisk": "prices", "/api/slv": "chain", "/api/svcj": "price",
 }
 
 
