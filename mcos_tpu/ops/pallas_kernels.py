@@ -1309,3 +1309,167 @@ def hhw_terminal_pallas(
         return x.reshape(n_branch, padded)[:, :num_paths]
 
     return split(s), split(d)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# SVCJ kernel (correlated price/variance jumps; scan twin: ops/svcj.py)
+# ─────────────────────────────────────────────────────────────────────────────
+_C_SPOT, _C_V0, _C_DT, _C_SQRT_DT, _C_KAPPA, _C_THETA, _C_XI, _C_RHO, \
+    _C_RHO_PERP, _C_LAM_DT, _C_MU_J, _C_SIG_J, _C_MU_V, _C_RHO_J, \
+    _C_DRIFT_DT, _C_G_DRIFT_DT, _C_SIG_CV, _C_NPARAMS = range(18)
+
+
+def _svcj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
+                 num_steps: int, rows: int, half_grid: int, companion: bool):
+    """One path block of the fused SVCJ simulator (scan twin:
+    ops/svcj.py:_svcj_step_core — same recursion, same antithetic
+    convention: normals negate across the pair, jump uniforms AND
+    exponential magnitudes are shared).
+
+    Unlike the SVJ kernel, the compound-jump identity does NOT apply: the
+    variance jump Z_v feeds back into the diffusion through v, so jumps
+    must be applied per step. Per 2 steps: 10 uniforms — 3 fully-used
+    Box-Muller pairs (z1/z2 pairs + the two jump-size normals), 2 shared
+    jump-occurrence uniforms, 2 shared exponential uniforms.
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    pltpu.prng_seed(seed_ref[0], pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    dt = p_ref[_C_DT]
+    sqrt_dt = p_ref[_C_SQRT_DT]
+    kappa, theta, xi = p_ref[_C_KAPPA], p_ref[_C_THETA], p_ref[_C_XI]
+    rho, rho_perp = p_ref[_C_RHO], p_ref[_C_RHO_PERP]
+    lam_dt = p_ref[_C_LAM_DT]
+    mu_j, sig_j = p_ref[_C_MU_J], p_ref[_C_SIG_J]
+    mu_v, rho_j = p_ref[_C_MU_V], p_ref[_C_RHO_J]
+    drift_dt = p_ref[_C_DRIFT_DT]
+    g_drift_dt = p_ref[_C_G_DRIFT_DT]
+    sig_cv = p_ref[_C_SIG_CV]
+
+    def one_step(log_s, v, log_g, z1, z2, z_js, u_jump, u_exp):
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_pos)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+        jump_ind = u_jump < lam_dt
+        z_v = mu_v * (-jnp.log(u_exp))          # Exp(mu_v), shared in pair
+        jump_s = jnp.where(jump_ind, mu_j + rho_j * z_v + sig_j * z_js, 0.0)
+        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump_s
+        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
+                        + xi * sqrt_v * dw2
+                        + jnp.where(jump_ind, z_v, 0.0), 0.0)
+        if companion:
+            log_g = log_g + g_drift_dt + sig_cv * dw1
+        return log_s, v, log_g
+
+    def body(_, carry):
+        log_s, v, log_g = carry
+        bits = pltpu.prng_random_bits((10, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(10)]
+        z1a, z2a = _boxmuller(u[0], u[1])
+        z1b, z2b = _boxmuller(u[2], u[3])
+        zja, zjb = _boxmuller(u[4], u[5])
+        log_s, v, log_g = one_step(log_s, v, log_g, z1a * sign, z2a * sign,
+                                   zja * sign, u[6], u[8])
+        log_s, v, log_g = one_step(log_s, v, log_g, z1b * sign, z2b * sign,
+                                   zjb * sign, u[7], u[9])
+        return log_s, v, log_g
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (zeros, jnp.full(shape, p_ref[_C_V0], jnp.float32), zeros)
+    log_s, v, log_g = jax.lax.fori_loop(0, num_steps // 2, body, init)
+
+    if num_steps % 2 == 1:  # static tail step
+        bits = pltpu.prng_random_bits((6, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(6)]
+        z1, z2 = _boxmuller(u[0], u[1])
+        z_js, _ = _boxmuller(u[2], u[3])
+        log_s, v, log_g = one_step(log_s, v, log_g, z1 * sign, z2 * sign,
+                                   z_js * sign, u[4], u[5])
+
+    s_ref[:] = p_ref[_C_SPOT] * jnp.exp(log_s)
+    v_ref[:] = v
+    if companion:
+        g_ref[:] = p_ref[_C_SPOT] * jnp.exp(log_g)
+    else:
+        g_ref[:] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "companion",
+                     "rows"),
+)
+def svcj_terminal_pallas(
+    params,
+    spot,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    rows: int = DEFAULT_ROWS,
+):
+    """Fused-TPU-kernel drop-in for `ops/svcj.py:svcj_terminal`.
+
+    Returns (S_final, v_final, G_final or None), each (n_branch, num_paths);
+    `params` is an SVCJParams. Same padding/slicing contract as
+    `svj_terminal_pallas`.
+    """
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    dt = f(T) / num_steps
+    k_bar = jnp.exp(f(params.mu_j) + 0.5 * f(params.sigma_j) ** 2) \
+        / (1.0 - f(params.rho_j) * f(params.mu_v)) - 1.0
+    sigma_cv = jnp.sqrt(f(params.v0))
+    vals = {
+        _C_SPOT: f(spot), _C_V0: f(params.v0), _C_DT: dt,
+        _C_SQRT_DT: jnp.sqrt(dt), _C_KAPPA: f(params.kappa),
+        _C_THETA: f(params.theta), _C_XI: f(params.xi),
+        _C_RHO: f(params.rho),
+        _C_RHO_PERP: jnp.sqrt(1.0 - f(params.rho) ** 2),
+        _C_LAM_DT: f(params.lambda_j) * dt,
+        _C_MU_J: f(params.mu_j), _C_SIG_J: f(params.sigma_j),
+        _C_MU_V: f(params.mu_v), _C_RHO_J: f(params.rho_j),
+        _C_DRIFT_DT: (f(params.r) - f(params.q)
+                      - f(params.lambda_j) * k_bar) * dt,
+        _C_G_DRIFT_DT: (f(params.r) - f(params.q)
+                        - 0.5 * sigma_cv ** 2) * dt,
+        _C_SIG_CV: sigma_cv,
+    }
+    p_vec = jnp.zeros((_C_NPARAMS,), jnp.float32)
+    for idx, v in vals.items():
+        p_vec = p_vec.at[idx].set(v)
+
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(_svcj_kernel, num_steps=num_steps,
+                               rows=rows, half_grid=half_grid,
+                               companion=companion)
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda bk: (bk, 0),
+                              memory_space=pltpu.VMEM)
+    s, v, g = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(block_spec, block_spec, block_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), p_vec)
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(s), split(v), (split(g) if companion else None)

@@ -321,3 +321,37 @@ def test_hhw_kernel_matches_scan_and_martingale():
     joint = np.hypot(float(pay_p.std()) / np.sqrt(pay_p.shape[0]),
                      float(pay_s.std()) / np.sqrt(pay_s.shape[0]))
     assert abs(float(pay_p.mean()) - float(pay_s.mean())) < 4 * joint
+
+
+@tpu_only
+def test_svcj_kernel_matches_scan_and_oracle():
+    """Fused SVCJ kernel: same recursion as the scan twin (ops/svcj.py) —
+    MC price within joint bands of the scan, and both within the COS
+    oracle's 4σ + discretization envelope."""
+    from mcos_tpu.models.params import SVCJParams
+    from mcos_tpu.ops.pallas_kernels import svcj_terminal_pallas
+    from mcos_tpu.ops.svcj import svcj_cos_price, svcj_terminal
+
+    p = SVCJParams(kappa=3.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04,
+                   lambda_j=1.5, mu_j=-0.07, sigma_j=0.12,
+                   mu_v=0.08, rho_j=-0.6)
+    spot, T, steps = 22500.0, 0.25, 512
+    strike = spot
+    disc = np.exp(-float(p.r) * T)
+    exact = float(svcj_cos_price(p, spot, [strike], T, True)[0])
+
+    s_k, v_k, _ = svcj_terminal_pallas(p, spot, T, 11, num_paths=1 << 19,
+                                       num_steps=steps)
+    pay_k = jnp.maximum(s_k - strike, 0.0).mean(axis=0)
+    mc_k = disc * float(pay_k.mean())
+    se_k = disc * float(pay_k.std()) / np.sqrt(pay_k.shape[0])
+    assert abs(mc_k - exact) < 4 * se_k + 0.002 * exact, (mc_k, exact, se_k)
+    assert float(v_k.min()) >= 0.0
+
+    s_s, _, _ = svcj_terminal(p, spot, T, jax.random.key(5),
+                              num_paths=200_000, num_steps=steps)
+    pay_s = jnp.maximum(s_s - strike, 0.0).mean(axis=0)
+    mc_s = disc * float(pay_s.mean())
+    se_s = disc * float(pay_s.std()) / np.sqrt(pay_s.shape[0])
+    joint = np.hypot(se_k, se_s)
+    assert abs(mc_k - mc_s) < 4 * joint
