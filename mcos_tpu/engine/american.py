@@ -23,7 +23,7 @@ exercise) and MC noise, both bounded in tests.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,9 +31,39 @@ import numpy as np
 
 from mcos_tpu.config import DEFAULT_NUM_PATHS, scaled_steps
 from mcos_tpu.models.params import SVJParams
+from mcos_tpu.ops.dividends import DividendSchedule
 from mcos_tpu.ops.simulate import _svj_step_core
 
 Array = jax.Array
+
+
+def _dividend_sheets(s_paths: Array, div_grid: Array, div_kind: str,
+                     floor) -> tuple:
+    """(dates, paths) no-dividend spots → (s_ex, s_cum) adjusted sheets.
+
+    ``s_ex`` is the tradable ex-dividend spot at each date (drives regression
+    state, continuation dynamics and the terminal payoff); ``s_cum`` is the
+    cum-dividend spot the holder captures by exercising *just before* the
+    drop (s_cum = s_ex + D at ex-dates, = s_ex elsewhere) — the spot the
+    early-exercise payoff must use, or the classic exercise-before-ex-date
+    premium of an American call vanishes.
+
+    cash: the exact compounded model (ops/dividends.py module docstring):
+        s_ex(t_k) = S(t_k)·(1 − Σ_{j<=k} D_j/S(t_j)),  drop of exactly D_j.
+    proportional: deterministic cumulative factors Π(1−d).
+    Both are floored at a tiny positive level (huge dividends on a crashed
+    path can exhaust the spot; the floor keeps payoffs/bases finite).
+    """
+    if div_kind == "proportional":
+        cum_ex = jnp.exp(jnp.cumsum(jnp.log1p(-div_grid)))
+        cum_cum = cum_ex / (1.0 - div_grid)  # excludes the date's own drop
+        s_ex = s_paths * cum_ex[:, None]
+        s_cum = s_paths * cum_cum[:, None]
+    else:
+        a_ex = jnp.cumsum(div_grid[:, None] / s_paths, axis=0)
+        s_ex = s_paths * (1.0 - a_ex)
+        s_cum = s_ex + div_grid[:, None]
+    return jnp.maximum(s_ex, floor), jnp.maximum(s_cum, floor)
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps"))
@@ -80,12 +110,22 @@ def _exercise_mask(num_steps: int, exercise_every: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree", "exercise_every"))
+                                   "basis_degree", "exercise_every",
+                                   "div_kind"))
 def lsm_price(params: SVJParams, spot, strike, T, key, *,
               num_paths: int, num_steps: int, is_call: bool,
               basis_degree: int = 3,
-              exercise_every: int = 1) -> Dict[str, Array]:
-    """Longstaff-Schwartz American/Bermudan price under SVJ dynamics."""
+              exercise_every: int = 1,
+              div_grid: Optional[Array] = None,
+              div_kind: str = "cash") -> Dict[str, Array]:
+    """Longstaff-Schwartz American/Bermudan price under SVJ dynamics.
+
+    `div_grid` ((num_steps,) per-date discrete dividends snapped onto the
+    simulation grid, see DividendSchedule.grid_amounts) prices American
+    options on dividend-paying stocks: exercise payoffs read the
+    cum-dividend spot, continuation state the ex-dividend spot
+    (_dividend_sheets) — the configuration where early exercise of a call
+    is actually optimal (just before a large ex-date)."""
     dtype = jnp.float32
     strike = jnp.asarray(strike, dtype)
     dt = jnp.asarray(T, dtype) / num_steps
@@ -94,6 +134,11 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
     log_paths = _record_log_paths(params, spot, T, key,
                                   num_paths=num_paths, num_steps=num_steps)
     s_paths = jnp.exp(log_paths)  # (steps, paths), t_1..t_n
+    if div_grid is not None:
+        s_ex, s_cum = _dividend_sheets(s_paths, div_grid, div_kind,
+                                       floor=1e-6 * strike)
+    else:
+        s_ex = s_cum = s_paths
 
     def payoff(s):
         return jnp.maximum(s - strike, 0.0) if is_call \
@@ -112,16 +157,16 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
         cols.append(payoff(s) / strike)
         return jnp.stack(cols, axis=1)  # (paths, deg+2)
 
-    cf_terminal = payoff(s_paths[-1])
+    cf_terminal = payoff(s_ex[-1])
     allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
 
     def backstep(cf, inputs):
-        s_t, allow = inputs
+        s_pay, s_state, allow = inputs
         cf = cf * df  # continuation value discounted to time t
-        pay = payoff(s_t)
+        pay = payoff(s_pay)          # cum-dividend: what exercise captures
         itm = pay > 0.0
         w = itm.astype(dtype)
-        b = basis(s_t)
+        b = basis(s_state)           # ex-dividend: what drives the future
         bw = b * w[:, None]
         gram = b.T @ bw + 1e-4 * jnp.eye(b.shape[1], dtype=dtype)
         rhs = bw.T @ cf
@@ -131,7 +176,8 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
         return jnp.where(exercise, pay, cf), None
 
     # Reverse induction over t_{n-1}..t_1 (terminal step handled above).
-    cf, _ = jax.lax.scan(backstep, cf_terminal, (s_paths[:-1], allowed),
+    cf, _ = jax.lax.scan(backstep, cf_terminal,
+                         (s_cum[:-1], s_ex[:-1], allowed),
                          reverse=True)
     cf = cf * df  # discount t_1 → t_0
     price = jnp.mean(cf)
@@ -184,11 +230,14 @@ def _value_basis(strike):
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree", "exercise_every"))
+                                   "basis_degree", "exercise_every",
+                                   "div_kind"))
 def lsm_train(params: SVJParams, spot, strike, T, key, *,
               num_paths: int, num_steps: int, is_call: bool,
               basis_degree: int = 3,
-              exercise_every: int = 1) -> Dict[str, Array]:
+              exercise_every: int = 1,
+              div_grid: Optional[Array] = None,
+              div_kind: str = "cash") -> Dict[str, Array]:
     """Fit the per-date continuation regressions on a training path set.
 
     Returns {"policy": (num_steps−1, n_basis), "value": (num_steps−1, 4)} —
@@ -213,30 +262,35 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
     log_paths = _record_log_paths(params, spot, T, key,
                                   num_paths=num_paths, num_steps=num_steps)
     s_paths = jnp.exp(log_paths)
-    cf_terminal = payoff(s_paths[-1])
+    if div_grid is not None:
+        s_ex, s_cum = _dividend_sheets(s_paths, div_grid, div_kind,
+                                       floor=1e-6 * strike)
+    else:
+        s_ex = s_cum = s_paths
+    cf_terminal = payoff(s_ex[-1])
 
     allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
 
     def backstep(cf, inputs):
-        s_t, allow = inputs
+        s_pay, s_state, allow = inputs
         cf = cf * df
-        pay = payoff(s_t)
+        pay = payoff(s_pay)
         itm = pay > 0.0
         w = itm.astype(dtype)
-        b = basis(s_t)
+        b = basis(s_state)
         bw = b * w[:, None]
         gram = b.T @ bw + 1e-4 * jnp.eye(b.shape[1], dtype=dtype)
         rhs = bw.T @ cf
         coef = jnp.linalg.solve(gram, rhs)
         cont = b @ coef
-        bv = vbasis(s_t)
+        bv = vbasis(s_state)
         gram_v = bv.T @ bv + 1e-4 * jnp.eye(bv.shape[1], dtype=dtype)
         coef_v = jnp.linalg.solve(gram_v, bv.T @ cf)
         exercise = itm & (pay > cont) & allow
         return jnp.where(exercise, pay, cf), (coef, coef_v)
 
     _, (coefs, coefs_v) = jax.lax.scan(backstep, cf_terminal,
-                                       (s_paths[:-1], allowed),
+                                       (s_cum[:-1], s_ex[:-1], allowed),
                                        reverse=True)
     return {"policy": coefs, "value": coefs_v}
 
@@ -244,7 +298,9 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
 def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
                         num_paths: int, num_steps: int, is_call: bool,
                         basis_degree: int = 3,
-                        exercise_every: int = 1) -> Array:
+                        exercise_every: int = 1,
+                        div_grid=None,
+                        div_kind: str = "cash") -> Array:
     """Per-path discounted payoffs at the FIXED stopping rule (traceable).
 
     Differentiable in (spot, params, T): the stop decision rides through
@@ -262,12 +318,17 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
     log_paths = _record_log_paths(params, spot, T, key,
                                   num_paths=num_paths, num_steps=num_steps)
     s_paths = jnp.exp(log_paths)
+    if div_grid is not None:
+        s_ex, s_cum = _dividend_sheets(s_paths, div_grid, div_kind,
+                                       floor=1e-6 * strike)
+    else:
+        s_ex = s_cum = s_paths
 
     def fwd(carry, inputs):
         stopped, value = carry
-        k, s_t, coef, allow = inputs
-        pay = payoff(s_t)
-        cont = basis(s_t) @ coef
+        k, s_pay, s_state, coef, allow = inputs
+        pay = payoff(s_pay)
+        cont = basis(s_state) @ coef
         exercise = (~stopped) & (pay > 0.0) & (pay > cont) & allow
         disc = jnp.exp(-params.r * dt * (k + 1.0))
         value = jnp.where(exercise, disc * pay, value)
@@ -278,18 +339,21 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
     init = (jnp.zeros((n_paths,), bool), jnp.zeros((n_paths,), dtype))
     (stopped, value), _ = jax.lax.scan(
         fwd, init, (jnp.arange(num_steps - 1, dtype=dtype),
-                    s_paths[:-1], coefs, allowed))
+                    s_cum[:-1], s_ex[:-1], coefs, allowed))
     # Unstopped paths exercise (or expire) at maturity.
     disc_T = jnp.exp(-params.r * jnp.asarray(T, dtype))
-    return jnp.where(stopped, value, disc_T * payoff(s_paths[-1]))
+    return jnp.where(stopped, value, disc_T * payoff(s_ex[-1]))
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree", "exercise_every"))
+                                   "basis_degree", "exercise_every",
+                                   "div_kind"))
 def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
                     num_paths: int, num_steps: int, is_call: bool,
                     basis_degree: int = 3,
-                    exercise_every: int = 1) -> Dict[str, Array]:
+                    exercise_every: int = 1,
+                    div_grid=None,
+                    div_kind: str = "cash") -> Dict[str, Array]:
     """Evaluate the FIXED stopping rule on fresh paths → a true lower bound.
 
     Any measurable stopping rule gives E[discounted payoff at stop] ≤ the
@@ -300,17 +364,19 @@ def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
     value = _lower_bound_values(params, spot, strike, T, key, coefs,
                                 num_paths=num_paths, num_steps=num_steps,
                                 is_call=is_call, basis_degree=basis_degree,
-                                exercise_every=exercise_every)
+                                exercise_every=exercise_every,
+                                div_grid=div_grid, div_kind=div_kind)
     price = jnp.mean(value)
     se = jnp.std(value) / jnp.sqrt(jnp.float32(num_paths))
     return {"price": price, "std_error": se}
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree"))
+                                   "basis_degree", "div_kind"))
 def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
                        num_paths: int, num_steps: int, is_call: bool,
-                       basis_degree: int = 3):
+                       basis_degree: int = 3,
+                       div_grid=None, div_kind: str = "cash"):
     """(price, ∂P/∂spot, ∂P/∂v₀, ∂P/∂T, ∂P/∂r) of the policy-fixed American
     lower-bound estimator — ONE forward+backward pass.
 
@@ -326,7 +392,8 @@ def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
         value = _lower_bound_values(p, spot_, strike, T_, key, coefs,
                                     num_paths=num_paths, num_steps=num_steps,
                                     is_call=is_call,
-                                    basis_degree=basis_degree)
+                                    basis_degree=basis_degree,
+                                    div_grid=div_grid, div_kind=div_kind)
         return jnp.mean(value)
 
     price, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
@@ -336,10 +403,11 @@ def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
-                                   "basis_degree"))
+                                   "basis_degree", "div_kind"))
 def _american_delta_batch(params: SVJParams, spots, strike, T, key, coefs, *,
                           num_paths: int, num_steps: int, is_call: bool,
-                          basis_degree: int = 3):
+                          basis_degree: int = 3,
+                          div_grid=None, div_kind: str = "cash"):
     """Policy-fixed AD delta at a batch of spots (CRN: same key/coefs) —
     gamma's central difference rides one vmapped backward pass."""
     def one(s):
@@ -347,7 +415,8 @@ def _american_delta_batch(params: SVJParams, spots, strike, T, key, coefs, *,
             return jnp.mean(_lower_bound_values(
                 params, s_, strike, T, key, coefs, num_paths=num_paths,
                 num_steps=num_steps, is_call=is_call,
-                basis_degree=basis_degree))
+                basis_degree=basis_degree,
+                div_grid=div_grid, div_kind=div_kind))
         return jax.grad(f)(s)
 
     return jax.vmap(one)(jnp.asarray(spots, jnp.float32))
@@ -474,12 +543,28 @@ class AmericanEngine:
     """LSM American pricer with the framework's engine conventions."""
 
     def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
-                 num_steps: int = 64, seed: int = 42, basis_degree: int = 3):
+                 num_steps: int = 64, seed: int = 42, basis_degree: int = 3,
+                 dividends: "DividendSchedule" = None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
         self.basis_degree = int(basis_degree)
+        # Discrete dividends (ops/dividends.py): cash uses the exact
+        # compounded-cash path model, proportional the exact factor model.
+        # The continuous yield q should then hold only the non-discrete
+        # remainder (double counting is the caller's to avoid).
+        self.dividends = dividends
+
+    def _div_args(self, T: float, steps: int) -> Dict:
+        """jit kwargs for the dividend-adjusted path sheets (or empty)."""
+        if self.dividends is None:
+            return {}
+        grid = self.dividends.grid_amounts(T, steps)
+        if grid is None:
+            return {}
+        return {"div_grid": jnp.asarray(grid),
+                "div_kind": self.dividends.kind}
 
     def price(self, spot: float, strike: float, T: float,
               is_call: bool = True,
@@ -494,7 +579,8 @@ class AmericanEngine:
             self.params, spot, strike, T, jax.random.key(self.seed),
             num_paths=self.num_paths, num_steps=steps,
             is_call=is_call, basis_degree=self.basis_degree,
-            exercise_every=min(int(exercise_every), steps)))
+            exercise_every=min(int(exercise_every), steps),
+            **self._div_args(T, steps)))
         out = {k: float(v) for k, v in res.items()}
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps
@@ -521,7 +607,8 @@ class AmericanEngine:
         key = jax.random.key(self.seed)
         k_train, k_eval = jax.random.split(key)
         kwargs = dict(num_steps=steps, is_call=is_call,
-                      basis_degree=self.basis_degree)
+                      basis_degree=self.basis_degree,
+                      **self._div_args(T, steps))
         coefs = lsm_train(self.params, spot, strike, T, k_train,
                           num_paths=self.num_paths, **kwargs)["policy"]
         price, (d_s, d_v, d_T, d_r) = jax.device_get(american_greeks_ad(
@@ -556,6 +643,14 @@ class AmericanEngine:
         bound is free of foresight bias and the bracket is honest.
         """
         steps = scaled_steps(self.num_steps, T, floor=16)
+        div_args = self._div_args(T, steps)
+        if div_args:
+            # The dual bound's nested one-step inner simulations would need
+            # dividend-aware restarts at every (date, state); not wired yet.
+            # Fail loudly instead of returning a silently-wrong bracket.
+            raise ValueError(
+                "price_bounds does not support discrete dividends; use "
+                "price()/greeks() (exact compounded-cash LSM) instead")
         key = jax.random.key(self.seed)
         k_train, k_eval, k_dual = jax.random.split(key, 3)
         kwargs = dict(num_steps=steps, is_call=is_call,

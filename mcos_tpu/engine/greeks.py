@@ -40,6 +40,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -704,6 +706,48 @@ class GreeksEngine:
             "jumps": self.jump_sensitivities(spot, strike, T, is_call),
             "model": self.model_sensitivities(spot, strike, T, is_call),
         }
+
+    def all_greeks_dividends(self, spot: float, strike: float, T: float,
+                             is_call: bool, dividends) -> Dict[str, Dict]:
+        """all_greeks with a discrete dividend schedule (ops/dividends.py).
+
+        The core engine prices the *effective* process: spot·Π(1−d) for
+        proportional dividends (exact under the multiplicative dynamics) or
+        the escrowed spot S − PV_r(divs) for cash. Greeks taken w.r.t. the
+        effective spot convert back to raw-spot Greeks by the chain rule:
+
+            Δ = f·Δ_eff,  Γ = f²·Γ_eff        (f = ∂S_eff/∂S)
+            ρ = ρ_eff + Δ_eff·∂S_eff/∂r        (escrowed cash only:
+                                                ∂S_eff/∂r = Σ t_i D_i e^{−rt_i})
+
+        vega/theta/jump/model sensitivities pass through unchanged (the
+        adjustment is independent of v₀ and, between ex-dates, of T).
+        """
+        from mcos_tpu.ops.dividends import effective_spot, pv_cash
+
+        r = float(self.params.r)
+        eff, f = effective_spot(spot, dividends, r, float(T))
+        out = self.all_greeks(eff, strike, T, is_call)
+        if f != 1.0:
+            for key in ("pathwise", "finite_diff"):
+                out["delta"][key] *= f
+            for key in ("gamma", "gamma_fd2"):
+                out["gamma"][key] *= f * f
+        if dividends is not None and dividends.kind == "cash"                 and dividends.before(float(T)):
+            sub = dividends.before(float(T))
+            ds_dr = sum(t * a * math.exp(-r * t)
+                        for t, a in zip(sub.times, sub.amounts))
+            rho_extra = out["delta"]["pathwise"] * ds_dr
+            out["rho"]["rho"] += rho_extra
+            out["rho"]["rho_per_rate_point"] += rho_extra / 100
+            out["dividends"] = {"model": "escrowed",
+                                "spot_effective": eff,
+                                "pv": pv_cash(dividends, r, float(T))}
+        elif dividends is not None and dividends.before(float(T)):
+            out["dividends"] = {"model": "proportional-exact",
+                                "spot_effective": eff,
+                                "chain_factor": f}
+        return out
 
     def all_greeks_chain(self, spot: float, strikes, T: float,
                          is_call: bool = True) -> list:

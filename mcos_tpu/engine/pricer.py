@@ -524,6 +524,7 @@ class MonteCarloEngine:
         scheme: str = "euler",
         backend: str = "auto",
         mesh=None,
+        dividends=None,
     ):
         self.params = params
         self.num_paths = int(num_paths)
@@ -536,6 +537,14 @@ class MonteCarloEngine:
         self.cv_beta = cv_beta
         self.scheme = scheme
         self.backend = backend
+        # Discrete dividends (ops/dividends.DividendSchedule): European
+        # pricing adjusts the spot before the unchanged kernels — EXACT for
+        # kind="proportional" (multiplicative dynamics commute with the
+        # deterministic drop factor), the standard escrowed model
+        # (S0 − PV_r(divs)) for kind="cash". Path-exact cash handling lives
+        # where paths are recorded (engine/american.py). q should then hold
+        # only any non-discrete remainder.
+        self.dividends = dividends
         # mesh: None (single device), "auto" (all local devices when >1 —
         # largest power-of-two prefix so the Sobol net splits evenly), or an
         # explicit jax.sharding.Mesh with a "paths" axis. None also honors
@@ -576,6 +585,18 @@ class MonteCarloEngine:
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
 
+    def _spot_eff(self, spot: float, T: float) -> float:
+        """Dividend-adjusted spot for European pricing (raw spot if no
+        schedule). Raises ValueError when dividend PV exceeds the spot —
+        the HTTP layer maps that to a 400."""
+        if self.dividends is None:
+            return float(spot)
+        from mcos_tpu.ops.dividends import effective_spot
+
+        eff, _ = effective_spot(spot, self.dividends, float(self.params.r),
+                                float(T))
+        return eff
+
     def _resolved_mesh(self):
         """The pricing mesh, or None for the single-device path."""
         import os
@@ -595,6 +616,7 @@ class MonteCarloEngine:
         return "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
+        spot = self._spot_eff(spot, T)
         steps = self._steps(T)
         use_sobol = self.use_sobol
         mesh = self._resolved_mesh()
@@ -689,6 +711,10 @@ class MonteCarloEngine:
                 out["bs_ref"] = float(res["bs_ref"][0])
             if "raw_mc_price" in res:
                 out["raw_mc_price"] = float(res["raw_mc_price"][0])
+        if self.dividends is not None:
+            out["dividend_model"] = ("proportional-exact"
+                                     if self.dividends.kind == "proportional"
+                                     else "escrowed")
         # Guard diagnostics (not in the reference dict; cheap and useful).
         if "v_max" in res:
             out["v_max"] = float(res["v_max"])
@@ -740,6 +766,7 @@ class MonteCarloEngine:
             logging.getLogger("mcos_tpu.pricer").info(
                 "price_to_tolerance uses independent PRNG batches; the "
                 "engine's Sobol driver does not batch soundly")
+        spot = self._spot_eff(spot, T)
         steps = self._steps(T)
         backend = self._resolved_backend()
         strikes = jnp.asarray([strike], jnp.float32)
@@ -812,6 +839,7 @@ class MonteCarloEngine:
         antithetic and control-variate settings (CV uses per-strike optimal
         β on the weighted legs). Capability absent from the reference.
         """
+        spot = self._spot_eff(spot, T)
         steps = self._steps(T)
         if shift is None:
             shift = simulate.optimal_tilt(self.params, spot, strike, T, steps)
@@ -920,7 +948,7 @@ class MonteCarloEngine:
         steps = max(int(self.num_steps * T), 50)
         key = jax.random.key(self.seed + 999)
         return simulate.simulate_paths_recorded(
-            self.params, spot, T, key,
+            self.params, self._spot_eff(spot, T), T, key,
             num_paths=int(num_samples), num_steps=steps,
         )
 
@@ -935,7 +963,8 @@ class MonteCarloEngine:
                                 num_samples: int = 1024) -> Array:
         """Enqueue the terminal-sample program; device array, unsynced."""
         s_final, _, _ = simulate.simulate_terminal(
-            self.params, spot, T, jax.random.key(self.seed + 1234),
+            self.params, self._spot_eff(spot, T), T,
+            jax.random.key(self.seed + 1234),
             num_paths=int(num_samples), num_steps=self._steps(T),
             antithetic=False,
         )
