@@ -75,6 +75,35 @@ class SVCJRequest(BaseModel):
     num_steps: Optional[int] = Field(None, ge=4, le=8192)
 
 
+class DividendItem(BaseModel):
+    """One discrete dividend: ex-date `t` (year fraction) and `amount`
+    (currency for kind="cash", fractional drop in (0,1) for
+    kind="proportional")."""
+    t: float = Field(gt=0.0, le=30.0)
+    amount: float = Field(ge=0.0)
+
+
+def build_dividend_schedule(items, kind: str):
+    """Request dividends → ops.dividends.DividendSchedule (sorted; same-date
+    cash amounts summed, proportional drops composed). None when empty."""
+    if not items:
+        return None
+    from mcos_tpu.ops.dividends import DividendSchedule
+
+    merged: dict = {}
+    for it in sorted(items, key=lambda d: d.t):
+        if kind == "proportional":
+            prev = merged.get(it.t, 0.0)
+            merged[it.t] = 1.0 - (1.0 - prev) * (1.0 - it.amount)
+        else:
+            merged[it.t] = merged.get(it.t, 0.0) + it.amount
+    times = sorted(merged)
+    try:
+        return DividendSchedule(times, [merged[t] for t in times], kind)
+    except ValueError as e:
+        raise ValueError(f"invalid dividends: {e}") from e
+
+
 class PriceRequest(BaseModel):
     spot: float
     strike: float
@@ -98,6 +127,11 @@ class PriceRequest(BaseModel):
     # strike and reweight by the likelihood ratio — 10-100x variance
     # reduction on deep-OTM contracts (engine/pricer.py:mc_price_importance).
     use_importance: bool = False
+    # Discrete dividends (beyond the reference's continuous yield q):
+    # kind="proportional" is exact, kind="cash" uses the escrowed model for
+    # European pricing (ops/dividends.py).
+    dividends: Optional[list[DividendItem]] = Field(None, max_length=64)
+    dividend_kind: str = Field("cash", pattern="^(cash|proportional)$")
 
 
 class GreeksRequest(BaseModel):
@@ -114,6 +148,11 @@ class GreeksRequest(BaseModel):
     # host sync for the whole chain — engine/greeks.py:all_greeks_chain).
     strikes: list[float] = Field(default_factory=list,
                                  max_length=MAX_GRID_POINTS)
+    # Discrete dividends: Greeks of the effective process, chain-ruled back
+    # to raw spot (engine/greeks.py:all_greeks_dividends). Single-contract
+    # mode only.
+    dividends: Optional[list[DividendItem]] = Field(None, max_length=64)
+    dividend_kind: str = Field("cash", pattern="^(cash|proportional)$")
 
 
 class StressRequest(BaseModel):
@@ -173,6 +212,25 @@ class ExoticRequest(BaseModel):
     with_greeks: bool = False  # delta/vega (AD; CRN-FD for barriers)
 
 
+class VolDerivsRequest(BaseModel):
+    """POST /api/volderivs — variance/vol swaps + VIX-style futures/options
+    under the SVJ model (engine/volderivs.py; beyond the reference)."""
+    kind: str = Field("variance_swap",
+                      pattern="^(variance_swap|vol_swap|vix_future|"
+                              "vix_option)$")
+    T: float = Field(gt=0.0, le=30.0)
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
+    # vix_option only:
+    strike: Optional[float] = Field(None, gt=0.0)   # in vol units (0.20=20%)
+    is_call: bool = True
+    # VIX definition window and jump convention.
+    tau: float = Field(30.0 / 365.0, gt=0.0, le=1.0)
+    convention: str = Field("log_contract",
+                            pattern="^(log_contract|quadratic_variation)$")
+    with_mc_check: bool = False
+
+
 class AmericanRequest(BaseModel):
     """POST /api/american — Longstaff-Schwartz American pricing (beyond the
     reference's European-only engine)."""
@@ -193,6 +251,11 @@ class AmericanRequest(BaseModel):
     exercise_every: int = Field(1, ge=1, le=8192)
     n_outer: int = Field(2048, ge=256, le=65536)
     n_inner: int = Field(128, ge=16, le=2048)
+    # Discrete dividends — the case where American calls actually exercise
+    # early. kind="cash" uses the exact compounded-cash path model,
+    # kind="proportional" exact factors (engine/american.py).
+    dividends: Optional[list[DividendItem]] = Field(None, max_length=64)
+    dividend_kind: str = Field("cash", pattern="^(cash|proportional)$")
 
 
 class BookRequest(BaseModel):

@@ -132,21 +132,34 @@ def handle_price(body: dict) -> dict:
         raise ApiError(400, {"failures": pre["failures"],
                              "alerts": pre["alerts"]})
 
+    try:
+        divs = schemas.build_dividend_schedule(req.dividends,
+                                               req.dividend_kind)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     engine_kwargs = dict(
         num_paths=req.num_paths, use_sobol=req.use_sobol,
         use_antithetic=req.use_antithetic,
         use_control_variate=req.use_control_variate, cv_mode=req.cv_mode,
-        scheme=req.scheme)
+        scheme=req.scheme, dividends=divs)
     if req.num_steps is not None:
         engine_kwargs["num_steps"] = req.num_steps
     engine = MonteCarloEngine(svj, **engine_kwargs)
+    if divs is not None:
+        try:
+            engine._spot_eff(req.spot, req.T)  # escrow feasibility → 400
+        except ValueError as e:
+            raise ApiError(400, str(e))
 
     # Micro-batching: concurrent same-shape requests coalesce into ONE
     # vmapped device program + ONE host sync for the whole batching window
     # (api/coalesce.py). Solo requests pay only the window (default 3 ms).
+    # Dividend requests coalesce too: the adjustment is spot-only, so the
+    # member simply enters the batch at its effective spot.
     ck = coalesce.bucket_key(req) if coalesce.enabled() else None
     if ck is not None and engine._resolved_mesh() is None:
-        sl = coalesce.coalescer.submit(ck, (svj, req.spot, req.strike, req.T))
+        sl = coalesce.coalescer.submit(
+            ck, (svj, engine._spot_eff(req.spot, req.T), req.strike, req.T))
         result = engine.format_price(sl["res"], req.T)
         result["sample_paths"] = np.asarray(sl["paths"]).tolist()
         result["terminal_samples"] = [round(float(x), 2)
@@ -202,18 +215,34 @@ def handle_greeks(body: dict) -> dict:
     req = schemas.GreeksRequest(**body)
     start = time.time()
     engine = GreeksEngine(req.params.to_params(), num_paths=req.num_paths)
+    try:
+        divs = schemas.build_dividend_schedule(req.dividends,
+                                               req.dividend_kind)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     if req.strikes:
         if req.with_cross:
             raise ApiError(400, "with_cross is not supported in chain mode "
                                 "(strikes list) — request the cross block "
                                 "per contract with a single strike")
+        if divs is not None:
+            raise ApiError(400, "dividends are supported in single-contract "
+                                "mode only (omit the strikes list)")
         # Chain mode: one pipelined dispatch per contract, ONE host sync.
         greeks = {"chain": engine.all_greeks_chain(
             req.spot, req.strikes, req.T, req.is_call)}
     else:
         if req.strike <= 0:
             raise ApiError(400, "need strike > 0 (or a strikes list)")
-        greeks = engine.all_greeks(req.spot, req.strike, req.T, req.is_call)
+        if divs is not None:
+            try:
+                greeks = engine.all_greeks_dividends(
+                    req.spot, req.strike, req.T, req.is_call, divs)
+            except ValueError as e:
+                raise ApiError(400, str(e))
+        else:
+            greeks = engine.all_greeks(req.spot, req.strike, req.T,
+                                       req.is_call)
         if req.with_cross:
             greeks["cross"] = engine.cross_greeks(req.spot, req.strike,
                                                   req.T, req.is_call)
@@ -346,15 +375,53 @@ def handle_american(body: dict) -> dict:
 
     req = schemas.AmericanRequest(**body)
     start = time.time()
-    eng = AmericanEngine(req.params.to_params(), num_paths=req.num_paths)
+    try:
+        divs = schemas.build_dividend_schedule(req.dividends,
+                                               req.dividend_kind)
+    except ValueError as e:
+        raise ApiError(400, str(e))
+    eng = AmericanEngine(req.params.to_params(), num_paths=req.num_paths,
+                         dividends=divs)
     out = eng.price(req.spot, req.strike, req.T, req.is_call,
                     exercise_every=req.exercise_every)
     if req.with_bounds:
+        if divs is not None:
+            raise ApiError(400, "with_bounds does not support discrete "
+                                "dividends yet — use the LSM price/greeks")
         out["bounds"] = eng.price_bounds(
             req.spot, req.strike, req.T, req.is_call,
             n_outer=req.n_outer, n_inner=req.n_inner)
     if req.with_greeks:
         out["greeks"] = eng.greeks(req.spot, req.strike, req.T, req.is_call)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
+def handle_volderivs(body: dict) -> dict:
+    """POST /api/volderivs — variance/vol swaps and VIX futures/options
+    (engine/volderivs.py). Quadrature-exact where the law is known (VIX
+    products via the CIR noncentral-χ² terminal density), MC with stderr
+    for realized-vol convexity."""
+    from mcos_tpu.engine.volderivs import VolDerivsEngine
+
+    req = schemas.VolDerivsRequest(**body)
+    start = time.time()
+    eng = VolDerivsEngine(req.params.to_params(), num_paths=req.num_paths)
+    if req.kind == "variance_swap":
+        out = eng.variance_swap(req.T)
+    elif req.kind == "vol_swap":
+        out = eng.vol_swap(req.T)
+    elif req.kind == "vix_future":
+        out = eng.vix_future(req.T, tau=req.tau, convention=req.convention)
+        if req.with_mc_check:
+            out["mc_check"] = eng.vix_future_mc(req.T, tau=req.tau,
+                                                convention=req.convention)
+    else:  # vix_option
+        if req.strike is None:
+            raise ApiError(400, "vix_option requires strike (in vol units)")
+        out = eng.vix_option(req.T, req.strike, req.is_call,
+                             tau=req.tau, convention=req.convention)
+    out["kind"] = req.kind
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 
@@ -937,6 +1004,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/modelrisk": handle_modelrisk,
     "/api/slv": handle_slv,
     "/api/svcj": handle_svcj,
+    "/api/volderivs": handle_volderivs,
 }
 
 
