@@ -41,6 +41,7 @@ import numpy as np
 from pydantic import ValidationError
 
 from mcos_tpu.api import coalesce, schemas
+from mcos_tpu.utils import fastjson
 from mcos_tpu.engine.calibration import CalibrationEngine
 from mcos_tpu.engine.greeks import GreeksEngine
 from mcos_tpu.engine.guards import PricingGuard
@@ -161,9 +162,10 @@ def handle_price(body: dict) -> dict:
         sl = coalesce.coalescer.submit(
             ck, (svj, engine._spot_eff(req.spot, req.T), req.strike, req.T))
         result = engine.format_price(sl["res"], req.T)
-        result["sample_paths"] = np.asarray(sl["paths"]).tolist()
-        result["terminal_samples"] = [round(float(x), 2)
-                                      for x in sl["terms"]]
+        result["sample_paths"] = fastjson.float_array_json(
+            np.asarray(sl["paths"]), decimals=2)
+        result["terminal_samples"] = fastjson.float_array_json(
+            np.asarray(sl["terms"]), decimals=2)
         return _finish_price(result, guard, pre, req, start)
 
     # Solo path: enqueue every device program for this request (price + both
@@ -190,8 +192,10 @@ def handle_price(body: dict) -> dict:
             (res_dev, paths_dev, terms_dev))
         result = engine.format_price(res, req.T)
 
-    result["sample_paths"] = np.asarray(sample_paths).tolist()
-    result["terminal_samples"] = [round(float(x), 2) for x in terms]
+    result["sample_paths"] = fastjson.float_array_json(
+        np.asarray(sample_paths), decimals=2)
+    result["terminal_samples"] = fastjson.float_array_json(
+        np.asarray(terms), decimals=2)
     return _finish_price(result, guard, pre, req, start)
 
 
@@ -1036,7 +1040,10 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = f"mcos-tpu/{VERSION}"
 
     def _send_json(self, status: int, payload) -> None:
-        data = json.dumps(payload).encode()
+        # fastjson.dumps == json.dumps except that JsonChunk values (the
+        # natively pre-serialized float arrays on the price path) are
+        # spliced raw — ~26x cheaper than round()+json.dumps per request.
+        data = fastjson.dumps(payload).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))

@@ -50,12 +50,15 @@ def test_coalesced_matches_solo(fresh_coalescer):
     merged = server.handle_price(dict(BODY))
     assert merged["price"] == pytest.approx(solo["price"], rel=2e-4)
     assert merged["std_error"] == pytest.approx(solo["std_error"], rel=2e-3)
-    assert np.asarray(merged["sample_paths"]).shape \
-        == np.asarray(solo["sample_paths"]).shape
-    assert len(merged["terminal_samples"]) == len(solo["terminal_samples"])
+    from mcos_tpu.utils.fastjson import to_list
+
+    m_paths = np.asarray(to_list(merged["sample_paths"]))
+    s_paths = np.asarray(to_list(solo["sample_paths"]))
+    assert m_paths.shape == s_paths.shape
+    assert len(to_list(merged["terminal_samples"])) \
+        == len(to_list(solo["terminal_samples"]))
     # Same viz seed + same recorder → the drawn paths agree too.
-    assert np.allclose(np.asarray(merged["sample_paths"]),
-                       np.asarray(solo["sample_paths"]), rtol=1e-3)
+    assert np.allclose(m_paths, s_paths, rtol=1e-3)
     assert merged["post_checks"]["pass"]
     assert fresh_coalescer.batches_run == 1
 
