@@ -70,6 +70,7 @@ CASES = {
     "/api/slv": {**IV_GRID, "price_strikes": [SPOT], "T": 0.5, **TINY,
                  "num_steps": 16},
     "/api/svcj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16},
+    "/api/volderivs": {"kind": "vix_future", "T": 0.5},
 }
 
 _HEADLINE = {
@@ -80,6 +81,7 @@ _HEADLINE = {
     "/api/surface": "iv_call", "/api/localvol": "chain",
     "/api/var": "var", "/api/exposure": "ee", "/api/pnl": "total_pnl",
     "/api/modelrisk": "prices", "/api/slv": "chain", "/api/svcj": "price",
+    "/api/volderivs": "future",
 }
 
 

@@ -510,6 +510,87 @@ function selectSymbol(symbol) {
   fetchQuote();
 }
 
+function parseDividends() {
+  const txt = $("div-sched").value.trim();
+  if (!txt) return [];
+  return txt.split(",").map((pair) => {
+    const [t, amount] = pair.split(":").map(Number);
+    if (!(t > 0) || !(amount >= 0)) throw new Error(`bad dividend "${pair}"`);
+    return { t, amount };
+  });
+}
+
+async function dividendReprice() {
+  const btn = $("div-btn");
+  btn.disabled = true; btn.textContent = "pricing…";
+  try {
+    const base = {
+      spot: Number($("spot").value), strike: Number($("strike").value),
+      T: Number($("days").value) / 252, is_call: $("is-call").checked,
+      num_paths: 100000, params: modelParams(),
+    };
+    const divs = parseDividends();
+    const kind = $("div-kind").value;
+    const [plain, withDivs] = await Promise.all([
+      api("/api/price", base),
+      api("/api/price", { ...base, dividends: divs, dividend_kind: kind }),
+    ]);
+    const el = $("div-out");
+    el.classList.remove("hidden");
+    el.textContent = `no-div ${plain.price.toFixed(2)} | with divs ` +
+      `${withDivs.price.toFixed(2)} (${withDivs.dividend_model}) | ` +
+      `impact ${(withDivs.price - plain.price).toFixed(2)}`;
+  } catch (e) { alert(`dividend pricing failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "Reprice with dividends"; }
+}
+
+async function dividendAmerican() {
+  const btn = $("div-am-btn");
+  btn.disabled = true; btn.textContent = "LSM…";
+  try {
+    const base = {
+      spot: Number($("spot").value), strike: Number($("strike").value),
+      T: Number($("days").value) / 252, is_call: $("is-call").checked,
+      num_paths: 100000, params: modelParams(),
+      dividends: parseDividends(), dividend_kind: $("div-kind").value,
+    };
+    const [am, eu] = await Promise.all([
+      api("/api/american", base),
+      api("/api/price", base),
+    ]);
+    const el = $("div-out");
+    el.classList.remove("hidden");
+    el.textContent = `American ${am.price.toFixed(2)} | European ` +
+      `${eu.price.toFixed(2)} | early-exercise premium ` +
+      `${(am.price - eu.price).toFixed(2)}`;
+  } catch (e) { alert(`american failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "American premium"; }
+}
+
+async function volDerivs() {
+  const btn = $("vd-btn");
+  btn.disabled = true; btn.textContent = "computing…";
+  try {
+    const T = Number($("vd-T").value);
+    const params = modelParams();
+    const [vs, vols, fut] = await Promise.all([
+      api("/api/volderivs", { kind: "variance_swap", T, params,
+                              num_paths: 100000 }),
+      api("/api/volderivs", { kind: "vol_swap", T, params,
+                              num_paths: 100000 }),
+      api("/api/volderivs", { kind: "vix_future", T, params }),
+    ]);
+    const el = $("vd-out");
+    el.classList.remove("hidden");
+    el.textContent =
+      `var-swap ${(100 * Math.sqrt(vs.fair_variance)).toFixed(2)}² | ` +
+      `vol-swap ${(100 * vols.fair_vol_strike).toFixed(2)} (cvx ` +
+      `${(100 * vols.convexity_discount).toFixed(2)}) | VIX fut ` +
+      `${(100 * fut.future).toFixed(2)} (spot ${(100 * fut.vix_spot).toFixed(2)})`;
+  } catch (e) { alert(`vol derivatives failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "Var/vol swap + VIX"; }
+}
+
 async function loadSymbols() {
   try {
     universe = (await api("/api/symbols")).symbols;
@@ -651,6 +732,9 @@ async function init() {
   $("rough-btn").addEventListener("click", roughSmile);
   $("exposure-btn").addEventListener("click", exposureProfile);
   $("hhw-btn").addEventListener("click", hhwImpact);
+  $("div-btn").addEventListener("click", dividendReprice);
+  $("div-am-btn").addEventListener("click", dividendAmerican);
+  $("vd-btn").addEventListener("click", volDerivs);
   $("autocall-btn").addEventListener("click", autocallPrice);
   $("modelrisk-btn").addEventListener("click", modelRisk);
 }
