@@ -104,6 +104,25 @@ def build_dividend_schedule(items, kind: str):
         raise ValueError(f"invalid dividends: {e}") from e
 
 
+class RateKnot(BaseModel):
+    """Piecewise-flat forward-rate knot: rate `r` applies up to time `t`."""
+    t: float = Field(gt=0.0, le=50.0)
+    r: float = Field(ge=-0.05, le=1.0)
+
+
+def build_rate_curve(items):
+    """Request knots → ops.curves.RateCurve (sorted). None when empty."""
+    if not items:
+        return None
+    from mcos_tpu.ops.curves import RateCurve
+
+    knots = sorted(items, key=lambda k: k.t)
+    try:
+        return RateCurve([k.t for k in knots], [k.r for k in knots])
+    except ValueError as e:
+        raise ValueError(f"invalid rate_curve: {e}") from e
+
+
 class PriceRequest(BaseModel):
     spot: float
     strike: float
@@ -132,6 +151,10 @@ class PriceRequest(BaseModel):
     # European pricing (ops/dividends.py).
     dividends: Optional[list[DividendItem]] = Field(None, max_length=64)
     dividend_kind: str = Field("cash", pattern="^(cash|proportional)$")
+    # Deterministic rate term structure (ops/curves.py): piecewise-flat
+    # forward knots; params.r is ignored when set. Exact via the flat-
+    # equivalent rate R(T)/T for European payoffs.
+    rate_curve: Optional[list[RateKnot]] = Field(None, max_length=64)
 
 
 class GreeksRequest(BaseModel):
@@ -256,6 +279,9 @@ class AmericanRequest(BaseModel):
     # kind="proportional" exact factors (engine/american.py).
     dividends: Optional[list[DividendItem]] = Field(None, max_length=64)
     dividend_kind: str = Field("cash", pattern="^(cash|proportional)$")
+    # Rate curve: exact in the LSM via per-date drift offsets + per-step
+    # discount factors (engine/american.py lsm_price docstring).
+    rate_curve: Optional[list[RateKnot]] = Field(None, max_length=64)
 
 
 class BookRequest(BaseModel):

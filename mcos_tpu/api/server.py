@@ -138,11 +138,15 @@ def handle_price(body: dict) -> dict:
                                                req.dividend_kind)
     except ValueError as e:
         raise ApiError(400, str(e))
+    try:
+        curve = schemas.build_rate_curve(req.rate_curve)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     engine_kwargs = dict(
         num_paths=req.num_paths, use_sobol=req.use_sobol,
         use_antithetic=req.use_antithetic,
         use_control_variate=req.use_control_variate, cv_mode=req.cv_mode,
-        scheme=req.scheme, dividends=divs)
+        scheme=req.scheme, dividends=divs, rate_curve=curve)
     if req.num_steps is not None:
         engine_kwargs["num_steps"] = req.num_steps
     engine = MonteCarloEngine(svj, **engine_kwargs)
@@ -159,8 +163,12 @@ def handle_price(body: dict) -> dict:
     # member simply enters the batch at its effective spot.
     ck = coalesce.bucket_key(req) if coalesce.enabled() else None
     if ck is not None and engine._resolved_mesh() is None:
+        # Members enter the batch with their maturity-effective params (rate
+        # curve folds into r) and dividend-effective spot — the adjustments
+        # are (params, spot)-only, so batching stays exact.
         sl = coalesce.coalescer.submit(
-            ck, (svj, engine._spot_eff(req.spot, req.T), req.strike, req.T))
+            ck, (engine._params_T(req.T),
+                 engine._spot_eff(req.spot, req.T), req.strike, req.T))
         result = engine.format_price(sl["res"], req.T)
         result["sample_paths"] = fastjson.float_array_json(
             np.asarray(sl["paths"]), decimals=2)
@@ -384,14 +392,19 @@ def handle_american(body: dict) -> dict:
                                                req.dividend_kind)
     except ValueError as e:
         raise ApiError(400, str(e))
+    try:
+        curve = schemas.build_rate_curve(req.rate_curve)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     eng = AmericanEngine(req.params.to_params(), num_paths=req.num_paths,
-                         dividends=divs)
+                         dividends=divs, rate_curve=curve)
     out = eng.price(req.spot, req.strike, req.T, req.is_call,
                     exercise_every=req.exercise_every)
     if req.with_bounds:
-        if divs is not None:
+        if divs is not None or curve is not None:
             raise ApiError(400, "with_bounds does not support discrete "
-                                "dividends yet — use the LSM price/greeks")
+                                "dividends or rate curves yet — use the "
+                                "LSM price/greeks")
         out["bounds"] = eng.price_bounds(
             req.spot, req.strike, req.T, req.is_call,
             n_outer=req.n_outer, n_inner=req.n_inner)

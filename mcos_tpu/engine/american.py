@@ -117,8 +117,15 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
               basis_degree: int = 3,
               exercise_every: int = 1,
               div_grid: Optional[Array] = None,
-              div_kind: str = "cash") -> Dict[str, Array]:
+              div_kind: str = "cash",
+              rate_offsets: Optional[Array] = None,
+              rate_step_dfs: Optional[Array] = None) -> Dict[str, Array]:
     """Longstaff-Schwartz American/Bermudan price under SVJ dynamics.
+
+    `rate_offsets`/`rate_step_dfs` ((num_steps,) host-precomputed, see
+    ops/curves.py) price off a deterministic rate curve exactly: the sheet
+    simulated at the flat rate params.r is shifted by the cumulative drift
+    correction, and the backward induction discounts with per-step factors.
 
     `div_grid` ((num_steps,) per-date discrete dividends snapped onto the
     simulation grid, see DividendSchedule.grid_amounts) prices American
@@ -133,6 +140,8 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
 
     log_paths = _record_log_paths(params, spot, T, key,
                                   num_paths=num_paths, num_steps=num_steps)
+    if rate_offsets is not None:
+        log_paths = log_paths + rate_offsets[:, None]
     s_paths = jnp.exp(log_paths)  # (steps, paths), t_1..t_n
     if div_grid is not None:
         s_ex, s_cum = _dividend_sheets(s_paths, div_grid, div_kind,
@@ -159,10 +168,13 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
 
     cf_terminal = payoff(s_ex[-1])
     allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
+    # Per-step discounts: sdf[m] covers [t_m, t_{m+1}] (constant when flat).
+    sdf = (rate_step_dfs if rate_step_dfs is not None
+           else jnp.full((num_steps,), df))
 
     def backstep(cf, inputs):
-        s_pay, s_state, allow = inputs
-        cf = cf * df  # continuation value discounted to time t
+        s_pay, s_state, allow, df_t = inputs
+        cf = cf * df_t  # continuation value discounted to time t
         pay = payoff(s_pay)          # cum-dividend: what exercise captures
         itm = pay > 0.0
         w = itm.astype(dtype)
@@ -177,9 +189,9 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
 
     # Reverse induction over t_{n-1}..t_1 (terminal step handled above).
     cf, _ = jax.lax.scan(backstep, cf_terminal,
-                         (s_cum[:-1], s_ex[:-1], allowed),
+                         (s_cum[:-1], s_ex[:-1], allowed, sdf[1:]),
                          reverse=True)
-    cf = cf * df  # discount t_1 → t_0
+    cf = cf * sdf[0]  # discount t_1 → t_0
     price = jnp.mean(cf)
     se = jnp.std(cf) / jnp.sqrt(jnp.float32(num_paths))
     intrinsic = payoff(jnp.asarray(spot, dtype))
@@ -237,7 +249,9 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
               basis_degree: int = 3,
               exercise_every: int = 1,
               div_grid: Optional[Array] = None,
-              div_kind: str = "cash") -> Dict[str, Array]:
+              div_kind: str = "cash",
+              rate_offsets: Optional[Array] = None,
+              rate_step_dfs: Optional[Array] = None) -> Dict[str, Array]:
     """Fit the per-date continuation regressions on a training path set.
 
     Returns {"policy": (num_steps−1, n_basis), "value": (num_steps−1, 4)} —
@@ -261,6 +275,8 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
 
     log_paths = _record_log_paths(params, spot, T, key,
                                   num_paths=num_paths, num_steps=num_steps)
+    if rate_offsets is not None:
+        log_paths = log_paths + rate_offsets[:, None]
     s_paths = jnp.exp(log_paths)
     if div_grid is not None:
         s_ex, s_cum = _dividend_sheets(s_paths, div_grid, div_kind,
@@ -270,10 +286,12 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
     cf_terminal = payoff(s_ex[-1])
 
     allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
+    sdf = (rate_step_dfs if rate_step_dfs is not None
+           else jnp.full((num_steps,), df))
 
     def backstep(cf, inputs):
-        s_pay, s_state, allow = inputs
-        cf = cf * df
+        s_pay, s_state, allow, df_t = inputs
+        cf = cf * df_t
         pay = payoff(s_pay)
         itm = pay > 0.0
         w = itm.astype(dtype)
@@ -290,7 +308,8 @@ def lsm_train(params: SVJParams, spot, strike, T, key, *,
         return jnp.where(exercise, pay, cf), (coef, coef_v)
 
     _, (coefs, coefs_v) = jax.lax.scan(backstep, cf_terminal,
-                                       (s_cum[:-1], s_ex[:-1], allowed),
+                                       (s_cum[:-1], s_ex[:-1], allowed,
+                                        sdf[1:]),
                                        reverse=True)
     return {"policy": coefs, "value": coefs_v}
 
@@ -300,7 +319,9 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
                         basis_degree: int = 3,
                         exercise_every: int = 1,
                         div_grid=None,
-                        div_kind: str = "cash") -> Array:
+                        div_kind: str = "cash",
+                        rate_offsets=None,
+                        rate_cum=None) -> Array:
     """Per-path discounted payoffs at the FIXED stopping rule (traceable).
 
     Differentiable in (spot, params, T): the stop decision rides through
@@ -317,6 +338,8 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
 
     log_paths = _record_log_paths(params, spot, T, key,
                                   num_paths=num_paths, num_steps=num_steps)
+    if rate_offsets is not None:
+        log_paths = log_paths + rate_offsets[:, None]
     s_paths = jnp.exp(log_paths)
     if div_grid is not None:
         s_ex, s_cum = _dividend_sheets(s_paths, div_grid, div_kind,
@@ -324,13 +347,24 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
     else:
         s_ex = s_cum = s_paths
 
+    # Discount to t_{k+1}: flat exp(−r·t) normally; with a curve, the
+    # host-precomputed R(t) grid PLUS the traced parallel component
+    # (params.r − R(T)/T)·t — zero at evaluation (the engine sets
+    # params.r = r_eff), but it keeps ∂/∂r = −t·P alive so the policy-fixed
+    # AD rho is the parallel-shift sensitivity under the curve too.
+    t_grid = dt * jnp.arange(1, num_steps + 1, dtype=dtype)
+    if rate_cum is not None:
+        r_flat = rate_cum[-1] / jnp.asarray(T, dtype)
+        cum_disc = jnp.exp(-(rate_cum + (params.r - r_flat) * t_grid))
+    else:
+        cum_disc = jnp.exp(-params.r * t_grid)
+
     def fwd(carry, inputs):
         stopped, value = carry
-        k, s_pay, s_state, coef, allow = inputs
+        s_pay, s_state, coef, allow, disc = inputs
         pay = payoff(s_pay)
         cont = basis(s_state) @ coef
         exercise = (~stopped) & (pay > 0.0) & (pay > cont) & allow
-        disc = jnp.exp(-params.r * dt * (k + 1.0))
         value = jnp.where(exercise, disc * pay, value)
         return (stopped | exercise, value), None
 
@@ -338,11 +372,10 @@ def _lower_bound_values(params: SVJParams, spot, strike, T, key, coefs, *,
     allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
     init = (jnp.zeros((n_paths,), bool), jnp.zeros((n_paths,), dtype))
     (stopped, value), _ = jax.lax.scan(
-        fwd, init, (jnp.arange(num_steps - 1, dtype=dtype),
-                    s_cum[:-1], s_ex[:-1], coefs, allowed))
+        fwd, init, (s_cum[:-1], s_ex[:-1], coefs, allowed,
+                    cum_disc[:-1]))
     # Unstopped paths exercise (or expire) at maturity.
-    disc_T = jnp.exp(-params.r * jnp.asarray(T, dtype))
-    return jnp.where(stopped, value, disc_T * payoff(s_ex[-1]))
+    return jnp.where(stopped, value, cum_disc[-1] * payoff(s_ex[-1]))
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call",
@@ -353,7 +386,9 @@ def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
                     basis_degree: int = 3,
                     exercise_every: int = 1,
                     div_grid=None,
-                    div_kind: str = "cash") -> Dict[str, Array]:
+                    div_kind: str = "cash",
+                    rate_offsets=None,
+                    rate_cum=None) -> Dict[str, Array]:
     """Evaluate the FIXED stopping rule on fresh paths → a true lower bound.
 
     Any measurable stopping rule gives E[discounted payoff at stop] ≤ the
@@ -365,7 +400,9 @@ def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
                                 num_paths=num_paths, num_steps=num_steps,
                                 is_call=is_call, basis_degree=basis_degree,
                                 exercise_every=exercise_every,
-                                div_grid=div_grid, div_kind=div_kind)
+                                div_grid=div_grid, div_kind=div_kind,
+                                rate_offsets=rate_offsets,
+                                rate_cum=rate_cum)
     price = jnp.mean(value)
     se = jnp.std(value) / jnp.sqrt(jnp.float32(num_paths))
     return {"price": price, "std_error": se}
@@ -376,7 +413,8 @@ def lsm_lower_bound(params: SVJParams, spot, strike, T, key, coefs, *,
 def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
                        num_paths: int, num_steps: int, is_call: bool,
                        basis_degree: int = 3,
-                       div_grid=None, div_kind: str = "cash"):
+                       div_grid=None, div_kind: str = "cash",
+                       rate_offsets=None, rate_cum=None):
     """(price, ∂P/∂spot, ∂P/∂v₀, ∂P/∂T, ∂P/∂r) of the policy-fixed American
     lower-bound estimator — ONE forward+backward pass.
 
@@ -393,7 +431,9 @@ def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
                                     num_paths=num_paths, num_steps=num_steps,
                                     is_call=is_call,
                                     basis_degree=basis_degree,
-                                    div_grid=div_grid, div_kind=div_kind)
+                                    div_grid=div_grid, div_kind=div_kind,
+                                    rate_offsets=rate_offsets,
+                                    rate_cum=rate_cum)
         return jnp.mean(value)
 
     price, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
@@ -407,7 +447,8 @@ def american_greeks_ad(params: SVJParams, spot, strike, T, key, coefs, *,
 def _american_delta_batch(params: SVJParams, spots, strike, T, key, coefs, *,
                           num_paths: int, num_steps: int, is_call: bool,
                           basis_degree: int = 3,
-                          div_grid=None, div_kind: str = "cash"):
+                          div_grid=None, div_kind: str = "cash",
+                          rate_offsets=None, rate_cum=None):
     """Policy-fixed AD delta at a batch of spots (CRN: same key/coefs) —
     gamma's central difference rides one vmapped backward pass."""
     def one(s):
@@ -416,7 +457,8 @@ def _american_delta_batch(params: SVJParams, spots, strike, T, key, coefs, *,
                 params, s_, strike, T, key, coefs, num_paths=num_paths,
                 num_steps=num_steps, is_call=is_call,
                 basis_degree=basis_degree,
-                div_grid=div_grid, div_kind=div_kind))
+                div_grid=div_grid, div_kind=div_kind,
+                rate_offsets=rate_offsets, rate_cum=rate_cum))
         return jax.grad(f)(s)
 
     return jax.vmap(one)(jnp.asarray(spots, jnp.float32))
@@ -544,7 +586,8 @@ class AmericanEngine:
 
     def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
                  num_steps: int = 64, seed: int = 42, basis_degree: int = 3,
-                 dividends: "DividendSchedule" = None):
+                 dividends: "DividendSchedule" = None,
+                 rate_curve=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
@@ -555,6 +598,32 @@ class AmericanEngine:
         # The continuous yield q should then hold only the non-discrete
         # remainder (double counting is the caller's to avoid).
         self.dividends = dividends
+        # Deterministic rate term structure (ops/curves.RateCurve): paths
+        # simulate at the flat-equivalent rate and the sheets/discounts are
+        # corrected exactly (see lsm_price docstring). params.r is ignored
+        # when a curve is set.
+        self.rate_curve = rate_curve
+
+    def _params_T(self, T: float) -> SVJParams:
+        if self.rate_curve is None:
+            return self.params
+        return self.params.replace(r=self.rate_curve.r_eff(float(T)))
+
+    def _rate_args(self, T: float, steps: int, for_lb: bool = False) -> Dict:
+        """lsm kwargs for the curve vectors (empty when flat)."""
+        if self.rate_curve is None:
+            return {}
+        r_flat = self.rate_curve.r_eff(float(T))
+        off = jnp.asarray(
+            self.rate_curve.grid_log_offsets(float(T), steps, r_flat))
+        if for_lb:
+            return {"rate_offsets": off,
+                    "rate_cum": jnp.asarray(
+                        self.rate_curve.grid_integrals(float(T), steps),
+                        jnp.float32)}
+        return {"rate_offsets": off,
+                "rate_step_dfs": jnp.asarray(
+                    self.rate_curve.grid_step_dfs(float(T), steps))}
 
     def _div_args(self, T: float, steps: int) -> Dict:
         """jit kwargs for the dividend-adjusted path sheets (or empty)."""
@@ -576,11 +645,11 @@ class AmericanEngine:
         oracle)."""
         steps = scaled_steps(self.num_steps, T, floor=16)
         res = jax.device_get(lsm_price(
-            self.params, spot, strike, T, jax.random.key(self.seed),
+            self._params_T(T), spot, strike, T, jax.random.key(self.seed),
             num_paths=self.num_paths, num_steps=steps,
             is_call=is_call, basis_degree=self.basis_degree,
             exercise_every=min(int(exercise_every), steps),
-            **self._div_args(T, steps)))
+            **self._div_args(T, steps), **self._rate_args(T, steps)))
         out = {k: float(v) for k, v in res.items()}
         out["num_paths_used"] = self.num_paths
         out["num_steps"] = steps
@@ -606,17 +675,20 @@ class AmericanEngine:
         steps = scaled_steps(self.num_steps, T, floor=16)
         key = jax.random.key(self.seed)
         k_train, k_eval = jax.random.split(key)
-        kwargs = dict(num_steps=steps, is_call=is_call,
-                      basis_degree=self.basis_degree,
-                      **self._div_args(T, steps))
-        coefs = lsm_train(self.params, spot, strike, T, k_train,
-                          num_paths=self.num_paths, **kwargs)["policy"]
+        params_T = self._params_T(T)
+        base = dict(num_steps=steps, is_call=is_call,
+                    basis_degree=self.basis_degree,
+                    **self._div_args(T, steps))
+        coefs = lsm_train(params_T, spot, strike, T, k_train,
+                          num_paths=self.num_paths, **base,
+                          **self._rate_args(T, steps))["policy"]
+        kwargs = {**base, **self._rate_args(T, steps, for_lb=True)}
         price, (d_s, d_v, d_T, d_r) = jax.device_get(american_greeks_ad(
-            self.params, spot, strike, T, k_eval, coefs,
+            params_T, spot, strike, T, k_eval, coefs,
             num_paths=self.num_paths, **kwargs))
         s_up, s_dn = spot * (1 + spot_bump), spot * (1 - spot_bump)
         deltas = jax.device_get(_american_delta_batch(
-            self.params, [s_up, s_dn], strike, T, k_eval, coefs,
+            params_T, [s_up, s_dn], strike, T, k_eval, coefs,
             num_paths=self.num_paths, **kwargs))
         sigma = float(np.sqrt(float(self.params.v0)))
         theta_val = -float(d_T)
@@ -643,6 +715,10 @@ class AmericanEngine:
         bound is free of foresight bias and the bracket is honest.
         """
         steps = scaled_steps(self.num_steps, T, floor=16)
+        if self.rate_curve is not None:
+            raise ValueError(
+                "price_bounds does not support rate curves; use price()/"
+                "greeks() (exact curve-corrected LSM) instead")
         div_args = self._div_args(T, steps)
         if div_args:
             # The dual bound's nested one-step inner simulations would need

@@ -525,6 +525,7 @@ class MonteCarloEngine:
         backend: str = "auto",
         mesh=None,
         dividends=None,
+        rate_curve=None,
     ):
         self.params = params
         self.num_paths = int(num_paths)
@@ -537,6 +538,12 @@ class MonteCarloEngine:
         self.cv_beta = cv_beta
         self.scheme = scheme
         self.backend = backend
+        # Deterministic rate term structure (ops/curves.RateCurve): for
+        # European/terminal payoffs only ∫r dt enters (drift and discount),
+        # so pricing at the flat-equivalent rate r_eff(T) = R(T)/T is EXACT
+        # — params.r is substituted per maturity; params.r is ignored when
+        # a curve is set.
+        self.rate_curve = rate_curve
         # Discrete dividends (ops/dividends.DividendSchedule): European
         # pricing adjusts the spot before the unchanged kernels — EXACT for
         # kind="proportional" (multiplicative dynamics commute with the
@@ -585,14 +592,32 @@ class MonteCarloEngine:
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
 
+    def _params_T(self, T: float) -> SVJParams:
+        """Per-maturity params: r substituted by the curve's flat
+        equivalent (exact for terminal payoffs)."""
+        if self.rate_curve is None:
+            return self.params
+        return self.params.replace(r=self.rate_curve.r_eff(float(T)))
+
     def _spot_eff(self, spot: float, T: float) -> float:
         """Dividend-adjusted spot for European pricing (raw spot if no
         schedule). Raises ValueError when dividend PV exceeds the spot —
-        the HTTP layer maps that to a 400."""
+        the HTTP layer maps that to a 400. Escrow discounting honors the
+        rate curve when one is set."""
         if self.dividends is None:
             return float(spot)
         from mcos_tpu.ops.dividends import effective_spot
 
+        if self.rate_curve is not None and self.dividends.kind == "cash":
+            sub = self.dividends.before(float(T))
+            pv = sum(a * self.rate_curve.discount(t)
+                     for t, a in zip(sub.times, sub.amounts))
+            eff = float(spot) - pv
+            if eff <= 0.0:
+                raise ValueError(
+                    f"escrowed spot {eff:.4f} <= 0: dividend PV {pv:.4f} "
+                    f"exceeds spot {spot:.4f}")
+            return eff
         eff, _ = effective_spot(spot, self.dividends, float(self.params.r),
                                 float(T))
         return eff
@@ -617,6 +642,7 @@ class MonteCarloEngine:
 
     def _price_result(self, spot, strikes, T, is_call: bool) -> Dict[str, Array]:
         spot = self._spot_eff(spot, T)
+        params = self._params_T(T)
         steps = self._steps(T)
         use_sobol = self.use_sobol
         mesh = self._resolved_mesh()
@@ -630,14 +656,14 @@ class MonteCarloEngine:
 
             if use_sobol and self.scheme != "qe" and self.use_antithetic:
                 return pmesh.sharded_sobol_price(
-                    self.params, spot, jnp.asarray(strikes), T,
+                    params, spot, jnp.asarray(strikes), T,
                     mesh=mesh, num_paths=self.num_paths, num_steps=steps,
                     seed=self.seed, is_call=is_call,
                     control_variate=self.use_control_variate,
                 )
             if not use_sobol:
                 return pmesh.sharded_price(
-                    self.params, spot, jnp.asarray(strikes), T, self._key(),
+                    params, spot, jnp.asarray(strikes), T, self._key(),
                     mesh=mesh, num_paths=self.num_paths, num_steps=steps,
                     is_call=is_call, antithetic=self.use_antithetic,
                     control_variate=self.use_control_variate,
@@ -646,7 +672,7 @@ class MonteCarloEngine:
         if use_sobol:
             z1, z2, u_jump, z_js = self._sobol_draws(steps)
             return mc_price_from_draws(
-                self.params, spot, jnp.asarray(strikes), T,
+                params, spot, jnp.asarray(strikes), T,
                 z1, z2, u_jump, z_js, seed=self.seed,
                 is_call=is_call, antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
@@ -656,7 +682,7 @@ class MonteCarloEngine:
             )
         if self._resolved_backend() == "pallas":
             return mc_price_pallas(
-                self.params, spot, jnp.asarray(strikes), T, self.seed,
+                params, spot, jnp.asarray(strikes), T, self.seed,
                 num_paths=self.num_paths, num_steps=steps, is_call=is_call,
                 antithetic=self.use_antithetic,
                 control_variate=self.use_control_variate,
@@ -664,7 +690,7 @@ class MonteCarloEngine:
                 scheme=self.scheme,
             )
         return mc_price_core(
-            self.params, spot, jnp.asarray(strikes), T, self._key(),
+            params, spot, jnp.asarray(strikes), T, self._key(),
             num_paths=self.num_paths, num_steps=steps, is_call=is_call,
             antithetic=self.use_antithetic,
             control_variate=self.use_control_variate,
