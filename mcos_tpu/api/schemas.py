@@ -235,6 +235,24 @@ class ExoticRequest(BaseModel):
     with_greeks: bool = False  # delta/vega (AD; CRN-FD for barriers)
 
 
+class MarginRequest(BaseModel):
+    """POST /api/margin — SPAN-style 16-scenario portfolio initial margin
+    (engine/margin.py; beyond the reference). Quantities signed (+long)."""
+    spot: float = Field(gt=0.0)
+    strikes: list[float] = Field(min_length=1, max_length=MAX_BOOK_POSITIONS)
+    Ts: list[float] = Field(min_length=1, max_length=MAX_BOOK_POSITIONS)
+    is_calls: list[bool] = Field(min_length=1,
+                                 max_length=MAX_BOOK_POSITIONS)
+    quantities: list[float] = Field(min_length=1,
+                                    max_length=MAX_BOOK_POSITIONS)
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
+    price_scan_range: float = Field(0.06, gt=0.0, le=0.5)
+    vol_scan_range: float = Field(0.04, ge=0.0, le=0.5)
+    extreme_multiplier: float = Field(2.0, ge=1.0, le=5.0)
+    extreme_coverage: float = Field(0.35, ge=0.0, le=1.0)
+
+
 class VolDerivsRequest(BaseModel):
     """POST /api/volderivs — variance/vol swaps + VIX-style futures/options
     under the SVJ model (engine/volderivs.py; beyond the reference)."""

@@ -414,6 +414,28 @@ def handle_american(body: dict) -> dict:
     return out
 
 
+def handle_margin(body: dict) -> dict:
+    """POST /api/margin — SPAN-style portfolio margin (engine/margin.py):
+    16-scenario price/vol scan off ONE CRN path set per maturity."""
+    from mcos_tpu.engine.margin import MarginEngine
+
+    req = schemas.MarginRequest(**body)
+    if not (len(req.strikes) == len(req.Ts) == len(req.is_calls)
+            == len(req.quantities)):
+        raise ApiError(400,
+                       "strikes/Ts/is_calls/quantities must be equal length")
+    start = time.time()
+    eng = MarginEngine(req.params.to_params(), num_paths=req.num_paths,
+                       price_scan_range=req.price_scan_range,
+                       vol_scan_range=req.vol_scan_range,
+                       extreme_multiplier=req.extreme_multiplier,
+                       extreme_coverage=req.extreme_coverage)
+    out = eng.margin(req.spot, req.strikes, req.Ts, req.is_calls,
+                     req.quantities)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_volderivs(body: dict) -> dict:
     """POST /api/volderivs — variance/vol swaps and VIX futures/options
     (engine/volderivs.py). Quadrature-exact where the law is known (VIX
@@ -1022,6 +1044,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/slv": handle_slv,
     "/api/svcj": handle_svcj,
     "/api/volderivs": handle_volderivs,
+    "/api/margin": handle_margin,
 }
 
 

@@ -71,6 +71,8 @@ CASES = {
                  "num_steps": 16},
     "/api/svcj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16},
     "/api/volderivs": {"kind": "vix_future", "T": 0.5},
+    "/api/margin": {"spot": SPOT, "strikes": [K], "Ts": [T],
+                    "is_calls": [True], "quantities": [-1.0], **TINY},
 }
 
 _HEADLINE = {
@@ -82,6 +84,7 @@ _HEADLINE = {
     "/api/var": "var", "/api/exposure": "ee", "/api/pnl": "total_pnl",
     "/api/modelrisk": "prices", "/api/slv": "chain", "/api/svcj": "price",
     "/api/volderivs": "future",
+    "/api/margin": "margin",
 }
 
 
