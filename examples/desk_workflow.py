@@ -153,6 +153,42 @@ def main():
                        f"across {len(mr['prices'])} models")
     assert mr["model_risk_band_volpts"] > 0
 
+    # ── 14. single-stock desk: dividend-aware American quote ─────────────
+    from mcos_tpu.engine.american import AmericanEngine
+    from mcos_tpu.ops.dividends import DividendSchedule
+    divs = DividendSchedule([T * 0.5], [spot * 0.02], "cash")  # 2% ex-date
+    am = AmericanEngine(fitted, num_paths=60_000, num_steps=48, seed=7,
+                        dividends=divs)
+    a_am = am.price(spot, spot, T, is_call=True)
+    a_eu = am.price(spot, spot, T, is_call=True, exercise_every=10_000)
+    stage("dividends", f"American {a_am['price']:.2f} vs European "
+                       f"{a_eu['price']:.2f} | early-ex premium "
+                       f"{a_am['price'] - a_eu['price']:+.2f} "
+                       f"(2% cash div mid-life)")
+    assert a_am["price"] >= a_eu["price"] - 3 * a_eu["std_error"]
+
+    # ── 15. vol desk: swap strikes + VIX futures off the SAME calibration ─
+    from mcos_tpu.engine.volderivs import VolDerivsEngine
+    vd = VolDerivsEngine(fitted, num_paths=60_000, seed=3)
+    vs = vd.variance_swap(T)
+    vw = vd.vol_swap(T)
+    vf = vd.vix_future(T)
+    stage("volderivs", f"var-strike {100 * vs['fair_variance'] ** 0.5:.2f} | "
+                       f"vol-strike {100 * vw['fair_vol_strike']:.2f} "
+                       f"(cvx {100 * vw['convexity_discount']:.2f}) | "
+                       f"VIX fut {100 * vf['future']:.2f}")
+    assert vw["fair_vol_strike"] < vs["fair_variance"] ** 0.5  # Jensen
+
+    # ── 16. risk desk: SPAN margin on the hedged book ─────────────────────
+    from mcos_tpu.engine.margin import MarginEngine
+    mg = MarginEngine(fitted, num_paths=60_000, seed=9)
+    book = mg.margin(spot, [spot * 0.95, spot, spot * 1.05],
+                     [T, T, T], [False, True, True], [-10.0, -5.0, 5.0])
+    stage("margin", f"SPAN margin {book['margin']:.2f} | worst "
+                    f"'{book['worst_scenario']}' | net premium "
+                    f"{book['net_option_value']:.2f}")
+    assert book["margin"] > 0
+
     print("\nworkflow complete — all sanity checks passed")
 
 

@@ -72,6 +72,10 @@ from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
 from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.engine.modelrisk import model_risk_report  # noqa: F401
 from mcos_tpu.engine.slv import SLVEngine  # noqa: F401
+from mcos_tpu.engine.volderivs import VolDerivsEngine  # noqa: F401
+from mcos_tpu.engine.margin import MarginEngine  # noqa: F401
+from mcos_tpu.ops.dividends import DividendSchedule  # noqa: F401
+from mcos_tpu.ops.curves import RateCurve  # noqa: F401
 from mcos_tpu.ops.levy import (  # noqa: F401
     NIGParams,
     VGParams,

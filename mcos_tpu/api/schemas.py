@@ -215,6 +215,9 @@ class SmileRequest(BaseModel):
     num_strikes: int = Field(21, ge=3, le=MAX_GRID_POINTS)
     # "mc" (reference behavior) or "cos" — exact semi-analytic smile in ms.
     method: str = "mc"
+    # Rate curve: pricing AND the IV inversion both use the flat-equivalent
+    # rate R(T)/T, so quoted IVs stay internally consistent.
+    rate_curve: Optional[list[RateKnot]] = Field(None, max_length=64)
 
 
 class ExoticRequest(BaseModel):

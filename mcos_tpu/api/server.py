@@ -298,6 +298,12 @@ def handle_smile(body: dict) -> dict:
     path set, IVs inverted on the whole chain at once."""
     req = schemas.SmileRequest(**body)
     svj = req.params.to_params()
+    try:
+        curve = schemas.build_rate_curve(req.rate_curve)
+    except ValueError as e:
+        raise ApiError(400, str(e))
+    if curve is not None:
+        svj = svj.replace(r=curve.r_eff(req.T))
     strikes = np.linspace(req.spot * 0.7, req.spot * 1.3, req.num_strikes)
     if req.method == "cos":
         # Exact semi-analytic Bates smile — no MC noise, host-side, ms-scale

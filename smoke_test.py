@@ -28,7 +28,7 @@ def main():
     import jax
 
     print("=" * 64)
-    print("mcos_tpu — engine smoke test")
+    print("mcos_tpu — engine smoke test (19 stages)")
     print("devices:", jax.devices())
     print("=" * 64)
 
@@ -223,6 +223,57 @@ def main():
           f"({gap_vg / max(float(vg_se[0]), 1e-9):.1f}σ)")
     check("VG exact sampler within COS bands",
           gap_vg < 4 * float(vg_se[0]) + 1e-2)
+
+    stage("17. discrete dividends (compounded-cash forward oracle)")
+    from mcos_tpu.engine.american import AmericanEngine
+    from mcos_tpu.ops.dividends import (DividendSchedule,
+                                        forward_with_dividends)
+    big_div = DividendSchedule([0.4], [900.0], "cash")
+    am_d = AmericanEngine(bs_params, num_paths=100_000, num_steps=48, seed=5,
+                          dividends=big_div)
+    a_div = am_d.price(22500.0, 22500.0, 0.75, is_call=True)
+    a_eu = am_d.price(22500.0, 22500.0, 0.75, is_call=True,
+                      exercise_every=10_000)
+    prem = a_div["price"] - a_eu["price"]
+    f_div = forward_with_dividends(22500.0, big_div, float(bs_params.r),
+                                   float(bs_params.q), 0.75)
+    print(f"    american={a_div['price']:.2f} european={a_eu['price']:.2f} "
+          f"early-ex premium={prem:.2f}  F_div={f_div:.1f}")
+    check("dividend early-exercise premium > 0",
+          prem > 2 * (a_div["std_error"] + a_eu["std_error"]))
+
+    stage("18. rate curve (flat-equivalent exactness)")
+    from mcos_tpu.ops.curves import RateCurve
+    steep = RateCurve([0.25, 0.5], [0.01, 0.09])
+    mc_curve = MonteCarloEngine(bs_params, num_paths=100_000, seed=7,
+                                use_sobol=False, rate_curve=steep)
+    res_c = mc_curve.price(22500.0, 22500.0, 0.5)
+    bs_c = float(bs_price(22500.0, 22500.0, 0.5, steep.r_eff(0.5),
+                          float(bs_params.q), 0.2, True))
+    gap_c = abs(res_c["price"] - bs_c)
+    print(f"    MC(curve)={res_c['price']:.3f}  BS(r_eff)={bs_c:.3f}")
+    check("curve pricing == BS(r_eff) within 3σ",
+          gap_c < 3 * res_c["std_error"] + 1e-2)
+
+    stage("19. vol derivatives (VIX parity) + SPAN margin")
+    from mcos_tpu.engine.margin import MarginEngine
+    from mcos_tpu.engine.volderivs import VolDerivsEngine
+    vd = VolDerivsEngine(svj, num_paths=50_000, seed=3)
+    fut = vd.vix_future(0.5)["future"]
+    c_vx = vd.vix_option(0.5, 0.22, True)
+    p_vx = vd.vix_option(0.5, 0.22, False)
+    parity = abs((c_vx["price"] - p_vx["price"])
+                 - c_vx["discount_factor"] * (fut - 0.22))
+    print(f"    VIX future={fut:.4f}  parity gap={parity:.2e}")
+    check("VIX option put-call parity", parity < 1e-8)
+    mg = MarginEngine(svj, num_paths=50_000, seed=9)
+    hedged = mg.margin(22500.0, [22500.0] * 2, [0.25] * 2, [True] * 2,
+                       [4.0, -4.0])
+    short = mg.margin(22500.0, [22500.0], [0.25], [True], [-1.0])
+    print(f"    hedged margin={hedged['margin']:.4f}  "
+          f"short-call margin={short['margin']:.2f}")
+    check("hedged book margins zero", hedged["margin"] == 0.0)
+    check("short option margins positive", short["margin"] > 0)
 
     print("\n" + "=" * 64)
     if FAILURES:
