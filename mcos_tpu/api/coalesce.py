@@ -56,6 +56,7 @@ from mcos_tpu.engine.pricer import (
     MonteCarloEngine,
     mc_price_core,
     mc_price_from_draws,
+    mc_price_pallas,
 )
 from mcos_tpu.models.params import SVJParams
 from mcos_tpu.ops import simulate
@@ -120,6 +121,16 @@ def _batched_fn(key: Tuple, batch: int):
                 control_variate=use_control_variate, cv_mode=cv_mode,
                 cv_beta="one", backend=backend, steps_major=True,
                 scheme=scheme)
+        elif backend == "pallas":
+            # Same driver as the solo TPU path (mc_price_pallas with the
+            # engine seed): hardware PRNG in-kernel — a PRNG request must
+            # not change value depending on whether it coalesced.
+            res = mc_price_pallas(
+                params, spot, strike, T, seed,
+                num_paths=num_paths, num_steps=steps, is_call=is_call,
+                antithetic=use_antithetic,
+                control_variate=use_control_variate, cv_mode=cv_mode,
+                cv_beta="one", scheme=scheme)
         else:
             res = mc_price_core(
                 params, spot, strike, T, jax.random.key(seed),

@@ -256,8 +256,22 @@ def handle_greeks(body: dict) -> dict:
             greeks = engine.all_greeks(req.spot, req.strike, req.T,
                                        req.is_call)
         if req.with_cross:
-            greeks["cross"] = engine.cross_greeks(req.spot, req.strike,
-                                                  req.T, req.is_call)
+            if divs is not None:
+                # Same effective-process + chain-rule recipe as
+                # all_greeks_dividends: vanna = ∂²P/∂S∂σ picks up the
+                # ∂S_eff/∂S factor; volga (∂²P/∂σ²) is spot-free.
+                from mcos_tpu.ops.dividends import effective_spot
+
+                eff, f = effective_spot(req.spot, divs,
+                                        float(engine.params.r), req.T)
+                cross = engine.cross_greeks(eff, req.strike, req.T,
+                                            req.is_call)
+                for key in ("vanna", "vanna_cross_check", "vanna_v0"):
+                    cross[key] *= f
+                greeks["cross"] = cross
+            else:
+                greeks["cross"] = engine.cross_greeks(req.spot, req.strike,
+                                                      req.T, req.is_call)
     greeks["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return greeks
 
@@ -334,10 +348,20 @@ def handle_convergence(body: dict) -> dict:
     """POST /api/convergence — true prefix-mean convergence series (the
     reference UI fakes this chart from one price, js/app.js:415-420)."""
     req = schemas.PriceRequest(**body)
+    try:
+        divs = schemas.build_dividend_schedule(req.dividends,
+                                               req.dividend_kind)
+        curve = schemas.build_rate_curve(req.rate_curve)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     engine = MonteCarloEngine(
         req.params.to_params(), num_paths=min(req.num_paths, 500_000),
-        use_sobol=False, use_antithetic=req.use_antithetic)
-    return engine.convergence(req.spot, req.strike, req.T, req.is_call)
+        use_sobol=False, use_antithetic=req.use_antithetic,
+        dividends=divs, rate_curve=curve)
+    try:
+        return engine.convergence(req.spot, req.strike, req.T, req.is_call)
+    except ValueError as e:  # escrowed spot <= 0
+        raise ApiError(400, str(e))
 
 
 def handle_exotic(body: dict) -> dict:
@@ -1017,10 +1041,17 @@ def handle_symbols(query: dict) -> dict:
     """GET /api/symbols — the full tradeable universe (50 NIFTY
     constituents + index) for the UI's searchable picker. Server-side
     source of truth replacing the reference's client-bundled
-    js/stocks.js:2-53."""
+    js/stocks.js:2-53. `?q=` filters on symbol/name/sector (the same
+    fields the UI dropdown matches, case-insensitive substring)."""
     from mcos_tpu.api.quotes import list_symbols
 
-    return {"symbols": list_symbols()}
+    rows = list_symbols()
+    q = (query.get("q", [""])[0] or "").strip().lower()
+    if q:
+        rows = [row for row in rows
+                if q in row["symbol"].lower() or q in row["name"].lower()
+                or q in row["sector"].lower()]
+    return {"symbols": rows}
 
 
 POST_ROUTES: Dict[str, Callable[[dict], dict]] = {

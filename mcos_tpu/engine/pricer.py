@@ -608,18 +608,10 @@ class MonteCarloEngine:
             return float(spot)
         from mcos_tpu.ops.dividends import effective_spot
 
-        if self.rate_curve is not None and self.dividends.kind == "cash":
-            sub = self.dividends.before(float(T))
-            pv = sum(a * self.rate_curve.discount(t)
-                     for t, a in zip(sub.times, sub.amounts))
-            eff = float(spot) - pv
-            if eff <= 0.0:
-                raise ValueError(
-                    f"escrowed spot {eff:.4f} <= 0: dividend PV {pv:.4f} "
-                    f"exceeds spot {spot:.4f}")
-            return eff
+        disc = (self.rate_curve.discount
+                if self.rate_curve is not None else None)
         eff, _ = effective_spot(spot, self.dividends, float(self.params.r),
-                                float(T))
+                                float(T), discount=disc)
         return eff
 
     def _resolved_mesh(self):
@@ -793,6 +785,7 @@ class MonteCarloEngine:
                 "price_to_tolerance uses independent PRNG batches; the "
                 "engine's Sobol driver does not batch soundly")
         spot = self._spot_eff(spot, T)
+        params = self._params_T(T)
         steps = self._steps(T)
         backend = self._resolved_backend()
         strikes = jnp.asarray([strike], jnp.float32)
@@ -820,11 +813,11 @@ class MonteCarloEngine:
                 # distinct ints give independent streams.
                 batch_seed = (self.seed * 1_000_003 + 7919 * batches) \
                     & 0x7FFFFFFF
-                res = mc_price_pallas(self.params, spot, strikes, T,
+                res = mc_price_pallas(params, spot, strikes, T,
                                       batch_seed, **kwargs)
             else:
                 key = jax.random.fold_in(self._key(), batches)
-                res = mc_price_core(self.params, spot, strikes, T, key,
+                res = mc_price_core(params, spot, strikes, T, key,
                                     **kwargs)
             p_i = float(res["price"][0])
             se_i = float(res["std_error"][0])
@@ -866,11 +859,12 @@ class MonteCarloEngine:
         β on the weighted legs). Capability absent from the reference.
         """
         spot = self._spot_eff(spot, T)
+        params = self._params_T(T)
         steps = self._steps(T)
         if shift is None:
-            shift = simulate.optimal_tilt(self.params, spot, strike, T, steps)
+            shift = simulate.optimal_tilt(params, spot, strike, T, steps)
         res = jax.device_get(mc_price_importance(
-            self.params, spot, np.array([strike], np.float32), T,
+            params, spot, np.array([strike], np.float32), T,
             self._key(), float(shift),
             num_paths=self.num_paths, num_steps=steps, is_call=is_call,
             antithetic=self.use_antithetic,
@@ -951,7 +945,8 @@ class MonteCarloEngine:
             max(self.num_paths // (2 ** (num_checkpoints - 1)), 64),
             self.num_paths, num_checkpoints).astype(int))
         prices, errors = jax.device_get(_convergence_core(
-            self.params, spot, strike, T, self._key(),
+            self._params_T(T), self._spot_eff(spot, T), strike, T,
+            self._key(),
             num_paths=self.num_paths, num_steps=self._steps(T),
             is_call=is_call, antithetic=self.use_antithetic,
             counts=tuple(int(n) for n in counts),
@@ -974,7 +969,7 @@ class MonteCarloEngine:
         steps = max(int(self.num_steps * T), 50)
         key = jax.random.key(self.seed + 999)
         return simulate.simulate_paths_recorded(
-            self.params, self._spot_eff(spot, T), T, key,
+            self._params_T(T), self._spot_eff(spot, T), T, key,
             num_paths=int(num_samples), num_steps=steps,
         )
 
@@ -989,7 +984,7 @@ class MonteCarloEngine:
                                 num_samples: int = 1024) -> Array:
         """Enqueue the terminal-sample program; device array, unsynced."""
         s_final, _, _ = simulate.simulate_terminal(
-            self.params, self._spot_eff(spot, T), T,
+            self._params_T(T), self._spot_eff(spot, T), T,
             jax.random.key(self.seed + 1234),
             num_paths=int(num_samples), num_steps=self._steps(T),
             antithetic=False,

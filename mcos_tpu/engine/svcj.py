@@ -59,7 +59,11 @@ def _svcj_price_core(params: SVCJParams, spot, strikes, T, seed, *,
     g_pay = jnp.maximum(sign * (g_final[..., None] - strikes), 0.0)
     bs_ref = bs_price(spot, strikes, T, params.r, params.q,
                       jnp.sqrt(params.v0), is_call)
-    eff = (pay - g_pay).reshape(-1, strikes.shape[0]) + bs_ref / discount
+    # Collapse antithetic PAIRS before the moments (mc_mean_stderr
+    # convention, ops/simulate.py): branch members share jump draws and z²
+    # magnitudes, so treating the 2n branch values as iid would mis-scale
+    # the stderr.
+    eff = jnp.mean(pay - g_pay, axis=0) + bs_ref / discount
     n = jnp.float32(eff.shape[0])
     mean = jnp.mean(eff, axis=0)
     var = jnp.maximum(jnp.mean(eff * eff, axis=0) - mean * mean, 0.0)

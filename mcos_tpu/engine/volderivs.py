@@ -184,19 +184,25 @@ class VolDerivsEngine:
 
     # -- realized-variance products -------------------------------------------
     def _rv(self, T: float) -> np.ndarray:
+        """(2, num_paths) realized-variance array — branch axis kept so the
+        stderr can be taken over iid antithetic PAIRS. The branches share
+        jump uniforms and z² magnitudes (the dominant v·z²·dt term is
+        identical within a pair), so flattening to 2n values and dividing
+        by √(2n) would understate the error by up to ~√2 — the same defect
+        greeks.py's LR estimator fixes by collapsing pairs first."""
         steps = scaled_steps(self.num_steps, T)
         rv = realized_variance_paths(
             self.params, T, jax.random.key(self.seed),
             num_paths=self.num_paths, num_steps=steps)
-        return np.asarray(jax.device_get(rv), np.float64).reshape(-1)
+        return np.asarray(jax.device_get(rv), np.float64)
 
     def variance_swap(self, T: float) -> Dict[str, float]:
         """Closed-form fair strike + the MC round-trip (discrete daily
         sampling at the engine's step grid)."""
         closed = variance_swap_fair_strike(self.params, T)
-        rv = self._rv(T)
-        mc = rv.mean()
-        se = rv.std() / np.sqrt(rv.size)
+        pairs = self._rv(T).mean(axis=0)   # iid pair means
+        mc = pairs.mean()
+        se = pairs.std() / np.sqrt(pairs.size)
         return {
             **closed,
             "mc_fair_variance": float(mc),
@@ -210,9 +216,9 @@ class VolDerivsEngine:
         """Fair volatility strike E[√(RV/T)] (MC) + Brockhaus-Long
         approximation and the Jensen gap vs the variance-swap strike."""
         rv = self._rv(T)
-        vol = np.sqrt(np.maximum(rv, 0.0))
-        k_vol = vol.mean()
-        se = vol.std() / np.sqrt(vol.size)
+        vol_pairs = np.sqrt(np.maximum(rv, 0.0)).mean(axis=0)
+        k_vol = vol_pairs.mean()
+        se = vol_pairs.std() / np.sqrt(vol_pairs.size)
         m, var = rv.mean(), rv.var()
         bl = np.sqrt(m) - var / (8.0 * max(m, 1e-12) ** 1.5)
         k_var_sqrt = np.sqrt(

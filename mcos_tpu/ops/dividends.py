@@ -150,12 +150,19 @@ class DividendSchedule:
         return out
 
 
-def pv_cash(schedule: DividendSchedule, r: float, T: float) -> float:
-    """Σ_{t_i <= T} D_i e^{−r t_i} — the escrow account backing the spot."""
+def pv_cash(schedule: DividendSchedule, r: float, T: float,
+            discount=None) -> float:
+    """Σ_{t_i <= T} D_i e^{−r t_i} — the escrow account backing the spot.
+
+    `discount`: optional t → DF(t) callable (e.g. ops/curves.RateCurve
+    .discount) replacing the flat e^{−r t}; `r` is ignored when given.
+    """
     if schedule.kind != "cash":
         raise ValueError("pv_cash needs a cash schedule")
     sub = schedule.before(T)
-    return sum(a * math.exp(-r * t) for t, a in zip(sub.times, sub.amounts))
+    if discount is None:
+        discount = lambda t: math.exp(-r * t)  # noqa: E731
+    return sum(a * discount(t) for t, a in zip(sub.times, sub.amounts))
 
 
 def proportional_factor(schedule: DividendSchedule, T: float) -> float:
@@ -170,7 +177,8 @@ def proportional_factor(schedule: DividendSchedule, T: float) -> float:
 
 
 def effective_spot(spot: float, schedule: Optional[DividendSchedule],
-                   r: float, T: float) -> Tuple[float, float]:
+                   r: float, T: float,
+                   discount=None) -> Tuple[float, float]:
     """(adjusted spot, ∂S_eff/∂S) for European pricing through the unchanged
     engines.
 
@@ -179,13 +187,16 @@ def effective_spot(spot: float, schedule: Optional[DividendSchedule],
 
     The chain factor converts Greeks taken w.r.t. S_eff back to raw-spot
     Greeks: Δ = factor·Δ_eff, Γ = factor²·Γ_eff.
+
+    `discount`: optional t → DF(t) callable (a rate curve) for the escrow
+    PV; flat e^{−r t} otherwise.
     """
     if schedule is None or not schedule.before(T):
         return float(spot), 1.0
     if schedule.kind == "proportional":
         f = proportional_factor(schedule, T)
         return float(spot) * f, f
-    pv = pv_cash(schedule, r, T)
+    pv = pv_cash(schedule, r, T, discount=discount)
     eff = float(spot) - pv
     if eff <= 0.0:
         raise ValueError(

@@ -91,9 +91,17 @@ class JsonChunk:
 def _fallback_json(arr: np.ndarray, decimals: int) -> str:
     # Non-finite → null, matching the native encoder (stdlib json.dumps
     # would emit bare NaN/Infinity — invalid JSON that browsers reject).
-    rounded = np.round(arr, decimals).astype(object)
-    rounded[~np.isfinite(arr)] = None
-    return json.dumps(rounded.tolist())
+    # Rounding is half-AWAY-from-zero on the scaled value, matching the
+    # native llround — np.round's half-to-even would flip exact halves
+    # (0.125 @ 2 → 0.12 vs native 0.13) between environments.
+    scale = 10.0 ** decimals
+    scaled = arr * scale
+    with np.errstate(invalid="ignore"):
+        rounded = np.where(scaled >= 0, np.floor(scaled + 0.5),
+                           np.ceil(scaled - 0.5)) / scale
+    out = rounded.astype(object)
+    out[~np.isfinite(arr)] = None
+    return json.dumps(out.tolist())
 
 
 def float_array_json(arr, decimals: int = 2) -> JsonChunk:

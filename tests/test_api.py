@@ -171,6 +171,15 @@ def test_symbols_endpoint_full_universe(base_url):
     for r in rows:
         assert r["price"] > 0 and 0 < r["vol"] < 1
         assert r["name"] and r["sector"]
+    # server-side search: ?q= filters on symbol/name/sector, the same
+    # fields the UI dropdown matches (client.symbols(q=...) contract)
+    it_rows = get(f"{base_url}/api/symbols?q=IT")["symbols"]
+    assert 0 < len(it_rows) < len(rows)
+    assert all("it" in (r["symbol"] + r["name"] + r["sector"]).lower()
+               for r in it_rows)
+    assert get(f"{base_url}/api/symbols?q=reliance")["symbols"][0][
+        "symbol"] == "RELIANCE"
+    assert get(f"{base_url}/api/symbols?q=zzzz")["symbols"] == []
     # every universe symbol must be quotable through /api/quote
     q = get(f"{base_url}/api/quote?symbol=UPL")
     assert q["price"] > 0

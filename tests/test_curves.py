@@ -90,6 +90,64 @@ def test_curve_with_cash_dividends_uses_curve_pv():
     assert eng._spot_eff(S, T) == pytest.approx(S - pv, rel=1e-12)
 
 
+def test_auxiliary_paths_honor_curve():
+    """price_to_tolerance, price_importance, and convergence must price at
+    r_eff like .price() — regression for paths that passed raw self.params
+    (curve silently ignored)."""
+    curve_eng, flat_eng = _mc(STEEP), _mc(r=STEEP.r_eff(T))
+
+    tol_c = curve_eng.price_to_tolerance(S, K, T, tolerance=1e-3,
+                                         max_paths=200_000)
+    tol_f = flat_eng.price_to_tolerance(S, K, T, tolerance=1e-3,
+                                        max_paths=200_000)
+    assert tol_c["price"] == tol_f["price"]  # same seed, same params
+
+    imp_c = curve_eng.price_importance(S, K * 1.4, T)
+    imp_f = flat_eng.price_importance(S, K * 1.4, T)
+    assert imp_c["price"] == imp_f["price"]
+
+    con_c = curve_eng.convergence(S, K, T)
+    con_f = flat_eng.convergence(S, K, T)
+    assert con_c["price"] == con_f["price"]
+    # and the series converges to the same limit .price() quotes
+    full = curve_eng.price(S, K, T)
+    assert con_c["price"][-1] == pytest.approx(full["price"], rel=5e-3)
+
+
+def test_viz_samples_honor_curve():
+    """Viz paths/terminal samples drift at r_eff: E[S_T]·DF(T) ≈ S
+    (martingale) under the curve — regression for sampling at raw r."""
+    eng = MonteCarloEngine(gbm_params(SIGMA, r=0.06, q=0.0),
+                           num_paths=50_000, num_steps=64, seed=7,
+                           use_sobol=False, backend="scan",
+                           rate_curve=STEEP)
+    terms = np.asarray(eng.terminal_samples(S, T, num_samples=200_000),
+                       np.float64)
+    fwd = terms.mean()
+    se = terms.std() / np.sqrt(terms.size)
+    f_curve = S * math.exp(STEEP.integral(T))
+    f_flat = S * math.exp(0.06 * T)
+    assert abs(fwd - f_curve) < 4 * se
+    assert abs(fwd - f_flat) > 6 * se  # distinguishable from the raw-r drift
+
+
+def test_api_convergence_rate_curve():
+    from mcos_tpu.api.server import handle_convergence
+
+    base = {"spot": S, "strike": K, "T": T, "num_paths": 50_000,
+            "params": {"v0": SIGMA**2, "theta": SIGMA**2, "xi": 1e-4,
+                       "kappa": 1.0, "rho": 0.0, "lambda_j": 0.0,
+                       "r": 0.06, "q": 0.0}}
+    curve_knots = [{"t": 0.25, "r": 0.01}, {"t": 0.5, "r": 0.04},
+                   {"t": 0.75, "r": 0.08}]
+    out = handle_convergence({**base, "rate_curve": curve_knots})
+    ref = float(bs_price(S, K, T, STEEP.r_eff(T), 0.0, SIGMA, True))
+    ref_raw = float(bs_price(S, K, T, 0.06, 0.0, SIGMA, True))
+    last, se = out["price"][-1], out["std_error"][-1]
+    assert abs(last - ref) < 4 * max(se, 1e-4)
+    assert abs(last - ref_raw) > abs(last - ref)  # not the flat-r price
+
+
 # ── American LSM under a curve ───────────────────────────────────────────────
 def _am(curve=None, r=0.06, num_paths=80_000):
     return AmericanEngine(gbm_params(SIGMA, r=r, q=0.0),

@@ -272,3 +272,30 @@ def test_api_greeks_dividends():
     assert 0.0 < out["delta"]["pathwise"] < 1.0
     with pytest.raises(ApiError):
         handle_greeks({**base, "strikes": [90.0, 100.0]})
+
+
+def test_api_greeks_dividends_cross_block_consistent():
+    """with_cross + dividends: the cross block must be computed at the
+    effective spot with the chain factor, not the raw un-dividended
+    contract (regression — the two halves of one response disagreed)."""
+    from mcos_tpu.api import schemas
+    from mcos_tpu.api.server import handle_greeks
+    from mcos_tpu.engine.greeks import GreeksEngine
+    from mcos_tpu.ops.dividends import DividendSchedule, effective_spot
+
+    params = {"v0": SIGMA**2, "theta": SIGMA**2, "xi": 1e-4,
+              "kappa": 1.0, "rho": 0.0, "lambda_j": 0.0, "r": R, "q": 0.0}
+    base = {"spot": S, "strike": K, "T": T, "num_paths": 20_000,
+            "params": params, "with_cross": True,
+            "dividends": [{"t": 0.25, "amount": 0.03}],
+            "dividend_kind": "proportional"}
+    out = handle_greeks(base)
+
+    sched = DividendSchedule([0.25], [0.03], "proportional")
+    eff, f = effective_spot(S, sched, R, T)
+    eng = GreeksEngine(schemas.SVJParamsRequest(**params).to_params(),
+                       num_paths=20_000)
+    expect = eng.cross_greeks(eff, K, T, True)
+    assert out["cross"]["vanna"] == pytest.approx(expect["vanna"] * f,
+                                                  rel=1e-9)
+    assert out["cross"]["volga"] == pytest.approx(expect["volga"], rel=1e-9)

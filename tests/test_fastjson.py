@@ -85,13 +85,19 @@ def test_native_and_fallback_agree():
                           np.array([np.nan, np.inf])])
     native = json.loads(fj.float_array_json(arr, 2).raw)
     fallback = json.loads(fj._fallback_json(arr, 2))
-    for a, b in zip(native, fallback):
-        if a is None or b is None:
-            assert a == b
-        else:
-            # Round-half ties may split (llround vs banker's) — within one
-            # ulp of the last decimal.
-            assert abs(a - b) <= 0.01 + 1e-9
+    # Both encoders round half-AWAY-from-zero on the scaled value, so
+    # parsed values are identical — including exact-half ties.
+    assert native == fallback
+
+
+def test_fallback_rounds_half_away_from_zero():
+    """Exact-half ties must match the native llround (half away from
+    zero), not np.round's banker's rounding: 0.125 @ 2 → 0.13, not 0.12."""
+    arr = np.array([0.125, -0.125, 0.135, -0.135, 2.5, -2.5])
+    got = json.loads(fj._fallback_json(arr, 2))
+    assert got == [0.13, -0.13, 0.14, -0.14, 2.5, -2.5]
+    got0 = json.loads(fj._fallback_json(np.array([2.5, -2.5, 3.5]), 0))
+    assert got0 == [3.0, -3.0, 4.0]
 
 
 def test_price_handler_payload_is_valid_json():

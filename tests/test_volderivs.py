@@ -76,6 +76,24 @@ def test_variance_swap_mc_pins_closed_form(eng):
         out["diffusion_leg"] + out["jump_leg"])
 
 
+def test_stderr_pools_antithetic_pairs(eng):
+    """Regression: the stderr must be computed over iid antithetic PAIR
+    means — branch members share jump draws and z² magnitudes, so they are
+    dependent and the √(2n)-flattened formula is wrong by √(1+ρ) in either
+    direction (ρ ≈ −0.29 at these SVJ params, +0.05 in GBM-like regimes)."""
+    rv = eng._rv(T)
+    assert rv.shape == (2, eng.num_paths)   # branch axis preserved
+    corr = np.corrcoef(rv[0], rv[1])[0, 1]
+    assert abs(corr) > 0.02                 # branches are NOT independent
+    pairs = rv.mean(axis=0)
+    se_pairs = pairs.std() / np.sqrt(pairs.size)
+    se_flat = rv.reshape(-1).std() / np.sqrt(rv.size)
+    out = eng.variance_swap(T)
+    assert out["mc_std_error"] == pytest.approx(se_pairs, rel=1e-9)
+    # flattening is off by exactly √(1+ρ): se_pairs = se_flat·√(1+ρ)
+    assert se_pairs == pytest.approx(se_flat * np.sqrt(1.0 + corr), rel=5e-3)
+
+
 def test_vol_swap_jensen_and_convexity(eng):
     out = eng.vol_swap(T)
     # K_vol ≤ √K_var strictly (Jensen), gap > 0 beyond MC noise.
