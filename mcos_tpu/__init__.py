@@ -28,6 +28,11 @@ from mcos_tpu.models.params import (  # noqa: F401
     gbm_params,
 )
 from mcos_tpu.ops.cos_pricer import bates_cf, cos_price, heston_price  # noqa: F401
+from mcos_tpu.ops.tdsvj import (  # noqa: F401
+    cos_price_td,
+    segments_from_term_structure,
+    simulate_terminal_td,
+)
 from mcos_tpu.ops.bs import (  # noqa: F401
     bs_all_greeks,
     bs_delta,
@@ -72,6 +77,10 @@ from mcos_tpu.engine.quanto import QuantoEngine, quanto_bs  # noqa: F401
 from mcos_tpu.engine.pnl import pnl_explain  # noqa: F401
 from mcos_tpu.engine.modelrisk import model_risk_report  # noqa: F401
 from mcos_tpu.engine.slv import SLVEngine  # noqa: F401
+from mcos_tpu.engine.termsvj import (  # noqa: F401
+    TDSVJEngine,
+    bootstrap_calibrate_td,
+)
 from mcos_tpu.engine.volderivs import VolDerivsEngine  # noqa: F401
 from mcos_tpu.engine.margin import MarginEngine  # noqa: F401
 from mcos_tpu.ops.dividends import DividendSchedule  # noqa: F401

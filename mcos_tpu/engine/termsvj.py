@@ -1,0 +1,326 @@
+"""Consistent term-structure SVJ engine: one process, many expiries.
+
+The reference's term-structure support (engine/models.py:88-144) and this
+repo's `price_term_structure` / `calibrate_term_structure` price each expiry
+under its OWN constant-parameter SVJ — adequate per-slice, but the slices
+describe mutually inconsistent dynamics (the model implied by the 6M expiry
+disagrees with the 1Y model about the first 6 months, so any product whose
+value depends on the *path* across expiries — forward-starts, cliquets,
+autocalls — has no well-defined price). This engine upgrades that to ONE
+piecewise-constant time-dependent SVJ process (ops/tdsvj.py):
+
+- `TDSVJEngine` — MC pricing under td dynamics with the same estimator stack
+  as `MonteCarloEngine` (antithetic pairs, GBM-companion control variate,
+  pair-pooled stderr), backed by the td scan off-TPU and the fused td Pallas
+  kernel on TPU; plus the exact chained-Riccati COS oracle (`cos_chain`).
+- `bootstrap_calibrate_td` — the market-standard sequential bootstrap: fit
+  segment s's (θ_s, ξ_s, λ_s) to expiry T_s's chain with segments 1..s−1
+  frozen, using the td COS objective (no MC in the loop). Earlier expiries
+  are UNCHANGED by later fits — exact repricing of the whole strip under one
+  consistent model, which the reference cannot do at all.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcos_tpu.engine.pricer import _finalize_price, _payoff_table
+from mcos_tpu.models.params import SVJParams, TermStructureSVJ
+from mcos_tpu.ops import simulate
+from mcos_tpu.ops.tdsvj import (cos_price_td, normalize_segments,
+                                segments_from_term_structure,
+                                simulate_terminal_td, step_param_arrays)
+
+logger = logging.getLogger("termsvj")
+
+Array = jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "is_call", "antithetic",
+                     "control_variate", "cv_beta"),
+)
+def mc_price_td_core(
+    params: SVJParams,
+    theta_t: Array,
+    xi_t: Array,
+    lam_t: Array,
+    spot,
+    strikes: Array,
+    T,
+    key: Array,
+    *,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    antithetic: bool = True,
+    control_variate: bool = True,
+    cv_beta: str = "optimal",
+) -> Dict[str, Array]:
+    """`mc_price_core` under time-dependent (θ, ξ, λ) dynamics.
+
+    Same estimator stack (payoff table → antithetic pooling → companion CV →
+    pair-pooled stderr); defaults to β* CV since time-varying ξ/λ decorrelate
+    the SVJ payoff from its constant-σ GBM companion more than the constant
+    model does.
+    """
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    s_final, v_final, g_final = simulate_terminal_td(
+        params, theta_t, xi_t, lam_t, spot, T, key,
+        num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
+        companion=control_variate,
+    )
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+    pay = _payoff_table(s_final, strikes, is_call)
+    out = _finalize_price(params, spot, strikes, T, discount,
+                          pay, s_final, g_final, is_call,
+                          control_variate, "companion", cv_beta)
+    out["s_mean"] = jnp.mean(s_final)
+    out["v_mean"] = jnp.mean(v_final)
+    out["v_max"] = jnp.max(v_final)
+    out["frac_nonfinite"] = jnp.mean(~jnp.isfinite(s_final))
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "is_call", "antithetic",
+                     "control_variate", "cv_beta"),
+)
+def mc_price_td_pallas(
+    params: SVJParams,
+    theta_t: Array,
+    xi_t: Array,
+    lam_t: Array,
+    spot,
+    strikes: Array,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    antithetic: bool = True,
+    control_variate: bool = True,
+    cv_beta: str = "optimal",
+) -> Dict[str, Array]:
+    """`mc_price_td_core` with terminals from the fused td Pallas kernel."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_td_pallas
+
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    s_final, v_final, g_final = svj_terminal_td_pallas(
+        params, theta_t, xi_t, lam_t, spot, T, seed,
+        num_paths=num_paths, num_steps=num_steps, antithetic=antithetic,
+        companion=control_variate,
+    )
+    discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+    pay = _payoff_table(s_final, strikes, is_call)
+    out = _finalize_price(params, spot, strikes, T, discount,
+                          pay, s_final, g_final, is_call,
+                          control_variate, "companion", cv_beta)
+    out["s_mean"] = jnp.mean(s_final)
+    out["v_mean"] = jnp.mean(v_final)
+    out["v_max"] = jnp.max(v_final)
+    out["frac_nonfinite"] = jnp.mean(~jnp.isfinite(s_final))
+    return out
+
+
+class TDSVJEngine:
+    """Pricing engine for the piecewise-constant time-dependent SVJ model.
+
+    Args:
+        params: global (κ, ρ, v0, μ_J, σ_J, r, q); its (θ, ξ, λ) fields are
+            ignored — the segment arrays supply them.
+        seg_ends/thetas/xis/lams: ascending segment right edges (years) and
+            per-segment levels. Maturities beyond the last edge extend it
+            flat; shorter maturities use the covering prefix (tdsvj.
+            normalize_segments).
+        backend: "scan" | "pallas" | "auto" (pallas on TPU, scan elsewhere —
+            MonteCarloEngine convention).
+    """
+
+    def __init__(
+        self,
+        params: SVJParams,
+        seg_ends: Sequence[float],
+        thetas: Sequence[float],
+        xis: Sequence[float],
+        lams: Sequence[float],
+        num_paths: int = 200_000,
+        num_steps: int = 512,
+        seed: int = 42,
+        backend: str = "auto",
+        control_variate: bool = True,
+    ):
+        self.params = params
+        self.seg_ends = np.asarray(seg_ends, np.float64)
+        self.thetas = np.asarray(thetas, np.float64)
+        self.xis = np.asarray(xis, np.float64)
+        self.lams = np.asarray(lams, np.float64)
+        if not (self.seg_ends.shape == self.thetas.shape == self.xis.shape
+                == self.lams.shape) or self.seg_ends.size == 0:
+            raise ValueError("segment arrays must share one nonzero length")
+        self.num_paths = num_paths
+        self.num_steps = num_steps
+        self.seed = seed
+        self.backend = backend
+        self.control_variate = control_variate
+
+    @classmethod
+    def from_term_structure(
+        cls, ts: TermStructureSVJ, horizon: float, n_segments: int = 8,
+        **kwargs,
+    ) -> "TDSVJEngine":
+        """Forward-strip a `TermStructureSVJ`'s maturity curves into one
+        consistent process (tdsvj.segments_from_term_structure)."""
+        ends, th, xi, lam = segments_from_term_structure(
+            ts, horizon, n_segments)
+        params = SVJParams(
+            kappa=ts.kappa, theta=float(th[0]), xi=float(xi[0]),
+            rho=ts.rho, v0=ts.v0, lambda_j=float(lam[0]), mu_j=ts.mu_j,
+            sigma_j=ts.sigma_j, r=ts.r, q=ts.q)
+        return cls(params, ends, th, xi, lam, **kwargs)
+
+    def _resolved_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    def _step_arrays(self, T: float):
+        ends, th, xi, lam = normalize_segments(
+            self.seg_ends, self.thetas, self.xis, self.lams, T)
+        return step_param_arrays(ends, th, xi, lam, T, self.num_steps)
+
+    def price_batch(self, spot: float, strikes, T: float,
+                    is_call: bool = True) -> List[Dict]:
+        """European chain at one expiry off one shared td path set."""
+        th_t, xi_t, lam_t = self._step_arrays(float(T))
+        strikes_arr = jnp.asarray(np.atleast_1d(strikes), jnp.float32)
+        common = dict(num_paths=self.num_paths, num_steps=self.num_steps,
+                      is_call=is_call, control_variate=self.control_variate)
+        if self._resolved_backend() == "pallas":
+            res = mc_price_td_pallas(
+                self.params, th_t, xi_t, lam_t, spot, strikes_arr, T,
+                self.seed, **common)
+        else:
+            res = mc_price_td_core(
+                self.params, th_t, xi_t, lam_t, spot, strikes_arr, T,
+                jax.random.PRNGKey(self.seed), **common)
+        price = np.asarray(res["price"])
+        se = np.asarray(res["std_error"])
+        raw = np.asarray(res["raw_mc_price"])
+        return [
+            {"strike": float(k), "price": float(price[i]),
+             "std_error": float(se[i]), "raw_mc_price": float(raw[i])}
+            for i, k in enumerate(np.atleast_1d(strikes))
+        ]
+
+    def price(self, spot: float, strike: float, T: float,
+              is_call: bool = True) -> Dict:
+        return self.price_batch(spot, [strike], T, is_call)[0]
+
+    def cos_chain(self, spot: float, strikes, T: float,
+                  is_call: bool = True) -> np.ndarray:
+        """Exact chained-Riccati COS prices (the oracle the MC is pinned to)."""
+        return cos_price_td(self.params, spot, strikes, T, self.seg_ends,
+                            self.thetas, self.xis, self.lams, is_call)
+
+    def segments_dict(self) -> Dict:
+        return {
+            "seg_ends": self.seg_ends.tolist(),
+            "thetas": self.thetas.tolist(),
+            "xis": self.xis.tolist(),
+            "lams": self.lams.tolist(),
+        }
+
+
+def bootstrap_calibrate_td(
+    spot: float,
+    maturities,
+    strikes,
+    market_prices,
+    shared: SVJParams,
+    is_call: bool = True,
+    vega_weights=None,
+    seed: int = 42,
+    maxiter: int = 120,
+) -> Dict:
+    """Sequential segment bootstrap of the td SVJ model.
+
+    Maturities ascending define the segment grid (segment s = (T_{s−1}, T_s]).
+    For each s, fit (θ_s, ξ_s, λ_s) to expiry T_s's chain via the td COS
+    price with earlier segments FROZEN — so adding a later expiry never
+    reprices an earlier one (the defining property a per-maturity constant
+    model lacks). `shared` supplies (κ, ρ, v0, μ_J, σ_J, r, q), e.g. from
+    `CalibrationEngine.calibrate_fast` on the longest expiry.
+
+    Args:
+        market_prices: (num_maturities, num_strikes).
+        vega_weights: optional same-shape weights (default uniform).
+
+    Returns dict with the fitted `TDSVJEngine` segment arrays + per-expiry
+    objective values.
+    """
+    from scipy.optimize import differential_evolution as scipy_de
+
+    from mcos_tpu.config import TERM_STRUCTURE_BOUNDS
+
+    maturities = np.asarray(maturities, np.float64)
+    strikes = np.asarray(strikes, np.float64)
+    market_prices = np.asarray(market_prices, np.float64)
+    if np.any(np.diff(maturities) <= 0):
+        raise ValueError("maturities must be strictly ascending")
+    if market_prices.shape != (maturities.size, strikes.size):
+        raise ValueError("market_prices must be (num_maturities, num_strikes)")
+    if vega_weights is None:
+        vega_weights = np.ones_like(market_prices)
+    vega_weights = np.asarray(vega_weights, np.float64)
+
+    bounds = [list(TERM_STRUCTURE_BOUNDS["theta_T"]),
+              list(TERM_STRUCTURE_BOUNDS["xi_T"]),
+              list(TERM_STRUCTURE_BOUNDS["lambda_T"])]
+
+    seg_ends: List[float] = []
+    thetas: List[float] = []
+    xis: List[float] = []
+    lams: List[float] = []
+    errors: Dict[float, float] = {}
+
+    for i, T_i in enumerate(maturities):
+        w = vega_weights[i]
+        market_i = market_prices[i]
+        trial_ends = np.asarray(seg_ends + [float(T_i)])
+
+        def obj(x, trial_ends=trial_ends, T_i=T_i, w=w, market_i=market_i):
+            th = np.asarray(thetas + [x[0]])
+            xi = np.asarray(xis + [x[1]])
+            lam = np.asarray(lams + [x[2]])
+            model = cos_price_td(shared, spot, strikes, float(T_i),
+                                 trial_ends, th, xi, lam, is_call)
+            return float(np.sum(w * (model - market_i) ** 2))
+
+        res = scipy_de(obj, bounds, maxiter=maxiter, tol=1e-10,
+                       seed=seed + i, polish=True)
+        seg_ends.append(float(T_i))
+        thetas.append(float(res.x[0]))
+        xis.append(float(res.x[1]))
+        lams.append(float(res.x[2]))
+        errors[float(T_i)] = float(res.fun)
+        logger.info("td bootstrap segment %d (T=%.3f): θ=%.4f ξ=%.3f λ=%.3f "
+                    "err=%.6g", i, T_i, res.x[0], res.x[1], res.x[2], res.fun)
+
+    return {
+        "seg_ends": np.asarray(seg_ends),
+        "thetas": np.asarray(thetas),
+        "xis": np.asarray(xis),
+        "lams": np.asarray(lams),
+        "errors": errors,
+        "shared": shared,
+    }

@@ -1473,3 +1473,164 @@ def svcj_terminal_pallas(
         return x.reshape(n_branch, padded)[:, :num_paths]
 
     return split(s), split(v), (split(g) if companion else None)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Time-dependent SVJ kernel (piecewise-constant θ(t), ξ(t), λ(t))
+# ─────────────────────────────────────────────────────────────────────────────
+def _svj_td_kernel(seed_ref, p_ref, td_ref, s_ref, v_ref, g_ref, *,
+                   num_steps: int, rows: int, half_grid: int,
+                   companion: bool):
+    """Time-dependent twin of `_svj_kernel` (see ops/tdsvj.py).
+
+    `td_ref` is a (4, num_steps) f32 SMEM table with rows (θᵢ, ξᵢ, λᵢ·dt,
+    drift_dtᵢ); the loop reads four scalars per step — noise against the
+    (rows × 128) vector work. Everything else (two-steps-per-iteration
+    Box-Muller pairing, antithetic paired blocks, log(S/S0) carry) matches
+    the constant-param kernel. The compound-jump identity survives time
+    dependence: jump *sizes* are iid N(μ_J, σ_J²) regardless of arrival
+    time, so only the Bernoulli count picks up λᵢ and ONE end-of-path
+    normal still materializes the summed sizes exactly.
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    pltpu.prng_seed(seed_ref[0], pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    spot = p_ref[_P_SPOT]
+    dt = p_ref[_P_DT]
+    sqrt_dt = p_ref[_P_SQRT_DT]
+    kappa = p_ref[_P_KAPPA]
+    rho, rho_perp = p_ref[_P_RHO], p_ref[_P_RHO_PERP]
+    mu_j, sig_j = p_ref[_P_MU_J], p_ref[_P_SIG_J]
+    g_drift_dt = p_ref[_P_G_DRIFT_DT]
+    sig_cv = p_ref[_P_SIG_CV]
+
+    def one_step(step_idx, log_s, v, log_g, n_jump, z1, z2, u_jump):
+        theta_i = td_ref[0, step_idx]
+        xi_i = td_ref[1, step_idx]
+        lam_dt_i = td_ref[2, step_idx]
+        drift_dt_i = td_ref[3, step_idx]
+        v_pos = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_pos)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+        n_jump = n_jump + jnp.where(u_jump < lam_dt_i, 1.0, 0.0)
+        log_s = log_s + (drift_dt_i - 0.5 * v_pos * dt) + sqrt_v * dw1
+        v = jnp.maximum(v_pos + kappa * (theta_i - v_pos) * dt
+                        + xi_i * sqrt_v * dw2, 0.0)
+        if companion:
+            log_g = log_g + g_drift_dt + sig_cv * dw1
+        return log_s, v, log_g, n_jump
+
+    def body(i, carry):
+        log_s, v, log_g, n_jump = carry
+        bits = pltpu.prng_random_bits((6, rows, LANES))
+        u = [_bits_to_uniform(bits[j]) for j in range(6)]
+        z_a, z_b = _boxmuller(u[0], u[1])
+        z_c, z_d = _boxmuller(u[2], u[3])
+        log_s, v, log_g, n_jump = one_step(2 * i, log_s, v, log_g, n_jump,
+                                           z_a * sign, z_b * sign, u[4])
+        log_s, v, log_g, n_jump = one_step(2 * i + 1, log_s, v, log_g,
+                                           n_jump, z_c * sign, z_d * sign,
+                                           u[5])
+        return log_s, v, log_g, n_jump
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (zeros, jnp.full(shape, p_ref[_P_V0], jnp.float32), zeros, zeros)
+    log_s, v, log_g, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
+                                                init)
+
+    if num_steps % 2 == 1:  # static tail step
+        bits = pltpu.prng_random_bits((3, rows, LANES))
+        u = [_bits_to_uniform(bits[j]) for j in range(3)]
+        z1, z2 = _boxmuller(u[0], u[1])
+        log_s, v, log_g, n_jump = one_step(num_steps - 1, log_s, v, log_g,
+                                           n_jump, z1 * sign, z2 * sign,
+                                           u[2])
+
+    bits = pltpu.prng_random_bits((2, rows, LANES))
+    z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
+                            _bits_to_uniform(bits[1]))
+    log_s = log_s + mu_j * n_jump + sig_j * jnp.sqrt(n_jump) * (
+        z_total * sign)
+
+    s_ref[:] = spot * jnp.exp(log_s)
+    v_ref[:] = v
+    if companion:
+        g_ref[:] = spot * jnp.exp(log_g)
+    else:
+        g_ref[:] = jnp.zeros(shape, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "antithetic", "companion",
+                     "rows"),
+)
+def svj_terminal_td_pallas(
+    params: SVJParams,
+    theta_t: Array,
+    xi_t: Array,
+    lam_t: Array,
+    spot,
+    T,
+    seed,
+    *,
+    num_paths: int,
+    num_steps: int,
+    antithetic: bool = True,
+    companion: bool = False,
+    rows: int = DEFAULT_ROWS,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """Fused-TPU-kernel drop-in for `tdsvj.simulate_terminal_td`.
+
+    `theta_t/xi_t/lam_t` are (num_steps,) per-step levels (tdsvj.
+    step_param_arrays). Same padding/slicing contract as
+    `svj_terminal_pallas`; constant arrays reproduce that kernel's law
+    (TPU-gated statistical pin in tests/test_pallas.py).
+    """
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    dt = f32(T) / num_steps
+    k_bar = jnp.exp(f32(params.mu_j) + 0.5 * f32(params.sigma_j) ** 2) - 1.0
+    lam_t = f32(lam_t)
+    td_table = jnp.stack([
+        f32(theta_t),
+        f32(xi_t),
+        lam_t * dt,
+        (f32(params.r) - f32(params.q) - lam_t * k_bar) * dt,
+    ])
+
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(
+        _svj_td_kernel, num_steps=num_steps, rows=rows,
+        half_grid=half_grid, companion=companion,
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+
+    s, v, g = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (4, steps) td table
+        ],
+        out_specs=(block_spec, block_spec, block_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), _pack_params(params, spot, T, num_steps),
+      td_table)
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(s), split(v), (split(g) if companion else None)

@@ -355,3 +355,50 @@ def test_svcj_kernel_matches_scan_and_oracle():
     se_s = disc * float(pay_s.std()) / np.sqrt(pay_s.shape[0])
     joint = np.hypot(se_k, se_s)
     assert abs(mc_k - mc_s) < 4 * joint
+
+
+def test_td_kernel_compiles_and_shape():
+    """Interpreter smoke test for the time-dependent SVJ kernel."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_td_pallas
+
+    p = SVJParams()
+    ones = np.ones(STEPS, np.float32)
+    sv, vv, gv = svj_terminal_td_pallas(
+        p, ones * p.theta, ones * p.xi, ones * p.lambda_j, 100.0, 0.5, 3,
+        num_paths=N, num_steps=STEPS, companion=True, rows=8)
+    for a in (sv, vv, gv):
+        assert a.shape == (2, N)
+        assert bool(jnp.all(jnp.isfinite(a)))
+    assert bool(jnp.all(vv >= 0.0))
+
+
+@tpu_only
+def test_td_kernel_matches_td_scan_and_cos():
+    """The td Pallas kernel implements the same dynamics as the td scan:
+    both must hit the chained-Riccati COS oracle on strongly time-varying
+    segments (the constant-param analogue of
+    test_svj_kernel_matches_scan_statistics)."""
+    from mcos_tpu.ops.pallas_kernels import svj_terminal_td_pallas
+    from mcos_tpu.ops.tdsvj import (cos_price_td, normalize_segments,
+                                    step_param_arrays)
+
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.5, rho=-0.7, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.07, sigma_j=0.12, r=0.065, q=0.012)
+    spot, T = 22500.0, 0.25
+    ends, th, xi, lam = normalize_segments(
+        [0.10, 0.25], [0.02, 0.09], [0.8, 0.3], [3.0, 0.5], T)
+    n, steps = 1 << 20, 512
+    th_t, xi_t, lam_t = step_param_arrays(ends, th, xi, lam, T, steps)
+
+    strike = spot
+    exact = float(cos_price_td(p, spot, [strike], T, ends, th, xi, lam)[0])
+
+    s_pal, v_pal, _ = svj_terminal_td_pallas(
+        p, th_t, xi_t, lam_t, spot, T, 23, num_paths=n, num_steps=steps)
+    pay = jnp.maximum(s_pal - strike, 0.0).mean(axis=0)
+    disc = float(np.exp(-p.r * T))
+    mc = disc * float(pay.mean())
+    se = disc * float(pay.std()) / np.sqrt(n)
+    tol = 5 * se + 0.0015 * exact
+    assert abs(mc - exact) < tol, f"MC={mc:.3f} COS={exact:.3f} tol={tol:.3f}"
+    assert bool(jnp.all(v_pal >= 0.0))

@@ -1,0 +1,92 @@
+"""TDSVJEngine + sequential bootstrap calibration of consistent td dynamics."""
+
+import numpy as np
+import pytest
+
+from mcos_tpu.engine.termsvj import (TDSVJEngine, bootstrap_calibrate_td)
+from mcos_tpu.models.params import SVJParams, TermStructureSVJ
+from mcos_tpu.ops.tdsvj import cos_price_td
+
+S = 22500.0
+R, Q = 0.065, 0.012
+SHARED = SVJParams(kappa=3.0, theta=0.06, xi=0.5, rho=-0.7, v0=0.04,
+                   lambda_j=1.5, mu_j=-0.07, sigma_j=0.12, r=R, q=Q)
+
+
+def test_engine_mc_matches_cos_chain():
+    """The engine's MC chain must hit its own COS oracle within bands."""
+    eng = TDSVJEngine(SHARED, [0.1, 0.25], [0.02, 0.09], [0.8, 0.3],
+                      [3.0, 0.5], num_paths=200_000, num_steps=256,
+                      seed=5, backend="scan")
+    strikes = np.array([0.95, 1.0, 1.05]) * S
+    T = 0.25
+    exact = eng.cos_chain(S, strikes, T)
+    rows = eng.price_batch(S, strikes, T)
+    for i, row in enumerate(rows):
+        tol = 4 * row["std_error"] + 0.002 * exact[i]
+        assert abs(row["price"] - exact[i]) < tol, (
+            f"K={strikes[i]}: MC={row['price']:.3f} COS={exact[i]:.3f}")
+
+
+def test_engine_cv_reduces_stderr():
+    """The companion CV must not hurt (β* estimate) — compare stderrs."""
+    kw = dict(num_paths=100_000, num_steps=128, seed=7, backend="scan")
+    cv = TDSVJEngine(SHARED, [0.25], [0.06], [0.5], [1.5],
+                     control_variate=True, **kw)
+    raw = TDSVJEngine(SHARED, [0.25], [0.06], [0.5], [1.5],
+                      control_variate=False, **kw)
+    row_cv = cv.price(S, S, 0.25)
+    row_raw = raw.price(S, S, 0.25)
+    assert row_cv["std_error"] < row_raw["std_error"]
+
+
+def test_engine_from_term_structure():
+    ts = TermStructureSVJ(kappa=3.0, rho=-0.7, mu_j=-0.05, sigma_j=0.1,
+                          v0=0.04, theta_curve={0.1: 0.04, 1.0: 0.09},
+                          xi_curve={0.1: 0.7, 1.0: 0.5},
+                          lambda_curve={0.1: 1.5, 1.0: 1.0})
+    eng = TDSVJEngine.from_term_structure(ts, horizon=1.0, n_segments=4,
+                                          num_paths=50_000, num_steps=64,
+                                          backend="scan")
+    assert eng.seg_ends.size == 4 and eng.seg_ends[-1] == pytest.approx(1.0)
+    row = eng.price(S, S, 0.5)
+    assert row["price"] > 0 and np.isfinite(row["std_error"])
+
+
+def test_bootstrap_recovers_segments():
+    """Round trip: synth market chains from known segments → bootstrap must
+    reprice every expiry to ~exactly (errors ≪ 1 rupee²) and reproduce the
+    td price function."""
+    true_ends = np.array([0.10, 0.30])
+    true_th = np.array([0.03, 0.08])
+    true_xi = np.array([0.70, 0.40])
+    true_lam = np.array([2.00, 0.80])
+    strikes = np.array([0.92, 0.96, 1.0, 1.04, 1.08]) * S
+    mats = true_ends
+    market = np.stack([
+        cos_price_td(SHARED, S, strikes, float(T), true_ends, true_th,
+                     true_xi, true_lam)
+        for T in mats
+    ])
+
+    fit = bootstrap_calibrate_td(S, mats, strikes, market, SHARED,
+                                 seed=11, maxiter=80)
+    np.testing.assert_allclose(fit["seg_ends"], true_ends)
+    for T_i, err in fit["errors"].items():
+        assert err < 1e-2, f"T={T_i}: sse={err}"
+
+    # Repricing the strip under the fitted segments matches the market.
+    for i, T in enumerate(mats):
+        model = cos_price_td(SHARED, S, strikes, float(T), fit["seg_ends"],
+                             fit["thetas"], fit["xis"], fit["lams"])
+        np.testing.assert_allclose(model, market[i], atol=0.25)
+
+
+def test_bootstrap_validates_inputs():
+    strikes = np.array([S])
+    with pytest.raises(ValueError):
+        bootstrap_calibrate_td(S, [0.3, 0.1], strikes, np.zeros((2, 1)),
+                               SHARED)
+    with pytest.raises(ValueError):
+        bootstrap_calibrate_td(S, [0.1, 0.3], strikes, np.zeros((3, 1)),
+                               SHARED)
