@@ -615,3 +615,48 @@ class CalibrateRequest(BaseModel):
     bid_ask_spreads: Optional[list[float]] = None
     atm_vol: float = 0.15
     num_paths: int = Field(100_000, **_PATHS)
+
+
+class TermSVJSegment(BaseModel):
+    """One piecewise-constant segment of the time-dependent SVJ model:
+    (θ, ξ, λ) on calendar time up to `t_end` (years). Bounds mirror
+    TERM_STRUCTURE_BOUNDS (config.py)."""
+    t_end: float = Field(gt=0.0, le=30.0)
+    theta: float = Field(0.04, ge=0.005, le=2.0)
+    xi: float = Field(0.5, ge=0.05, le=5.0)
+    lambda_j: float = Field(1.0, ge=0.0, le=20.0)
+
+
+class TermSVJRequest(BaseModel):
+    """POST /api/termsvj — ONE consistent time-dependent SVJ process
+    (ops/tdsvj.py; the reference's term structure swaps whole param sets
+    per maturity, engine/models.py:88-144, which is path-inconsistent).
+
+    Modes: price (td MC + exact td-COS), compare (MC-vs-oracle rows),
+    smile (exact COS-implied vols), calibrate (sequential segment
+    bootstrap against per-expiry chains)."""
+    spot: float = Field(gt=0)
+    T: float = Field(0.25, gt=0, le=10.0)
+    mode: str = "price"
+    strike: float = 0.0                      # 0 → ATM
+    strikes: Optional[list[float]] = Field(None, max_length=MAX_GRID_POINTS)
+    is_call: bool = True
+    # Global (κ, ρ, v0, μ_J, σ_J, r, q); its θ/ξ/λ are ignored in favor of
+    # the segments.
+    params: SVJParamsRequest = SVJParamsRequest()
+    segments: list[TermSVJSegment] = Field(default_factory=list,
+                                           max_length=64)
+    num_paths: int = Field(200_000, **_PATHS)
+    num_steps: int = Field(512, ge=4, le=8192)
+    # calibrate mode inputs: one chain per maturity.
+    maturities: Optional[list[float]] = Field(None,
+                                              max_length=MAX_GRID_POINTS)
+    market_prices: Optional[list[list[float]]] = None
+
+    @model_validator(mode="after")
+    def _segments_ascending(self):
+        ends = [s.t_end for s in self.segments]
+        if any(b <= a for a, b in zip(ends, ends[1:])):
+            raise ValueError("segment t_end values must be strictly "
+                             "ascending")
+        return self

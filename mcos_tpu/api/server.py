@@ -1025,6 +1025,87 @@ def handle_svcj(body: dict) -> dict:
     return out
 
 
+def handle_termsvj(body: dict) -> dict:
+    """POST /api/termsvj — consistent time-dependent SVJ (ops/tdsvj.py).
+
+    One piecewise-constant (θ(t), ξ(t), λ(t)) process across all expiries —
+    the reference's term structure swaps whole parameter sets per maturity
+    (engine/models.py:88-144), which is path-inconsistent. Modes: price
+    (td MC + exact chained-Riccati COS), compare (per-strike MC-vs-oracle),
+    smile (exact COS-implied vols), calibrate (sequential segment
+    bootstrap)."""
+    from mcos_tpu.engine.termsvj import TDSVJEngine, bootstrap_calibrate_td
+
+    req = schemas.TermSVJRequest(**body)
+    start = time.time()
+    shared = req.params.to_params()
+
+    if req.mode == "calibrate":
+        if not req.maturities or req.market_prices is None:
+            raise ApiError(400, "calibrate mode needs maturities and "
+                                "market_prices (one chain per maturity)")
+        if not req.strikes:
+            raise ApiError(400, "calibrate mode needs strikes")
+        try:
+            fit = bootstrap_calibrate_td(
+                req.spot, req.maturities, req.strikes,
+                np.asarray(req.market_prices, np.float64), shared,
+                is_call=req.is_call)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        return {
+            "segments": [
+                {"t_end": float(t), "theta": float(th), "xi": float(x),
+                 "lambda_j": float(lm)}
+                for t, th, x, lm in zip(fit["seg_ends"], fit["thetas"],
+                                        fit["xis"], fit["lams"])
+            ],
+            "errors": {str(k): v for k, v in fit["errors"].items()},
+            "elapsed_ms": round((time.time() - start) * 1000, 1),
+        }
+
+    if not req.segments:
+        raise ApiError(400, "need at least one segment")
+    seg_ends = [s.t_end for s in req.segments]
+    thetas = [s.theta for s in req.segments]
+    xis = [s.xi for s in req.segments]
+    lams = [s.lambda_j for s in req.segments]
+    eng = TDSVJEngine(shared, seg_ends, thetas, xis, lams,
+                      num_paths=req.num_paths, num_steps=req.num_steps)
+    strike = req.strike if req.strike > 0 else req.spot
+    strikes = req.strikes or [m * req.spot
+                              for m in (0.9, 0.95, 1.0, 1.05, 1.1)]
+
+    if req.mode == "price":
+        out = eng.price(req.spot, strike, req.T, req.is_call)
+        out["cos_price"] = float(
+            eng.cos_chain(req.spot, [strike], req.T, req.is_call)[0])
+        out["segments"] = eng.segments_dict()
+    elif req.mode == "compare":
+        exact = eng.cos_chain(req.spot, strikes, req.T, req.is_call)
+        rows = eng.price_batch(req.spot, strikes, req.T, req.is_call)
+        out = {"rows": [
+            {**row, "cos_price": float(exact[i]),
+             "abs_error_sigma": (abs(row["price"] - float(exact[i]))
+                                 / max(row["std_error"], 1e-12))}
+            for i, row in enumerate(rows)
+        ]}
+    elif req.mode == "smile":
+        prices = eng.cos_chain(req.spot, strikes, req.T, True)
+        smile = []
+        for k, p in zip(strikes, prices):
+            iv = implied_vol(float(p), req.spot, float(k), req.T,
+                             float(shared.r), float(shared.q), True)
+            smile.append({"strike": float(k), "price": float(p),
+                          "iv": iv if iv is not None else 0.0})
+        out = {"smile": smile}
+    else:
+        raise ApiError(400, f"unknown mode {req.mode!r} "
+                            "(price|compare|smile|calibrate)")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_quote(query: dict) -> dict:
     from mcos_tpu.api.quotes import fetch_quote
 
@@ -1080,6 +1161,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/modelrisk": handle_modelrisk,
     "/api/slv": handle_slv,
     "/api/svcj": handle_svcj,
+    "/api/termsvj": handle_termsvj,
     "/api/volderivs": handle_volderivs,
     "/api/margin": handle_margin,
 }

@@ -70,6 +70,12 @@ CASES = {
     "/api/slv": {**IV_GRID, "price_strikes": [SPOT], "T": 0.5, **TINY,
                  "num_steps": 16},
     "/api/svcj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16},
+    "/api/termsvj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16,
+                     "segments": [
+                         {"t_end": T / 2, "theta": 0.03, "xi": 0.7,
+                          "lambda_j": 2.0},
+                         {"t_end": T, "theta": 0.08, "xi": 0.4,
+                          "lambda_j": 0.5}]},
     "/api/volderivs": {"kind": "vix_future", "T": 0.5},
     "/api/margin": {"spot": SPOT, "strikes": [K], "Ts": [T],
                     "is_calls": [True], "quantities": [-1.0], **TINY},

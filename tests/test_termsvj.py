@@ -90,3 +90,58 @@ def test_bootstrap_validates_inputs():
     with pytest.raises(ValueError):
         bootstrap_calibrate_td(S, [0.1, 0.3], strikes, np.zeros((3, 1)),
                                SHARED)
+
+
+def test_api_termsvj_modes():
+    """The /api/termsvj handler: price/compare/smile/calibrate + 400s."""
+    from mcos_tpu.api import server as api
+
+    segs = [{"t_end": 0.1, "theta": 0.03, "xi": 0.7, "lambda_j": 2.0},
+            {"t_end": 0.25, "theta": 0.08, "xi": 0.4, "lambda_j": 0.5}]
+    base = {"spot": S, "T": 0.25, "segments": segs,
+            "num_paths": 20_000, "num_steps": 32}
+
+    out = api.handle_termsvj(dict(base))
+    assert out["price"] > 0 and "cos_price" in out and "segments" in out
+
+    cmp_out = api.handle_termsvj({**base, "mode": "compare",
+                                  "strikes": [S, 1.05 * S]})
+    assert len(cmp_out["rows"]) == 2
+    assert all("abs_error_sigma" in r for r in cmp_out["rows"])
+
+    sm = api.handle_termsvj({**base, "mode": "smile"})
+    assert len(sm["smile"]) == 5 and all(r["iv"] > 0 for r in sm["smile"])
+
+    with pytest.raises(api.ApiError):
+        api.handle_termsvj({**base, "segments": []})
+    with pytest.raises(api.ApiError):
+        api.handle_termsvj({**base, "mode": "calibrate"})
+    with pytest.raises(api.ApiError):
+        api.handle_termsvj({**base, "mode": "nope"})
+
+
+def test_api_termsvj_calibrate_roundtrip():
+    """Handler calibrate mode recovers segments from synthetic chains."""
+    from mcos_tpu.api import server as api
+
+    true = dict(seg_ends=np.array([0.1, 0.3]), th=np.array([0.03, 0.08]),
+                xi=np.array([0.7, 0.4]), lam=np.array([2.0, 0.8]))
+    # 5 strikes: 3 underdetermine (θ, ξ, λ) — a wrong segment-1 fit can
+    # reprice 3 points exactly and then poison the segment-2 bootstrap.
+    strikes = (np.array([0.92, 0.96, 1.0, 1.04, 1.08]) * S).tolist()
+    market = [
+        cos_price_td(SHARED, S, strikes, float(T), true["seg_ends"],
+                     true["th"], true["xi"], true["lam"]).tolist()
+        for T in true["seg_ends"]
+    ]
+    out = api.handle_termsvj({
+        "spot": S, "mode": "calibrate", "strikes": strikes,
+        "maturities": true["seg_ends"].tolist(), "market_prices": market,
+        "params": {"kappa": 3.0, "rho": -0.7, "v0": 0.04, "mu_j": -0.07,
+                   "sigma_j": 0.12, "r": R, "q": Q},
+    })
+    assert len(out["segments"]) == 2
+    # 3-strike chain: sub-rupee² SSE ⇒ ~0.02% relative repricing error
+    # (tight recovery is pinned by test_bootstrap_recovers_segments).
+    for err in out["errors"].values():
+        assert err < 1.0
