@@ -740,3 +740,95 @@ def _sharded_sobol_fn(mesh, ppd, n_global, num_steps, seed, is_call,
     spec = P()
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
                                  out_specs=spec, check_vma=False))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Time-dependent SVJ (piecewise-constant θ/ξ/λ — ops/tdsvj.py)
+# ─────────────────────────────────────────────────────────────────────────────
+def sharded_td_price(
+    params: SVJParams,
+    theta_t,
+    xi_t,
+    lam_t,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    control_variate: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded pricing under time-dependent (θ, ξ, λ) dynamics.
+
+    Same psum'd (n, Σ, Σ²) moment pooling as `sharded_price`; the per-step
+    parameter arrays are replicated (a few KB) and every device simulates
+    its own key-folded slice of the global path budget.
+    """
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-num_paths // n_dev)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    stats = _sharded_td_fn(mesh, ppd, num_steps, is_call, control_variate,
+                           axis_name)(
+        params, jnp.asarray(theta_t, jnp.float32),
+        jnp.asarray(xi_t, jnp.float32), jnp.asarray(lam_t, jnp.float32),
+        jnp.float32(spot), strikes, jnp.float32(T), key)
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    n = stats["n"]
+    mean = stats["sum"] / n
+    var = jnp.maximum(stats["sumsq"] / n - mean * mean, 0.0)
+    out = {"price": discount * mean,
+           "std_error": discount * jnp.sqrt(var / n),
+           "num_paths_used": n,
+           "v_max": stats["v_max"],
+           "frac_nonfinite": stats["nonfinite"] / (2.0 * n)}
+    if control_variate:
+        out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
+                                 jnp.sqrt(params.v0), is_call)
+    return out
+
+
+@lru_cache(maxsize=64)
+def _sharded_td_fn(mesh, ppd, num_steps, is_call, control_variate,
+                   axis_name):
+    """Build-once jitted shard_map for `sharded_td_price` (cache keyed on
+    mesh + static config — see _sharded_price_fn on why)."""
+    from mcos_tpu.ops.tdsvj import simulate_terminal_td
+
+    def local(params_, th_t, xi_t, lam_t, spot_, ks_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        s_final, v_final, g_final = simulate_terminal_td(
+            params_, th_t, xi_t, lam_t, spot_, T_, dev_key,
+            num_paths=ppd, num_steps=num_steps, antithetic=True,
+            companion=control_variate)
+        pay = simulate.combine_antithetic(
+            simulate.vanilla_payoff(
+                s_final[None], ks_[:, None, None], is_call).swapaxes(0, 1))
+        if control_variate:
+            discount = jnp.exp(-params_.r * T_)
+            bs_ref = bs_price(spot_, ks_, T_, params_.r, params_.q,
+                              jnp.sqrt(params_.v0), is_call)
+            ctrl = simulate.combine_antithetic(
+                simulate.vanilla_payoff(
+                    g_final[None], ks_[:, None, None],
+                    is_call).swapaxes(0, 1))
+            eff = pay - (ctrl - bs_ref[:, None] / discount)
+        else:
+            eff = pay
+        sums = {"n": jnp.float32(eff.shape[-1]),
+                "sum": jnp.sum(eff, axis=-1),
+                "sumsq": jnp.sum(eff * eff, axis=-1),
+                "nonfinite": jnp.sum(~jnp.isfinite(s_final))
+                .astype(jnp.float32)}
+        sums = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+        sums["v_max"] = jax.lax.pmax(jnp.max(v_final), axis_name)
+        return sums
+
+    spec = P()
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 8,
+                                 out_specs=spec, check_vma=False))

@@ -28,7 +28,7 @@ def main():
     import jax
 
     print("=" * 64)
-    print("mcos_tpu — engine smoke test (19 stages)")
+    print("mcos_tpu — engine smoke test (20 stages)")
     print("devices:", jax.devices())
     print("=" * 64)
 
@@ -274,6 +274,19 @@ def main():
           f"short-call margin={short['margin']:.2f}")
     check("hedged book margins zero", hedged["margin"] == 0.0)
     check("short option margins positive", short["margin"] > 0)
+
+    # 20. Time-dependent SVJ (td MC vs chained-Riccati COS)
+    stage("20. time-dependent SVJ (td MC vs segment-chained COS)")
+    from mcos_tpu.engine.termsvj import TDSVJEngine
+    td = TDSVJEngine(svj, [0.1, 0.25], [0.02, 0.09], [0.8, 0.3],
+                     [3.0, 0.5], num_paths=100_000, num_steps=128, seed=5)
+    row = td.price(22500.0, 22500.0, 0.25)
+    exact_td = float(td.cos_chain(22500.0, [22500.0], 0.25)[0])
+    gap = abs(row["price"] - exact_td)
+    tol = 4 * row["std_error"] + 0.002 * exact_td
+    print(f"    td MC={row['price']:.4f}  td COS={exact_td:.4f}  "
+          f"|diff|={gap:.4f}  tol={tol:.4f}")
+    check("td MC within oracle band", gap < tol)
 
     print("\n" + "=" * 64)
     if FAILURES:

@@ -453,3 +453,43 @@ def test_sharded_vmax_is_max_not_sum():
                                   num_paths=1 << 14, num_steps=32)
     assert "v_max" in q and "frac_nonfinite" in q
     assert np.isfinite(float(q["v_max"]))
+
+
+def test_sharded_td_price_matches_cos_oracle():
+    """Engine-wide sharding extends to the td-SVJ driver: the 8-device psum
+    price must hit the chained-Riccati COS oracle within joint bands."""
+    from mcos_tpu.ops.tdsvj import (cos_price_td, normalize_segments,
+                                    step_param_arrays)
+
+    svj = SVJParams(kappa=3.0, theta=0.06, xi=0.5, rho=-0.7, v0=0.04,
+                    lambda_j=1.5, mu_j=-0.07, sigma_j=0.12)
+    T = 0.25
+    ends, th, xi, lam = normalize_segments(
+        [0.1, 0.25], [0.02, 0.09], [0.8, 0.3], [3.0, 0.5], T)
+    steps = 128
+    th_t, xi_t, lam_t = step_param_arrays(ends, th, xi, lam, T, steps)
+    strikes = [22000.0, 22500.0, 23000.0]
+    exact = cos_price_td(svj, 22500.0, strikes, T, ends, th, xi, lam)
+
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_td_price(
+        svj, th_t, xi_t, lam_t, 22500.0, strikes, T, jax.random.key(2),
+        mesh=m, num_paths=160_000, num_steps=steps)
+    assert int(res["num_paths_used"]) >= 160_000
+    for i in range(3):
+        tol = 4 * float(res["std_error"][i]) + 0.004 * float(exact[i])
+        assert abs(float(res["price"][i]) - exact[i]) < tol, (
+            f"K={strikes[i]}: sharded={float(res['price'][i]):.3f} "
+            f"COS={exact[i]:.3f} tol={tol:.3f}")
+
+
+def test_sharded_td_price_deterministic():
+    p = gbm_params(0.2)
+    ones = np.ones(16, np.float32)
+    m = pmesh.make_mesh()
+    kw = dict(mesh=m, num_paths=16_000, num_steps=16)
+    r1 = pmesh.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
+                                100.0, [100.0], 0.5, jax.random.key(3), **kw)
+    r2 = pmesh.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
+                                100.0, [100.0], 0.5, jax.random.key(3), **kw)
+    assert float(r1["price"][0]) == float(r2["price"][0])

@@ -591,6 +591,36 @@ async function volDerivs() {
   finally { btn.disabled = false; btn.textContent = "Var/vol swap + VIX"; }
 }
 
+async function termStructure() {
+  const btn = $("ts-btn");
+  btn.disabled = true; btn.textContent = "pricing…";
+  try {
+    const segments = $("ts-segs").value.split(",").map((tok) => {
+      const [t_end, theta, xi, lambda_j] = tok.trim().split(":").map(Number);
+      if ([t_end, theta, xi, lambda_j].some((x) => !isFinite(x)))
+        throw new Error(`bad segment "${tok.trim()}" (want t:θ:ξ:λ)`);
+      return { t_end, theta, xi, lambda_j };
+    });
+    const T = Number($("days").value) / 252;
+    const out = await api("/api/termsvj", {
+      spot: Number($("spot").value), T,
+      strike: Number($("strike").value),
+      is_call: $("is-call").checked,
+      params: modelParams(), segments,
+      num_paths: Number($("paths").value), num_steps: 256,
+    });
+    const el = $("ts-out");
+    el.classList.remove("hidden");
+    const sig = Math.abs(out.price - out.cos_price) /
+      Math.max(out.std_error, 1e-12);
+    el.textContent = `td MC ${out.price.toFixed(2)} ± ` +
+      `${out.std_error.toFixed(2)} | exact COS ` +
+      `${out.cos_price.toFixed(2)} (${sig.toFixed(1)}σ) | ` +
+      `${out.elapsed_ms} ms`;
+  } catch (e) { alert(`term structure failed: ${e.message}`); }
+  finally { btn.disabled = false; btn.textContent = "td price vs exact COS"; }
+}
+
 async function loadSymbols() {
   try {
     universe = (await api("/api/symbols")).symbols;
@@ -737,6 +767,7 @@ async function init() {
   $("vd-btn").addEventListener("click", volDerivs);
   $("autocall-btn").addEventListener("click", autocallPrice);
   $("modelrisk-btn").addEventListener("click", modelRisk);
+  $("ts-btn").addEventListener("click", termStructure);
 }
 
 init();
