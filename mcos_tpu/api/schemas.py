@@ -648,6 +648,9 @@ class TermSVJRequest(BaseModel):
                                            max_length=64)
     num_paths: int = Field(200_000, **_PATHS)
     num_steps: int = Field(512, ge=4, le=8192)
+    # forward_start mode: reset date (years); `strike` is then the
+    # PERFORMANCE strike k in max(±(S_T/S_t1 − k), 0), defaulting to 1.0.
+    t1: Optional[float] = Field(None, gt=0.0, le=10.0)
     # calibrate mode inputs: one chain per maturity.
     maturities: Optional[list[float]] = Field(None,
                                               max_length=MAX_GRID_POINTS)

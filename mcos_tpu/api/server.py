@@ -1099,9 +1099,19 @@ def handle_termsvj(body: dict) -> dict:
             smile.append({"strike": float(k), "price": float(p),
                           "iv": iv if iv is not None else 0.0})
         out = {"smile": smile}
+    elif req.mode == "forward_start":
+        if not (req.t1 and 0.0 < req.t1 < req.T):
+            raise ApiError(400, "forward_start mode needs 0 < t1 < T")
+        k_perf = req.strike if req.strike > 0 else 1.0
+        try:
+            out = eng.price_forward_start(req.spot, req.t1, req.T,
+                                          k=k_perf, is_call=req.is_call)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        out["segments"] = eng.segments_dict()
     else:
         raise ApiError(400, f"unknown mode {req.mode!r} "
-                            "(price|compare|smile|calibrate)")
+                            "(price|compare|smile|forward_start|calibrate)")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

@@ -226,6 +226,59 @@ class TDSVJEngine:
               is_call: bool = True) -> Dict:
         return self.price_batch(spot, [strike], T, is_call)[0]
 
+    def price_forward_start(self, spot: float, t1: float, T: float,
+                            k: float = 1.0, is_call: bool = True) -> Dict:
+        """Forward-start performance option max(±(S_T/S_t₁ − k), 0) under
+        the td dynamics — the product class that *requires* one consistent
+        process (a per-maturity parameter swap has no single model covering
+        both t₁ and T, so this value is undefined there; here the same
+        segments that reprice the vanilla strip also price the path).
+
+        Companion CV: the GBM leg's forward-start price is exact
+        (`forward_start_bs` at σ=√v0); β* absorbs decorrelation.
+        """
+        from mcos_tpu.engine.cliquet import forward_start_bs
+        from mcos_tpu.ops.simulate import combine_antithetic, mc_mean_stderr
+        from mcos_tpu.ops.tdsvj import simulate_reset_td
+
+        if not 0.0 < t1 < T:
+            raise ValueError("need 0 < t1 < T for a forward start")
+        p = self.params
+        th_t, xi_t, lam_t = self._step_arrays(float(T))
+        split = min(max(int(round(t1 / T * self.num_steps)), 1),
+                    self.num_steps - 1)
+        s_r, s_T, g_r, g_T = simulate_reset_td(
+            p, th_t, xi_t, lam_t, spot, T, split,
+            jax.random.PRNGKey(self.seed), num_paths=self.num_paths,
+            num_steps=self.num_steps, companion=self.control_variate)
+        phi = 1.0 if is_call else -1.0
+        pay = combine_antithetic(jnp.maximum(phi * (s_T / s_r - k), 0.0))
+        discount = float(np.exp(-float(p.r) * T))
+        mean, se = mc_mean_stderr(pay)
+        t1_eff = split / self.num_steps * float(T)
+        out = {
+            "price": discount * float(mean),
+            "std_error": discount * float(se),
+            "t1_effective": t1_eff,
+            "num_paths_used": self.num_paths,
+        }
+        if self.control_variate:
+            ctrl = combine_antithetic(
+                jnp.maximum(phi * (g_T / g_r - k), 0.0))
+            ctrl_exact = forward_start_bs(
+                t1_eff, float(T), k, float(p.r), float(p.q),
+                float(np.sqrt(float(p.v0))), is_call)
+            ctrl_c = ctrl - jnp.mean(ctrl)
+            var_c = float(jnp.mean(ctrl_c**2))
+            beta = (float(jnp.mean((pay - jnp.mean(pay)) * ctrl_c))
+                    / max(var_c, 1e-12) if var_c > 1e-12 else 0.0)
+            adj = pay - beta * (ctrl - ctrl_exact / discount)
+            mean, se = mc_mean_stderr(adj)
+            out["price"] = discount * float(mean)
+            out["std_error"] = discount * float(se)
+            out["cv_beta"] = beta
+        return out
+
     def cos_chain(self, spot: float, strikes, T: float,
                   is_call: bool = True) -> np.ndarray:
         """Exact chained-Riccati COS prices (the oracle the MC is pinned to)."""

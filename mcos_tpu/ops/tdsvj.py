@@ -363,3 +363,70 @@ def simulate_terminal_td(
     (log_s, v, log_g), _ = jax.lax.scan(step, (log_s0, v0, log_s0), xs)
     return (spot * jnp.exp(log_s), v,
             (spot * jnp.exp(log_g) if companion else None))
+
+
+@partial(jax.jit, static_argnames=(
+    "num_paths", "num_steps", "companion", "dtype"))
+def simulate_reset_td(
+    params: SVJParams,
+    theta_t: Array,
+    xi_t: Array,
+    lam_t: Array,
+    spot,
+    T,
+    reset_step,
+    key: Array,
+    num_paths: int,
+    num_steps: int,
+    companion: bool = True,
+    dtype=jnp.float32,
+):
+    """`simulate_terminal_td` that also captures log S at a reset date.
+
+    `reset_step` ∈ [1, num_steps−1]: the reset falls after that many Euler
+    steps (t₁ = reset_step·dt). Returns (s_reset, s_T, g_reset, g_T), each
+    (2, num_paths) antithetic — the inputs to forward-start / cliquet-leg
+    payoffs, whose value depends on the *path across expiries* and is
+    therefore only well-defined under ONE consistent process (the whole
+    point of the td model; a per-maturity parameter swap gives no answer).
+    """
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / num_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:, None]
+
+    log_s0 = jnp.zeros((2, num_paths), dtype)
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (2, num_paths))
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    xs = (jnp.arange(num_steps),
+          jnp.asarray(theta_t, dtype),
+          jnp.asarray(xi_t, dtype),
+          jnp.asarray(lam_t, dtype))
+    reset_idx = jnp.asarray(reset_step, jnp.int32) - 1
+
+    def step(carry, x):
+        log_s, v, log_g, log_s_r, log_g_r = carry
+        step_idx, theta_i, xi_i, lam_i = x
+        p_i = params.replace(theta=theta_i, xi=xi_i, lambda_j=lam_i)
+        k_step = jax.random.fold_in(key, step_idx)
+        k_norm, k_unif = jax.random.split(k_step)
+        z = jax.random.normal(k_norm, (3, num_paths), dtype)
+        u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
+        log_s, v = _svj_step_core(p_i, dt, sqrt_dt, log_s, v,
+                                  z[0] * sign, z[1] * sign,
+                                  u_jump[None, :], z[2] * sign)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * z[0] * sign * sqrt_dt
+        hit = step_idx == reset_idx
+        log_s_r = jnp.where(hit, log_s, log_s_r)
+        log_g_r = jnp.where(hit, log_g, log_g_r)
+        return (log_s, v, log_g, log_s_r, log_g_r), None
+
+    (log_s, _, log_g, log_s_r, log_g_r), _ = jax.lax.scan(
+        step, (log_s0, v0, log_s0, log_s0, log_s0), xs)
+    return (spot * jnp.exp(log_s_r), spot * jnp.exp(log_s),
+            (spot * jnp.exp(log_g_r) if companion else None),
+            (spot * jnp.exp(log_g) if companion else None))

@@ -158,3 +158,51 @@ def test_segments_from_steeply_inverted_curve_stay_admissible():
     ts = TermStructureSVJ(xi_curve={0.1: 1.0, 1.0: 0.4})
     _, _, xi, _ = segments_from_term_structure(ts, 1.0, n_segments=8)
     assert np.all(xi >= 1e-4 - 1e-12) and np.all(np.isfinite(xi))
+
+
+def test_reset_simulator_degenerate_forward_start_matches_bs():
+    """ξ→0, λ=0, θ=v0 ⇒ the td forward start equals the closed-form BS
+    forward start (the reference's own degenerate-oracle trick,
+    verify.py:29-30, applied to the path-dependent product)."""
+    from mcos_tpu.engine.cliquet import forward_start_bs
+    from mcos_tpu.engine.termsvj import TDSVJEngine
+    from mcos_tpu.models.params import gbm_params
+
+    sigma = 0.2
+    p = gbm_params(sigma, r=R, q=Q)
+    eng = TDSVJEngine(p, [T], [sigma**2], [1e-4], [0.0],
+                      num_paths=200_000, num_steps=128, seed=9,
+                      backend="scan")
+    t1 = 0.125
+    out = eng.price_forward_start(S, t1, T, k=1.0, is_call=True)
+    exact = forward_start_bs(out["t1_effective"], T, 1.0, R, Q, sigma, True)
+    tol = max(5 * out["std_error"], 3e-4)
+    assert abs(out["price"] - exact) < tol, (out["price"], exact, tol)
+
+
+def test_td_forward_start_differs_from_constant_blend():
+    """On strongly time-varying segments the forward start must differ from
+    BOTH constant-parameter alternatives a per-maturity swap could offer —
+    the number only the consistent model can produce."""
+    from mcos_tpu.engine.cliquet import CliquetEngine
+    from mcos_tpu.engine.termsvj import TDSVJEngine
+
+    t1, k = 0.1, 1.0
+    eng_td = TDSVJEngine(BASE, SEG_ENDS, THETAS, XIS, LAMS,
+                         num_paths=200_000, num_steps=200, seed=3,
+                         backend="scan")
+    td = eng_td.price_forward_start(S, t1, T, k=k)
+
+    outs = []
+    for th, xi, lam in ((0.02, 0.8, 3.0), (0.09, 0.3, 0.5)):
+        ce = CliquetEngine(BASE.replace(theta=th, xi=xi, lambda_j=lam),
+                           num_paths=200_000, steps_per_period=100, seed=3)
+        outs.append(ce.price_forward_start(t1, T, k=k))
+    # Both engines price the unit-notional performance payoff, so values
+    # compare directly. The td price must be distinguishable from EITHER
+    # constant-parameter alternative beyond joint MC noise — a per-maturity
+    # swap can only ever produce one of those two numbers.
+    for o in outs:
+        noise = 5 * (td["std_error"] + o["std_error"])
+        assert abs(td["price"] - o["price"]) > noise, (
+            td["price"], o["price"], noise)

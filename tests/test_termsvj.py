@@ -145,3 +145,20 @@ def test_api_termsvj_calibrate_roundtrip():
     # (tight recovery is pinned by test_bootstrap_recovers_segments).
     for err in out["errors"].values():
         assert err < 1.0
+
+
+def test_api_termsvj_forward_start_mode():
+    from mcos_tpu.api import server as api
+
+    segs = [{"t_end": 0.1, "theta": 0.03, "xi": 0.7, "lambda_j": 2.0},
+            {"t_end": 0.25, "theta": 0.08, "xi": 0.4, "lambda_j": 0.5}]
+    out = api.handle_termsvj({
+        "spot": S, "T": 0.25, "mode": "forward_start", "t1": 0.1,
+        "segments": segs, "num_paths": 20_000, "num_steps": 50})
+    assert out["price"] > 0 and 0 < out["t1_effective"] < 0.25
+    with pytest.raises(api.ApiError):
+        api.handle_termsvj({"spot": S, "T": 0.25, "mode": "forward_start",
+                            "segments": segs})  # missing t1
+    with pytest.raises(api.ApiError):
+        api.handle_termsvj({"spot": S, "T": 0.25, "mode": "forward_start",
+                            "t1": 0.3, "segments": segs})  # t1 >= T
