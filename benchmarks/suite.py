@@ -449,6 +449,82 @@ def config10_rough_scaling(quick):
     return out
 
 
+def config11_td_svj(quick):
+    """Time-dependent SVJ: fused td-kernel sustained throughput (per-step
+    (θ, ξ, λ) table reads from SMEM) vs the constant-param kernel — the td
+    capability should cost ~nothing — plus the accuracy cross-check against
+    the chained-Riccati COS oracle on strongly time-varying segments."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcos_tpu.models.params import SVJParams
+    from mcos_tpu.ops.pallas_kernels import (svj_terminal_pallas,
+                                             svj_terminal_td_pallas)
+    from mcos_tpu.ops.tdsvj import (cos_price_td, normalize_segments,
+                                    step_param_arrays)
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "fused kernels are TPU-only"}
+
+    n, steps, chain = (1 << 20, 256, 2) if quick else (1 << 22, 1024, 4)
+    p = SVJParams(kappa=3.0, theta=0.06, xi=0.5, rho=-0.7, v0=0.04,
+                  lambda_j=1.5, mu_j=-0.07, sigma_j=0.12)
+    T = 1.0
+    ends, th, xi, lam = normalize_segments(
+        [0.3 * T, T], [0.02, 0.09], [0.8, 0.3], [3.0, 0.5], T)
+    th_t, xi_t, lam_t = (jnp.asarray(a, jnp.float32)
+                         for a in step_param_arrays(ends, th, xi, lam, T,
+                                                    steps))
+    out = {"workload": f"{chain} chained calls x 2^{n.bit_length() - 1} "
+                       f"paths x 2 branches x {steps} steps"}
+
+    @functools.partial(jax.jit, static_argnames=("model",))
+    def sustained(seed0, model):
+        acc = jnp.float32(0.0)
+        for i in range(chain):
+            if model == "td":
+                s, _, _ = svj_terminal_td_pallas(
+                    p, th_t, xi_t, lam_t, 22500.0, T, seed0 + i,
+                    num_paths=n, num_steps=steps)
+            else:
+                s, _, _ = svj_terminal_pallas(p, 22500.0, T, seed0 + i,
+                                              num_paths=n, num_steps=steps)
+            acc = acc + jnp.sum(jnp.maximum(s - 22500.0, 0.0))
+        return acc
+
+    for model in ("td", "const"):
+        _, ms = timed(lambda seed: sustained(seed, model), 0, trials=3)
+        out[f"{model}_path_steps_per_sec"] = round(
+            chain * 2 * n * steps / (ms / 1000))
+        out[f"{model}_latency_ms"] = round(ms, 1)
+    out["td_overhead_pct"] = round(
+        100 * (out["const_path_steps_per_sec"]
+               / max(out["td_path_steps_per_sec"], 1) - 1), 1)
+
+    # Accuracy: one 2^20-path td-kernel price vs the exact td COS oracle.
+    T_a, steps_a, n_a = 0.25, 512, 1 << 20
+    ends_a, th_a, xi_a, lam_a = normalize_segments(
+        [0.1, 0.25], [0.02, 0.09], [0.8, 0.3], [3.0, 0.5], T_a)
+    tt, xt, lt = step_param_arrays(ends_a, th_a, xi_a, lam_a, T_a, steps_a)
+    exact = float(cos_price_td(p, 22500.0, [22500.0], T_a, ends_a, th_a,
+                               xi_a, lam_a)[0])
+    s_fin, _, _ = svj_terminal_td_pallas(
+        p, jnp.asarray(tt, jnp.float32), jnp.asarray(xt, jnp.float32),
+        jnp.asarray(lt, jnp.float32), 22500.0, T_a, 31,
+        num_paths=n_a, num_steps=steps_a)
+    pay = jnp.maximum(s_fin - 22500.0, 0.0).mean(axis=0)
+    disc = float(np.exp(-p.r * T_a))
+    mc = disc * float(pay.mean())
+    se = disc * float(pay.std()) / float(np.sqrt(n_a))
+    out["oracle_check"] = {
+        "td_cos_exact": round(exact, 4), "td_kernel_mc": round(mc, 4),
+        "sigma_distance": round(abs(mc - exact) / max(se, 1e-12), 2),
+    }
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -471,7 +547,8 @@ def main():
                      ("config7_qe_accuracy", config7_qe_accuracy),
                      ("config8_sustained", config8_sustained),
                      ("config9_new_engines", config9_new_engines),
-                     ("config10_rough_scaling", config10_rough_scaling)]:
+                     ("config10_rough_scaling", config10_rough_scaling),
+                     ("config11_td_svj", config11_td_svj)]:
         if args.only and args.only not in name:
             continue
         try:

@@ -189,6 +189,30 @@ def main():
                     f"{book['net_option_value']:.2f}")
     assert book["margin"] > 0
 
+    # ── 17. structured desk: term-structure bootstrap → forward-start ─────
+    # Fit ONE consistent td process to two expiries' chains (COS objective,
+    # earlier segments frozen), then price the product only that model can
+    # price: a forward-start spanning both expiries.
+    from mcos_tpu.engine.termsvj import TDSVJEngine, bootstrap_calibrate_td
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    mats = np.array([T / 2, T])
+    chain_strikes = np.array([0.95, 1.0, 1.05]) * spot
+    synth = np.stack([
+        np.asarray(cos_price(fitted, spot, chain_strikes, float(m), True))
+        for m in mats
+    ])
+    fit_td = bootstrap_calibrate_td(spot, mats, chain_strikes, synth,
+                                    fitted, maxiter=60)
+    td_eng = TDSVJEngine(fitted, fit_td["seg_ends"], fit_td["thetas"],
+                         fit_td["xis"], fit_td["lams"],
+                         num_paths=60_000, num_steps=128, seed=21)
+    fs = td_eng.price_forward_start(spot, float(mats[0]), T, k=1.0)
+    stage("termsvj", f"bootstrap SSE {max(fit_td['errors'].values()):.4f} | "
+                     f"forward-start (t1={mats[0]:.3f}) "
+                     f"{fs['price']:.5f} ± {fs['std_error']:.5f}")
+    assert fs["price"] > 0 and max(fit_td["errors"].values()) < 5.0
+
     print("\nworkflow complete — all sanity checks passed")
 
 

@@ -651,6 +651,13 @@ class TermSVJRequest(BaseModel):
     # forward_start mode: reset date (years); `strike` is then the
     # PERFORMANCE strike k in max(±(S_T/S_t1 − k), 0), defaulting to 1.0.
     t1: Optional[float] = Field(None, gt=0.0, le=10.0)
+    # cliquet mode terms (CliquetRequest naming).
+    n_periods: int = Field(4, ge=1, le=64)
+    local_floor: float = 0.0
+    local_cap: float = 0.08
+    global_floor: float = 0.0
+    global_cap: float = 1e18
+    notional: float = Field(1.0, gt=0, le=1e12)
     # calibrate mode inputs: one chain per maturity.
     maturities: Optional[list[float]] = Field(None,
                                               max_length=MAX_GRID_POINTS)

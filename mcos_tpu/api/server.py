@@ -1109,9 +1109,16 @@ def handle_termsvj(body: dict) -> dict:
         except ValueError as e:
             raise ApiError(400, str(e))
         out["segments"] = eng.segments_dict()
+    elif req.mode == "cliquet":
+        out = eng.price_cliquet(
+            req.T, n_periods=req.n_periods, local_floor=req.local_floor,
+            local_cap=req.local_cap, global_floor=req.global_floor,
+            global_cap=req.global_cap, notional=req.notional)
+        out["segments"] = eng.segments_dict()
     else:
         raise ApiError(400, f"unknown mode {req.mode!r} "
-                            "(price|compare|smile|forward_start|calibrate)")
+                            "(price|compare|smile|forward_start|cliquet|"
+                            "calibrate)")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

@@ -279,6 +279,64 @@ class TDSVJEngine:
             out["cv_beta"] = beta
         return out
 
+    def price_cliquet(self, T: float, n_periods: int = 4,
+                      local_floor: float = 0.0, local_cap: float = 0.08,
+                      global_floor: float = 0.0,
+                      global_cap: float = float("inf"),
+                      notional: float = 1.0) -> Dict:
+        """Cliquet N·clip(Σⱼ clip(Rⱼ, f_loc, c_loc), f_glob, c_glob) under
+        td dynamics — per-period coupons accrue under DIFFERENT (θ, ξ, λ)
+        regimes, which is precisely what a per-maturity parameter swap
+        cannot represent (every period would need its own inconsistent
+        model). Control: the capped-sum cliquet on the GBM companion legs
+        with exact `cliquet_bs` expectation (β*)."""
+        from mcos_tpu.engine.cliquet import _cliquet_payoff, cliquet_bs
+        from mcos_tpu.ops.simulate import mc_mean_stderr
+
+        p = self.params
+        spp = max(self.num_steps // n_periods, 1)
+        n_steps = n_periods * spp
+        th_t, xi_t, lam_t = self._step_arrays(float(T))
+        if th_t.shape[0] != n_steps:  # num_steps not divisible by periods
+            ends, th, xi, lam = normalize_segments(
+                self.seg_ends, self.thetas, self.xis, self.lams, float(T))
+            th_t, xi_t, lam_t = step_param_arrays(ends, th, xi, lam,
+                                                  float(T), n_steps)
+        shape = (n_periods, spp)
+        dlog_s, dlog_g = _period_log_returns_td(
+            p, th_t.reshape(shape), xi_t.reshape(shape),
+            lam_t.reshape(shape), T, jax.random.PRNGKey(self.seed),
+            num_paths=self.num_paths, n_periods=n_periods,
+            steps_per_period=spp, companion=self.control_variate)
+        pay = notional * _cliquet_payoff(dlog_s, local_floor, local_cap,
+                                         global_floor, global_cap)
+        discount = float(np.exp(-float(p.r) * T))
+        mean, se = mc_mean_stderr(pay)
+        out = {
+            "price": discount * float(mean),
+            "std_error": discount * float(se),
+            "n_periods": n_periods,
+            "num_paths_used": self.num_paths,
+            "num_steps": n_steps,
+        }
+        if self.control_variate:
+            ctrl = notional * _cliquet_payoff(
+                dlog_g, local_floor, local_cap, -np.inf, np.inf)
+            ctrl_exact = cliquet_bs(
+                float(T), n_periods, float(p.r), float(p.q),
+                float(np.sqrt(float(p.v0))), local_floor, local_cap,
+                notional)
+            ctrl_c = ctrl - jnp.mean(ctrl)
+            var_c = float(jnp.mean(ctrl_c**2))
+            beta = (float(jnp.mean((pay - jnp.mean(pay)) * ctrl_c))
+                    / max(var_c, 1e-12) if var_c > 1e-12 else 0.0)
+            adj = pay - beta * (ctrl - ctrl_exact / discount)
+            mean, se = mc_mean_stderr(adj)
+            out["price"] = discount * float(mean)
+            out["std_error"] = discount * float(se)
+            out["cv_beta"] = beta
+        return out
+
     def cos_chain(self, spot: float, strikes, T: float,
                   is_call: bool = True) -> np.ndarray:
         """Exact chained-Riccati COS prices (the oracle the MC is pinned to)."""
@@ -388,3 +446,61 @@ def bootstrap_calibrate_td(
         "errors": errors,
         "shared": shared,
     }
+
+
+@partial(jax.jit, static_argnames=("num_paths", "n_periods",
+                                   "steps_per_period", "companion"))
+def _period_log_returns_td(params: SVJParams, th_ps: Array, xi_ps: Array,
+                           lam_ps: Array, T, key: Array, *,
+                           num_paths: int, n_periods: int,
+                           steps_per_period: int, companion: bool = True):
+    """Per-period log returns under td dynamics.
+
+    `th_ps/xi_ps/lam_ps` are (n_periods, steps_per_period) per-step levels
+    (a host-side reshape of `step_param_arrays` output). Same nested-scan
+    layout as cliquet.simulate_period_log_returns: resets are free because
+    the period carry starts at 0; only (log S, v, log G) cross boundaries.
+    """
+    from mcos_tpu.ops.simulate import _svj_step_core
+
+    dtype = jnp.float32
+    T = jnp.asarray(T, dtype)
+    n_steps = n_periods * steps_per_period
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:, None]
+    sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
+    g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+
+    v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (2, num_paths))
+
+    def inner_step(carry, x):
+        log_s, v, log_g = carry
+        global_idx, th_i, xi_i, lam_i = x
+        p_i = params.replace(theta=th_i, xi=xi_i, lambda_j=lam_i)
+        k_step = jax.random.fold_in(key, global_idx)
+        k_n, k_u = jax.random.split(k_step)
+        z = jax.random.normal(k_n, (3, num_paths), dtype)
+        u = jax.random.uniform(k_u, (num_paths,), dtype)
+        z1, z2, z_js = (z[0][None] * sign, z[1][None] * sign,
+                        z[2][None] * sign)
+        log_s, v = _svj_step_core(p_i, dt, sqrt_dt, log_s, v,
+                                  z1, z2, u[None].repeat(2, axis=0), z_js)
+        if companion:
+            log_g = log_g + g_drift + sigma_cv * sqrt_dt * z1
+        return (log_s, v, log_g), None
+
+    def period(v_carry, x):
+        p_idx, th_row, xi_row, lam_row = x
+        zero = jnp.zeros((2, num_paths), dtype)
+        idx = p_idx * steps_per_period + jnp.arange(steps_per_period)
+        (dlog_s, v_carry, dlog_g), _ = jax.lax.scan(
+            inner_step, (zero, v_carry, zero),
+            (idx, th_row, xi_row, lam_row))
+        return v_carry, (dlog_s, dlog_g)
+
+    xs = (jnp.arange(n_periods),
+          jnp.asarray(th_ps, dtype), jnp.asarray(xi_ps, dtype),
+          jnp.asarray(lam_ps, dtype))
+    _, (dlog_s, dlog_g) = jax.lax.scan(period, v0, xs)
+    return dlog_s, (dlog_g if companion else None)

@@ -162,3 +162,49 @@ def test_api_termsvj_forward_start_mode():
     with pytest.raises(api.ApiError):
         api.handle_termsvj({"spot": S, "T": 0.25, "mode": "forward_start",
                             "t1": 0.3, "segments": segs})  # t1 >= T
+
+
+def test_td_cliquet_degenerate_matches_closed_form():
+    """Constant-GBM segments ⇒ the td cliquet equals cliquet_bs exactly
+    (per-period returns iid lognormal)."""
+    from mcos_tpu.engine.cliquet import cliquet_bs
+    from mcos_tpu.models.params import gbm_params
+
+    sigma, T, n_per = 0.2, 1.0, 4
+    p = gbm_params(sigma, r=R, q=Q)
+    eng = TDSVJEngine(p, [T], [sigma**2], [1e-4], [0.0],
+                      num_paths=150_000, num_steps=64, seed=13,
+                      backend="scan")
+    out = eng.price_cliquet(T, n_periods=n_per, local_floor=0.0,
+                            local_cap=0.05)
+    exact = cliquet_bs(T, n_per, R, Q, sigma, 0.0, 0.05, 1.0)
+    tol = max(5 * out["std_error"], 5e-5)
+    assert abs(out["price"] - exact) < tol, (out["price"], exact, tol)
+
+
+def test_td_cliquet_regime_split_prices_differ():
+    """A calm→stressed segment split must move the cliquet away from the
+    uniform-average constant model (the coupon accrual is regime-ordered)."""
+    eng_td = TDSVJEngine(SHARED, [0.5, 1.0], [0.01, 0.16], [0.3, 0.3],
+                         [0.0, 0.0], num_paths=150_000, num_steps=64,
+                         seed=3, backend="scan")
+    td = eng_td.price_cliquet(1.0, n_periods=4, local_cap=0.04)
+    # Uniform constant θ at the time-average: same total variance budget.
+    eng_c = TDSVJEngine(SHARED, [1.0], [0.085], [0.3], [0.0],
+                        num_paths=150_000, num_steps=64, seed=3,
+                        backend="scan")
+    cn = eng_c.price_cliquet(1.0, n_periods=4, local_cap=0.04)
+    noise = 5 * (td["std_error"] + cn["std_error"])
+    assert abs(td["price"] - cn["price"]) > noise, (td, cn)
+
+
+def test_api_termsvj_cliquet_mode():
+    from mcos_tpu.api import server as api
+
+    segs = [{"t_end": 0.5, "theta": 0.02, "xi": 0.5, "lambda_j": 1.0},
+            {"t_end": 1.0, "theta": 0.09, "xi": 0.5, "lambda_j": 1.0}]
+    out = api.handle_termsvj({
+        "spot": S, "T": 1.0, "mode": "cliquet", "segments": segs,
+        "n_periods": 4, "local_cap": 0.05, "num_paths": 20_000,
+        "num_steps": 32})
+    assert out["price"] > 0 and out["n_periods"] == 4
