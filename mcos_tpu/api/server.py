@@ -1115,10 +1115,12 @@ def handle_termsvj(body: dict) -> dict:
             local_cap=req.local_cap, global_floor=req.global_floor,
             global_cap=req.global_cap, notional=req.notional)
         out["segments"] = eng.segments_dict()
+    elif req.mode == "greeks":
+        out = eng.greeks(req.spot, strike, req.T, req.is_call)
     else:
         raise ApiError(400, f"unknown mode {req.mode!r} "
                             "(price|compare|smile|forward_start|cliquet|"
-                            "calibrate)")
+                            "greeks|calibrate)")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

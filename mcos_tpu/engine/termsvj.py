@@ -132,6 +132,36 @@ def mc_price_td_pallas(
     return out
 
 
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call"))
+def _td_delta_vega(params: SVJParams, theta_t, xi_t, lam_t, spot, strike,
+                   T, key, *, num_paths: int, num_steps: int,
+                   is_call: bool):
+    """Pathwise AD (∂P/∂S₀, ∂P/∂v₀) through the td scan in ONE backward
+    pass, with the companion difference as the CV (same argument as
+    engine/svcj.py:_svcj_delta_vega — jump indicators don't depend on
+    (S₀, v₀), so the pathwise derivative of the vanilla payoff is
+    unbiased; the per-step (θ, ξ, λ) enter as constants of the tape)."""
+    from mcos_tpu.ops.bs import bs_price as _bs
+
+    def price_fn(s0, v0):
+        p = params.replace(v0=v0)
+        s_final, _, g_final = simulate_terminal_td(
+            p, theta_t, xi_t, lam_t, s0, T, key,
+            num_paths=num_paths, num_steps=num_steps,
+            antithetic=True, companion=True)
+        discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
+        sign = 1.0 if is_call else -1.0
+        pay = jnp.maximum(sign * (s_final - strike), 0.0)
+        g_pay = jnp.maximum(sign * (g_final - strike), 0.0)
+        bs_ref = _bs(s0, strike, T, params.r, params.q, jnp.sqrt(v0),
+                     is_call)
+        return discount * jnp.mean(pay - g_pay) + bs_ref
+
+    price, grads = jax.value_and_grad(price_fn, argnums=(0, 1))(
+        jnp.asarray(spot, jnp.float32), jnp.asarray(params.v0, jnp.float32))
+    return price, grads[0], grads[1]
+
+
 class TDSVJEngine:
     """Pricing engine for the piecewise-constant time-dependent SVJ model.
 
@@ -225,6 +255,26 @@ class TDSVJEngine:
     def price(self, spot: float, strike: float, T: float,
               is_call: bool = True) -> Dict:
         return self.price_batch(spot, [strike], T, is_call)[0]
+
+    def greeks(self, spot: float, strike: float, T: float,
+               is_call: bool = True) -> Dict:
+        """Pathwise AD delta + vega under td dynamics (one backward pass)."""
+        th_t, xi_t, lam_t = self._step_arrays(float(T))
+        price, dS, dv0 = jax.device_get(_td_delta_vega(
+            self.params, jnp.asarray(th_t, jnp.float32),
+            jnp.asarray(xi_t, jnp.float32), jnp.asarray(lam_t, jnp.float32),
+            spot, strike, T, jax.random.PRNGKey(self.seed),
+            num_paths=self.num_paths, num_steps=self.num_steps,
+            is_call=is_call))
+        sigma0 = float(np.sqrt(float(self.params.v0)))
+        return {
+            "price": float(price),
+            "delta": float(dS),
+            # Repo-wide convention (engine/greeks.py): vega per unit vol
+            # = ∂P/∂σ₀ = 2σ₀·∂P/∂v₀.
+            "vega": 2.0 * sigma0 * float(dv0),
+            "dP_dv0": float(dv0),
+        }
 
     def price_forward_start(self, spot: float, t1: float, T: float,
                             k: float = 1.0, is_call: bool = True) -> Dict:

@@ -208,3 +208,51 @@ def test_api_termsvj_cliquet_mode():
         "n_periods": 4, "local_cap": 0.05, "num_paths": 20_000,
         "num_steps": 32})
     assert out["price"] > 0 and out["n_periods"] == 4
+
+
+def test_td_greeks_degenerate_match_bs():
+    """AD delta/vega under constant-GBM td arrays == closed-form BS."""
+    from mcos_tpu.models.params import gbm_params
+    from mcos_tpu.ops.bs import bs_delta, bs_vega
+
+    sigma, T = 0.2, 0.25
+    p = gbm_params(sigma, r=R, q=Q)
+    eng = TDSVJEngine(p, [T], [sigma**2], [1e-4], [0.0],
+                      num_paths=100_000, num_steps=64, seed=2,
+                      backend="scan")
+    g = eng.greeks(S, S, T)
+    d_bs = float(bs_delta(S, S, T, R, Q, sigma, True))
+    v_bs = float(bs_vega(S, S, T, R, Q, sigma))
+    # The AD pass runs (MC − companion) + exact BS: in the degenerate limit
+    # the MC and companion legs cancel pathwise, leaving the exact BS
+    # derivative (a few-ulp band).
+    assert abs(g["delta"] - d_bs) < 5e-4, (g["delta"], d_bs)
+    assert abs(g["vega"] - v_bs) / v_bs < 5e-3, (g["vega"], v_bs)
+
+
+def test_td_greeks_vega_sees_time_dependence():
+    """v0-vega differs between calm→stressed and stressed→calm segment
+    orders even when the two specs share the time-averaged θ, ξ, λ —
+    only a consistent td model resolves the ordering."""
+    kw = dict(num_paths=150_000, num_steps=128, seed=4, backend="scan")
+    up = TDSVJEngine(SHARED, [0.125, 0.25], [0.02, 0.10], [0.5, 0.5],
+                     [1.0, 1.0], **kw)
+    down = TDSVJEngine(SHARED, [0.125, 0.25], [0.10, 0.02], [0.5, 0.5],
+                       [1.0, 1.0], **kw)
+    g_up = up.greeks(S, S, 0.25)
+    g_down = down.greeks(S, S, 0.25)
+    # Early θ feeds variance that acts over MORE remaining time: the
+    # stressed-early spec must carry the higher price; and dP/dv0 must
+    # differ (v0 shocks decay toward different θ paths).
+    assert g_down["price"] > g_up["price"]
+    assert abs(g_up["dP_dv0"] - g_down["dP_dv0"]) > 1e-4
+
+
+def test_api_termsvj_greeks_mode():
+    from mcos_tpu.api import server as api
+
+    segs = [{"t_end": 0.25, "theta": 0.05, "xi": 0.5, "lambda_j": 1.0}]
+    out = api.handle_termsvj({
+        "spot": S, "T": 0.25, "mode": "greeks", "segments": segs,
+        "num_paths": 20_000, "num_steps": 32})
+    assert 0 < out["delta"] < 1 and out["vega"] > 0
