@@ -1117,10 +1117,13 @@ def handle_termsvj(body: dict) -> dict:
         out["segments"] = eng.segments_dict()
     elif req.mode == "greeks":
         out = eng.greeks(req.spot, strike, req.T, req.is_call)
+    elif req.mode == "american":
+        out = eng.price_american(req.spot, strike, req.T, req.is_call)
+        out["segments"] = eng.segments_dict()
     else:
         raise ApiError(400, f"unknown mode {req.mode!r} "
                             "(price|compare|smile|forward_start|cliquet|"
-                            "greeks|calibrate)")
+                            "greeks|american|calibrate)")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

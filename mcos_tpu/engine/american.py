@@ -68,8 +68,15 @@ def _dividend_sheets(s_paths: Array, div_grid: Array, div_kind: str,
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps"))
 def _record_log_paths(params: SVJParams, spot, T, key, *,
-                      num_paths: int, num_steps: int) -> Array:
-    """(num_steps, num_paths) log-spots at t_1..t_n (t_0 = log spot known)."""
+                      num_paths: int, num_steps: int,
+                      td_table: Optional[Array] = None) -> Array:
+    """(num_steps, num_paths) log-spots at t_1..t_n (t_0 = log spot known).
+
+    `td_table` (optional, (3, num_steps): per-step θ/ξ/λ rows from
+    ops/tdsvj.step_param_arrays) records the sheet under time-dependent
+    dynamics. The key/fold layout is identical either way, so a constant
+    table reproduces the constant-param sheet bit-for-bit (test-pinned).
+    """
     dtype = jnp.float32
     spot = jnp.asarray(spot, dtype)
     dt = jnp.asarray(T, dtype) / num_steps
@@ -79,18 +86,25 @@ def _record_log_paths(params: SVJParams, spot, T, key, *,
     log_s0 = jnp.zeros((num_paths,), dtype)
     v0 = jnp.broadcast_to(jnp.asarray(params.v0, dtype), (num_paths,))
 
-    def step(carry, step_idx):
+    if td_table is None:
+        xs = (jnp.arange(num_steps), None)
+    else:
+        xs = (jnp.arange(num_steps), jnp.asarray(td_table, dtype).T)
+
+    def step(carry, x):
         log_s, v = carry
+        step_idx, td_row = x
+        p = (params if td_row is None else params.replace(
+            theta=td_row[0], xi=td_row[1], lambda_j=td_row[2]))
         k_step = jax.random.fold_in(key, step_idx)
         k_norm, k_unif = jax.random.split(k_step)
         z = jax.random.normal(k_norm, (3, num_paths), dtype)
         u = jax.random.uniform(k_unif, (num_paths,), dtype)
-        log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
+        log_s, v = _svj_step_core(p, dt, sqrt_dt, log_s, v,
                                   z[0], z[1], u, z[2])
         return (log_s, v), log_s
 
-    (_, _), log_paths = jax.lax.scan(step, (log_s0, v0),
-                                     jnp.arange(num_steps))
+    (_, _), log_paths = jax.lax.scan(step, (log_s0, v0), xs)
     return log_paths + jnp.log(spot)
 
 
@@ -119,8 +133,13 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
               div_grid: Optional[Array] = None,
               div_kind: str = "cash",
               rate_offsets: Optional[Array] = None,
-              rate_step_dfs: Optional[Array] = None) -> Dict[str, Array]:
+              rate_step_dfs: Optional[Array] = None,
+              td_table: Optional[Array] = None) -> Dict[str, Array]:
     """Longstaff-Schwartz American/Bermudan price under SVJ dynamics.
+
+    `td_table` ((3, num_steps) per-step θ/ξ/λ) prices the American under
+    time-dependent dynamics (ops/tdsvj.py) — early exercise against a vol
+    term structure, e.g. a put across a known calm→stressed transition.
 
     `rate_offsets`/`rate_step_dfs` ((num_steps,) host-precomputed, see
     ops/curves.py) price off a deterministic rate curve exactly: the sheet
@@ -139,7 +158,8 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
     df = jnp.exp(-params.r * dt)
 
     log_paths = _record_log_paths(params, spot, T, key,
-                                  num_paths=num_paths, num_steps=num_steps)
+                                  num_paths=num_paths, num_steps=num_steps,
+                                  td_table=td_table)
     if rate_offsets is not None:
         log_paths = log_paths + rate_offsets[:, None]
     s_paths = jnp.exp(log_paths)  # (steps, paths), t_1..t_n

@@ -276,6 +276,28 @@ class TDSVJEngine:
             "dP_dv0": float(dv0),
         }
 
+    def price_american(self, spot: float, strike: float, T: float,
+                       is_call: bool = False, exercise_every: int = 1) -> Dict:
+        """Longstaff-Schwartz American/Bermudan under td dynamics — early
+        exercise decisions against a KNOWN vol term structure (e.g. a put
+        across a scheduled calm→stressed transition: the optimal boundary
+        shifts to hold through the stressed window, which a per-maturity
+        constant model cannot see). Same LSM machinery as engine/american.py
+        with the td sheet recorder; exercise_every=num_steps degenerates to
+        the European td price (pinned against the td COS oracle)."""
+        from mcos_tpu.engine.american import lsm_price
+
+        th_t, xi_t, lam_t = self._step_arrays(float(T))
+        td_table = jnp.stack([jnp.asarray(th_t, jnp.float32),
+                              jnp.asarray(xi_t, jnp.float32),
+                              jnp.asarray(lam_t, jnp.float32)])
+        out = lsm_price(
+            self.params, spot, strike, T, jax.random.PRNGKey(self.seed),
+            num_paths=self.num_paths, num_steps=self.num_steps,
+            is_call=is_call, exercise_every=exercise_every,
+            td_table=td_table)
+        return {k: float(v) for k, v in out.items()}
+
     def price_forward_start(self, spot: float, t1: float, T: float,
                             k: float = 1.0, is_call: bool = True) -> Dict:
         """Forward-start performance option max(±(S_T/S_t₁ − k), 0) under

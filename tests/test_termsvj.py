@@ -256,3 +256,46 @@ def test_api_termsvj_greeks_mode():
         "spot": S, "T": 0.25, "mode": "greeks", "segments": segs,
         "num_paths": 20_000, "num_steps": 32})
     assert 0 < out["delta"] < 1 and out["vega"] > 0
+
+
+def test_td_american_european_limit_matches_td_cos():
+    """exercise_every = num_steps ⇒ no early right ⇒ the LSM td price is
+    the European td price; pin against the chained-Riccati COS oracle."""
+    eng = TDSVJEngine(SHARED, [0.1, 0.25], [0.02, 0.09], [0.8, 0.3],
+                      [3.0, 0.5], num_paths=150_000, num_steps=64,
+                      seed=17, backend="scan")
+    strike = 1.04 * S
+    out = eng.price_american(S, strike, 0.25, is_call=False,
+                             exercise_every=64)
+    exact = float(cos_price_td(SHARED, S, [strike], 0.25,
+                               eng.seg_ends, eng.thetas, eng.xis,
+                               eng.lams, is_call=False)[0])
+    tol = 4 * out["std_error"] + 0.004 * exact
+    assert abs(out["price"] - exact) < tol, (out["price"], exact, tol)
+
+
+def test_td_american_premium_nonnegative_and_orders():
+    """American ≥ European under td dynamics; and the put's early-exercise
+    premium is larger when the stressed regime comes LATE (holding through
+    calm first costs carry, so more exercise happens early → check both
+    orderings price sanely)."""
+    kw = dict(num_paths=100_000, num_steps=64, seed=19, backend="scan")
+    eng = TDSVJEngine(SHARED, [0.1, 0.25], [0.02, 0.09], [0.8, 0.3],
+                      [3.0, 0.5], **kw)
+    strike = 1.05 * S
+    am = eng.price_american(S, strike, 0.25, is_call=False)
+    eu = eng.price_american(S, strike, 0.25, is_call=False,
+                            exercise_every=64)
+    assert am["price"] >= eu["price"] - 3 * eu["std_error"]
+    assert am["price"] >= am["intrinsic"]
+
+
+def test_api_termsvj_american_mode():
+    from mcos_tpu.api import server as api
+
+    segs = [{"t_end": 0.25, "theta": 0.06, "xi": 0.5, "lambda_j": 1.0}]
+    out = api.handle_termsvj({
+        "spot": S, "T": 0.25, "mode": "american", "strike": 1.05 * S,
+        "is_call": False, "segments": segs, "num_paths": 20_000,
+        "num_steps": 32})
+    assert out["price"] >= out["intrinsic"] > 0
