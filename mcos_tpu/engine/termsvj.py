@@ -188,6 +188,7 @@ class TDSVJEngine:
         seed: int = 42,
         backend: str = "auto",
         control_variate: bool = True,
+        mesh=None,
     ):
         self.params = params
         self.seg_ends = np.asarray(seg_ends, np.float64)
@@ -202,6 +203,10 @@ class TDSVJEngine:
         self.seed = seed
         self.backend = backend
         self.control_variate = control_variate
+        # None (single device), "auto" (all local devices when >1; also set
+        # by MCOS_AUTO_MESH=1), or an explicit jax.sharding.Mesh — the
+        # MonteCarloEngine convention (engine/pricer.py:617-626).
+        self.mesh = mesh
 
     @classmethod
     def from_term_structure(
@@ -228,6 +233,18 @@ class TDSVJEngine:
             self.seg_ends, self.thetas, self.xis, self.lams, T)
         return step_param_arrays(ends, th, xi, lam, T, self.num_steps)
 
+    def _resolved_mesh(self):
+        import os
+
+        from mcos_tpu.engine.pricer import _auto_mesh
+
+        mesh = self.mesh
+        if mesh is None and os.environ.get("MCOS_AUTO_MESH") == "1":
+            mesh = "auto"
+        if mesh == "auto":
+            mesh = _auto_mesh()
+        return mesh
+
     def price_batch(self, spot: float, strikes, T: float,
                     is_call: bool = True) -> List[Dict]:
         """European chain at one expiry off one shared td path set."""
@@ -235,6 +252,23 @@ class TDSVJEngine:
         strikes_arr = jnp.asarray(np.atleast_1d(strikes), jnp.float32)
         common = dict(num_paths=self.num_paths, num_steps=self.num_steps,
                       is_call=is_call, control_variate=self.control_variate)
+        mesh = self._resolved_mesh()
+        if mesh is not None:
+            # Multi-device: psum'd moment pooling over the paths axis
+            # (β=1 companion CV inside the sharded driver).
+            from mcos_tpu.parallel.mesh import sharded_td_price
+
+            res = sharded_td_price(
+                self.params, th_t, xi_t, lam_t, spot, strikes_arr, T,
+                jax.random.PRNGKey(self.seed), mesh=mesh, **common)
+            price = np.asarray(res["price"])
+            se = np.asarray(res["std_error"])
+            return [
+                {"strike": float(k), "price": float(price[i]),
+                 "std_error": float(se[i]),
+                 "num_devices": int(mesh.devices.size)}
+                for i, k in enumerate(np.atleast_1d(strikes))
+            ]
         if self._resolved_backend() == "pallas":
             res = mc_price_td_pallas(
                 self.params, th_t, xi_t, lam_t, spot, strikes_arr, T,

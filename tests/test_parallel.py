@@ -493,3 +493,20 @@ def test_sharded_td_price_deterministic():
     r2 = pmesh.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
                                 100.0, [100.0], 0.5, jax.random.key(3), **kw)
     assert float(r1["price"][0]) == float(r2["price"][0])
+
+
+def test_td_engine_mesh_route_matches_cos():
+    """TDSVJEngine(mesh=...) routes price_batch through sharded_td_price
+    (the auto-mesh serving path for /api/termsvj)."""
+    from mcos_tpu.engine.termsvj import TDSVJEngine
+
+    svj = SVJParams(kappa=3.0, theta=0.06, xi=0.5, rho=-0.7, v0=0.04,
+                    lambda_j=1.5, mu_j=-0.07, sigma_j=0.12)
+    eng = TDSVJEngine(svj, [0.1, 0.25], [0.02, 0.09], [0.8, 0.3],
+                      [3.0, 0.5], num_paths=120_000, num_steps=128,
+                      seed=6, mesh=pmesh.make_mesh())
+    rows = eng.price_batch(22500.0, [22500.0], 0.25)
+    assert rows[0]["num_devices"] == jax.device_count()
+    exact = float(eng.cos_chain(22500.0, [22500.0], 0.25)[0])
+    tol = 4 * rows[0]["std_error"] + 0.004 * exact
+    assert abs(rows[0]["price"] - exact) < tol
