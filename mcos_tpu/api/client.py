@@ -153,3 +153,6 @@ class McosClient:
 
     def svcj(self, **kw) -> dict:
         return self._post("/api/svcj", **kw)
+
+    def termsvj(self, **kw) -> dict:
+        return self._post("/api/termsvj", **kw)
