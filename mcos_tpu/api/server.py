@@ -1120,10 +1120,12 @@ def handle_termsvj(body: dict) -> dict:
     elif req.mode == "american":
         out = eng.price_american(req.spot, strike, req.T, req.is_call)
         out["segments"] = eng.segments_dict()
+    elif req.mode == "varswap":
+        out = eng.variance_swap(req.T)
     else:
         raise ApiError(400, f"unknown mode {req.mode!r} "
                             "(price|compare|smile|forward_start|cliquet|"
-                            "greeks|american|calibrate)")
+                            "greeks|american|varswap|calibrate)")
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

@@ -443,6 +443,37 @@ class TDSVJEngine:
             out["cv_beta"] = beta
         return out
 
+    def variance_swap(self, T: float) -> Dict:
+        """Fair variance strike under td dynamics: exact closed form (the
+        E[v] segment recursion + the jump second moment — ops/tdsvj.py:
+        td_variance_swap_fair_strike) with a discrete-sampling MC
+        round-trip on per-step log returns (VolDerivsEngine convention)."""
+        from mcos_tpu.ops.simulate import combine_antithetic
+        from mcos_tpu.ops.tdsvj import td_variance_swap_fair_strike
+
+        closed = td_variance_swap_fair_strike(
+            self.params, self.seg_ends, self.thetas, self.xis, self.lams,
+            float(T))
+        th_t, xi_t, lam_t = self._step_arrays(float(T))
+        shape = (self.num_steps, 1)
+        dlog_s, _ = _period_log_returns_td(
+            self.params, th_t.reshape(shape), xi_t.reshape(shape),
+            lam_t.reshape(shape), T, jax.random.PRNGKey(self.seed),
+            num_paths=self.num_paths, n_periods=self.num_steps,
+            steps_per_period=1, companion=False)
+        rv = jnp.sum(dlog_s**2, axis=0) / float(T)   # (2, paths)
+        pairs = combine_antithetic(rv)
+        mc = float(jnp.mean(pairs))
+        se = float(jnp.std(pairs)) / float(np.sqrt(pairs.shape[-1]))
+        return {
+            **closed,
+            "mc_fair_variance": mc,
+            "mc_std_error": se,
+            "mc_vs_closed_sigmas": abs(mc - closed["fair_variance"])
+            / max(se, 1e-12),
+            "num_paths": self.num_paths,
+        }
+
     def cos_chain(self, spot: float, strikes, T: float,
                   is_call: bool = True) -> np.ndarray:
         """Exact chained-Riccati COS prices (the oracle the MC is pinned to)."""

@@ -136,6 +136,64 @@ def step_param_arrays(
     return thetas[idx], xis[idx], lams[idx]
 
 
+def _expected_integrals(kappa: float, v0: float, taus: np.ndarray,
+                        thetas: np.ndarray, lams: np.ndarray):
+    """(∫₀ᵀ E[v_t] dt, ∫₀ᵀ λ(t) dt) under piecewise-constant (θ, λ).
+
+    E[v_t] solves a linear ODE per segment (dE[v]/dt = κ(θ_s − E[v])), so
+    both the integral and the segment-end value are exact:
+        ∫ = θ_s τ + (v_start − θ_s)(1 − e^{−κτ})/κ,
+        v_end = θ_s + (v_start − θ_s) e^{−κτ}.
+    """
+    v = float(v0)
+    int_v = 0.0
+    int_lam = 0.0
+    for s in range(len(taus)):
+        tau, th, lam = float(taus[s]), float(thetas[s]), float(lams[s])
+        if kappa > 1e-8:
+            e_kt = np.exp(-kappa * tau)
+            int_v += th * tau + (v - th) * (1.0 - e_kt) / kappa
+            v = th + (v - th) * e_kt
+        else:
+            int_v += v * tau
+        int_lam += lam * tau
+    return int_v, int_lam
+
+
+def td_variance_swap_fair_strike(
+    params: SVJParams,
+    seg_ends,
+    thetas,
+    xis,
+    lams,
+    T: float,
+) -> dict:
+    """Fair variance-swap strike under td dynamics — exact closed form.
+
+    The td analogue of exotics.variance_swap_fair_strike (whose CIR mean
+    integral it reproduces exactly in the constant-segment limit):
+        QV/T = (1/T) ∫₀ᵀ E[v_t] dt            (piecewise-exact recursion)
+             + (1/T) Σ_s λ_s τ_s (μ_J² + σ_J²)  (jump second moment)
+    ξ(t) does not enter (E[v] is ξ-free); it only moves higher moments.
+    Returns both legs and the total in variance units.
+    """
+    seg_ends, thetas, xis, lams = normalize_segments(
+        seg_ends, thetas, xis, lams, T)
+    taus = np.diff(np.concatenate([[0.0], seg_ends]))
+    int_v, int_lam = _expected_integrals(
+        float(params.kappa), float(params.v0), taus, thetas, lams)
+    diffusion = int_v / T
+    jumps = (int_lam / T) * (float(params.mu_j) ** 2
+                             + float(params.sigma_j) ** 2)
+    total = diffusion + jumps
+    return {
+        "fair_variance": total,
+        "fair_vol_strike": float(np.sqrt(max(total, 0.0))),
+        "diffusion_leg": diffusion,
+        "jump_leg": jumps,
+    }
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Exact oracle: chained-Riccati Bates CF (Mikhailov-Nögel 2003)
 # ─────────────────────────────────────────────────────────────────────────────
@@ -229,19 +287,8 @@ def _cumulant_range_td(
     starts = np.concatenate([[0.0], seg_ends[:-1]])
     taus = seg_ends - starts
 
-    # E[v_t] is linear ODE per segment: exact piecewise integral.
-    v = float(p.v0)
-    int_v = 0.0
-    int_lam = 0.0
-    for s in range(len(taus)):
-        tau, th, lam = float(taus[s]), float(thetas[s]), float(lams[s])
-        if kappa > 1e-8:
-            e_kt = np.exp(-kappa * tau)
-            int_v += th * tau + (v - th) * (1.0 - e_kt) / kappa
-            v = th + (v - th) * e_kt
-        else:
-            int_v += v * tau
-        int_lam += lam * tau
+    int_v, int_lam = _expected_integrals(kappa, float(p.v0), taus, thetas,
+                                         lams)
 
     c1 = (np.log(spot) + (r - q) * T - int_lam * k_bar - 0.5 * int_v
           + int_lam * mu_j)

@@ -7,6 +7,17 @@ jax initializes a backend, hence top of conftest.
 """
 
 import os
+import tempfile
+
+# Hermetic per-run XLA compilation cache. test_api.py imports
+# mcos_tpu.api.serverless, whose module-level enable_compilation_cache()
+# flips the persistent cache ON for the rest of the suite at the
+# MCOS_JIT_CACHE path — and two pytest processes sharing that directory
+# race on entry files; a torn entry later SEGFAULTS jax's native cache
+# reader (observed: zstd decompress crash in compilation_cache.py:238).
+# A fresh tmpdir per run makes concurrent suites safe.
+os.environ.setdefault(
+    "MCOS_JIT_CACHE", tempfile.mkdtemp(prefix="mcos_jit_test_"))
 
 # Force CPU even when the environment pins JAX_PLATFORMS=axon (the TPU
 # tunnel): tests must be hermetic and exercise the virtual 8-device mesh.

@@ -206,3 +206,48 @@ def test_td_forward_start_differs_from_constant_blend():
         noise = 5 * (td["std_error"] + o["std_error"])
         assert abs(td["price"] - o["price"]) > noise, (
             td["price"], o["price"], noise)
+
+
+def test_td_varswap_constant_limit_matches_exotics_closed_form():
+    """One constant segment ⇒ td fair strike == the CIR closed form."""
+    from mcos_tpu.engine.exotics import variance_swap_fair_strike
+    from mcos_tpu.ops.tdsvj import td_variance_swap_fair_strike
+
+    ref = variance_swap_fair_strike(BASE, T)
+    td = td_variance_swap_fair_strike(
+        BASE, [T], [BASE.theta], [BASE.xi], [BASE.lambda_j], T)
+    for k in ("fair_variance", "diffusion_leg", "jump_leg"):
+        assert td[k] == pytest.approx(ref[k], rel=1e-12), k
+
+
+def test_td_varswap_mc_roundtrip():
+    """The td closed form must match realized variance simulated under the
+    td dynamics (Σ dlog² → ∫v dt + ΣJ², discrete-sampling bias O(dt))."""
+    from mcos_tpu.engine.termsvj import TDSVJEngine
+
+    eng = TDSVJEngine(BASE, SEG_ENDS, THETAS, XIS, LAMS,
+                      num_paths=100_000, num_steps=256, seed=23,
+                      backend="scan")
+    out = eng.variance_swap(T)
+    # 4σ MC band + 1% discretization/drift² allowance.
+    tol = 4 * out["mc_std_error"] + 0.01 * out["fair_variance"]
+    assert abs(out["mc_fair_variance"] - out["fair_variance"]) < tol, out
+
+
+def test_td_varswap_segment_additivity():
+    """Chained-measure consistency: QV(0,T)·T = QV(0,t₁)·t₁ + (forward leg),
+    where the forward leg restarts the recursion at the exact E[v_{t₁}]."""
+    from mcos_tpu.ops.tdsvj import td_variance_swap_fair_strike
+
+    t1 = float(SEG_ENDS[0])
+    full = td_variance_swap_fair_strike(BASE, SEG_ENDS, THETAS, XIS, LAMS,
+                                        T)["fair_variance"] * T
+    front = td_variance_swap_fair_strike(
+        BASE, SEG_ENDS, THETAS, XIS, LAMS, t1)["fair_variance"] * t1
+    # Forward leg: v starts at the exact E[v_{t1}] under segment 1.
+    kappa = BASE.kappa
+    v_t1 = THETAS[0] + (BASE.v0 - THETAS[0]) * np.exp(-kappa * t1)
+    tail = td_variance_swap_fair_strike(
+        BASE.replace(v0=float(v_t1)), [T - t1], [THETAS[1]], [XIS[1]],
+        [LAMS[1]], T - t1)["fair_variance"] * (T - t1)
+    assert full == pytest.approx(front + tail, rel=1e-10)

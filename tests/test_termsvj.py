@@ -299,3 +299,16 @@ def test_api_termsvj_american_mode():
         "is_call": False, "segments": segs, "num_paths": 20_000,
         "num_steps": 32})
     assert out["price"] >= out["intrinsic"] > 0
+
+
+def test_api_termsvj_varswap_mode():
+    from mcos_tpu.api import server as api
+
+    segs = [{"t_end": 0.1, "theta": 0.02, "xi": 0.8, "lambda_j": 3.0},
+            {"t_end": 0.25, "theta": 0.09, "xi": 0.3, "lambda_j": 0.5}]
+    out = api.handle_termsvj({
+        "spot": S, "T": 0.25, "mode": "varswap", "segments": segs,
+        "num_paths": 20_000, "num_steps": 64})
+    assert out["fair_variance"] > 0
+    assert out["fair_variance"] == pytest.approx(
+        out["diffusion_leg"] + out["jump_leg"], rel=1e-12)
