@@ -9,13 +9,10 @@ jax initializes a backend, hence top of conftest.
 import os
 import tempfile
 
-# Hermetic per-run XLA compilation cache. test_api.py imports
+# Hermetic per-run XLA compilation cache path. test_api.py imports
 # mcos_tpu.api.serverless, whose module-level enable_compilation_cache()
-# flips the persistent cache ON for the rest of the suite at the
-# MCOS_JIT_CACHE path — and two pytest processes sharing that directory
-# race on entry files; a torn entry later SEGFAULTS jax's native cache
-# reader (observed: zstd decompress crash in compilation_cache.py:238).
-# A fresh tmpdir per run makes concurrent suites safe.
+# points the persistent cache at MCOS_JIT_CACHE for the rest of the suite;
+# a fresh tmpdir keeps concurrent suites from racing on entry files.
 os.environ.setdefault(
     "MCOS_JIT_CACHE", tempfile.mkdtemp(prefix="mcos_jit_test_"))
 
@@ -40,3 +37,13 @@ if not _USE_TPU:
     # update is authoritative.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The persistent compilation cache's native serializer SEGFAULTS on some
+# large 8-virtual-device CPU executables in this image (observed twice,
+# deterministically ~87% into the suite, in both put_executable_and_time
+# and get_executable_and_time — jax compilation_cache.py:238/265). Tests
+# gain nothing from executable persistence; hard-disable it so the
+# serverless import (which sets the cache dir at module level) cannot
+# re-arm it. Production TPU serving keeps the cache — its executables
+# serialize through the TPU backend path, which has run clean all round.
+jax.config.update("jax_enable_compilation_cache", False)
