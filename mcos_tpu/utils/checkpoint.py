@@ -24,9 +24,19 @@ from mcos_tpu.models.params import SVJParams
 
 
 def enable_compilation_cache(path: str = "/tmp/mcos_tpu_jit_cache") -> None:
-    """Persistent XLA compilation cache (Numba cache=True analogue)."""
+    """Persistent XLA compilation cache (Numba cache=True analogue).
+
+    MCOS_DISABLE_JIT_CACHE=1 is the operator escape hatch: the cache's
+    native executable serializer has been observed to segfault on some
+    large CPU executables (jax compilation_cache.py:238/265 — the reason
+    tests/conftest.py hard-disables the cache for the suite), so a CPU
+    deployment that trips it can turn persistence off without a code
+    change. TPU serving has run clean with the cache all round.
+    """
     import jax
 
+    if os.environ.get("MCOS_DISABLE_JIT_CACHE") == "1":
+        return
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
