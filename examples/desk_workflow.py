@@ -213,6 +213,35 @@ def main():
                      f"{fs['price']:.5f} ± {fs['std_error']:.5f}")
     assert fs["price"] > 0 and max(fit_td["errors"].values()) < 5.0
 
+    # ── 18. risk cube + higher-order greeks + fit error bars ──────────────
+    # The morning-report trio: how does the book P&L across joint spot×vol
+    # moves, how fast do delta/gamma bleed, and how much can the fitted
+    # params be trusted?
+    cube = StressTestEngine(fitted, num_paths=40_000, seed=9).scenario_matrix(
+        spot, spot, T, spot_shocks=[-0.05, -0.02, 0.02, 0.05],
+        vol_shocks=[-0.03, 0.03])
+    worst = min(min(row) for row in cube["pnl"])
+    stage("risk cube", f"{len(cube['pnl'])}×{len(cube['pnl'][0])} spot×vol "
+                       f"grid | worst cell P&L {worst:.2f}")
+    assert worst < 0  # a long option loses somewhere on the grid
+
+    so = m.GreeksEngine(fitted, num_paths=60_000, num_steps=64,
+                        seed=9).second_order_greeks(spot, spot, T)
+    stage("2nd order", f"charm {so['charm']:.4f}/y | speed {so['speed']:.2e}"
+                       f" | zomma {so['zomma']:.2e} | veta {so['veta']:.2f}")
+    assert np.isfinite([so["charm"], so["speed"], so["zomma"],
+                        so["veta"]]).all()
+
+    unc = m.CalibrationEngine().parameter_uncertainty(
+        fitted, spot, strikes, T, market)
+    rel = {n: r for n, r in zip(unc["param_names"], unc["rel_errors_pct"])
+           if r is not None}
+    tightest = min(rel, key=rel.get)
+    stage("error bars", f"best-determined param: {tightest} "
+                        f"±{rel[tightest]:.1f}% | cond "
+                        f"{unc['condition_number']:.1e}")
+    assert all(s >= 0 for s in unc["std_errors"])
+
     print("\nworkflow complete — all sanity checks passed")
 
 

@@ -156,3 +156,12 @@ class McosClient:
 
     def termsvj(self, **kw) -> dict:
         return self._post("/api/termsvj", **kw)
+
+    def volderivs(self, **kw) -> dict:
+        return self._post("/api/volderivs", **kw)
+
+    def margin(self, **kw) -> dict:
+        return self._post("/api/margin", **kw)
+
+    def replicate(self, **kw) -> dict:
+        return self._post("/api/replicate", **kw)

@@ -167,6 +167,11 @@ class GreeksRequest(BaseModel):
     # Second-order cross Greeks (vanna/volga via CRN-FD of AD first
     # derivatives, engine/greeks.py:cross_greeks) — one extra device call.
     with_cross: bool = False
+    # Remaining second/third-order Greeks (charm/speed/zomma/color/veta via
+    # a 12-point (spot, v0, T) AD batch, engine/greeks.py:
+    # second_order_greeks) — one extra device call. Single-contract,
+    # no-dividends mode only.
+    with_second_order: bool = False
     # Chain mode: all Greeks for every strike with pipelined dispatch (one
     # host sync for the whole chain — engine/greeks.py:all_greeks_chain).
     strikes: list[float] = Field(default_factory=list,
@@ -185,6 +190,12 @@ class StressRequest(BaseModel):
     is_call: bool = True
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(100_000, **_PATHS)
+    # mode="report": the reference's ladder report (spot/vol/jump).
+    # mode="matrix": the full spot×vol scenario P&L cube in one CRN device
+    # program (engine/risk.py:scenario_matrix); optional custom shock axes.
+    mode: str = Field("report", pattern="^(report|matrix)$")
+    spot_shocks: Optional[list[float]] = Field(None, max_length=25)
+    vol_shocks: Optional[list[float]] = Field(None, max_length=25)
 
 
 class RegimeRequest(BaseModel):
@@ -236,6 +247,28 @@ class ExoticRequest(BaseModel):
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)
     with_greeks: bool = False  # delta/vega (AD; CRN-FD for barriers)
+
+
+class ReplicateRequest(BaseModel):
+    """POST /api/replicate — static replication of a target payoff onto a
+    vanilla call chain (engine/hedge.py; beyond the reference). The residual
+    distribution quantifies the statically-unhedgeable path risk."""
+    spot: float = Field(gt=0.0)
+    T: float = Field(gt=0.0, le=10.0)
+    kind: str = Field("digital",
+                      pattern="^(digital|vanilla|asian|barrier|lookback)$")
+    strike: float = Field(0.0, ge=0.0)
+    is_call: bool = True
+    barrier: float = Field(0.0, ge=0.0)
+    averaging: str = Field("arithmetic", pattern="^(arithmetic|geometric)$")
+    knock: str = Field("out", pattern="^(in|out)$")
+    direction: str = Field("up", pattern="^(up|down)$")
+    floating: bool = False
+    hedge_strikes: Optional[list[float]] = Field(None, min_length=1,
+                                                 max_length=MAX_GRID_POINTS)
+    n_hedge: int = Field(13, ge=1, le=MAX_GRID_POINTS)
+    params: SVJParamsRequest = SVJParamsRequest()
+    num_paths: int = Field(200_000, **_PATHS)
 
 
 class MarginRequest(BaseModel):

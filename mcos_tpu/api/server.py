@@ -233,10 +233,11 @@ def handle_greeks(body: dict) -> dict:
     except ValueError as e:
         raise ApiError(400, str(e))
     if req.strikes:
-        if req.with_cross:
-            raise ApiError(400, "with_cross is not supported in chain mode "
-                                "(strikes list) — request the cross block "
-                                "per contract with a single strike")
+        if req.with_cross or req.with_second_order:
+            raise ApiError(400, "with_cross/with_second_order are not "
+                                "supported in chain mode (strikes list) — "
+                                "request those blocks per contract with a "
+                                "single strike")
         if divs is not None:
             raise ApiError(400, "dividends are supported in single-contract "
                                 "mode only (omit the strikes list)")
@@ -272,6 +273,15 @@ def handle_greeks(body: dict) -> dict:
             else:
                 greeks["cross"] = engine.cross_greeks(req.spot, req.strike,
                                                       req.T, req.is_call)
+        if req.with_second_order:
+            if divs is not None:
+                # charm/color/veta mix ∂/∂T with the T-dependent dividend
+                # adjustment (PV roll-off, ex-date crossings) — the clean
+                # chain rule used for first-order blocks doesn't close here.
+                raise ApiError(400, "with_second_order is not supported "
+                                    "with discrete dividends")
+            greeks["second_order"] = engine.second_order_greeks(
+                req.spot, req.strike, req.T, req.is_call)
     greeks["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return greeks
 
@@ -281,8 +291,20 @@ def handle_stress(body: dict) -> dict:
     req = schemas.StressRequest(**body)
     start = time.time()
     engine = StressTestEngine(req.params.to_params(), num_paths=req.num_paths)
-    report = engine.full_stress_report(req.spot, req.strike, req.T,
-                                       req.is_call)
+    if req.mode == "matrix":
+        if req.spot_shocks is not None and any(
+                s <= -0.95 or s >= 4.0 for s in req.spot_shocks):
+            raise ApiError(400, "spot_shocks must lie in (-0.95, 4.0)")
+        if req.vol_shocks is not None and any(
+                abs(s) > 1.0 for s in req.vol_shocks):
+            raise ApiError(400, "vol_shocks must lie in [-1.0, 1.0]"
+                                " (decimal vol points)")
+        report = engine.scenario_matrix(
+            req.spot, req.strike, req.T, req.is_call,
+            spot_shocks=req.spot_shocks, vol_shocks=req.vol_shocks)
+    else:
+        report = engine.full_stress_report(req.spot, req.strike, req.T,
+                                           req.is_call)
     report["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return report
 
@@ -462,6 +484,35 @@ def handle_margin(body: dict) -> dict:
                        extreme_coverage=req.extreme_coverage)
     out = eng.margin(req.spot, req.strikes, req.Ts, req.is_calls,
                      req.quantities)
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
+def handle_replicate(body: dict) -> dict:
+    """POST /api/replicate — static replication of a (possibly
+    path-dependent) payoff onto a vanilla chain (engine/hedge.py): L²
+    projection off one CRN path set, hedge valued with the exact COS
+    oracle, residual = the statically-unhedgeable risk."""
+    from mcos_tpu.engine.hedge import StaticHedgeEngine
+
+    req = schemas.ReplicateRequest(**body)
+    if req.kind in ("digital", "vanilla", "asian") and req.strike <= 0:
+        raise ApiError(400, f"kind={req.kind} needs strike > 0")
+    if req.kind == "barrier" and req.barrier <= 0:
+        raise ApiError(400, "kind=barrier needs barrier > 0")
+    if req.kind == "lookback" and not req.floating and req.strike <= 0:
+        raise ApiError(400, "fixed-strike lookback needs strike > 0")
+    start = time.time()
+    eng = StaticHedgeEngine(req.params.to_params(), num_paths=req.num_paths)
+    try:
+        out = eng.replicate(
+            req.spot, req.T, kind=req.kind, strike=req.strike,
+            is_call=req.is_call, barrier=req.barrier,
+            averaging=req.averaging, knock=req.knock,
+            direction=req.direction, floating=req.floating,
+            hedge_strikes=req.hedge_strikes, n_hedge=req.n_hedge)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 
@@ -1187,6 +1238,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/svcj": handle_svcj,
     "/api/termsvj": handle_termsvj,
     "/api/volderivs": handle_volderivs,
+    "/api/replicate": handle_replicate,
     "/api/margin": handle_margin,
 }
 

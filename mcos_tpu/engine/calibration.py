@@ -259,6 +259,15 @@ class CalibrationEngine:
         }
         self.history.append(entry)
 
+        try:
+            # Error bars off the exact COS oracle at the MC-fitted optimum
+            # (the Jacobian is model-structure information — MC noise in
+            # the point estimate does not belong in it).
+            uncertainty = self.parameter_uncertainty(
+                final, spot, strikes, T, market_prices, is_call,
+                bid_ask_spreads=bid_ask_spreads, atm_vol=atm_vol)
+        except (np.linalg.LinAlgError, ValueError, FloatingPointError):
+            uncertainty = None
         return {
             "params": final,
             "stage1_result": {"error": float(f1), "nit": int(res1.nit),
@@ -267,6 +276,7 @@ class CalibrationEngine:
                               "success": bool(np.isfinite(float(f2)))},
             "warnings": warnings,
             "feller_satisfied": final.feller_satisfied,
+            "uncertainty": uncertainty,
         }
 
     def calibrate_fast(
@@ -387,6 +397,12 @@ class CalibrationEngine:
             "stage2_error": float(res2.fun),
             "warnings": warnings,
         })
+        try:
+            uncertainty = self.parameter_uncertainty(
+                final, spot, strikes, T, market_prices, is_call,
+                bid_ask_spreads=bid_ask_spreads, atm_vol=atm_vol)
+        except (np.linalg.LinAlgError, ValueError, FloatingPointError):
+            uncertainty = None  # error bars are a diagnostic, never fatal
         return {
             "params": final,
             "stage1_result": {"error": float(res1.fun), "nit": int(res1.nit),
@@ -395,6 +411,99 @@ class CalibrationEngine:
                               "success": bool(res2.success)},
             "warnings": warnings,
             "feller_satisfied": final.feller_satisfied,
+            "uncertainty": uncertainty,
+        }
+
+    _UNC_PARAM_NAMES = ("kappa", "theta", "xi", "rho", "v0",
+                        "lambda_j", "mu_j", "sigma_j")
+
+    def parameter_uncertainty(
+        self,
+        params: SVJParams,
+        spot: float,
+        strikes,
+        T: float,
+        market_prices,
+        is_call: bool = True,
+        bid_ask_spreads=None,
+        atm_vol: float = 0.15,
+    ) -> Dict:
+        """Gauss-Newton parameter covariance at a calibrated optimum.
+
+        Weighted-least-squares asymptotics: with objective
+        Σᵢ wᵢ (modelᵢ(θ) − marketᵢ)² the estimator covariance is
+            cov(θ̂) = s² (Jᵀ W J)⁻¹,   s² = RSS_w / max(n − p, 1),
+        with J the model-price Jacobian ∂modelᵢ/∂θⱼ. J comes from central
+        f64 finite differences of the exact COS/Bates oracle
+        (ops/cos_pricer.py) — 16 chain evaluations, no MC noise in the
+        Jacobian. Returns per-parameter standard errors, the correlation
+        matrix, and identifiability diagnostics (condition number of JᵀWJ;
+        near-unit |correlation| rows mean the chain cannot separate those
+        parameters — the classic ξ/ρ/λ confounding on a single expiry).
+
+        Capability absent from the reference (point estimates only,
+        calibration.py:234-267): a desk cannot risk-manage a fit it has no
+        error bars on.
+        """
+        from mcos_tpu.ops.cos_pricer import cos_price
+
+        strikes = np.asarray(strikes, np.float64)
+        market = np.asarray(market_prices, np.float64)
+        r, q = float(params.r), float(params.q)
+        bas = (np.asarray(bid_ask_spreads)
+               if bid_ask_spreads is not None else None)
+        w = np.asarray(compute_vega_weights(spot, strikes, T, r, q,
+                                            atm_vol, bas), np.float64)
+
+        names = self._UNC_PARAM_NAMES
+        x0 = np.array([float(getattr(params, n)) for n in names], np.float64)
+        # Lower bumping floors where the CF parameterization degenerates
+        # (ξ→0 divides by ξ²; variance levels must stay positive).
+        lo = {"theta": 1e-6, "xi": 1e-3, "v0": 1e-6, "lambda_j": 0.0,
+              "sigma_j": 1e-4, "kappa": 1e-4}
+        hi = {"rho": 0.999}
+
+        def model(x: np.ndarray) -> np.ndarray:
+            p = SVJParams(**dict(zip(names, x)), r=r, q=q)
+            return np.asarray(cos_price(p, spot, strikes, T, is_call),
+                              np.float64)
+
+        resid = model(x0) - market
+        J = np.zeros((strikes.size, x0.size))
+        for j, name in enumerate(names):
+            h = max(1e-4, 1e-3 * abs(x0[j]))
+            up = min(x0[j] + h, hi.get(name, np.inf))
+            dn = max(x0[j] - h, lo.get(name, -np.inf))
+            if up - dn < 1e-12:  # pinned at a degenerate point
+                continue
+            xu, xd = x0.copy(), x0.copy()
+            xu[j], xd[j] = up, dn
+            J[:, j] = (model(xu) - model(xd)) / (up - dn)
+
+        n, p_dim = strikes.size, x0.size
+        dof = max(n - p_dim, 1)
+        s2 = float(np.sum(w * resid**2) / dof)
+        A = J.T @ (w[:, None] * J)
+        cov = s2 * np.linalg.pinv(A, rcond=1e-12)
+        se = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        denom = np.outer(se, se)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0),
+                            0.0)
+        np.fill_diagonal(corr, 1.0)
+        return {
+            "param_names": list(names),
+            "estimates": x0.tolist(),
+            "std_errors": se.tolist(),
+            "rel_errors_pct": [
+                float(abs(s / v) * 100) if abs(v) > 1e-12 else None
+                for s, v in zip(se, x0)],
+            "correlation": [[float(c) for c in row] for row in corr],
+            "residual_rms": float(np.sqrt(np.mean(resid**2))),
+            "s2": s2,
+            "dof": int(n - p_dim),
+            "condition_number": float(np.linalg.cond(A)),
+            "identifiable": bool(np.linalg.cond(A) < 1e12),
         }
 
     def calibrate_term_structure(

@@ -150,6 +150,31 @@ def _ad_delta_vega_batch(params, spots, v0s, strike, T, key, *, num_paths,
                          jnp.asarray(v0s, jnp.float32))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_steps", "is_call"),
+)
+def _ad_dsdv_T_batch(params, spots, v0s, Ts, strike, key, *, num_paths,
+                     num_steps, is_call):
+    """(∂P/∂spot, ∂P/∂v₀) at a batch of (spot, v₀, T) points — the
+    `_ad_delta_vega_batch` recipe with the maturity axis batched too, so
+    the time-decay second-order Greeks (charm, color, veta) ride the same
+    one-vmapped-backward-pass device program as gamma/vanna/volga. CRN:
+    every point uses the SAME key and the SAME static step count (the base
+    contract's), so T-bumped lanes difference against draw-identical paths.
+    """
+    def one(s, v, t):
+        def f(s_, v_, t_):
+            return _price_scalar(params.replace(v0=v_), s_, strike, t_, key,
+                                 num_paths=num_paths, num_steps=num_steps,
+                                 is_call=is_call)
+        return jax.grad(f, argnums=(0, 1))(s, v, t)
+
+    return jax.vmap(one)(jnp.asarray(spots, jnp.float32),
+                         jnp.asarray(v0s, jnp.float32),
+                         jnp.asarray(Ts, jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call"))
 def lambda_lr_estimate(params: SVJParams, spot, strike, T, key, *,
                        num_paths: int, num_steps: int, is_call: bool):
@@ -630,6 +655,88 @@ class GreeksEngine:
             "vanna_cross_check": float(vanna_alt),
             "volga": float(volga),
             "vanna_v0": float(vanna / (2 * sigma)),
+        }
+
+    def second_order_greeks(self, spot: float, strike: float, T: float,
+                            is_call: bool = True, spot_bump: float = 0.01,
+                            vol_bump: float = 0.02,
+                            t_bump: float = 1 / 252) -> Dict[str, float]:
+        """The remaining second/third-order Greeks: charm, speed, zomma,
+        color, veta — all central CRN differences of *exact AD first
+        derivatives* at a 12-point (spot, v₀, T) batch, ONE vmapped
+        backward pass (the gamma/vanna/volga recipe extended with a
+        maturity axis; see _ad_delta_vega_batch on why not raw
+        second-order AD of a kinked payoff).
+
+        Sign conventions (annualized; *_daily = /252):
+        - charm = −∂Δ/∂T  (delta drift per year of calendar time passing)
+        - speed =  ∂Γ/∂S  (third spot derivative, ∂³P/∂S³)
+        - zomma =  ∂Γ/∂σ  (σ bumped multiplicatively, like volga)
+        - color = −∂Γ/∂T  (gamma drift per calendar year)
+        - veta  = −∂(2σ·∂P/∂v₀)/∂T  (σ-vega drift per calendar year)
+
+        Capability absent from the reference (first-order FD only,
+        greeks.py:53-252). Degenerate-SVJ values are pinned against
+        f64 closed-form Black-Scholes derivatives in tests/test_greeks.py.
+        """
+        p = self.params
+        v0 = float(p.v0)
+        sigma = float(np.sqrt(v0))
+        sig_up, sig_dn = sigma * (1 + vol_bump), sigma * (1 - vol_bump)
+        v_up, v_dn = sig_up**2, sig_dn**2
+        s_up, s_dn = spot * (1 + spot_bump), spot * (1 - spot_bump)
+        h = spot * spot_bump
+        ht = min(t_bump, T / 4)  # keep T−ht well inside (0, T)
+        t_up, t_dn = T + ht, T - ht
+        k = ("second", float(spot), float(strike), float(T), bool(is_call),
+             float(spot_bump), float(vol_bump), float(ht),
+             self._state_key(p))
+        if k not in self._memo:
+            if len(self._memo) > 256:
+                self._memo.clear()
+            pts = [
+                (s_up, v0, T), (s_dn, v0, T),          # 0,1  gamma/speed
+                (spot, v0, t_up), (spot, v0, t_dn),    # 2,3  charm/veta
+                (s_up, v_up, T), (s_dn, v_up, T),      # 4,5  zomma (σ↑)
+                (s_up, v_dn, T), (s_dn, v_dn, T),      # 6,7  zomma (σ↓)
+                (s_up, v0, t_up), (s_dn, v0, t_up),    # 8,9  color (T↑)
+                (s_up, v0, t_dn), (s_dn, v0, t_dn),    # 10,11 color (T↓)
+            ]
+            d_s, d_v = jax.device_get(_ad_dsdv_T_batch(
+                p, [x[0] for x in pts], [x[1] for x in pts],
+                [x[2] for x in pts], strike, self._key(),
+                num_paths=self.num_paths, num_steps=self._steps(T),
+                is_call=is_call))
+            self._memo[k] = (np.asarray(d_s, np.float64),
+                             np.asarray(d_v, np.float64))
+        d_s, d_v = self._memo[k]
+
+        # Base delta off the memoized fused backward pass (CRN: same key).
+        _, delta0, _, _ = self._grads(spot, strike, T, is_call)
+
+        def gam(i_up, i_dn):
+            return (d_s[i_up] - d_s[i_dn]) / (s_up - s_dn)
+
+        d_sig = sig_up - sig_dn
+        gamma0 = gam(0, 1)
+        charm_dT = (d_s[2] - d_s[3]) / (2 * ht)
+        speed = (d_s[0] - 2 * delta0 + d_s[1]) / (h * h)
+        zomma = (gam(4, 5) - gam(6, 7)) / d_sig
+        color_dT = (gam(8, 9) - gam(10, 11)) / (2 * ht)
+        # σ-vega(T±ht) = 2σ·∂P/∂v₀ on the charm lanes.
+        veta_dT = 2 * sigma * (d_v[2] - d_v[3]) / (2 * ht)
+        return {
+            "charm": float(-charm_dT),
+            "charm_daily": float(-charm_dT / 252),
+            "speed": float(speed),
+            "zomma": float(zomma),
+            "color": float(-color_dT),
+            "color_daily": float(-color_dT / 252),
+            "veta": float(-veta_dT),
+            "veta_daily": float(-veta_dT / 252),
+            "gamma_check": float(gamma0),
+            "dDelta_dT": float(charm_dT),
+            "dGamma_dT": float(color_dT),
         }
 
     def model_sensitivities(self, spot: float, strike: float, T: float,

@@ -122,6 +122,26 @@ def _params_batch_prices(params_batch: SVJParams, spot, strike, T, key, *,
     return jax.vmap(one)(params_batch)
 
 
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "is_call"))
+def _params_batch_price_grid(params_batch: SVJParams, spot, strikes, T,
+                             key, *, num_paths: int, num_steps: int,
+                             is_call: bool) -> Array:
+    """(n_params, n_strikes) CRN price grid — the scenario-matrix core.
+
+    Crossing the vmapped params axis (vol shocks) with the vectorized
+    strike axis (spot shocks, via the S₀-homogeneity transform) yields the
+    full spot×vol scenario cube in ONE device program; every cell shares
+    `key`, so P&L differences across the cube are pure scenario effects.
+    """
+    def one(p):
+        return mc_price_core(
+            p, spot, jnp.asarray(strikes, jnp.float32), T, key,
+            num_paths=num_paths, num_steps=num_steps,
+            is_call=is_call)["price"]
+
+    return jax.vmap(one)(params_batch)
+
+
 class StressTestEngine:
     """Scenario ladders with reference semantics (risk.py:23-111 API).
 
@@ -280,6 +300,62 @@ class StressTestEngine:
             "vol_shocks": self._format_vol_rows(v0s, vol_prices),
             "jump_scenario": self._format_jump(
                 base, prices[n_spot + 1], prices[n_spot + 2], gap),
+        }
+
+    def scenario_matrix(self, spot: float, strike: float, T: float,
+                        is_call: bool = True,
+                        spot_shocks=None, vol_shocks=None) -> Dict:
+        """Full spot×vol scenario P&L matrix — the desk "risk cube".
+
+        Crosses the spot-shock axis (a strike-vector payoff transform on one
+        shared path set, same identity as the ladders) with the vol-shock
+        axis (vmapped params batch under the reference's v0/θ shock mapping,
+        risk.py:60-67) in ONE CRN device program + one host sync. The
+        reference can only produce the two 1-D ladders (risk.py:33-78);
+        the cross terms (how the vol P&L changes after a spot move — the
+        desk's vanna/gamma book view) require the cube.
+
+        Rows = vol shocks (vol points), columns = spot shocks. A zero shock
+        is inserted on each axis if absent so the P&L anchor is the
+        unshocked price.
+        """
+        spot_shocks = np.asarray(
+            SPOT_SHOCKS if spot_shocks is None else spot_shocks, np.float64)
+        vol_shocks = np.asarray(
+            VOL_SHOCKS if vol_shocks is None else vol_shocks, np.float64)
+        spot_shocks = np.unique(np.concatenate([spot_shocks, [0.0]]))
+        vol_shocks = np.unique(np.concatenate([vol_shocks, [0.0]]))
+        i0 = int(np.searchsorted(vol_shocks, 0.0))
+        j0 = int(np.searchsorted(spot_shocks, 0.0))
+
+        rel = 1.0 + spot_shocks
+        v0_base = float(self.params.v0)
+        members, v0s = [], []
+        for shock in vol_shocks:
+            if shock == 0.0:
+                members.append(self.params)
+                v0s.append(v0_base)
+                continue
+            v0 = max(v0_base + 2.0 * v0_base**0.5 * shock, 0.001)
+            theta = max(float(self.params.theta) + shock**2, 0.001)
+            members.append(self.params.replace(v0=v0, theta=theta))
+            v0s.append(v0)
+        batch = jax.tree.map(lambda *xs: jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in xs]), *members)
+        grid = _params_batch_price_grid(
+            batch, spot, (strike / rel).astype(np.float32), T,
+            jax.random.key(self.seed), num_paths=self.num_paths,
+            num_steps=scaled_steps(self.num_steps, T), is_call=is_call)
+        prices = np.asarray(jax.device_get(grid), np.float64) * rel[None, :]
+        base = prices[i0, j0]
+        return {
+            "spot_shocks_pct": (spot_shocks * 100).tolist(),
+            "vol_shocks_pts": (vol_shocks * 100).tolist(),
+            "spots": (spot * rel).tolist(),
+            "v0s": [float(v) for v in v0s],
+            "base_price": float(base),
+            "prices": [[float(x) for x in row] for row in prices],
+            "pnl": [[float(x - base) for x in row] for row in prices],
         }
 
 

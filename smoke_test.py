@@ -288,6 +288,56 @@ def main():
           f"|diff|={gap:.4f}  tol={tol:.4f}")
     check("td MC within oracle band", gap < tol)
 
+    stage("21. second-order greeks + scenario matrix + calib error bars")
+    from mcos_tpu.engine.greeks import GreeksEngine
+    from mcos_tpu.engine.risk import StressTestEngine
+    from mcos_tpu.models.params import gbm_params
+
+    geng = GreeksEngine(gbm_params(0.2), num_paths=50_000, num_steps=64,
+                        seed=5)
+    so = geng.second_order_greeks(22500.0, 22500.0, 0.25)
+
+    def _bs_ref():
+        import jax as _jax
+
+        from mcos_tpu.ops import bs as _bs
+
+        def price(s, sig, t):
+            return _bs.bs_price(s, 22500.0, t, 0.065, 0.012, sig, True)
+
+        d_s = _jax.grad(price, argnums=0)
+        gma = _jax.grad(d_s, argnums=0)
+        a = (22500.0, 0.2, 0.25)
+        return (-float(_jax.grad(d_s, argnums=2)(*a)),
+                float(_jax.grad(gma, argnums=0)(*a)))
+
+    charm_ref, speed_ref = _bs_ref()
+    print(f"    charm={so['charm']:.5f} (BS {charm_ref:.5f})  "
+          f"speed={so['speed']:.3e} (BS {speed_ref:.3e})")
+    check("charm matches BS AD oracle",
+          abs(so["charm"] - charm_ref) < 0.1 * abs(charm_ref))
+    check("speed matches BS AD oracle",
+          abs(so["speed"] - speed_ref) < 0.2 * abs(speed_ref))
+
+    sten = StressTestEngine(svj, num_paths=20_000, seed=1)
+    mat = sten.scenario_matrix(22500.0, 22500.0, 0.25)
+    rows_monotone = all(
+        a < b for row in mat["prices"] for a, b in zip(row, row[1:]))
+    check("scenario matrix monotone in spot at every vol level",
+          rows_monotone)
+
+    from mcos_tpu.engine.calibration import CalibrationEngine
+    from mcos_tpu.ops.cos_pricer import cos_price as _cosp
+
+    kchain = np.linspace(0.9, 1.1, 11) * 22500.0
+    truth = np.asarray(_cosp(svj, 22500.0, kchain, 0.25, True))
+    unc = CalibrationEngine().parameter_uncertainty(
+        svj, 22500.0, kchain, 0.25, truth + 2.0)
+    ses = np.asarray(unc["std_errors"])
+    print(f"    κ se={ses[0]:.3g}  ξ se={ses[2]:.3g}  "
+          f"cond={unc['condition_number']:.2e}")
+    check("calibration error bars finite", bool(np.all(np.isfinite(ses))))
+
     print("\n" + "=" * 64)
     if FAILURES:
         print(f"FAILED: {len(FAILURES)} checks: {FAILURES}")

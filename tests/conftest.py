@@ -47,3 +47,24 @@ jax.config.update("jax_enable_x64", False)
 # re-arm it. Production TPU serving keeps the cache — its executables
 # serialize through the TPU backend path, which has run clean all round.
 jax.config.update("jax_enable_compilation_cache", False)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_executable_memory():
+    """Drop JAX's in-process executable caches after every test module.
+
+    One pytest process compiles thousands of 8-virtual-device CPU
+    executables over the full suite; holding all of them alive has twice
+    ended the run with a SIGSEGV inside the XLA:CPU backend ~87% in (first
+    blamed on the persistent-cache serializer — cache now disabled above —
+    then reproduced inside backend_compile_and_load itself). Executables
+    are rarely shared across modules (shapes differ), so clearing per
+    module bounds memory at near-zero recompile cost.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

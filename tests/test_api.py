@@ -100,6 +100,38 @@ def test_stress_endpoint(base_url):
     assert "jump_scenario" in out
 
 
+def test_stress_matrix_endpoint(base_url):
+    out = post(f"{base_url}/api/stress", {
+        "spot": 22500, "strike": 22500, "T": 0.04, "num_paths": 10_000,
+        "mode": "matrix", "spot_shocks": [-0.05, 0.05],
+        "vol_shocks": [-0.02, 0.02]})
+    assert out["spot_shocks_pct"] == [-5.0, 0.0, 5.0]
+    assert out["vol_shocks_pts"] == [-2.0, 0.0, 2.0]
+    assert len(out["pnl"]) == 3 and len(out["pnl"][0]) == 3
+    assert out["pnl"][1][1] == pytest.approx(0.0, abs=1e-9)
+    # invalid axes → 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/stress", {
+            "spot": 22500, "strike": 22500, "T": 0.04, "mode": "matrix",
+            "spot_shocks": [-0.99]})
+    assert exc.value.code == 400
+
+
+def test_greeks_second_order_endpoint(base_url):
+    out = post(f"{base_url}/api/greeks", {
+        "spot": 22500, "strike": 22500, "T": 0.1, "num_paths": 20_000,
+        "with_second_order": True})
+    so = out["second_order"]
+    for k in ("charm", "speed", "zomma", "color", "veta"):
+        assert k in so and so[k] == so[k]  # present and not NaN
+    # chain mode rejects the flag
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/greeks", {
+            "spot": 22500, "strikes": [22500.0], "T": 0.1,
+            "with_second_order": True})
+    assert exc.value.code == 400
+
+
 def test_regime_endpoint(base_url):
     out = post(f"{base_url}/api/regime", {
         "realized_vol": 0.35, "iv_percentile": 85, "skew_slope": 0.12})
@@ -132,6 +164,11 @@ def test_calibrate_endpoint(base_url):
         "market_prices": market, "atm_vol": 0.18, "num_paths": 8192})
     assert "params" in out and "stage1_result" in out
     assert out["params"]["v0"] > 0
+    # Gauss-Newton error bars ride along (5 strikes < 8 params → the
+    # Jacobian is rank-deficient; pinv covariance must still be finite).
+    unc = out["uncertainty"]
+    assert unc["param_names"][0] == "kappa"
+    assert all(s >= 0 for s in unc["std_errors"])
 
 
 def test_exotic_endpoint(base_url):

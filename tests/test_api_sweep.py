@@ -77,6 +77,8 @@ CASES = {
                          {"t_end": T, "theta": 0.08, "xi": 0.4,
                           "lambda_j": 0.5}]},
     "/api/volderivs": {"kind": "vix_future", "T": 0.5},
+    "/api/replicate": {"spot": SPOT, "T": T, "kind": "digital",
+                       "strike": K, "n_hedge": 5, **TINY},
     "/api/margin": {"spot": SPOT, "strikes": [K], "Ts": [T],
                     "is_calls": [True], "quantities": [-1.0], **TINY},
 }
@@ -91,6 +93,7 @@ _HEADLINE = {
     "/api/modelrisk": "prices", "/api/slv": "chain", "/api/svcj": "price",
     "/api/volderivs": "future",
     "/api/margin": "margin",
+    "/api/replicate": "hedge_value",
 }
 
 

@@ -232,3 +232,37 @@ def test_de_cache_reuse_across_calibrations():
     eng.calibrate(SPOT, strikes, T, market * 1.01, seed=1, **kw)
     second = time.time() - t0
     assert second < 0.5 * first, (first, second)
+
+
+def test_parameter_uncertainty_diagnostics():
+    """Gauss-Newton error bars: correct WLS scaling (doubling the residual
+    noise doubles every standard error — same Jacobian), a proper
+    correlation matrix, and zero bars for a perfect fit."""
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    p = SVJParams(kappa=2.0, theta=0.05, xi=0.5, rho=-0.6, v0=0.04,
+                  lambda_j=0.8, mu_j=-0.05, sigma_j=0.12, r=R, q=Q)
+    strikes = np.linspace(0.85, 1.15, 15) * SPOT
+    truth = np.asarray(cos_price(p, SPOT, strikes, T, True), np.float64)
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(truth.size) * 5.0
+
+    eng = cal.CalibrationEngine()
+    u1 = eng.parameter_uncertainty(p, SPOT, strikes, T, truth + noise)
+    u2 = eng.parameter_uncertainty(p, SPOT, strikes, T, truth + 2 * noise)
+    se1 = np.asarray(u1["std_errors"])
+    se2 = np.asarray(u2["std_errors"])
+    assert np.all(np.isfinite(se1)) and np.all(se1 >= 0)
+    mask = se1 > 0
+    assert mask.any()
+    assert np.allclose(se2[mask] / se1[mask], 2.0, rtol=1e-6)
+
+    corr = np.asarray(u1["correlation"])
+    assert np.allclose(np.diag(corr), 1.0)
+    assert np.all(np.abs(corr) <= 1.0 + 1e-6)
+    assert u1["dof"] == strikes.size - 8
+    assert u1["param_names"][0] == "kappa"
+
+    u0 = eng.parameter_uncertainty(p, SPOT, strikes, T, truth)
+    assert np.asarray(u0["std_errors"]).max() == pytest.approx(0.0, abs=1e-6)
+    assert u0["residual_rms"] < 1e-8

@@ -54,3 +54,15 @@ def test_quote_offline_fallback(client):
     assert q["price"] > 0 and q["source"] in ("LIVE", "CACHED")
     syms = client.symbols("bank")
     assert any("BANK" in s["symbol"].upper() for s in syms["symbols"])
+
+
+def test_client_covers_every_post_route():
+    """Drift net: one client method per POST endpoint (the sweep's analogue
+    for the client surface)."""
+    from mcos_tpu.api import server as api
+    from mcos_tpu.api.client import McosClient
+
+    for route in api.POST_ROUTES:
+        method = route.rsplit("/", 1)[-1]
+        assert callable(getattr(McosClient, method, None)), \
+            f"client is missing .{method}() for {route}"

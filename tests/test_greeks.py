@@ -238,3 +238,53 @@ def test_fused_lr_se_is_calibrated():
         ses.append(j["lambda_j_lr_se"])
     ratio = float(np.mean(ses) / np.std(vals, ddof=1))
     assert 0.75 < ratio < 1.45, f"LR se miscalibrated: {ratio:.3f}"
+
+
+# ── Second/third-order Greeks (charm / speed / zomma / color / veta) ─────────
+def _bs_second_order_oracle():
+    """Exact BS charm/speed/zomma/color/veta via higher-order AD of the
+    smooth closed form (same recipe as _bs_cross_oracle)."""
+    import jax
+
+    def price(s, sig, t):
+        return bs.bs_price(s, STRIKE, t, R, Q, sig, True)
+
+    d_s = jax.grad(price, argnums=0)
+    gamma = jax.grad(d_s, argnums=0)
+    args = (SPOT, SIGMA, T)
+    return {
+        "charm": -float(jax.grad(d_s, argnums=2)(*args)),
+        "speed": float(jax.grad(gamma, argnums=0)(*args)),
+        "zomma": float(jax.grad(gamma, argnums=1)(*args)),
+        "color": -float(jax.grad(gamma, argnums=2)(*args)),
+        "veta": -float(jax.grad(jax.grad(price, argnums=1),
+                                argnums=2)(*args)),
+    }
+
+
+def test_second_order_greeks_match_bs(bs_engine):
+    """ξ=0 exactly ⇒ the companion-CV estimator collapses to the analytic
+    BS value pathwise, so the CRN differences of AD first derivatives
+    reproduce closed-form higher-order Greeks tightly."""
+    so = bs_engine.second_order_greeks(SPOT, STRIKE, T)
+    ref = _bs_second_order_oracle()
+    assert so["charm"] == pytest.approx(ref["charm"], rel=0.05)
+    assert so["speed"] == pytest.approx(ref["speed"], rel=0.10)
+    assert so["zomma"] == pytest.approx(ref["zomma"], rel=0.10)
+    assert so["color"] == pytest.approx(ref["color"], rel=0.10)
+    assert so["veta"] == pytest.approx(ref["veta"], rel=0.10)
+    # Internal consistency: the gamma implied by the same batch matches
+    # the engine's own gamma block.
+    g = bs_engine.gamma(SPOT, STRIKE, T)
+    assert so["gamma_check"] == pytest.approx(g["gamma"], rel=0.05)
+    assert so["charm_daily"] == pytest.approx(so["charm"] / 252)
+
+
+def test_second_order_greeks_svj_finite(svj_engine):
+    so = svj_engine.second_order_greeks(SPOT, STRIKE, T)
+    for k, v in so.items():
+        assert np.isfinite(v), k
+    # Speed and zomma should be clearly nonzero off-ATM under full SVJ.
+    so_otm = svj_engine.second_order_greeks(SPOT, SPOT * 1.08, T)
+    assert abs(so_otm["speed"]) > 0
+    assert abs(so_otm["zomma"]) > 0

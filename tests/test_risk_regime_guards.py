@@ -121,6 +121,48 @@ def test_vol_ladder_matches_loop(stress):
         assert row["price"] == pytest.approx(float(res["price"][0]), rel=1e-5)
 
 
+def test_scenario_matrix_consistency(stress):
+    """The spot×vol cube's zero-vol-shock row must reproduce the spot
+    ladder and its zero-spot-shock column the vol ladder (same CRN key,
+    same shock mapping — only the batching differs)."""
+    m = stress.scenario_matrix(SPOT, STRIKE, T, is_call=True)
+    i0 = m["vol_shocks_pts"].index(0.0)
+    j0 = m["spot_shocks_pct"].index(0.0)
+    assert m["base_price"] == pytest.approx(m["prices"][i0][j0])
+
+    ladder = stress.spot_shock_ladder(SPOT, STRIKE, T, is_call=True)
+    by_pct = {round(r["shock_pct"], 6): r["price"] for r in ladder}
+    for j, pct in enumerate(m["spot_shocks_pct"]):
+        if round(pct, 6) in by_pct:
+            assert m["prices"][i0][j] == pytest.approx(
+                by_pct[round(pct, 6)], rel=1e-5)
+
+    vladder = stress.vol_shock_ladder(SPOT, STRIKE, T)
+    by_vol = {round(r["vol_shock"], 6): r["price"] for r in vladder}
+    for i, pts in enumerate(m["vol_shocks_pts"]):
+        if round(pts, 6) in by_vol:
+            assert m["prices"][i][j0] == pytest.approx(
+                by_vol[round(pts, 6)], rel=1e-5)
+
+    # Call prices are monotone along the spot axis at every vol level.
+    for row in m["prices"]:
+        assert all(a < b for a, b in zip(row, row[1:]))
+
+
+def test_scenario_matrix_custom_axes(stress):
+    """Custom shock axes get a zero inserted on each axis; P&L anchors at
+    the unshocked cell."""
+    m = stress.scenario_matrix(SPOT, STRIKE, T, spot_shocks=[-0.1, 0.1],
+                               vol_shocks=[0.03])
+    assert m["spot_shocks_pct"] == [-10.0, 0.0, 10.0]
+    assert m["vol_shocks_pts"] == [0.0, 3.0]
+    i0, j0 = 0, 1
+    assert m["pnl"][i0][j0] == pytest.approx(0.0, abs=1e-9)
+    assert len(m["prices"]) == 2 and len(m["prices"][0]) == 3
+    # Long-vol cell: positive vol shock with no spot move gains.
+    assert m["pnl"][1][1] > 0
+
+
 # ── liquidity stress ─────────────────────────────────────────────────────────
 def test_liquidity_stress():
     w = LiquidityStress.bid_ask_widening(2.0, 3.0)

@@ -743,6 +743,64 @@ async function stress() {
   } catch (e) { out.textContent = `stress failed: ${e.message}`; }
 }
 
+/* Risk cube: spot×vol scenario P&L heatmap (/api/stress mode=matrix).
+   Diverging encoding — loss→red pole, gain→blue pole, neutral panel gray at
+   zero (two hues + neutral midpoint; lightness monotone per arm). Every cell
+   carries its value as text (relief channel) plus a full-precision title
+   tooltip, so identity is never color-alone. */
+const CUBE_POLES = { loss: [230, 103, 103], gain: [57, 135, 229] }; // dark-mode red/blue
+const CUBE_BASE = [29, 36, 48]; // --panel2: the neutral "no P&L" midpoint
+
+function cubeColor(pnl, maxAbs) {
+  if (!maxAbs || pnl === 0) return `rgb(${CUBE_BASE.join(",")})`;
+  const pole = pnl < 0 ? CUBE_POLES.loss : CUBE_POLES.gain;
+  const t = 0.15 + 0.45 * Math.min(Math.abs(pnl) / maxAbs, 1);
+  const mix = CUBE_BASE.map((b, i) => Math.round(b + (pole[i] - b) * t));
+  return `rgb(${mix.join(",")})`;
+}
+
+function renderCube(m) {
+  const out = $("cube-out");
+  const maxAbs = Math.max(...m.pnl.flat().map(Math.abs));
+  const cols = m.spot_shocks_pct;
+  let html = `<h2>risk cube — P&amp;L vs joint spot × vol shock</h2>
+    <table class="cube"><thead><tr><th>vol \\ spot</th>` +
+    cols.map((c) => `<th>${c > 0 ? "+" : ""}${c.toFixed(1)}%</th>`).join("") +
+    `</tr></thead><tbody>`;
+  m.vol_shocks_pts.forEach((v, i) => {
+    html += `<tr><th>${v > 0 ? "+" : ""}${v.toFixed(1)}pt</th>`;
+    m.pnl[i].forEach((p, j) => {
+      html += `<td style="background:${cubeColor(p, maxAbs)}"
+        title="spot ${cols[j] > 0 ? "+" : ""}${cols[j]}% (S=${m.spots[j].toFixed(0)}), vol ${v > 0 ? "+" : ""}${v}pt (v0=${m.v0s[i].toFixed(4)})
+price ${m.prices[i][j].toFixed(2)}  P&L ${p.toFixed(2)}">${p.toFixed(1)}</td>`;
+    });
+    html += "</tr>";
+  });
+  html += `</tbody></table>
+    <p class="cube-note">base price ${m.base_price.toFixed(2)} · red = loss,
+    blue = gain, panel gray = flat · CRN: one device program, cell-to-cell
+    differences are pure scenario effects</p>`;
+  out.innerHTML = html;
+}
+
+async function riskCube() {
+  const out = $("cube-out");
+  out.classList.remove("hidden");
+  out.textContent = "pricing the spot × vol cube…";
+  try {
+    const m = await api("/api/stress", {
+      spot: Number($("spot").value),
+      strike: Number($("strike").value),
+      T: Number($("days").value) / 252,
+      is_call: $("is-call").checked,
+      num_paths: 50000,
+      mode: "matrix",
+      params: modelParams(),
+    });
+    renderCube(m);
+  } catch (e) { out.textContent = `risk cube failed: ${e.message}`; }
+}
+
 async function init() {
   buildSliders();
   loadSymbols();
@@ -756,6 +814,7 @@ async function init() {
   }
   $("run").addEventListener("click", run);
   $("stress-btn").addEventListener("click", stress);
+  $("cube-btn").addEventListener("click", riskCube);
   $("quote-btn").addEventListener("click", fetchQuote);
   $("sens-vol").addEventListener("click", () => setSensMode("vol"));
   $("sens-strike").addEventListener("click", () => setSensMode("strike"));
