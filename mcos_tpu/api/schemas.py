@@ -226,6 +226,9 @@ class SmileRequest(BaseModel):
     num_strikes: int = Field(21, ge=3, le=MAX_GRID_POINTS)
     # "mc" (reference behavior) or "cos" — exact semi-analytic smile in ms.
     method: str = "mc"
+    # Attach the model-exact risk-neutral terminal density of S_T
+    # (ops/cos_pricer.py:cos_density — Breeden–Litzenberger, no MC noise).
+    with_density: bool = False
     # Rate curve: pricing AND the IV inversion both use the flat-equivalent
     # rate R(T)/T, so quoted IVs stay internally consistent.
     rate_curve: Optional[list[RateKnot]] = Field(None, max_length=64)

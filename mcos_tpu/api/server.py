@@ -363,7 +363,17 @@ def handle_smile(body: dict) -> dict:
             "price": row["price"],
             "iv": iv if iv is not None else 0.0,
         })
-    return {"smile": smile, "method": req.method}
+    out = {"smile": smile, "method": req.method}
+    if req.with_density:
+        from mcos_tpu.ops.cos_pricer import cos_density
+
+        s_grid, pdf = cos_density(svj, req.spot, req.T)
+        out["density"] = {
+            "s": [round(float(s), 2) for s in s_grid],
+            "pdf": [float(p) for p in pdf],
+            "forward": float(req.spot * np.exp((svj.r - svj.q) * req.T)),
+        }
+    return out
 
 
 def handle_convergence(body: dict) -> dict:

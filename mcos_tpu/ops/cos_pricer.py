@@ -82,8 +82,14 @@ def _cumulant_range(params: SVJParams, T: float, spot: float,
     c1 = np.log(spot) + (r - q - lam * k_bar) * T - 0.5 * int_v \
         + lam * T * mu_j
 
-    # c2: variance (Heston exact-ish + jump contribution).
-    if kappa > 1e-8:
+    # c2: variance (Heston exact-ish + jump contribution). The closed form
+    # divides by κ³ with terms ~ξ²/κ² that only cancel analytically — at
+    # κT ≲ 0.01 f64 cancellation fails catastrophically (measured: a
+    # κ=1e-6 degenerate-GBM interval 70 log-units wide instead of 0.7).
+    # Small-κ branch: the exact κ=0 second moment by Itô isometry,
+    #   Var(logS) = v₀T + ξ²v₀T³/12 − ρξv₀T²/2  (v_t = v₀ + ξ∫√v dW₂),
+    # correct to O(κT) for the truncation's purposes.
+    if kappa * T > 0.01:
         c2_h = (xi * T * kappa * ekt * (v0 - theta) * (8 * kappa * rho - 4 * xi)
                 + kappa * rho * xi * (1 - ekt) * (16 * theta - 8 * v0)
                 + 2 * theta * kappa * T * (-4 * kappa * rho * xi + xi**2
@@ -92,7 +98,8 @@ def _cumulant_range(params: SVJParams, T: float, spot: float,
                            + theta * (6 * ekt - 7) + 2 * v0)
                 + 8 * kappa**2 * (v0 - theta) * (1 - ekt)) / (8 * kappa**3)
     else:
-        c2_h = v0 * T
+        c2_h = (v0 * T + xi**2 * v0 * T**3 / 12.0
+                - rho * xi * v0 * T**2 / 2.0)
     c2_j = lam * T * (mu_j**2 + sig_j**2)
     c2 = abs(c2_h) + c2_j
 
@@ -179,3 +186,38 @@ def heston_price(params: SVJParams, spot: float, strikes, T: float,
     """Pure-Heston convenience wrapper (λ forced to 0)."""
     return cos_price(params.replace(lambda_j=0.0), spot, strikes, T,
                      is_call, n_terms=n_terms)
+
+
+def cos_density(params: SVJParams, spot: float, T: float,
+                s_grid=None, n_points: int = 201, n_terms: int = 512,
+                L: float = 12.0):
+    """Risk-neutral terminal density of S_T — exact Fourier inversion.
+
+    The COS expansion of the density itself (Fang & Oosterlee's starting
+    point): with x = ln S_T on [a, b] and u_k = kπ/(b−a),
+
+        f_x(x) = (2/(b−a)) Σ'_k Re[φ(u_k) e^{−iu_k a}] cos(u_k (x − a)),
+        f_S(s) = f_x(ln s)/s.
+
+    This is the model-exact Breeden–Litzenberger density (e^{rT}·∂²C/∂K²,
+    test-pinned against FD of `cos_price`) — what a desk plots to see where
+    the smile puts the probability mass. Host f64, same CF/cumulant
+    machinery as the pricer.
+
+    Returns (s_grid, pdf). Default grid: log-spaced across an L=5 cumulant
+    window (the central mass; the CF truncation interval itself stays at
+    the wide L).
+    """
+    a, b = _cumulant_range(params, T, spot, L=L)
+    u = np.arange(n_terms) * np.pi / (b - a)
+    phi = bates_cf(u, params, T, spot)
+    if s_grid is None:
+        lo, hi = _cumulant_range(params, T, spot, L=5.0)
+        s_grid = np.exp(np.linspace(lo, hi, int(n_points)))
+    s_grid = np.asarray(s_grid, np.float64)
+    x = np.log(s_grid)
+    weights = np.ones(n_terms)
+    weights[0] = 0.5
+    coeff = weights * np.real(phi * np.exp(-1j * u * a))
+    f_x = (2.0 / (b - a)) * (coeff @ np.cos(u[:, None] * (x - a)[None, :]))
+    return s_grid, np.maximum(f_x, 0.0) / s_grid

@@ -298,7 +298,9 @@ def _cumulant_range_td(
     lam_bar = float(int_lam / T)
     rho = float(p.rho)
     v0 = float(p.v0)
-    if kappa > 1e-8:
+    if kappa * T > 0.01:
+        # Same κT guard as ops/cos_pricer.py:_cumulant_range — the closed
+        # form cancels catastrophically in f64 below it.
         ekt = np.exp(-kappa * T)
         xi_ = xi_bar
         c2_h = (xi_ * T * kappa * ekt * (v0 - theta_bar)
@@ -310,7 +312,8 @@ def _cumulant_range_td(
                             + theta_bar * (6 * ekt - 7) + 2 * v0)
                 + 8 * kappa**2 * (v0 - theta_bar) * (1 - ekt)) / (8 * kappa**3)
     else:
-        c2_h = v0 * T
+        c2_h = (v0 * T + xi_bar**2 * v0 * T**3 / 12.0
+                - rho * xi_bar * v0 * T**2 / 2.0)
     c2 = abs(c2_h) + lam_bar * T * (mu_j**2 + sig_j**2)
     c4 = lam_bar * T * (mu_j**4 + 6 * mu_j**2 * sig_j**2 + 3 * sig_j**4)
     half = L * np.sqrt(c2 + np.sqrt(max(c4, 0.0)))

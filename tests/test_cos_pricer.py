@@ -80,3 +80,54 @@ def test_mc_matches_cos_puts():
                            use_sobol=False, seed=4)
     res = eng.price(S, strike, T, is_call=False)
     assert abs(res["price"] - exact) < 4 * res["std_error"] + 0.0015 * exact
+
+
+# ── Risk-neutral density (exact Breeden–Litzenberger) ───────────────────────
+def test_cos_density_is_a_density():
+    """Integrates to 1, nonnegative, and carries the forward as its mean."""
+    from mcos_tpu.ops.cos_pricer import cos_density
+
+    p = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                  lambda_j=1.0, mu_j=-0.05, sigma_j=0.10)
+    spot, T = 22500.0, 0.25
+    s, pdf = cos_density(p, spot, T, n_points=1001)
+    assert np.all(pdf >= 0)
+    mass = np.trapezoid(pdf, s)
+    assert mass == pytest.approx(1.0, abs=2e-3)
+    mean = np.trapezoid(s * pdf, s)
+    fwd = spot * np.exp((float(p.r) - float(p.q)) * T)
+    assert mean == pytest.approx(fwd, rel=2e-3)
+
+
+def test_cos_density_gbm_is_lognormal():
+    from mcos_tpu.ops.cos_pricer import cos_density
+
+    sigma, r, q, spot, T = 0.2, 0.065, 0.012, 22500.0, 0.5
+    # ξ/κ floors: the Heston CF divides by ξ² and by β±d (β = 0 at u=0
+    # when κ=ρ=0) — same floors the static-hedge valuation leg uses.
+    s, pdf = cos_density(gbm_params(sigma, r=r, q=q).replace(xi=1e-4,
+                                                             kappa=1e-6),
+                         spot, T, n_points=501)
+    mu = np.log(spot) + (r - q - 0.5 * sigma**2) * T
+    sd = sigma * np.sqrt(T)
+    ref = np.exp(-0.5 * ((np.log(s) - mu) / sd) ** 2) / (
+        s * sd * np.sqrt(2 * np.pi))
+    core = ref > ref.max() * 1e-3
+    assert np.allclose(pdf[core], ref[core], rtol=2e-3, atol=ref.max() * 1e-5)
+
+
+def test_cos_density_matches_breeden_litzenberger():
+    """f(K) = e^{rT}·∂²C/∂K² — the density must agree with a central second
+    difference of the exact COS call prices."""
+    from mcos_tpu.ops.cos_pricer import cos_density
+
+    p = SVJParams(kappa=2.0, theta=0.05, xi=0.5, rho=-0.5, v0=0.04,
+                  lambda_j=0.8, mu_j=-0.06, sigma_j=0.12)
+    spot, T = 22500.0, 0.25
+    ks = np.array([0.92, 1.0, 1.08]) * spot
+    h = 5.0
+    _, pdf = cos_density(p, spot, T, s_grid=ks)
+    for k, f in zip(ks, pdf):
+        c = cos_price(p, spot, np.array([k - h, k, k + h]), T, True)
+        bl = np.exp(float(p.r) * T) * (c[0] - 2 * c[1] + c[2]) / (h * h)
+        assert f == pytest.approx(bl, rel=2e-3)
