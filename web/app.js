@@ -158,6 +158,23 @@ function drawSmile(smile) {
   polyline(f, pts.map((p) => p.strike), pts.map((p) => p.iv), COLORS.alt, 2);
 }
 
+function drawDensity(den, strike) {
+  /* Model-exact terminal density (Breeden–Litzenberger via COS): one
+     series, forward and strike as dashed reference verticals. */
+  const canvas = $("chart-density");
+  if (!den || !den.s || !den.s.length) return;
+  const f = frame(canvas, [...den.s, strike], [...den.pdf, 0]);
+  const vline = (xv, color) => {
+    f.ctx.save(); f.ctx.setLineDash([5, 4]); f.ctx.strokeStyle = color;
+    f.ctx.beginPath(); f.ctx.moveTo(f.x(xv), f.y(0));
+    f.ctx.lineTo(f.x(xv), f.y(Math.max(...den.pdf)));
+    f.ctx.stroke(); f.ctx.restore();
+  };
+  vline(den.forward, COLORS.dim);
+  vline(strike, COLORS.alt);
+  polyline(f, den.s, den.pdf, COLORS.line, 2);
+}
+
 function drawPayoff(spot, strike, isCall, premium) {
   const canvas = $("chart-payoff");
   const xs = [], ys = [];
@@ -703,7 +720,8 @@ async function run() {
       api("/api/price", body),
       api("/api/greeks", { ...body, num_paths: Math.min(body.num_paths, 200000) }),
       api("/api/convergence", { ...body, num_paths: Math.min(body.num_paths, 100000) }),
-      api("/api/smile", { spot: body.spot, T: body.T, params: body.params }),
+      api("/api/smile", { spot: body.spot, T: body.T, params: body.params,
+                          with_density: true }),
     ]);
     $("c-price").textContent = price.price.toFixed(2);
     $("c-se").textContent = `± ${price.std_error.toFixed(3)}`;
@@ -712,6 +730,7 @@ async function run() {
     drawPaths(price.sample_paths, body.strike);
     drawConvergence(conv);
     drawSmile(smile.smile);
+    drawDensity(smile.density, body.strike);
     drawPayoff(body.spot, body.strike, body.is_call, price.price);
     if (price.terminal_samples) drawHistogram(price.terminal_samples, body.strike);
     drawSensitivity(body.spot, body.strike, body.T, body.is_call);
