@@ -388,6 +388,10 @@ class SurfaceRequest(BaseModel):
     q: float = DIVIDEND_YIELD
     fit_sabr: bool = True
     fit_ssvi: bool = False           # global SSVI surface fit + no-arb report
+    # "european" (index options, vectorized Newton) or "american" (stock
+    # options — de-Americanization through the CRR tree, engine/surface.py:
+    # implied_vol_american).
+    exercise: str = Field("european", pattern="^(european|american)$")
 
 
 class ExposurePosition(BaseModel):

@@ -660,7 +660,8 @@ def handle_surface(body: dict) -> dict:
         np.asarray(req.call_prices, np.float64),
         np.asarray(req.put_prices, np.float64),
         bid_ask_spreads=(np.asarray(req.bid_ask_spreads, np.float64)
-                         if req.bid_ask_spreads is not None else None))
+                         if req.bid_ask_spreads is not None else None),
+        exercise=req.exercise)
 
     spline = ArbitrageFreeSpline()
     report = spline.fit(strikes, mats, surface["iv_call"])

@@ -112,6 +112,51 @@ def implied_vol(price: float, S: float, K: float, T: float,
     return None if np.isnan(iv) else iv
 
 
+def implied_vol_american(price: float, S: float, K: float, T: float,
+                         r: float, q: float, is_call: bool = True,
+                         lo: float = 0.001, hi: float = 5.0,
+                         steps: int = 256) -> Optional[float]:
+    """De-Americanization: invert a CRR American price to a BS vol.
+
+    NSE single-stock options (unlike the index options the reference
+    targets) are American-exercise — inverting their quotes through the
+    *European* formula overstates the vol by the early-exercise premium
+    (worst for ITM puts and dividend-paying calls). This inverts through
+    the CRR tree oracle (engine/american.py:binomial_american_bs) instead:
+    Brent on σ with the reference's bracket-check + None-on-failure
+    contract (reference surface.py:48-66). Host f64, O(steps²) per
+    evaluation — a few ms at the default 256 steps.
+
+    Capability absent from the reference (European inversion only).
+    """
+    from scipy.optimize import brentq
+
+    from mcos_tpu.engine.american import binomial_american_bs
+
+    if price <= 0 or T <= 0:
+        return None
+
+    # CRR stability needs 0 < p < 1 ⇔ σ√dt > |r−q|·dt — lift the lower
+    # bracket to the stable region (σ below it is indistinguishable from
+    # zero vol at these quote precisions anyway).
+    lo = max(lo, 1.05 * abs(r - q) * np.sqrt(T / steps) + 1e-9)
+
+    def f(sigma: float) -> float:
+        return binomial_american_bs(S, K, T, r, q, sigma, steps=steps,
+                                    is_call=is_call) - price
+
+    try:
+        f_lo, f_hi = f(lo), f(hi)
+    except ValueError:  # unstable tree at extreme (σ, dt)
+        return None
+    if f_lo * f_hi > 0:
+        return None  # price outside the attainable bracket
+    try:
+        return float(brentq(f, lo, hi, xtol=1e-7, maxiter=100))
+    except (ValueError, RuntimeError):
+        return None
+
+
 def extract_iv_surface(
     spot: float,
     r: float,
@@ -122,18 +167,41 @@ def extract_iv_surface(
     put_prices: np.ndarray,
     bid_ask_spreads: Optional[np.ndarray] = None,
     max_spread_pct: float = 0.10,
+    exercise: str = "european",
 ) -> Dict:
     """Full-chain IV extraction with liquidity filtering
     (surface.py:69-126 contract), one vectorized solve per side.
+
+    exercise="american" de-Americanizes instead (NSE stock-option chains):
+    each quote inverts through the CRR tree via `implied_vol_american` —
+    scalar Brent per cell, host f64.
     """
     strikes = np.asarray(strikes, np.float32)
     maturities = np.asarray(maturities, np.float32)
     T_grid = maturities[:, None]  # (n_mat, 1) broadcasts against (n_k,)
 
-    iv_call = np.asarray(implied_vol_grid(
-        call_prices, spot, strikes[None, :], T_grid, r, q, True))
-    iv_put = np.asarray(implied_vol_grid(
-        put_prices, spot, strikes[None, :], T_grid, r, q, False))
+    if exercise == "american":
+        def grid(prices, is_call):
+            prices = np.asarray(prices, np.float64)
+            out = np.full(prices.shape, np.nan)
+            for i, T in enumerate(maturities):
+                for j, K in enumerate(strikes):
+                    iv = implied_vol_american(
+                        float(prices[i, j]), spot, float(K), float(T),
+                        r, q, is_call)
+                    if iv is not None:
+                        out[i, j] = iv
+            return out
+
+        iv_call = grid(call_prices, True)
+        iv_put = grid(put_prices, False)
+    elif exercise == "european":
+        iv_call = np.asarray(implied_vol_grid(
+            call_prices, spot, strikes[None, :], T_grid, r, q, True))
+        iv_put = np.asarray(implied_vol_grid(
+            put_prices, spot, strikes[None, :], T_grid, r, q, False))
+    else:
+        raise ValueError(f"unknown exercise style: {exercise!r}")
 
     valid = np.isfinite(iv_call) & np.isfinite(iv_put)
     if bid_ask_spreads is not None:

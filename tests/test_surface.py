@@ -147,3 +147,80 @@ def test_natural_spline_matches_scipy():
     np.testing.assert_allclose(ours(xq), ref(xq), atol=1e-10)
     np.testing.assert_allclose(ours(xq, 1), ref(xq, 1), atol=1e-9)
     np.testing.assert_allclose(ours(xq, 2), ref(xq, 2), atol=1e-9)
+
+
+# ── American implied vol (de-Americanization) ────────────────────────────────
+def test_american_iv_roundtrip():
+    """Price from the CRR tree at a known σ, invert, recover σ."""
+    from mcos_tpu.engine.american import binomial_american_bs
+    from mcos_tpu.engine.surface import implied_vol_american
+
+    S, K, T, r, q, sigma = 1000.0, 1050.0, 0.25, 0.065, 0.012, 0.28
+    price = binomial_american_bs(S, K, T, r, q, sigma, steps=256,
+                                 is_call=False)
+    iv = implied_vol_american(price, S, K, T, r, q, is_call=False)
+    assert iv == pytest.approx(sigma, abs=1e-5)
+
+
+def test_american_iv_below_european_for_itm_put():
+    """An American ITM put quote carries an early-exercise premium; the
+    European inversion books it as extra vol. The de-Americanized IV must
+    sit strictly below the European one (and equal the generating σ)."""
+    from mcos_tpu.engine.american import binomial_american_bs
+    from mcos_tpu.engine.surface import implied_vol, implied_vol_american
+
+    S, K, T, r, q, sigma = 1000.0, 1200.0, 0.5, 0.08, 0.0, 0.25
+    quote = binomial_american_bs(S, K, T, r, q, sigma, steps=512,
+                                 is_call=False)
+    iv_am = implied_vol_american(quote, S, K, T, r, q, is_call=False,
+                                 steps=512)
+    iv_eu = implied_vol(quote, S, K, T, r, q, is_call=False)
+    assert iv_am == pytest.approx(sigma, abs=2e-4)
+    assert iv_eu is not None and iv_eu > iv_am + 0.01
+
+
+def test_american_call_no_dividend_matches_european_iv():
+    """With q=0 an American call is never exercised early — both
+    inversions must agree."""
+    from mcos_tpu.ops.bs import bs_price
+    from mcos_tpu.engine.surface import implied_vol, implied_vol_american
+
+    S, K, T, r, sigma = 1000.0, 1000.0, 0.25, 0.065, 0.2
+    quote = float(bs_price(S, K, T, r, 0.0, sigma, True))
+    iv_am = implied_vol_american(quote, S, K, T, r, 0.0, is_call=True)
+    iv_eu = implied_vol(quote, S, K, T, r, 0.0, is_call=True)
+    assert iv_am == pytest.approx(iv_eu, abs=2e-3)
+    assert iv_am == pytest.approx(sigma, abs=2e-3)
+
+
+def test_american_iv_failure_contract():
+    from mcos_tpu.engine.surface import implied_vol_american
+
+    # Below intrinsic → no bracket → None (reference Optional contract).
+    assert implied_vol_american(10.0, 1000.0, 1200.0, 0.25, 0.065, 0.0,
+                                is_call=False) is None
+    assert implied_vol_american(-5.0, 1000.0, 1000.0, 0.25, 0.065, 0.0) is None
+
+
+def test_extract_surface_american_mode():
+    """Grid extraction in american mode recovers a flat σ surface from CRR
+    prices and rejects an unknown style."""
+    import numpy as np
+
+    from mcos_tpu.engine.american import binomial_american_bs
+    from mcos_tpu.engine.surface import extract_iv_surface
+
+    S, r, q, sigma = 1000.0, 0.065, 0.012, 0.22
+    strikes = np.array([950.0, 1000.0, 1050.0])
+    mats = np.array([0.1, 0.25])
+    calls = np.array([[binomial_american_bs(S, k, t, r, q, sigma, 256, True)
+                       for k in strikes] for t in mats])
+    puts = np.array([[binomial_american_bs(S, k, t, r, q, sigma, 256, False)
+                      for k in strikes] for t in mats])
+    surf = extract_iv_surface(S, r, q, strikes, mats, calls, puts,
+                              exercise="american")
+    assert np.allclose(surf["iv_call"], sigma, atol=1e-4)
+    assert np.allclose(surf["iv_put"], sigma, atol=1e-4)
+    with pytest.raises(ValueError):
+        extract_iv_surface(S, r, q, strikes, mats, calls, puts,
+                           exercise="bermudan")
