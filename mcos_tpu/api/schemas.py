@@ -326,6 +326,10 @@ class AmericanRequest(BaseModel):
     # Policy-fixed pathwise AD Greeks (delta/gamma/vega/theta/rho) of the
     # out-of-sample LSM estimator (engine/american.py:AmericanEngine.greeks).
     with_greeks: bool = False
+    # Early-exercise boundary S*(t) from the Crank-Nicolson grid under the
+    # BS proxy sigma = sqrt(v0) (engine/pde.py:exercise_boundary) — the SVJ
+    # boundary is a surface in (S, v); the proxy is the desk convention.
+    with_boundary: bool = False
     # Bermudan schedule: exercise allowed every m-th simulation date only
     # (1 = American; >= num_steps = European).
     exercise_every: int = Field(1, ge=1, le=8192)

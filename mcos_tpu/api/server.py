@@ -472,6 +472,25 @@ def handle_american(body: dict) -> dict:
             n_outer=req.n_outer, n_inner=req.n_inner)
     if req.with_greeks:
         out["greeks"] = eng.greeks(req.spot, req.strike, req.T, req.is_call)
+    if req.with_boundary:
+        from mcos_tpu.engine.pde import PDEEngine
+
+        p = req.params.to_params()
+        pde = PDEEngine(sigma=float(p.v0) ** 0.5, r=float(p.r),
+                        q=float(p.q), n_t=128)
+        prop = None
+        if divs is not None:
+            if divs.kind != "proportional":
+                raise ApiError(400, "with_boundary supports proportional "
+                                    "dividends only (the CN grid's jump "
+                                    "condition is multiplicative)")
+            prop = list(zip(divs.times, divs.amounts))
+        bd = pde.exercise_boundary(req.spot, req.strike, req.T,
+                                   req.is_call, dividends=prop)
+        bd["note"] = ("Crank-Nicolson boundary under the BS proxy "
+                      "sigma=sqrt(v0); the full SVJ boundary is a "
+                      "surface in (S, v)")
+        out["exercise_boundary"] = bd
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

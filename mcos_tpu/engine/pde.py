@@ -106,14 +106,25 @@ def _cn_solve(sig2_grid, strike, T, r, q, x_grid, div_shift, *,
             dshift != 0.0,
             jnp.interp(x_grid + dshift, x_grid, v_new), v_new)
         if american:
+            # Early-exercise boundary at this time-to-maturity: the edge
+            # of the region where continuation < intrinsic (projection
+            # binding). Puts exercise below s*, calls above; ±inf encodes
+            # "no exercise anywhere" (→ NaN on the host).
+            binding = (v_new < intrinsic) & (intrinsic > 0.0)
+            if is_call:
+                s_star = jnp.min(jnp.where(binding, s_grid, jnp.inf))
+            else:
+                s_star = jnp.max(jnp.where(binding, s_grid, -jnp.inf))
             v_new = jnp.maximum(v_new, intrinsic)
-        return v_new, None
+        else:
+            s_star = jnp.float32(jnp.nan)
+        return v_new, s_star
 
     v0 = intrinsic
-    v, _ = jax.lax.scan(step, v0,
-                        (jnp.arange(n_t, dtype=dtype), sig2_grid,
-                         div_shift))
-    return v
+    v, s_stars = jax.lax.scan(step, v0,
+                              (jnp.arange(n_t, dtype=dtype), sig2_grid,
+                               div_shift))
+    return v, s_stars
 
 
 class PDEEngine:
@@ -180,11 +191,11 @@ class PDEEngine:
                 # backward step k covers calendar (T-(k+1)dt, T-k·dt].
                 k = min(int((T - t_ex) / dt), self.n_t - 1)
                 div_shift[k] += np.log1p(-frac)
-        v = _cn_solve(sig2, jnp.float32(strike), jnp.float32(T),
-                      jnp.float32(self.r), jnp.float32(self.q), x,
-                      jnp.asarray(div_shift),
-                      n_x=self.n_x, n_t=self.n_t, is_call=is_call,
-                      american=american)
+        v, _ = _cn_solve(sig2, jnp.float32(strike), jnp.float32(T),
+                         jnp.float32(self.r), jnp.float32(self.q), x,
+                         jnp.asarray(div_shift),
+                         n_x=self.n_x, n_t=self.n_t, is_call=is_call,
+                         american=american)
         v = np.asarray(v, np.float64)
         xg = np.asarray(x, np.float64)
         x0 = np.log(spot)
@@ -202,4 +213,49 @@ class PDEEngine:
             "n_x": self.n_x,
             "n_t": self.n_t,
             "method": "crank-nicolson" + ("-projected" if american else ""),
+        }
+
+    def exercise_boundary(self, spot: float, strike: float, T: float,
+                          is_call: bool = False,
+                          dividends=None) -> Dict:
+        """Early-exercise boundary S*(t) of the American contract.
+
+        Extracted inside the same Crank–Nicolson scan that prices the
+        option: at each backward step the projection's binding edge (where
+        continuation < intrinsic meets intrinsic > 0) is the boundary node
+        — no extra solve, no regression noise (the LSM boundary is a noisy
+        by-product; the PDE one is the textbook object). Returned in
+        calendar time, ascending; NaN where exercise is never optimal at
+        that date (e.g. anywhere on a q=0 American call). The boundary
+        converges to the strike (puts, q≤r) as t→T.
+
+        Capability absent from the reference (no American support at all).
+        """
+        x, sig2 = self._grids(spot, strike, T)
+        div_shift = np.zeros(self.n_t, np.float32)
+        if dividends:
+            dt_ = T / self.n_t
+            for t_ex, frac in dividends:
+                if 0.0 < t_ex < T:
+                    k = min(int((T - t_ex) / dt_), self.n_t - 1)
+                    div_shift[k] += np.log1p(-frac)
+        v, s_stars = _cn_solve(
+            sig2, jnp.float32(strike), jnp.float32(T), jnp.float32(self.r),
+            jnp.float32(self.q), x, jnp.asarray(div_shift),
+            n_x=self.n_x, n_t=self.n_t, is_call=is_call, american=True)
+        s_stars = np.asarray(s_stars, np.float64)
+        s_stars[~np.isfinite(s_stars)] = np.nan
+        # Backward step k sits at time-to-maturity (k+1)·dt ⇒ calendar
+        # t = T − (k+1)·dt; reverse into ascending calendar order.
+        dt = T / self.n_t
+        t_cal = T - (np.arange(self.n_t) + 1.0) * dt
+        order = np.argsort(t_cal)
+        price = float(np.interp(np.log(spot), np.asarray(x, np.float64),
+                                np.asarray(v, np.float64)))
+        return {
+            "t": t_cal[order].tolist(),
+            "s_star": s_stars[order].tolist(),
+            "price": price,
+            "strike": float(strike),
+            "is_call": bool(is_call),
         }

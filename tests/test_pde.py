@@ -129,3 +129,49 @@ def test_american_put_under_flat_localvol_matches_crr():
     crr = binomial_american_bs(S, 115.0, T, R, 0.0, SIG, steps=2000,
                                is_call=False)
     assert res["price"] == pytest.approx(crr, rel=1e-3)
+
+
+# ── Early-exercise boundary ──────────────────────────────────────────────────
+def test_put_boundary_shape():
+    """BS American put (r > q): S*(t) sits below the strike, increases
+    toward it as expiry approaches, and the same solve reprices the
+    option."""
+    from mcos_tpu.engine.pde import PDEEngine
+
+    K = 1000.0
+    eng = PDEEngine(sigma=0.2, r=0.065, q=0.012, n_x=401, n_t=256)
+    bd = eng.exercise_boundary(1000.0, K, 1.0, is_call=False)
+    s = np.asarray(bd["s_star"], np.float64)
+    t = np.asarray(bd["t"], np.float64)
+    assert np.all(np.diff(t) > 0)
+    finite = np.isfinite(s)
+    assert finite.mean() > 0.9            # put: exercise region exists
+    assert np.nanmax(s) < K               # boundary strictly below strike
+    # → K as t → T (r > q) — logarithmically slowly; the near-expiry
+    # boundary clears 93% of the strike on this grid
+    assert np.nanmax(s) > 0.93 * K
+    assert np.nanmax(s) == pytest.approx(np.nanmax(s[-25:]))  # peak at T−
+    # monotone increasing in calendar time up to one grid cell of noise
+    ds = np.diff(s[finite])
+    dx_cell = 1000.0 * 0.03               # ~grid spacing near the strike
+    assert (ds > -dx_cell).all()
+    # price consistency with the pricing entry point
+    ref = eng.price(1000.0, K, 1.0, is_call=False, american=True)["price"]
+    assert bd["price"] == pytest.approx(ref, rel=1e-6)
+
+
+def test_call_boundary_only_with_dividends():
+    """q=0 American call: never exercised early → boundary all NaN;
+    with a large carry (q > r) a finite boundary appears above K."""
+    from mcos_tpu.engine.pde import PDEEngine
+
+    K = 1000.0
+    none = PDEEngine(sigma=0.2, r=0.05, q=0.0, n_t=128).exercise_boundary(
+        1000.0, K, 1.0, is_call=True)
+    assert np.all(~np.isfinite(np.asarray(none["s_star"])))
+
+    some = PDEEngine(sigma=0.2, r=0.03, q=0.08, n_t=128).exercise_boundary(
+        1000.0, K, 1.0, is_call=True)
+    s = np.asarray(some["s_star"], np.float64)
+    assert np.isfinite(s).any()
+    assert np.nanmin(s) > K               # calls exercise above the strike
