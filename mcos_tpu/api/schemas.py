@@ -172,6 +172,10 @@ class GreeksRequest(BaseModel):
     # second_order_greeks) — one extra device call. Single-contract,
     # no-dividends mode only.
     with_second_order: bool = False
+    # Minimum-variance hedge ratio Delta + rho*xi*(dP/dv0)/S (Hull-White
+    # 2017) off the same AD backward pass — zero extra device work.
+    # Single-contract mode only.
+    with_min_variance: bool = False
     # Chain mode: all Greeks for every strike with pipelined dispatch (one
     # host sync for the whole chain — engine/greeks.py:all_greeks_chain).
     strikes: list[float] = Field(default_factory=list,
@@ -216,6 +220,9 @@ class HedgeRequest(BaseModel):
     # "gbm" (reference world) | "svj" (full jump-diffusion) | "rough"
     # (rough-Bergomi world from a pre-simulated exact-covariance sheet)
     dynamics: str = "gbm"
+    # "bs_delta" (desk BS delta at sigma=sqrt(v0)) | "mv_delta"
+    # (minimum-variance ratio Delta + rho*xi*P_v/S; gbm/svj worlds only)
+    hedge: str = "bs_delta"
 
 
 class SmileRequest(BaseModel):
@@ -659,6 +666,10 @@ class CalibrateRequest(BaseModel):
     bid_ask_spreads: Optional[list[float]] = None
     atm_vol: float = 0.15
     num_paths: int = Field(100_000, **_PATHS)
+    # "american": de-Americanize the quotes through the CRR tree before
+    # fitting (the SVJ CF prices European exercise only; NSE single-stock
+    # quotes are American). Quotes whose inversion fails are dropped.
+    exercise: str = "european"
 
 
 class TermSVJSegment(BaseModel):

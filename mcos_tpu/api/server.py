@@ -282,6 +282,14 @@ def handle_greeks(body: dict) -> dict:
                                     "with discrete dividends")
             greeks["second_order"] = engine.second_order_greeks(
                 req.spot, req.strike, req.T, req.is_call)
+        if req.with_min_variance:
+            if divs is not None:
+                # Δ_mv = f·Δ_eff + ρξ·P_v/S_raw: the two terms chain-rule
+                # differently; keep the raw-process contract clean.
+                raise ApiError(400, "with_min_variance is not supported "
+                                    "with discrete dividends")
+            greeks["min_variance"] = engine.min_variance_delta(
+                req.spot, req.strike, req.T, req.is_call)
     greeks["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return greeks
 
@@ -321,10 +329,14 @@ def handle_hedge(body: dict) -> dict:
     req = schemas.HedgeRequest(**body)
     start = time.time()
     bt = HedgingBacktest(req.params.to_params())
-    result = bt.run_backtest(
-        req.spot, req.strike, req.T, req.is_call,
-        txn_cost_bps=req.txn_cost_bps, slippage_bps=req.slippage_bps,
-        num_scenarios=req.num_scenarios, dynamics=req.dynamics)
+    try:
+        result = bt.run_backtest(
+            req.spot, req.strike, req.T, req.is_call,
+            txn_cost_bps=req.txn_cost_bps, slippage_bps=req.slippage_bps,
+            num_scenarios=req.num_scenarios, dynamics=req.dynamics,
+            hedge=req.hedge)
+    except ValueError as e:
+        raise ApiError(400, str(e))
     result["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return result
 
@@ -647,13 +659,39 @@ def handle_calibrate(body: dict) -> dict:
     req = schemas.CalibrateRequest(**body)
     start = time.time()
     eng = CalibrationEngine()
+    strikes = np.asarray(req.strikes, np.float32)
+    market = np.asarray(req.market_prices, np.float32)
+    spreads = (np.asarray(req.bid_ask_spreads, np.float32)
+               if req.bid_ask_spreads is not None else None)
+    atm_vol = req.atm_vol
+    deamericanized = None
+    if req.exercise == "american":
+        from mcos_tpu.engine.surface import deamericanize_quotes
+
+        ivs, eur, keep = deamericanize_quotes(
+            req.spot, strikes, req.T, market, req.r, req.q, req.is_call)
+        if keep.sum() < 4:
+            raise ApiError(400, f"only {int(keep.sum())} quotes "
+                                "de-Americanize cleanly (need >= 4)")
+        strikes, market = strikes[keep], eur.astype(np.float32)
+        if spreads is not None:
+            spreads = spreads[keep]
+        atm_idx = int(np.argmin(np.abs(
+            strikes - req.spot * np.exp((req.r - req.q) * req.T))))
+        atm_vol = float(ivs[atm_idx])
+        deamericanized = {
+            "ivs": [float(x) for x in ivs],
+            "strikes_kept": [float(k) for k in strikes],
+            "n_dropped": int(len(req.strikes) - keep.sum()),
+        }
+    elif req.exercise != "european":
+        raise ApiError(400, f"unknown exercise {req.exercise!r}")
     result = eng.calibrate(
-        req.spot, np.asarray(req.strikes, np.float32), req.T,
-        np.asarray(req.market_prices, np.float32), is_call=req.is_call,
-        r=req.r, q=req.q,
-        bid_ask_spreads=(np.asarray(req.bid_ask_spreads, np.float32)
-                         if req.bid_ask_spreads is not None else None),
-        atm_vol=req.atm_vol, num_paths=req.num_paths)
+        req.spot, strikes, req.T, market, is_call=req.is_call,
+        r=req.r, q=req.q, bid_ask_spreads=spreads,
+        atm_vol=atm_vol, num_paths=req.num_paths)
+    if deamericanized is not None:
+        result["deamericanized"] = deamericanized
     params = result.pop("params")
     result["params"] = params.as_dict()
     result["elapsed_ms"] = round((time.time() - start) * 1000, 1)

@@ -112,21 +112,16 @@ def cmd_american(args) -> dict:
 
 def cmd_calibrate(args) -> dict:
     from mcos_tpu.engine.calibration import CalibrationEngine
-    from mcos_tpu.utils.chain_loader import (
-        chain_to_calibration_inputs,
-        load_chain,
-    )
 
-    chain = load_chain(args.chain)
-    inputs = chain_to_calibration_inputs(chain, args.T)
-    if inputs["strikes"].size < 4:
-        raise SystemExit(f"only {inputs['strikes'].size} liquid strikes at "
-                         f"T={args.T} in {args.chain}")
     eng = CalibrationEngine()
-    result = eng.calibrate_fast(
-        args.spot, inputs["strikes"], args.T, inputs["market_prices"],
-        r=args.r, q=args.q, bid_ask_spreads=inputs["bid_ask_spreads"],
-        atm_vol=args.atm_vol, seed=args.seed)
+    try:
+        result = eng.calibrate_from_chain(
+            args.chain, args.spot, args.T,
+            is_call=not args.put,
+            exercise="american" if args.american else "european",
+            r=args.r, q=args.q, seed=args.seed)
+    except ValueError as e:
+        raise SystemExit(str(e))
     result["params"] = result["params"].as_dict()
     return result
 
@@ -226,10 +221,14 @@ def main(argv=None):
     p.add_argument("--chain", required=True, help="option-chain CSV path")
     p.add_argument("--spot", type=float, required=True)
     p.add_argument("--T", type=float, required=True)
-    p.add_argument("--atm-vol", type=float, default=0.15)
     p.add_argument("--r", type=float, default=0.065)
     p.add_argument("--q", type=float, default=0.012)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--put", action="store_true",
+                   help="calibrate the put side of the chain")
+    p.add_argument("--american", action="store_true",
+                   help="de-Americanize quotes through the CRR tree first "
+                        "(NSE single-stock chains)")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("rough", help="rough Bergomi price/greeks/smile/skew")

@@ -414,6 +414,91 @@ class CalibrationEngine:
             "uncertainty": uncertainty,
         }
 
+    def calibrate_from_chain(
+        self,
+        chain,
+        spot: float,
+        T: float,
+        is_call: bool = True,
+        exercise: str = "european",
+        r: float = 0.065,
+        q: float = 0.012,
+        seed: int = 42,
+        regime_adjustments: Optional[Dict] = None,
+        min_strikes: int = 4,
+    ) -> Dict:
+        """One-call desk workflow: option-chain quotes → SVJ parameters.
+
+        `chain` is a CSV path or the dict from
+        `utils.chain_loader.load_chain` (native parser when built). Takes
+        the liquid slice at expiry `T` on one side, then:
+
+        - exercise="american" (NSE single-stock chains are
+          American-exercise): de-Americanize every quote through the CRR
+          tree (`engine.surface.deamericanize_quotes`) and calibrate the
+          European-equivalent BS prices. Feeding raw American mids to a
+          European characteristic-function model books the early-exercise
+          premium as spurious variance (test-pinned: the naive path
+          overstates v0).
+        - exercise="european" (index options): calibrate the mids directly.
+
+        The ATM implied vol (de-Americanized when applicable) seeds the
+        vega weights instead of a fixed 15%. The fit itself is the exact
+        two-stage COS calibration (`calibrate_fast`).
+        """
+        from mcos_tpu.engine.surface import deamericanize_quotes, implied_vol
+        from mcos_tpu.utils.chain_loader import (
+            chain_to_calibration_inputs,
+            load_chain,
+        )
+
+        if exercise not in ("european", "american"):
+            raise ValueError(f"exercise must be 'european' or 'american', "
+                             f"got {exercise!r}")
+        if isinstance(chain, str):
+            chain = load_chain(chain)
+        inputs = chain_to_calibration_inputs(
+            chain, T, side="call" if is_call else "put")
+        strikes = np.asarray(inputs["strikes"], np.float64)
+        market = np.asarray(inputs["market_prices"], np.float64)
+        spreads = np.asarray(inputs["bid_ask_spreads"], np.float64)
+        if strikes.size < min_strikes:
+            raise ValueError(f"only {strikes.size} liquid quotes at T={T} "
+                             f"(need >= {min_strikes})")
+
+        dropped = 0
+        ivs = None
+        if exercise == "american":
+            ivs, market, keep = deamericanize_quotes(
+                spot, strikes, T, market, r, q, is_call)
+            dropped = int(strikes.size - keep.sum())
+            strikes, spreads = strikes[keep], spreads[keep]
+            if strikes.size < min_strikes:
+                raise ValueError(
+                    f"only {strikes.size} de-Americanizable quotes at T={T} "
+                    f"({dropped} dropped; need >= {min_strikes})")
+
+        atm_idx = int(np.argmin(np.abs(
+            strikes - spot * np.exp((r - q) * T))))
+        if ivs is not None:
+            atm_vol = float(ivs[atm_idx])
+        else:
+            iv0 = implied_vol(float(market[atm_idx]), spot,
+                              float(strikes[atm_idx]), T, r, q, is_call)
+            atm_vol = float(iv0) if iv0 else 0.15
+
+        result = self.calibrate_fast(
+            spot, strikes, T, market, is_call=is_call, r=r, q=q,
+            bid_ask_spreads=spreads, atm_vol=atm_vol, seed=seed,
+            regime_adjustments=regime_adjustments)
+        result["exercise"] = exercise
+        result["n_quotes"] = int(strikes.size)
+        result["n_dropped"] = dropped
+        result["atm_vol_estimate"] = atm_vol
+        if ivs is not None:
+            result["deamericanized_ivs"] = [float(x) for x in ivs]
+        return result
+
     _UNC_PARAM_NAMES = ("kappa", "theta", "xi", "rho", "v0",
                         "lambda_j", "mu_j", "sigma_j")
 

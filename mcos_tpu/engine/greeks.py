@@ -607,6 +607,42 @@ class GreeksEngine:
             out["lambda_j_lr"], out["lambda_j_lr_se"] = self._memo[klr]
         return out
 
+    def min_variance_delta(self, spot: float, strike: float, T: float,
+                           is_call: bool = True) -> Dict[str, float]:
+        """Minimum-variance hedge ratio under stochastic vol (Hull & White
+        2017, "Optimal Delta Hedging for Options").
+
+        Spot and vol moves are correlated (ρ<0 on equity desks), so the
+        hedge that minimizes the local P&L variance is NOT the pathwise
+        delta. Between jumps, with dS = S√v dW₁ + O(dt) and
+        dv = ξ√v dW₂ + O(dt), corr(dW₁,dW₂) = ρ:
+
+            h* = argmin_h Var(dP − h·dS) = Cov(dP, dS)/Var(dS)
+               = ∂P/∂S + (∂P/∂v)·Cov(dv,dS)/Var(dS)
+               = Δ + (∂P/∂v₀)·ρξ/S.
+
+        Both partials come from the SAME one-backward-pass AD grads that
+        feed delta() and vega() — no extra device work. With ρ<0 and
+        ∂P/∂v>0 the MV ratio sits below Δ: down-moves arrive with vol
+        up-moves, and the vega gain hedges part of the delta loss. Jump
+        co-moves are outside the diffusion-local objective (gap risk is
+        what the λ/LR sensitivities and the stress ladders carry).
+        Capability absent from the reference (delta-only hedging,
+        risk.py:283). Validated in-economy by the hedging backtest:
+        `HedgingBacktest.run_backtest(dynamics="svj", hedge="mv_delta")`
+        shows lower P&L dispersion than the plain BS-delta hedge.
+        """
+        _, d_spot, _, d_params = self._grads(spot, strike, T, is_call)
+        p = self.params
+        adjustment = (float(d_params.v0) * float(p.rho) * float(p.xi)
+                      / float(spot))
+        return {
+            "delta": float(d_spot),
+            "dP_dv0": float(d_params.v0),
+            "adjustment": float(adjustment),
+            "mv_delta": float(d_spot + adjustment),
+        }
+
     def cross_greeks(self, spot: float, strike: float, T: float,
                      is_call: bool = True, spot_bump: float = 0.01,
                      vol_bump: float = 0.02) -> Dict[str, float]:

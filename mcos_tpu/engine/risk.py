@@ -31,7 +31,7 @@ from mcos_tpu.config import (JUMP_SCENARIO_SIZE, SPOT_SHOCKS, VOL_SHOCKS,
                              scaled_steps)
 from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core
 from mcos_tpu.models.params import SVJParams
-from mcos_tpu.ops.bs import bs_delta
+from mcos_tpu.ops.bs import bs_delta, bs_vega
 
 Array = jax.Array
 
@@ -397,11 +397,11 @@ class LiquidityStress:
 # Hedging backtest: scan over days, vmap over scenarios
 # ─────────────────────────────────────────────────────────────────────────────
 @partial(jax.jit, static_argnames=("num_days", "num_scenarios", "is_call",
-                                   "dynamics"))
+                                   "dynamics", "hedge"))
 def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
                  num_days: int, num_scenarios: int, is_call: bool,
                  txn_cost_bps: float, slippage_bps: float,
-                 dynamics: str = "gbm"):
+                 dynamics: str = "gbm", hedge: str = "bs_delta"):
     """All hedge scenarios in lockstep (vectorized form of risk.py:264-317).
 
     dynamics="gbm" follows the reference: spot is GBM-at-√v0
@@ -409,8 +409,11 @@ def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
     stochastic variance (one SVJ step per day via `_svj_step_core`), so the
     backtest exposes the REAL hedging shortfall of delta-only replication —
     gap risk through jumps and vega bleed through v-moves — which the
-    GBM world structurally cannot show. The hedge ratio stays the desk's
-    BS delta at σ=√v0 (risk.py:283) in both modes.
+    GBM world structurally cannot show. The hedge ratio is the desk's
+    BS delta at σ=√v0 (risk.py:283), or with hedge="mv_delta" the
+    minimum-variance ratio Δ + ρξ·∂P/∂v/S with the closed-form proxy
+    ∂P/∂v ≈ vega_BS/(2σ) — the in-scan form of
+    `GreeksEngine.min_variance_delta` (exact-AD version there).
     """
     from mcos_tpu.ops.simulate import _svj_step_core
 
@@ -428,8 +431,19 @@ def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
     def day(carry, day_idx):
         log_s, v, cash, shares, cost_acc, t_remaining = carry
         s = spot * jnp.exp(log_s)
-        delta = bs_delta(s, strike, jnp.maximum(t_remaining, 1e-6),
-                         params.r, params.q, sigma, is_call)
+        t_left = jnp.maximum(t_remaining, 1e-6)
+        delta = bs_delta(s, strike, t_left, params.r, params.q, sigma,
+                         is_call)
+        if hedge == "mv_delta":
+            # h* = Δ + ρξ·P_v/S with P_v ≈ vega_BS/(2σ)·(1−e^{−κτ})/(κτ):
+            # a v-shock decays toward θ at rate κ, so the variance the
+            # option actually integrates moves by the κτ-decay factor,
+            # not one-for-one (exact for κτ→0; =1 when κ=0).
+            ktau = params.kappa * t_left
+            decay = jnp.where(ktau > 1e-6, -jnp.expm1(-ktau)
+                              / jnp.maximum(ktau, 1e-6), 1.0)
+            delta = delta + params.rho * params.xi * decay * bs_vega(
+                s, strike, t_left, params.r, params.q, sigma) / (2 * sigma * s)
         trade = delta - shares
         cost = jnp.abs(trade) * s * cost_rate
         cash = cash - trade * s - cost
@@ -515,6 +529,7 @@ class HedgingBacktest:
         num_scenarios: int = 1000,
         num_mc_paths: int = 50_000,
         dynamics: str = "gbm",
+        hedge: str = "bs_delta",
     ) -> Dict:
         """dynamics="svj" replays the true jump-diffusion world (gap risk +
         vega bleed against a delta-only BS hedge); "gbm" is the reference's
@@ -522,7 +537,21 @@ class HedgingBacktest:
         rough-Bergomi world (pre-simulated exact-covariance path sheet —
         the non-Markovian spot cannot be stepped inside the scan), with
         the premium priced by the rough engine and the hedge ratio still
-        the desk's BS delta at sigma = sqrt(v0=xi)."""
+        the desk's BS delta at sigma = sqrt(v0=xi).
+
+        hedge="mv_delta" rebalances to the minimum-variance ratio
+        Δ + ρξ·P_v/S instead of the plain BS delta (gbm/svj worlds only;
+        see `_hedge_paths` and `GreeksEngine.min_variance_delta`). In the
+        svj world with ρ<0 this cuts the P&L dispersion of the replication;
+        in the gbm world (vol never moves) it only adds hedging noise —
+        both directions are test-pinned."""
+        if hedge not in ("bs_delta", "mv_delta"):
+            raise ValueError(f"unknown hedge {hedge!r} "
+                             "(expected 'bs_delta' or 'mv_delta')")
+        if hedge == "mv_delta" and dynamics == "rough":
+            raise ValueError("hedge='mv_delta' supports gbm/svj dynamics "
+                             "only (the rough world's vol sensitivity is "
+                             "not the Heston ρξ·vega/2σ form)")
         if num_days is None:
             num_days = max(int(T * 252), 1)
 
@@ -568,11 +597,12 @@ class HedgingBacktest:
                 jax.random.key(self.seed), num_days=int(num_days),
                 num_scenarios=int(num_scenarios), is_call=is_call,
                 txn_cost_bps=txn_cost_bps, slippage_bps=slippage_bps,
-                dynamics=dynamics)
+                dynamics=dynamics, hedge=hedge)
         pnl = np.asarray(pnl)
 
         return {
             "dynamics": dynamics,
+            "hedge": hedge,
             "mean_pnl": float(pnl.mean()),
             "std_pnl": float(pnl.std()),
             "pnl_percentiles": {

@@ -157,6 +157,44 @@ def implied_vol_american(price: float, S: float, K: float, T: float,
         return None
 
 
+def deamericanize_quotes(spot: float, strikes, T: float, prices,
+                         r: float, q: float, is_call: bool = True,
+                         steps: int = 256):
+    """American quotes → European-equivalent BS prices, one expiry slice.
+
+    Each quote inverts through the CRR tree (`implied_vol_american`) and
+    reprices as European Black-Scholes at that vol — the standard
+    de-Americanization step before fitting a European model (Heston/SVJ
+    characteristic functions price European exercise only). Quotes whose
+    inversion fails (outside the attainable bracket, unstable tree)
+    are dropped via the returned mask.
+
+    Quotes at (or within a basis point of spot of) intrinsic value are also
+    dropped: a deep-ITM American option trades at intrinsic over a whole
+    σ-interval (immediate exercise is optimal), so the inversion objective
+    is flat there and any "implied vol" is noise, not information.
+
+    Returns (ivs, european_prices, keep) as float64/bool arrays aligned to
+    the kept subset order of `strikes`.
+    """
+    strikes = np.asarray(strikes, np.float64)
+    prices = np.asarray(prices, np.float64)
+    ivs, eur, keep = [], [], np.zeros(strikes.shape, bool)
+    for i, (K, pmid) in enumerate(zip(strikes, prices)):
+        intrinsic = max(spot - K, 0.0) if is_call else max(K - spot, 0.0)
+        if pmid - intrinsic <= 1e-4 * spot:
+            continue  # vol-dead quote
+        iv = implied_vol_american(float(pmid), spot, float(K), float(T),
+                                  r, q, is_call, steps=steps)
+        if iv is None:
+            continue
+        keep[i] = True
+        ivs.append(iv)
+        eur.append(float(bs_call_price(spot, K, T, r, q, iv)) if is_call
+                   else float(bs_put_price(spot, K, T, r, q, iv)))
+    return (np.asarray(ivs, np.float64), np.asarray(eur, np.float64), keep)
+
+
 def extract_iv_surface(
     spot: float,
     r: float,

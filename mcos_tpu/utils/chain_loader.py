@@ -146,12 +146,14 @@ def load_chain(path: str,
 
 def chain_to_calibration_inputs(chain: Dict[str, np.ndarray],
                                 expiry: float,
-                                calls_only: bool = True) -> Dict[str, np.ndarray]:
+                                side: str = "call") -> Dict[str, np.ndarray]:
     """One liquid expiry slice → (strikes, market_prices, spreads) arrays for
-    `CalibrationEngine.calibrate`."""
+    `CalibrationEngine.calibrate`. side: "call" | "put"."""
+    if side not in ("call", "put"):
+        raise ValueError(f"side must be 'call' or 'put', got {side!r}")
     sel = chain["liquid"] & np.isclose(chain["expiry"], expiry)
-    if calls_only:
-        sel &= chain["is_call"] > 0.5
+    sel &= (chain["is_call"] > 0.5) if side == "call" \
+        else (chain["is_call"] < 0.5)
     order = np.argsort(chain["strike"][sel])
     return {
         "strikes": chain["strike"][sel][order].astype(np.float32),

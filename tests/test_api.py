@@ -132,6 +132,17 @@ def test_greeks_second_order_endpoint(base_url):
     assert exc.value.code == 400
 
 
+def test_greeks_min_variance_endpoint(base_url):
+    out = post(f"{base_url}/api/greeks", {
+        "spot": 22500, "strike": 22500, "T": 0.1, "num_paths": 20_000,
+        "with_min_variance": True,
+        "params": {"rho": -0.7, "xi": 0.5}})
+    mv = out["min_variance"]
+    assert mv["adjustment"] < 0          # rho<0 tilts the hedge down
+    assert mv["mv_delta"] == pytest.approx(
+        mv["delta"] + mv["adjustment"], abs=1e-12)
+
+
 def test_regime_endpoint(base_url):
     out = post(f"{base_url}/api/regime", {
         "realized_vol": 0.35, "iv_percentile": 85, "skew_slope": 0.12})
@@ -142,6 +153,21 @@ def test_hedge_endpoint(base_url):
     out = post(f"{base_url}/api/hedge", {
         "spot": 22500, "strike": 22500, "T": 0.04, "num_scenarios": 100})
     assert "mean_pnl" in out and "pnl_percentiles" in out
+    assert out["hedge"] == "bs_delta"
+
+
+def test_hedge_mv_endpoint(base_url):
+    out = post(f"{base_url}/api/hedge", {
+        "spot": 22500, "strike": 22500, "T": 0.04, "num_scenarios": 100,
+        "dynamics": "svj", "hedge": "mv_delta"})
+    assert out["hedge"] == "mv_delta"
+    # mv_delta + rough is a clean 400, not a 500
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/hedge", {
+            "spot": 22500, "strike": 22500, "T": 0.04,
+            "num_scenarios": 100, "dynamics": "rough",
+            "hedge": "mv_delta"})
+    assert exc.value.code == 400
 
 
 def test_smile_endpoint(base_url):
@@ -169,6 +195,30 @@ def test_calibrate_endpoint(base_url):
     unc = out["uncertainty"]
     assert unc["param_names"][0] == "kappa"
     assert all(s >= 0 for s in unc["std_errors"])
+
+
+def test_calibrate_american_endpoint(base_url):
+    """American quotes de-Americanize server-side before the fit; the
+    reported IVs recover the generating flat vol (CRR round trip)."""
+    from mcos_tpu.engine.american import binomial_american_bs
+
+    strikes = list(np.linspace(0.90, 1.10, 5) * 100)
+    market = [binomial_american_bs(100.0, k, 0.5, 0.065, 0.012, 0.2,
+                                   steps=256, is_call=False)
+              for k in strikes]
+    out = post(f"{base_url}/api/calibrate", {
+        "spot": 100, "strikes": strikes, "T": 0.5, "is_call": False,
+        "market_prices": market, "num_paths": 8192,
+        "exercise": "american"})
+    dm = out["deamericanized"]
+    assert dm["n_dropped"] == 0
+    np.testing.assert_allclose(dm["ivs"], 0.2, atol=2e-3)
+    # unknown exercise → 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{base_url}/api/calibrate", {
+            "spot": 100, "strikes": strikes, "T": 0.5,
+            "market_prices": market, "exercise": "bermudan"})
+    assert exc.value.code == 400
 
 
 def test_exotic_endpoint(base_url):
