@@ -1144,6 +1144,65 @@ def handle_svcj(body: dict) -> dict:
     return out
 
 
+def handle_roughheston(body: dict) -> dict:
+    """POST /api/roughheston — rough Heston (El Euch-Rosenbaum).
+
+    CIR mean-reversion driven through the fractional kernel: rBergomi's
+    T^(H-1/2) short-dated skew explosion plus a long-run variance anchor.
+    Modes: price (lifted-MC + companion CV), greeks (pathwise AD through
+    the factor scan), smile (exact COS IVs), compare (MC-vs-oracle rows),
+    skew (ATM-skew term structure), calibrate (least-squares on the exact
+    COS objective). Model family beyond the reference
+    (engine/roughheston.py; fractional-Riccati oracle in
+    ops/roughheston.py)."""
+    from mcos_tpu.engine.roughheston import (RoughHestonEngine,
+                                             calibrate_rough_heston)
+    from mcos_tpu.ops.roughheston import RoughHestonParams
+
+    req = schemas.RoughHestonRequest(**body)
+    start = time.time()
+    p = RoughHestonParams(lam=req.lam, theta=req.theta, nu=req.nu,
+                          rho=req.rho, v0=req.v0, r=req.r, q=req.q,
+                          hurst=req.hurst)
+    kwargs = {"num_paths": req.num_paths, "n_factors": req.n_factors}
+    if req.num_steps is not None:
+        kwargs["num_steps"] = req.num_steps
+    eng = RoughHestonEngine(p, **kwargs)
+    strike = req.strike if req.strike > 0 else req.spot
+    strikes = req.strikes or [m * req.spot
+                              for m in (0.9, 0.95, 1.0, 1.05, 1.1)]
+    if req.mode == "price":
+        out = eng.price(req.spot, strike, req.T, req.is_call)
+    elif req.mode == "greeks":
+        out = eng.greeks(req.spot, strike, req.T, req.is_call)
+    elif req.mode == "smile":
+        out = eng.smile(req.spot, req.T, strikes)
+    elif req.mode == "compare":
+        out = eng.mc_vs_cos(req.spot, strikes, req.T, req.is_call)
+    elif req.mode == "skew":
+        mats = req.maturities or [0.02, 0.05, 0.1, 0.25, 0.5, 1.0]
+        out = eng.atm_skew_term_structure(req.spot, mats)
+    elif req.mode == "calibrate":
+        if not req.strikes or req.market_prices is None:
+            raise ApiError(400, "calibrate mode needs strikes and "
+                                "market_prices")
+        if len(req.strikes) != len(req.market_prices):
+            raise ApiError(400, "strikes and market_prices length mismatch")
+        try:
+            fit = calibrate_rough_heston(
+                req.spot, req.strikes, req.T, req.market_prices,
+                r=req.r, q=req.q, is_call=req.is_call,
+                hurst=None if req.fit_hurst else req.hurst)
+        except RuntimeError as e:
+            raise ApiError(400, str(e))
+        out = {k: v for k, v in fit.items() if k != "params"}
+    else:
+        raise ApiError(400, f"unknown mode {req.mode!r} "
+                            "(price|greeks|smile|compare|skew|calibrate)")
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_termsvj(body: dict) -> dict:
     """POST /api/termsvj — consistent time-dependent SVJ (ops/tdsvj.py).
 
@@ -1304,6 +1363,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/modelrisk": handle_modelrisk,
     "/api/slv": handle_slv,
     "/api/svcj": handle_svcj,
+    "/api/roughheston": handle_roughheston,
     "/api/termsvj": handle_termsvj,
     "/api/volderivs": handle_volderivs,
     "/api/replicate": handle_replicate,

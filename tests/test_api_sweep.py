@@ -70,6 +70,8 @@ CASES = {
     "/api/slv": {**IV_GRID, "price_strikes": [SPOT], "T": 0.5, **TINY,
                  "num_steps": 16},
     "/api/svcj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16},
+    "/api/roughheston": {"spot": SPOT, "T": T, **TINY, "num_steps": 2048,
+                         "n_factors": 8},
     "/api/termsvj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16,
                      "segments": [
                          {"t_end": T / 2, "theta": 0.03, "xi": 0.7,
