@@ -7,7 +7,7 @@ reference's own dashboards — post the same JSON bodies unchanged.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 from pydantic import BaseModel, Field, model_validator
 
@@ -592,6 +592,32 @@ class RoughRequest(BaseModel):
     cal_strikes: Optional[list] = None
     market_prices: Optional[list] = None
     hurst_grid: Optional[list] = None
+
+
+class ProductSpec(BaseModel):
+    """Product priced against the calibration chain (quotegreeks)."""
+    kind: str = "vanilla"            # "vanilla" | "digital" | "varswap"
+    T: float = Field(gt=0, le=10.0)
+    strike: float = 0.0              # vanilla/digital (0 → ATM = spot)
+    is_call: bool = True
+    notional: float = Field(1.0, gt=0, le=1e12)   # varswap
+
+
+class QuoteGreeksRequest(BaseModel):
+    """POST /api/quotegreeks — bucketed market-quote sensitivities via the
+    implicit function theorem through the calibration
+    (engine/quotegreeks.py; capability beyond the reference)."""
+    spot: float = Field(gt=0)
+    # One expiry: T float + strikes [..]. Surface: T [..] + strikes [[..]].
+    T: Union[float, list]
+    strikes: list = Field(min_length=1, max_length=MAX_GRID_POINTS)
+    is_call: bool = True
+    params: SVJParamsRequest = SVJParamsRequest()
+    product: ProductSpec
+    # Params the refit may move; default CORE4 = what one expiry
+    # identifies. Names from the SVJ 8-tuple.
+    free: Optional[list] = Field(None, max_length=8)
+    weights: Optional[list] = Field(None, max_length=MAX_GRID_POINTS)
 
 
 class RoughHestonRequest(BaseModel):

@@ -1144,6 +1144,40 @@ def handle_svcj(body: dict) -> dict:
     return out
 
 
+def handle_quotegreeks(body: dict) -> dict:
+    """POST /api/quotegreeks — dP/d(market quote) through the calibration.
+
+    Implicit-function-theorem map on the weighted-least-squares optimum:
+    d theta*/dq = (J^T W J)^+ J^T W with J the exact COS chain Jacobian;
+    buckets = (dP/d theta)^T d theta*/dq double as the calibration-
+    consistent static hedge in the quoted vanillas. Single expiry (T
+    float) or surface (T list + strikes list-of-lists). Capability beyond
+    the reference (engine/quotegreeks.py)."""
+    from mcos_tpu.engine.quotegreeks import (ALL_PARAMS, CORE4,
+                                             quote_bucket_greeks)
+
+    req = schemas.QuoteGreeksRequest(**body)
+    start = time.time()
+    p = req.params.to_params()
+    product = req.product.model_dump()
+    if product["kind"] in ("vanilla", "digital") and product["strike"] <= 0:
+        product["strike"] = req.spot
+    free = tuple(req.free) if req.free else CORE4
+    bad = [n for n in free if n not in ALL_PARAMS]
+    if bad:
+        raise ApiError(400, f"unknown free parameter(s): {bad}")
+    try:
+        out = quote_bucket_greeks(
+            p, req.spot, req.strikes, req.T, product, free=free,
+            is_call=req.is_call,
+            weights=np.asarray(req.weights, np.float64)
+            if req.weights else None)
+    except ValueError as e:
+        raise ApiError(400, str(e))
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_roughheston(body: dict) -> dict:
     """POST /api/roughheston — rough Heston (El Euch-Rosenbaum).
 
@@ -1363,6 +1397,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/modelrisk": handle_modelrisk,
     "/api/slv": handle_slv,
     "/api/svcj": handle_svcj,
+    "/api/quotegreeks": handle_quotegreeks,
     "/api/roughheston": handle_roughheston,
     "/api/termsvj": handle_termsvj,
     "/api/volderivs": handle_volderivs,

@@ -72,6 +72,9 @@ CASES = {
     "/api/svcj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16},
     "/api/roughheston": {"spot": SPOT, "T": T, **TINY, "num_steps": 2048,
                          "n_factors": 8},
+    "/api/quotegreeks": {"spot": SPOT, "T": T, "strikes": STRIKES,
+                         "product": {"kind": "vanilla", "strike": SPOT,
+                                     "T": T}},
     "/api/termsvj": {"spot": SPOT, "T": T, **TINY, "num_steps": 16,
                      "segments": [
                          {"t_end": T / 2, "theta": 0.03, "xi": 0.7,
@@ -93,7 +96,7 @@ _HEADLINE = {
     "/api/surface": "iv_call", "/api/localvol": "chain",
     "/api/var": "var", "/api/exposure": "ee", "/api/pnl": "total_pnl",
     "/api/modelrisk": "prices", "/api/slv": "chain", "/api/svcj": "price",
-    "/api/volderivs": "future",
+    "/api/volderivs": "future", "/api/quotegreeks": "buckets",
     "/api/margin": "margin",
     "/api/replicate": "hedge_value",
 }
