@@ -337,6 +337,11 @@ class AmericanRequest(BaseModel):
     # BS proxy sigma = sqrt(v0) (engine/pde.py:exercise_boundary) — the SVJ
     # boundary is a surface in (S, v); the proxy is the desk convention.
     with_boundary: bool = False
+    # Exact COS American (Fourier-cosine backward induction + Richardson,
+    # ops/cos_bermudan.py) under the Merton projection sigma=sqrt(v0) +
+    # the SVJ jump leg — exact when xi=0 and theta=v0; prices American
+    # options UNDER JUMPS semi-analytically, pinning the LSM estimate.
+    with_cos_oracle: bool = False
     # Bermudan schedule: exercise allowed every m-th simulation date only
     # (1 = American; >= num_steps = European).
     exercise_every: int = Field(1, ge=1, le=8192)

@@ -484,6 +484,16 @@ def handle_american(body: dict) -> dict:
             n_outer=req.n_outer, n_inner=req.n_inner)
     if req.with_greeks:
         out["greeks"] = eng.greeks(req.spot, req.strike, req.T, req.is_call)
+    if req.with_cos_oracle:
+        if divs is not None or curve is not None:
+            raise ApiError(400, "with_cos_oracle does not support discrete "
+                                "dividends or rate curves — the COS "
+                                "induction needs iid log-increments")
+        from mcos_tpu.engine.american import american_cos_oracle
+
+        out["cos_oracle"] = american_cos_oracle(
+            req.params.to_params(), req.spot, req.strike, req.T,
+            req.is_call)
     if req.with_boundary:
         from mcos_tpu.engine.pde import PDEEngine
 

@@ -800,3 +800,26 @@ def binomial_american_bs(S: float, K: float, T: float, r: float, q: float,
             else np.maximum(K - prices, 0.0)
         values = np.maximum(values, intrinsic)
     return float(values[0])
+
+
+def american_cos_oracle(params: SVJParams, spot: float, strike: float,
+                        T: float, is_call: bool = True) -> Dict:
+    """Exact COS American under the Levy projection of `params`.
+
+    Projection = Merton jump-diffusion with sigma = sqrt(v0) plus the SVJ
+    jump leg — EXACT when xi = 0 and theta = v0 (frozen variance), the
+    same desk convention as the CN exercise boundary's BS proxy
+    (api/server.py handle_american with_boundary). Fourier-cosine backward
+    induction + Richardson over the date ladder (ops/cos_bermudan.py):
+    no paths, no regression — the oracle the LSM bounds are pinned to
+    under jump dynamics."""
+    from mcos_tpu.ops.cos_bermudan import american_cos, merton_model
+
+    m = merton_model(float(params.v0) ** 0.5, float(params.lambda_j),
+                     float(params.mu_j), float(params.sigma_j),
+                     float(params.r), float(params.q))
+    out = american_cos(m, spot, strike, T, is_call=is_call)
+    out["note"] = ("exact COS American under the Merton projection "
+                   "sigma=sqrt(v0) + the SVJ jump leg; exact when xi=0 "
+                   "and theta=v0, a proxy otherwise (like with_boundary)")
+    return out
