@@ -222,7 +222,14 @@ class HedgeRequest(BaseModel):
     dynamics: str = "gbm"
     # "bs_delta" (desk BS delta at sigma=sqrt(v0)) | "mv_delta"
     # (minimum-variance ratio Delta + rho*xi*P_v/S; gbm/svj worlds only)
+    # | "ww_band" (Whalley-Wilmott no-transaction band around the BS
+    # delta, trading to the nearest edge — asymptotically optimal under
+    # proportional costs; gbm/svj worlds only)
     hedge: str = "bs_delta"
+    # ww_band risk aversion (gamma in the band formula, units 1/currency:
+    # absolute risk aversion, sensible values ~1/spot-scale); higher =
+    # tighter band = closer tracking at more cost.
+    risk_aversion: float = Field(1e-3, gt=0, le=1e4)
 
 
 class SmileRequest(BaseModel):

@@ -334,7 +334,7 @@ def handle_hedge(body: dict) -> dict:
             req.spot, req.strike, req.T, req.is_call,
             txn_cost_bps=req.txn_cost_bps, slippage_bps=req.slippage_bps,
             num_scenarios=req.num_scenarios, dynamics=req.dynamics,
-            hedge=req.hedge)
+            hedge=req.hedge, risk_aversion=req.risk_aversion)
     except ValueError as e:
         raise ApiError(400, str(e))
     result["elapsed_ms"] = round((time.time() - start) * 1000, 1)

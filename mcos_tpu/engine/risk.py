@@ -31,7 +31,7 @@ from mcos_tpu.config import (JUMP_SCENARIO_SIZE, SPOT_SHOCKS, VOL_SHOCKS,
                              scaled_steps)
 from mcos_tpu.engine.pricer import MonteCarloEngine, mc_price_core
 from mcos_tpu.models.params import SVJParams
-from mcos_tpu.ops.bs import bs_delta, bs_vega
+from mcos_tpu.ops.bs import bs_delta, bs_gamma, bs_vega
 
 Array = jax.Array
 
@@ -401,7 +401,8 @@ class LiquidityStress:
 def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
                  num_days: int, num_scenarios: int, is_call: bool,
                  txn_cost_bps: float, slippage_bps: float,
-                 dynamics: str = "gbm", hedge: str = "bs_delta"):
+                 dynamics: str = "gbm", hedge: str = "bs_delta",
+                 risk_aversion: float = 1e-3):
     """All hedge scenarios in lockstep (vectorized form of risk.py:264-317).
 
     dynamics="gbm" follows the reference: spot is GBM-at-√v0
@@ -444,10 +445,24 @@ def _hedge_paths(params: SVJParams, spot, strike, T, premium, key, *,
                               / jnp.maximum(ktau, 1e-6), 1.0)
             delta = delta + params.rho * params.xi * decay * bs_vega(
                 s, strike, t_left, params.r, params.q, sigma) / (2 * sigma * s)
-        trade = delta - shares
+        if hedge == "ww_band":
+            # Whalley-Wilmott (1997) asymptotically optimal no-transaction
+            # band for proportional costs: half-width
+            #   H = (3/2 · k · S · Γ² / γ)^{1/3}
+            # around the BS delta; the optimal policy trades to the NEAREST
+            # band edge, which the clip encodes exactly (no trade inside).
+            # k = 0 collapses H to 0 = the daily-delta strategy (pinned).
+            gamma_bs = bs_gamma(s, strike, t_left, params.r, params.q,
+                                sigma)
+            half_band = (1.5 * cost_rate * s * gamma_bs**2
+                         / risk_aversion) ** (1.0 / 3.0)
+            target = jnp.clip(shares, delta - half_band, delta + half_band)
+        else:
+            target = delta
+        trade = target - shares
         cost = jnp.abs(trade) * s * cost_rate
         cash = cash - trade * s - cost
-        shares = delta
+        shares = target
         k_day = jax.random.fold_in(key, day_idx)
         if dynamics == "svj":
             kn, ku = jax.random.split(k_day)
@@ -530,6 +545,7 @@ class HedgingBacktest:
         num_mc_paths: int = 50_000,
         dynamics: str = "gbm",
         hedge: str = "bs_delta",
+        risk_aversion: float = 1e-3,
     ) -> Dict:
         """dynamics="svj" replays the true jump-diffusion world (gap risk +
         vega bleed against a delta-only BS hedge); "gbm" is the reference's
@@ -544,14 +560,27 @@ class HedgingBacktest:
         see `_hedge_paths` and `GreeksEngine.min_variance_delta`). In the
         svj world with ρ<0 this cuts the P&L dispersion of the replication;
         in the gbm world (vol never moves) it only adds hedging noise —
-        both directions are test-pinned."""
-        if hedge not in ("bs_delta", "mv_delta"):
-            raise ValueError(f"unknown hedge {hedge!r} "
-                             "(expected 'bs_delta' or 'mv_delta')")
-        if hedge == "mv_delta" and dynamics == "rough":
-            raise ValueError("hedge='mv_delta' supports gbm/svj dynamics "
-                             "only (the rough world's vol sensitivity is "
-                             "not the Heston ρξ·vega/2σ form)")
+        both directions are test-pinned.
+
+        hedge="ww_band" rebalances only when the held position leaves the
+        Whalley-Wilmott no-transaction band Δ ± (3/2·k·S·Γ²/γ)^{1/3}
+        (k = proportional cost, γ = `risk_aversion`, units 1/currency —
+        absolute risk aversion, so sensible values scale with 1/spot;
+        ~1e-3 for an INR index book), trading to the nearest band edge —
+        the asymptotically optimal policy under proportional costs. The
+        band trades transaction cost against tracking error along the
+        γ dial: the mean−γ/2·Var utility BEATS daily-delta at the
+        strategy's own γ (test-pinned), with cost typically cut 2-3×;
+        zero cost collapses it to the daily-delta strategy exactly."""
+        if hedge not in ("bs_delta", "mv_delta", "ww_band"):
+            raise ValueError(f"unknown hedge {hedge!r} (expected "
+                             "'bs_delta', 'mv_delta' or 'ww_band')")
+        if hedge != "bs_delta" and dynamics == "rough":
+            raise ValueError(f"hedge={hedge!r} supports gbm/svj dynamics "
+                             "only (the rough world replays a fixed sheet "
+                             "with the desk BS delta)")
+        if risk_aversion <= 0.0:
+            raise ValueError("risk_aversion must be positive")
         if num_days is None:
             num_days = max(int(T * 252), 1)
 
@@ -597,7 +626,8 @@ class HedgingBacktest:
                 jax.random.key(self.seed), num_days=int(num_days),
                 num_scenarios=int(num_scenarios), is_call=is_call,
                 txn_cost_bps=txn_cost_bps, slippage_bps=slippage_bps,
-                dynamics=dynamics, hedge=hedge)
+                dynamics=dynamics, hedge=hedge,
+                risk_aversion=risk_aversion)
         pnl = np.asarray(pnl)
 
         return {
