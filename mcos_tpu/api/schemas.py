@@ -259,7 +259,11 @@ class ExoticRequest(BaseModel):
     averaging: str = "arithmetic"        # asian only
     barrier: Optional[float] = None      # barrier only
     knock: str = "out"                   # barrier only
-    monitoring: str = "discrete"         # barrier: "discrete" | "continuous"
+    # barrier/one_touch: "discrete" (grid), "continuous" (BGK shift), or
+    # "bridge" (Brownian-bridge survival weights — exact continuous
+    # monitoring under GBM at any step count, smooth low-variance weight).
+    monitoring: str = Field("discrete",
+                            pattern="^(discrete|continuous|bridge)$")
     pay_at_hit: bool = False             # one_touch only
     params: SVJParamsRequest = SVJParamsRequest()
     num_paths: int = Field(200_000, **_PATHS)

@@ -61,6 +61,7 @@ def exotic_payoff_and_control(
     averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
     floating: bool = False, one_touch: bool = False,
     control_variate: bool = True,
+    monitoring: str = "discrete", bridge_ctrl_exact=0.0,
 ):
     """(pay_b, ctrl_b, ctrl_exact) from a path-stats dict.
 
@@ -75,10 +76,27 @@ def exotic_payoff_and_control(
         pay_b = ops_exotics.asian_payoff(stats, strike, is_call, averaging)
     elif kind == "barrier":
         if one_touch:
-            touched = (stats["max_s"] >= barrier if direction == "up"
-                       else stats["min_s"] <= barrier)
-            pay_b = touched.astype(jnp.float32)
+            if monitoring == "bridge":
+                pay_b = ops_exotics.one_touch_bridge_payoff(stats)
+            else:
+                touched = (stats["max_s"] >= barrier if direction == "up"
+                           else stats["min_s"] <= barrier)
+                pay_b = touched.astype(jnp.float32)
             control_variate = False      # no companion control for cash
+        elif monitoring == "bridge":
+            # Bridge-weighted payoff + the bridge-weighted COMPANION as
+            # control: its continuous-barrier expectation is the exact
+            # Reiner-Rubinstein price (host f64, passed in undiscounted
+            # via bridge_ctrl_exact) — correlation with the SVJ leg is
+            # near the companion-CV ceiling.
+            pay_b = ops_exotics.barrier_bridge_payoff(
+                stats, strike, is_call, knock=knock)
+            if control_variate:
+                ctrl_b = ops_exotics.barrier_bridge_payoff(
+                    stats, strike, is_call, knock=knock, leg="g")
+                return pay_b, ctrl_b, jnp.asarray(bridge_ctrl_exact,
+                                                  jnp.float32)
+            return pay_b, None, None
         else:
             pay_b = ops_exotics.barrier_payoff(
                 stats, strike, barrier, is_call, knock=knock,
@@ -116,7 +134,7 @@ def exotic_payoff_and_control(
 @partial(jax.jit, static_argnames=(
     "num_paths", "num_steps", "is_call", "kind", "averaging", "knock",
     "direction", "antithetic", "control_variate", "floating", "one_touch",
-    "backend"))
+    "backend", "monitoring"))
 def _price_exotic_core(
     params: SVJParams,
     spot,
@@ -125,6 +143,7 @@ def _price_exotic_core(
     key,
     barrier=0.0,
     seed=0,
+    bridge_ctrl_exact=0.0,
     *,
     kind: str,
     num_paths: int,
@@ -138,24 +157,33 @@ def _price_exotic_core(
     antithetic: bool = True,
     control_variate: bool = True,
     backend: str = "scan",
+    monitoring: str = "discrete",
 ) -> Dict[str, Array]:
-    if backend == "pallas":
+    bridge = monitoring == "bridge"
+    if backend == "pallas" and not bridge:
         from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
 
         stats = svj_path_stats_pallas(
             params, spot, T, seed, num_paths=num_paths, num_steps=num_steps,
             antithetic=antithetic, companion=control_variate)
     else:
+        # Bridge mode always runs the scan simulator (the survival
+        # accumulator lives there); the Pallas stats kernel covers the
+        # discrete/BGK modes.
         stats = ops_exotics.simulate_path_stats(
             params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
-            antithetic=antithetic, companion=control_variate)
+            antithetic=antithetic, companion=control_variate,
+            bridge=bridge, bridge_up=(direction == "up"),
+            bridge_log_b=jnp.log(jnp.maximum(barrier, 1e-30)
+                                 / jnp.asarray(spot, jnp.float32)))
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
         stats, params, spot, strike, T, barrier, kind=kind,
         num_steps=num_steps, is_call=is_call, averaging=averaging,
         knock=knock, direction=direction, floating=floating,
-        one_touch=one_touch, control_variate=control_variate)
+        one_touch=one_touch, control_variate=control_variate,
+        monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact)
 
     pay = combine_antithetic(pay_b)
     raw_mean, raw_se = mc_mean_stderr(pay)
@@ -311,6 +339,7 @@ class ExoticEngine:
         if direction is None:
             direction = "up" if barrier >= spot else "down"
         barrier_eff = barrier
+        extra: Dict = {}
         if monitoring == "continuous":
             from mcos_tpu.config import scaled_steps
             from mcos_tpu.ops.exotics import BGK_BETA
@@ -320,11 +349,26 @@ class ExoticEngine:
             shift = BGK_BETA * sig * np.sqrt(T / steps)
             barrier_eff = barrier * float(np.exp(
                 -shift if direction == "up" else shift))
+        elif monitoring == "bridge":
+            # Brownian-bridge survival weights: exact continuous
+            # monitoring under GBM at any step count, smooth estimator
+            # (ops/exotics.py:simulate_path_stats bridge docstring). The
+            # companion CV's exact mean is the Reiner-Rubinstein closed
+            # form at sigma = sqrt(v0), host f64, passed undiscounted.
+            if self.use_control_variate:
+                p = self.params
+                rr = ops_exotics.barrier_bs(
+                    spot, strike, T, float(p.r), float(p.q),
+                    float(np.sqrt(float(p.v0))), barrier,
+                    is_call=is_call, knock=knock, direction=direction)
+                extra["bridge_ctrl_exact"] = float(
+                    rr * np.exp(float(p.r) * T))
+            extra["monitoring"] = "bridge"
         elif monitoring != "discrete":
             raise ValueError(f"unknown monitoring {monitoring!r}")
         out = self._run(spot, strike, T, kind="barrier",
                         barrier=barrier_eff, is_call=is_call, knock=knock,
-                        direction=direction)
+                        direction=direction, **extra)
         out["monitoring"] = monitoring
         out["barrier"] = barrier
         return out
@@ -350,14 +394,20 @@ class ExoticEngine:
             direction = "up" if barrier >= spot else "down"
         sig = float(np.sqrt(float(self.params.v0)))
         barrier_eff = barrier
+        extra: Dict = {}
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             shift = BGK_BETA * sig * np.sqrt(T / steps)
             barrier_eff = barrier * float(np.exp(
                 -shift if direction == "up" else shift))
+        elif monitoring == "bridge":
+            # Smooth touch probability 1 - P(survive) off the bridge
+            # weights — exact continuous monitoring under GBM, no BGK
+            # shift, no indicator variance.
+            extra["monitoring"] = "bridge"
         res = self._run(spot, 0.0, T, kind="barrier", barrier=barrier_eff,
                         is_call=True, knock="in", direction=direction,
-                        one_touch=True)
+                        one_touch=True, **extra)
         out = {
             "price": res["price"],
             "std_error": res["std_error"],

@@ -36,7 +36,7 @@ Array = jax.Array
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
-                                   "companion"))
+                                   "companion", "bridge", "bridge_up"))
 def simulate_path_stats(
     params: SVJParams,
     spot,
@@ -46,6 +46,9 @@ def simulate_path_stats(
     num_steps: int,
     antithetic: bool = True,
     companion: bool = True,
+    bridge: bool = False,
+    bridge_up: bool = True,
+    bridge_log_b=0.0,
 ) -> Dict[str, Array]:
     """SVJ paths with running functionals; one fused scan.
 
@@ -54,6 +57,21 @@ def simulate_path_stats(
         log_avg (mean of log S — geometric mean is exp of it),
         max_s, min_s, and the companion-leg counterparts (g_final, g_avg,
         g_log_avg, g_max, g_min) when companion=True.
+
+    bridge=True additionally accumulates the Brownian-bridge log-survival
+    weight against the barrier at log(B/S0) = `bridge_log_b`
+    (`bridge_up` picks the side): per step, conditional on the endpoints
+    (x_i, x_{i+1}) staying on the live side, the within-step crossing
+    probability of the diffusive bridge is exp(-2 d_i d_{i+1} / (v_i dt))
+    with d = signed distance to the barrier and v_i the step's local
+    variance — SVJ uses the pre-step v (the variance the step's diffusion
+    actually used), the companion leg its constant v0. Endpoint breaches
+    knock the weight to -inf. `log_surv` (and `g_log_surv`) make
+    continuously-monitored barrier estimators EXACT under GBM at any step
+    count, and smooth (the touch indicator becomes a [0,1] weight). Under
+    jumps the bridge conditions on the diffusive part only — a jump that
+    crosses and returns within one step registers at the endpoints, the
+    standard (documented) approximation.
     """
     dtype = jnp.float32
     n_branch = 2 if antithetic else 1
@@ -72,16 +90,30 @@ def simulate_path_stats(
 
     sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
     g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
+    b_log = jnp.asarray(bridge_log_b, dtype)
+
+    def surv_increment(x_old, x_new, var_step):
+        """log P(no within-step crossing | endpoints live), -inf on breach."""
+        if bridge_up:
+            d_old, d_new = b_log - x_old, b_log - x_new
+        else:
+            d_old, d_new = x_old - b_log, x_new - b_log
+        dead = (d_old <= 0.0) | (d_new <= 0.0)
+        p_cross = jnp.exp(-2.0 * d_old * d_new
+                          / jnp.maximum(var_step * dt, 1e-20))
+        return jnp.where(dead, -jnp.inf,
+                         jnp.log1p(-jnp.minimum(p_cross, 1.0 - 1e-7)))
 
     def step(carry, step_idx):
-        (log_s, v, sum_s, sum_log, max_log, min_log,
-         log_g, g_sum_s, g_sum_log, g_max_log, g_min_log) = carry
+        (log_s, v, sum_s, sum_log, max_log, min_log, log_surv,
+         log_g, g_sum_s, g_sum_log, g_max_log, g_min_log, g_log_surv) = carry
         k_step = jax.random.fold_in(key, step_idx)
         k_norm, k_unif = jax.random.split(k_step)
         z = jax.random.normal(k_norm, (3, num_paths), dtype)
         u_jump = jax.random.uniform(k_unif, (num_paths,), dtype)
         z1 = z[0] * sign
 
+        x_prev, v_prev = log_s, v
         log_s, v = _svj_step_core(params, dt, sqrt_dt, log_s, v,
                                   z1, z[1] * sign, u_jump[None, :],
                                   z[2] * sign)
@@ -89,21 +121,29 @@ def simulate_path_stats(
         sum_log = sum_log + log_s
         max_log = jnp.maximum(max_log, log_s)
         min_log = jnp.minimum(min_log, log_s)
+        if bridge:
+            log_surv = log_surv + surv_increment(
+                x_prev, log_s, jnp.maximum(v_prev, 1e-12))
 
         if companion:
+            x_prev_g = log_g
             log_g = log_g + g_drift + sigma_cv * z1 * sqrt_dt
             g_sum_s = g_sum_s + jnp.exp(log_g)
             g_sum_log = g_sum_log + log_g
             g_max_log = jnp.maximum(g_max_log, log_g)
             g_min_log = jnp.minimum(g_min_log, log_g)
-        return (log_s, v, sum_s, sum_log, max_log, min_log,
-                log_g, g_sum_s, g_sum_log, g_max_log, g_min_log), None
+            if bridge:
+                g_log_surv = g_log_surv + surv_increment(
+                    x_prev_g, log_g, sigma_cv**2)
+        return (log_s, v, sum_s, sum_log, max_log, min_log, log_surv,
+                log_g, g_sum_s, g_sum_log, g_max_log, g_min_log,
+                g_log_surv), None
 
-    init = (log_s0, v0, zeros, zeros, neg_inf, pos_inf,
-            log_s0, zeros, zeros, neg_inf, pos_inf)
+    init = (log_s0, v0, zeros, zeros, neg_inf, pos_inf, zeros,
+            log_s0, zeros, zeros, neg_inf, pos_inf, zeros)
     carry, _ = jax.lax.scan(step, init, jnp.arange(num_steps))
-    (log_s, v, sum_s, sum_log, max_log, min_log,
-     log_g, g_sum_s, g_sum_log, g_max_log, g_min_log) = carry
+    (log_s, v, sum_s, sum_log, max_log, min_log, log_surv,
+     log_g, g_sum_s, g_sum_log, g_max_log, g_min_log, g_log_surv) = carry
 
     n = jnp.float32(num_steps)
     log_spot = jnp.log(spot)
@@ -115,6 +155,8 @@ def simulate_path_stats(
         "max_s": spot * jnp.exp(max_log),
         "min_s": spot * jnp.exp(min_log),
     }
+    if bridge:
+        out["log_surv"] = log_surv
     if companion:
         out.update({
             "g_final": spot * jnp.exp(log_g),
@@ -123,6 +165,8 @@ def simulate_path_stats(
             "g_max": spot * jnp.exp(g_max_log),
             "g_min": spot * jnp.exp(g_min_log),
         })
+        if bridge:
+            out["g_log_surv"] = g_log_surv
     return out
 
 
@@ -209,6 +253,30 @@ def barrier_payoff(stats: Dict[str, Array], strike, barrier, is_call: bool,
                else stats["min_s"] <= barrier)
     alive = ~touched if knock == "out" else touched
     return jnp.where(alive, vanilla, 0.0)
+
+
+def barrier_bridge_payoff(stats: Dict[str, Array], strike, is_call: bool,
+                          knock: str = "out", leg: str = "") -> Array:
+    """Continuously-monitored barrier payoff via the Brownian-bridge
+    survival weight (`simulate_path_stats(bridge=True)`).
+
+    knock-out: vanilla(S_T) · P(never crossed); knock-in: vanilla ·
+    (1 − P) — per-path in-out parity is exact by construction. Exact under
+    GBM at any step count (no BGK shift, no O(1/√n) extremum bias) and a
+    SMOOTH [0,1] weight instead of the touch indicator — lower variance
+    near the barrier. leg="g" reads the companion-GBM leg (its exact
+    continuous expectation is `barrier_bs`, the bridge CV)."""
+    s_t = stats["g_final" if leg == "g" else "s_final"]
+    surv = jnp.exp(stats[f"{leg}_log_surv" if leg else "log_surv"])
+    vanilla = jnp.maximum(s_t - strike, 0.0) if is_call \
+        else jnp.maximum(strike - s_t, 0.0)
+    return vanilla * (surv if knock == "out" else 1.0 - surv)
+
+
+def one_touch_bridge_payoff(stats: Dict[str, Array]) -> Array:
+    """Touch probability weight 1 − P(survive): the smooth one-touch
+    estimator (continuous monitoring, exact under GBM)."""
+    return 1.0 - jnp.exp(stats["log_surv"])
 
 
 def lookback_payoff(stats: Dict[str, Array], is_call: bool,

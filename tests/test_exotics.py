@@ -291,3 +291,114 @@ def test_one_touch_r0_at_hit_equals_at_expiry():
 def test_one_touch_started_through():
     from mcos_tpu.ops.exotics import one_touch_bs
     assert one_touch_bs(100.0, 0.5, 0.05, 0.0, 0.2, 95.0, "up") == 1.0
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Brownian-bridge monitoring: exact continuous barriers at ANY step count
+# ─────────────────────────────────────────────────────────────────────────────
+def test_bridge_exact_at_coarse_steps():
+    """Bridge survival weights remove the O(1/sqrt(n)) discretization bias
+    entirely under GBM: at a COARSE grid (32 steps/yr on a 6-month option,
+    i.e. 16 steps) the bridge MC must sit on the Reiner-Rubinstein price
+    within MC noise, where discrete monitoring is off by ~10x the stderr."""
+    from mcos_tpu.ops.exotics import barrier_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=300_000, num_steps=32, seed=7)
+    for B, c, d in [(115.0, True, "up"), (88.0, False, "down")]:
+        cf = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, B, c,
+                        "out", d)
+        br = eng.price_barrier(100.0, 100.0, 0.5, B, is_call=c,
+                               monitoring="bridge")
+        disc = eng.price_barrier(100.0, 100.0, 0.5, B, is_call=c)
+        assert abs(br["price"] - cf) < 4 * br["std_error"] + 1e-3
+        assert abs(br["price"] - cf) < 0.2 * abs(disc["price"] - cf)
+        assert br["monitoring"] == "bridge"
+
+
+def test_bridge_beats_bgk_at_coarse_steps():
+    """BGK kills the sqrt(dt) term but keeps an O(dt) remainder; the bridge
+    has none. At 16 effective steps the bridge gap must not exceed the BGK
+    gap (both vs the continuous closed form)."""
+    from mcos_tpu.ops.exotics import barrier_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=300_000, num_steps=32, seed=11)
+    cf = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, 112.0, True,
+                    "out", "up")
+    br = eng.price_barrier(100.0, 100.0, 0.5, 112.0, monitoring="bridge")
+    bgk = eng.price_barrier(100.0, 100.0, 0.5, 112.0,
+                            monitoring="continuous")
+    assert abs(br["price"] - cf) < abs(bgk["price"] - cf) + \
+        2 * br["std_error"]
+
+
+def test_bridge_in_out_parity_per_path():
+    """pay_in + pay_out = vanilla * (surv + 1 - surv) holds per path by
+    construction -> the raw MC means satisfy in+out = European exactly
+    (same seed, same path set)."""
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    # CV off so std_error IS the raw stderr of each leg; the sum's noise
+    # is the MC *vanilla* noise, bounded by sigma_in + sigma_out.
+    eng = ExoticEngine(gp, num_paths=100_000, num_steps=64, seed=3,
+                       use_control_variate=False)
+    o = eng.price_barrier(100.0, 100.0, 0.5, 115.0, knock="out",
+                          monitoring="bridge")
+    i = eng.price_barrier(100.0, 100.0, 0.5, 115.0, knock="in",
+                          monitoring="bridge")
+    van = float(bs_price(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, True))
+    assert i["raw_mc_price"] + o["raw_mc_price"] == pytest.approx(
+        van, abs=4 * (i["std_error"] + o["std_error"]) + 1e-3)
+    # CV on: each leg is pulled to its own exact mean -> the parity gets
+    # TIGHTER, not looser.
+    cv = ExoticEngine(gp, num_paths=100_000, num_steps=64, seed=3)
+    ocv = cv.price_barrier(100.0, 100.0, 0.5, 115.0, knock="out",
+                           monitoring="bridge")
+    icv = cv.price_barrier(100.0, 100.0, 0.5, 115.0, knock="in",
+                           monitoring="bridge")
+    assert icv["price"] + ocv["price"] == pytest.approx(van, abs=0.02)
+
+
+def test_bridge_companion_cv_reduces_variance():
+    """The bridge-weighted companion leg's continuous expectation is the
+    exact Reiner-Rubinstein price -> a valid, strongly-correlated CV."""
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    cv = ExoticEngine(gp, num_paths=100_000, num_steps=64, seed=3)
+    raw = ExoticEngine(gp, num_paths=100_000, num_steps=64, seed=3,
+                       use_control_variate=False)
+    a = cv.price_barrier(100.0, 100.0, 0.5, 120.0, monitoring="bridge")
+    b = raw.price_barrier(100.0, 100.0, 0.5, 120.0, monitoring="bridge")
+    # GBM limit: companion == SVJ leg, CV collapses the variance entirely
+    assert a["std_error"] < 0.05 * b["std_error"]
+    assert abs(a["price"] - b["price"]) < 4 * b["std_error"]
+
+
+def test_bridge_cv_unbiased_under_svj():
+    """Under full SVJ the companion is correlated but not identical; the
+    CV-adjusted bridge price must agree with the raw bridge MC (unbiased),
+    and the fitted-beta CV can only shrink the stderr (Rao: the optimal
+    coefficient never increases variance — the cut is modest here because
+    xi=0.4 + jumps decorrelate the constant-vol companion)."""
+    p = SVJParams(kappa=2.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.05,
+                  lambda_j=0.4, mu_j=-0.08, sigma_j=0.12, r=0.05, q=0.01)
+    cv = ExoticEngine(p, num_paths=200_000, num_steps=64, seed=9)
+    raw = ExoticEngine(p, num_paths=200_000, num_steps=64, seed=9,
+                       use_control_variate=False)
+    a = cv.price_barrier(100.0, 100.0, 0.5, 118.0, monitoring="bridge")
+    b = raw.price_barrier(100.0, 100.0, 0.5, 118.0, monitoring="bridge")
+    assert abs(a["price"] - b["price"]) < 4 * b["std_error"]
+    assert a["std_error"] <= 1.005 * b["std_error"]
+
+
+def test_one_touch_bridge_matches_reflection_and_rao_blackwellizes():
+    """Bridge touch probability = 1 - prod(bridge survivals): matches the
+    reflection-principle closed form at a coarse grid, with stderr no
+    larger than the indicator estimator's (Rao-Blackwell)."""
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=300_000, num_steps=32, seed=5)
+    for barrier in (115.0, 88.0):
+        br = eng.price_one_touch(100.0, 0.5, barrier, monitoring="bridge")
+        ind = eng.price_one_touch(100.0, 0.5, barrier,
+                                  monitoring="continuous")
+        assert abs(br["price"] - br["closed_form_gbm"]) < \
+            4 * br["std_error"] + 1e-3
+        assert br["std_error"] <= ind["std_error"] * 1.05
+        assert 0.0 <= br["touch_probability"] <= 1.0
