@@ -204,27 +204,40 @@ def _price_exotic_core(
 
 @partial(jax.jit, static_argnames=(
     "kind", "num_paths", "num_steps", "is_call", "averaging", "knock",
-    "direction", "floating", "antithetic", "control_variate"))
+    "direction", "floating", "antithetic", "control_variate", "monitoring",
+    "one_touch"))
 def _exotic_value_and_greeks(
     params: SVJParams, spot, strike, T, key, barrier, *,
     kind: str, num_paths: int, num_steps: int, is_call: bool,
     averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
     floating: bool = False, antithetic: bool = True,
-    control_variate: bool = True,
+    control_variate: bool = True, monitoring: str = "discrete",
+    one_touch: bool = False,
 ):
     """(price, ∂P/∂spot, ∂P/∂params) through the differentiable stat scan.
 
     Valid for Lipschitz path functionals (Asian averages, lookback extrema
-    — max/min carry a.e.-correct subgradients). NOT for barriers: the
-    knock indicator has zero pathwise derivative (the engine uses CRN-FD
-    there instead, see ExoticEngine.greeks)."""
+    — max/min carry a.e.-correct subgradients). NOT for discretely-
+    monitored barriers: the knock indicator has zero pathwise derivative
+    (the engine uses CRN-FD there instead, see ExoticEngine.greeks).
+    Bridge-monitored barriers and one-touches ARE in scope: the survival
+    weight exp(Σ log(1−p_cross)) is continuous in (spot, params) — it
+    decays smoothly to 0 as an endpoint approaches the barrier — so its
+    pathwise derivative is unbiased (Glasserman §7.2 smoothing; this is
+    the bridge estimator's second payoff, after the bias removal). The
+    bridge AD pass runs the RAW estimator (control_variate off): the
+    companion CV's exact mean is a host-f64 constant whose own spot/vol
+    sensitivity would otherwise be dropped from the gradient."""
+    cv = control_variate and monitoring != "bridge"
+
     def f(s, p_):
         return _price_exotic_core(
             p_, s, strike, T, key, barrier, 0, kind=kind,
             num_paths=num_paths, num_steps=num_steps, is_call=is_call,
             averaging=averaging, knock=knock, direction=direction,
-            floating=floating, antithetic=antithetic,
-            control_variate=control_variate, backend="scan")["price"]
+            floating=floating, one_touch=one_touch, antithetic=antithetic,
+            control_variate=cv, backend="scan",
+            monitoring=monitoring)["price"]
 
     price, (d_spot, d_params) = jax.value_and_grad(
         f, argnums=(0, 1))(jnp.float32(spot), params)
@@ -469,21 +482,50 @@ class ExoticEngine:
                kind: str = "asian", is_call: bool = True,
                barrier: Optional[float] = None, knock: str = "out",
                averaging: str = "arithmetic", floating: bool = False,
-               bump: float = 0.01) -> Dict[str, float]:
+               bump: float = 0.01,
+               monitoring: str = "discrete") -> Dict[str, float]:
         """Delta and vega for path-dependent payoffs (beyond the reference,
         which has no exotics at all).
 
         Asian / lookback: exact pathwise AD through the differentiable stat
         scan (the payoffs are Lipschitz in the path functionals), vega
-        converted per vol point (2√v0 · ∂P/∂v0). Barrier: the knock
-        indicator has zero pathwise derivative, so delta comes from a CRN
-        central difference using payoff homogeneity — SVJ paths scale with
-        S₀, so P((1±h)S, K, B) = (1±h)·P(S, K/(1±h), B/(1±h)) off the same
-        paths — and vega from a CRN v0 bump (shared draws keep indicator
-        flips to the near-barrier band).
+        converted per vol point (2√v0 · ∂P/∂v0). Barrier with
+        monitoring="discrete"/"continuous": the knock indicator has zero
+        pathwise derivative, so delta comes from a CRN central difference
+        using payoff homogeneity — SVJ paths scale with S₀, so
+        P((1±h)S, K, B) = (1±h)·P(S, K/(1±h), B/(1±h)) off the same paths
+        — and vega from a CRN v0 bump (shared draws keep indicator flips
+        to the near-barrier band). Barrier / one_touch with
+        monitoring="bridge": the smooth survival weight restores a valid
+        pathwise derivative, so delta/vega/rho come from ONE AD pass like
+        the Asians (test-pinned to f64 FD of the Reiner-Rubinstein forms
+        in the GBM limit).
         """
         steps = scaled_steps(self.num_steps, T)
         key = jax.random.key(self.seed)
+        if (kind in ("barrier", "one_touch")) and monitoring == "bridge":
+            if barrier is None:
+                raise ValueError("barrier greeks need barrier=")
+            direction = "up" if barrier >= spot else "down"
+            one_touch = kind == "one_touch"
+            price, d_spot, d_params = jax.device_get(
+                _exotic_value_and_greeks(
+                    self.params, spot,
+                    0.0 if one_touch else strike, T, key, barrier,
+                    kind="barrier", num_paths=self.num_paths,
+                    num_steps=steps, is_call=True if one_touch else is_call,
+                    knock="in" if one_touch else knock, direction=direction,
+                    one_touch=one_touch, antithetic=self.use_antithetic,
+                    control_variate=False, monitoring="bridge"))
+            v0 = float(self.params.v0)
+            return {
+                "price": float(price),
+                "delta": float(d_spot),
+                "vega_v0": float(d_params.v0),
+                "vega": float(d_params.v0) * 2.0 * v0 ** 0.5,
+                "rho": float(d_params.r),
+                "method": "pathwise_ad_bridge",
+            }
         if kind in ("asian", "lookback"):
             price, d_spot, d_params = jax.device_get(_exotic_value_and_greeks(
                 self.params, spot, strike, T, key, barrier or 0.0,

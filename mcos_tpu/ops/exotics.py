@@ -99,8 +99,13 @@ def simulate_path_stats(
         else:
             d_old, d_new = x_old - b_log, x_new - b_log
         dead = (d_old <= 0.0) | (d_new <= 0.0)
-        p_cross = jnp.exp(-2.0 * d_old * d_new
-                          / jnp.maximum(var_step * dt, 1e-20))
+        # Live endpoints have d_old·d_new > 0 so the exponent is < 0;
+        # clamping at 0 only changes the (discarded) dead branch, and
+        # keeps exp finite so AD never multiplies a zero cotangent by
+        # inf (the 0·inf→NaN where-pitfall) — the bridge weight is
+        # differentiated pathwise for barrier Greeks.
+        p_cross = jnp.exp(jnp.minimum(
+            -2.0 * d_old * d_new / jnp.maximum(var_step * dt, 1e-20), 0.0))
         return jnp.where(dead, -jnp.inf,
                          jnp.log1p(-jnp.minimum(p_cross, 1.0 - 1e-7)))
 

@@ -402,3 +402,45 @@ def test_one_touch_bridge_matches_reflection_and_rao_blackwellizes():
             4 * br["std_error"] + 1e-3
         assert br["std_error"] <= ind["std_error"] * 1.05
         assert 0.0 <= br["touch_probability"] <= 1.0
+
+
+def test_bridge_ad_barrier_greeks_match_rr_derivatives():
+    """The smooth bridge weight restores a valid pathwise derivative for
+    barriers: ONE jax.grad pass must reproduce f64 central differences of
+    the Reiner-Rubinstein closed form in the GBM limit (delta, vega per
+    vol point, rho)."""
+    from mcos_tpu.ops.exotics import barrier_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=200_000, num_steps=64, seed=3)
+    for B, d in [(120.0, "up"), (85.0, "down")]:
+        g = eng.greeks(100.0, 100.0, 0.5, kind="barrier", barrier=B,
+                       monitoring="bridge")
+        assert g["method"] == "pathwise_ad_bridge"
+
+        def f(s=100.0, sig=0.25, r=0.05):
+            return barrier_bs(s, 100.0, 0.5, r, 0.01, sig, B, True,
+                              "out", d)
+        d_fd = (f(s=100.5) - f(s=99.5)) / 1.0
+        v_fd = (f(sig=0.251) - f(sig=0.249)) / 0.002
+        r_fd = (f(r=0.0501) - f(r=0.0499)) / 0.0002
+        assert g["price"] == pytest.approx(f(), rel=0.02)
+        assert g["delta"] == pytest.approx(d_fd, rel=0.08, abs=2e-3)
+        assert g["vega"] == pytest.approx(v_fd, rel=0.05, abs=0.05)
+        assert g["rho"] == pytest.approx(r_fd, rel=0.05, abs=0.05)
+
+
+def test_bridge_ad_one_touch_delta():
+    """One-touch bridge AD delta vs f64 FD of the reflection closed form
+    (one_touch_bs returns the discounted pay-at-expiry price)."""
+    from mcos_tpu.ops.exotics import one_touch_bs
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=200_000, num_steps=64, seed=3)
+    g = eng.greeks(100.0, 0.0, 0.5, kind="one_touch", barrier=115.0,
+                   monitoring="bridge")
+
+    def f(s):
+        return one_touch_bs(s, 0.5, 0.05, 0.01, 0.25, 115.0, "up", False)
+    d_fd = (f(100.5) - f(99.5)) / 1.0
+    assert g["price"] == pytest.approx(f(100.0), rel=0.02)
+    assert g["delta"] == pytest.approx(d_fd, rel=0.05, abs=1e-3)
+    assert np.isfinite(g["vega"]) and np.isfinite(g["rho"])
