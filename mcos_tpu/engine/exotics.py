@@ -160,22 +160,22 @@ def _price_exotic_core(
     monitoring: str = "discrete",
 ) -> Dict[str, Array]:
     bridge = monitoring == "bridge"
-    if backend == "pallas" and not bridge:
+    bridge_log_b = jnp.log(jnp.maximum(barrier, 1e-30)
+                           / jnp.asarray(spot, jnp.float32))
+    if backend == "pallas":
         from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
 
         stats = svj_path_stats_pallas(
             params, spot, T, seed, num_paths=num_paths, num_steps=num_steps,
-            antithetic=antithetic, companion=control_variate)
+            antithetic=antithetic, companion=control_variate,
+            bridge=bridge, bridge_up=(direction == "up"),
+            bridge_log_b=bridge_log_b)
     else:
-        # Bridge mode always runs the scan simulator (the survival
-        # accumulator lives there); the Pallas stats kernel covers the
-        # discrete/BGK modes.
         stats = ops_exotics.simulate_path_stats(
             params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
             antithetic=antithetic, companion=control_variate,
             bridge=bridge, bridge_up=(direction == "up"),
-            bridge_log_b=jnp.log(jnp.maximum(barrier, 1e-30)
-                                 / jnp.asarray(spot, jnp.float32)))
+            bridge_log_b=bridge_log_b)
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(

@@ -67,10 +67,11 @@ def _interpret():
 # Packed scalar-parameter layout (single SMEM vector, see _pack_params).
 _P_SPOT, _P_V0, _P_DT, _P_SQRT_DT, _P_KAPPA, _P_THETA, _P_XI, _P_RHO, \
     _P_RHO_PERP, _P_LAM_DT, _P_MU_J, _P_SIG_J, _P_DRIFT_DT, _P_G_DRIFT_DT, \
-    _P_SIG_CV, _P_NPARAMS = range(16)
+    _P_SIG_CV, _P_BRIDGE_B, _P_NPARAMS = range(17)
 
 
-def _pack_params(params: SVJParams, spot, T, num_steps: int) -> Array:
+def _pack_params(params: SVJParams, spot, T, num_steps: int,
+                 bridge_log_b=0.0) -> Array:
     """Precompute per-step scalar constants on the trace side (f32 vector)."""
     f = lambda x: jnp.asarray(x, jnp.float32)
     dt = f(T) / num_steps
@@ -93,6 +94,7 @@ def _pack_params(params: SVJParams, spot, T, num_steps: int) -> Array:
         _P_DRIFT_DT: (f(params.r) - f(params.q) - f(params.lambda_j) * k) * dt,
         _P_G_DRIFT_DT: (f(params.r) - f(params.q) - 0.5 * sigma_cv**2) * dt,
         _P_SIG_CV: sigma_cv,
+        _P_BRIDGE_B: f(bridge_log_b),
     }
     for i, v in vals.items():
         vec = vec.at[i].set(v)
@@ -898,16 +900,22 @@ def svj_terminal_qe_from_draws_pallas(
 # SVJ path-statistics kernel (exotics hot path)
 # ─────────────────────────────────────────────────────────────────────────────
 def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
-                      min_ref, g_ref, gavg_ref, glavg_ref, gmax_ref,
-                      gmin_ref, *, num_steps: int, rows: int, half_grid: int,
-                      companion: bool):
+                      min_ref, surv_ref, g_ref, gavg_ref, glavg_ref, gmax_ref,
+                      gmin_ref, gsurv_ref, *, num_steps: int, rows: int,
+                      half_grid: int, companion: bool, bridge: bool,
+                      bridge_up: bool):
     """Fused SVJ simulation + running path functionals.
 
     Tracks per-path arithmetic sum, log-sum (geometric mean), and running
     max/min of log S for the SVJ leg and the GBM companion leg — everything
     the Asian/barrier/lookback payoffs need — in one pass with zero HBM
     traffic for intermediates (the scan-based tracker in ops/exotics.py is
-    the differentiable twin; tests pin the two on TPU).
+    the differentiable twin; tests pin the two on TPU). bridge=True also
+    accumulates the Brownian-bridge log-survival weight against the
+    barrier at log(B/S0) = p[_P_BRIDGE_B] (same algebra as the scan twin:
+    SVJ leg on its pre-step local variance, companion on v0; endpoint
+    breach → -inf), enabling exact continuously-monitored barriers at
+    kernel speed.
     """
     block = pl.program_id(0)
     pair = block % half_grid
@@ -928,16 +936,31 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
     drift_dt = p_ref[_P_DRIFT_DT]
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
+    b_log = p_ref[_P_BRIDGE_B]
+
+    def surv_inc(x_old, x_new, var_step):
+        # log P(no within-step crossing | endpoints live), -inf on breach.
+        # Identical algebra to ops/exotics.py:surv_increment (the twin).
+        if bridge_up:
+            d_old, d_new = b_log - x_old, b_log - x_new
+        else:
+            d_old, d_new = x_old - b_log, x_new - b_log
+        dead = (d_old <= 0.0) | (d_new <= 0.0)
+        p_cross = jnp.exp(jnp.minimum(
+            -2.0 * d_old * d_new / jnp.maximum(var_step * dt, 1e-20), 0.0))
+        return jnp.where(dead, -jnp.inf,
+                         jnp.log1p(-jnp.minimum(p_cross, 1.0 - 1e-7)))
 
     def one_step(carry, z1, z2, z_js, u_jump):
-        (log_s, v, sum_s, sum_l, max_l, min_l,
-         log_g, g_sum_s, g_sum_l, g_max_l, g_min_l) = carry
+        (log_s, v, sum_s, sum_l, max_l, min_l, l_surv,
+         log_g, g_sum_s, g_sum_l, g_max_l, g_min_l, g_l_surv) = carry
         v_pos = jnp.maximum(v, 0.0)
         sqrt_v = jnp.sqrt(v_pos)
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
         jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
 
+        x_prev = log_s
         log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump
         v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
                         + xi * sqrt_v * dw2, 0.0)
@@ -945,14 +968,21 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         sum_l = sum_l + log_s
         max_l = jnp.maximum(max_l, log_s)
         min_l = jnp.minimum(min_l, log_s)
+        if bridge:
+            l_surv = l_surv + surv_inc(x_prev, log_s,
+                                       jnp.maximum(v_pos, 1e-12))
         if companion:
+            x_prev_g = log_g
             log_g = log_g + g_drift_dt + sig_cv * dw1
             g_sum_s = g_sum_s + jnp.exp(log_g)
             g_sum_l = g_sum_l + log_g
             g_max_l = jnp.maximum(g_max_l, log_g)
             g_min_l = jnp.minimum(g_min_l, log_g)
-        return (log_s, v, sum_s, sum_l, max_l, min_l,
-                log_g, g_sum_s, g_sum_l, g_max_l, g_min_l)
+            if bridge:
+                g_l_surv = g_l_surv + surv_inc(x_prev_g, log_g,
+                                               sig_cv * sig_cv)
+        return (log_s, v, sum_s, sum_l, max_l, min_l, l_surv,
+                log_g, g_sum_s, g_sum_l, g_max_l, g_min_l, g_l_surv)
 
     def body(_, carry):
         # 2 steps per iteration with fully-utilized Box-Muller pairs
@@ -975,9 +1005,11 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
             jnp.full(shape, -jnp.inf, jnp.float32),
             jnp.full(shape, jnp.inf, jnp.float32),
             zeros,
+            zeros,
             zeros, zeros,
             jnp.full(shape, -jnp.inf, jnp.float32),
-            jnp.full(shape, jnp.inf, jnp.float32))
+            jnp.full(shape, jnp.inf, jnp.float32),
+            zeros)
     carry = jax.lax.fori_loop(0, num_steps // 2, body, init)
     if num_steps % 2 == 1:  # static tail step
         bits = pltpu.prng_random_bits((5, rows, LANES))
@@ -985,34 +1017,37 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         z1, z2 = _boxmuller(u[0], u[1])
         z_js, _ = _boxmuller(u[2], u[3])
         carry = one_step(carry, z1 * sign, z2 * sign, z_js * sign, u[4])
-    (log_s, _v, sum_s, sum_l, max_l, min_l,
-     log_g, g_sum_s, g_sum_l, g_max_l, g_min_l) = carry
+    (log_s, _v, sum_s, sum_l, max_l, min_l, l_surv,
+     log_g, g_sum_s, g_sum_l, g_max_l, g_min_l, g_l_surv) = carry
 
     inv_n = 1.0 / jnp.float32(num_steps)
+    zero = jnp.zeros(shape, jnp.float32)
     s_ref[:] = spot * jnp.exp(log_s)
     avg_ref[:] = spot * (sum_s * inv_n)
     lavg_ref[:] = log_spot + sum_l * inv_n
     max_ref[:] = spot * jnp.exp(max_l)
     min_ref[:] = spot * jnp.exp(min_l)
+    surv_ref[:] = l_surv if bridge else zero
     if companion:
         g_ref[:] = spot * jnp.exp(log_g)
         gavg_ref[:] = spot * (g_sum_s * inv_n)
         glavg_ref[:] = log_spot + g_sum_l * inv_n
         gmax_ref[:] = spot * jnp.exp(g_max_l)
         gmin_ref[:] = spot * jnp.exp(g_min_l)
+        gsurv_ref[:] = g_l_surv if bridge else zero
     else:
-        zero = jnp.zeros(shape, jnp.float32)
         g_ref[:] = zero
         gavg_ref[:] = zero
         glavg_ref[:] = zero
         gmax_ref[:] = zero
         gmin_ref[:] = zero
+        gsurv_ref[:] = zero
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_steps", "antithetic", "companion",
-                     "rows"),
+                     "rows", "bridge", "bridge_up"),
 )
 def svj_path_stats_pallas(
     params: SVJParams,
@@ -1025,11 +1060,16 @@ def svj_path_stats_pallas(
     antithetic: bool = True,
     companion: bool = True,
     rows: int = DEFAULT_ROWS,
+    bridge: bool = False,
+    bridge_up: bool = True,
+    bridge_log_b=0.0,
 ):
     """Fused-kernel drop-in for `ops.exotics.simulate_path_stats`.
 
     Returns the same dict layout ((n_branch, num_paths) arrays): s_final,
-    avg, log_avg, max_s, min_s (+ companion g_* when companion=True).
+    avg, log_avg, max_s, min_s (+ companion g_* when companion=True;
+    + log_surv/g_log_surv Brownian-bridge survival weights when
+    bridge=True, barrier at log(B/S0) = bridge_log_b, side = bridge_up).
     """
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
@@ -1039,7 +1079,8 @@ def svj_path_stats_pallas(
 
     kernel = functools.partial(
         _svj_stats_kernel, num_steps=num_steps, rows=rows,
-        half_grid=half_grid, companion=companion)
+        half_grid=half_grid, companion=companion, bridge=bridge,
+        bridge_up=bridge_up)
     out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
@@ -1048,20 +1089,25 @@ def svj_path_stats_pallas(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
-        out_specs=(block_spec,) * 10,
-        out_shape=(out_shape,) * 10,
+        out_specs=(block_spec,) * 12,
+        out_shape=(out_shape,) * 12,
         interpret=_interpret(),
-    )(jnp.asarray([seed], jnp.int32), _pack_params(params, spot, T, num_steps))
+    )(jnp.asarray([seed], jnp.int32),
+      _pack_params(params, spot, T, num_steps, bridge_log_b=bridge_log_b))
 
     def split(x):
         return x.reshape(n_branch, padded)[:, :num_paths]
 
-    names = ("s_final", "avg", "log_avg", "max_s", "min_s",
-             "g_final", "g_avg", "g_log_avg", "g_max", "g_min")
+    names = ("s_final", "avg", "log_avg", "max_s", "min_s", "log_surv",
+             "g_final", "g_avg", "g_log_avg", "g_max", "g_min", "g_log_surv")
     stats = {name: split(x) for name, x in zip(names, outs)}
     if not companion:
-        for k in ("g_final", "g_avg", "g_log_avg", "g_max", "g_min"):
+        for k in ("g_final", "g_avg", "g_log_avg", "g_max", "g_min",
+                  "g_log_surv"):
             del stats[k]
+    if not bridge:
+        stats.pop("log_surv")
+        stats.pop("g_log_surv", None)
     return stats
 
 

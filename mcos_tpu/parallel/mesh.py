@@ -449,6 +449,8 @@ def sharded_exotic_price(
     one_touch: bool = False,
     control_variate: bool = True,
     axis_name: str = "paths",
+    monitoring: str = "discrete",
+    bridge_ctrl_exact: float = 0.0,
 ) -> Dict[str, Array]:
     """Mesh-sharded exotic pricing (Asian/barrier/lookback).
 
@@ -472,12 +474,16 @@ def sharded_exotic_price(
         stats = ops_exotics.simulate_path_stats(
             params_, spot_, T_, dev_key, num_paths=ppd,
             num_steps=num_steps, antithetic=True,
-            companion=control_variate)
+            companion=control_variate,
+            bridge=(monitoring == "bridge"), bridge_up=(direction == "up"),
+            bridge_log_b=jnp.log(jnp.maximum(barrier_, 1e-30)
+                                 / jnp.asarray(spot_, jnp.float32)))
         pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
             stats, params_, spot_, strike_, T_, barrier_, kind=kind,
             num_steps=num_steps, is_call=is_call, averaging=averaging,
             knock=knock, direction=direction, floating=floating,
-            one_touch=one_touch, control_variate=control_variate)
+            one_touch=one_touch, control_variate=control_variate,
+            monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact)
         pay = simulate.combine_antithetic(pay_b)
         sums = {"n": jnp.float32(pay.shape[0]),
                 "sum_p": jnp.sum(pay), "sumsq_p": jnp.sum(pay * pay)}

@@ -402,3 +402,63 @@ def test_td_kernel_matches_td_scan_and_cos():
     tol = 5 * se + 0.0015 * exact
     assert abs(mc - exact) < tol, f"MC={mc:.3f} COS={exact:.3f} tol={tol:.3f}"
     assert bool(jnp.all(v_pal >= 0.0))
+
+
+def test_stats_kernel_bridge_compiles_and_shapes():
+    """Interpreter smoke for the bridge survival accumulator outputs."""
+    from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
+
+    stats = svj_path_stats_pallas(SVJParams(), 100.0, 0.5, 3,
+                                  num_paths=N, num_steps=STEPS,
+                                  companion=True, rows=8,
+                                  bridge=True, bridge_up=True,
+                                  bridge_log_b=float(np.log(1.15)))
+    assert {"log_surv", "g_log_surv"} <= set(stats)
+    for k in ("log_surv", "g_log_surv"):
+        assert stats[k].shape == (2, N)
+        # log survival probability: always <= 0 (possibly -inf on breach)
+        assert bool(jnp.all(stats[k] <= 0.0))
+    # bridge=False keeps the original surface
+    base = svj_path_stats_pallas(SVJParams(), 100.0, 0.5, 3,
+                                 num_paths=N, num_steps=STEPS,
+                                 companion=True, rows=8)
+    assert "log_surv" not in base
+
+
+@tpu_only
+def test_stats_kernel_bridge_matches_reiner_rubinstein():
+    """Pallas bridge barrier price pins to the continuous closed form in
+    the GBM limit — the same oracle as the scan twin's test
+    (tests/test_exotics.py::test_bridge_exact_at_coarse_steps)."""
+    from mcos_tpu.engine.exotics import ExoticEngine
+    from mcos_tpu.ops.exotics import barrier_bs
+
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=1 << 18, num_steps=32, seed=7,
+                       backend="pallas")
+    for B, c, d in [(115.0, True, "up"), (88.0, False, "down")]:
+        cf = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, B, c,
+                        "out", d)
+        br = eng.price_barrier(100.0, 100.0, 0.5, B, is_call=c,
+                               monitoring="bridge")
+        assert abs(br["price"] - cf) < 4 * br["std_error"] + 2e-3, (B, br)
+
+
+@tpu_only
+def test_stats_kernel_bridge_matches_scan_under_svj():
+    """Kernel and scan accumulate the same survival algebra: bridge-weighted
+    knock-out means agree statistically under full SVJ."""
+    from mcos_tpu.engine.exotics import _price_exotic_core
+
+    p = SVJParams(kappa=2.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.05,
+                  lambda_j=0.4, mu_j=-0.08, sigma_j=0.12)
+    kw = dict(kind="barrier", num_paths=1 << 17, num_steps=64,
+              is_call=True, knock="out", direction="up",
+              control_variate=False, monitoring="bridge")
+    pal = _price_exotic_core(p, 100.0, 100.0, 0.5, jax.random.key(9),
+                             118.0, 9, backend="pallas", **kw)
+    scan = _price_exotic_core(p, 100.0, 100.0, 0.5, jax.random.key(9),
+                              118.0, 9, backend="scan", **kw)
+    gap = abs(float(pal["price"]) - float(scan["price"]))
+    tol = 6 * (float(pal["std_error"]) + float(scan["std_error"]))
+    assert gap < tol, (float(pal["price"]), float(scan["price"]), tol)

@@ -510,3 +510,24 @@ def test_td_engine_mesh_route_matches_cos():
     exact = float(eng.cos_chain(22500.0, [22500.0], 0.25)[0])
     tol = 4 * rows[0]["std_error"] + 0.004 * exact
     assert abs(rows[0]["price"] - exact) < tol
+
+
+def test_sharded_bridge_barrier_matches_closed_form():
+    """Sharded bridge-monitored barrier: the Reiner-Rubinstein oracle holds
+    on the 8-virtual-device mesh (GBM limit), with the bridge companion CV
+    pooled through psum moments."""
+    from mcos_tpu.models.params import gbm_params
+    from mcos_tpu.ops.exotics import barrier_bs
+
+    gp = gbm_params(0.25, r=0.05, q=0.01)
+    m = pmesh.make_mesh()
+    cf = barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.25, 115.0, True,
+                    "out", "up")
+    sh = pmesh.sharded_exotic_price(
+        gp, 100.0, 100.0, 0.5, jax.random.key(2), mesh=m, kind="barrier",
+        barrier=115.0, num_paths=131_072, num_steps=32, knock="out",
+        direction="up", monitoring="bridge",
+        bridge_ctrl_exact=float(cf * np.exp(0.05 * 0.5)))
+    assert abs(float(sh["price"]) - cf) < 4 * float(sh["std_error"]) + 2e-3
+    # The GBM-limit companion collapses the pooled variance.
+    assert float(sh["std_error"]) < 5e-3
