@@ -253,11 +253,14 @@ class ExoticRequest(BaseModel):
     beyond the reference's European-only engine)."""
     spot: float
     T: float
-    kind: str  # asian|barrier|lookback|digital|variance_swap|one_touch
+    # asian|barrier|lookback|digital|variance_swap|one_touch|
+    # double_barrier|double_no_touch|double_one_touch
+    kind: str
     strike: Optional[float] = None       # None ⇒ floating-strike lookback
     is_call: bool = True
     averaging: str = "arithmetic"        # asian only
-    barrier: Optional[float] = None      # barrier only
+    barrier: Optional[float] = None      # barrier kinds (upper for double_*)
+    barrier_lo: Optional[float] = None   # double_* kinds: lower barrier
     knock: str = "out"                   # barrier only
     # barrier/one_touch: "discrete" (grid), "continuous" (BGK shift), or
     # "bridge" (Brownian-bridge survival weights — exact continuous

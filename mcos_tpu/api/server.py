@@ -432,6 +432,28 @@ def handle_exotic(body: dict) -> dict:
         out = eng.price_one_touch(req.spot, req.T, req.barrier,
                                   monitoring=req.monitoring,
                                   pay_at_hit=req.pay_at_hit)
+    elif req.kind == "double_barrier":
+        if req.strike is None or req.barrier is None or req.barrier_lo is None:
+            raise ApiError(400, "double_barrier requires strike, barrier "
+                                "(upper) and barrier_lo (lower)")
+        if not req.barrier_lo < req.barrier:
+            raise ApiError(400, "double_barrier needs barrier_lo < barrier")
+        # bridge is the natural default for corridors (exact continuous
+        # monitoring); an explicit request body still wins
+        monitoring = req.monitoring if "monitoring" in body else "bridge"
+        out = eng.price_double_barrier(
+            req.spot, req.strike, req.T, req.barrier_lo, req.barrier,
+            req.is_call, knock=req.knock, monitoring=monitoring)
+    elif req.kind in ("double_no_touch", "double_one_touch"):
+        if req.barrier is None or req.barrier_lo is None:
+            raise ApiError(400, f"{req.kind} requires barrier (upper) and "
+                                "barrier_lo (lower)")
+        if not req.barrier_lo < req.barrier:
+            raise ApiError(400, f"{req.kind} needs barrier_lo < barrier")
+        monitoring = req.monitoring if "monitoring" in body else "bridge"
+        out = eng.price_double_no_touch(
+            req.spot, req.T, req.barrier_lo, req.barrier,
+            touch=(req.kind == "double_one_touch"), monitoring=monitoring)
     elif req.kind == "lookback":
         out = eng.price_lookback(req.spot, req.T, req.is_call,
                                  strike=req.strike)
@@ -446,11 +468,26 @@ def handle_exotic(body: dict) -> dict:
     else:
         raise ApiError(400, f"unknown kind {req.kind!r}")
     if req.with_greeks:
-        out["greeks"] = eng.greeks(
-            req.spot, req.strike if req.strike is not None else 0.0, req.T,
-            kind=req.kind, is_call=req.is_call, barrier=req.barrier,
-            knock=req.knock, averaging=req.averaging,
-            floating=req.kind == "lookback" and req.strike is None)
+        if req.kind in ("double_barrier", "double_no_touch",
+                        "double_one_touch"):
+            # corridor Greeks come from the bridge AD pass
+            out["greeks"] = eng.greeks(
+                req.spot, req.strike if req.strike is not None else 0.0,
+                req.T,
+                kind=("double_barrier" if req.kind == "double_barrier"
+                      else "double_no_touch"),
+                is_call=req.is_call, barrier=req.barrier,
+                barrier_lo=req.barrier_lo,
+                knock=("in" if req.kind == "double_one_touch"
+                       else req.knock),
+                monitoring="bridge")
+        else:
+            out["greeks"] = eng.greeks(
+                req.spot,
+                req.strike if req.strike is not None else 0.0, req.T,
+                kind=req.kind, is_call=req.is_call, barrier=req.barrier,
+                knock=req.knock, averaging=req.averaging,
+                floating=req.kind == "lookback" and req.strike is None)
     out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
     return out
 

@@ -62,6 +62,7 @@ def exotic_payoff_and_control(
     floating: bool = False, one_touch: bool = False,
     control_variate: bool = True,
     monitoring: str = "discrete", bridge_ctrl_exact=0.0,
+    barrier_lo=0.0,
 ):
     """(pay_b, ctrl_b, ctrl_exact) from a path-stats dict.
 
@@ -70,10 +71,50 @@ def exotic_payoff_and_control(
     cannot drift between them. ctrl_b/ctrl_exact are None when the payoff
     takes no companion control (one-touch cash digitals, or
     control_variate=False).
+
+    kind="double_barrier": `barrier` is the UPPER barrier, `barrier_lo`
+    the lower. one_touch=True prices the corridor digitals — knock="out"
+    is the double-NO-touch (pays iff neither barrier trades), knock="in"
+    the double-one-touch (pays on any touch, at expiry); both take the
+    companion-leg digital as control under bridge monitoring
+    (`bridge_ctrl_exact` = the undiscounted `double_no_touch_bs`-style
+    stay/touch probability).
     """
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
     if kind == "asian":
         pay_b = ops_exotics.asian_payoff(stats, strike, is_call, averaging)
+    elif kind == "double_barrier":
+        if one_touch:
+            if monitoring == "bridge":
+                surv = jnp.exp(stats["log_surv"])
+                pay_b = surv if knock == "out" else 1.0 - surv
+                if control_variate:
+                    g_surv = jnp.exp(stats["g_log_surv"])
+                    ctrl_b = g_surv if knock == "out" else 1.0 - g_surv
+                    return pay_b, ctrl_b, jnp.asarray(bridge_ctrl_exact,
+                                                      jnp.float32)
+            else:
+                touched = ((stats["max_s"] >= barrier)
+                           | (stats["min_s"] <= barrier_lo))
+                alive = ~touched if knock == "out" else touched
+                pay_b = alive.astype(jnp.float32)
+            return pay_b, None, None
+        if monitoring == "bridge":
+            # log_surv already means "survived the corridor": the single-
+            # barrier bridge payoff applies unchanged, companion leg as CV
+            # with its exact continuous mean (double_barrier_bs quadrature,
+            # host f64, passed undiscounted via bridge_ctrl_exact).
+            pay_b = ops_exotics.barrier_bridge_payoff(
+                stats, strike, is_call, knock=knock)
+            if control_variate:
+                ctrl_b = ops_exotics.barrier_bridge_payoff(
+                    stats, strike, is_call, knock=knock, leg="g")
+                return pay_b, ctrl_b, jnp.asarray(bridge_ctrl_exact,
+                                                  jnp.float32)
+            return pay_b, None, None
+        pay_b = ops_exotics.double_barrier_payoff(
+            stats, strike, barrier_lo, barrier, is_call, knock=knock)
+        # falls through to the European companion control below
     elif kind == "barrier":
         if one_touch:
             if monitoring == "bridge":
@@ -144,6 +185,7 @@ def _price_exotic_core(
     barrier=0.0,
     seed=0,
     bridge_ctrl_exact=0.0,
+    barrier_lo=0.0,
     *,
     kind: str,
     num_paths: int,
@@ -160,7 +202,10 @@ def _price_exotic_core(
     monitoring: str = "discrete",
 ) -> Dict[str, Array]:
     bridge = monitoring == "bridge"
+    corridor = kind == "double_barrier" and bridge
     bridge_log_b = jnp.log(jnp.maximum(barrier, 1e-30)
+                           / jnp.asarray(spot, jnp.float32))
+    bridge_log_l = jnp.log(jnp.maximum(barrier_lo, 1e-30)
                            / jnp.asarray(spot, jnp.float32))
     if backend == "pallas":
         from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
@@ -169,13 +214,15 @@ def _price_exotic_core(
             params, spot, T, seed, num_paths=num_paths, num_steps=num_steps,
             antithetic=antithetic, companion=control_variate,
             bridge=bridge, bridge_up=(direction == "up"),
-            bridge_log_b=bridge_log_b)
+            bridge_log_b=bridge_log_b, corridor=corridor,
+            bridge_log_l=bridge_log_l)
     else:
         stats = ops_exotics.simulate_path_stats(
             params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
             antithetic=antithetic, companion=control_variate,
             bridge=bridge, bridge_up=(direction == "up"),
-            bridge_log_b=bridge_log_b)
+            bridge_log_b=bridge_log_b, corridor=corridor,
+            bridge_log_l=bridge_log_l)
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
@@ -183,7 +230,8 @@ def _price_exotic_core(
         num_steps=num_steps, is_call=is_call, averaging=averaging,
         knock=knock, direction=direction, floating=floating,
         one_touch=one_touch, control_variate=control_variate,
-        monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact)
+        monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact,
+        barrier_lo=barrier_lo)
 
     pay = combine_antithetic(pay_b)
     raw_mean, raw_se = mc_mean_stderr(pay)
@@ -207,7 +255,7 @@ def _price_exotic_core(
     "direction", "floating", "antithetic", "control_variate", "monitoring",
     "one_touch"))
 def _exotic_value_and_greeks(
-    params: SVJParams, spot, strike, T, key, barrier, *,
+    params: SVJParams, spot, strike, T, key, barrier, barrier_lo=0.0, *,
     kind: str, num_paths: int, num_steps: int, is_call: bool,
     averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
     floating: bool = False, antithetic: bool = True,
@@ -232,7 +280,7 @@ def _exotic_value_and_greeks(
 
     def f(s, p_):
         return _price_exotic_core(
-            p_, s, strike, T, key, barrier, 0, kind=kind,
+            p_, s, strike, T, key, barrier, 0, 0.0, barrier_lo, kind=kind,
             num_paths=num_paths, num_steps=num_steps, is_call=is_call,
             averaging=averaging, knock=knock, direction=direction,
             floating=floating, one_touch=one_touch, antithetic=antithetic,
@@ -445,6 +493,110 @@ class ExoticEngine:
             out["pay_at_hit"] = True
         return out
 
+    def price_double_barrier(self, spot: float, strike: float, T: float,
+                             lower: float, upper: float,
+                             is_call: bool = True, knock: str = "out",
+                             monitoring: str = "bridge") -> Dict[str, float]:
+        """Double-barrier option: knocks when EITHER barrier trades.
+
+        monitoring="bridge" (default — it is the whole point here) uses the
+        image-series corridor survival weight
+        (`ops/exotics.py:corridor_surv_increment`): exact continuous
+        monitoring under GBM at any step count, smooth [0,1] weight, and
+        per-path in-out parity by construction. CV = the bridge-weighted
+        companion leg, whose exact continuous mean is the
+        `double_barrier_bs` corridor-density quadrature (host f64).
+        monitoring="discrete" knocks on the simulation grid;
+        "continuous" applies the BGK shift to BOTH barriers (upper down,
+        lower up) — exact in the GBM limit.
+        """
+        if not lower < upper:
+            raise ValueError("double barrier needs lower < upper")
+        lo_eff, hi_eff = lower, upper
+        extra: Dict = {}
+        sig = float(np.sqrt(float(self.params.v0)))
+        if monitoring == "continuous":
+            steps = scaled_steps(self.num_steps, T)
+            from mcos_tpu.ops.exotics import BGK_BETA
+
+            shift = BGK_BETA * sig * np.sqrt(T / steps)
+            hi_eff = upper * float(np.exp(-shift))
+            lo_eff = lower * float(np.exp(shift))
+        elif monitoring == "bridge":
+            if self.use_control_variate:
+                p = self.params
+                db = ops_exotics.double_barrier_bs(
+                    spot, strike, T, float(p.r), float(p.q), sig,
+                    lower, upper, is_call=is_call, knock=knock)
+                extra["bridge_ctrl_exact"] = float(
+                    db * np.exp(float(p.r) * T))
+            extra["monitoring"] = "bridge"
+        elif monitoring != "discrete":
+            raise ValueError(f"unknown monitoring {monitoring!r}")
+        out = self._run(spot, strike, T, kind="double_barrier",
+                        barrier=hi_eff, barrier_lo=lo_eff, is_call=is_call,
+                        knock=knock, **extra)
+        out["monitoring"] = monitoring
+        out["lower_barrier"] = lower
+        out["upper_barrier"] = upper
+        out["closed_form_gbm"] = ops_exotics.double_barrier_bs(
+            spot, strike, T, float(self.params.r), float(self.params.q),
+            sig, lower, upper, is_call=is_call, knock=knock)
+        return out
+
+    def price_double_no_touch(self, spot: float, T: float, lower: float,
+                              upper: float, touch: bool = False,
+                              monitoring: str = "bridge"
+                              ) -> Dict[str, float]:
+        """Corridor digital: double-no-touch pays 1 at expiry iff the spot
+        never leaves (lower, upper); touch=True prices the double-ONE-touch
+        (pays on any touch, at expiry — their undiscounted probabilities
+        sum to 1). Bridge monitoring gives the smooth exp(log_surv) weight
+        (exact continuous under GBM); the companion-leg digital rides as
+        control with exact mean from `double_no_touch_bs`."""
+        if not lower < spot < upper:
+            # already through a barrier: the digital is decided at t=0
+            df = float(np.exp(-float(self.params.r) * T))
+            return {"price": df if touch else 0.0, "std_error": 0.0,
+                    "stay_probability": 0.0, "monitoring": monitoring,
+                    "num_paths_used": 0, "num_steps": 0}
+        knock = "in" if touch else "out"
+        sig = float(np.sqrt(float(self.params.v0)))
+        lo_eff, hi_eff = lower, upper
+        extra: Dict = {}
+        if monitoring == "continuous":
+            steps = scaled_steps(self.num_steps, T)
+            from mcos_tpu.ops.exotics import BGK_BETA
+
+            shift = BGK_BETA * sig * np.sqrt(T / steps)
+            hi_eff = upper * float(np.exp(-shift))
+            lo_eff = lower * float(np.exp(shift))
+        elif monitoring == "bridge":
+            if self.use_control_variate:
+                p = self.params
+                stay = ops_exotics.double_no_touch_bs(
+                    spot, T, float(p.r), float(p.q), sig, lower, upper
+                ) * np.exp(float(p.r) * T)      # undiscounted stay prob
+                extra["bridge_ctrl_exact"] = float(
+                    stay if not touch else 1.0 - stay)
+            extra["monitoring"] = "bridge"
+        elif monitoring != "discrete":
+            raise ValueError(f"unknown monitoring {monitoring!r}")
+        out = self._run(spot, 0.0, T, kind="double_barrier",
+                        barrier=hi_eff, barrier_lo=lo_eff, is_call=True,
+                        knock=knock, one_touch=True, **extra)
+        df = float(np.exp(-float(self.params.r) * T))
+        out["stay_probability"] = (out["price"] / df if not touch
+                                   else 1.0 - out["price"] / df)
+        out["monitoring"] = monitoring
+        out["lower_barrier"] = lower
+        out["upper_barrier"] = upper
+        dnt = ops_exotics.double_no_touch_bs(
+            spot, T, float(self.params.r), float(self.params.q), sig,
+            lower, upper)
+        out["closed_form_gbm"] = dnt if not touch else df - dnt
+        return out
+
     def price_lookback(self, spot: float, T: float, is_call: bool = True,
                        strike: Optional[float] = None) -> Dict[str, float]:
         """Lookback: floating strike when `strike` is None, else fixed."""
@@ -483,7 +635,8 @@ class ExoticEngine:
                barrier: Optional[float] = None, knock: str = "out",
                averaging: str = "arithmetic", floating: bool = False,
                bump: float = 0.01,
-               monitoring: str = "discrete") -> Dict[str, float]:
+               monitoring: str = "discrete",
+               barrier_lo: Optional[float] = None) -> Dict[str, float]:
         """Delta and vega for path-dependent payoffs (beyond the reference,
         which has no exotics at all).
 
@@ -503,6 +656,32 @@ class ExoticEngine:
         """
         steps = scaled_steps(self.num_steps, T)
         key = jax.random.key(self.seed)
+        if (kind in ("double_barrier", "double_no_touch")
+                and monitoring == "bridge"):
+            # Corridor bridge weight is smooth in (spot, params) exactly
+            # like the single-barrier one: ONE pathwise AD pass.
+            if barrier is None or barrier_lo is None:
+                raise ValueError("double-barrier greeks need barrier= "
+                                 "(upper) and barrier_lo=")
+            one_touch = kind == "double_no_touch"
+            price, d_spot, d_params = jax.device_get(
+                _exotic_value_and_greeks(
+                    self.params, spot, 0.0 if one_touch else strike, T,
+                    key, barrier, barrier_lo, kind="double_barrier",
+                    num_paths=self.num_paths, num_steps=steps,
+                    is_call=True if one_touch else is_call,
+                    knock=knock, one_touch=one_touch,
+                    antithetic=self.use_antithetic,
+                    control_variate=False, monitoring="bridge"))
+            v0 = float(self.params.v0)
+            return {
+                "price": float(price),
+                "delta": float(d_spot),
+                "vega_v0": float(d_params.v0),
+                "vega": float(d_params.v0) * 2.0 * v0 ** 0.5,
+                "rho": float(d_params.r),
+                "method": "pathwise_ad_bridge",
+            }
         if (kind in ("barrier", "one_touch")) and monitoring == "bridge":
             if barrier is None:
                 raise ValueError("barrier greeks need barrier=")

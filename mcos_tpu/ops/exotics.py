@@ -35,8 +35,51 @@ from mcos_tpu.ops.simulate import _svj_step_core
 Array = jax.Array
 
 
+def corridor_surv_increment(x_old, x_new, var_step, dt, log_lo, log_hi,
+                            n_images: int = 2):
+    """log P(no exit from (lo, hi) within the step | endpoints live).
+
+    Method-of-images series for the Brownian bridge on a corridor: with
+    a = x_old − lo, b = x_new − lo, d = hi − lo, s = var_step·dt,
+
+        P_surv = Σ_n [ e^{−2nd(nd−(b−a))/s} − e^{−((a+b−2nd)² − (b−a)²)/(2s)} ]
+
+    (n = 0 first term is 1; n = 0 second term is the lower-barrier crossing
+    e^{−2ab/s}; n = 1 second term is the upper-barrier crossing
+    e^{−2(d−a)(d−b)/s}; |n| ≥ 1 first terms are the return images). For
+    live endpoints every exponent is ≤ 0 and terms decay like
+    e^{−2n²d²/s}, so the static `n_images`-term truncation is exact to
+    f32 whenever the corridor is wider than a few step-stdevs — the
+    regime where bridge monitoring is meaningful at all. Endpoint breach
+    → −inf. Exponents are clamped ≤ 0 and P_surv to [1e−7, 1] so the
+    weight stays AD-safe (no 0·inf through `where`) — this function is
+    differentiated pathwise for double-barrier Greeks.
+
+    SHARED by the scan twin (`simulate_path_stats(corridor=True)`) and the
+    Pallas stats kernel (pallas_kernels.py:_svj_stats_kernel) — one
+    implementation, so the twin-pair algebra cannot drift.
+    """
+    a = x_old - log_lo
+    b = x_new - log_lo
+    d = log_hi - log_lo
+    s = jnp.maximum(var_step * dt, 1e-20)
+    dead = (a <= 0.0) | (a >= d) | (b <= 0.0) | (b >= d)
+    delta = b - a
+    ssum = a + b
+    psurv = jnp.ones_like(a)
+    for n in range(-n_images, n_images + 1):
+        if n != 0:
+            psurv = psurv + jnp.exp(jnp.minimum(
+                -2.0 * n * d * (n * d - delta) / s, 0.0))
+        psurv = psurv - jnp.exp(jnp.minimum(
+            -((ssum - 2.0 * n * d) ** 2 - delta**2) / (2.0 * s), 0.0))
+    return jnp.where(dead, -jnp.inf,
+                     jnp.log(jnp.clip(psurv, 1e-7, 1.0)))
+
+
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
-                                   "companion", "bridge", "bridge_up"))
+                                   "companion", "bridge", "bridge_up",
+                                   "corridor"))
 def simulate_path_stats(
     params: SVJParams,
     spot,
@@ -49,6 +92,8 @@ def simulate_path_stats(
     bridge: bool = False,
     bridge_up: bool = True,
     bridge_log_b=0.0,
+    corridor: bool = False,
+    bridge_log_l=0.0,
 ) -> Dict[str, Array]:
     """SVJ paths with running functionals; one fused scan.
 
@@ -72,6 +117,12 @@ def simulate_path_stats(
     jumps the bridge conditions on the diffusive part only — a jump that
     crosses and returns within one step registers at the endpoints, the
     standard (documented) approximation.
+
+    corridor=True (requires bridge=True) monitors BOTH barriers: survival
+    against exit from (bridge_log_l, bridge_log_b) via the image-series
+    `corridor_surv_increment` — double knock-outs / double-no-touch
+    digitals with exact continuous monitoring under GBM (`bridge_up` is
+    ignored).
     """
     dtype = jnp.float32
     n_branch = 2 if antithetic else 1
@@ -91,9 +142,13 @@ def simulate_path_stats(
     sigma_cv = jnp.sqrt(jnp.asarray(params.v0, dtype))
     g_drift = (params.r - params.q - 0.5 * sigma_cv**2) * dt
     b_log = jnp.asarray(bridge_log_b, dtype)
+    l_log = jnp.asarray(bridge_log_l, dtype)
 
     def surv_increment(x_old, x_new, var_step):
         """log P(no within-step crossing | endpoints live), -inf on breach."""
+        if corridor:
+            return corridor_surv_increment(x_old, x_new, var_step, dt,
+                                           l_log, b_log)
         if bridge_up:
             d_old, d_new = b_log - x_old, b_log - x_new
         else:
@@ -260,6 +315,20 @@ def barrier_payoff(stats: Dict[str, Array], strike, barrier, is_call: bool,
     return jnp.where(alive, vanilla, 0.0)
 
 
+def double_barrier_payoff(stats: Dict[str, Array], strike, barrier_lo,
+                          barrier_hi, is_call: bool,
+                          knock: str = "out") -> Array:
+    """Discretely-monitored double-barrier payoff: the option knocks when
+    the grid max breaches `barrier_hi` OR the grid min breaches
+    `barrier_lo` (knock='out' voids on touch; 'in' activates)."""
+    s_t = stats["s_final"]
+    vanilla = jnp.maximum(s_t - strike, 0.0) if is_call \
+        else jnp.maximum(strike - s_t, 0.0)
+    touched = (stats["max_s"] >= barrier_hi) | (stats["min_s"] <= barrier_lo)
+    alive = ~touched if knock == "out" else touched
+    return jnp.where(alive, vanilla, 0.0)
+
+
 def barrier_bridge_payoff(stats: Dict[str, Array], strike, is_call: bool,
                           knock: str = "out", leg: str = "") -> Array:
     """Continuously-monitored barrier payoff via the Brownian-bridge
@@ -396,3 +465,97 @@ def one_touch_bs(S, T, r, q, sigma, barrier, direction: str = "up",
     val = (np.exp(a_dec * b) * norm.cdf((-b + lam * T) / st)
            + np.exp(a_grow * b) * norm.cdf((-b - lam * T) / st))
     return float(min(max(val, 0.0), 1.0))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Continuously-monitored DOUBLE-barrier closed forms (GBM, host f64)
+# ─────────────────────────────────────────────────────────────────────────────
+def _corridor_density(x, lo, hi, m, sigma, T, n_images: int = 8):
+    """Sub-density of X_T = x for drifted BM (drift m, vol sigma, X_0 = 0)
+    that never exits (lo, hi) — method of images + Girsanov.
+
+    Driftless corridor density by alternating reflections about hi and lo
+    (d = hi − lo):  q0(x) = Σ_n [ φ(x − 2nd) − φ(x − 2·hi + 2nd) ]
+    (checks: lo → −inf leaves φ(x) − φ(x − 2·hi), the single-barrier
+    reflection; hi → +inf leaves φ(x) − φ(x − 2·lo)). The drift enters
+    only through the endpoint-measurable Girsanov factor
+    e^{m·x/σ² − m²T/(2σ²)}. Vectorized in x; f64."""
+    from scipy.stats import norm
+
+    x = np.asarray(x, np.float64)
+    sig_t = sigma * np.sqrt(T)
+    d = hi - lo
+    q0 = np.zeros_like(x)
+    for n in range(-n_images, n_images + 1):
+        q0 += norm.pdf(x - 2.0 * n * d, scale=sig_t)
+        q0 -= norm.pdf(x - 2.0 * hi + 2.0 * n * d, scale=sig_t)
+    return np.exp((m * x - 0.5 * m * m * T) / sigma**2) * np.maximum(q0, 0.0)
+
+
+def double_barrier_bs(S, K, T, r, q, sigma, lower, upper,
+                      is_call: bool = True, knock: str = "out",
+                      n_quad: int = 256) -> float:
+    """Continuously-monitored double-barrier option under GBM, no rebate.
+
+    Knock-out price = e^{−rT} ∫ payoff(S·eˣ) · q_m(x) dx over the corridor
+    (Gauss-Legendre against the image-series corridor density
+    `_corridor_density` — exact to quadrature/truncation precision, both
+    far beyond f32). Knock-in via in-out parity against the vanilla, exact
+    without rebates. The MC oracle for bridge-monitored double barriers
+    (`ExoticEngine.price_double_barrier`) and the companion-leg CV mean.
+    """
+    from scipy.stats import norm
+
+    S, K, T, L, U = map(float, (S, K, T, lower, upper))
+    if not L < U:
+        raise ValueError("double barrier needs lower < upper")
+    st = sigma * np.sqrt(T)
+    d1 = (np.log(S / K) + (r - q + 0.5 * sigma**2) * T) / st
+    d2 = d1 - st
+    if is_call:
+        vanilla = (S * np.exp(-q * T) * norm.cdf(d1)
+                   - K * np.exp(-r * T) * norm.cdf(d2))
+    else:
+        vanilla = (K * np.exp(-r * T) * norm.cdf(-d2)
+                   - S * np.exp(-q * T) * norm.cdf(-d1))
+
+    if S <= L or S >= U:          # starts through a barrier: knocked at t=0
+        ko = 0.0
+    else:
+        lo, hi = np.log(L / S), np.log(U / S)
+        m = r - q - 0.5 * sigma**2
+        # Restrict to the in-the-money part of the corridor.
+        k_log = np.log(K / S)
+        a, b = (max(lo, k_log), hi) if is_call else (lo, min(hi, k_log))
+        if a >= b:
+            ko = 0.0
+        else:
+            nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+            x = 0.5 * (b - a) * nodes + 0.5 * (b + a)
+            w = 0.5 * (b - a) * weights
+            pay = (S * np.exp(x) - K) if is_call else (K - S * np.exp(x))
+            dens = _corridor_density(x, lo, hi, m, sigma, T)
+            ko = float(np.exp(-r * T) * np.sum(w * pay * dens))
+    ko = min(max(ko, 0.0), vanilla if vanilla > 0 else ko)
+    if knock == "out":
+        return float(ko)
+    return float(max(vanilla - ko, 0.0))     # in-out parity
+
+
+def double_no_touch_bs(S, T, r, q, sigma, lower, upper,
+                       n_quad: int = 256) -> float:
+    """Double-no-touch digital under GBM: pays 1 at expiry iff the spot
+    never leaves (lower, upper). Price = e^{−rT} · ∫ q_m(x) dx over the
+    corridor (same image-series density as `double_barrier_bs`). The
+    double-ONE-touch (pays on any touch, at expiry) is
+    e^{−rT} − this."""
+    S, T, L, U = map(float, (S, T, lower, upper))
+    if S <= L or S >= U:
+        return 0.0
+    lo, hi = np.log(L / S), np.log(U / S)
+    m = r - q - 0.5 * sigma**2
+    nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+    x = 0.5 * (hi - lo) * nodes + 0.5 * (hi + lo)
+    w = 0.5 * (hi - lo) * weights
+    p_stay = float(np.sum(w * _corridor_density(x, lo, hi, m, sigma, T)))
+    return float(np.exp(-r * T) * min(max(p_stay, 0.0), 1.0))

@@ -67,11 +67,11 @@ def _interpret():
 # Packed scalar-parameter layout (single SMEM vector, see _pack_params).
 _P_SPOT, _P_V0, _P_DT, _P_SQRT_DT, _P_KAPPA, _P_THETA, _P_XI, _P_RHO, \
     _P_RHO_PERP, _P_LAM_DT, _P_MU_J, _P_SIG_J, _P_DRIFT_DT, _P_G_DRIFT_DT, \
-    _P_SIG_CV, _P_BRIDGE_B, _P_NPARAMS = range(17)
+    _P_SIG_CV, _P_BRIDGE_B, _P_BRIDGE_L, _P_NPARAMS = range(18)
 
 
 def _pack_params(params: SVJParams, spot, T, num_steps: int,
-                 bridge_log_b=0.0) -> Array:
+                 bridge_log_b=0.0, bridge_log_l=0.0) -> Array:
     """Precompute per-step scalar constants on the trace side (f32 vector)."""
     f = lambda x: jnp.asarray(x, jnp.float32)
     dt = f(T) / num_steps
@@ -95,6 +95,7 @@ def _pack_params(params: SVJParams, spot, T, num_steps: int,
         _P_G_DRIFT_DT: (f(params.r) - f(params.q) - 0.5 * sigma_cv**2) * dt,
         _P_SIG_CV: sigma_cv,
         _P_BRIDGE_B: f(bridge_log_b),
+        _P_BRIDGE_L: f(bridge_log_l),
     }
     for i, v in vals.items():
         vec = vec.at[i].set(v)
@@ -903,7 +904,7 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
                       min_ref, surv_ref, g_ref, gavg_ref, glavg_ref, gmax_ref,
                       gmin_ref, gsurv_ref, *, num_steps: int, rows: int,
                       half_grid: int, companion: bool, bridge: bool,
-                      bridge_up: bool):
+                      bridge_up: bool, corridor: bool):
     """Fused SVJ simulation + running path functionals.
 
     Tracks per-path arithmetic sum, log-sum (geometric mean), and running
@@ -937,10 +938,19 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
     b_log = p_ref[_P_BRIDGE_B]
+    l_log = p_ref[_P_BRIDGE_L]
 
     def surv_inc(x_old, x_new, var_step):
         # log P(no within-step crossing | endpoints live), -inf on breach.
         # Identical algebra to ops/exotics.py:surv_increment (the twin).
+        if corridor:
+            # Double barrier: LITERALLY the scan twin's function (pure
+            # jnp, traces fine inside the kernel) — the image-series
+            # algebra cannot drift between the pair.
+            from mcos_tpu.ops.exotics import corridor_surv_increment
+
+            return corridor_surv_increment(x_old, x_new, var_step, dt,
+                                           l_log, b_log)
         if bridge_up:
             d_old, d_new = b_log - x_old, b_log - x_new
         else:
@@ -1047,7 +1057,7 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_steps", "antithetic", "companion",
-                     "rows", "bridge", "bridge_up"),
+                     "rows", "bridge", "bridge_up", "corridor"),
 )
 def svj_path_stats_pallas(
     params: SVJParams,
@@ -1063,13 +1073,18 @@ def svj_path_stats_pallas(
     bridge: bool = False,
     bridge_up: bool = True,
     bridge_log_b=0.0,
+    corridor: bool = False,
+    bridge_log_l=0.0,
 ):
     """Fused-kernel drop-in for `ops.exotics.simulate_path_stats`.
 
     Returns the same dict layout ((n_branch, num_paths) arrays): s_final,
     avg, log_avg, max_s, min_s (+ companion g_* when companion=True;
     + log_surv/g_log_surv Brownian-bridge survival weights when
-    bridge=True, barrier at log(B/S0) = bridge_log_b, side = bridge_up).
+    bridge=True, barrier at log(B/S0) = bridge_log_b, side = bridge_up;
+    corridor=True monitors BOTH barriers (bridge_log_l, bridge_log_b) via
+    the shared image-series increment — double knock-outs at kernel
+    speed).
     """
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
@@ -1080,7 +1095,7 @@ def svj_path_stats_pallas(
     kernel = functools.partial(
         _svj_stats_kernel, num_steps=num_steps, rows=rows,
         half_grid=half_grid, companion=companion, bridge=bridge,
-        bridge_up=bridge_up)
+        bridge_up=bridge_up, corridor=corridor)
     out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
@@ -1093,7 +1108,8 @@ def svj_path_stats_pallas(
         out_shape=(out_shape,) * 12,
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32),
-      _pack_params(params, spot, T, num_steps, bridge_log_b=bridge_log_b))
+      _pack_params(params, spot, T, num_steps, bridge_log_b=bridge_log_b,
+                   bridge_log_l=bridge_log_l))
 
     def split(x):
         return x.reshape(n_branch, padded)[:, :num_paths]

@@ -451,8 +451,9 @@ def sharded_exotic_price(
     axis_name: str = "paths",
     monitoring: str = "discrete",
     bridge_ctrl_exact: float = 0.0,
+    barrier_lo=0.0,
 ) -> Dict[str, Array]:
-    """Mesh-sharded exotic pricing (Asian/barrier/lookback).
+    """Mesh-sharded exotic pricing (Asian/barrier/lookback/double-barrier).
 
     Each device runs the fused path-functional scan
     (ops/exotics.py:simulate_path_stats) on its slice with a device-folded
@@ -468,7 +469,7 @@ def sharded_exotic_price(
     n_dev = mesh.shape[axis_name]
     ppd = -(-num_paths // n_dev)
 
-    def local(params_, spot_, strike_, T_, barrier_, key_):
+    def local(params_, spot_, strike_, T_, barrier_, barrier_lo_, key_):
         idx = jax.lax.axis_index(axis_name)
         dev_key = jax.random.fold_in(key_, idx)
         stats = ops_exotics.simulate_path_stats(
@@ -477,13 +478,17 @@ def sharded_exotic_price(
             companion=control_variate,
             bridge=(monitoring == "bridge"), bridge_up=(direction == "up"),
             bridge_log_b=jnp.log(jnp.maximum(barrier_, 1e-30)
+                                 / jnp.asarray(spot_, jnp.float32)),
+            corridor=(kind == "double_barrier" and monitoring == "bridge"),
+            bridge_log_l=jnp.log(jnp.maximum(barrier_lo_, 1e-30)
                                  / jnp.asarray(spot_, jnp.float32)))
         pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
             stats, params_, spot_, strike_, T_, barrier_, kind=kind,
             num_steps=num_steps, is_call=is_call, averaging=averaging,
             knock=knock, direction=direction, floating=floating,
             one_touch=one_touch, control_variate=control_variate,
-            monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact)
+            monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact,
+            barrier_lo=barrier_lo_)
         pay = simulate.combine_antithetic(pay_b)
         sums = {"n": jnp.float32(pay.shape[0]),
                 "sum_p": jnp.sum(pay), "sumsq_p": jnp.sum(pay * pay)}
@@ -497,11 +502,11 @@ def sharded_exotic_price(
         return sums
 
     spec = P()
-    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 6,
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 7,
                              out_specs=spec, check_vma=False)
     stats = jax.jit(shmapped)(
         params, jnp.float32(spot), jnp.float32(strike), jnp.float32(T),
-        jnp.float32(barrier), key)
+        jnp.float32(barrier), jnp.float32(barrier_lo), key)
     discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
                        * jnp.asarray(T, jnp.float32))
     has_cv = "sum_c" in stats

@@ -462,3 +462,58 @@ def test_stats_kernel_bridge_matches_scan_under_svj():
     gap = abs(float(pal["price"]) - float(scan["price"]))
     tol = 6 * (float(pal["std_error"]) + float(scan["std_error"]))
     assert gap < tol, (float(pal["price"]), float(scan["price"]), tol)
+
+
+def test_stats_kernel_corridor_compiles_and_shapes():
+    """Interpreter smoke for the double-barrier corridor survival mode."""
+    from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
+
+    stats = svj_path_stats_pallas(SVJParams(), 100.0, 0.5, 3,
+                                  num_paths=N, num_steps=STEPS,
+                                  companion=True, rows=8,
+                                  bridge=True, corridor=True,
+                                  bridge_log_b=float(np.log(1.20)),
+                                  bridge_log_l=float(np.log(0.85)))
+    assert {"log_surv", "g_log_surv"} <= set(stats)
+    for k in ("log_surv", "g_log_surv"):
+        assert stats[k].shape == (2, N)
+        assert bool(jnp.all(stats[k] <= 0.0))
+
+
+@tpu_only
+def test_stats_kernel_corridor_matches_image_series_oracle():
+    """Pallas double-KO bridge price pins to the corridor-density quadrature
+    in the GBM limit — the scan twin's oracle
+    (tests/test_double_barrier.py::test_bridge_double_ko_exact_at_coarse_steps)."""
+    from mcos_tpu.engine.exotics import ExoticEngine
+    from mcos_tpu.ops.exotics import double_barrier_bs, double_no_touch_bs
+
+    gp = gbm_params(0.3, r=0.05, q=0.01)
+    eng = ExoticEngine(gp, num_paths=1 << 18, num_steps=32, seed=7,
+                       backend="pallas")
+    cf = double_barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.3, 85.0, 125.0)
+    res = eng.price_double_barrier(100.0, 100.0, 0.5, 85.0, 125.0)
+    assert abs(res["price"] - cf) < 4 * res["std_error"] + 2e-3, res
+    dnt = eng.price_double_no_touch(100.0, 0.5, 85.0, 125.0)
+    cf_dnt = double_no_touch_bs(100.0, 0.5, 0.05, 0.01, 0.3, 85.0, 125.0)
+    assert abs(dnt["price"] - cf_dnt) < 4 * dnt["std_error"] + 1e-3, dnt
+
+
+@tpu_only
+def test_stats_kernel_corridor_matches_scan_under_svj():
+    """Kernel and scan share the corridor image-series increment (literally
+    one function): double-KO means agree statistically under full SVJ."""
+    from mcos_tpu.engine.exotics import _price_exotic_core
+
+    p = SVJParams(kappa=2.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.05,
+                  lambda_j=0.4, mu_j=-0.08, sigma_j=0.12)
+    kw = dict(kind="double_barrier", num_paths=1 << 17, num_steps=64,
+              is_call=True, knock="out", control_variate=False,
+              monitoring="bridge")
+    pal = _price_exotic_core(p, 100.0, 100.0, 0.5, jax.random.key(9),
+                             125.0, 9, 0.0, 85.0, backend="pallas", **kw)
+    scan = _price_exotic_core(p, 100.0, 100.0, 0.5, jax.random.key(9),
+                              125.0, 9, 0.0, 85.0, backend="scan", **kw)
+    gap = abs(float(pal["price"]) - float(scan["price"]))
+    tol = 6 * (float(pal["std_error"]) + float(scan["std_error"]))
+    assert gap < tol, (float(pal["price"]), float(scan["price"]), tol)
