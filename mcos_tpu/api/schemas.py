@@ -262,6 +262,10 @@ class ExoticRequest(BaseModel):
     barrier: Optional[float] = None      # barrier kinds (upper for double_*)
     barrier_lo: Optional[float] = None   # double_* kinds: lower barrier
     knock: str = "out"                   # barrier only
+    # cash rebate on the dead branch (barrier / double_barrier kinds):
+    # paid on knock for KO, at expiry if never knocked for KI.
+    rebate: float = Field(default=0.0, ge=0.0)
+    rebate_at_hit: bool = False          # KO single barriers only
     # barrier/one_touch: "discrete" (grid), "continuous" (BGK shift), or
     # "bridge" (Brownian-bridge survival weights — exact continuous
     # monitoring under GBM at any step count, smooth low-variance weight).

@@ -423,9 +423,13 @@ def handle_exotic(body: dict) -> dict:
     elif req.kind == "barrier":
         if req.strike is None or req.barrier is None:
             raise ApiError(400, "barrier requires strike and barrier")
+        if req.rebate_at_hit and req.knock != "out":
+            raise ApiError(400, "rebate_at_hit only applies to knock-outs")
         out = eng.price_barrier(req.spot, req.strike, req.T, req.barrier,
                                 req.is_call, knock=req.knock,
-                                monitoring=req.monitoring)
+                                monitoring=req.monitoring,
+                                rebate=req.rebate,
+                                rebate_at_hit=req.rebate_at_hit)
     elif req.kind == "one_touch":
         if req.barrier is None:
             raise ApiError(400, "one_touch requires barrier")
@@ -441,9 +445,13 @@ def handle_exotic(body: dict) -> dict:
         # bridge is the natural default for corridors (exact continuous
         # monitoring); an explicit request body still wins
         monitoring = req.monitoring if "monitoring" in body else "bridge"
+        if req.rebate_at_hit:
+            raise ApiError(400, "rebate_at_hit is not offered on double "
+                                "barriers (corridor rebates pay at expiry)")
         out = eng.price_double_barrier(
             req.spot, req.strike, req.T, req.barrier_lo, req.barrier,
-            req.is_call, knock=req.knock, monitoring=monitoring)
+            req.is_call, knock=req.knock, monitoring=monitoring,
+            rebate=req.rebate)
     elif req.kind in ("double_no_touch", "double_one_touch"):
         if req.barrier is None or req.barrier_lo is None:
             raise ApiError(400, f"{req.kind} requires barrier (upper) and "
@@ -480,7 +488,17 @@ def handle_exotic(body: dict) -> dict:
                 barrier_lo=req.barrier_lo,
                 knock=("in" if req.kind == "double_one_touch"
                        else req.knock),
-                monitoring="bridge")
+                monitoring="bridge", rebate=req.rebate)
+        elif req.kind == "barrier" and req.rebate:
+            # rebated-contract greeks need the smooth bridge weight (the
+            # CRN-FD homogeneity identity breaks for cash rebates); the
+            # at-expiry rebate is what's differentiated — for at-hit
+            # contracts the closed-form discount ratio is held fixed.
+            out["greeks"] = eng.greeks(
+                req.spot, req.strike if req.strike is not None else 0.0,
+                req.T, kind="barrier", is_call=req.is_call,
+                barrier=req.barrier, knock=req.knock,
+                monitoring="bridge", rebate=req.rebate)
         else:
             out["greeks"] = eng.greeks(
                 req.spot,

@@ -62,9 +62,16 @@ def exotic_payoff_and_control(
     floating: bool = False, one_touch: bool = False,
     control_variate: bool = True,
     monitoring: str = "discrete", bridge_ctrl_exact=0.0,
-    barrier_lo=0.0,
+    barrier_lo=0.0, rebate=0.0,
 ):
     """(pay_b, ctrl_b, ctrl_exact) from a path-stats dict.
+
+    `rebate` (cash, paid AT EXPIRY — at-hit contracts pre-scale it into an
+    effective at-expiry amount, see price_barrier) pays on the dead branch
+    of barrier / double_barrier kinds: on knock for KO, on no-knock for
+    KI. Under bridge monitoring the companion control leg carries the same
+    rebate and `bridge_ctrl_exact` must include the rebate leg's exact
+    undiscounted mean.
 
     Shared by the single-device core below and the mesh-sharded pricer
     (parallel/mesh.py:sharded_exotic_price) so the payoff/control algebra
@@ -105,15 +112,17 @@ def exotic_payoff_and_control(
             # with its exact continuous mean (double_barrier_bs quadrature,
             # host f64, passed undiscounted via bridge_ctrl_exact).
             pay_b = ops_exotics.barrier_bridge_payoff(
-                stats, strike, is_call, knock=knock)
+                stats, strike, is_call, knock=knock, rebate=rebate)
             if control_variate:
                 ctrl_b = ops_exotics.barrier_bridge_payoff(
-                    stats, strike, is_call, knock=knock, leg="g")
+                    stats, strike, is_call, knock=knock, leg="g",
+                    rebate=rebate)
                 return pay_b, ctrl_b, jnp.asarray(bridge_ctrl_exact,
                                                   jnp.float32)
             return pay_b, None, None
         pay_b = ops_exotics.double_barrier_payoff(
-            stats, strike, barrier_lo, barrier, is_call, knock=knock)
+            stats, strike, barrier_lo, barrier, is_call, knock=knock,
+            rebate=rebate)
         # falls through to the European companion control below
     elif kind == "barrier":
         if one_touch:
@@ -131,17 +140,18 @@ def exotic_payoff_and_control(
             # via bridge_ctrl_exact) — correlation with the SVJ leg is
             # near the companion-CV ceiling.
             pay_b = ops_exotics.barrier_bridge_payoff(
-                stats, strike, is_call, knock=knock)
+                stats, strike, is_call, knock=knock, rebate=rebate)
             if control_variate:
                 ctrl_b = ops_exotics.barrier_bridge_payoff(
-                    stats, strike, is_call, knock=knock, leg="g")
+                    stats, strike, is_call, knock=knock, leg="g",
+                    rebate=rebate)
                 return pay_b, ctrl_b, jnp.asarray(bridge_ctrl_exact,
                                                   jnp.float32)
             return pay_b, None, None
         else:
             pay_b = ops_exotics.barrier_payoff(
                 stats, strike, barrier, is_call, knock=knock,
-                direction=direction)
+                direction=direction, rebate=rebate)
     elif kind == "lookback":
         pay_b = ops_exotics.lookback_payoff(
             stats, is_call, None if floating else strike)
@@ -186,6 +196,7 @@ def _price_exotic_core(
     seed=0,
     bridge_ctrl_exact=0.0,
     barrier_lo=0.0,
+    rebate=0.0,
     *,
     kind: str,
     num_paths: int,
@@ -231,7 +242,7 @@ def _price_exotic_core(
         knock=knock, direction=direction, floating=floating,
         one_touch=one_touch, control_variate=control_variate,
         monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact,
-        barrier_lo=barrier_lo)
+        barrier_lo=barrier_lo, rebate=rebate)
 
     pay = combine_antithetic(pay_b)
     raw_mean, raw_se = mc_mean_stderr(pay)
@@ -255,7 +266,8 @@ def _price_exotic_core(
     "direction", "floating", "antithetic", "control_variate", "monitoring",
     "one_touch"))
 def _exotic_value_and_greeks(
-    params: SVJParams, spot, strike, T, key, barrier, barrier_lo=0.0, *,
+    params: SVJParams, spot, strike, T, key, barrier, barrier_lo=0.0,
+    rebate=0.0, *,
     kind: str, num_paths: int, num_steps: int, is_call: bool,
     averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
     floating: bool = False, antithetic: bool = True,
@@ -280,7 +292,8 @@ def _exotic_value_and_greeks(
 
     def f(s, p_):
         return _price_exotic_core(
-            p_, s, strike, T, key, barrier, 0, 0.0, barrier_lo, kind=kind,
+            p_, s, strike, T, key, barrier, 0, 0.0, barrier_lo, rebate,
+            kind=kind,
             num_paths=num_paths, num_steps=num_steps, is_call=is_call,
             averaging=averaging, knock=knock, direction=direction,
             floating=floating, one_touch=one_touch, antithetic=antithetic,
@@ -384,7 +397,9 @@ class ExoticEngine:
                       barrier: float, is_call: bool = True,
                       knock: str = "out",
                       direction: Optional[str] = None,
-                      monitoring: str = "discrete") -> Dict[str, float]:
+                      monitoring: str = "discrete",
+                      rebate: float = 0.0,
+                      rebate_at_hit: bool = False) -> Dict[str, float]:
         """Barrier option; `direction` defaults from the barrier position
         (above spot ⇒ 'up').
 
@@ -396,11 +411,36 @@ class ExoticEngine:
         up), with σ = √v₀ — exact in the GBM limit, where the MC is
         test-pinned to the Reiner-Rubinstein closed form
         (`ops/exotics.py:barrier_bs`).
+
+        `rebate` is cash paid on the dead branch (on knock for KO; at
+        expiry if never knocked for KI — the market convention).
+        rebate_at_hit=True (KO only) pays the KO rebate when the barrier
+        trades instead of at expiry: the simulation prices the at-expiry
+        contract and the rebate is pre-scaled by the closed-form
+        at-hit/at-expiry one-touch ratio (`one_touch_bs`) — exact in the
+        GBM limit, a documented approximation under SVJ (same device as
+        `price_one_touch(pay_at_hit=True)`).
         """
         if direction is None:
             direction = "up" if barrier >= spot else "down"
+        if rebate_at_hit and knock != "out":
+            raise ValueError("rebate_at_hit only applies to knock-outs "
+                             "(KI rebates pay at expiry by convention)")
+        rebate_eff = float(rebate)
+        if rebate and rebate_at_hit:
+            p = self.params
+            sig_ot = float(np.sqrt(float(p.v0)))
+            at_hit = ops_exotics.one_touch_bs(
+                spot, T, float(p.r), float(p.q), sig_ot, barrier,
+                direction, pay_at_hit=True)
+            at_exp = max(ops_exotics.one_touch_bs(
+                spot, T, float(p.r), float(p.q), sig_ot, barrier,
+                direction, pay_at_hit=False), 1e-12)
+            rebate_eff = float(rebate) * at_hit / at_exp
         barrier_eff = barrier
         extra: Dict = {}
+        if rebate:
+            extra["rebate"] = rebate_eff
         if monitoring == "continuous":
             from mcos_tpu.config import scaled_steps
             from mcos_tpu.ops.exotics import BGK_BETA
@@ -418,12 +458,20 @@ class ExoticEngine:
             # form at sigma = sqrt(v0), host f64, passed undiscounted.
             if self.use_control_variate:
                 p = self.params
+                sig = float(np.sqrt(float(p.v0)))
                 rr = ops_exotics.barrier_bs(
-                    spot, strike, T, float(p.r), float(p.q),
-                    float(np.sqrt(float(p.v0))), barrier,
+                    spot, strike, T, float(p.r), float(p.q), sig, barrier,
                     is_call=is_call, knock=knock, direction=direction)
-                extra["bridge_ctrl_exact"] = float(
-                    rr * np.exp(float(p.r) * T))
+                ctrl = rr * np.exp(float(p.r) * T)
+                if rebate:
+                    # companion rebate leg, undiscounted: rebate_eff times
+                    # the touch (KO) / no-touch (KI) probability.
+                    touch = ops_exotics.one_touch_bs(
+                        spot, T, float(p.r), float(p.q), sig, barrier,
+                        direction) * np.exp(float(p.r) * T)
+                    ctrl += rebate_eff * (touch if knock == "out"
+                                          else 1.0 - touch)
+                extra["bridge_ctrl_exact"] = float(ctrl)
             extra["monitoring"] = "bridge"
         elif monitoring != "discrete":
             raise ValueError(f"unknown monitoring {monitoring!r}")
@@ -432,6 +480,9 @@ class ExoticEngine:
                         direction=direction, **extra)
         out["monitoring"] = monitoring
         out["barrier"] = barrier
+        if rebate:
+            out["rebate"] = rebate
+            out["rebate_at_hit"] = bool(rebate_at_hit)
         return out
 
     def price_one_touch(self, spot: float, T: float, barrier: float,
@@ -496,7 +547,8 @@ class ExoticEngine:
     def price_double_barrier(self, spot: float, strike: float, T: float,
                              lower: float, upper: float,
                              is_call: bool = True, knock: str = "out",
-                             monitoring: str = "bridge") -> Dict[str, float]:
+                             monitoring: str = "bridge",
+                             rebate: float = 0.0) -> Dict[str, float]:
         """Double-barrier option: knocks when EITHER barrier trades.
 
         monitoring="bridge" (default — it is the whole point here) uses the
@@ -528,20 +580,39 @@ class ExoticEngine:
                 db = ops_exotics.double_barrier_bs(
                     spot, strike, T, float(p.r), float(p.q), sig,
                     lower, upper, is_call=is_call, knock=knock)
-                extra["bridge_ctrl_exact"] = float(
-                    db * np.exp(float(p.r) * T))
+                ctrl = db * np.exp(float(p.r) * T)
+                if rebate:
+                    stay = ops_exotics.double_no_touch_bs(
+                        spot, T, float(p.r), float(p.q), sig, lower, upper
+                    ) * np.exp(float(p.r) * T)    # undiscounted stay prob
+                    ctrl += rebate * ((1.0 - stay) if knock == "out"
+                                      else stay)
+                extra["bridge_ctrl_exact"] = float(ctrl)
             extra["monitoring"] = "bridge"
         elif monitoring != "discrete":
             raise ValueError(f"unknown monitoring {monitoring!r}")
+        if rebate:
+            # cash at expiry on the dead branch (on knock for KO, on
+            # no-knock for KI — at-hit corridor rebates are not offered:
+            # there is no closed-form hit-time discount to borrow).
+            extra["rebate"] = float(rebate)
         out = self._run(spot, strike, T, kind="double_barrier",
                         barrier=hi_eff, barrier_lo=lo_eff, is_call=is_call,
                         knock=knock, **extra)
         out["monitoring"] = monitoring
         out["lower_barrier"] = lower
         out["upper_barrier"] = upper
-        out["closed_form_gbm"] = ops_exotics.double_barrier_bs(
-            spot, strike, T, float(self.params.r), float(self.params.q),
+        p = self.params
+        cf = ops_exotics.double_barrier_bs(
+            spot, strike, T, float(p.r), float(p.q),
             sig, lower, upper, is_call=is_call, knock=knock)
+        if rebate:
+            df = float(np.exp(-float(p.r) * T))
+            dnt = ops_exotics.double_no_touch_bs(
+                spot, T, float(p.r), float(p.q), sig, lower, upper)
+            cf += rebate * ((df - dnt) if knock == "out" else dnt)
+            out["rebate"] = float(rebate)
+        out["closed_form_gbm"] = cf
         return out
 
     def price_double_no_touch(self, spot: float, T: float, lower: float,
@@ -636,7 +707,8 @@ class ExoticEngine:
                averaging: str = "arithmetic", floating: bool = False,
                bump: float = 0.01,
                monitoring: str = "discrete",
-               barrier_lo: Optional[float] = None) -> Dict[str, float]:
+               barrier_lo: Optional[float] = None,
+               rebate: float = 0.0) -> Dict[str, float]:
         """Delta and vega for path-dependent payoffs (beyond the reference,
         which has no exotics at all).
 
@@ -653,7 +725,17 @@ class ExoticEngine:
         pathwise derivative, so delta/vega/rho come from ONE AD pass like
         the Asians (test-pinned to f64 FD of the Reiner-Rubinstein forms
         in the GBM limit).
+
+        `rebate` (cash at expiry on the dead branch) is supported on the
+        bridge AD branches only — the smooth weight keeps the rebate leg
+        differentiable; the CRN-FD homogeneity trick does NOT extend to a
+        cash rebate (cash doesn't scale with S0), so rebated contracts
+        must use monitoring="bridge" for greeks.
         """
+        if rebate and monitoring != "bridge":
+            raise ValueError("rebated barrier greeks need "
+                             "monitoring='bridge' (the CRN-FD homogeneity "
+                             "identity does not hold for cash rebates)")
         steps = scaled_steps(self.num_steps, T)
         key = jax.random.key(self.seed)
         if (kind in ("double_barrier", "double_no_touch")
@@ -667,7 +749,8 @@ class ExoticEngine:
             price, d_spot, d_params = jax.device_get(
                 _exotic_value_and_greeks(
                     self.params, spot, 0.0 if one_touch else strike, T,
-                    key, barrier, barrier_lo, kind="double_barrier",
+                    key, barrier, barrier_lo, rebate,
+                    kind="double_barrier",
                     num_paths=self.num_paths, num_steps=steps,
                     is_call=True if one_touch else is_call,
                     knock=knock, one_touch=one_touch,
@@ -690,7 +773,8 @@ class ExoticEngine:
             price, d_spot, d_params = jax.device_get(
                 _exotic_value_and_greeks(
                     self.params, spot,
-                    0.0 if one_touch else strike, T, key, barrier,
+                    0.0 if one_touch else strike, T, key, barrier, 0.0,
+                    rebate,
                     kind="barrier", num_paths=self.num_paths,
                     num_steps=steps, is_call=True if one_touch else is_call,
                     knock="in" if one_touch else knock, direction=direction,

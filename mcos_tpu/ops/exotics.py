@@ -300,11 +300,16 @@ def asian_payoff(stats: Dict[str, Array], strike, is_call: bool,
 
 
 def barrier_payoff(stats: Dict[str, Array], strike, barrier, is_call: bool,
-                   knock: str = "out", direction: str = "up") -> Array:
+                   knock: str = "out", direction: str = "up",
+                   rebate=0.0) -> Array:
     """Discretely-monitored barrier payoff.
 
     direction: 'up' monitors max S vs barrier; 'down' monitors min S.
-    knock: 'out' voids on touch; 'in' activates on touch.
+    knock: 'out' voids on touch; 'in' activates on touch. `rebate` (cash,
+    paid AT EXPIRY) replaces the payoff on the dead branch: on touch for
+    knock-outs, on no-touch for knock-ins — at-hit discounting is handled
+    by the caller via the effective-rebate scaling
+    (engine/exotics.py:price_barrier).
     """
     s_t = stats["s_final"]
     vanilla = jnp.maximum(s_t - strike, 0.0) if is_call \
@@ -312,25 +317,27 @@ def barrier_payoff(stats: Dict[str, Array], strike, barrier, is_call: bool,
     touched = (stats["max_s"] >= barrier if direction == "up"
                else stats["min_s"] <= barrier)
     alive = ~touched if knock == "out" else touched
-    return jnp.where(alive, vanilla, 0.0)
+    return jnp.where(alive, vanilla, jnp.asarray(rebate, vanilla.dtype))
 
 
 def double_barrier_payoff(stats: Dict[str, Array], strike, barrier_lo,
                           barrier_hi, is_call: bool,
-                          knock: str = "out") -> Array:
+                          knock: str = "out", rebate=0.0) -> Array:
     """Discretely-monitored double-barrier payoff: the option knocks when
     the grid max breaches `barrier_hi` OR the grid min breaches
-    `barrier_lo` (knock='out' voids on touch; 'in' activates)."""
+    `barrier_lo` (knock='out' voids on touch; 'in' activates). `rebate`
+    (cash at expiry) pays on the dead branch."""
     s_t = stats["s_final"]
     vanilla = jnp.maximum(s_t - strike, 0.0) if is_call \
         else jnp.maximum(strike - s_t, 0.0)
     touched = (stats["max_s"] >= barrier_hi) | (stats["min_s"] <= barrier_lo)
     alive = ~touched if knock == "out" else touched
-    return jnp.where(alive, vanilla, 0.0)
+    return jnp.where(alive, vanilla, jnp.asarray(rebate, vanilla.dtype))
 
 
 def barrier_bridge_payoff(stats: Dict[str, Array], strike, is_call: bool,
-                          knock: str = "out", leg: str = "") -> Array:
+                          knock: str = "out", leg: str = "",
+                          rebate=0.0) -> Array:
     """Continuously-monitored barrier payoff via the Brownian-bridge
     survival weight (`simulate_path_stats(bridge=True)`).
 
@@ -339,12 +346,17 @@ def barrier_bridge_payoff(stats: Dict[str, Array], strike, is_call: bool,
     GBM at any step count (no BGK shift, no O(1/√n) extremum bias) and a
     SMOOTH [0,1] weight instead of the touch indicator — lower variance
     near the barrier. leg="g" reads the companion-GBM leg (its exact
-    continuous expectation is `barrier_bs`, the bridge CV)."""
+    continuous expectation is `barrier_bs`, the bridge CV). `rebate`
+    (cash at expiry) rides the dead weight: KO pays rebate·(1−P),
+    KI rebate·P — KO+KI with the same rebate telescopes to
+    vanilla + rebate per path, so in-out parity survives rebates."""
     s_t = stats["g_final" if leg == "g" else "s_final"]
     surv = jnp.exp(stats[f"{leg}_log_surv" if leg else "log_surv"])
     vanilla = jnp.maximum(s_t - strike, 0.0) if is_call \
         else jnp.maximum(strike - s_t, 0.0)
-    return vanilla * (surv if knock == "out" else 1.0 - surv)
+    if knock == "out":
+        return vanilla * surv + rebate * (1.0 - surv)
+    return vanilla * (1.0 - surv) + rebate * surv
 
 
 def one_touch_bridge_payoff(stats: Dict[str, Array]) -> Array:

@@ -452,6 +452,7 @@ def sharded_exotic_price(
     monitoring: str = "discrete",
     bridge_ctrl_exact: float = 0.0,
     barrier_lo=0.0,
+    rebate=0.0,
 ) -> Dict[str, Array]:
     """Mesh-sharded exotic pricing (Asian/barrier/lookback/double-barrier).
 
@@ -469,7 +470,8 @@ def sharded_exotic_price(
     n_dev = mesh.shape[axis_name]
     ppd = -(-num_paths // n_dev)
 
-    def local(params_, spot_, strike_, T_, barrier_, barrier_lo_, key_):
+    def local(params_, spot_, strike_, T_, barrier_, barrier_lo_, rebate_,
+              key_):
         idx = jax.lax.axis_index(axis_name)
         dev_key = jax.random.fold_in(key_, idx)
         stats = ops_exotics.simulate_path_stats(
@@ -488,7 +490,7 @@ def sharded_exotic_price(
             knock=knock, direction=direction, floating=floating,
             one_touch=one_touch, control_variate=control_variate,
             monitoring=monitoring, bridge_ctrl_exact=bridge_ctrl_exact,
-            barrier_lo=barrier_lo_)
+            barrier_lo=barrier_lo_, rebate=rebate_)
         pay = simulate.combine_antithetic(pay_b)
         sums = {"n": jnp.float32(pay.shape[0]),
                 "sum_p": jnp.sum(pay), "sumsq_p": jnp.sum(pay * pay)}
@@ -502,11 +504,12 @@ def sharded_exotic_price(
         return sums
 
     spec = P()
-    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 7,
+    shmapped = jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 8,
                              out_specs=spec, check_vma=False)
     stats = jax.jit(shmapped)(
         params, jnp.float32(spot), jnp.float32(strike), jnp.float32(T),
-        jnp.float32(barrier), jnp.float32(barrier_lo), key)
+        jnp.float32(barrier), jnp.float32(barrier_lo), jnp.float32(rebate),
+        key)
     discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
                        * jnp.asarray(T, jnp.float32))
     has_cv = "sum_c" in stats

@@ -338,6 +338,24 @@ def main():
           f"cond={unc['condition_number']:.2e}")
     check("calibration error bars finite", bool(np.all(np.isfinite(ses))))
 
+    stage("22. double-barrier corridor (bridge MC vs image-series oracle)")
+    from mcos_tpu.engine.exotics import ExoticEngine
+    from mcos_tpu.ops.exotics import double_barrier_bs
+
+    deng = ExoticEngine(gbm_params(0.3, r=0.05, q=0.01), num_paths=100_000,
+                        num_steps=32, seed=7)
+    dko = deng.price_double_barrier(100.0, 100.0, 0.5, 85.0, 125.0)
+    dcf = double_barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.3, 85.0, 125.0)
+    print(f"    bridge double-KO={dko['price']:.5f}  corridor "
+          f"quadrature={dcf:.5f}  se={dko['std_error']:.2e}")
+    check("bridge double-KO matches corridor oracle at 32 steps",
+          abs(dko["price"] - dcf) < 4 * dko["std_error"] + 2e-3)
+    dnt = deng.price_double_no_touch(100.0, 0.5, 85.0, 125.0)
+    dot = deng.price_double_no_touch(100.0, 0.5, 85.0, 125.0, touch=True)
+    check("corridor digitals are complements (DNT + DOT = e^{-rT})",
+          abs(dnt["price"] + dot["price"]
+              - float(np.exp(-0.05 * 0.5))) < 2e-4)
+
     print("\n" + "=" * 64)
     if FAILURES:
         print(f"FAILED: {len(FAILURES)} checks: {FAILURES}")
