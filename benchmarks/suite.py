@@ -525,6 +525,65 @@ def config11_td_svj(quick):
     return out
 
 
+def config12_corridor(quick):
+    """Double-barrier corridor: the bridge estimator's accuracy-per-step
+    win over discrete monitoring (exact continuous knock weights at ANY
+    step count vs the O(1/sqrt(n)) grid-extremum bias), plus the fused
+    stats kernel's cost of corridor monitoring vs single-barrier bridge.
+    GBM limit so `double_barrier_bs` (image-series corridor quadrature,
+    host f64) is the exact oracle."""
+    import jax
+
+    from mcos_tpu.engine.exotics import ExoticEngine
+    from mcos_tpu.models.params import gbm_params
+    from mcos_tpu.ops.exotics import double_barrier_bs
+
+    n = 1 << 18 if quick else 1 << 20
+    gp = gbm_params(0.3, r=0.05, q=0.01)
+    cf = double_barrier_bs(100.0, 100.0, 0.5, 0.05, 0.01, 0.3, 85.0, 125.0)
+    out = {"workload": f"double KO 85/125, {n} paths, GBM sigma=0.30",
+           "oracle_corridor_quadrature": round(cf, 5), "ladder": []}
+    # T=0.5 halves the maturity-scaled step count (floor 10): report the
+    # steps the simulation actually took. The bridge rows' bias_abs sits
+    # at the f32 floor at EVERY depth (the CV collapses se to ~1e-8, so
+    # bias_sigma is not meaningful there — bias_abs is the headline).
+    for steps in (16, 32, 64, 128, 256):
+        row = {}
+        for mon in ("discrete", "bridge"):
+            eng = ExoticEngine(gp, num_paths=n, num_steps=steps, seed=7)
+            res = eng.price_double_barrier(100.0, 100.0, 0.5, 85.0, 125.0,
+                                           monitoring=mon)
+            row["steps"] = res["num_steps"]
+            se = max(res["std_error"], 1e-12)
+            row[mon] = {"price": round(res["price"], 5),
+                        "se": float(f"{se:.2e}"),
+                        "bias_abs": round(abs(res["price"] - cf), 5)}
+        out["ladder"].append(row)
+
+    if jax.default_backend() == "tpu":
+        from mcos_tpu.ops.pallas_kernels import svj_path_stats_pallas
+
+        steps = 256
+        kw = dict(num_paths=n, num_steps=steps, antithetic=True,
+                  companion=True, bridge=True)
+        log_b, log_l = float(np.log(1.25)), float(np.log(0.85))
+
+        def run(seed, corridor):
+            st = svj_path_stats_pallas(
+                gp, 100.0, 0.5, seed, bridge_log_b=log_b,
+                corridor=corridor, bridge_log_l=log_l, **kw)
+            return st["log_surv"].block_until_ready()
+
+        for label, corr in (("single_bridge", False), ("corridor", True)):
+            _, ms = timed(lambda s: run(s, corr), 3, trials=3)
+            out[f"{label}_path_steps_per_sec"] = round(
+                2 * n * steps / (ms / 1000))
+        out["corridor_overhead_pct"] = round(
+            100 * (out["single_bridge_path_steps_per_sec"]
+                   / max(out["corridor_path_steps_per_sec"], 1) - 1), 1)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -548,7 +607,8 @@ def main():
                      ("config8_sustained", config8_sustained),
                      ("config9_new_engines", config9_new_engines),
                      ("config10_rough_scaling", config10_rough_scaling),
-                     ("config11_td_svj", config11_td_svj)]:
+                     ("config11_td_svj", config11_td_svj),
+                     ("config12_corridor", config12_corridor)]:
         if args.only and args.only not in name:
             continue
         try:
