@@ -83,6 +83,18 @@ def main():
                      f"{vswap['fair_vol_strike']:.1%}")
     assert asian["price"] < atm["price"], "Asian must be cheaper than vanilla"
 
+    # corridor structures: double-KO with a knock rebate + the DNT digital
+    # (bridge monitoring: exact continuous knock weights at any step count)
+    dko = ex.price_double_barrier(spot, spot, T, 0.85 * spot, 1.25 * spot,
+                                  rebate=0.02 * spot)
+    dnt = ex.price_double_no_touch(spot, T, 0.85 * spot, 1.25 * spot)
+    stage("corridor", f"double-KO+rebate {dko['price']:.2f} | DNT stays "
+                      f"{dnt['stay_probability']:.1%}")
+    assert 0.0 < dnt["stay_probability"] < 1.0
+    plain = ex.price_double_barrier(spot, spot, T, 0.85 * spot,
+                                    1.25 * spot)
+    assert dko["price"] > plain["price"], "rebate must add value"
+
     # ── 7. multi-asset book: basket + portfolio VaR ──────────────────────
     corr = np.eye(3) * 0.55 + 0.45
     basket = BasketEngine([fitted] * 3, corr, num_paths=100_000).price(
