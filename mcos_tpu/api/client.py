@@ -165,3 +165,9 @@ class McosClient:
 
     def replicate(self, **kw) -> dict:
         return self._post("/api/replicate", **kw)
+
+    def quotegreeks(self, **kw) -> dict:
+        return self._post("/api/quotegreeks", **kw)
+
+    def roughheston(self, **kw) -> dict:
+        return self._post("/api/roughheston", **kw)
