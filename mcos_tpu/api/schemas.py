@@ -266,6 +266,10 @@ class ExoticRequest(BaseModel):
     # paid on knock for KO, at expiry if never knocked for KI.
     rebate: float = Field(default=0.0, ge=0.0)
     rebate_at_hit: bool = False          # KO single barriers only
+    # window (partial) barrier: monitoring restricted to [t1, t2] ⊆ [0, T]
+    # (kind="barrier", monitoring="bridge" only)
+    window: Optional[list[float]] = Field(default=None, min_length=2,
+                                          max_length=2)
     # barrier/one_touch: "discrete" (grid), "continuous" (BGK shift), or
     # "bridge" (Brownian-bridge survival weights — exact continuous
     # monitoring under GBM at any step count, smooth low-variance weight).

@@ -425,11 +425,28 @@ def handle_exotic(body: dict) -> dict:
             raise ApiError(400, "barrier requires strike and barrier")
         if req.rebate_at_hit and req.knock != "out":
             raise ApiError(400, "rebate_at_hit only applies to knock-outs")
-        out = eng.price_barrier(req.spot, req.strike, req.T, req.barrier,
-                                req.is_call, knock=req.knock,
-                                monitoring=req.monitoring,
-                                rebate=req.rebate,
-                                rebate_at_hit=req.rebate_at_hit)
+        monitoring = req.monitoring
+        if req.window is not None:
+            if not 0.0 <= req.window[0] < req.window[1] <= req.T:
+                raise ApiError(400, "window needs 0 <= t1 < t2 <= T")
+            if req.rebate:
+                raise ApiError(400, "rebates on window barriers are not "
+                                    "offered")
+            # window barriers require the bridge estimator; default to it
+            # unless the body explicitly asked for something else
+            if "monitoring" not in body:
+                monitoring = "bridge"
+            elif monitoring != "bridge":
+                raise ApiError(400, "window barriers need "
+                                    "monitoring='bridge'")
+        try:
+            out = eng.price_barrier(
+                req.spot, req.strike, req.T, req.barrier, req.is_call,
+                knock=req.knock, monitoring=monitoring, rebate=req.rebate,
+                rebate_at_hit=req.rebate_at_hit,
+                window=tuple(req.window) if req.window else None)
+        except ValueError as e:
+            raise ApiError(400, str(e))
     elif req.kind == "one_touch":
         if req.barrier is None:
             raise ApiError(400, "one_touch requires barrier")
@@ -489,6 +506,12 @@ def handle_exotic(body: dict) -> dict:
                 knock=("in" if req.kind == "double_one_touch"
                        else req.knock),
                 monitoring="bridge", rebate=req.rebate)
+        elif req.kind == "barrier" and req.window is not None:
+            out["greeks"] = eng.greeks(
+                req.spot, req.strike if req.strike is not None else 0.0,
+                req.T, kind="barrier", is_call=req.is_call,
+                barrier=req.barrier, knock=req.knock,
+                monitoring="bridge", window=tuple(req.window))
         elif req.kind == "barrier" and req.rebate:
             # rebated-contract greeks need the smooth bridge weight (the
             # CRN-FD homogeneity identity breaks for cash rebates); the

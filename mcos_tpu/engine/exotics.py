@@ -185,7 +185,7 @@ def exotic_payoff_and_control(
 @partial(jax.jit, static_argnames=(
     "num_paths", "num_steps", "is_call", "kind", "averaging", "knock",
     "direction", "antithetic", "control_variate", "floating", "one_touch",
-    "backend", "monitoring"))
+    "backend", "monitoring", "window"))
 def _price_exotic_core(
     params: SVJParams,
     spot,
@@ -211,6 +211,7 @@ def _price_exotic_core(
     control_variate: bool = True,
     backend: str = "scan",
     monitoring: str = "discrete",
+    window=None,
 ) -> Dict[str, Array]:
     bridge = monitoring == "bridge"
     corridor = kind == "double_barrier" and bridge
@@ -226,14 +227,14 @@ def _price_exotic_core(
             antithetic=antithetic, companion=control_variate,
             bridge=bridge, bridge_up=(direction == "up"),
             bridge_log_b=bridge_log_b, corridor=corridor,
-            bridge_log_l=bridge_log_l)
+            bridge_log_l=bridge_log_l, window=window)
     else:
         stats = ops_exotics.simulate_path_stats(
             params, spot, T, key, num_paths=num_paths, num_steps=num_steps,
             antithetic=antithetic, companion=control_variate,
             bridge=bridge, bridge_up=(direction == "up"),
             bridge_log_b=bridge_log_b, corridor=corridor,
-            bridge_log_l=bridge_log_l)
+            bridge_log_l=bridge_log_l, window=window)
     discount = jnp.exp(-params.r * jnp.asarray(T, jnp.float32))
 
     pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
@@ -264,7 +265,7 @@ def _price_exotic_core(
 @partial(jax.jit, static_argnames=(
     "kind", "num_paths", "num_steps", "is_call", "averaging", "knock",
     "direction", "floating", "antithetic", "control_variate", "monitoring",
-    "one_touch"))
+    "one_touch", "window"))
 def _exotic_value_and_greeks(
     params: SVJParams, spot, strike, T, key, barrier, barrier_lo=0.0,
     rebate=0.0, *,
@@ -272,7 +273,7 @@ def _exotic_value_and_greeks(
     averaging: str = "arithmetic", knock: str = "out", direction: str = "up",
     floating: bool = False, antithetic: bool = True,
     control_variate: bool = True, monitoring: str = "discrete",
-    one_touch: bool = False,
+    one_touch: bool = False, window=None,
 ):
     """(price, ∂P/∂spot, ∂P/∂params) through the differentiable stat scan.
 
@@ -298,7 +299,7 @@ def _exotic_value_and_greeks(
             averaging=averaging, knock=knock, direction=direction,
             floating=floating, one_touch=one_touch, antithetic=antithetic,
             control_variate=cv, backend="scan",
-            monitoring=monitoring)["price"]
+            monitoring=monitoring, window=window)["price"]
 
     price, (d_spot, d_params) = jax.value_and_grad(
         f, argnums=(0, 1))(jnp.float32(spot), params)
@@ -399,7 +400,8 @@ class ExoticEngine:
                       direction: Optional[str] = None,
                       monitoring: str = "discrete",
                       rebate: float = 0.0,
-                      rebate_at_hit: bool = False) -> Dict[str, float]:
+                      rebate_at_hit: bool = False,
+                      window=None) -> Dict[str, float]:
         """Barrier option; `direction` defaults from the barrier position
         (above spot ⇒ 'up').
 
@@ -420,7 +422,26 @@ class ExoticEngine:
         at-hit/at-expiry one-touch ratio (`one_touch_bs`) — exact in the
         GBM limit, a documented approximation under SVJ (same device as
         `price_one_touch(pay_at_hit=True)`).
+
+        window=(t1, t2) restricts monitoring to [t1, t2] ⊆ [0, T]
+        (partial/window barrier). Requires monitoring="bridge" — the
+        survival increments are simply gated to the window's steps, so
+        the estimator stays exact-continuous under GBM *within* the
+        window and smooth for AD. The window snaps to the simulation
+        grid (effective times returned as `window_effective`); the CV's
+        exact mean is the `window_barrier_bs` image-series quadrature at
+        the snapped times. Rebates on window barriers are not offered
+        (no closed-form window-touch discount to borrow).
         """
+        if window is not None:
+            if monitoring != "bridge":
+                raise ValueError("window barriers need monitoring='bridge'")
+            if rebate:
+                raise ValueError("rebates on window barriers are not "
+                                 "offered")
+            t1, t2 = float(window[0]), float(window[1])
+            if not 0.0 <= t1 < t2 <= T:
+                raise ValueError("window needs 0 <= t1 < t2 <= T")
         if direction is None:
             direction = "up" if barrier >= spot else "down"
         if rebate_at_hit and knock != "out":
@@ -442,7 +463,6 @@ class ExoticEngine:
         if rebate:
             extra["rebate"] = rebate_eff
         if monitoring == "continuous":
-            from mcos_tpu.config import scaled_steps
             from mcos_tpu.ops.exotics import BGK_BETA
 
             steps = scaled_steps(self.num_steps, T)
@@ -456,12 +476,28 @@ class ExoticEngine:
             # (ops/exotics.py:simulate_path_stats bridge docstring). The
             # companion CV's exact mean is the Reiner-Rubinstein closed
             # form at sigma = sqrt(v0), host f64, passed undiscounted.
+            if window is not None:
+                steps = scaled_steps(self.num_steps, T)
+                dt = T / steps
+                w0 = max(0, min(steps - 1, int(round(t1 / dt))))
+                w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+                win_steps = (w0, w1)
+                win_eff = (w0 * dt, w1 * dt)
+            else:
+                win_steps = win_eff = None
             if self.use_control_variate:
                 p = self.params
                 sig = float(np.sqrt(float(p.v0)))
-                rr = ops_exotics.barrier_bs(
-                    spot, strike, T, float(p.r), float(p.q), sig, barrier,
-                    is_call=is_call, knock=knock, direction=direction)
+                if window is not None:
+                    rr = ops_exotics.window_barrier_bs(
+                        spot, strike, T, float(p.r), float(p.q), sig,
+                        barrier, win_eff[0], win_eff[1], is_call=is_call,
+                        knock=knock, direction=direction)
+                else:
+                    rr = ops_exotics.barrier_bs(
+                        spot, strike, T, float(p.r), float(p.q), sig,
+                        barrier, is_call=is_call, knock=knock,
+                        direction=direction)
                 ctrl = rr * np.exp(float(p.r) * T)
                 if rebate:
                     # companion rebate leg, undiscounted: rebate_eff times
@@ -475,11 +511,16 @@ class ExoticEngine:
             extra["monitoring"] = "bridge"
         elif monitoring != "discrete":
             raise ValueError(f"unknown monitoring {monitoring!r}")
+        if window is not None:
+            extra["window"] = win_steps
         out = self._run(spot, strike, T, kind="barrier",
                         barrier=barrier_eff, is_call=is_call, knock=knock,
                         direction=direction, **extra)
         out["monitoring"] = monitoring
         out["barrier"] = barrier
+        if window is not None:
+            out["window"] = [t1, t2]
+            out["window_effective"] = list(win_eff)
         if rebate:
             out["rebate"] = rebate
             out["rebate_at_hit"] = bool(rebate_at_hit)
@@ -708,7 +749,8 @@ class ExoticEngine:
                bump: float = 0.01,
                monitoring: str = "discrete",
                barrier_lo: Optional[float] = None,
-               rebate: float = 0.0) -> Dict[str, float]:
+               rebate: float = 0.0,
+               window=None) -> Dict[str, float]:
         """Delta and vega for path-dependent payoffs (beyond the reference,
         which has no exotics at all).
 
@@ -736,8 +778,16 @@ class ExoticEngine:
             raise ValueError("rebated barrier greeks need "
                              "monitoring='bridge' (the CRN-FD homogeneity "
                              "identity does not hold for cash rebates)")
+        if window is not None and monitoring != "bridge":
+            raise ValueError("window-barrier greeks need "
+                             "monitoring='bridge'")
         steps = scaled_steps(self.num_steps, T)
         key = jax.random.key(self.seed)
+        if window is not None:
+            dt = T / steps
+            w0 = max(0, min(steps - 1, int(round(float(window[0]) / dt))))
+            w1 = max(w0 + 1, min(steps, int(round(float(window[1]) / dt))))
+            window = (w0, w1)
         if (kind in ("double_barrier", "double_no_touch")
                 and monitoring == "bridge"):
             # Corridor bridge weight is smooth in (spot, params) exactly
@@ -779,7 +829,8 @@ class ExoticEngine:
                     num_steps=steps, is_call=True if one_touch else is_call,
                     knock="in" if one_touch else knock, direction=direction,
                     one_touch=one_touch, antithetic=self.use_antithetic,
-                    control_variate=False, monitoring="bridge"))
+                    control_variate=False, monitoring="bridge",
+                    window=window))
             v0 = float(self.params.v0)
             return {
                 "price": float(price),

@@ -79,7 +79,7 @@ def corridor_surv_increment(x_old, x_new, var_step, dt, log_lo, log_hi,
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
                                    "companion", "bridge", "bridge_up",
-                                   "corridor"))
+                                   "corridor", "window"))
 def simulate_path_stats(
     params: SVJParams,
     spot,
@@ -94,6 +94,7 @@ def simulate_path_stats(
     bridge_log_b=0.0,
     corridor: bool = False,
     bridge_log_l=0.0,
+    window=None,
 ) -> Dict[str, Array]:
     """SVJ paths with running functionals; one fused scan.
 
@@ -123,6 +124,13 @@ def simulate_path_stats(
     `corridor_surv_increment` — double knock-outs / double-no-touch
     digitals with exact continuous monitoring under GBM (`bridge_up` is
     ignored).
+
+    window=(w0, w1) (static step indices, requires bridge=True) restricts
+    monitoring to steps w0..w1-1, i.e. the time interval
+    (w0*dt, w1*dt] checked at both endpoints — partial/window barriers.
+    Steps outside the window contribute survival weight 1 (log 0); the
+    gating `where` is AD-safe because the discarded increment is finite
+    on live endpoints (same clamp argument as surv_increment itself).
     """
     dtype = jnp.float32
     n_branch = 2 if antithetic else 1
@@ -182,8 +190,11 @@ def simulate_path_stats(
         max_log = jnp.maximum(max_log, log_s)
         min_log = jnp.minimum(min_log, log_s)
         if bridge:
-            log_surv = log_surv + surv_increment(
-                x_prev, log_s, jnp.maximum(v_prev, 1e-12))
+            inc = surv_increment(x_prev, log_s, jnp.maximum(v_prev, 1e-12))
+            if window is not None:
+                in_win = (step_idx >= window[0]) & (step_idx < window[1])
+                inc = jnp.where(in_win, inc, 0.0)
+            log_surv = log_surv + inc
 
         if companion:
             x_prev_g = log_g
@@ -193,8 +204,12 @@ def simulate_path_stats(
             g_max_log = jnp.maximum(g_max_log, log_g)
             g_min_log = jnp.minimum(g_min_log, log_g)
             if bridge:
-                g_log_surv = g_log_surv + surv_increment(
-                    x_prev_g, log_g, sigma_cv**2)
+                g_inc = surv_increment(x_prev_g, log_g, sigma_cv**2)
+                if window is not None:
+                    in_win = ((step_idx >= window[0])
+                              & (step_idx < window[1]))
+                    g_inc = jnp.where(in_win, g_inc, 0.0)
+                g_log_surv = g_log_surv + g_inc
         return (log_s, v, sum_s, sum_log, max_log, min_log, log_surv,
                 log_g, g_sum_s, g_sum_log, g_max_log, g_min_log,
                 g_log_surv), None
@@ -571,3 +586,107 @@ def double_no_touch_bs(S, T, r, q, sigma, lower, upper,
     w = 0.5 * (hi - lo) * weights
     p_stay = float(np.sum(w * _corridor_density(x, lo, hi, m, sigma, T)))
     return float(np.exp(-r * T) * min(max(p_stay, 0.0), 1.0))
+
+
+def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
+                      is_call: bool = True, knock: str = "out",
+                      direction: str | None = None,
+                      n_quad: int = 128, n_outer: int = 96) -> float:
+    """Window (partial) barrier option under GBM, continuous monitoring
+    restricted to [t1, t2] ⊆ [0, T]. Host f64.
+
+    Decomposition over the three free/monitored/free legs:
+        KO = e^{−r·t2} · E[ q_surv(x2 | x1; t2−t1) · V(S·e^{x2}) ],
+    where x1 = log(S_{t1}/S) is free lognormal drift (Gauss-Hermite),
+    q_surv is the single-barrier surviving sub-density over the window
+    (the `_corridor_density` image series with the unmonitored side
+    pushed far away), and V is the undiscounted-to-t2 European value
+    BS(·, K, T−t2) (the payoff itself when t2 = T). A spot already
+    through the barrier at t1 is knocked (the window's first monitored
+    instant). Knock-in via in-out parity. Limits: (t1, t2) = (0, T)
+    reproduces `barrier_bs` (test-pinned); t2 = t1 degenerates to the
+    vanilla. The MC oracle for bridge-monitored window barriers
+    (`ExoticEngine.price_barrier(window=)`).
+    """
+    from scipy.stats import norm
+
+    S, K, T, B, t1, t2 = map(float, (S, K, T, barrier, t1, t2))
+    if not 0.0 <= t1 <= t2 <= T:
+        raise ValueError("window needs 0 <= t1 <= t2 <= T")
+    if direction is None:
+        direction = "up" if B >= S else "down"
+    st = sigma * np.sqrt(T)
+    d1 = (np.log(S / K) + (r - q + 0.5 * sigma**2) * T) / st
+    d2 = d1 - st
+    if is_call:
+        vanilla = (S * np.exp(-q * T) * norm.cdf(d1)
+                   - K * np.exp(-r * T) * norm.cdf(d2))
+    else:
+        vanilla = (K * np.exp(-r * T) * norm.cdf(-d2)
+                   - S * np.exp(-q * T) * norm.cdf(-d1))
+    if knock == "in":
+        ko = window_barrier_bs(S, K, T, r, q, sigma, B, t1, t2,
+                               is_call=is_call, knock="out",
+                               direction=direction,
+                               n_quad=n_quad, n_outer=n_outer)
+        return float(max(vanilla - ko, 0.0))
+    if t2 - t1 < 1e-12:
+        return float(vanilla)
+    if t1 < 1e-12 and T - t2 < 1e-12:
+        return barrier_bs(S, K, T, r, q, sigma, B, is_call=is_call,
+                          knock="out", direction=direction)
+
+    m = r - q - 0.5 * sigma**2
+    tau = t2 - t1
+    span = 12.0 * sigma * np.sqrt(tau)
+
+    def euro_at_t2(s2):
+        """Value at t2 of the now-unmonitored leg, discounted to t2."""
+        if T - t2 < 1e-12:
+            return (np.maximum(s2 - K, 0.0) if is_call
+                    else np.maximum(K - s2, 0.0))
+        tt = T - t2
+        stt = sigma * np.sqrt(tt)
+        dd1 = (np.log(s2 / K) + (r - q + 0.5 * sigma**2) * tt) / stt
+        dd2 = dd1 - stt
+        if is_call:
+            return (s2 * np.exp(-q * tt) * norm.cdf(dd1)
+                    - K * np.exp(-r * tt) * norm.cdf(dd2))
+        return (K * np.exp(-r * tt) * norm.cdf(-dd2)
+                - s2 * np.exp(-q * tt) * norm.cdf(-dd1))
+
+    def window_leg(s1):
+        """E[1(no touch in window)·V(S_{t2})] given S_{t1}=s1, disc to t2."""
+        b = np.log(B / s1)
+        if direction == "up":
+            if b <= 0.0:
+                return 0.0            # at/through the barrier at t1
+            lo, hi = b - span, b
+        else:
+            if b >= 0.0:
+                return 0.0
+            lo, hi = b, b + span
+        nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+        # Split panels at the payoff kink log(K/s1): as t2 -> T the
+        # t2-value approaches the raw payoff and a single panel across
+        # the kink converges only algebraically.
+        x_k = np.log(K / s1)
+        cuts = [lo] + ([x_k] if lo < x_k < hi else []) + [hi]
+        total = 0.0
+        for a_, b_ in zip(cuts[:-1], cuts[1:]):
+            x = 0.5 * (b_ - a_) * nodes + 0.5 * (b_ + a_)
+            w = 0.5 * (b_ - a_) * weights
+            dens = _corridor_density(x, lo, hi, m, sigma, tau)
+            total += float(np.sum(w * dens * euro_at_t2(s1 * np.exp(x))))
+        return total
+
+    if t1 < 1e-12:
+        ko = np.exp(-r * t2) * window_leg(S)
+    else:
+        # Gauss-Hermite over the free lognormal leg to t1.
+        h_nodes, h_w = np.polynomial.hermite.hermgauss(n_outer)
+        x1 = m * t1 + sigma * np.sqrt(2.0 * t1) * h_nodes
+        ko = np.exp(-r * t2) * float(np.sum(
+            h_w / np.sqrt(np.pi)
+            * np.array([window_leg(S * np.exp(v)) for v in x1])))
+    return float(min(max(ko, 0.0), max(vanilla, 0.0)))

@@ -904,7 +904,7 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
                       min_ref, surv_ref, g_ref, gavg_ref, glavg_ref, gmax_ref,
                       gmin_ref, gsurv_ref, *, num_steps: int, rows: int,
                       half_grid: int, companion: bool, bridge: bool,
-                      bridge_up: bool, corridor: bool):
+                      bridge_up: bool, corridor: bool, window):
     """Fused SVJ simulation + running path functionals.
 
     Tracks per-path arithmetic sum, log-sum (geometric mean), and running
@@ -961,7 +961,7 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         return jnp.where(dead, -jnp.inf,
                          jnp.log1p(-jnp.minimum(p_cross, 1.0 - 1e-7)))
 
-    def one_step(carry, z1, z2, z_js, u_jump):
+    def one_step(carry, z1, z2, z_js, u_jump, idx):
         (log_s, v, sum_s, sum_l, max_l, min_l, l_surv,
          log_g, g_sum_s, g_sum_l, g_max_l, g_min_l, g_l_surv) = carry
         v_pos = jnp.maximum(v, 0.0)
@@ -979,8 +979,14 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         max_l = jnp.maximum(max_l, log_s)
         min_l = jnp.minimum(min_l, log_s)
         if bridge:
-            l_surv = l_surv + surv_inc(x_prev, log_s,
-                                       jnp.maximum(v_pos, 1e-12))
+            inc = surv_inc(x_prev, log_s, jnp.maximum(v_pos, 1e-12))
+            if window is not None:
+                # window barrier: monitoring restricted to steps
+                # window[0]..window[1]-1 (static ints; same gating as the
+                # scan twin — steps outside contribute log-weight 0)
+                in_win = (idx >= window[0]) & (idx < window[1])
+                inc = jnp.where(in_win, inc, 0.0)
+            l_surv = l_surv + inc
         if companion:
             x_prev_g = log_g
             log_g = log_g + g_drift_dt + sig_cv * dw1
@@ -989,12 +995,15 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
             g_max_l = jnp.maximum(g_max_l, log_g)
             g_min_l = jnp.minimum(g_min_l, log_g)
             if bridge:
-                g_l_surv = g_l_surv + surv_inc(x_prev_g, log_g,
-                                               sig_cv * sig_cv)
+                g_inc = surv_inc(x_prev_g, log_g, sig_cv * sig_cv)
+                if window is not None:
+                    in_win = (idx >= window[0]) & (idx < window[1])
+                    g_inc = jnp.where(in_win, g_inc, 0.0)
+                g_l_surv = g_l_surv + g_inc
         return (log_s, v, sum_s, sum_l, max_l, min_l, l_surv,
                 log_g, g_sum_s, g_sum_l, g_max_l, g_min_l, g_l_surv)
 
-    def body(_, carry):
+    def body(it, carry):
         # 2 steps per iteration with fully-utilized Box-Muller pairs
         # (same layout as _svj_kernel; +12% measured).
         bits = pltpu.prng_random_bits((8, rows, LANES))
@@ -1002,8 +1011,10 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
         z_e, z_f = _boxmuller(u[4], u[5])
-        carry = one_step(carry, z_a * sign, z_b * sign, z_c * sign, u[6])
-        carry = one_step(carry, z_d * sign, z_e * sign, z_f * sign, u[7])
+        carry = one_step(carry, z_a * sign, z_b * sign, z_c * sign, u[6],
+                         2 * it)
+        carry = one_step(carry, z_d * sign, z_e * sign, z_f * sign, u[7],
+                         2 * it + 1)
         return carry
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization);
@@ -1026,7 +1037,8 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
         u = [_bits_to_uniform(bits[i]) for i in range(5)]
         z1, z2 = _boxmuller(u[0], u[1])
         z_js, _ = _boxmuller(u[2], u[3])
-        carry = one_step(carry, z1 * sign, z2 * sign, z_js * sign, u[4])
+        carry = one_step(carry, z1 * sign, z2 * sign, z_js * sign, u[4],
+                         jnp.int32(num_steps - 1))
     (log_s, _v, sum_s, sum_l, max_l, min_l, l_surv,
      log_g, g_sum_s, g_sum_l, g_max_l, g_min_l, g_l_surv) = carry
 
@@ -1057,7 +1069,7 @@ def _svj_stats_kernel(seed_ref, p_ref, s_ref, avg_ref, lavg_ref, max_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_steps", "antithetic", "companion",
-                     "rows", "bridge", "bridge_up", "corridor"),
+                     "rows", "bridge", "bridge_up", "corridor", "window"),
 )
 def svj_path_stats_pallas(
     params: SVJParams,
@@ -1075,6 +1087,7 @@ def svj_path_stats_pallas(
     bridge_log_b=0.0,
     corridor: bool = False,
     bridge_log_l=0.0,
+    window=None,
 ):
     """Fused-kernel drop-in for `ops.exotics.simulate_path_stats`.
 
@@ -1084,7 +1097,9 @@ def svj_path_stats_pallas(
     bridge=True, barrier at log(B/S0) = bridge_log_b, side = bridge_up;
     corridor=True monitors BOTH barriers (bridge_log_l, bridge_log_b) via
     the shared image-series increment — double knock-outs at kernel
-    speed).
+    speed; window=(w0, w1) static step indices restrict monitoring to
+    steps w0..w1-1 — partial/window barriers, same gating as the scan
+    twin).
     """
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
@@ -1095,7 +1110,7 @@ def svj_path_stats_pallas(
     kernel = functools.partial(
         _svj_stats_kernel, num_steps=num_steps, rows=rows,
         half_grid=half_grid, companion=companion, bridge=bridge,
-        bridge_up=bridge_up, corridor=corridor)
+        bridge_up=bridge_up, corridor=corridor, window=window)
     out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)

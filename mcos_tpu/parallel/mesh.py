@@ -453,6 +453,7 @@ def sharded_exotic_price(
     bridge_ctrl_exact: float = 0.0,
     barrier_lo=0.0,
     rebate=0.0,
+    window=None,
 ) -> Dict[str, Array]:
     """Mesh-sharded exotic pricing (Asian/barrier/lookback/double-barrier).
 
@@ -483,7 +484,8 @@ def sharded_exotic_price(
                                  / jnp.asarray(spot_, jnp.float32)),
             corridor=(kind == "double_barrier" and monitoring == "bridge"),
             bridge_log_l=jnp.log(jnp.maximum(barrier_lo_, 1e-30)
-                                 / jnp.asarray(spot_, jnp.float32)))
+                                 / jnp.asarray(spot_, jnp.float32)),
+            window=window)
         pay_b, ctrl_b, ctrl_exact = exotic_payoff_and_control(
             stats, params_, spot_, strike_, T_, barrier_, kind=kind,
             num_steps=num_steps, is_call=is_call, averaging=averaging,
