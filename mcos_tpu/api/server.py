@@ -450,9 +450,19 @@ def handle_exotic(body: dict) -> dict:
     elif req.kind == "one_touch":
         if req.barrier is None:
             raise ApiError(400, "one_touch requires barrier")
-        out = eng.price_one_touch(req.spot, req.T, req.barrier,
-                                  monitoring=req.monitoring,
-                                  pay_at_hit=req.pay_at_hit)
+        monitoring = req.monitoring
+        if req.window is not None:
+            if not 0.0 <= req.window[0] < req.window[1] <= req.T:
+                raise ApiError(400, "window needs 0 <= t1 < t2 <= T")
+            if "monitoring" not in body:
+                monitoring = "bridge"
+        try:
+            out = eng.price_one_touch(
+                req.spot, req.T, req.barrier, monitoring=monitoring,
+                pay_at_hit=req.pay_at_hit,
+                window=tuple(req.window) if req.window else None)
+        except ValueError as e:
+            raise ApiError(400, str(e))
     elif req.kind == "double_barrier":
         if req.strike is None or req.barrier is None or req.barrier_lo is None:
             raise ApiError(400, "double_barrier requires strike, barrier "
@@ -465,10 +475,17 @@ def handle_exotic(body: dict) -> dict:
         if req.rebate_at_hit:
             raise ApiError(400, "rebate_at_hit is not offered on double "
                                 "barriers (corridor rebates pay at expiry)")
-        out = eng.price_double_barrier(
-            req.spot, req.strike, req.T, req.barrier_lo, req.barrier,
-            req.is_call, knock=req.knock, monitoring=monitoring,
-            rebate=req.rebate)
+        if req.window is not None \
+                and not 0.0 <= req.window[0] < req.window[1] <= req.T:
+            raise ApiError(400, "window needs 0 <= t1 < t2 <= T")
+        try:
+            out = eng.price_double_barrier(
+                req.spot, req.strike, req.T, req.barrier_lo, req.barrier,
+                req.is_call, knock=req.knock, monitoring=monitoring,
+                rebate=req.rebate,
+                window=tuple(req.window) if req.window else None)
+        except ValueError as e:
+            raise ApiError(400, str(e))
     elif req.kind in ("double_no_touch", "double_one_touch"):
         if req.barrier is None or req.barrier_lo is None:
             raise ApiError(400, f"{req.kind} requires barrier (upper) and "
@@ -476,9 +493,17 @@ def handle_exotic(body: dict) -> dict:
         if not req.barrier_lo < req.barrier:
             raise ApiError(400, f"{req.kind} needs barrier_lo < barrier")
         monitoring = req.monitoring if "monitoring" in body else "bridge"
-        out = eng.price_double_no_touch(
-            req.spot, req.T, req.barrier_lo, req.barrier,
-            touch=(req.kind == "double_one_touch"), monitoring=monitoring)
+        if req.window is not None \
+                and not 0.0 <= req.window[0] < req.window[1] <= req.T:
+            raise ApiError(400, "window needs 0 <= t1 < t2 <= T")
+        try:
+            out = eng.price_double_no_touch(
+                req.spot, req.T, req.barrier_lo, req.barrier,
+                touch=(req.kind == "double_one_touch"),
+                monitoring=monitoring,
+                window=tuple(req.window) if req.window else None)
+        except ValueError as e:
+            raise ApiError(400, str(e))
     elif req.kind == "lookback":
         out = eng.price_lookback(req.spot, req.T, req.is_call,
                                  strike=req.strike)

@@ -529,7 +529,8 @@ class ExoticEngine:
     def price_one_touch(self, spot: float, T: float, barrier: float,
                         direction: Optional[str] = None,
                         monitoring: str = "continuous",
-                        pay_at_hit: bool = False) -> Dict[str, float]:
+                        pay_at_hit: bool = False,
+                        window=None) -> Dict[str, float]:
         """One-touch digital: pays 1 when the barrier trades.
 
         MC prices the pay-at-expiry contract (the touch indicator rides
@@ -540,7 +541,6 @@ class ExoticEngine:
         The GBM closed form (`one_touch_bs`, reflection principle) rides
         along as `closed_form_gbm` for reference.
         """
-        from mcos_tpu.config import scaled_steps
         from mcos_tpu.ops.exotics import BGK_BETA, one_touch_bs
 
         if direction is None:
@@ -548,6 +548,26 @@ class ExoticEngine:
         sig = float(np.sqrt(float(self.params.v0)))
         barrier_eff = barrier
         extra: Dict = {}
+        win_eff = None
+        if window is not None:
+            # windowed one-touch: pays at expiry on any in-window touch.
+            # Bridge only (the gated survival weight IS the estimator);
+            # pay-at-hit has no closed-form window discount to borrow.
+            if monitoring != "bridge":
+                raise ValueError("window one-touch needs "
+                                 "monitoring='bridge'")
+            if pay_at_hit:
+                raise ValueError("pay_at_hit is not offered on window "
+                                 "one-touches")
+            t1, t2 = float(window[0]), float(window[1])
+            if not 0.0 <= t1 < t2 <= T:
+                raise ValueError("window needs 0 <= t1 < t2 <= T")
+            steps = scaled_steps(self.num_steps, T)
+            dt = T / steps
+            w0 = max(0, min(steps - 1, int(round(t1 / dt))))
+            w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+            extra["window"] = (w0, w1)
+            win_eff = (w0 * dt, w1 * dt)
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             shift = BGK_BETA * sig * np.sqrt(T / steps)
@@ -561,17 +581,27 @@ class ExoticEngine:
         res = self._run(spot, 0.0, T, kind="barrier", barrier=barrier_eff,
                         is_call=True, knock="in", direction=direction,
                         one_touch=True, **extra)
+        if win_eff is not None:
+            cf = float(np.exp(-float(self.params.r) * T)
+                       ) - ops_exotics.window_no_touch_bs(
+                spot, T, float(self.params.r), float(self.params.q), sig,
+                barrier, win_eff[0], win_eff[1], direction=direction)
+        else:
+            cf = one_touch_bs(
+                spot, T, float(self.params.r), float(self.params.q), sig,
+                barrier, direction, pay_at_hit=pay_at_hit)
         out = {
             "price": res["price"],
             "std_error": res["std_error"],
             "touch_probability": res["price"]
             / float(np.exp(-float(self.params.r) * T)),
             "monitoring": monitoring,
-            "closed_form_gbm": one_touch_bs(
-                spot, T, float(self.params.r), float(self.params.q), sig,
-                barrier, direction, pay_at_hit=pay_at_hit),
+            "closed_form_gbm": cf,
             "num_paths_used": self.num_paths,
         }
+        if win_eff is not None:
+            out["window"] = [float(window[0]), float(window[1])]
+            out["window_effective"] = list(win_eff)
         if pay_at_hit:
             ratio_num = one_touch_bs(spot, T, float(self.params.r),
                                      float(self.params.q), sig, barrier,
@@ -589,7 +619,8 @@ class ExoticEngine:
                              lower: float, upper: float,
                              is_call: bool = True, knock: str = "out",
                              monitoring: str = "bridge",
-                             rebate: float = 0.0) -> Dict[str, float]:
+                             rebate: float = 0.0,
+                             window=None) -> Dict[str, float]:
         """Double-barrier option: knocks when EITHER barrier trades.
 
         monitoring="bridge" (default — it is the whole point here) uses the
@@ -608,6 +639,23 @@ class ExoticEngine:
         lo_eff, hi_eff = lower, upper
         extra: Dict = {}
         sig = float(np.sqrt(float(self.params.v0)))
+        win_eff = None
+        if window is not None:
+            if monitoring != "bridge":
+                raise ValueError("window double barriers need "
+                                 "monitoring='bridge'")
+            if rebate:
+                raise ValueError("rebates on window barriers are not "
+                                 "offered")
+            t1, t2 = float(window[0]), float(window[1])
+            if not 0.0 <= t1 < t2 <= T:
+                raise ValueError("window needs 0 <= t1 < t2 <= T")
+            steps = scaled_steps(self.num_steps, T)
+            dt = T / steps
+            w0 = max(0, min(steps - 1, int(round(t1 / dt))))
+            w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+            extra["window"] = (w0, w1)
+            win_eff = (w0 * dt, w1 * dt)
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             from mcos_tpu.ops.exotics import BGK_BETA
@@ -618,9 +666,15 @@ class ExoticEngine:
         elif monitoring == "bridge":
             if self.use_control_variate:
                 p = self.params
-                db = ops_exotics.double_barrier_bs(
-                    spot, strike, T, float(p.r), float(p.q), sig,
-                    lower, upper, is_call=is_call, knock=knock)
+                if win_eff is not None:
+                    db = ops_exotics.window_barrier_bs(
+                        spot, strike, T, float(p.r), float(p.q), sig,
+                        upper, win_eff[0], win_eff[1], is_call=is_call,
+                        knock=knock, barrier_lo=lower)
+                else:
+                    db = ops_exotics.double_barrier_bs(
+                        spot, strike, T, float(p.r), float(p.q), sig,
+                        lower, upper, is_call=is_call, knock=knock)
                 ctrl = db * np.exp(float(p.r) * T)
                 if rebate:
                     stay = ops_exotics.double_no_touch_bs(
@@ -644,9 +698,17 @@ class ExoticEngine:
         out["lower_barrier"] = lower
         out["upper_barrier"] = upper
         p = self.params
-        cf = ops_exotics.double_barrier_bs(
-            spot, strike, T, float(p.r), float(p.q),
-            sig, lower, upper, is_call=is_call, knock=knock)
+        if win_eff is not None:
+            cf = ops_exotics.window_barrier_bs(
+                spot, strike, T, float(p.r), float(p.q), sig, upper,
+                win_eff[0], win_eff[1], is_call=is_call, knock=knock,
+                barrier_lo=lower)
+            out["window"] = [float(window[0]), float(window[1])]
+            out["window_effective"] = list(win_eff)
+        else:
+            cf = ops_exotics.double_barrier_bs(
+                spot, strike, T, float(p.r), float(p.q),
+                sig, lower, upper, is_call=is_call, knock=knock)
         if rebate:
             df = float(np.exp(-float(p.r) * T))
             dnt = ops_exotics.double_no_touch_bs(
@@ -658,16 +720,19 @@ class ExoticEngine:
 
     def price_double_no_touch(self, spot: float, T: float, lower: float,
                               upper: float, touch: bool = False,
-                              monitoring: str = "bridge"
-                              ) -> Dict[str, float]:
+                              monitoring: str = "bridge",
+                              window=None) -> Dict[str, float]:
         """Corridor digital: double-no-touch pays 1 at expiry iff the spot
         never leaves (lower, upper); touch=True prices the double-ONE-touch
         (pays on any touch, at expiry — their undiscounted probabilities
         sum to 1). Bridge monitoring gives the smooth exp(log_surv) weight
         (exact continuous under GBM); the companion-leg digital rides as
         control with exact mean from `double_no_touch_bs`."""
-        if not lower < spot < upper:
-            # already through a barrier: the digital is decided at t=0
+        if not lower < spot < upper and (
+                window is None or float(window[0]) <= 0.0):
+            # already through a barrier at the first monitored instant:
+            # the digital is decided at t=0 (a window starting later is
+            # NOT decided — the spot may re-enter the corridor by t1)
             df = float(np.exp(-float(self.params.r) * T))
             return {"price": df if touch else 0.0, "std_error": 0.0,
                     "stay_probability": 0.0, "monitoring": monitoring,
@@ -676,6 +741,20 @@ class ExoticEngine:
         sig = float(np.sqrt(float(self.params.v0)))
         lo_eff, hi_eff = lower, upper
         extra: Dict = {}
+        win_eff = None
+        if window is not None:
+            if monitoring != "bridge":
+                raise ValueError("window corridor digitals need "
+                                 "monitoring='bridge'")
+            t1, t2 = float(window[0]), float(window[1])
+            if not 0.0 <= t1 < t2 <= T:
+                raise ValueError("window needs 0 <= t1 < t2 <= T")
+            steps = scaled_steps(self.num_steps, T)
+            dt = T / steps
+            w0 = max(0, min(steps - 1, int(round(t1 / dt))))
+            w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+            extra["window"] = (w0, w1)
+            win_eff = (w0 * dt, w1 * dt)
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             from mcos_tpu.ops.exotics import BGK_BETA
@@ -686,9 +765,15 @@ class ExoticEngine:
         elif monitoring == "bridge":
             if self.use_control_variate:
                 p = self.params
-                stay = ops_exotics.double_no_touch_bs(
-                    spot, T, float(p.r), float(p.q), sig, lower, upper
-                ) * np.exp(float(p.r) * T)      # undiscounted stay prob
+                if win_eff is not None:
+                    stay = ops_exotics.window_no_touch_bs(
+                        spot, T, float(p.r), float(p.q), sig, upper,
+                        win_eff[0], win_eff[1], barrier_lo=lower
+                    ) * np.exp(float(p.r) * T)
+                else:
+                    stay = ops_exotics.double_no_touch_bs(
+                        spot, T, float(p.r), float(p.q), sig, lower, upper
+                    ) * np.exp(float(p.r) * T)  # undiscounted stay prob
                 extra["bridge_ctrl_exact"] = float(
                     stay if not touch else 1.0 - stay)
             extra["monitoring"] = "bridge"
@@ -703,9 +788,16 @@ class ExoticEngine:
         out["monitoring"] = monitoring
         out["lower_barrier"] = lower
         out["upper_barrier"] = upper
-        dnt = ops_exotics.double_no_touch_bs(
-            spot, T, float(self.params.r), float(self.params.q), sig,
-            lower, upper)
+        if win_eff is not None:
+            dnt = ops_exotics.window_no_touch_bs(
+                spot, T, float(self.params.r), float(self.params.q), sig,
+                upper, win_eff[0], win_eff[1], barrier_lo=lower)
+            out["window"] = [float(window[0]), float(window[1])]
+            out["window_effective"] = list(win_eff)
+        else:
+            dnt = ops_exotics.double_no_touch_bs(
+                spot, T, float(self.params.r), float(self.params.q), sig,
+                lower, upper)
         out["closed_form_gbm"] = dnt if not touch else df - dnt
         return out
 

@@ -591,7 +591,8 @@ def double_no_touch_bs(S, T, r, q, sigma, lower, upper,
 def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
                       is_call: bool = True, knock: str = "out",
                       direction: str | None = None,
-                      n_quad: int = 128, n_outer: int = 96) -> float:
+                      n_quad: int = 128, n_outer: int = 96,
+                      barrier_lo=None) -> float:
     """Window (partial) barrier option under GBM, continuous monitoring
     restricted to [t1, t2] ⊆ [0, T]. Host f64.
 
@@ -613,6 +614,8 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
     S, K, T, B, t1, t2 = map(float, (S, K, T, barrier, t1, t2))
     if not 0.0 <= t1 <= t2 <= T:
         raise ValueError("window needs 0 <= t1 <= t2 <= T")
+    if barrier_lo is not None and not float(barrier_lo) < B:
+        raise ValueError("double window barrier needs barrier_lo < barrier")
     if direction is None:
         direction = "up" if B >= S else "down"
     st = sigma * np.sqrt(T)
@@ -628,11 +631,16 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
         ko = window_barrier_bs(S, K, T, r, q, sigma, B, t1, t2,
                                is_call=is_call, knock="out",
                                direction=direction,
-                               n_quad=n_quad, n_outer=n_outer)
+                               n_quad=n_quad, n_outer=n_outer,
+                               barrier_lo=barrier_lo)
         return float(max(vanilla - ko, 0.0))
     if t2 - t1 < 1e-12:
         return float(vanilla)
     if t1 < 1e-12 and T - t2 < 1e-12:
+        if barrier_lo is not None:
+            return double_barrier_bs(S, K, T, r, q, sigma,
+                                     float(barrier_lo), B,
+                                     is_call=is_call, knock="out")
         return barrier_bs(S, K, T, r, q, sigma, B, is_call=is_call,
                           knock="out", direction=direction)
 
@@ -658,7 +666,12 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
     def window_leg(s1):
         """E[1(no touch in window)·V(S_{t2})] given S_{t1}=s1, disc to t2."""
         b = np.log(B / s1)
-        if direction == "up":
+        if barrier_lo is not None:
+            b_lo = np.log(float(barrier_lo) / s1)
+            if b <= 0.0 or b_lo >= 0.0:   # outside the corridor at t1
+                return 0.0
+            lo, hi = b_lo, b              # TRUE corridor: both sides real
+        elif direction == "up":
             if b <= 0.0:
                 return 0.0            # at/through the barrier at t1
             lo, hi = b - span, b
@@ -690,3 +703,58 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
             h_w / np.sqrt(np.pi)
             * np.array([window_leg(S * np.exp(v)) for v in x1])))
     return float(min(max(ko, 0.0), max(vanilla, 0.0)))
+
+
+def window_no_touch_bs(S, T, r, q, sigma, barrier, t1, t2,
+                       direction: str | None = None, barrier_lo=None,
+                       n_quad: int = 128, n_outer: int = 96) -> float:
+    """Window no-touch digital under GBM: pays 1 at expiry T iff the spot
+    does not touch the barrier (or, with `barrier_lo`, does not leave the
+    corridor) during [t1, t2] ⊆ [0, T]. Host f64.
+
+    Price = e^{−rT} · E[ P_surv_window(S_{t1}) ] — the same Gauss-Hermite ×
+    image-series decomposition as `window_barrier_bs` with the post-window
+    value ≡ 1. Full-window limits: `one_touch_bs` complement /
+    `double_no_touch_bs` (test-pinned). The windowed ONE-touch (pays at
+    expiry on any in-window touch) is e^{−rT} − this.
+    """
+    S, T, B, t1, t2 = map(float, (S, T, barrier, t1, t2))
+    if not 0.0 <= t1 <= t2 <= T:
+        raise ValueError("window needs 0 <= t1 <= t2 <= T")
+    if direction is None:
+        direction = "up" if B >= S else "down"
+    if t2 - t1 < 1e-12:
+        return float(np.exp(-r * T))
+    m = r - q - 0.5 * sigma**2
+    tau = t2 - t1
+    span = 12.0 * sigma * np.sqrt(tau)
+
+    def stay_given(s1):
+        b = np.log(B / s1)
+        if barrier_lo is not None:
+            b_lo = np.log(float(barrier_lo) / s1)
+            if b <= 0.0 or b_lo >= 0.0:
+                return 0.0
+            lo, hi = b_lo, b
+        elif direction == "up":
+            if b <= 0.0:
+                return 0.0
+            lo, hi = b - span, b
+        else:
+            if b >= 0.0:
+                return 0.0
+            lo, hi = b, b + span
+        nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+        x = 0.5 * (hi - lo) * nodes + 0.5 * (hi + lo)
+        w = 0.5 * (hi - lo) * weights
+        return float(np.sum(w * _corridor_density(x, lo, hi, m, sigma, tau)))
+
+    if t1 < 1e-12:
+        stay = stay_given(S)
+    else:
+        h_nodes, h_w = np.polynomial.hermite.hermgauss(n_outer)
+        x1 = m * t1 + sigma * np.sqrt(2.0 * t1) * h_nodes
+        stay = float(np.sum(h_w / np.sqrt(np.pi)
+                            * np.array([stay_given(S * np.exp(v))
+                                        for v in x1])))
+    return float(np.exp(-r * T) * min(max(stay, 0.0), 1.0))

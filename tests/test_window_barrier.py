@@ -196,3 +196,92 @@ def test_pallas_window_matches_oracle_on_tpu():
     res = eng.price_barrier(S, K, T, B_UP, True, knock="out",
                             monitoring="bridge", window=(0.125, 0.375))
     assert abs(res["price"] - cf) < 4 * res["std_error"] + 2e-3, (res, cf)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Windowed digitals + windowed corridors
+# ─────────────────────────────────────────────────────────────────────────────
+def test_window_no_touch_oracle_limits():
+    df = float(np.exp(-R_ * T))
+    a = ops_exotics.window_no_touch_bs(S, T, R_, Q_, SIG, B_UP, 0.0, T)
+    b = df - ops_exotics.one_touch_bs(S, T, R_, Q_, SIG, B_UP, "up")
+    assert a == pytest.approx(b, abs=1e-12)
+    c = ops_exotics.window_no_touch_bs(S, T, R_, Q_, SIG, 125.0, 0.0, T,
+                                       barrier_lo=85.0)
+    d = ops_exotics.double_no_touch_bs(S, T, R_, Q_, SIG, 85.0, 125.0)
+    assert c == pytest.approx(d, abs=1e-12)
+    # degenerate window: certain no-touch
+    assert ops_exotics.window_no_touch_bs(
+        S, T, R_, Q_, SIG, B_UP, 0.2, 0.2) == pytest.approx(df, abs=1e-12)
+    # corridor full-window barrier oracle limit
+    e = ops_exotics.window_barrier_bs(S, K, T, R_, Q_, SIG, 125.0, 1e-9,
+                                      T - 1e-9, barrier_lo=85.0)
+    f = ops_exotics.double_barrier_bs(S, K, T, R_, Q_, SIG, 85.0, 125.0)
+    assert e == pytest.approx(f, abs=1e-6)
+
+
+def test_window_one_touch_matches_oracle(eng):
+    df = float(np.exp(-R_ * T))
+    cf = df - ops_exotics.window_no_touch_bs(S, T, R_, Q_, SIG, B_UP,
+                                             0.125, 0.375)
+    res = eng.price_one_touch(S, T, B_UP, monitoring="bridge",
+                              window=(0.125, 0.375))
+    assert res["closed_form_gbm"] == pytest.approx(cf, rel=1e-9)
+    assert abs(res["price"] - cf) < 4 * res["std_error"] + 2e-3, (res, cf)
+    with pytest.raises(ValueError):
+        eng.price_one_touch(S, T, B_UP, monitoring="bridge",
+                            window=(0.125, 0.375), pay_at_hit=True)
+
+
+def test_window_double_ko_matches_oracle(eng):
+    cf = ops_exotics.window_barrier_bs(S, K, T, R_, Q_, SIG, 125.0,
+                                       0.125, 0.375, barrier_lo=85.0)
+    res = eng.price_double_barrier(S, K, T, 85.0, 125.0,
+                                   window=(0.125, 0.375))
+    assert res["closed_form_gbm"] == pytest.approx(cf, rel=1e-9)
+    assert abs(res["price"] - cf) < 4 * res["std_error"] + 3e-3, (res, cf)
+
+
+def test_window_dnt_matches_oracle_and_complement(eng):
+    df = float(np.exp(-R_ * T))
+    cf = ops_exotics.window_no_touch_bs(S, T, R_, Q_, SIG, 125.0,
+                                        0.125, 0.375, barrier_lo=85.0)
+    dnt = eng.price_double_no_touch(S, T, 85.0, 125.0,
+                                    window=(0.125, 0.375))
+    dot = eng.price_double_no_touch(S, T, 85.0, 125.0, touch=True,
+                                    window=(0.125, 0.375))
+    assert abs(dnt["price"] - cf) < 4 * dnt["std_error"] + 2e-3, (dnt, cf)
+    assert dnt["price"] + dot["price"] == pytest.approx(df, abs=2e-4)
+
+
+def test_window_dnt_outside_corridor_not_decided_at_t0():
+    """Spot outside the corridor at t=0 but monitoring starts later: the
+    contract is NOT decided — the spot can re-enter by t1."""
+    e = ExoticEngine(gbm_params(SIG, r=R_, q=Q_), num_paths=60_000,
+                     num_steps=64, seed=3)
+    res = e.price_double_no_touch(130.0, T, 85.0, 125.0,
+                                  window=(0.25, 0.5))
+    cf = ops_exotics.window_no_touch_bs(130.0, T, R_, Q_, SIG, 125.0,
+                                        0.25, 0.5, barrier_lo=85.0)
+    assert res["num_paths_used"] > 0          # not the t=0 early return
+    assert cf > 0.01                          # genuinely undecided
+    assert abs(res["price"] - cf) < 4 * res["std_error"] + 2e-3, (res, cf)
+
+
+def test_api_window_one_touch_and_corridor():
+    from mcos_tpu.api.server import handle_exotic
+
+    gbm = {"kappa": 1.0, "theta": SIG**2, "xi": 0.0, "rho": 0.0,
+           "v0": SIG**2, "lambda_j": 0.0, "mu_j": 0.0, "sigma_j": 0.0,
+           "r": R_, "q": Q_}
+    out = handle_exotic({"spot": S, "T": T, "kind": "one_touch",
+                         "barrier": B_UP, "params": gbm,
+                         "window": [0.125, 0.375], "num_paths": 20_000})
+    assert abs(out["price"] - out["closed_form_gbm"]) \
+        < 6 * out["std_error"] + 5e-3
+    out2 = handle_exotic({"spot": S, "T": T, "kind": "double_no_touch",
+                          "barrier": 125.0, "barrier_lo": 85.0,
+                          "params": gbm, "window": [0.125, 0.375],
+                          "num_paths": 20_000})
+    assert abs(out2["price"] - out2["closed_form_gbm"]) \
+        < 6 * out2["std_error"] + 5e-3
