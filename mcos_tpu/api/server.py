@@ -530,7 +530,8 @@ def handle_exotic(body: dict) -> dict:
                 barrier_lo=req.barrier_lo,
                 knock=("in" if req.kind == "double_one_touch"
                        else req.knock),
-                monitoring="bridge", rebate=req.rebate)
+                monitoring="bridge", rebate=req.rebate,
+                window=tuple(req.window) if req.window else None)
         elif req.kind == "barrier" and req.window is not None:
             out["greeks"] = eng.greeks(
                 req.spot, req.strike if req.strike is not None else 0.0,

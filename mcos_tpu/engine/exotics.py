@@ -897,7 +897,8 @@ class ExoticEngine:
                     is_call=True if one_touch else is_call,
                     knock=knock, one_touch=one_touch,
                     antithetic=self.use_antithetic,
-                    control_variate=False, monitoring="bridge"))
+                    control_variate=False, monitoring="bridge",
+                    window=window))
             v0 = float(self.params.v0)
             return {
                 "price": float(price),

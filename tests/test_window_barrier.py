@@ -285,3 +285,18 @@ def test_api_window_one_touch_and_corridor():
                           "num_paths": 20_000})
     assert abs(out2["price"] - out2["closed_form_gbm"]) \
         < 6 * out2["std_error"] + 5e-3
+
+
+def test_window_corridor_greeks_match_f64_fd():
+    e = ExoticEngine(gbm_params(SIG, r=R_, q=Q_), num_paths=120_000,
+                     num_steps=64, seed=5)
+    g = e.greeks(S, K, T, kind="double_barrier", barrier=125.0,
+                 barrier_lo=85.0, monitoring="bridge",
+                 window=(0.125, 0.375))
+    h = 0.05
+    fd = (ops_exotics.window_barrier_bs(S + h, K, T, R_, Q_, SIG, 125.0,
+                                        0.125, 0.375, barrier_lo=85.0)
+          - ops_exotics.window_barrier_bs(S - h, K, T, R_, Q_, SIG, 125.0,
+                                          0.125, 0.375, barrier_lo=85.0)
+          ) / (2 * h)
+    assert g["delta"] == pytest.approx(fd, abs=0.03), (g["delta"], fd)
