@@ -414,6 +414,11 @@ def handle_exotic(body: dict) -> dict:
 
     req = schemas.ExoticRequest(**body)
     start = time.time()
+    _WINDOW_KINDS = ("barrier", "one_touch", "double_barrier",
+                     "double_no_touch", "double_one_touch")
+    if req.window is not None and req.kind not in _WINDOW_KINDS:
+        raise ApiError(400, f"window is not supported for kind "
+                            f"{req.kind!r} (barrier-family kinds only)")
     eng = ExoticEngine(req.params.to_params(), num_paths=req.num_paths)
     if req.kind == "asian":
         if req.strike is None:
@@ -531,6 +536,11 @@ def handle_exotic(body: dict) -> dict:
                 knock=("in" if req.kind == "double_one_touch"
                        else req.knock),
                 monitoring="bridge", rebate=req.rebate,
+                window=tuple(req.window) if req.window else None)
+        elif req.kind == "one_touch":
+            out["greeks"] = eng.greeks(
+                req.spot, 0.0, req.T, kind="one_touch",
+                barrier=req.barrier, monitoring="bridge",
                 window=tuple(req.window) if req.window else None)
         elif req.kind == "barrier" and req.window is not None:
             out["greeks"] = eng.greeks(

@@ -55,6 +55,23 @@ def _cv_adjust(pay: Array, ctrl: Array, ctrl_mean_exact: Array):
     return mean, se, beta
 
 
+def _snap_window(T, steps: int, window):
+    """Validate a (t1, t2) monitoring window and snap it to the step grid.
+
+    Returns (w0, w1, (t1_eff, t2_eff)) with 0 <= w0 < w1 <= steps. ONE
+    implementation shared by every windowed product method AND greeks, so
+    price and greeks can never monitor different windows (review finding:
+    five hand-rolled copies had already drifted on validation).
+    """
+    t1, t2 = float(window[0]), float(window[1])
+    if not 0.0 <= t1 < t2 <= float(T):
+        raise ValueError("window needs 0 <= t1 < t2 <= T")
+    dt = float(T) / steps
+    w0 = max(0, min(steps - 1, int(round(t1 / dt))))
+    w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+    return w0, w1, (w0 * dt, w1 * dt)
+
+
 def exotic_payoff_and_control(
     stats: Dict[str, Array], params: SVJParams, spot, strike, T, barrier,
     *, kind: str, num_steps: int, is_call: bool,
@@ -440,8 +457,6 @@ class ExoticEngine:
                 raise ValueError("rebates on window barriers are not "
                                  "offered")
             t1, t2 = float(window[0]), float(window[1])
-            if not 0.0 <= t1 < t2 <= T:
-                raise ValueError("window needs 0 <= t1 < t2 <= T")
         if direction is None:
             direction = "up" if barrier >= spot else "down"
         if rebate_at_hit and knock != "out":
@@ -477,12 +492,9 @@ class ExoticEngine:
             # companion CV's exact mean is the Reiner-Rubinstein closed
             # form at sigma = sqrt(v0), host f64, passed undiscounted.
             if window is not None:
-                steps = scaled_steps(self.num_steps, T)
-                dt = T / steps
-                w0 = max(0, min(steps - 1, int(round(t1 / dt))))
-                w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+                w0, w1, win_eff = _snap_window(
+                    T, scaled_steps(self.num_steps, T), window)
                 win_steps = (w0, w1)
-                win_eff = (w0 * dt, w1 * dt)
             else:
                 win_steps = win_eff = None
             if self.use_control_variate:
@@ -559,15 +571,9 @@ class ExoticEngine:
             if pay_at_hit:
                 raise ValueError("pay_at_hit is not offered on window "
                                  "one-touches")
-            t1, t2 = float(window[0]), float(window[1])
-            if not 0.0 <= t1 < t2 <= T:
-                raise ValueError("window needs 0 <= t1 < t2 <= T")
-            steps = scaled_steps(self.num_steps, T)
-            dt = T / steps
-            w0 = max(0, min(steps - 1, int(round(t1 / dt))))
-            w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+            w0, w1, win_eff = _snap_window(
+                T, scaled_steps(self.num_steps, T), window)
             extra["window"] = (w0, w1)
-            win_eff = (w0 * dt, w1 * dt)
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             shift = BGK_BETA * sig * np.sqrt(T / steps)
@@ -647,15 +653,10 @@ class ExoticEngine:
             if rebate:
                 raise ValueError("rebates on window barriers are not "
                                  "offered")
-            t1, t2 = float(window[0]), float(window[1])
-            if not 0.0 <= t1 < t2 <= T:
-                raise ValueError("window needs 0 <= t1 < t2 <= T")
-            steps = scaled_steps(self.num_steps, T)
-            dt = T / steps
-            w0 = max(0, min(steps - 1, int(round(t1 / dt))))
-            w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
+            w0, w1, win_eff = _snap_window(
+                T, scaled_steps(self.num_steps, T), window)
             extra["window"] = (w0, w1)
-            win_eff = (w0 * dt, w1 * dt)
+        cf_cached = None
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             from mcos_tpu.ops.exotics import BGK_BETA
@@ -667,10 +668,12 @@ class ExoticEngine:
             if self.use_control_variate:
                 p = self.params
                 if win_eff is not None:
-                    db = ops_exotics.window_barrier_bs(
+                    # computed once; reused below for closed_form_gbm
+                    cf_cached = ops_exotics.window_barrier_bs(
                         spot, strike, T, float(p.r), float(p.q), sig,
                         upper, win_eff[0], win_eff[1], is_call=is_call,
                         knock=knock, barrier_lo=lower)
+                    db = cf_cached
                 else:
                     db = ops_exotics.double_barrier_bs(
                         spot, strike, T, float(p.r), float(p.q), sig,
@@ -699,10 +702,12 @@ class ExoticEngine:
         out["upper_barrier"] = upper
         p = self.params
         if win_eff is not None:
-            cf = ops_exotics.window_barrier_bs(
-                spot, strike, T, float(p.r), float(p.q), sig, upper,
-                win_eff[0], win_eff[1], is_call=is_call, knock=knock,
-                barrier_lo=lower)
+            cf = cf_cached              # CV path already evaluated it
+            if cf is None:
+                cf = ops_exotics.window_barrier_bs(
+                    spot, strike, T, float(p.r), float(p.q), sig, upper,
+                    win_eff[0], win_eff[1], is_call=is_call, knock=knock,
+                    barrier_lo=lower)
             out["window"] = [float(window[0]), float(window[1])]
             out["window_effective"] = list(win_eff)
         else:
@@ -728,6 +733,17 @@ class ExoticEngine:
         sum to 1). Bridge monitoring gives the smooth exp(log_surv) weight
         (exact continuous under GBM); the companion-leg digital rides as
         control with exact mean from `double_no_touch_bs`."""
+        win_eff = None
+        win_steps = None
+        if window is not None:
+            # validate BEFORE any early return — otherwise whether a bad
+            # window raises would depend on the spot level (review find)
+            if monitoring != "bridge":
+                raise ValueError("window corridor digitals need "
+                                 "monitoring='bridge'")
+            w0, w1, win_eff = _snap_window(
+                T, scaled_steps(self.num_steps, T), window)
+            win_steps = (w0, w1)
         if not lower < spot < upper and (
                 window is None or float(window[0]) <= 0.0):
             # already through a barrier at the first monitored instant:
@@ -741,20 +757,9 @@ class ExoticEngine:
         sig = float(np.sqrt(float(self.params.v0)))
         lo_eff, hi_eff = lower, upper
         extra: Dict = {}
-        win_eff = None
-        if window is not None:
-            if monitoring != "bridge":
-                raise ValueError("window corridor digitals need "
-                                 "monitoring='bridge'")
-            t1, t2 = float(window[0]), float(window[1])
-            if not 0.0 <= t1 < t2 <= T:
-                raise ValueError("window needs 0 <= t1 < t2 <= T")
-            steps = scaled_steps(self.num_steps, T)
-            dt = T / steps
-            w0 = max(0, min(steps - 1, int(round(t1 / dt))))
-            w1 = max(w0 + 1, min(steps, int(round(t2 / dt))))
-            extra["window"] = (w0, w1)
-            win_eff = (w0 * dt, w1 * dt)
+        dnt_cached = None
+        if win_steps is not None:
+            extra["window"] = win_steps
         if monitoring == "continuous":
             steps = scaled_steps(self.num_steps, T)
             from mcos_tpu.ops.exotics import BGK_BETA
@@ -766,10 +771,11 @@ class ExoticEngine:
             if self.use_control_variate:
                 p = self.params
                 if win_eff is not None:
-                    stay = ops_exotics.window_no_touch_bs(
+                    # computed once; reused below for closed_form_gbm
+                    dnt_cached = ops_exotics.window_no_touch_bs(
                         spot, T, float(p.r), float(p.q), sig, upper,
-                        win_eff[0], win_eff[1], barrier_lo=lower
-                    ) * np.exp(float(p.r) * T)
+                        win_eff[0], win_eff[1], barrier_lo=lower)
+                    stay = dnt_cached * np.exp(float(p.r) * T)
                 else:
                     stay = ops_exotics.double_no_touch_bs(
                         spot, T, float(p.r), float(p.q), sig, lower, upper
@@ -789,9 +795,11 @@ class ExoticEngine:
         out["lower_barrier"] = lower
         out["upper_barrier"] = upper
         if win_eff is not None:
-            dnt = ops_exotics.window_no_touch_bs(
-                spot, T, float(self.params.r), float(self.params.q), sig,
-                upper, win_eff[0], win_eff[1], barrier_lo=lower)
+            dnt = dnt_cached
+            if dnt is None:
+                dnt = ops_exotics.window_no_touch_bs(
+                    spot, T, float(self.params.r), float(self.params.q),
+                    sig, upper, win_eff[0], win_eff[1], barrier_lo=lower)
             out["window"] = [float(window[0]), float(window[1])]
             out["window_effective"] = list(win_eff)
         else:
@@ -876,9 +884,7 @@ class ExoticEngine:
         steps = scaled_steps(self.num_steps, T)
         key = jax.random.key(self.seed)
         if window is not None:
-            dt = T / steps
-            w0 = max(0, min(steps - 1, int(round(float(window[0]) / dt))))
-            w1 = max(w0 + 1, min(steps, int(round(float(window[1]) / dt))))
+            w0, w1, _ = _snap_window(T, steps, window)
             window = (w0, w1)
         if (kind in ("double_barrier", "double_no_touch")
                 and monitoring == "bridge"):

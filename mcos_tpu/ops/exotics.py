@@ -497,6 +497,21 @@ def one_touch_bs(S, T, r, q, sigma, barrier, direction: str = "up",
 # ─────────────────────────────────────────────────────────────────────────────
 # Continuously-monitored DOUBLE-barrier closed forms (GBM, host f64)
 # ─────────────────────────────────────────────────────────────────────────────
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _leggauss(n: int):
+    """Cached Gauss-Legendre nodes/weights (review finding: recomputing
+    them inside the per-outer-node loop dominated the window oracles)."""
+    return np.polynomial.legendre.leggauss(n)
+
+
+@lru_cache(maxsize=16)
+def _hermgauss(n: int):
+    return np.polynomial.hermite.hermgauss(n)
+
+
 def _corridor_density(x, lo, hi, m, sigma, T, n_images: int = 8):
     """Sub-density of X_T = x for drifted BM (drift m, vol sigma, X_0 = 0)
     that never exits (lo, hi) — method of images + Girsanov.
@@ -557,7 +572,7 @@ def double_barrier_bs(S, K, T, r, q, sigma, lower, upper,
         if a >= b:
             ko = 0.0
         else:
-            nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+            nodes, weights = _leggauss(n_quad)
             x = 0.5 * (b - a) * nodes + 0.5 * (b + a)
             w = 0.5 * (b - a) * weights
             pay = (S * np.exp(x) - K) if is_call else (K - S * np.exp(x))
@@ -581,7 +596,7 @@ def double_no_touch_bs(S, T, r, q, sigma, lower, upper,
         return 0.0
     lo, hi = np.log(L / S), np.log(U / S)
     m = r - q - 0.5 * sigma**2
-    nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+    nodes, weights = _leggauss(n_quad)
     x = 0.5 * (hi - lo) * nodes + 0.5 * (hi + lo)
     w = 0.5 * (hi - lo) * weights
     p_stay = float(np.sum(w * _corridor_density(x, lo, hi, m, sigma, T)))
@@ -679,7 +694,7 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
             if b >= 0.0:
                 return 0.0
             lo, hi = b, b + span
-        nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+        nodes, weights = _leggauss(n_quad)
         # Split panels at the payoff kink log(K/s1): as t2 -> T the
         # t2-value approaches the raw payoff and a single panel across
         # the kink converges only algebraically.
@@ -697,7 +712,7 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
         ko = np.exp(-r * t2) * window_leg(S)
     else:
         # Gauss-Hermite over the free lognormal leg to t1.
-        h_nodes, h_w = np.polynomial.hermite.hermgauss(n_outer)
+        h_nodes, h_w = _hermgauss(n_outer)
         x1 = m * t1 + sigma * np.sqrt(2.0 * t1) * h_nodes
         ko = np.exp(-r * t2) * float(np.sum(
             h_w / np.sqrt(np.pi)
@@ -744,7 +759,7 @@ def window_no_touch_bs(S, T, r, q, sigma, barrier, t1, t2,
             if b >= 0.0:
                 return 0.0
             lo, hi = b, b + span
-        nodes, weights = np.polynomial.legendre.leggauss(n_quad)
+        nodes, weights = _leggauss(n_quad)
         x = 0.5 * (hi - lo) * nodes + 0.5 * (hi + lo)
         w = 0.5 * (hi - lo) * weights
         return float(np.sum(w * _corridor_density(x, lo, hi, m, sigma, tau)))
@@ -752,7 +767,7 @@ def window_no_touch_bs(S, T, r, q, sigma, barrier, t1, t2,
     if t1 < 1e-12:
         stay = stay_given(S)
     else:
-        h_nodes, h_w = np.polynomial.hermite.hermgauss(n_outer)
+        h_nodes, h_w = _hermgauss(n_outer)
         x1 = m * t1 + sigma * np.sqrt(2.0 * t1) * h_nodes
         stay = float(np.sum(h_w / np.sqrt(np.pi)
                             * np.array([stay_given(S * np.exp(v))

@@ -300,3 +300,60 @@ def test_window_corridor_greeks_match_f64_fd():
                                           0.125, 0.375, barrier_lo=85.0)
           ) / (2 * h)
     assert g["delta"] == pytest.approx(fd, abs=0.03), (g["delta"], fd)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Review-fix regressions
+# ─────────────────────────────────────────────────────────────────────────────
+def test_api_one_touch_with_greeks_and_window():
+    """one_touch + with_greeks used to 500 (generic greeks branch raised
+    'unknown exotic kind'); now routed through the bridge AD pass."""
+    from mcos_tpu.api.server import handle_exotic
+
+    out = handle_exotic({"spot": S, "T": T, "kind": "one_touch",
+                         "barrier": B_UP, "window": [0.125, 0.375],
+                         "num_paths": 20_000, "with_greeks": True})
+    assert np.isfinite(out["greeks"]["delta"])
+    out2 = handle_exotic({"spot": S, "T": T, "kind": "one_touch",
+                          "barrier": B_UP, "num_paths": 20_000,
+                          "with_greeks": True})
+    assert np.isfinite(out2["greeks"]["delta"])
+
+
+def test_api_window_rejected_for_non_barrier_kinds():
+    """window on asian/lookback used to be silently ignored -> wrong price."""
+    from mcos_tpu.api.server import ApiError, handle_exotic
+
+    for kind, extra in (("asian", {"strike": K}),
+                        ("lookback", {}),
+                        ("variance_swap", {})):
+        with pytest.raises(ApiError) as ei:
+            handle_exotic({"spot": S, "T": T, "kind": kind,
+                           "window": [0.1, 0.4], "num_paths": 5_000,
+                           **extra})
+        assert ei.value.status == 400
+
+
+def test_greeks_validates_window_like_price(eng):
+    """greeks() used to silently clamp an inverted window to ~1 step."""
+    with pytest.raises(ValueError):
+        eng.greeks(S, K, T, kind="barrier", barrier=B_UP,
+                   monitoring="bridge", window=(0.4, 0.1))
+    with pytest.raises(ValueError):
+        eng.greeks(S, K, T, kind="barrier", barrier=B_UP,
+                   monitoring="bridge", window=(0.1, 2 * T))
+
+
+def test_dnt_bad_window_raises_regardless_of_spot():
+    """window validation used to be skipped by the spot-outside-corridor
+    early return — whether a bad window raised depended on the spot."""
+    e = ExoticEngine(gbm_params(SIG, r=R_, q=Q_), num_paths=5_000,
+                     num_steps=16, seed=3)
+    for spot in (100.0, 130.0):          # inside and outside the corridor
+        with pytest.raises(ValueError):
+            e.price_double_no_touch(spot, T, 85.0, 125.0,
+                                    window=(0.0, 99.0))
+        with pytest.raises(ValueError):
+            e.price_double_no_touch(spot, T, 85.0, 125.0,
+                                    window=(0.1, 0.4),
+                                    monitoring="discrete")
