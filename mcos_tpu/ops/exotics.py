@@ -661,7 +661,15 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
 
     m = r - q - 0.5 * sigma**2
     tau = t2 - t1
-    span = 12.0 * sigma * np.sqrt(tau)
+    # Reachable-region half-width measured from the WINDOW START (x2 = 0),
+    # drift included. Measuring the span from the barrier instead (the
+    # first implementation) clipped real probability mass whenever the
+    # barrier sat further than ~12 step-stdevs from the start — caught by
+    # tests/test_properties.py::test_window_nesting_and_corridor_dominance
+    # (far barrier x short window: windowed KO priced BELOW the
+    # full-window KO). Barriers beyond the span are unreachable, so the
+    # domain clips at ±span with negligible image error (e^-144).
+    span = 12.0 * sigma * np.sqrt(tau) + abs(m) * tau
 
     def euro_at_t2(s2):
         """Value at t2 of the now-unmonitored leg, discounted to t2."""
@@ -685,15 +693,15 @@ def window_barrier_bs(S, K, T, r, q, sigma, barrier, t1, t2,
             b_lo = np.log(float(barrier_lo) / s1)
             if b <= 0.0 or b_lo >= 0.0:   # outside the corridor at t1
                 return 0.0
-            lo, hi = b_lo, b              # TRUE corridor: both sides real
+            lo, hi = max(b_lo, -span), min(b, span)
         elif direction == "up":
             if b <= 0.0:
                 return 0.0            # at/through the barrier at t1
-            lo, hi = b - span, b
+            lo, hi = -span, min(b, span)
         else:
             if b >= 0.0:
                 return 0.0
-            lo, hi = b, b + span
+            lo, hi = max(b, -span), span
         nodes, weights = _leggauss(n_quad)
         # Split panels at the payoff kink log(K/s1): as t2 -> T the
         # t2-value approaches the raw payoff and a single panel across
@@ -742,7 +750,9 @@ def window_no_touch_bs(S, T, r, q, sigma, barrier, t1, t2,
         return float(np.exp(-r * T))
     m = r - q - 0.5 * sigma**2
     tau = t2 - t1
-    span = 12.0 * sigma * np.sqrt(tau)
+    # span measured from the window start, barriers clipped at +-span —
+    # see the window_barrier_bs comment (same property-test finding).
+    span = 12.0 * sigma * np.sqrt(tau) + abs(m) * tau
 
     def stay_given(s1):
         b = np.log(B / s1)
@@ -750,15 +760,15 @@ def window_no_touch_bs(S, T, r, q, sigma, barrier, t1, t2,
             b_lo = np.log(float(barrier_lo) / s1)
             if b <= 0.0 or b_lo >= 0.0:
                 return 0.0
-            lo, hi = b_lo, b
+            lo, hi = max(b_lo, -span), min(b, span)
         elif direction == "up":
             if b <= 0.0:
                 return 0.0
-            lo, hi = b - span, b
+            lo, hi = -span, min(b, span)
         else:
             if b >= 0.0:
                 return 0.0
-            lo, hi = b, b + span
+            lo, hi = max(b, -span), span
         nodes, weights = _leggauss(n_quad)
         x = 0.5 * (hi - lo) * nodes + 0.5 * (hi + lo)
         w = 0.5 * (hi - lo) * weights

