@@ -192,26 +192,8 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
     sdf = (rate_step_dfs if rate_step_dfs is not None
            else jnp.full((num_steps,), df))
 
-    def backstep(cf, inputs):
-        s_pay, s_state, allow, df_t = inputs
-        cf = cf * df_t  # continuation value discounted to time t
-        pay = payoff(s_pay)          # cum-dividend: what exercise captures
-        itm = pay > 0.0
-        w = itm.astype(dtype)
-        b = basis(s_state)           # ex-dividend: what drives the future
-        bw = b * w[:, None]
-        gram = b.T @ bw + 1e-4 * jnp.eye(b.shape[1], dtype=dtype)
-        rhs = bw.T @ cf
-        coef = jnp.linalg.solve(gram, rhs)
-        cont = b @ coef
-        exercise = itm & (pay > cont) & allow
-        return jnp.where(exercise, pay, cf), None
-
-    # Reverse induction over t_{n-1}..t_1 (terminal step handled above).
-    cf, _ = jax.lax.scan(backstep, cf_terminal,
-                         (s_cum[:-1], s_ex[:-1], allowed, sdf[1:]),
-                         reverse=True)
-    cf = cf * sdf[0]  # discount t_1 → t_0
+    cf = lsm_backward_cashflows(cf_terminal, s_cum, s_ex, allowed, sdf,
+                                payoff, basis)
     price = jnp.mean(cf)
     se = jnp.std(cf) / jnp.sqrt(jnp.float32(num_paths))
     intrinsic = payoff(jnp.asarray(spot, dtype))
@@ -224,6 +206,51 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
         "mc_continuation": price,
         "intrinsic": intrinsic,
     }
+
+
+def lsm_backward_cashflows(cf_terminal, s_cum, s_ex, allowed, sdf,
+                           payoff, basis, *, ridge: float = 1e-4,
+                           pool=None):
+    """Backward LSM induction → per-path cashflows discounted to t₀.
+
+    ONE implementation of the continuation-regression algebra, shared by
+    the single-device `lsm_price` (pool=None) and the mesh-sharded driver
+    (`parallel/mesh.py:sharded_american_price`, pool=psum) — the same
+    twin-sharing discipline as `corridor_surv_increment`. The pooling hook
+    receives the stacked ``[gram | rhs]`` moment block: normal equations
+    are linear in the per-path outer products, so psum-pooling them across
+    devices reproduces EXACTLY the regression a single device would fit on
+    the union path set (ridge added once, after pooling) — every device
+    then solves the identical (d×d) system and applies the identical
+    stopping rule to its local paths.
+
+    `s_cum`/`s_ex` are the (steps, paths) cum-/ex-dividend sheets for dates
+    t_1..t_n (equal when no dividends); `sdf[m]` discounts [t_m, t_{m+1}].
+    """
+    dtype = cf_terminal.dtype
+
+    def backstep(cf, inputs):
+        s_pay, s_state, allow, df_t = inputs
+        cf = cf * df_t  # continuation value discounted to time t
+        pay = payoff(s_pay)          # cum-dividend: what exercise captures
+        itm = pay > 0.0
+        w = itm.astype(dtype)
+        b = basis(s_state)           # ex-dividend: what drives the future
+        bw = b * w[:, None]
+        block = jnp.concatenate([b.T @ bw, (bw.T @ cf)[:, None]], axis=1)
+        if pool is not None:
+            block = pool(block)
+        gram = block[:, :-1] + ridge * jnp.eye(b.shape[1], dtype=dtype)
+        coef = jnp.linalg.solve(gram, block[:, -1])
+        cont = b @ coef
+        exercise = itm & (pay > cont) & allow
+        return jnp.where(exercise, pay, cf), None
+
+    # Reverse induction over t_{n-1}..t_1 (terminal step handled by caller).
+    cf, _ = jax.lax.scan(backstep, cf_terminal,
+                         (s_cum[:-1], s_ex[:-1], allowed, sdf[1:]),
+                         reverse=True)
+    return cf * sdf[0]  # discount t_1 → t_0
 
 
 def _payoff_fn(strike, is_call: bool):

@@ -188,6 +188,34 @@ def simulate_basket_observations(
     return levels
 
 
+def basket_payoff_and_control(s, g, weights, spots, strike, is_call: bool,
+                              use_cv: bool):
+    """(pay, ctrl_pay | None): antithetic-combined per-path payoffs.
+
+    ONE implementation of the arithmetic-basket payoff and its
+    geometric-companion control, shared by `BasketEngine.price` and the
+    mesh-sharded driver (`parallel/mesh.py:sharded_basket_price`) so the
+    estimator algebra cannot drift between the two. `s`/`g` are the
+    (n_branch, A, paths) terminal/companion sheets; `weights`/`spots` are
+    (A,) f32 arrays. The control is X = notional·Π(G_i/S_i)^w̃ with value
+    weights w̃ ∝ wᵢSᵢ — lognormal, so its expectation is Black-76 in closed
+    form (`_geometric_basket_undiscounted`)."""
+    w = weights[None, :, None]
+    basket = jnp.sum(w * s, axis=1)              # (n_branch, paths)
+    phi = 1.0 if is_call else -1.0
+    pay = combine_antithetic(jnp.maximum(phi * (basket - strike), 0.0))
+    if not use_cv:
+        return pay, None
+    wv = weights * spots
+    w_tilde = (wv / jnp.sum(wv))[None, :, None]
+    notional = jnp.sum(wv)
+    geo = notional * jnp.exp(
+        jnp.sum(w_tilde * jnp.log(jnp.maximum(g, 1e-20)
+                                  / spots[None, :, None]), axis=1))
+    ctrl_pay = combine_antithetic(jnp.maximum(phi * (geo - strike), 0.0))
+    return pay, ctrl_pay
+
+
 def _geometric_basket_undiscounted(notional, w_tilde, drifts_T, vol2_T,
                                    strike, is_call):
     """E[max(±(X − K), 0)] for the lognormal geometric basket
@@ -250,10 +278,14 @@ class BasketEngine:
             jax.random.key(self.seed), num_paths=self.num_paths,
             num_steps=steps, antithetic=True,
             companion=self.use_control_variate)
-        w = jnp.asarray(weights, jnp.float32)[None, :, None]
-        basket = jnp.sum(w * s, axis=1)              # (n_branch, paths)
-        phi = 1.0 if is_call else -1.0
-        pay = combine_antithetic(jnp.maximum(phi * (basket - strike), 0.0))
+        # Control: the geometric value-weighted basket of the companion
+        # legs — lognormal, E[payoff] in closed form (the Kemna-Vorst trick
+        # applied across assets instead of across time). Payoff + control
+        # algebra shared with the mesh driver (basket_payoff_and_control).
+        pay, ctrl_pay = basket_payoff_and_control(
+            s, g, jnp.asarray(weights, jnp.float32),
+            jnp.asarray(spots, jnp.float32), strike, is_call,
+            self.use_control_variate)
         # Discount at the first asset's rate (a basket needs one numéraire;
         # heterogeneous r is allowed per asset for drift but the payoff
         # discounts at r of the quote currency = params_list[0].r).
@@ -267,31 +299,8 @@ class BasketEngine:
             "num_steps": steps,
         }
         if self.use_control_variate:
-            # Control: the geometric value-weighted basket of the companion
-            # legs, X = notional·Π(G_i/S_i)^w̃ — lognormal, so E[payoff(X)]
-            # is Black-76 in closed form; it tracks the arithmetic basket
-            # closely for non-degenerate weights (the Kemna-Vorst trick
-            # applied across assets instead of across time).
-            wv = weights * spots
-            w_tilde = wv / wv.sum()
-            notional = float(wv.sum())
-            w_col = jnp.asarray(w_tilde, jnp.float32)[None, :, None]
-            spots_col = jnp.asarray(spots, jnp.float32)[None, :, None]
-            geo = notional * jnp.exp(
-                jnp.sum(w_col * jnp.log(jnp.maximum(g, 1e-20) / spots_col),
-                        axis=1))
-            ctrl_pay = combine_antithetic(
-                jnp.maximum(phi * (geo - strike), 0.0))
-
-            sig = np.array([np.sqrt(float(p.v0)) for p in self.params_list])
-            r_vec = np.array([float(p.r) for p in self.params_list])
-            q_vec = np.array([float(p.q) for p in self.params_list])
-            drifts_T = (r_vec - q_vec - 0.5 * sig**2) * T
-            vol2_T = float(w_tilde @ (np.outer(sig, sig) * self.corr)
-                           @ w_tilde) * T
-            ctrl_exact = _geometric_basket_undiscounted(
-                notional, w_tilde, drifts_T, vol2_T, strike, is_call)
-
+            ctrl_exact = self._geo_ctrl_exact(spots, weights, strike, T,
+                                              is_call)
             ctrl_c = ctrl_pay - jnp.mean(ctrl_pay)
             var_c = float(jnp.mean(ctrl_c**2))
             cov_pc = float(jnp.mean((pay - jnp.mean(pay)) * ctrl_c))
@@ -302,6 +311,23 @@ class BasketEngine:
             out["std_error"] = discount * float(se_cv)
             out["cv_beta"] = float(beta)
         return out
+
+    def _geo_ctrl_exact(self, spots, weights, strike, T,
+                        is_call: bool) -> float:
+        """Closed-form (undiscounted) expectation of the geometric control
+        (host f64); shared by `price` and the mesh-sharded driver."""
+        spots = np.asarray(spots, np.float64)
+        weights = np.asarray(weights, np.float64)
+        wv = weights * spots
+        w_tilde = wv / wv.sum()
+        sig = np.array([np.sqrt(float(p.v0)) for p in self.params_list])
+        r_vec = np.array([float(p.r) for p in self.params_list])
+        q_vec = np.array([float(p.q) for p in self.params_list])
+        drifts_T = (r_vec - q_vec - 0.5 * sig**2) * T
+        vol2_T = float(w_tilde @ (np.outer(sig, sig) * self.corr)
+                       @ w_tilde) * T
+        return _geometric_basket_undiscounted(
+            float(wv.sum()), w_tilde, drifts_T, vol2_T, strike, is_call)
 
     def _companion_carry_qs(self, r_eff: float):
         """Effective dividend yields that express each companion leg's true

@@ -848,3 +848,169 @@ def _sharded_td_fn(mesh, ppd, num_steps, is_call, control_variate,
     spec = P()
     return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 8,
                                  out_specs=spec, check_vma=False))
+
+
+@lru_cache(maxsize=64)
+def _sharded_american_fn(mesh, ppd, num_steps, is_call, basis_degree,
+                         exercise_every, axis_name):
+    """Build-once jitted shard_map for `sharded_american_price`."""
+    from mcos_tpu.engine.american import (_basis_fn, _exercise_mask,
+                                          _payoff_fn, _record_log_paths,
+                                          lsm_backward_cashflows)
+
+    allowed = jnp.asarray(_exercise_mask(num_steps, exercise_every))
+
+    def local(params_, spot_, strike_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        dtype = jnp.float32
+        strike_ = jnp.asarray(strike_, dtype)
+        dt = jnp.asarray(T_, dtype) / num_steps
+        payoff = _payoff_fn(strike_, is_call)
+        basis = _basis_fn(strike_, is_call, basis_degree)
+        s = jnp.exp(_record_log_paths(params_, spot_, T_, dev_key,
+                                      num_paths=ppd, num_steps=num_steps))
+        sdf = jnp.full((num_steps,), jnp.exp(-params_.r * dt))
+        cf = lsm_backward_cashflows(
+            payoff(s[-1]), s, s, allowed, sdf, payoff, basis,
+            pool=lambda blk: jax.lax.psum(blk, axis_name))
+        sums = {"n": jnp.float32(cf.shape[0]),
+                "sum": jnp.sum(cf), "sumsq": jnp.sum(cf * cf)}
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 5,
+                                 out_specs=spec, check_vma=False))
+
+
+def sharded_american_price(
+    params: SVJParams,
+    spot,
+    strike,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    basis_degree: int = 3,
+    exercise_every: int = 1,
+    axis_name: str = "paths",
+) -> Dict[str, float]:
+    """Mesh-sharded Longstaff-Schwartz American pricing.
+
+    Distributed LSM: each device records its own key-folded slice of the
+    path sheet, and the per-date continuation regression pools the normal
+    equations — psum of the stacked ``[gram | rhs]`` (d×(d+1)) moment block,
+    ~150 bytes per exercise date — so every device fits the IDENTICAL
+    regression a single device would fit on the union path set (normal
+    equations are linear in per-path outer products; the algebra is
+    `engine/american.py:lsm_backward_cashflows` itself, not a twin).
+    Exercise decisions and cashflows stay device-local; the final
+    (n, Σcf, Σcf²) pools like every other driver. The one cross-device
+    coupling an American option genuinely needs — the regression — rides
+    ICI at O(basis²) bytes per date, independent of the path count.
+    """
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-num_paths // n_dev)
+    stats = _sharded_american_fn(
+        mesh, ppd, num_steps, is_call, basis_degree,
+        min(int(exercise_every), num_steps), axis_name)(
+        params, jnp.float32(spot), jnp.float32(strike), jnp.float32(T), key)
+    stats = jax.device_get(stats)
+    n = float(stats["n"])
+    mean = float(stats["sum"]) / n
+    var = max(float(stats["sumsq"]) / n - mean * mean, 0.0)
+    intrinsic = max(spot - strike, 0.0) if is_call \
+        else max(strike - spot, 0.0)
+    # t_0 intrinsic floor only when t_0-style exercise exists (American
+    # schedule) — same convention as lsm_price.
+    price = max(mean, intrinsic) if exercise_every == 1 else mean
+    return {
+        "price": price,
+        "std_error": float(np.sqrt(var / n)),
+        "mc_continuation": mean,
+        "intrinsic": intrinsic,
+        "num_paths_used": n,
+        "num_devices": int(n_dev),
+    }
+
+
+@lru_cache(maxsize=64)
+def _sharded_basket_fn(mesh, ppd, num_steps, is_call, use_cv, axis_name):
+    """Build-once jitted shard_map for `sharded_basket_price`."""
+    from mcos_tpu.engine.basket import (basket_payoff_and_control,
+                                        simulate_basket_terminal)
+
+    def local(batch_, spots_, chol_, w_, strike_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        s, g = simulate_basket_terminal(
+            batch_, spots_, chol_, T_, dev_key, num_paths=ppd,
+            num_steps=num_steps, antithetic=True, companion=use_cv)
+        pay, ctrl = basket_payoff_and_control(
+            s, g, w_, spots_, strike_, is_call, use_cv)
+        sums = {"n": jnp.float32(pay.shape[0]),
+                "sum_p": jnp.sum(pay), "sumsq_p": jnp.sum(pay * pay)}
+        if ctrl is not None:
+            sums.update(sum_c=jnp.sum(ctrl), sumsq_c=jnp.sum(ctrl * ctrl),
+                        sum_pc=jnp.sum(pay * ctrl))
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 7,
+                                 out_specs=spec, check_vma=False))
+
+
+def sharded_basket_price(
+    engine,
+    spots,
+    weights,
+    strike,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: Optional[int] = None,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, float]:
+    """Mesh-sharded multi-asset SVJ basket pricing.
+
+    `engine` is a `BasketEngine` (holds the stacked per-asset params pytree
+    and the jitter-stabilized correlation Cholesky); the A-asset correlated
+    simulation runs per device on a key-folded slice of the global path
+    budget, the payoff/control algebra is the engine's own
+    `basket_payoff_and_control`, and the optimal-β control variate comes
+    from the psum-pooled (n, Σp, Σp², Σc, Σc², Σpc) cross-moments — the
+    single-device estimator evaluated on the union sample.
+    """
+    from mcos_tpu.config import scaled_steps
+
+    n_total = int(num_paths if num_paths is not None else engine.num_paths)
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-n_total // n_dev)
+    steps = scaled_steps(engine.num_steps, T)
+    use_cv = engine.use_control_variate
+
+    stats = _sharded_basket_fn(mesh, ppd, steps, is_call, use_cv,
+                               axis_name)(
+        engine._batch, jnp.asarray(spots, jnp.float32), engine._chol,
+        jnp.asarray(weights, jnp.float32), jnp.float32(strike),
+        jnp.float32(T), key)
+    ctrl_exact = (engine._geo_ctrl_exact(spots, weights, strike, T, is_call)
+                  if use_cv else None)
+    mean, se, beta = _pooled_cv_price(stats, ctrl_exact)
+    r_eff = float(engine.params_list[0].r)
+    discount = float(np.exp(-r_eff * T))
+    out = {
+        "price": discount * float(mean),
+        "std_error": discount * float(se),
+        "num_paths_used": float(stats["n"]),
+        "num_steps": steps,
+        "num_devices": int(n_dev),
+    }
+    if beta is not None:
+        out["cv_beta"] = float(beta)
+    return out

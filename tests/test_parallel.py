@@ -531,3 +531,96 @@ def test_sharded_bridge_barrier_matches_closed_form():
     assert abs(float(sh["price"]) - cf) < 4 * float(sh["std_error"]) + 2e-3
     # The GBM-limit companion collapses the pooled variance.
     assert float(sh["std_error"]) < 5e-3
+
+
+def test_sharded_american_matches_pooled_single_device():
+    """The distributed LSM regression must be EXACTLY the pooled regression:
+    rebuild the union path sheet on one device (same per-device key folds)
+    and run the same backward induction — prices agree to f32 roundoff, not
+    just statistically."""
+    from mcos_tpu.engine.american import (_basis_fn, _exercise_mask,
+                                          _payoff_fn, _record_log_paths,
+                                          lsm_backward_cashflows)
+
+    svj = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=0.5, mu_j=-0.05, sigma_j=0.1)
+    m = pmesh.make_mesh()
+    n_dev = jax.device_count()
+    ppd, steps = 512, 16
+    key = jax.random.key(7)
+    res = pmesh.sharded_american_price(
+        svj, 100.0, 105.0, 0.5, key, mesh=m, num_paths=n_dev * ppd,
+        num_steps=steps, is_call=False)
+
+    # Union sheet: concatenate the per-device sheets in device order.
+    sheets = [
+        _record_log_paths(svj, 100.0, 0.5, jax.random.fold_in(key, d),
+                          num_paths=ppd, num_steps=steps)
+        for d in range(n_dev)
+    ]
+    s = jnp.exp(jnp.concatenate(sheets, axis=1))
+    payoff = _payoff_fn(jnp.float32(105.0), False)
+    basis = _basis_fn(jnp.float32(105.0), False, 3)
+    dt = 0.5 / steps
+    sdf = jnp.full((steps,), jnp.exp(-svj.r * jnp.float32(dt)))
+    allowed = jnp.asarray(_exercise_mask(steps, 1))
+    cf = lsm_backward_cashflows(payoff(s[-1]), s, s, allowed, sdf,
+                                payoff, basis)
+    ref = max(float(jnp.mean(cf)), 5.0)
+    assert res["price"] == pytest.approx(ref, rel=1e-3, abs=0.02)
+    assert res["num_devices"] == n_dev
+
+
+def test_sharded_american_european_degenerate_matches_bs():
+    """exercise_every >= num_steps leaves no early date: the sharded LSM
+    price must be the European MC estimate — pinned to closed-form BS in
+    the GBM limit."""
+    from mcos_tpu.models.params import gbm_params
+
+    gp = gbm_params(0.2, r=0.065, q=0.012)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_american_price(
+        gp, 22500.0, 23000.0, 0.25, jax.random.key(11), mesh=m,
+        num_paths=160_000, num_steps=16, is_call=False, exercise_every=16)
+    ref = float(bs_price(22500.0, 23000.0, 0.25, 0.065, 0.012, 0.2, False))
+    assert abs(res["price"] - ref) < 4 * res["std_error"] + 1.0
+
+
+def test_sharded_american_put_premium_over_european():
+    """An American put on a dividend-less stock still carries an early
+    exercise premium from the r > 0 strike carry; the sharded price must
+    sit above the European closed form and below spotless-arbitrage caps."""
+    from mcos_tpu.models.params import gbm_params
+
+    gp = gbm_params(0.2, r=0.065, q=0.0)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_american_price(
+        gp, 90.0, 100.0, 1.0, jax.random.key(13), mesh=m,
+        num_paths=160_000, num_steps=32, is_call=False)
+    eur = float(bs_price(90.0, 100.0, 1.0, 0.065, 0.0, 0.2, False))
+    assert res["price"] > eur + 2 * res["std_error"]
+    assert res["price"] <= 100.0
+
+
+def test_sharded_basket_matches_single_engine():
+    """Sharded basket price (pooled optimal-beta geometric control) agrees
+    with the single-device BasketEngine at the same global path budget."""
+    from mcos_tpu.engine.basket import BasketEngine
+
+    a1 = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                   lambda_j=0.5, mu_j=-0.05, sigma_j=0.1)
+    a2 = SVJParams(kappa=2.0, theta=0.09, xi=0.5, rho=-0.5, v0=0.06,
+                   lambda_j=0.3, mu_j=-0.03, sigma_j=0.08)
+    corr = [[1.0, 0.6], [0.6, 1.0]]
+    eng = BasketEngine([a1, a2], corr, num_paths=64_000, num_steps=64,
+                       seed=5)
+    single = eng.price([100.0, 120.0], [0.5, 0.5], 110.0, 0.25)
+    m = pmesh.make_mesh()
+    sh = pmesh.sharded_basket_price(
+        eng, [100.0, 120.0], [0.5, 0.5], 110.0, 0.25, jax.random.key(5),
+        mesh=m)
+    joint = 5 * np.hypot(sh["std_error"], single["std_error"])
+    assert abs(sh["price"] - single["price"]) < max(joint, 0.05)
+    assert sh["num_devices"] == jax.device_count()
+    # The pooled control must actually bite (beta near its GBM-limit value).
+    assert 0.3 < sh["cv_beta"] < 2.0
