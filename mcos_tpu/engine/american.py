@@ -634,12 +634,18 @@ class AmericanEngine:
     def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
                  num_steps: int = 64, seed: int = 42, basis_degree: int = 3,
                  dividends: "DividendSchedule" = None,
-                 rate_curve=None):
+                 rate_curve=None, mesh=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
         self.basis_degree = int(basis_degree)
+        # None | "auto" | Mesh — price() routes through the distributed-LSM
+        # driver (parallel/mesh.py:sharded_american_price, psum-pooled
+        # normal equations) when a multi-device mesh resolves and neither
+        # dividends nor a rate curve is set; greeks()/price_bounds() stay
+        # single-device. None honors MCOS_AUTO_MESH=1 (the serving toggle).
+        self.mesh = mesh
         # Discrete dividends (ops/dividends.py): cash uses the exact
         # compounded-cash path model, proportional the exact factor model.
         # The continuous yield q should then hold only the non-discrete
@@ -691,6 +697,22 @@ class AmericanEngine:
         `exercise_every >= num_steps` degenerates to European (the test
         oracle)."""
         steps = scaled_steps(self.num_steps, T, floor=16)
+        if self.dividends is None and self.rate_curve is None:
+            from mcos_tpu.engine.pricer import resolve_mesh
+
+            mesh = resolve_mesh(self.mesh)
+            if mesh is not None:
+                from mcos_tpu.parallel.mesh import sharded_american_price
+
+                out = sharded_american_price(
+                    self.params, spot, strike, T, jax.random.key(self.seed),
+                    mesh=mesh, num_paths=self.num_paths, num_steps=steps,
+                    is_call=is_call, basis_degree=self.basis_degree,
+                    exercise_every=min(int(exercise_every), steps))
+                out["num_steps"] = steps
+                if exercise_every != 1:
+                    out["exercise_every"] = min(int(exercise_every), steps)
+                return out
         res = jax.device_get(lsm_price(
             self._params_T(T), spot, strike, T, jax.random.key(self.seed),
             num_paths=self.num_paths, num_steps=steps,

@@ -239,8 +239,14 @@ class BasketEngine:
 
     def __init__(self, params_list: Sequence[SVJParams], corr,
                  num_paths: int = 200_000, num_steps: int = 64,
-                 seed: int = 42, use_control_variate: bool = True):
+                 seed: int = 42, use_control_variate: bool = True,
+                 mesh=None):
         self.params_list = list(params_list)
+        # None | "auto" | Mesh — price() routes through the mesh-sharded
+        # driver (parallel/mesh.py:sharded_basket_price) when a multi-device
+        # mesh resolves; rainbow/spread payoffs stay single-device. None
+        # honors MCOS_AUTO_MESH=1 (the serving toggle).
+        self.mesh = mesh
         self.corr = np.asarray(corr, np.float64)
         a = len(self.params_list)
         if self.corr.shape != (a, a):
@@ -270,6 +276,15 @@ class BasketEngine:
               strike: float, T: float, is_call: bool = True
               ) -> Dict[str, float]:
         """Price max(±(Σ wᵢ S_T,i − K), 0) with a geometric-basket control."""
+        from mcos_tpu.engine.pricer import resolve_mesh
+
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.parallel.mesh import sharded_basket_price
+
+            return sharded_basket_price(
+                self, spots, weights, strike, T, jax.random.key(self.seed),
+                mesh=mesh, is_call=is_call)
         steps = scaled_steps(self.num_steps, T)
         spots = np.asarray(spots, np.float64)
         weights = np.asarray(weights, np.float64)

@@ -499,6 +499,22 @@ def _auto_mesh():
     return _AUTO_MESH[0]
 
 
+def resolve_mesh(mesh):
+    """None | "auto" | Mesh → Mesh | None (single device).
+
+    Shared by every engine that honors the MCOS_AUTO_MESH=1 serving toggle
+    (MonteCarloEngine, TDSVJEngine, AmericanEngine, BasketEngine): None
+    consults the env toggle; "auto" resolves to the process-wide mesh over
+    the largest power-of-two device prefix, or None on a single device."""
+    import os
+
+    if mesh is None and os.environ.get("MCOS_AUTO_MESH") == "1":
+        mesh = "auto"
+    if mesh == "auto":
+        mesh = _auto_mesh()
+    return mesh
+
+
 class MonteCarloEngine:
     """Drop-in equivalent of the reference `MonteCarloEngine`
     (engine/monte_carlo.py:249-272 constructor semantics).
@@ -616,14 +632,7 @@ class MonteCarloEngine:
 
     def _resolved_mesh(self):
         """The pricing mesh, or None for the single-device path."""
-        import os
-
-        mesh = self.mesh
-        if mesh is None and os.environ.get("MCOS_AUTO_MESH") == "1":
-            mesh = "auto"
-        if mesh == "auto":
-            mesh = _auto_mesh()
-        return mesh
+        return resolve_mesh(self.mesh)
 
     def _resolved_backend(self) -> str:
         if self.backend != "auto":

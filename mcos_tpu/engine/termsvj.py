@@ -234,16 +234,9 @@ class TDSVJEngine:
         return step_param_arrays(ends, th, xi, lam, T, self.num_steps)
 
     def _resolved_mesh(self):
-        import os
+        from mcos_tpu.engine.pricer import resolve_mesh
 
-        from mcos_tpu.engine.pricer import _auto_mesh
-
-        mesh = self.mesh
-        if mesh is None and os.environ.get("MCOS_AUTO_MESH") == "1":
-            mesh = "auto"
-        if mesh == "auto":
-            mesh = _auto_mesh()
-        return mesh
+        return resolve_mesh(self.mesh)
 
     def price_batch(self, spot: float, strikes, T: float,
                     is_call: bool = True) -> List[Dict]:

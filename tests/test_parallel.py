@@ -624,3 +624,37 @@ def test_sharded_basket_matches_single_engine():
     assert sh["num_devices"] == jax.device_count()
     # The pooled control must actually bite (beta near its GBM-limit value).
     assert 0.3 < sh["cv_beta"] < 2.0
+
+
+def test_american_engine_mesh_route_matches_single():
+    """AmericanEngine(mesh=...) routes price() through the distributed-LSM
+    driver and agrees with the single-device engine."""
+    from mcos_tpu.engine.american import AmericanEngine
+
+    svj = SVJParams(kappa=3.0, theta=0.06, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=0.5, mu_j=-0.05, sigma_j=0.1)
+    kw = dict(num_paths=32_768, num_steps=64, seed=9)
+    sh = AmericanEngine(svj, mesh=pmesh.make_mesh(), **kw).price(
+        95.0, 100.0, 0.5, is_call=False)
+    single = AmericanEngine(svj, **kw).price(95.0, 100.0, 0.5, is_call=False)
+    assert sh["num_devices"] == jax.device_count()
+    assert "num_devices" not in single
+    joint = 5 * np.hypot(sh["std_error"], single["std_error"])
+    assert abs(sh["price"] - single["price"]) < max(joint, 0.05)
+
+
+def test_basket_engine_mesh_route_matches_single():
+    """BasketEngine(mesh=...) routes price() through the sharded driver."""
+    from mcos_tpu.engine.basket import BasketEngine
+
+    a1 = SVJParams(v0=0.04, theta=0.05)
+    a2 = SVJParams(v0=0.06, theta=0.07)
+    corr = [[1.0, 0.4], [0.4, 1.0]]
+    kw = dict(num_paths=32_768, num_steps=32, seed=3)
+    sh = BasketEngine([a1, a2], corr, mesh=pmesh.make_mesh(), **kw).price(
+        [100.0, 110.0], [0.6, 0.4], 105.0, 0.25)
+    single = BasketEngine([a1, a2], corr, **kw).price(
+        [100.0, 110.0], [0.6, 0.4], 105.0, 0.25)
+    assert sh["num_devices"] == jax.device_count()
+    joint = 5 * np.hypot(sh["std_error"], single["std_error"])
+    assert abs(sh["price"] - single["price"]) < max(joint, 0.05)
