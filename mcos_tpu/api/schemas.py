@@ -812,3 +812,39 @@ class TermSVJRequest(BaseModel):
             raise ValueError("segment t_end values must be strictly "
                              "ascending")
         return self
+
+
+class PDERequest(BaseModel):
+    """POST /api/pde — deterministic finite-difference pricing
+    (engine/pde.py): the 2-D ADI Heston solve (model="heston", the
+    framework's third independent route to the flagship model) or the 1-D
+    Crank-Nicolson BS grid (model="bs", with the American exercise
+    boundary)."""
+    spot: float = Field(gt=0)
+    strike: float = Field(gt=0)
+    T: float = Field(gt=0, le=30.0)
+    is_call: bool = True
+    american: bool = False
+    model: str = "heston"                   # "heston" | "bs"
+    params: SVJParamsRequest = SVJParamsRequest(lambda_j=0.0)
+    sigma: Optional[float] = Field(None, gt=0, le=5.0,
+                                   description="bs-model vol "
+                                               "(default sqrt(v0))")
+    scheme: str = "cs"                      # heston: "cs" | "douglas"
+    n_x: int = Field(201, ge=51, le=801)
+    n_v: int = Field(101, ge=21, le=401)
+    n_t: int = Field(128, ge=16, le=1024)
+    with_boundary: bool = False             # bs+american: S*(t) curve
+    with_oracle: bool = False               # heston european: exact COS row
+
+    @model_validator(mode="after")
+    def _modes(self):
+        if self.model not in ("heston", "bs"):
+            raise ValueError("model must be 'heston' or 'bs'")
+        if self.scheme not in ("cs", "douglas"):
+            raise ValueError("scheme must be 'cs' or 'douglas'")
+        if self.model == "heston" and self.params.lambda_j != 0.0:
+            raise ValueError(
+                "the Heston PDE has no jump term; set params.lambda_j=0 "
+                "(jump dynamics: use /api/price or /api/american)")
+        return self

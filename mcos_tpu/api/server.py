@@ -631,6 +631,45 @@ def handle_american(body: dict) -> dict:
     return out
 
 
+def handle_pde(body: dict) -> dict:
+    """POST /api/pde — deterministic finite-difference pricing: the 2-D ADI
+    Heston solve (Craig-Sneyd/Douglas, engine/pde.py:HestonPDEEngine) or
+    the 1-D Crank-Nicolson BS grid. A no-Monte-Carlo cross-check route:
+    different discretization, different error structure."""
+    req = schemas.PDERequest(**body)
+    start = time.time()
+    p = req.params.to_params()
+    if req.model == "heston":
+        from mcos_tpu.engine.pde import HestonPDEEngine
+
+        eng = HestonPDEEngine(p, n_x=req.n_x, n_v=req.n_v, n_t=req.n_t,
+                              scheme=req.scheme)
+        out = eng.price(req.spot, req.strike, req.T, req.is_call,
+                        american=req.american)
+        if req.with_oracle and not req.american:
+            from mcos_tpu.ops.cos_pricer import heston_price
+
+            exact = float(heston_price(p, req.spot, [req.strike], req.T,
+                                       req.is_call)[0])
+            out["cos_oracle"] = {"price": exact,
+                                 "abs_error": abs(out["price"] - exact)}
+    else:
+        from mcos_tpu.engine.pde import PDEEngine
+
+        sigma = req.sigma if req.sigma is not None else float(p.v0) ** 0.5
+        eng = PDEEngine(sigma=sigma, r=float(p.r), q=float(p.q),
+                        n_x=req.n_x, n_t=req.n_t)
+        out = eng.price(req.spot, req.strike, req.T, req.is_call,
+                        american=req.american)
+        if req.with_boundary and req.american:
+            out["exercise_boundary"] = eng.exercise_boundary(
+                req.spot, req.strike, req.T, req.is_call)
+    out["model"] = req.model
+    out["american"] = req.american
+    out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+    return out
+
+
 def handle_margin(body: dict) -> dict:
     """POST /api/margin — SPAN-style portfolio margin (engine/margin.py):
     16-scenario price/vol scan off ONE CRN path set per maturity."""
@@ -1527,6 +1566,7 @@ POST_ROUTES: Dict[str, Callable[[dict], dict]] = {
     "/api/volderivs": handle_volderivs,
     "/api/replicate": handle_replicate,
     "/api/margin": handle_margin,
+    "/api/pde": handle_pde,
 }
 
 

@@ -259,3 +259,241 @@ class PDEEngine:
             "strike": float(strike),
             "is_call": bool(is_call),
         }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# 2-D ADI Heston PDE: the second independent method for the flagship
+# stochastic-vol model itself (the CN engine above covers BS / local vol).
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "is_call",
+                                   "american", "scheme"))
+def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
+                      x_grid, v_grid, *, n_x: int, n_v: int, n_t: int,
+                      is_call: bool, american: bool,
+                      scheme: str = "cs"):
+    r"""Backward ADI solve of the 2-D Heston PDE in (x = ln S, v):
+
+        V_t + 1/2 v V_xx + (r - q - v/2) V_x + rho xi v V_xv
+            + 1/2 xi^2 v V_vv + kappa(theta - v) V_v - r V = 0.
+
+    Operator split (In 't Hout & Foulon 2010): A0 = the mixed derivative
+    (always explicit), A1 = the x-direction operator, A2 = the v-direction
+    operator, each carrying half of the -rV reaction term. One `lax.scan`
+    over time steps; each stage is ONE batched XLA-native
+    `tridiagonal_solve` — A1 batches the x-solve over the v rows, A2
+    batches the v-solve over the x columns (a transpose pair). Schemes:
+    "douglas" (one predictor + two implicit legs) or "cs" (Craig-Sneyd:
+    a second corrector sweep restores second-order accuracy in time in the
+    presence of the mixed term). The v = 0 edge uses the degenerate PDE
+    (drift-only, one-sided V_v — full truncation's PDE analogue); v_max and
+    the x edges take the large-|x|/large-v Dirichlet asymptotics. American
+    exercise by projection after each full step.
+
+    Returns V(t=0) on the (n_v, n_x) grid.
+    """
+    dtype = jnp.float32
+    dt = jnp.asarray(T, dtype) / n_t
+    dx = x_grid[1] - x_grid[0]
+    dv = v_grid[1] - v_grid[0]
+    s_grid = jnp.exp(x_grid)                       # (n_x,)
+    v_col = v_grid[:, None]                        # (n_v, 1)
+    phi = 1.0 if is_call else -1.0
+    intrinsic = jnp.maximum(phi * (s_grid[None, :] - strike), 0.0)
+
+    # A1 (x-direction) diagonals, (n_v, n_x) broadcast from v rows; zero
+    # rows at the x edges (Dirichlet).
+    a = 0.5 * v_col / dx**2
+    b = (r - q - 0.5 * v_col) / (2.0 * dx)
+    x_interior = jnp.ones((n_x,), dtype).at[0].set(0.0).at[-1].set(0.0)
+    a1_sub = (a - b) * x_interior[None, :]
+    a1_diag = (-2.0 * a - 0.5 * r) * jnp.ones((n_v, n_x), dtype) \
+        * x_interior[None, :]
+    a1_sup = (a + b) * x_interior[None, :]
+
+    # A2 (v-direction) diagonals, (n_v, n_x) broadcast from v rows; the
+    # v = 0 row is the degenerate drift-only PDE with one-sided V_v, the
+    # v_max row is zero (Dirichlet).
+    c = 0.5 * xi**2 * v_col / dv**2
+    e = kappa * (theta - v_col) / (2.0 * dv)
+    a2_sub = jnp.broadcast_to(c - e, (n_v, n_x))
+    a2_diag = jnp.broadcast_to(-2.0 * c - 0.5 * r, (n_v, n_x))
+    a2_sup = jnp.broadcast_to(c + e, (n_v, n_x))
+    e0 = kappa * theta / dv                        # forward difference at v=0
+    a2_sub = a2_sub.at[0].set(0.0).at[-1].set(0.0)
+    a2_diag = a2_diag.at[0].set(-e0 - 0.5 * r).at[-1].set(0.0)
+    a2_sup = a2_sup.at[0].set(e0).at[-1].set(0.0)
+
+    # Mixed-term coefficient rho*xi*v / (4 dx dv), interior only.
+    v_interior = jnp.ones((n_v,), dtype).at[0].set(0.0).at[-1].set(0.0)
+    mix = (rho * xi * v_col / (4.0 * dx * dv)) \
+        * v_interior[:, None] * x_interior[None, :]
+
+    def apply_a1(u):
+        return (a1_sub * jnp.roll(u, 1, axis=1) + a1_diag * u
+                + a1_sup * jnp.roll(u, -1, axis=1))
+
+    def apply_a2(u):
+        return (a2_sub * jnp.roll(u, 1, axis=0) + a2_diag * u
+                + a2_sup * jnp.roll(u, -1, axis=0))
+
+    def apply_a0(u):
+        # V_xv by central differences of the four diagonal neighbours.
+        upp = jnp.roll(jnp.roll(u, -1, 0), -1, 1)
+        upm = jnp.roll(jnp.roll(u, -1, 0), 1, 1)
+        ump = jnp.roll(jnp.roll(u, 1, 0), -1, 1)
+        umm = jnp.roll(jnp.roll(u, 1, 0), 1, 1)
+        return mix * (upp - upm - ump + umm)
+
+    def boundaries(tau):
+        """(x_lo (n_v,), x_hi (n_v,)) Dirichlet values at the x edges.
+
+        The v_max edge takes homogeneous Neumann (V_v = 0) instead of the
+        v->infinity Dirichlet asymptote: the grid tops out at a moderate
+        quantile of the variance law (mean + 5 stationary sd), where
+        V ~ S e^{-q tau} is grossly wrong but the vega has already
+        flattened — the Neumann condition is the accurate one there
+        (measured: Dirichlet at this v_max biases an ATM call by ~15%;
+        Neumann prices it to ~1e-3 of the COS oracle).
+        """
+        disc_r = jnp.exp(-r * tau)
+        disc_q = jnp.exp(-q * tau)
+        if is_call:
+            x_lo = jnp.zeros((n_v,), dtype)
+            x_hi = jnp.full((n_v,), s_grid[-1] * disc_q - strike * disc_r)
+        else:
+            x_lo = jnp.full((n_v,), strike * disc_r - s_grid[0] * disc_q)
+            x_hi = jnp.zeros((n_v,), dtype)
+        return x_lo, x_hi
+
+    def set_boundaries(u, bc):
+        x_lo, x_hi = bc
+        u = u.at[:, 0].set(x_lo).at[:, -1].set(x_hi)
+        return u.at[-1, :].set(u[-2, :])       # Neumann: V_v = 0 at v_max
+
+    def solve_x(rhs, th_dt, bc):
+        """(I - th_dt*A1) y = rhs with x-edge Dirichlet rows."""
+        x_lo, x_hi = bc
+        rhs = rhs.at[:, 0].set(x_lo).at[:, -1].set(x_hi)
+        return tridiagonal_solve(-th_dt * a1_sub, 1.0 - th_dt * a1_diag,
+                                 -th_dt * a1_sup, rhs[:, :, None])[:, :, 0]
+
+    def solve_v(rhs, th_dt, bc):
+        """(I - th_dt*A2) y = rhs with the Neumann v_max row
+        (y[n_v-1] - y[n_v-2] = 0)."""
+        rhs = rhs.at[-1, :].set(0.0)
+        dl = (-th_dt * a2_sub).at[-1].set(-1.0)
+        yt = tridiagonal_solve(
+            dl.T, (1.0 - th_dt * a2_diag).T,
+            (-th_dt * a2_sup).T, rhs.T[:, :, None])[:, :, 0]
+        return yt.T
+
+    def step(u, k):
+        tau = (k + 1.0) * dt
+        bc = boundaries(tau)
+        # Rannacher-style start-up: two fully-implicit steps with the
+        # mixed term off (damps the payoff-kink mode the explicit stage
+        # would propagate).
+        th_dt = jnp.where(k < 2, 1.0, 0.5) * dt
+        damp = jnp.where(k < 2, 0.0, 1.0)
+        a0_u = damp * apply_a0(u)
+        a1_u = apply_a1(u)
+        a2_u = apply_a2(u)
+        y0 = u + dt * (a0_u + a1_u + a2_u)
+        y1 = solve_x(y0 - th_dt * a1_u, th_dt, bc)
+        y2 = solve_v(y1 - th_dt * a2_u, th_dt, bc)
+        if scheme == "cs":
+            y0h = y0 + damp * 0.5 * dt * (apply_a0(y2) - a0_u)
+            y1h = solve_x(y0h - th_dt * a1_u, th_dt, bc)
+            y2 = solve_v(y1h - th_dt * a2_u, th_dt, bc)
+        u_new = set_boundaries(y2, bc)
+        if american:
+            u_new = jnp.maximum(u_new, intrinsic)
+        return u_new, None
+
+    u0 = jnp.broadcast_to(intrinsic, (n_v, n_x)).astype(dtype)
+    u, _ = jax.lax.scan(step, u0, jnp.arange(n_t, dtype=dtype))
+    return u
+
+
+class HestonPDEEngine:
+    """ADI finite-difference pricer for the 2-D Heston PDE.
+
+    The framework's THIRD independent numerical route to the flagship
+    model (after Monte Carlo and the semi-analytic COS oracle): a
+    deterministic (x, v) grid solve with a completely different error
+    structure — and the only one of the three that prices *American*
+    exercise under stochastic volatility without regression noise (the
+    LSM does, with it). `params.lambda_j` must be 0 (jumps have no 2-D
+    PDE; the Bates PIDE is out of scope — use MC/LSM for jump dynamics).
+    """
+
+    def __init__(self, params, n_x: int = 201, n_v: int = 101,
+                 n_t: int = 128, x_span: float = 4.0,
+                 scheme: str = "cs"):
+        if float(params.lambda_j) != 0.0:
+            raise ValueError(
+                "HestonPDEEngine solves the pure-Heston PDE; set "
+                "lambda_j=0 (jump dynamics: use the MC/LSM engines)")
+        if scheme not in ("cs", "douglas"):
+            raise ValueError("scheme must be 'cs' or 'douglas'")
+        self.params = params
+        self.n_x = int(n_x)
+        self.n_v = int(n_v)
+        self.n_t = int(n_t)
+        self.x_span = float(x_span)
+        self.scheme = scheme
+
+    def _grids(self, spot: float, strike: float, T: float):
+        p = self.params
+        v_char = max(float(p.v0), float(p.theta))
+        sig0 = float(np.sqrt(v_char))
+        center = 0.5 * (np.log(spot) + np.log(strike))
+        half = max(self.x_span * sig0 * np.sqrt(max(T, 0.05)), 0.5)
+        x = np.linspace(center - half, center + half, self.n_x)
+        # v-range: stationary CIR mean + 5 stationary sd (floor 2x level)
+        # — the mass above v_max is negligible for the payoff integral.
+        sd_stat = float(p.xi) * np.sqrt(
+            max(float(p.theta), 1e-6) / (2.0 * max(float(p.kappa), 1e-6)))
+        v_max = max(v_char + 5.0 * sd_stat, 2.0 * v_char, 0.05)
+        v = np.linspace(0.0, v_max, self.n_v)
+        return (jnp.asarray(x, jnp.float32), jnp.asarray(v, jnp.float32))
+
+    def price(self, spot: float, strike: float, T: float,
+              is_call: bool = True, american: bool = False
+              ) -> Dict[str, float]:
+        p = self.params
+        x, v = self._grids(spot, strike, T)
+        u = _adi_heston_solve(
+            jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
+            jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
+            jnp.float32(p.xi), jnp.float32(p.rho), x, v,
+            n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
+            american=american, scheme=self.scheme)
+        u = np.asarray(u, np.float64)
+        xg = np.asarray(x, np.float64)
+        vg = np.asarray(v, np.float64)
+        x0 = float(np.log(spot))
+        v0 = float(np.clip(float(p.v0), vg[0], vg[-1]))
+        # Bilinear extraction at (x0, v0): interpolate the two bracketing
+        # v rows in x, then linearly in v.
+        j = int(np.clip(np.searchsorted(vg, v0) - 1, 0, self.n_v - 2))
+        w = (v0 - vg[j]) / (vg[j + 1] - vg[j])
+        row = (1.0 - w) * u[j] + w * u[j + 1]
+        price = float(np.interp(x0, xg, row))
+        dvdx = np.gradient(row, xg)
+        d2vdx2 = np.gradient(dvdx, xg)
+        delta = float(np.interp(x0, xg, dvdx)) / spot
+        gamma = (float(np.interp(x0, xg, d2vdx2))
+                 - float(np.interp(x0, xg, dvdx))) / spot**2
+        return {
+            "price": price,
+            "delta": delta,
+            "gamma": gamma,
+            "n_x": self.n_x,
+            "n_v": self.n_v,
+            "n_t": self.n_t,
+            "method": f"adi-{self.scheme}"
+                      + ("-projected" if american else ""),
+        }

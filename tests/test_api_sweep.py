@@ -86,6 +86,8 @@ CASES = {
                        "strike": K, "n_hedge": 5, **TINY},
     "/api/margin": {"spot": SPOT, "strikes": [K], "Ts": [T],
                     "is_calls": [True], "quantities": [-1.0], **TINY},
+    "/api/pde": {"spot": SPOT, "strike": K, "T": T, "n_x": 51, "n_v": 21,
+                 "n_t": 16, "params": {"lambda_j": 0.0}},
 }
 
 _HEADLINE = {
