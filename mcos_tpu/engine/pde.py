@@ -487,10 +487,20 @@ class HestonPDEEngine:
         delta = float(np.interp(x0, xg, dvdx)) / spot
         gamma = (float(np.interp(x0, xg, d2vdx2))
                  - float(np.interp(x0, xg, dvdx))) / spot**2
+        # The v-axis is ON the grid: dV/dv0 is one more gradient — the
+        # 2-D solve yields the variance-vega for free (the MC engines need
+        # a backward AD pass for the same number). Same conventions as
+        # engine/greeks.py: vega_per_vol_point = 2*sigma*dP/dv0.
+        lo, hi = max(j - 1, 0), min(j + 3, self.n_v)
+        col = np.array([np.interp(x0, xg, u[jj]) for jj in range(lo, hi)])
+        dv_dv0 = float(np.interp(v0, vg[lo:hi], np.gradient(col, vg[lo:hi])))
+        sigma0 = float(np.sqrt(max(float(p.v0), 1e-12)))
         return {
             "price": price,
             "delta": delta,
             "gamma": gamma,
+            "ad_vega_v0": dv_dv0,
+            "vega_per_vol_point": dv_dv0 * 2.0 * sigma0,
             "n_x": self.n_x,
             "n_v": self.n_v,
             "n_t": self.n_t,

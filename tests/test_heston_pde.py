@@ -120,3 +120,19 @@ def test_api_pde_endpoint_modes():
     with pytest.raises(Exception, match="no jump term"):
         handle_pde({"spot": 100.0, "strike": 100.0, "T": 0.5,
                     "params": {"lambda_j": 1.0}})
+
+
+def test_adi_vega_matches_cos_fd():
+    """The grid's v-axis gradient is dP/dv0; pin it against a central FD
+    of the COS oracle in v0 (conventions match engine/greeks.py)."""
+    eng = HestonPDEEngine(HESTON)
+    res = eng.price(100.0, 100.0, 0.5, is_call=True)
+    h = 0.004
+    pu = float(heston_price(HESTON.replace(v0=0.04 + h), 100.0, [100.0],
+                            0.5, True)[0])
+    pd = float(heston_price(HESTON.replace(v0=0.04 - h), 100.0, [100.0],
+                            0.5, True)[0])
+    fd = (pu - pd) / (2 * h)
+    assert res["ad_vega_v0"] == pytest.approx(fd, rel=0.03)
+    assert res["vega_per_vol_point"] == pytest.approx(fd * 2 * 0.2,
+                                                     rel=0.03)
