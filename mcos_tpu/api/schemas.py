@@ -410,6 +410,11 @@ class BasketRequest(BaseModel):
     # Dispersion inverse problem: given a basket quote, return the flat
     # implied correlation instead of a price (basket payoff only).
     implied_corr_from_price: Optional[float] = Field(None, gt=0)
+    # Bermudan exercise (engine/basket_american.py): n_exercise rights at
+    # t_1..T on payoff "basket" | "worst_of" (min) | "best_of" (max).
+    american: bool = False
+    n_exercise: int = Field(9, ge=1, le=64)
+    steps_per_period: int = Field(8, ge=1, le=64)
 
 
 class SurfaceRequest(BaseModel):

@@ -802,6 +802,23 @@ def handle_basket(body: dict) -> dict:
         return out
     eng = BasketEngine(params, np.asarray(req.corr, np.float64),
                        num_paths=req.num_paths)
+    if req.american:
+        kind = {"basket": "basket", "best_of": "max",
+                "worst_of": "min"}.get(req.payoff)
+        if kind is None:
+            raise ApiError(400, "american supports payoff basket/"
+                                "worst_of/best_of (not spread)")
+        try:
+            out = eng.price_american(
+                req.spots, req.strike, req.T, kind=kind,
+                is_call=req.is_call,
+                weights=req.weights if kind == "basket" else None,
+                n_ex=req.n_exercise,
+                steps_per_period=req.steps_per_period)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+        return out
     if req.payoff == "basket":
         out = eng.price(req.spots, req.weights, req.strike, req.T,
                         req.is_call)

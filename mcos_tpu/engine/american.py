@@ -209,20 +209,28 @@ def lsm_price(params: SVJParams, spot, strike, T, key, *,
 
 
 def lsm_backward_cashflows(cf_terminal, s_cum, s_ex, allowed, sdf,
-                           payoff, basis, *, ridge: float = 1e-4,
+                           payoff, basis, *, ridge: float = 1e-5,
                            pool=None):
     """Backward LSM induction → per-path cashflows discounted to t₀.
 
     ONE implementation of the continuation-regression algebra, shared by
-    the single-device `lsm_price` (pool=None) and the mesh-sharded driver
-    (`parallel/mesh.py:sharded_american_price`, pool=psum) — the same
-    twin-sharing discipline as `corridor_surv_increment`. The pooling hook
-    receives the stacked ``[gram | rhs]`` moment block: normal equations
-    are linear in the per-path outer products, so psum-pooling them across
-    devices reproduces EXACTLY the regression a single device would fit on
-    the union path set (ridge added once, after pooling) — every device
-    then solves the identical (d×d) system and applies the identical
-    stopping rule to its local paths.
+    the single-device `lsm_price` (pool=None), the mesh-sharded driver
+    (`parallel/mesh.py:sharded_american_price`, pool=psum), and the
+    multi-asset LSM (engine/basket_american.py) — the same twin-sharing
+    discipline as `corridor_surv_increment`. The pooling hook receives the
+    stacked ``[gram | rhs]`` moment block: normal equations are linear in
+    the per-path outer products, so psum-pooling them across devices
+    reproduces EXACTLY the regression a single device would fit on the
+    union path set — every device then solves the identical (d×d) system
+    and applies the identical stopping rule to its local paths.
+
+    The solve equilibrates the pooled Gram (G' = DGD with
+    D = diag(G)^{-1/2}) and adds a RELATIVE ridge on the unit diagonal:
+    raw polynomial Grams reach condition ~1e9 on wide-dispersion sheets
+    (f32 normal equations square that), which silently destroys the
+    stopping rule — measured −0.7 on the 13.90 Broadie-Glasserman
+    2-asset max-call before equilibration, ±0.002 after (the f64 value).
+    Equilibration is applied AFTER pooling, so it is distribution-safe.
 
     `s_cum`/`s_ex` are the (steps, paths) cum-/ex-dividend sheets for dates
     t_1..t_n (equal when no dividends); `sdf[m]` discounts [t_m, t_{m+1}].
@@ -240,8 +248,11 @@ def lsm_backward_cashflows(cf_terminal, s_cum, s_ex, allowed, sdf,
         block = jnp.concatenate([b.T @ bw, (bw.T @ cf)[:, None]], axis=1)
         if pool is not None:
             block = pool(block)
-        gram = block[:, :-1] + ridge * jnp.eye(b.shape[1], dtype=dtype)
-        coef = jnp.linalg.solve(gram, block[:, -1])
+        gram, rhs = block[:, :-1], block[:, -1]
+        d_eq = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(gram), 1e-12))
+        gram_eq = gram * d_eq[:, None] * d_eq[None, :] \
+            + ridge * jnp.eye(b.shape[1], dtype=dtype)
+        coef = d_eq * jnp.linalg.solve(gram_eq, d_eq * rhs)
         cont = b @ coef
         exercise = itm & (pay > cont) & allow
         return jnp.where(exercise, pay, cf), None

@@ -364,6 +364,18 @@ class BasketEngine:
         out["cv_beta"] = float(beta)
         return out
 
+    def price_american(self, spots: Sequence[float], strike: float,
+                       T: float, kind: str = "max", is_call: bool = True,
+                       weights: Sequence[float] = None, n_ex: int = 9,
+                       steps_per_period: int = 8) -> Dict[str, float]:
+        """Bermudan multi-asset option (max/min/basket underlier) by the
+        multi-asset LSM — see engine/basket_american.py."""
+        from mcos_tpu.engine.basket_american import price_basket_american
+
+        return price_basket_american(
+            self, spots, strike, T, kind=kind, is_call=is_call,
+            weights=weights, n_ex=n_ex, steps_per_period=steps_per_period)
+
     def price_rainbow(self, spots: Sequence[float], strike: float, T: float,
                       kind: str = "worst_of", is_call: bool = True
                       ) -> Dict[str, float]:
