@@ -584,6 +584,49 @@ def config12_corridor(quick):
     return out
 
 
+def config13_pde_multiasset(quick):
+    """ADI Heston PDE grid (price + barrier) and the multi-asset Bermudan
+    LSM: wall time + accuracy vs their oracles (COS / Reiner-Rubinstein /
+    the Broadie-Glasserman table)."""
+    import jax
+
+    from mcos_tpu.engine.basket import BasketEngine
+    from mcos_tpu.engine.pde import HestonPDEEngine
+    from mcos_tpu.models.params import SVJParams, gbm_params
+    from mcos_tpu.ops.cos_pricer import heston_price
+
+    p = SVJParams(kappa=3.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04,
+                  lambda_j=0.0)
+    eng = HestonPDEEngine(p, n_t=64 if quick else 128)
+    _, adi_ms = timed(lambda: eng.price(100.0, 100.0, 0.5)["price"],
+                      warmup=1, trials=3)
+    adi = eng.price(100.0, 100.0, 0.5)
+    exact = float(heston_price(p, 100.0, [100.0], 0.5, True)[0])
+    _, bar_ms = timed(lambda: eng.price_barrier(
+        100.0, 100.0, 0.5, 120.0)["price"], warmup=1, trials=3)
+
+    n = 20_000 if quick else 100_000
+    gp = gbm_params(0.2, r=0.05, q=0.10)
+    beng = BasketEngine([gp, gp], [[1.0, 0.0], [0.0, 1.0]],
+                        num_paths=n, seed=7)
+    _, lsm_ms = timed(lambda: beng.price_american(
+        [100.0, 100.0], 100.0, 3.0, kind="max", n_ex=9,
+        steps_per_period=1)["price"], warmup=1, trials=2)
+    mc = beng.price_american([100.0, 100.0], 100.0, 3.0, kind="max",
+                             n_ex=9, steps_per_period=1)
+    return {
+        "workload": f"ADI {eng.n_x}x{eng.n_v}x{eng.n_t} grid; "
+                    f"2-asset 9-right max-call, {n} paths",
+        "adi_solve_ms": round(adi_ms, 2),
+        "adi_abs_error_vs_cos": round(abs(adi["price"] - exact), 5),
+        "adi_barrier_solve_ms": round(bar_ms, 2),
+        "maxcall_lsm_ms": round(lsm_ms, 2),
+        "maxcall_price": round(mc["price"], 4),
+        "maxcall_published": 13.90,
+        "maxcall_std_error": round(mc["std_error"], 4),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -608,7 +651,8 @@ def main():
                      ("config9_new_engines", config9_new_engines),
                      ("config10_rough_scaling", config10_rough_scaling),
                      ("config11_td_svj", config11_td_svj),
-                     ("config12_corridor", config12_corridor)]:
+                     ("config12_corridor", config12_corridor),
+                     ("config13_pde_multiasset", config13_pde_multiasset)]:
         if args.only and args.only not in name:
             continue
         try:

@@ -254,6 +254,34 @@ def main():
                         f"{unc['condition_number']:.1e}")
     assert all(s >= 0 for s in unc["std_errors"])
 
+    # 20) Second opinions without Monte Carlo: the ADI Heston grid prices
+    # the fitted book's vanilla AND its knock-out deterministically; the
+    # bridge MC and the grid must agree or something is wrong upstream.
+    from mcos_tpu.engine.pde import HestonPDEEngine
+
+    hp = fitted.replace(lambda_j=0.0)
+    grid = HestonPDEEngine(hp)
+    gv = grid.price(spot, spot, T)
+    gb = grid.price_barrier(spot, spot, T, spot * 1.12)
+    stage("pde grid", f"vanilla {gv['price']:.2f} "
+                      f"(Δ={gv['delta']:.3f}, vega/pt="
+                      f"{gv['vega_per_vol_point']:.2f}) | 112% KO "
+                      f"{gb['price']:.2f}")
+    assert 0 < gb["price"] < gv["price"]
+
+    # 21) The desk's index-dispersion book: a Bermudan worst-of put on two
+    # correlated names (the classic autocall hedge leg).
+    wo = m.BasketEngine(
+        [hp, hp.replace(v0=float(hp.v0) * 1.2)],
+        [[1.0, 0.6], [0.6, 1.0]], num_paths=60_000,
+        seed=4).price_american([spot, spot], spot, T, kind="min",
+                               is_call=False, n_ex=6,
+                               steps_per_period=4)
+    stage("worst-of", f"Bermudan worst-of put {wo['price']:.2f} "
+                      f"(se {wo['std_error']:.3f}, {wo['n_exercise']} "
+                      f"rights)")
+    assert wo["price"] > 0
+
     print("\nworkflow complete — all sanity checks passed")
 
 

@@ -166,6 +166,9 @@ class McosClient:
     def replicate(self, **kw) -> dict:
         return self._post("/api/replicate", **kw)
 
+    def pde(self, **kw) -> dict:
+        return self._post("/api/pde", **kw)
+
     def quotegreeks(self, **kw) -> dict:
         return self._post("/api/quotegreeks", **kw)
 

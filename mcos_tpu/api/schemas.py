@@ -841,6 +841,13 @@ class PDERequest(BaseModel):
     n_t: int = Field(128, ge=16, le=1024)
     with_boundary: bool = False             # bs+american: S*(t) curve
     with_oracle: bool = False               # heston european: exact COS row
+    # Barrier mode (heston model only): absorbing-edge continuous KO/KI.
+    barrier: Optional[float] = Field(None, gt=0)
+    barrier_lo: Optional[float] = Field(None, gt=0)
+    knock: str = "out"                      # "out" | "in"
+    direction: str = "up"                   # "up" | "down"
+    rebate: float = Field(0.0, ge=0)
+    rebate_at_hit: bool = False
 
     @model_validator(mode="after")
     def _modes(self):

@@ -644,6 +644,19 @@ def handle_pde(body: dict) -> dict:
 
         eng = HestonPDEEngine(p, n_x=req.n_x, n_v=req.n_v, n_t=req.n_t,
                               scheme=req.scheme)
+        if req.barrier is not None:
+            try:
+                out = eng.price_barrier(
+                    req.spot, req.strike, req.T, req.barrier, req.is_call,
+                    knock=req.knock, direction=req.direction,
+                    barrier_lo=req.barrier_lo, rebate=req.rebate,
+                    rebate_at_hit=req.rebate_at_hit,
+                    american=req.american)
+            except ValueError as e:
+                raise ApiError(400, str(e))
+            out["model"] = req.model
+            out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
+            return out
         out = eng.price(req.spot, req.strike, req.T, req.is_call,
                         american=req.american)
         if req.with_oracle and not req.american:

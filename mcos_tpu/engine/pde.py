@@ -268,11 +268,13 @@ class PDEEngine:
 
 
 @partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "is_call",
-                                   "american", "scheme"))
+                                   "american", "scheme", "x_lo_bc",
+                                   "x_hi_bc", "rebate_at_hit"))
 def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
-                      x_grid, v_grid, *, n_x: int, n_v: int, n_t: int,
-                      is_call: bool, american: bool,
-                      scheme: str = "cs"):
+                      x_grid, v_grid, rebate=0.0, *, n_x: int, n_v: int,
+                      n_t: int, is_call: bool, american: bool,
+                      scheme: str = "cs", x_lo_bc: str = "asym",
+                      x_hi_bc: str = "asym", rebate_at_hit: bool = False):
     r"""Backward ADI solve of the 2-D Heston PDE in (x = ln S, v):
 
         V_t + 1/2 v V_xx + (r - q - v/2) V_x + rho xi v V_xv
@@ -291,9 +293,18 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
     the x edges take the large-|x|/large-v Dirichlet asymptotics. American
     exercise by projection after each full step.
 
+    Barrier variant: `x_lo_bc`/`x_hi_bc` = "barrier" makes that x edge an
+    absorbing knock-out boundary sitting EXACTLY on the grid edge — the
+    Dirichlet value is the `rebate` (paid at hit: R; at expiry:
+    R·e^{-r·tau}) — which prices continuously-monitored KO options under
+    full Heston with no Monte Carlo (the cross-check for the bridge-MC
+    barrier engine under stochastic vol). American projection skips the
+    absorbing edges (the contract is dead there).
+
     Returns V(t=0) on the (n_v, n_x) grid.
     """
     dtype = jnp.float32
+    rebate = jnp.asarray(rebate, dtype)
     dt = jnp.asarray(T, dtype) / n_t
     dx = x_grid[1] - x_grid[0]
     dv = v_grid[1] - v_grid[0]
@@ -365,6 +376,12 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
         else:
             x_lo = jnp.full((n_v,), strike * disc_r - s_grid[0] * disc_q)
             x_hi = jnp.zeros((n_v,), dtype)
+        barrier_val = jnp.full((n_v,),
+                               rebate if rebate_at_hit else rebate * disc_r)
+        if x_lo_bc == "barrier":
+            x_lo = barrier_val
+        if x_hi_bc == "barrier":
+            x_hi = barrier_val
         return x_lo, x_hi
 
     def set_boundaries(u, bc):
@@ -409,10 +426,19 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
             y2 = solve_v(y1h - th_dt * a2_u, th_dt, bc)
         u_new = set_boundaries(y2, bc)
         if american:
-            u_new = jnp.maximum(u_new, intrinsic)
+            # Projection skips absorbing (knock-out) edges: dead there.
+            u_new = jnp.where(proj_mask[None, :],
+                              jnp.maximum(u_new, intrinsic), u_new)
         return u_new, None
 
+    proj_mask = jnp.ones((n_x,), bool)
     u0 = jnp.broadcast_to(intrinsic, (n_v, n_x)).astype(dtype)
+    if x_lo_bc == "barrier":
+        u0 = u0.at[:, 0].set(rebate)
+        proj_mask = proj_mask.at[0].set(False)
+    if x_hi_bc == "barrier":
+        u0 = u0.at[:, -1].set(rebate)
+        proj_mask = proj_mask.at[-1].set(False)
     u, _ = jax.lax.scan(step, u0, jnp.arange(n_t, dtype=dtype))
     return u
 
@@ -452,11 +478,16 @@ class HestonPDEEngine:
         center = 0.5 * (np.log(spot) + np.log(strike))
         half = max(self.x_span * sig0 * np.sqrt(max(T, 0.05)), 0.5)
         x = np.linspace(center - half, center + half, self.n_x)
-        # v-range: stationary CIR mean + 5 stationary sd (floor 2x level)
-        # — the mass above v_max is negligible for the payoff integral.
+        # v-range: level + 5 stationary sd OR + 4 transient sd (CIR sd over
+        # the horizon ~ xi*sqrt(v*T)), whichever is larger — the stationary
+        # formula alone under-covers high-v0 / high-xi corners over short
+        # horizons (hypothesis-found: v0=0.25, xi=1 spiked past the grid
+        # top and biased the price ~1%). Floor at 2x level.
         sd_stat = float(p.xi) * np.sqrt(
             max(float(p.theta), 1e-6) / (2.0 * max(float(p.kappa), 1e-6)))
-        v_max = max(v_char + 5.0 * sd_stat, 2.0 * v_char, 0.05)
+        sd_tran = float(p.xi) * np.sqrt(v_char * max(T, 0.05))
+        v_max = max(v_char + 5.0 * sd_stat, v_char + 4.0 * sd_tran,
+                    2.0 * v_char, 0.05)
         v = np.linspace(0.0, v_max, self.n_v)
         return (jnp.asarray(x, jnp.float32), jnp.asarray(v, jnp.float32))
 
@@ -471,6 +502,16 @@ class HestonPDEEngine:
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
             n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
             american=american, scheme=self.scheme)
+        return self._extract(u, x, v, spot, american)
+
+    def _extract(self, u, x, v, spot: float,
+                 american: bool) -> Dict[str, float]:
+        """Price + grid Greeks at (ln spot, v0) from a solved (n_v, n_x)
+        grid: bilinear price, x-gradient delta/gamma, v-gradient vega
+        (the 2-D solve yields dP/dv0 for free — the MC engines need a
+        backward AD pass for the same number; conventions match
+        engine/greeks.py: vega_per_vol_point = 2σ·dP/dv0)."""
+        p = self.params
         u = np.asarray(u, np.float64)
         xg = np.asarray(x, np.float64)
         vg = np.asarray(v, np.float64)
@@ -487,13 +528,10 @@ class HestonPDEEngine:
         delta = float(np.interp(x0, xg, dvdx)) / spot
         gamma = (float(np.interp(x0, xg, d2vdx2))
                  - float(np.interp(x0, xg, dvdx))) / spot**2
-        # The v-axis is ON the grid: dV/dv0 is one more gradient — the
-        # 2-D solve yields the variance-vega for free (the MC engines need
-        # a backward AD pass for the same number). Same conventions as
-        # engine/greeks.py: vega_per_vol_point = 2*sigma*dP/dv0.
         lo, hi = max(j - 1, 0), min(j + 3, self.n_v)
         col = np.array([np.interp(x0, xg, u[jj]) for jj in range(lo, hi)])
-        dv_dv0 = float(np.interp(v0, vg[lo:hi], np.gradient(col, vg[lo:hi])))
+        dv_dv0 = float(np.interp(v0, vg[lo:hi],
+                                 np.gradient(col, vg[lo:hi])))
         sigma0 = float(np.sqrt(max(float(p.v0), 1e-12)))
         return {
             "price": price,
@@ -507,3 +545,80 @@ class HestonPDEEngine:
             "method": f"adi-{self.scheme}"
                       + ("-projected" if american else ""),
         }
+
+    def price_barrier(self, spot: float, strike: float, T: float,
+                      barrier: float, is_call: bool = True,
+                      knock: str = "out", direction: str = "up",
+                      barrier_lo: float = None, rebate: float = 0.0,
+                      rebate_at_hit: bool = False,
+                      american: bool = False) -> Dict[str, float]:
+        """Continuously-monitored barrier option under full Heston — the
+        absorbing edge sits EXACTLY on the grid boundary, so monitoring is
+        continuous by construction (no BGK correction, no bridge
+        approximation). This is the deterministic cross-check for the
+        bridge-MC barrier engine under stochastic vol (`ExoticEngine.
+        price_barrier(monitoring="bridge")` with λ=0): under GBM the
+        bridge weights are exact and both must match Reiner-Rubinstein;
+        under Heston the bridge uses the per-step variance as the bridge
+        variance — this grid quantifies that approximation.
+
+        `direction="up"`/"down" single barriers; `barrier_lo` makes it a
+        double (corridor) KO with `barrier` as the upper level. Knock-in
+        via in-out parity (rebates on KO only). `rebate_at_hit` pays R at
+        the hit time (else at expiry).
+        """
+        p = self.params
+        if knock == "in":
+            if rebate != 0.0:
+                raise ValueError("rebate is supported on knock-out only")
+            if american:
+                raise ValueError("American knock-in has no in-out parity; "
+                                 "price the KO directly")
+            vanilla = self.price(spot, strike, T, is_call)
+            ko = self.price_barrier(spot, strike, T, barrier, is_call,
+                                    "out", direction, barrier_lo)
+            return {
+                "price": vanilla["price"] - ko["price"],
+                "vanilla": vanilla["price"],
+                "knock_out": ko["price"],
+                "n_x": self.n_x, "n_v": self.n_v, "n_t": self.n_t,
+                "method": f"adi-{self.scheme}-parity",
+            }
+        if knock != "out":
+            raise ValueError("knock must be 'out' or 'in'")
+
+        v_char = max(float(p.v0), float(p.theta))
+        sig0 = float(np.sqrt(v_char))
+        half = max(self.x_span * sig0 * np.sqrt(max(T, 0.05)), 0.5)
+        if barrier_lo is not None:
+            if not barrier_lo < spot < barrier:
+                raise ValueError("spot must sit inside (barrier_lo, "
+                                 "barrier)")
+            x_min, x_max = np.log(barrier_lo), np.log(barrier)
+            lo_bc = hi_bc = "barrier"
+        elif direction == "up":
+            if not spot < barrier:
+                raise ValueError("up-and-out needs spot < barrier")
+            x_max = np.log(barrier)
+            x_min = min(np.log(spot), np.log(strike)) - half
+            lo_bc, hi_bc = "asym", "barrier"
+        elif direction == "down":
+            if not spot > barrier:
+                raise ValueError("down-and-out needs spot > barrier")
+            x_min = np.log(barrier)
+            x_max = max(np.log(spot), np.log(strike)) + half
+            lo_bc, hi_bc = "barrier", "asym"
+        else:
+            raise ValueError("direction must be 'up' or 'down'")
+        x = jnp.asarray(np.linspace(x_min, x_max, self.n_x), jnp.float32)
+        _, v = self._grids(spot, strike, T)
+        u = _adi_heston_solve(
+            jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
+            jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
+            jnp.float32(p.xi), jnp.float32(p.rho), x, v,
+            jnp.float32(rebate), n_x=self.n_x, n_v=self.n_v, n_t=self.n_t,
+            is_call=is_call, american=american, scheme=self.scheme,
+            x_lo_bc=lo_bc, x_hi_bc=hi_bc, rebate_at_hit=rebate_at_hit)
+        out = self._extract(u, x, v, spot, american)
+        out["method"] += "-barrier"
+        return out
