@@ -659,6 +659,9 @@ def handle_pde(body: dict) -> dict:
             return out
         out = eng.price(req.spot, req.strike, req.T, req.is_call,
                         american=req.american)
+        if req.with_boundary and req.american:
+            out["exercise_boundary"] = eng.exercise_boundary(
+                req.spot, req.strike, req.T, req.is_call)
         if req.with_oracle and not req.american:
             from mcos_tpu.ops.cos_pricer import heston_price
 

@@ -427,9 +427,22 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
         u_new = set_boundaries(y2, bc)
         if american:
             # Projection skips absorbing (knock-out) edges: dead there.
+            # The binding edge per v-row is the exercise boundary S*(t, v)
+            # — the genuinely 2-D object the 1-D CN engine can only proxy
+            # (its docstring says so); read it off the projection for free.
+            binding = (u_new < intrinsic) & (intrinsic > 0.0) \
+                & proj_mask[None, :]
+            if is_call:
+                s_star = jnp.min(jnp.where(binding, s_grid[None, :],
+                                           jnp.inf), axis=1)
+            else:
+                s_star = jnp.max(jnp.where(binding, s_grid[None, :],
+                                           -jnp.inf), axis=1)
             u_new = jnp.where(proj_mask[None, :],
                               jnp.maximum(u_new, intrinsic), u_new)
-        return u_new, None
+        else:
+            s_star = jnp.full((n_v,), jnp.nan, dtype)
+        return u_new, s_star
 
     proj_mask = jnp.ones((n_x,), bool)
     u0 = jnp.broadcast_to(intrinsic, (n_v, n_x)).astype(dtype)
@@ -439,8 +452,8 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
     if x_hi_bc == "barrier":
         u0 = u0.at[:, -1].set(rebate)
         proj_mask = proj_mask.at[-1].set(False)
-    u, _ = jax.lax.scan(step, u0, jnp.arange(n_t, dtype=dtype))
-    return u
+    u, s_stars = jax.lax.scan(step, u0, jnp.arange(n_t, dtype=dtype))
+    return u, s_stars
 
 
 class HestonPDEEngine:
@@ -496,7 +509,7 @@ class HestonPDEEngine:
               ) -> Dict[str, float]:
         p = self.params
         x, v = self._grids(spot, strike, T)
-        u = _adi_heston_solve(
+        u, _ = _adi_heston_solve(
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
@@ -612,7 +625,7 @@ class HestonPDEEngine:
             raise ValueError("direction must be 'up' or 'down'")
         x = jnp.asarray(np.linspace(x_min, x_max, self.n_x), jnp.float32)
         _, v = self._grids(spot, strike, T)
-        u = _adi_heston_solve(
+        u, _ = _adi_heston_solve(
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
@@ -622,3 +635,43 @@ class HestonPDEEngine:
         out = self._extract(u, x, v, spot, american)
         out["method"] += "-barrier"
         return out
+
+    def exercise_boundary(self, spot: float, strike: float, T: float,
+                          is_call: bool = False) -> Dict:
+        """Early-exercise boundary SURFACE S*(t, v) of the American
+        contract under full Heston — the genuinely two-dimensional object
+        the 1-D engines can only proxy at a frozen vol (the /api/american
+        with_boundary note says exactly that). Read off the ADI
+        projection's binding edge per (backward step, variance row): no
+        extra solve. Returned in ascending calendar time with the variance
+        grid, plus the v0-row slice (the curve a desk plots). NaN where
+        exercise is never optimal at that (t, v) — e.g. everywhere on a
+        q=0 call, or at high variance where continuation always wins.
+        """
+        p = self.params
+        x, v = self._grids(spot, strike, T)
+        _, s_stars = _adi_heston_solve(
+            jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
+            jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
+            jnp.float32(p.xi), jnp.float32(p.rho), x, v,
+            n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
+            american=True, scheme=self.scheme)
+        s_stars = np.asarray(s_stars, np.float64)        # (n_t, n_v)
+        s_stars[~np.isfinite(s_stars)] = np.nan
+        dt = T / self.n_t
+        t_cal = T - (np.arange(self.n_t) + 1.0) * dt     # backward order
+        order = np.argsort(t_cal)
+        surf = s_stars[order]
+        vg = np.asarray(v, np.float64)
+        v0 = float(np.clip(float(p.v0), vg[0], vg[-1]))
+        j = int(np.clip(np.searchsorted(vg, v0) - 1, 0, self.n_v - 2))
+        w = (v0 - vg[j]) / (vg[j + 1] - vg[j])
+        slice_v0 = (1.0 - w) * surf[:, j] + w * surf[:, j + 1]
+        return {
+            "t": t_cal[order].tolist(),
+            "v": vg.tolist(),
+            "s_star": surf.tolist(),
+            "s_star_at_v0": slice_v0.tolist(),
+            "strike": float(strike),
+            "is_call": bool(is_call),
+        }

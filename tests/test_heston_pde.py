@@ -266,3 +266,49 @@ def test_property_adi_barrier_ordering(xi, rho, v0):
     ko_far = eng.price_barrier(100.0, 100.0, 0.5, 140.0)["price"]
     assert ko_near <= ko_far + 5e-3
     assert ko_far <= van + 5e-3
+
+
+def test_adi_exercise_boundary_surface():
+    """S*(t, v) under full Heston: the put boundary approaches K near
+    expiry (r > q here), decreases in variance (higher vol -> exercise
+    deeper ITM), and its v0 slice matches the 1-D CN boundary in the
+    frozen-vol limit."""
+    from mcos_tpu.engine.pde import PDEEngine
+
+    eng = HestonPDEEngine(HESTON, n_t=64)
+    bd = eng.exercise_boundary(90.0, 100.0, 0.5, is_call=False)
+    surf = np.asarray(bd["s_star"])            # (n_t, n_v)
+    sl = np.asarray(bd["s_star_at_v0"])
+    assert surf.shape == (64, eng.n_v)
+    # Near-expiry limit: boundary -> K (within one grid cell + limit gap).
+    assert sl[-1] > 95.0
+    # Monotone in v where defined (compare low-v vs high-v rows at mid-T).
+    row = surf[len(surf) // 2]
+    lo_v = row[2:10][np.isfinite(row[2:10])]
+    hi_v = row[-30:][np.isfinite(row[-30:])]
+    if len(lo_v) and len(hi_v):
+        assert lo_v.mean() > hi_v.mean()
+    # Frozen-vol limit vs the 1-D CN boundary.
+    pfr = SVJParams(kappa=3.0, theta=0.04, xi=1e-4, rho=0.0, v0=0.04,
+                    lambda_j=0.0)
+    b2 = HestonPDEEngine(pfr, n_t=64).exercise_boundary(
+        90.0, 100.0, 0.5, is_call=False)
+    b1 = PDEEngine(sigma=0.2, r=pfr.r, q=pfr.q,
+                   n_t=64).exercise_boundary(90.0, 100.0, 0.5, False)
+    s2 = np.asarray(b2["s_star_at_v0"])
+    s1 = np.interp(b2["t"], b1["t"], np.asarray(b1["s_star"]))
+    both = np.isfinite(s1) & np.isfinite(s2)
+    assert both.sum() > 20
+    assert np.nanmax(np.abs(s1[both] - s2[both])) < 3.0  # ~3% of K
+
+
+def test_api_pde_heston_boundary():
+    from mcos_tpu.api.server import handle_pde
+
+    out = handle_pde({"spot": 90.0, "strike": 100.0, "T": 0.5,
+                      "is_call": False, "american": True,
+                      "with_boundary": True, "n_t": 32,
+                      "params": {"lambda_j": 0.0}})
+    bd = out["exercise_boundary"]
+    assert len(bd["t"]) == 32 and len(bd["v"]) == out["n_v"]
+    assert len(bd["s_star"]) == 32
