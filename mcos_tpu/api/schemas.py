@@ -415,6 +415,11 @@ class BasketRequest(BaseModel):
     american: bool = False
     n_exercise: int = Field(9, ge=1, le=64)
     steps_per_period: int = Field(8, ge=1, le=64)
+    # Honest price bracket: out-of-sample LSM lower + Andersen-Broadie
+    # dual upper bound (american mode only).
+    with_bounds: bool = False
+    n_outer: int = Field(2048, ge=128, le=16384)
+    n_inner: int = Field(64, ge=16, le=512)
 
 
 class SurfaceRequest(BaseModel):

@@ -831,6 +831,14 @@ def handle_basket(body: dict) -> dict:
                 weights=req.weights if kind == "basket" else None,
                 n_ex=req.n_exercise,
                 steps_per_period=req.steps_per_period)
+            if req.with_bounds:
+                out["bounds"] = eng.price_bounds_american(
+                    req.spots, req.strike, req.T, kind=kind,
+                    is_call=req.is_call,
+                    weights=req.weights if kind == "basket" else None,
+                    n_ex=req.n_exercise,
+                    steps_per_period=req.steps_per_period,
+                    n_outer=req.n_outer, n_inner=req.n_inner)
         except ValueError as e:
             raise ApiError(400, str(e))
         out["elapsed_ms"] = round((time.time() - start) * 1000, 1)

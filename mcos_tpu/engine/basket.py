@@ -37,6 +37,43 @@ from mcos_tpu.ops.simulate import (_safe_sqrt, combine_antithetic,
 Array = jax.Array
 
 
+def _basket_cols(p: SVJParams) -> dict:
+    """Per-asset scalar coefficients shaped (1, A, 1) for broadcasting
+    against (..., A, paths) state blocks — ONE construction shared by every
+    multi-asset simulator (terminal, observations/states, and the dual
+    bound's nested inner transitions)."""
+    col = lambda x: jnp.asarray(x, jnp.float32)[None, :, None]  # noqa: E731
+    rho = col(p.rho)
+    k_comp = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
+    return {
+        "kappa": col(p.kappa), "theta": col(p.theta), "xi": col(p.xi),
+        "rho": rho, "rho_perp": jnp.sqrt(1.0 - rho * rho),
+        "drift": col(p.r) - col(p.q) - col(p.lambda_j * k_comp),
+        "lam": col(p.lambda_j), "mu_j": col(p.mu_j),
+        "sig_j": col(p.sigma_j), "v0": col(p.v0),
+    }
+
+
+def _basket_step(c: dict, dt, sqrt_dt, log_s, v, z1, z2, z_js, u_jump):
+    """One correlated multi-asset SVJ step on (..., A, paths) blocks.
+
+    `z1` is the ALREADY correlated+signed spot shock (chol @ z, ± for the
+    antithetic branch); z2/z_js idiosyncratic signed normals; u_jump
+    uniforms. ONE implementation of the step algebra — the twin-sharing
+    discipline (see ops/simulate._svj_step_core for the single-asset
+    family)."""
+    v_pos = jnp.maximum(v, 0.0)
+    sqrt_v = _safe_sqrt(v_pos)
+    dw1 = z1 * sqrt_dt
+    dw2 = c["rho"] * dw1 + c["rho_perp"] * z2 * sqrt_dt
+    jump = jnp.where(u_jump < c["lam"] * dt,
+                     c["mu_j"] + c["sig_j"] * z_js, 0.0)
+    log_s = log_s + (c["drift"] - 0.5 * v_pos) * dt + sqrt_v * dw1 + jump
+    v = jnp.maximum(v_pos + c["kappa"] * (c["theta"] - v_pos) * dt
+                    + c["xi"] * sqrt_v * dw2, 0.0)
+    return log_s, v
+
+
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
                                    "companion"))
 def simulate_basket_terminal(
@@ -70,21 +107,14 @@ def simulate_basket_terminal(
     sqrt_dt = jnp.sqrt(dt)
     sign = jnp.array([1.0, -1.0], dtype)[:n_branch, None, None]
 
-    # Per-asset scalar coefficients, shaped (1, A, 1) for broadcasting.
-    col = lambda x: jnp.asarray(x, dtype)[None, :, None]
-    kappa, theta, xi = col(p.kappa), col(p.theta), col(p.xi)
-    rho = col(p.rho)
-    rho_perp = jnp.sqrt(1.0 - rho * rho)
-    k_comp = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
-    drift = col(p.r) - col(p.q) - col(p.lambda_j * k_comp)
-    lam_dt = col(p.lambda_j) * dt
-    mu_j, sig_j = col(p.mu_j), col(p.sigma_j)
-    sigma_cv = jnp.sqrt(col(p.v0))
+    cols = _basket_cols(p)
+    sigma_cv = jnp.sqrt(cols["v0"])
+    col = lambda x: jnp.asarray(x, dtype)[None, :, None]  # noqa: E731
     g_drift = (col(p.r) - col(p.q) - 0.5 * sigma_cv**2) * dt
 
     shape = (n_branch, n_assets, num_paths)
     log_s0 = jnp.zeros(shape, dtype)           # log(S/S0) carries
-    v0 = jnp.broadcast_to(col(p.v0), shape)
+    v0 = jnp.broadcast_to(cols["v0"], shape)
 
     def step(carry, step_idx):
         log_s, v, log_g = carry
@@ -97,17 +127,10 @@ def simulate_basket_terminal(
         z1 = (corr_chol @ z[0])[None] * sign      # (n_branch, A, paths)
         z2 = z[1][None] * sign
         z_js = z[2][None] * sign
-
-        v_pos = jnp.maximum(v, 0.0)
-        sqrt_v = _safe_sqrt(v_pos)
-        dw1 = z1 * sqrt_dt
-        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
-        jump = jnp.where(u_jump[None] < lam_dt, mu_j + sig_j * z_js, 0.0)
-        log_s = log_s + (drift - 0.5 * v_pos) * dt + sqrt_v * dw1 + jump
-        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
-                        + xi * sqrt_v * dw2, 0.0)
         if companion:
-            log_g = log_g + g_drift + sigma_cv * dw1
+            log_g = log_g + g_drift + sigma_cv * (z1 * sqrt_dt)
+        log_s, v = _basket_step(cols, dt, sqrt_dt, log_s, v, z1, z2, z_js,
+                                u_jump[None])
         return (log_s, v, log_g), None
 
     (log_s, _, log_g), _ = jax.lax.scan(
@@ -119,6 +142,65 @@ def simulate_basket_terminal(
 
 @partial(jax.jit, static_argnames=("num_paths", "n_obs",
                                    "steps_per_period"))
+def simulate_basket_states(
+    params_batch: SVJParams,
+    spots: Array,
+    corr_chol: Array,
+    T,
+    key: Array,
+    *,
+    num_paths: int,
+    n_obs: int,
+    steps_per_period: int,
+):
+    """(levels, v) of A correlated SVJ assets at the observation dates
+    t_1..t_m — levels are S_{t_i}/S_0 ratios, v the variance states, each
+    (m, n_branch=2, A, paths).
+
+    Outer scan over observation periods, inner scan over intra-period
+    steps (the cliquet construction of engine/cliquet.py, widened to the
+    correlated multi-asset state) — only the (log S, v) sheet crosses
+    period boundaries. The step algebra is `_basket_step` (shared). The
+    variance states exist for the dual bound's nested restarts; the
+    autocall/LSM paths read the levels only (see
+    `simulate_basket_observations`).
+    """
+    dtype = jnp.float32
+    p = params_batch
+    n_assets = spots.shape[0]
+    T = jnp.asarray(T, dtype)
+    n_steps = n_obs * steps_per_period
+    dt = T / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    sign = jnp.array([1.0, -1.0], dtype)[:, None, None]
+    cols = _basket_cols(p)
+
+    shape = (2, n_assets, num_paths)
+    init = (jnp.zeros(shape, dtype),
+            jnp.broadcast_to(cols["v0"], shape))
+
+    def inner(carry, global_idx):
+        log_s, v = carry
+        k_step = jax.random.fold_in(key, global_idx)
+        k_n, k_u = jax.random.split(k_step)
+        z = jax.random.normal(k_n, (3, n_assets, num_paths), dtype)
+        u_jump = jax.random.uniform(k_u, (n_assets, num_paths), dtype)
+        z1 = (corr_chol @ z[0])[None] * sign
+        z2 = z[1][None] * sign
+        z_js = z[2][None] * sign
+        log_s, v = _basket_step(cols, dt, sqrt_dt, log_s, v, z1, z2, z_js,
+                                u_jump[None])
+        return (log_s, v), None
+
+    def period(carry, p_idx):
+        idx = p_idx * steps_per_period + jnp.arange(steps_per_period)
+        carry, _ = jax.lax.scan(inner, carry, idx)
+        return carry, (jnp.exp(carry[0]), carry[1])
+
+    _, (levels, v_states) = jax.lax.scan(period, init, jnp.arange(n_obs))
+    return levels, v_states
+
+
 def simulate_basket_observations(
     params_batch: SVJParams,
     spots: Array,
@@ -130,62 +212,11 @@ def simulate_basket_observations(
     n_obs: int,
     steps_per_period: int,
 ):
-    """Gross return levels of A correlated SVJ assets at the observation
-    dates t_1..t_m: (m, n_branch, A, paths) ratios S_{t_i}/S_0.
-
-    Outer scan over observation periods, inner scan over intra-period
-    steps (the cliquet construction of engine/cliquet.py, widened to the
-    correlated multi-asset state) — only the (log S, v) sheet crosses
-    period boundaries. Used by worst-of autocallables, where both the
-    trigger and the capital-at-risk leg read the WORST performer.
-    """
-    dtype = jnp.float32
-    p = params_batch
-    n_assets = spots.shape[0]
-    T = jnp.asarray(T, dtype)
-    n_steps = n_obs * steps_per_period
-    dt = T / n_steps
-    sqrt_dt = jnp.sqrt(dt)
-    sign = jnp.array([1.0, -1.0], dtype)[:, None, None]
-
-    col = lambda x: jnp.asarray(x, dtype)[None, :, None]
-    kappa, theta, xi = col(p.kappa), col(p.theta), col(p.xi)
-    rho = col(p.rho)
-    rho_perp = jnp.sqrt(1.0 - rho * rho)
-    k_comp = jnp.exp(p.mu_j + 0.5 * p.sigma_j**2) - 1.0
-    drift = col(p.r) - col(p.q) - col(p.lambda_j * k_comp)
-    lam_dt = col(p.lambda_j) * dt
-    mu_j, sig_j = col(p.mu_j), col(p.sigma_j)
-
-    shape = (2, n_assets, num_paths)
-    init = (jnp.zeros(shape, dtype), jnp.broadcast_to(col(p.v0), shape))
-
-    def inner(carry, global_idx):
-        log_s, v = carry
-        k_step = jax.random.fold_in(key, global_idx)
-        k_n, k_u = jax.random.split(k_step)
-        z = jax.random.normal(k_n, (3, n_assets, num_paths), dtype)
-        u_jump = jax.random.uniform(k_u, (n_assets, num_paths), dtype)
-        z1 = (corr_chol @ z[0])[None] * sign
-        z2 = z[1][None] * sign
-        z_js = z[2][None] * sign
-        v_pos = jnp.maximum(v, 0.0)
-        sqrt_v = _safe_sqrt(v_pos)
-        dw1 = z1 * sqrt_dt
-        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
-        jump = jnp.where(u_jump[None] < lam_dt, mu_j + sig_j * z_js, 0.0)
-        log_s = log_s + (drift - 0.5 * v_pos) * dt + sqrt_v * dw1 + jump
-        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
-                        + xi * sqrt_v * dw2, 0.0)
-        return (log_s, v), None
-
-    def period(carry, p_idx):
-        idx = p_idx * steps_per_period + jnp.arange(steps_per_period)
-        carry, _ = jax.lax.scan(inner, carry, idx)
-        return carry, jnp.exp(carry[0])        # ratio level at the date
-
-    _, levels = jax.lax.scan(period, init, jnp.arange(n_obs))
-    return levels
+    """Gross return levels at the observation dates (m, 2, A, paths) —
+    `simulate_basket_states` minus the variance sheet (ONE simulator)."""
+    return simulate_basket_states(
+        params_batch, spots, corr_chol, T, key, num_paths=num_paths,
+        n_obs=n_obs, steps_per_period=steps_per_period)[0]
 
 
 def basket_payoff_and_control(s, g, weights, spots, strike, is_call: bool,
@@ -375,6 +406,23 @@ class BasketEngine:
         return price_basket_american(
             self, spots, strike, T, kind=kind, is_call=is_call,
             weights=weights, n_ex=n_ex, steps_per_period=steps_per_period)
+
+    def price_bounds_american(self, spots: Sequence[float], strike: float,
+                              T: float, kind: str = "max",
+                              is_call: bool = True,
+                              weights: Sequence[float] = None,
+                              n_ex: int = 9, steps_per_period: int = 1,
+                              n_outer: int = 2048,
+                              n_inner: int = 64) -> Dict[str, float]:
+        """Bracket the multi-asset Bermudan price: out-of-sample LSM lower
+        bound + Andersen-Broadie dual upper bound — see
+        engine/basket_american.py:price_bounds_basket."""
+        from mcos_tpu.engine.basket_american import price_bounds_basket
+
+        return price_bounds_basket(
+            self, spots, strike, T, kind=kind, is_call=is_call,
+            weights=weights, n_ex=n_ex, steps_per_period=steps_per_period,
+            n_outer=n_outer, n_inner=n_inner)
 
     def price_rainbow(self, spots: Sequence[float], strike: float, T: float,
                       kind: str = "worst_of", is_call: bool = True

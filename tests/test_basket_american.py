@@ -116,3 +116,35 @@ def test_api_basket_american():
     assert out["price"] > 0 and np.isfinite(out["std_error"])
     with pytest.raises(ApiError):
         handle_basket({**body, "payoff": "spread"})
+
+
+def test_duality_bracket_contains_published_interval():
+    """The honest bracket (out-of-sample LSM lower + Andersen-Broadie dual
+    upper) must contain the published 2-asset max-call interval
+    [13.892, 13.934] at S0=100 — the exact experiment AB 2004 report."""
+    out = _engine().price_bounds_american(
+        [100.0, 100.0], 100.0, 3.0, kind="max", n_ex=9,
+        steps_per_period=1, n_outer=2048, n_inner=64)
+    lo, hi = out["lower_bound"], out["upper_bound"]
+    assert lo <= hi + 1e-6
+    assert lo - 3 * out["lower_se"] < 13.934
+    assert hi + 3 * out["upper_se"] > 13.892
+    # The bracket is tight enough to be useful.
+    assert out["duality_gap"] < 0.8
+    # And actually contains the published midpoint.
+    assert lo - 3 * out["lower_se"] < 13.902 < hi + 3 * out["upper_se"]
+
+
+def test_api_basket_american_with_bounds():
+    from mcos_tpu.api.server import handle_basket
+
+    out = handle_basket({
+        "spots": [100.0, 100.0], "strike": 100.0, "T": 1.0,
+        "corr": [[1.0, 0.0], [0.0, 1.0]], "payoff": "best_of",
+        "american": True, "n_exercise": 4, "steps_per_period": 1,
+        "num_paths": 20_000, "with_bounds": True, "n_outer": 512,
+        "n_inner": 16,
+        "params": [{"lambda_j": 0.0, "xi": 1e-4, "q": 0.10}] * 2})
+    b = out["bounds"]
+    assert b["lower_bound"] <= b["upper_bound"] + 1e-6
+    assert b["duality_gap"] < 2.0
