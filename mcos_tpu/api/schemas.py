@@ -827,9 +827,10 @@ class TermSVJRequest(BaseModel):
 class PDERequest(BaseModel):
     """POST /api/pde — deterministic finite-difference pricing
     (engine/pde.py): the 2-D ADI Heston solve (model="heston", the
-    framework's third independent route to the flagship model) or the 1-D
-    Crank-Nicolson BS grid (model="bs", with the American exercise
-    boundary)."""
+    framework's third independent route to the flagship model; with
+    params.lambda_j > 0 it solves the full Bates/SVJ PIDE — the jump
+    integral as one MXU matmul per step) or the 1-D Crank-Nicolson BS
+    grid (model="bs", with the American exercise boundary)."""
     spot: float = Field(gt=0)
     strike: float = Field(gt=0)
     T: float = Field(gt=0, le=30.0)
@@ -860,8 +861,4 @@ class PDERequest(BaseModel):
             raise ValueError("model must be 'heston' or 'bs'")
         if self.scheme not in ("cs", "douglas"):
             raise ValueError("scheme must be 'cs' or 'douglas'")
-        if self.model == "heston" and self.params.lambda_j != 0.0:
-            raise ValueError(
-                "the Heston PDE has no jump term; set params.lambda_j=0 "
-                "(jump dynamics: use /api/price or /api/american)")
         return self

@@ -663,10 +663,12 @@ def handle_pde(body: dict) -> dict:
             out["exercise_boundary"] = eng.exercise_boundary(
                 req.spot, req.strike, req.T, req.is_call)
         if req.with_oracle and not req.american:
-            from mcos_tpu.ops.cos_pricer import heston_price
+            # cos_price is the exact BATES CF — the oracle covers the
+            # PIDE route (lambda_j > 0) as well as pure Heston.
+            from mcos_tpu.ops.cos_pricer import cos_price
 
-            exact = float(heston_price(p, req.spot, [req.strike], req.T,
-                                       req.is_call)[0])
+            exact = float(cos_price(p, req.spot, [req.strike], req.T,
+                                    req.is_call)[0])
             out["cos_oracle"] = {"price": exact,
                                  "abs_error": abs(out["price"] - exact)}
     else:

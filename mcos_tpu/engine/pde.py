@@ -267,18 +267,70 @@ class PDEEngine:
 # ─────────────────────────────────────────────────────────────────────────────
 
 
+def _merton_jump_tables(x: np.ndarray, lam: float, mu_j: float,
+                        sig_j: float):
+    """Host-f64 discretization of the Merton jump operator on a UNIFORM
+    log-spot grid, for the Bates PIDE's integral term
+
+        lam * ( ∫ V(x+y) phi(y; mu_J, sig_J) dy  -  V(x) ).
+
+    Cell-mass quadrature: W[i, j] = P(y ∈ cell_j - x_i) — exact Gaussian
+    mass per cell, so each row plus its two tail probabilities sums to 1
+    EXACTLY (probability is conserved by construction; a constant field
+    with matching tail extension is a fixed point). Piecewise-constant-
+    in-cell is midpoint-rule O(dx²) for the smooth post-smoothing V. The
+    mass landing beyond the grid multiplies the same Dirichlet asymptotes
+    the x-edge boundary conditions use, via the analytic partial moments
+
+        p_hi_i = P(y > a_i),          e_hi_i = E[e^y; y > a_i],
+        p_lo_i = P(y < b_i),          e_lo_i = E[e^y; y < b_i],
+
+    with a_i / b_i the distance from node i to the grid's outer cell
+    faces and E[e^y; y > a] = e^{mu+sig²/2} Phi((mu+sig² − a)/sig).
+    Returns f32 device-ready tables (lam, kbar, W, p_hi, p_lo, e_hi,
+    e_lo); kbar = E[e^J − 1] is the drift compensator."""
+    from scipy.special import ndtr
+
+    x = np.asarray(x, np.float64)
+    dx = x[1] - x[0]
+    kbar = float(np.exp(mu_j + 0.5 * sig_j**2) - 1.0)
+    dxx = x[None, :] - x[:, None]                    # y_ij = x_j - x_i
+    W = (ndtr((dxx + 0.5 * dx - mu_j) / sig_j)
+         - ndtr((dxx - 0.5 * dx - mu_j) / sig_j))    # (n_x, n_x) cell mass
+    a_hi = x[-1] + 0.5 * dx - x                      # upper tail starts
+    b_lo = x[0] - 0.5 * dx - x                       # lower tail ends
+    m1 = np.exp(mu_j + 0.5 * sig_j**2)
+    p_hi = ndtr((mu_j - a_hi) / sig_j)
+    p_lo = ndtr((b_lo - mu_j) / sig_j)
+    e_hi = m1 * ndtr((mu_j + sig_j**2 - a_hi) / sig_j)
+    e_lo = m1 * ndtr((b_lo - mu_j - sig_j**2) / sig_j)
+    f32 = lambda arr: jnp.asarray(arr, jnp.float32)  # noqa: E731
+    return (jnp.float32(lam), jnp.float32(kbar), f32(W), f32(p_hi),
+            f32(p_lo), f32(e_hi), f32(e_lo))
+
+
 @partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "is_call",
                                    "american", "scheme", "x_lo_bc",
                                    "x_hi_bc", "rebate_at_hit"))
 def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
-                      x_grid, v_grid, rebate=0.0, *, n_x: int, n_v: int,
+                      x_grid, v_grid, rebate=0.0, jump=None, *,
+                      n_x: int, n_v: int,
                       n_t: int, is_call: bool, american: bool,
                       scheme: str = "cs", x_lo_bc: str = "asym",
                       x_hi_bc: str = "asym", rebate_at_hit: bool = False):
     r"""Backward ADI solve of the 2-D Heston PDE in (x = ln S, v):
 
         V_t + 1/2 v V_xx + (r - q - v/2) V_x + rho xi v V_xv
-            + 1/2 xi^2 v V_vv + kappa(theta - v) V_v - r V = 0.
+            + 1/2 xi^2 v V_vv + kappa(theta - v) V_v - r V = 0,
+
+    or, when `jump` carries the `_merton_jump_tables` pytree, the full
+    Bates/SVJ partial integro-differential equation: the x-drift gains the
+    compensator −lam·kbar, the reaction gains −lam·V, and the nonlocal
+    integral lam·∫V(x+y)phi(y)dy enters as ONE (n_v, n_x)·(n_x, n_x)
+    matmul per step — the convolution rides the MXU, which is the
+    TPU-native reading of the PIDE (vs the reference's MC-only jumps).
+    The integral is explicit (IMEX à la In 't Hout-Toivanen); the CS
+    corrector sweep includes it, restoring second order in time.
 
     Operator split (In 't Hout & Foulon 2010): A0 = the mixed derivative
     (always explicit), A1 = the x-direction operator, A2 = the v-direction
@@ -313,10 +365,13 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
     phi = 1.0 if is_call else -1.0
     intrinsic = jnp.maximum(phi * (s_grid[None, :] - strike), 0.0)
 
+    # Jump compensator shifts the risk-neutral x-drift: r - q - lam*kbar.
+    comp = 0.0 if jump is None else jump[0] * jump[1]
+
     # A1 (x-direction) diagonals, (n_v, n_x) broadcast from v rows; zero
     # rows at the x edges (Dirichlet).
     a = 0.5 * v_col / dx**2
-    b = (r - q - 0.5 * v_col) / (2.0 * dx)
+    b = (r - q - comp - 0.5 * v_col) / (2.0 * dx)
     x_interior = jnp.ones((n_x,), dtype).at[0].set(0.0).at[-1].set(0.0)
     a1_sub = (a - b) * x_interior[None, :]
     a1_diag = (-2.0 * a - 0.5 * r) * jnp.ones((n_v, n_x), dtype) \
@@ -356,6 +411,34 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
         ump = jnp.roll(jnp.roll(u, 1, 0), -1, 1)
         umm = jnp.roll(jnp.roll(u, 1, 0), 1, 1)
         return mix * (upp - upm - ump + umm)
+
+    def jump_tails(tau):
+        """(n_x,) value of the jump mass landing beyond the grid: the
+        SAME Dirichlet asymptotes `boundaries` uses, integrated against
+        the analytic tail moments of the jump law (barrier edges are the
+        knock-out value — a jump OVERSHOOTING the barrier kills the
+        contract, which the diffusion-only solve cannot express)."""
+        _, _, _, p_hi, p_lo, e_hi, e_lo = jump
+        disc_r = jnp.exp(-r * tau)
+        disc_q = jnp.exp(-q * tau)
+        barrier_val = rebate if rebate_at_hit else rebate * disc_r
+        if x_hi_bc == "barrier":
+            t_hi = barrier_val * p_hi
+        elif is_call:
+            t_hi = disc_q * s_grid * e_hi - strike * disc_r * p_hi
+        else:
+            t_hi = jnp.zeros((n_x,), dtype)
+        if x_lo_bc == "barrier":
+            t_lo = barrier_val * p_lo
+        elif is_call:
+            t_lo = jnp.zeros((n_x,), dtype)
+        else:
+            t_lo = strike * disc_r * p_lo - disc_q * s_grid * e_lo
+        return t_lo + t_hi
+
+    def apply_jump(u, tails):
+        # (Wu)_i = sum_j W[i,j] u_j per v-row: one MXU matmul.
+        return jump[0] * (u @ jump[2].T + tails[None, :] - u)
 
     def boundaries(tau):
         """(x_lo (n_v,), x_hi (n_v,)) Dirichlet values at the x edges.
@@ -417,11 +500,18 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
         a0_u = damp * apply_a0(u)
         a1_u = apply_a1(u)
         a2_u = apply_a2(u)
-        y0 = u + dt * (a0_u + a1_u + a2_u)
+        if jump is not None:
+            tails = jump_tails(tau)
+            aj_u = apply_jump(u, tails)
+        else:
+            aj_u = jnp.float32(0.0)
+        y0 = u + dt * (a0_u + a1_u + a2_u + aj_u)
         y1 = solve_x(y0 - th_dt * a1_u, th_dt, bc)
         y2 = solve_v(y1 - th_dt * a2_u, th_dt, bc)
         if scheme == "cs":
             y0h = y0 + damp * 0.5 * dt * (apply_a0(y2) - a0_u)
+            if jump is not None:
+                y0h = y0h + 0.5 * dt * (apply_jump(y2, tails) - aj_u)
             y1h = solve_x(y0h - th_dt * a1_u, th_dt, bc)
             y2 = solve_v(y1h - th_dt * a2_u, th_dt, bc)
         u_new = set_boundaries(y2, bc)
@@ -457,24 +547,24 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
 
 
 class HestonPDEEngine:
-    """ADI finite-difference pricer for the 2-D Heston PDE.
+    """ADI finite-difference pricer for the 2-D Heston PDE — and, with
+    `params.lambda_j > 0`, the full Bates/SVJ PIDE (the flagship model,
+    jumps included): the Merton integral term rides one MXU matmul per
+    backward step (`_merton_jump_tables`), exactly cross-checkable
+    against the COS oracle (`ops/cos_pricer.py:cos_price`, the exact
+    Bates CF).
 
     The framework's THIRD independent numerical route to the flagship
     model (after Monte Carlo and the semi-analytic COS oracle): a
     deterministic (x, v) grid solve with a completely different error
     structure — and the only one of the three that prices *American*
     exercise under stochastic volatility without regression noise (the
-    LSM does, with it). `params.lambda_j` must be 0 (jumps have no 2-D
-    PDE; the Bates PIDE is out of scope — use MC/LSM for jump dynamics).
+    LSM does, with it).
     """
 
     def __init__(self, params, n_x: int = 201, n_v: int = 101,
                  n_t: int = 128, x_span: float = 4.0,
                  scheme: str = "cs"):
-        if float(params.lambda_j) != 0.0:
-            raise ValueError(
-                "HestonPDEEngine solves the pure-Heston PDE; set "
-                "lambda_j=0 (jump dynamics: use the MC/LSM engines)")
         if scheme not in ("cs", "douglas"):
             raise ValueError("scheme must be 'cs' or 'douglas'")
         self.params = params
@@ -483,11 +573,25 @@ class HestonPDEEngine:
         self.n_t = int(n_t)
         self.x_span = float(x_span)
         self.scheme = scheme
+        self.jumps = float(params.lambda_j) != 0.0
+
+    def _jump_tables(self, x):
+        if not self.jumps:
+            return None
+        p = self.params
+        return _merton_jump_tables(np.asarray(x, np.float64),
+                                   float(p.lambda_j), float(p.mu_j),
+                                   float(p.sigma_j))
 
     def _grids(self, spot: float, strike: float, T: float):
         p = self.params
         v_char = max(float(p.v0), float(p.theta))
-        sig0 = float(np.sqrt(v_char))
+        # Jumps widen the terminal law: add the jump variance-per-year
+        # lam*(mu_J² + sig_J²) to the diffusive v_char (exact second
+        # moment of the compound-Poisson log increment); reduces to the
+        # old sig0·sqrt(T) half-width at lam = 0.
+        jvar = float(p.lambda_j) * (float(p.mu_j)**2 + float(p.sigma_j)**2)
+        sig0 = float(np.sqrt(v_char + jvar))
         center = 0.5 * (np.log(spot) + np.log(strike))
         half = max(self.x_span * sig0 * np.sqrt(max(T, 0.05)), 0.5)
         x = np.linspace(center - half, center + half, self.n_x)
@@ -513,6 +617,7 @@ class HestonPDEEngine:
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
+            jump=self._jump_tables(x),
             n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
             american=american, scheme=self.scheme)
         return self._extract(u, x, v, spot, american)
@@ -556,6 +661,7 @@ class HestonPDEEngine:
             "n_v": self.n_v,
             "n_t": self.n_t,
             "method": f"adi-{self.scheme}"
+                      + ("-pide" if self.jumps else "")
                       + ("-projected" if american else ""),
         }
 
@@ -601,7 +707,8 @@ class HestonPDEEngine:
             raise ValueError("knock must be 'out' or 'in'")
 
         v_char = max(float(p.v0), float(p.theta))
-        sig0 = float(np.sqrt(v_char))
+        jvar = float(p.lambda_j) * (float(p.mu_j)**2 + float(p.sigma_j)**2)
+        sig0 = float(np.sqrt(v_char + jvar))
         half = max(self.x_span * sig0 * np.sqrt(max(T, 0.05)), 0.5)
         if barrier_lo is not None:
             if not barrier_lo < spot < barrier:
@@ -629,7 +736,8 @@ class HestonPDEEngine:
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
-            jnp.float32(rebate), n_x=self.n_x, n_v=self.n_v, n_t=self.n_t,
+            jnp.float32(rebate), self._jump_tables(x),
+            n_x=self.n_x, n_v=self.n_v, n_t=self.n_t,
             is_call=is_call, american=american, scheme=self.scheme,
             x_lo_bc=lo_bc, x_hi_bc=hi_bc, rebate_at_hit=rebate_at_hit)
         out = self._extract(u, x, v, spot, american)
@@ -654,6 +762,7 @@ class HestonPDEEngine:
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
+            jump=self._jump_tables(x),
             n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
             american=True, scheme=self.scheme)
         s_stars = np.asarray(s_stars, np.float64)        # (n_t, n_v)

@@ -11,7 +11,7 @@ import pytest
 from mcos_tpu.engine.pde import HestonPDEEngine
 from mcos_tpu.models.params import SVJParams
 from mcos_tpu.ops.bs import bs_price
-from mcos_tpu.ops.cos_pricer import heston_price
+from mcos_tpu.ops.cos_pricer import cos_price, heston_price
 
 HESTON = SVJParams(kappa=3.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04,
                    lambda_j=0.0)
@@ -93,11 +93,81 @@ def test_adi_american_put_bracket():
     assert abs(am - lsm["price"]) < 5 * lsm["std_error"] + 0.05 * am
 
 
-def test_adi_rejects_jumps():
-    with pytest.raises(ValueError, match="lambda_j"):
-        HestonPDEEngine(SVJParams(lambda_j=1.0))
+def test_adi_rejects_bad_scheme():
     with pytest.raises(ValueError, match="scheme"):
         HestonPDEEngine(HESTON, scheme="euler")
+
+
+# ── Bates/SVJ PIDE: the jump integral as one MXU matmul per step ──────────
+
+SVJ = SVJParams()  # lam=1, mu_J=-0.05, sig_J=0.10 on the HESTON diffusion
+
+
+def test_pide_matches_cos_full_svj():
+    """lambda_j > 0 turns the solve into the Bates PIDE; the COS pricer
+    with the full SVJ CF is EXACT for this model — the strongest oracle
+    the PDE route has. Tolerance matches the pure-Heston rows (the jump
+    stage adds no visible error at n_t=128)."""
+    eng = HestonPDEEngine(SVJ)
+    for K, T, is_call in [(100.0, 0.5, True), (110.0, 0.5, True),
+                          (90.0, 0.25, True), (100.0, 1.0, True),
+                          (100.0, 0.5, False), (95.0, 0.5, False)]:
+        got = eng.price(100.0, K, T, is_call=is_call)["price"]
+        exact = float(cos_price(SVJ, 100.0, [K], T, is_call)[0])
+        assert got == pytest.approx(exact, abs=0.015), (K, T, is_call)
+
+
+def test_pide_heavy_jumps_feller_violating():
+    """lam=3, mu_J=-0.10, sig_J=0.20 on a Feller-violating diffusion:
+    jump mass is ~35% of total variance and the v=0 edge is attainable."""
+    p = SVJParams(kappa=1.0, theta=0.09, xi=1.0, rho=-0.5, v0=0.09,
+                  lambda_j=3.0, mu_j=-0.10, sigma_j=0.20)
+    eng = HestonPDEEngine(p)
+    for K, T in [(100.0, 0.5), (120.0, 0.5), (80.0, 0.5), (100.0, 0.1)]:
+        got = eng.price(100.0, K, T, is_call=True)["price"]
+        exact = float(cos_price(p, 100.0, [K], T, True)[0])
+        assert got == pytest.approx(exact, abs=0.03), (K, T)
+
+
+def test_pide_lambda_continuity():
+    """lam -> 0 must land on the diffusion-only branch: the jump code
+    path (compensated drift + matmul + tails) vanishes smoothly."""
+    a = HestonPDEEngine(SVJParams(lambda_j=0.0)).price(
+        100.0, 100.0, 0.5)["price"]
+    b = HestonPDEEngine(SVJParams(lambda_j=1e-8)).price(
+        100.0, 100.0, 0.5)["price"]
+    assert a == pytest.approx(b, abs=1e-5)
+
+
+def test_pide_american_put_bracket():
+    """American put under FULL SVJ: above the European COS price, above
+    intrinsic, and within MC noise of the independent LSM estimate (the
+    only other American-under-jumps route in the framework)."""
+    from mcos_tpu.engine.american import AmericanEngine
+
+    eng = HestonPDEEngine(SVJ)
+    am = eng.price(90.0, 100.0, 0.5, is_call=False, american=True)["price"]
+    eu = float(cos_price(SVJ, 90.0, [100.0], 0.5, False)[0])
+    assert am > eu
+    assert am >= 10.0
+    lsm = AmericanEngine(SVJ, num_paths=100_000, num_steps=64,
+                         seed=3).price(90.0, 100.0, 0.5, is_call=False)
+    assert abs(am - lsm["price"]) < 5 * lsm["std_error"] + 0.05 * am
+
+
+def test_pide_barrier_jump_overshoot():
+    """KO barriers under jumps: the absorbing edge plus the tail term
+    (jump mass landing beyond the barrier pays the knock-out value) —
+    far barrier reproduces the vanilla, tight barrier is far below it,
+    and KO <= vanilla structurally."""
+    eng = HestonPDEEngine(SVJ)
+    van = eng.price(100.0, 100.0, 0.5, True)["price"]
+    far = eng.price_barrier(100.0, 100.0, 0.5, 300.0, True,
+                            knock="out", direction="up")["price"]
+    tight = eng.price_barrier(100.0, 100.0, 0.5, 115.0, True,
+                              knock="out", direction="up")["price"]
+    assert far == pytest.approx(van, abs=0.02)
+    assert tight < 0.5 * van
 
 
 def test_api_pde_endpoint_modes():
@@ -116,10 +186,12 @@ def test_api_pde_endpoint_modes():
                      "is_call": False, "model": "bs", "american": True,
                      "with_boundary": True})
     assert len(bs["exercise_boundary"]["t"]) == bs["n_t"]
-    # Jumps rejected with a schema error.
-    with pytest.raises(Exception, match="no jump term"):
-        handle_pde({"spot": 100.0, "strike": 100.0, "T": 0.5,
-                    "params": {"lambda_j": 1.0}})
+    # Jumps route through the Bates PIDE; the oracle is the exact
+    # full-SVJ COS price.
+    pide = handle_pde({"spot": 100.0, "strike": 100.0, "T": 0.5,
+                       "with_oracle": True, "params": {"lambda_j": 1.0}})
+    assert "pide" in pide["method"]
+    assert pide["cos_oracle"]["abs_error"] < 0.02
 
 
 def test_adi_vega_matches_cos_fd():
