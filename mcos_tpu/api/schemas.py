@@ -31,7 +31,8 @@ class SVJParamsRequest(BaseModel):
     v0: float = Field(0.04, description="Initial variance")
     lambda_j: float = Field(1.0, description="Jump intensity")
     mu_j: float = Field(-0.05, description="Mean jump size (log)")
-    sigma_j: float = Field(0.10, description="Jump size volatility")
+    sigma_j: float = Field(0.10, ge=0.0,
+                           description="Jump size volatility")
     r: float = Field(RISK_FREE_RATE, description="Risk-free rate")
     q: float = Field(DIVIDEND_YIELD, description="Dividend yield")
 

@@ -657,11 +657,17 @@ def handle_pde(body: dict) -> dict:
             out["model"] = req.model
             out["elapsed_ms"] = round((time.time() - start) * 1000, 1)
             return out
-        out = eng.price(req.spot, req.strike, req.T, req.is_call,
-                        american=req.american)
-        if req.with_boundary and req.american:
-            out["exercise_boundary"] = eng.exercise_boundary(
-                req.spot, req.strike, req.T, req.is_call)
+        try:
+            out = eng.price(req.spot, req.strike, req.T, req.is_call,
+                            american=req.american)
+            if req.with_boundary and req.american:
+                out["exercise_boundary"] = eng.exercise_boundary(
+                    req.spot, req.strike, req.T, req.is_call)
+        except ValueError as e:
+            # e.g. sigma_j == 0 with lambda_j > 0: the Merton cell-mass
+            # quadrature has no density to integrate (schemas reject
+            # sigma_j < 0; the degenerate 0 case is PIDE-specific).
+            raise ApiError(400, str(e))
         if req.with_oracle and not req.american:
             # cos_price is the exact BATES CF — the oracle covers the
             # PIDE route (lambda_j > 0) as well as pure Heston.

@@ -291,6 +291,11 @@ def _merton_jump_tables(x: np.ndarray, lam: float, mu_j: float,
     e_lo); kbar = E[e^J − 1] is the drift compensator."""
     from scipy.special import ndtr
 
+    if sig_j <= 0.0:
+        raise ValueError(
+            "sigma_j must be > 0 when lambda_j > 0 for the PIDE grid "
+            "(the Merton cell-mass quadrature divides by sigma_j)")
+
     x = np.asarray(x, np.float64)
     dx = x[1] - x[0]
     kbar = float(np.exp(mu_j + 0.5 * sig_j**2) - 1.0)
@@ -369,7 +374,13 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
     comp = 0.0 if jump is None else jump[0] * jump[1]
 
     # A1 (x-direction) diagonals, (n_v, n_x) broadcast from v rows; zero
-    # rows at the x edges (Dirichlet).
+    # rows at the x edges (Dirichlet). Central differencing throughout:
+    # exponential fitting was tried for the heavy-jump compensator-drift
+    # regimes (λ=20 → |r−q−comp| ≈ 0.93/yr, cell Péclet > 1 at default
+    # grids) and REJECTED — its |b|·dx/2 artificial diffusion rivals v
+    # itself on low-variance rows and smears long-dated solves by ~50%
+    # of spot; the central scheme's O(dx²) error with the Rannacher
+    # start-up damping is strictly better (measured both ways).
     a = 0.5 * v_col / dx**2
     b = (r - q - comp - 0.5 * v_col) / (2.0 * dx)
     x_interior = jnp.ones((n_x,), dtype).at[0].set(0.0).at[-1].set(0.0)
@@ -426,6 +437,13 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
             t_hi = barrier_val * p_hi
         elif is_call:
             t_hi = disc_q * s_grid * e_hi - strike * disc_r * p_hi
+            if american:
+                # The projection lifts the grid to intrinsic; the mass
+                # landing beyond the grid must extend the SAME surface —
+                # deep-ITM American value ~ max(European asymptote,
+                # intrinsic), taken elementwise in expectation (advisor
+                # r3: pure European tails understate deep-ITM American).
+                t_hi = jnp.maximum(t_hi, s_grid * e_hi - strike * p_hi)
         else:
             t_hi = jnp.zeros((n_x,), dtype)
         if x_lo_bc == "barrier":
@@ -434,11 +452,24 @@ def _adi_heston_solve(strike, T, r, q, kappa, theta, xi, rho,
             t_lo = jnp.zeros((n_x,), dtype)
         else:
             t_lo = strike * disc_r * p_lo - disc_q * s_grid * e_lo
+            if american:
+                t_lo = jnp.maximum(t_lo, strike * p_lo - s_grid * e_lo)
         return t_lo + t_hi
 
     def apply_jump(u, tails):
-        # (Wu)_i = sum_j W[i,j] u_j per v-row: one MXU matmul.
-        return jump[0] * (u @ jump[2].T + tails[None, :] - u)
+        # (Wu)_i = sum_j W[i,j] u_j per v-row: one MXU matmul. The
+        # cell-mass quadrature is midpoint-rule O(dx²); applying W to
+        # u − δ²u/24 (δ² = the centered second difference) cancels the
+        # leading term — measured 1.45e-4 → 5.7e-8 relative error on the
+        # e^x eigenfield at dx = 0.59·σ_J — restoring O(dx⁴). Without it
+        # the per-application error compounds ~ λT·relerr over the
+        # backward solve (the 2.6%-of-spot drift the advisor measured at
+        # λ=5, T=30). Edge cells replicate the neighbour's curvature
+        # (the analytic tails own the region beyond the grid).
+        d2 = jnp.roll(u, -1, 1) - 2.0 * u + jnp.roll(u, 1, 1)
+        d2 = d2.at[:, 0].set(d2[:, 1]).at[:, -1].set(d2[:, -2])
+        return jump[0] * ((u - d2 / 24.0) @ jump[2].T
+                          + tails[None, :] - u)
 
     def boundaries(tau):
         """(x_lo (n_v,), x_hi (n_v,)) Dirichlet values at the x edges.
@@ -583,6 +614,32 @@ class HestonPDEEngine:
                                    float(p.lambda_j), float(p.mu_j),
                                    float(p.sigma_j))
 
+    def _resolution(self, width: float, T: float):
+        """Effective (n_x, n_t) for one solve. Jump regimes need two
+        guards the user-facing defaults can't know about (advisor r3 —
+        λ=20, T=30 NaN'd; λ=5, T=30 silently drifted 2.6% of spot):
+
+        * the explicit IMEX jump stage is only conditionally stable —
+          sub-step until λ·dt ≤ 0.5 (λ·dt ≈ 1 is the stability edge);
+        * the cell-mass quadrature must resolve the jump law — refine x
+          until dx ≤ 0.75·σ_J (capped at 801 nodes; with the δ²/24
+          correction in `apply_jump` the error there is O(dx⁴)).
+
+        Values are rounded up onto a coarse menu (multiples of 32 steps /
+        100 nodes) so the jit cache stays small."""
+        n_x, n_t = self.n_x, self.n_t
+        if self.jumps:
+            p = self.params
+            need_t = int(np.ceil(2.0 * float(p.lambda_j) * max(T, 0.0)))
+            if need_t > n_t:
+                n_t = int(32 * np.ceil(need_t / 32.0))
+            need_x = int(np.ceil(
+                width / max(0.75 * float(p.sigma_j), 1e-6))) + 1
+            if need_x > n_x:
+                n_x = min(int(100 * np.ceil((need_x - 1) / 100.0)) + 1,
+                          801)
+        return n_x, n_t
+
     def _grids(self, spot: float, strike: float, T: float):
         p = self.params
         v_char = max(float(p.v0), float(p.theta))
@@ -594,7 +651,8 @@ class HestonPDEEngine:
         sig0 = float(np.sqrt(v_char + jvar))
         center = 0.5 * (np.log(spot) + np.log(strike))
         half = max(self.x_span * sig0 * np.sqrt(max(T, 0.05)), 0.5)
-        x = np.linspace(center - half, center + half, self.n_x)
+        n_x, n_t = self._resolution(2.0 * half, T)
+        x = np.linspace(center - half, center + half, n_x)
         # v-range: level + 5 stationary sd OR + 4 transient sd (CIR sd over
         # the horizon ~ xi*sqrt(v*T)), whichever is larger — the stationary
         # formula alone under-covers high-v0 / high-xi corners over short
@@ -606,24 +664,25 @@ class HestonPDEEngine:
         v_max = max(v_char + 5.0 * sd_stat, v_char + 4.0 * sd_tran,
                     2.0 * v_char, 0.05)
         v = np.linspace(0.0, v_max, self.n_v)
-        return (jnp.asarray(x, jnp.float32), jnp.asarray(v, jnp.float32))
+        return (jnp.asarray(x, jnp.float32), jnp.asarray(v, jnp.float32),
+                n_x, n_t)
 
     def price(self, spot: float, strike: float, T: float,
               is_call: bool = True, american: bool = False
               ) -> Dict[str, float]:
         p = self.params
-        x, v = self._grids(spot, strike, T)
+        x, v, n_x, n_t = self._grids(spot, strike, T)
         u, _ = _adi_heston_solve(
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
             jump=self._jump_tables(x),
-            n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
+            n_x=n_x, n_v=self.n_v, n_t=n_t, is_call=is_call,
             american=american, scheme=self.scheme)
-        return self._extract(u, x, v, spot, american)
+        return self._extract(u, x, v, spot, american, n_t)
 
     def _extract(self, u, x, v, spot: float,
-                 american: bool) -> Dict[str, float]:
+                 american: bool, n_t: int = None) -> Dict[str, float]:
         """Price + grid Greeks at (ln spot, v0) from a solved (n_v, n_x)
         grid: bilinear price, x-gradient delta/gamma, v-gradient vega
         (the 2-D solve yields dP/dv0 for free — the MC engines need a
@@ -637,7 +696,8 @@ class HestonPDEEngine:
         v0 = float(np.clip(float(p.v0), vg[0], vg[-1]))
         # Bilinear extraction at (x0, v0): interpolate the two bracketing
         # v rows in x, then linearly in v.
-        j = int(np.clip(np.searchsorted(vg, v0) - 1, 0, self.n_v - 2))
+        n_v, n_x = u.shape
+        j = int(np.clip(np.searchsorted(vg, v0) - 1, 0, n_v - 2))
         w = (v0 - vg[j]) / (vg[j + 1] - vg[j])
         row = (1.0 - w) * u[j] + w * u[j + 1]
         price = float(np.interp(x0, xg, row))
@@ -646,7 +706,7 @@ class HestonPDEEngine:
         delta = float(np.interp(x0, xg, dvdx)) / spot
         gamma = (float(np.interp(x0, xg, d2vdx2))
                  - float(np.interp(x0, xg, dvdx))) / spot**2
-        lo, hi = max(j - 1, 0), min(j + 3, self.n_v)
+        lo, hi = max(j - 1, 0), min(j + 3, n_v)
         col = np.array([np.interp(x0, xg, u[jj]) for jj in range(lo, hi)])
         dv_dv0 = float(np.interp(v0, vg[lo:hi],
                                  np.gradient(col, vg[lo:hi])))
@@ -657,9 +717,9 @@ class HestonPDEEngine:
             "gamma": gamma,
             "ad_vega_v0": dv_dv0,
             "vega_per_vol_point": dv_dv0 * 2.0 * sigma0,
-            "n_x": self.n_x,
-            "n_v": self.n_v,
-            "n_t": self.n_t,
+            "n_x": int(n_x),
+            "n_v": int(n_v),
+            "n_t": int(n_t if n_t is not None else self.n_t),
             "method": f"adi-{self.scheme}"
                       + ("-pide" if self.jumps else "")
                       + ("-projected" if american else ""),
@@ -730,17 +790,18 @@ class HestonPDEEngine:
             lo_bc, hi_bc = "barrier", "asym"
         else:
             raise ValueError("direction must be 'up' or 'down'")
-        x = jnp.asarray(np.linspace(x_min, x_max, self.n_x), jnp.float32)
-        _, v = self._grids(spot, strike, T)
+        n_x, n_t = self._resolution(float(x_max - x_min), T)
+        x = jnp.asarray(np.linspace(x_min, x_max, n_x), jnp.float32)
+        _, v, _, _ = self._grids(spot, strike, T)
         u, _ = _adi_heston_solve(
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
             jnp.float32(rebate), self._jump_tables(x),
-            n_x=self.n_x, n_v=self.n_v, n_t=self.n_t,
+            n_x=n_x, n_v=self.n_v, n_t=n_t,
             is_call=is_call, american=american, scheme=self.scheme,
             x_lo_bc=lo_bc, x_hi_bc=hi_bc, rebate_at_hit=rebate_at_hit)
-        out = self._extract(u, x, v, spot, american)
+        out = self._extract(u, x, v, spot, american, n_t)
         out["method"] += "-barrier"
         return out
 
@@ -757,18 +818,18 @@ class HestonPDEEngine:
         q=0 call, or at high variance where continuation always wins.
         """
         p = self.params
-        x, v = self._grids(spot, strike, T)
+        x, v, n_x, n_t = self._grids(spot, strike, T)
         _, s_stars = _adi_heston_solve(
             jnp.float32(strike), jnp.float32(T), jnp.float32(p.r),
             jnp.float32(p.q), jnp.float32(p.kappa), jnp.float32(p.theta),
             jnp.float32(p.xi), jnp.float32(p.rho), x, v,
             jump=self._jump_tables(x),
-            n_x=self.n_x, n_v=self.n_v, n_t=self.n_t, is_call=is_call,
+            n_x=n_x, n_v=self.n_v, n_t=n_t, is_call=is_call,
             american=True, scheme=self.scheme)
         s_stars = np.asarray(s_stars, np.float64)        # (n_t, n_v)
         s_stars[~np.isfinite(s_stars)] = np.nan
-        dt = T / self.n_t
-        t_cal = T - (np.arange(self.n_t) + 1.0) * dt     # backward order
+        dt = T / n_t
+        t_cal = T - (np.arange(n_t) + 1.0) * dt          # backward order
         order = np.argsort(t_cal)
         surf = s_stars[order]
         vg = np.asarray(v, np.float64)

@@ -384,3 +384,49 @@ def test_api_pde_heston_boundary():
     bd = out["exercise_boundary"]
     assert len(bd["t"]) == 32 and len(bd["v"]) == out["n_v"]
     assert len(bd["s_star"]) == 32
+
+
+def test_pide_jump_stress_regime_guarded():
+    """Advisor r3: lambda_j=20, T=30 returned NaN (the explicit IMEX jump
+    stage ran at lam*dt ~ 4.7, far past its stability region) and
+    lambda_j=5, T=30 silently drifted 2.6% of spot (under-resolved
+    midpoint cell-mass quadrature). The engine now auto-sub-steps to
+    lam*dt <= 0.5, refines x to dx <= 0.75*sigma_j, and applies the
+    delta^2/24 quadrature correction (O(dx^4))."""
+    spot = 100.0
+    p5 = SVJParams(kappa=2.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04,
+                   lambda_j=5.0, mu_j=-0.05, sigma_j=0.10)
+    out = HestonPDEEngine(p5).price(spot, 100.0, 30.0, is_call=True)
+    exact = float(cos_price(p5, spot, [100.0], 30.0, True)[0])
+    assert np.isfinite(out["price"])
+    assert abs(out["price"] - exact) / spot < 6e-3     # was 2.6e-2
+    assert out["n_t"] >= 2 * 5 * 30                    # sub-stepped
+
+    p20 = SVJParams(kappa=2.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04,
+                    lambda_j=20.0, mu_j=-0.05, sigma_j=0.10)
+    out20 = HestonPDEEngine(p20).price(spot, 100.0, 30.0, is_call=True)
+    exact20 = float(cos_price(p20, spot, [100.0], 30.0, True)[0])
+    assert np.isfinite(out20["price"])                 # was NaN
+    assert abs(out20["price"] - exact20) / spot < 2e-2
+    assert out20["n_x"] > 201                          # x-refined
+
+
+def test_pide_sigma_j_zero_rejected():
+    """sigma_j == 0 with lambda_j > 0 has no density for the cell-mass
+    quadrature to integrate: engine raises ValueError, API maps to 400
+    (advisor r3 — previously flowed into a host-side division by zero)."""
+    from mcos_tpu.api.server import ApiError, handle_pde
+
+    p = SVJParams(lambda_j=1.0, mu_j=-0.05, sigma_j=0.0)
+    with pytest.raises(ValueError, match="sigma_j"):
+        HestonPDEEngine(p).price(100.0, 100.0, 0.5)
+    with pytest.raises(ApiError) as ei:
+        handle_pde({"spot": 100.0, "strike": 100.0, "T": 0.5,
+                    "params": {"lambda_j": 1.0, "sigma_j": 0.0}})
+    assert ei.value.status == 400
+    # Negative sigma_j is rejected at the schema layer for every route.
+    from pydantic import ValidationError
+
+    from mcos_tpu.api import schemas
+    with pytest.raises(ValidationError):
+        schemas.SVJParamsRequest(sigma_j=-0.1)
