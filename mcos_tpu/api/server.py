@@ -1645,6 +1645,19 @@ def _static_file(name: str) -> Optional[Tuple[bytes, str]]:
 # ─────────────────────────────────────────────────────────────────────────────
 class _Handler(BaseHTTPRequestHandler):
     server_version = f"mcos-tpu/{VERSION}"
+    # Socket read timeout: a client that opens a connection and trickles
+    # (or never sends) the body can otherwise pin a thread forever
+    # (slowloris). 30 s comfortably covers a slow mobile POST.
+    timeout = 30
+
+    def _security_headers(self, cache: str) -> None:
+        # The reference ships these via its deployment config
+        # (vercel.json:3-24); an internet-facing stdlib server must set
+        # them itself.
+        self.send_header("X-Content-Type-Options", "nosniff")
+        self.send_header("X-Frame-Options", "DENY")
+        self.send_header("Referrer-Policy", "strict-origin-when-cross-origin")
+        self.send_header("Cache-Control", cache)
 
     def _send_json(self, status: int, payload) -> None:
         # fastjson.dumps == json.dumps except that JsonChunk values (the
@@ -1658,6 +1671,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Access-Control-Allow-Origin", "*")
         self.send_header("Access-Control-Allow-Methods", "*")
         self.send_header("Access-Control-Allow-Headers", "*")
+        self._security_headers("no-store")   # API responses are per-request
         self.end_headers()
         self.wfile.write(data)
 
@@ -1671,6 +1685,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", mime)
         self.send_header("Content-Length", str(len(data)))
+        # Static assets: long-lived immutable cache for subresources,
+        # must-revalidate for the HTML shell (vercel.json:20-41 values).
+        cache = ("public, max-age=0, must-revalidate"
+                 if mime == "text/html"
+                 else "public, max-age=31536000, immutable")
+        self._security_headers(cache)
         self.end_headers()
         self.wfile.write(data)
 

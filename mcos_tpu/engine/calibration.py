@@ -169,7 +169,17 @@ class CalibrationEngine:
         seed: int = 42,
         pop_size: int = 24,
         polish: bool = True,
+        mesh: Optional[Mesh] = None,
+        pop_axis: str = "paths",
     ) -> Dict:
+        """Two-stage fit (see class docstring). `mesh` shards the DE
+        POPULATION axis across devices (utils/optim.py) — each device
+        evaluates pop/n_dev full 100k-path objectives per generation, so a
+        whole-chain calibration scales past one chip (the reference's
+        scaling wall: population × iters × strikes × full MC at workers=1,
+        SURVEY.md §3.3). The Adam polish stays single-device (one
+        candidate). Same seed ⇒ same optimum up to f32 reduction order.
+        """
         strikes = np.asarray(strikes, np.float32)
         market_prices = np.asarray(market_prices, np.float32)
         cfg = self.config
@@ -213,7 +223,8 @@ class CalibrationEngine:
         res1 = differential_evolution(heston_objective, HESTON_BOUNDS, k_de1,  # fewer, bigger steps
                                       pop_size=pop_size, iters=iters1,
                                       x0=x0_heston, args=data1,
-                                      static_kwargs=statics)
+                                      static_kwargs=statics,
+                                      mesh=mesh, pop_axis=pop_axis)
         x1, f1 = res1.x, res1.fun
         if polish:
             x1p, f1p = adam_polish(heston_objective, x1, HESTON_BOUNDS,
@@ -239,7 +250,8 @@ class CalibrationEngine:
                                       pop_size=pop_size, iters=iters2,
                                       x0=jnp.asarray([1.0, -0.05, 0.10],
                                                      jnp.float32),
-                                      args=data2, static_kwargs=statics)
+                                      args=data2, static_kwargs=statics,
+                                      mesh=mesh, pop_axis=pop_axis)
         x2, f2 = res2.x, res2.fun
         logger.info("Stage 2 done: λ=%.3f μ_J=%.4f σ_J=%.4f err=%.6g",
                     *[float(v) for v in x2], float(f2))

@@ -214,6 +214,17 @@ def mlmc_price(
                                    is_call=is_call)
         return n, float(m), float(m2)
 
+    return giles_driver(run_level, eps=eps, base_steps=base_steps,
+                        max_levels=max_levels, pilot_paths=pilot_paths)
+
+
+def giles_driver(run_level, *, eps: float, base_steps: int,
+                 max_levels: int, pilot_paths: int) -> Dict:
+    """The Giles allocation/extension loop, shared VERBATIM by the
+    single-device `mlmc_price` and the mesh driver
+    (`parallel/mesh.py:sharded_mlmc_price`) — only `run_level(level, n)
+    -> (n_used, mean, mean_sq)` differs (device-local vs psum-pooled).
+    """
     levels = []  # per level: dict(n, mean, var, cost)
     for level in (0, 1, 2):
         n, m, m2 = run_level(level, pilot_paths)
@@ -230,7 +241,7 @@ def mlmc_price(
             n_opt = int(np.ceil(
                 np.sqrt(lv["var"] / lv["cost"]) * lam / target_var))
             if n_opt > 2 * lv["n"]:
-                n_new = min(max(n_opt, 2 * lv["n"]), max_paths_per_level)
+                n_new = max(n_opt, 2 * lv["n"])
                 n, m, m2 = run_level(lv["level"], n_new)
                 if n > lv["n"]:
                     lv.update(n=n, mean=m, var=max(m2 - m * m, 1e-12))

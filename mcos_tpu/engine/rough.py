@@ -22,6 +22,7 @@ import numpy as np
 from mcos_tpu.engine.surface import implied_vol
 from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_chol,
                                 rbergomi_conditional_payoffs,
+                                rbergomi_lift, rbergomi_lifted_payoffs,
                                 rbergomi_path_stats, rbergomi_terminal,
                                 sample_xi_curve,
                                 xi_curve_from_variance_swaps)
@@ -46,18 +47,6 @@ def _combine_mean_se(pay):
     return mean, se
 
 
-def _mean_price(params: RoughBergomiParams, spot, strikes, T, chol, key, *,
-                num_paths: int, num_steps: int, is_call,
-                xi_t=None) -> Array:
-    """(strikes,) discounted prices — the scalar-per-strike AD target."""
-    pay = rbergomi_conditional_payoffs(
-        params, spot, strikes, T, chol, key,
-        num_paths=num_paths, num_steps=num_steps, is_call=is_call,
-        xi_t=xi_t)
-    return jnp.exp(-params.r * jnp.asarray(T, jnp.float32)) * jnp.mean(
-        pay, axis=(0, 1))
-
-
 class RoughBergomiEngine:
     """Monte Carlo pricer for the rough Bergomi model.
 
@@ -70,7 +59,10 @@ class RoughBergomiEngine:
     def __init__(self, params: RoughBergomiParams,
                  num_paths: int = 131_072, num_steps: int = 128,
                  seed: int = 42, use_sobol: bool = False,
-                 rqmc_randomizations: int = 8, xi_curve=None):
+                 rqmc_randomizations: int = 8, xi_curve=None,
+                 sampler: str = "auto", lift_factors: int = 24):
+        if sampler not in ("auto", "exact", "lift"):
+            raise ValueError("sampler must be 'auto', 'exact' or 'lift'")
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
@@ -80,6 +72,16 @@ class RoughBergomiEngine:
         # Optional forward-variance term structure (edges, values) —
         # e.g. from `xi_curve_from_variance_swaps`; overrides params.xi.
         self.xi_curve = xi_curve
+        # Vanilla-pricing sampler: "exact" = the O(n²) exact-covariance
+        # matmul; "lift" = the O(n·m) Markovian lift (ops/rough.py:
+        # rbergomi_core_lifted — exact marginals, <1%-kernel-error
+        # autocovariance); "auto" lifts once the step count passes the
+        # matmul's measured knee (steps ≥ 512; QMC stays exact — Sobol's
+        # low-dim structure rides the PCA factor). Path-dependent payoffs
+        # (asian/barrier/lookback/variance legs) always sample the exact
+        # sheet.
+        self.sampler = sampler
+        self.lift_factors = int(lift_factors)
 
     @classmethod
     def from_variance_swaps(cls, params: RoughBergomiParams, maturities,
@@ -114,14 +116,45 @@ class RoughBergomiEngine:
     def _key(self):
         return jax.random.key(self.seed)
 
+    def _use_lift(self) -> bool:
+        if self.sampler == "lift":
+            return True
+        if self.sampler == "exact":
+            return False
+        return self.num_steps >= 512 and not self.use_sobol
+
+    def _remat_chunk(self) -> int:
+        for m in (64, 32, 16, 8):
+            if self.num_steps % m == 0:
+                return m
+        return 0
+
+    def _payoffs(self, params: RoughBergomiParams, spot, strikes_arr, T,
+                 is_call, key, remat_chunk: int = 0) -> Array:
+        """(branches, paths, strikes) conditional-Black payoffs via the
+        selected sampler (`params` explicit so AD callers trace it)."""
+        if self._use_lift():
+            c, d, g, tail = rbergomi_lift(
+                float(params.hurst), float(T), self.num_steps,
+                self.lift_factors)
+            return rbergomi_lifted_payoffs(
+                params, spot, strikes_arr, T, key, c, d, g, tail,
+                num_paths=self.num_paths, num_steps=self.num_steps,
+                is_call=is_call, xi_t=self._xi_t(T),
+                remat_chunk=remat_chunk)
+        return rbergomi_conditional_payoffs(
+            params, spot, strikes_arr, T, self._chol(T), key,
+            num_paths=self.num_paths, num_steps=self.num_steps,
+            is_call=is_call, xi_t=self._xi_t(T))
+
     # ── public surface ───────────────────────────────────────────────────
     def price(self, spot: float, strikes, T: float,
               is_call: bool = True) -> Dict[str, object]:
         strikes_arr = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
         disc = float(np.exp(-float(self.params.r) * T))
         scalar = np.ndim(strikes) == 0
-        chol = self._chol(T)
         if self.use_sobol:
+            chol = self._chol(T)  # the lift path never builds the O(n²) factor
             # Randomized QMC: R independent Owen scrambles of num_paths/R
             # points each; the spread of the R estimates IS the error bar
             # (plain per-path stderr is meaningless for correlated QMC
@@ -151,10 +184,30 @@ class RoughBergomiEngine:
                 "estimator": "conditional-black+rqmc",
                 "rqmc_randomizations": self.rqmc,
             }
-        pay = rbergomi_conditional_payoffs(
-            self.params, spot, strikes_arr, T, chol, self._key(),
-            num_paths=self.num_paths, num_steps=self.num_steps,
-            is_call=is_call, xi_t=self._xi_t(T))
+        estimator = "conditional-black"
+        if self._use_lift() and jax.default_backend() == "tpu":
+            # Fused-kernel forward path: hardware PRNG + vreg factor
+            # state (ops/pallas_kernels.py:rbergomi_lift_integrals_pallas;
+            # the differentiable scan twin stays the greeks path).
+            from mcos_tpu.ops.pallas_kernels import (
+                rbergomi_lift_integrals_pallas)
+            from mcos_tpu.ops.rough import _conditional_black, rbergomi_lift
+
+            p = self.params
+            c, d, g, tail = rbergomi_lift(float(p.hurst), float(T),
+                                          self.num_steps, self.lift_factors)
+            i1, i2 = rbergomi_lift_integrals_pallas(
+                p.eta, T, self.seed, c, d, g, tail, float(p.hurst),
+                num_paths=self.num_paths, num_steps=self.num_steps,
+                xi_t=self._xi_t(T), xi_flat=p.xi)
+            pay = _conditional_black(p, jnp.float32(spot), strikes_arr,
+                                     jnp.float32(T), i1, i2, is_call)
+            estimator += "+lift-pallas"
+        else:
+            pay = self._payoffs(self.params, spot, strikes_arr, T, is_call,
+                                self._key())
+            if self._use_lift():
+                estimator += "+lift"
         mean, se = jax.device_get(_combine_mean_se(pay))
         price = disc * np.asarray(mean)
         stderr = disc * np.asarray(se)
@@ -163,7 +216,7 @@ class RoughBergomiEngine:
             "std_error": float(stderr[0]) if scalar else stderr.tolist(),
             "num_paths_used": self.num_paths,
             "num_steps": self.num_steps,
-            "estimator": "conditional-black",
+            "estimator": estimator,
         }
 
     def greeks(self, spot: float, strike: float, T: float,
@@ -173,16 +226,17 @@ class RoughBergomiEngine:
         gamma via grad-of-grad is unbiased here because every per-path
         payoff is a smooth Black price in S0 (see module header).
         """
-        chol, key = self._chol(T), self._key()
+        key = self._key()
         k_arr = jnp.asarray([strike], jnp.float32)
-
-        xi_t = self._xi_t(T)
+        disc_T = jnp.asarray(T, jnp.float32)
+        # The lifted scan needs rematerialization under AD (the exact
+        # sampler is matmul-only and does not).
+        remat = self._remat_chunk() if self._use_lift() else 0
 
         def scalar_price(s, p: RoughBergomiParams):
-            return _mean_price(p, s, k_arr, T, chol, key,
-                               num_paths=self.num_paths,
-                               num_steps=self.num_steps, is_call=is_call,
-                               xi_t=xi_t)[0]
+            pay = self._payoffs(p, s, k_arr, T, is_call, key,
+                                remat_chunk=remat)
+            return (jnp.exp(-p.r * disc_T) * jnp.mean(pay, axis=(0, 1)))[0]
 
         s0 = jnp.asarray(spot, jnp.float32)
         price, (d_s, d_p) = jax.value_and_grad(

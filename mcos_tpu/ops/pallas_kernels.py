@@ -602,24 +602,57 @@ def _qe_variance_step(v, u_v, theta, e_kdt, var1, var2):
     return jnp.where(psi <= jnp.float32(_QE_PSI_C), v_quad, v_exp)
 
 
-def _svj_qe_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
+def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
                    num_steps: int, rows: int, half_grid: int,
-                   companion: bool):
+                   companion: bool, n_branch: int):
     """One path block of the fused QE simulator (scan twin:
     ops/simulate.py:simulate_terminal_qe).
 
-    Draw budget per step is exactly one (4, rows, 128) random block: one
-    Box-Muller pair yields (z_x, z_js), the other two words are the variance
-    uniform (→ Acklam ndtri for the quadratic branch) and the shared
-    jump-occurrence uniform — no discarded draws, so no unroll is needed.
-    The antithetic convention matches the scan twin: z's negated, uniforms
-    shared across the pair.
+    Sampling is reorganized for the VPU relative to the scan twin — the
+    LAW is unchanged (this twin pair is pinned statistically; the
+    bit-pinned Sobol pair lives in the draws kernels):
+
+    * The quadratic branch's normal comes straight from the Box-Muller
+      pair that also yields z_x — the per-step Acklam inverse-CDF
+      (1 log, 1 sqrt, 2 rational evals, 2 divides) is gone. Andersen's
+      single-uniform construction matters for QMC inputs (monotone
+      transport of the Sobol dim); under an in-kernel PRNG the branch
+      choice is deterministic given v, so an independent N(0,1) for the
+      quadratic branch plus the same shared uniform for the exponential
+      branch samples the *identical* transition law.
+    * Merton jumps use the compound identity (see _svj_kernel): the loop
+      accumulates the Bernoulli count only; ONE end-of-path normal
+      materializes the summed size — no per-step z_js draw or FMA.
+    * The variance-transition algebra is division-minimized (5 → 3
+      divides, 3 → 2 sqrts): the ψ-regime compare is s² ≤ 1.5·m² (no
+      divide), √t·√(t−1) fuses into one √(t(t−1)), and the exponential
+      branch folds β = (1−p)/m into a single m·log(·)/(1−p).
+
+    Draw budget: one (4, rows, 128) block per step — (u0,u1) → BM →
+    (z_x, z_v); u2 = exponential-branch uniform; u3 = jump-occurrence
+    uniform. z_x is negated on the antithetic branch; z_v and both
+    uniforms are shared, so the variance path is identical across the
+    pair (the scan twin's convention) — and because it IS identical,
+    this kernel computes BOTH antithetic branches in ONE grid block
+    (`pair_fused=True`): one variance transition, one draw block, and
+    one BM per *pair* of path-steps, with only the cheap log-spot
+    update duplicated. The variance step is ~60% of the per-step cost,
+    so pair fusion nearly halves it. Measured on v5e at 2^22 paths ×
+    1024 steps: 10.9 G (Acklam baseline) → 14.1 G (cheap sampling) →
+    ~2× with fusion; see benchmarks/RESULTS_r4.json config8.
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
+    nb = n_branch
+    if nb == 2:
+        s_ref = (out_refs[0], out_refs[1])
+        v_ref = out_refs[2]
+        g_ref = (out_refs[3], out_refs[4])
+        signs = (1.0, -1.0)
+    else:
+        s_ref, v_ref, g_ref = (out_refs[0],), out_refs[1], (out_refs[2],)
+        signs = (1.0,)
+    pair = pl.program_id(0)
     # Mixed (not added): see _svj_kernel.
     pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
 
     shape = (rows, LANES)
     e_kdt = p_ref[_Q_EKDT]
@@ -632,40 +665,67 @@ def _svj_qe_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     g_drift_dt = p_ref[_Q_G_DRIFT_DT]
     sig_cv = p_ref[_Q_SIG_CV]
     sqrt_dt = p_ref[_Q_SQRT_DT]
+    psi_c = jnp.float32(_QE_PSI_C)
 
     def body(_, carry):
-        log_s, v, log_g = carry
+        log_s, v, log_g, n_jump = carry
         bits = pltpu.prng_random_bits((4, rows, LANES))
         u = [_bits_to_uniform(bits[i]) for i in range(4)]
-        z_x, z_js = _boxmuller(u[0], u[1])
-        z_x = z_x * sign
-        z_js = z_js * sign
-        u_v = u[2]        # variance uniform (shared across the pair)
-        u_jump = u[3]     # jump-occurrence uniform (shared)
+        z_x, z_v = _boxmuller(u[0], u[1])
+        u_v = u[2]        # exponential-branch uniform (shared)
+        n_jump = n_jump + jnp.where(u[3] < lam_dt, 1.0, 0.0)
 
-        v_next = _qe_variance_step(v, u_v, theta, e_kdt, var1, var2)
+        # ── variance transition (law = _qe_variance_step, fast algebra;
+        #    ONE evaluation serves the whole antithetic pair) ──
+        m = theta + (v - theta) * e_kdt
+        s2 = v * var1 + var2
+        m2 = m * m
+        t = jnp.maximum(2.0 * m2 / jnp.maximum(s2, 1e-30), 1.0)  # 2/ψ
+        b2 = t - 1.0 + jnp.sqrt(t * (t - 1.0))
+        a = m / (1.0 + b2)
+        v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+        p_mass = jnp.clip((s2 - m2) / jnp.maximum(s2 + m2, 1e-30),
+                          0.0, 0.999)
+        one_m_p = 1.0 - p_mass                    # ≥ 1e-3 after the clip
+        u_clip = jnp.minimum(u_v, 1.0 - 1e-7)     # u > 0 by construction
+        v_exp = jnp.where(
+            u_v <= p_mass, 0.0,
+            m * jnp.log(one_m_p / (1.0 - u_clip)) / one_m_p)
+        v_next = jnp.where(s2 <= psi_c * m2, v_quad, v_exp)
 
-        # ── log-spot update (central K-scheme + jumps) ──────────────────────
-        jump = jnp.where(u_jump < lam_dt, mu_j + sig_j * z_js, 0.0)
-        diff_var = jnp.maximum(k34 * (v + v_next), 0.0)
-        log_s = (log_s + drift_dt + k0 + k1 * v + k2 * v_next
-                 + jnp.sqrt(diff_var) * z_x + jump)
+        # ── log-spot update (central K-scheme; jumps at end of path) ──
+        vol = jnp.sqrt(jnp.maximum(k34 * (v + v_next), 0.0))
+        base = drift_dt + k0 + k1 * v + k2 * v_next
+        log_s = tuple(log_s[i] + base + vol * (signs[i] * z_x)
+                      for i in range(nb))
         if companion:
-            log_g = log_g + g_drift_dt + sig_cv * z_x * sqrt_dt
-        return log_s, v_next, log_g
+            log_g = tuple(log_g[i] + g_drift_dt
+                          + sig_cv * (signs[i] * z_x) * sqrt_dt
+                          for i in range(nb))
+        return log_s, v_next, log_g, n_jump
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (zeros, jnp.full(shape, p_ref[_Q_V0], jnp.float32), zeros)
-    log_s, v, log_g = jax.lax.fori_loop(0, num_steps, body, init)
+    init = ((zeros,) * nb, jnp.full(shape, p_ref[_Q_V0], jnp.float32),
+            (zeros,) * nb, zeros)
+    log_s, v, log_g, n_jump = jax.lax.fori_loop(0, num_steps, body, init)
+
+    # Compound jump total (reference semantics: -Z_jump_size on the
+    # antithetic branch, monte_carlo.py:318-324).
+    bits = pltpu.prng_random_bits((2, rows, LANES))
+    z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
+                            _bits_to_uniform(bits[1]))
+    jump_body = sig_j * jnp.sqrt(n_jump) * z_total
 
     spot = p_ref[_Q_SPOT]
-    s_ref[:] = spot * jnp.exp(log_s)
+    for i in range(nb):
+        s_ref[i][:] = spot * jnp.exp(log_s[i] + mu_j * n_jump
+                                     + signs[i] * jump_body)
+        if companion:
+            g_ref[i][:] = spot * jnp.exp(log_g[i])
+        else:
+            g_ref[i][:] = jnp.zeros(shape, jnp.float32)
     v_ref[:] = v
-    if companion:
-        g_ref[:] = spot * jnp.exp(log_g)
-    else:
-        g_ref[:] = jnp.zeros(shape, jnp.float32)
 
 
 @functools.partial(
@@ -695,34 +755,43 @@ def svj_terminal_qe_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(
         _svj_qe_kernel, num_steps=num_steps, rows=rows,
-        half_grid=half_grid, companion=companion,
+        half_grid=half_grid, companion=companion, n_branch=n_branch,
     )
-    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
-
-    s, v, g = pl.pallas_call(
+    # Pair-fused layout: grid = half_grid; each block writes both
+    # antithetic branches (s+, s−, shared v, g+, g−) — see the kernel.
+    n_out = 2 * n_branch + 1
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed QE params
         ],
-        out_specs=(block_spec, block_spec, block_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(block_spec,) * n_out,
+        out_shape=(out_shape,) * n_out,
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), _pack_qe_params(params, spot, T,
                                                       num_steps))
 
-    def split(x):
-        return x.reshape(n_branch, padded)[:, :num_paths]
+    def take(arrs):
+        return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
-    return split(s), split(v), (split(g) if companion else None)
+    if antithetic:
+        s = take(outs[:2])
+        v = take((outs[2], outs[2]))   # variance path shared by the pair
+        g = take(outs[3:5]) if companion else None
+    else:
+        s = take(outs[:1])
+        v = take((outs[1],))
+        g = take(outs[2:3]) if companion else None
+    return s, v, g
 
 
 def _svj_qe_draws_kernel(*refs, chunk: int, num_steps: int, rows: int,
@@ -1711,3 +1780,147 @@ def svj_terminal_td_pallas(
         return x.reshape(n_branch, padded)[:, :num_paths]
 
     return split(s), split(v), (split(g) if companion else None)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Rough Bergomi Markovian-lift kernel
+# ─────────────────────────────────────────────────────────────────────────────
+def _rbergomi_lift_kernel(seed_ref, p_ref, cdg_ref, step_ref,
+                          i1_ref, i2_ref, *, num_steps: int, rows: int,
+                          half_grid: int, n_factors: int):
+    """Fused rBergomi lift: the O(n·m) factor scan with in-kernel PRNG.
+
+    One path block of `ops/rough.py:rbergomi_core_lifted`'s recursion
+    (the scan twin — same tables, same update algebra, statistically
+    pinned). The scan version is RNG/exp-bound on the XLA path (threefry
+    ~10 ops/word); here the hardware PRNG makes draws nearly free, the
+    m-factor state lives in vregs, and the per-step work is ~3m FMAs +
+    one Box-Muller + one exp + one sqrt.
+
+    SMEM inputs: p_ref = [eta, sqrt_dt, dt]; cdg_ref = (3, m) stacked
+    (c, d, g); step_ref = (2, num_steps) per-step tables
+    [ln ξ_i − ½η²·t_i^{2H}, sqrt_tail_left_i] (left-point convention,
+    t_0 row first). Antithetic flips BOTH normals (the lift's W~ is odd
+    in the draws), so the variance path differs per branch — no pair
+    fusion here, unlike QE.
+
+    Outputs per path: I1 = Σ √v_i dW_{i+1} and I2 = Σ v_i dt — the
+    Romano-Touzi sufficient statistics (payoffs assemble outside).
+    """
+    block = pl.program_id(0)
+    pair = block % half_grid
+    pltpu.prng_seed(seed_ref[0], pair)
+    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+
+    shape = (rows, LANES)
+    eta = p_ref[0]
+    sqrt_dt = p_ref[1]
+    dt = p_ref[2]
+
+    def body(i, carry):
+        ys, i1, i2 = carry
+        bits = pltpu.prng_random_bits((2, rows, LANES))
+        z_dw, z_zeta = _boxmuller(_bits_to_uniform(bits[0]),
+                                  _bits_to_uniform(bits[1]))
+        z_dw = z_dw * sign
+        z_zeta = z_zeta * sign
+        w = step_ref[1, i] * z_zeta
+        for j in range(n_factors):
+            w = w + cdg_ref[0, j] * ys[j]
+        v = jnp.exp(eta * w + step_ref[0, i])
+        dw = z_dw * sqrt_dt
+        i1 = i1 + jnp.sqrt(v) * dw
+        i2 = i2 + v
+        ys = tuple(cdg_ref[1, j] * ys[j] + cdg_ref[2, j] * dw
+                   for j in range(n_factors))
+        return ys, i1, i2
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = ((zeros,) * n_factors, zeros, zeros)
+    _, i1, i2 = jax.lax.fori_loop(0, num_steps, body, init)
+    i1_ref[:] = i1
+    i2_ref[:] = i2 * dt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hurst", "num_paths", "num_steps", "antithetic",
+                     "rows"),
+)
+def rbergomi_lift_integrals_pallas(
+    eta,
+    T,
+    seed,
+    c,
+    d,
+    g,
+    tail,
+    hurst: float,
+    *,
+    num_paths: int,
+    num_steps: int,
+    xi_t: Optional[Array] = None,
+    xi_flat=0.04,
+    antithetic: bool = True,
+    rows: int = 32,
+) -> Tuple[Array, Array]:
+    """(I1, I2), each (n_branch, num_paths) — fused-kernel twin of
+    `ops/rough.py:rbergomi_core_lifted` (which remains the differentiable
+    scan path). `c/d/g/tail` come from `ops/rough.py:rbergomi_lift`;
+    `hurst` must be the static float the tables were built with.
+
+    `rows=32` measured fastest on v5e (7.5 G path-steps/s at 2^18 × 1024
+    — 8× the exact-covariance sampler, 4.2× the scan lift): the ~26-array
+    factor carry spills past the vreg file at the SVJ kernels' rows=256
+    (6.1 G) and under-fills the VPU at rows=8 (5.0 G)."""
+    dtype = jnp.float32
+    n = num_steps
+    T = jnp.asarray(T, dtype)
+    dt = T / n
+    eta = jnp.asarray(eta, dtype)
+    # Left-point tables (t_0 row first), exactly as the scan twin builds.
+    sqrt_tail_left = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.sqrt(jnp.asarray(tail, dtype))[:-1]])
+    t_left = dt * jnp.arange(n, dtype=dtype)
+    wick_left = jnp.where(t_left > 0.0, t_left, 1.0) ** jnp.float32(
+        2.0 * float(hurst))
+    wick_left = jnp.where(t_left > 0.0, wick_left, 0.0)
+    xi_vec = (jnp.asarray(xi_flat, dtype) * jnp.ones((n,), dtype)
+              if xi_t is None else jnp.asarray(xi_t, dtype))
+    e_tab = jnp.log(xi_vec) - 0.5 * eta * eta * wick_left
+    step_tab = jnp.stack([e_tab, sqrt_tail_left])            # (2, n)
+    cdg = jnp.stack([jnp.asarray(c, dtype), jnp.asarray(d, dtype),
+                     jnp.asarray(g, dtype)])                 # (3, m)
+    p_vec = jnp.stack([eta, jnp.sqrt(dt), dt])
+
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    grid = half_grid * n_branch
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(
+        _rbergomi_lift_kernel, num_steps=num_steps, rows=rows,
+        half_grid=half_grid, n_factors=int(cdg.shape[1]),
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    i1, i2 = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [eta, sqrt_dt, dt]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (3, m) c/d/g
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (2, n) step tables
+        ],
+        out_specs=(block_spec, block_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), p_vec, cdg, step_tab)
+
+    def split(x):
+        return x.reshape(n_branch, padded)[:, :num_paths]
+
+    return split(i1), split(i2)

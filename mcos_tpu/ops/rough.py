@@ -379,12 +379,42 @@ def rbergomi_conditional_payoffs(params: RoughBergomiParams, spot, strikes,
     _, i1, i2 = rbergomi_core(params, T, chol, key, num_paths=num_paths,
                               num_steps=num_steps, antithetic=antithetic,
                               z=z, xi_t=xi_t, diag_tail=diag_tail)
+    return _conditional_black(params, spot, strikes, T, i1, i2, is_call)
+
+
+def _conditional_black(params: RoughBergomiParams, spot, strikes, T,
+                       i1, i2, is_call) -> Array:
+    """Romano-Touzi payoff assembly shared by the exact-covariance and
+    lifted samplers (one algebra, never forked): per-path Black on
+    F_eff = S0 e^{(r-q)T + rho I1 - rho^2/2 I2}, s^2 = (1-rho^2) I2."""
     f_eff = spot * jnp.exp((params.r - params.q) * T
                            + params.rho * i1
                            - 0.5 * params.rho ** 2 * i2)  # (branches, paths)
     s_eff = jnp.sqrt(jnp.maximum((1.0 - params.rho ** 2) * i2, 0.0))
     return _black_on_forward(f_eff[..., None], strikes[None, None, :],
                              s_eff[..., None], is_call)
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
+                                   "remat_chunk"))
+def rbergomi_lifted_payoffs(params: RoughBergomiParams, spot, strikes,
+                            T, key, c, d, g, tail, *, num_paths: int,
+                            num_steps: int, is_call,
+                            antithetic: bool = True,
+                            xi_t: Optional[Array] = None,
+                            remat_chunk: int = 0) -> Array:
+    """`rbergomi_conditional_payoffs` through the Markovian-lift sampler
+    (`rbergomi_core_lifted`): same (branches, paths, strikes) conditional
+    Black payoffs, same smooth-AD property, O(n·m) instead of O(n²)."""
+    dtype = jnp.float32
+    spot = jnp.asarray(spot, dtype)
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, dtype))
+    T = jnp.asarray(T, dtype)
+    _, i1, i2 = rbergomi_core_lifted(
+        params, T, key, c, d, g, tail, num_paths=num_paths,
+        num_steps=num_steps, antithetic=antithetic, xi_t=xi_t,
+        remat_chunk=remat_chunk)
+    return _conditional_black(params, spot, strikes, T, i1, i2, is_call)
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
@@ -494,3 +524,165 @@ def rbergomi_path_stats(params: RoughBergomiParams, spot, T, chol, key, *,
         outs["s_max"].append(jnp.max(s, axis=1))
         outs["s_min"].append(jnp.min(s, axis=1))
     return {k2: jnp.stack(v2) for k2, v2 in outs.items()}
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Markovian lift — O(n·m) scan sampler that breaks the O(n²) matmul wall
+# ─────────────────────────────────────────────────────────────────────────────
+@lru_cache(maxsize=32)
+def _lift_cached(hurst: float, T: float, num_steps: int, n_factors: int):
+    """Host-side lift tables for `rbergomi_core_lifted`.
+
+    The Volterra kernel sqrt(2H)·τ^{H-1/2} is a Laplace mixture; reuse the
+    moment-matched exponential-sum nodes built for rough Heston
+    (`ops/roughheston.py:lifted_kernel_nodes`, <1% sup error on [dt, T]),
+    rescaled by κ = sqrt(2H)·Γ(H+1/2) to this kernel's normalization. Then
+
+        W~_t ≈ Σ_j c_j Y_j(t),   Y_j(t_{i+1}) = e^{-x_j dt} Y_j(t_i)
+                                              + e^{-x_j dt/2} ΔW_{i+1},
+
+    an O(n·m) scan instead of the exact sampler's O(n²)-per-path matmul
+    (m = n_factors = 24 default). The midpoint loading e^{-x_j dt/2} is
+    the exact stochastic-convolution weight for mid-step mass; stiff
+    nodes decay correctly instead of overshooting.
+
+    What the truncation loses is the kernel's *intra-step singular mass*
+    (~30% of Var[W~] at H = 0.07 — see `rbergomi_conditional_factor`,
+    which measured the same residual to be nearly diagonal). The lift
+    tops it up the same way: `tail[i] = t_{i+1}^{2H} − Var[W~^lift]`,
+    added as an independent per-grid-point normal, so **every marginal
+    Var[W~_t] — and with it E[v_t] = ξ(t) — is exact**; only sub-dt
+    autocorrelation detail is approximated (pinned against the exact
+    sampler in tests/test_rough.py).
+
+    Returns f32 (c (m,), d (m,), g (m,), tail (n,)).
+    """
+    import math
+
+    from mcos_tpu.ops.roughheston import lifted_kernel_nodes
+
+    h = float(hurst)
+    n = int(num_steps)
+    dt = float(T) / n
+    c, x = lifted_kernel_nodes(round(h, 10), round(float(T), 10), dt,
+                               int(n_factors))
+    c = np.asarray(c, np.float64)
+    x = np.asarray(x, np.float64)
+    kappa = math.sqrt(2.0 * h) * math.gamma(h + 0.5)
+    c = kappa * c
+    d = np.exp(-x * dt)
+    g = np.exp(-0.5 * x * dt)
+    # Memoryless top-up node (d = 0): the kernel fit lives on [dt, T], so
+    # the lift underweights the SAME-STEP cross-covariance E[W~_t ΔW_t] —
+    # the sub-dt singular mass is ~25% of it at H = 0.07, and that cross
+    # term IS the finest-scale leverage (measured: without it, OTM wings
+    # under rho = -0.9 price ~8% high). One extra factor that forgets
+    # everything each step carries exactly the missing mass:
+    # E[W~ ΔW]_exact = sqrt(2H)/(H+1/2)·dt^{H+1/2}.
+    cross_exact = math.sqrt(2.0 * h) / (h + 0.5) * dt ** (h + 0.5)
+    c0 = cross_exact / dt - float(np.sum(c * g))
+    if c0 > 1e-12:
+        c = np.append(c, c0)
+        d = np.append(d, 0.0)
+        g = np.append(g, 1.0)
+    # Delivered Var[W~_{t_i}] under the recursion: Cov_Y(i) = D∘Cov_Y(i-1)
+    # + G with D = d dᵀ, G = dt·g gᵀ (common ΔW across factors).
+    D = np.outer(d, d)
+    G = np.outer(g, g) * dt
+    S = np.zeros_like(D)
+    var_deliv = np.empty(n)
+    for i in range(n):
+        S = D * S + G
+        var_deliv[i] = float(c @ S @ c)
+    t = dt * np.arange(1, n + 1)
+    tail = np.maximum(t ** (2.0 * h) - var_deliv, 0.0)
+    return (c.astype(np.float32), d.astype(np.float32),
+            g.astype(np.float32), tail.astype(np.float32))
+
+
+def rbergomi_lift(hurst: float, T: float, num_steps: int,
+                  n_factors: int = 24):
+    """Public cached accessor: (c, d, g, tail) for rbergomi_core_lifted."""
+    return _lift_cached(round(float(hurst), 10), round(float(T), 10),
+                        int(num_steps), int(n_factors))
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic",
+                                   "remat_chunk"))
+def rbergomi_core_lifted(params: RoughBergomiParams, T, key, c, d, g, tail,
+                         *, num_paths: int, num_steps: int,
+                         antithetic: bool = True,
+                         xi_t: Optional[Array] = None,
+                         remat_chunk: int = 0
+                         ) -> Tuple[Array, Array, Array]:
+    """`rbergomi_core` contract — (v_mean_t, I1, I2) — via the Markovian
+    lift: a `lax.scan` carrying the (m, branches, paths) factor state
+    instead of the (paths, 2n) covariance matmul. Wall-clock is O(n·m)
+    per path, so steps = 1024+ (the exact sampler's O(n²) knee —
+    benchmarks config10) runs at scan speed; PRNG-only (QMC callers keep
+    the exact PCA factor, where Sobol's low-dim structure pays).
+
+    Same left-point v convention, same ΔW drives v and I1 (the spot leg),
+    same antithetic convention (Z and −Z share one draw set — the tail
+    normals flip sign too, like every other draw). The Wick compensator
+    uses t^{2H} exactly — legitimate because the tail top-up makes the
+    delivered Var[W~_t] exact (see `_lift_cached`).
+
+    `remat_chunk`: as in roughheston.lifted_terminal — AD callers must
+    set it (backward pass otherwise stores the factor block per step).
+    """
+    dtype = jnp.float32
+    n = num_steps
+    h = float(params.hurst)
+    T = jnp.asarray(T, dtype)
+    dt = T / n
+    sqrt_dt = jnp.sqrt(dt)
+    nb = 2 if antithetic else 1
+    sign = jnp.array([1.0, -1.0], dtype)[:nb, None]
+
+    c_ = jnp.asarray(c, dtype)[:, None, None]
+    d_ = jnp.asarray(d, dtype)[:, None, None]
+    g_ = jnp.asarray(g, dtype)[:, None, None]
+    # Left-point tables: index i holds the t_i value (t_0 = 0 row first).
+    sqrt_tail_left = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.sqrt(jnp.asarray(tail, dtype))[:-1]])
+    t_left = dt * jnp.arange(n, dtype=dtype)
+    wick_left = jnp.where(t_left > 0.0, t_left, 1.0) ** jnp.float32(2 * h)
+    wick_left = jnp.where(t_left > 0.0, wick_left, 0.0)
+    xi_vec = (params.xi * jnp.ones((n,), dtype) if xi_t is None
+              else jnp.asarray(xi_t, dtype))
+    eta = jnp.asarray(params.eta, dtype)
+
+    def step(carry, i):
+        y, i1, i2 = carry
+        z = jax.random.normal(jax.random.fold_in(key, i),
+                              (2, num_paths), dtype)
+        dw = (z[0] * sign) * sqrt_dt                   # (nb, paths)
+        zeta = z[1] * sign
+        w_left = jnp.sum(c_ * y, axis=0) + sqrt_tail_left[i] * zeta
+        v = xi_vec[i] * jnp.exp(eta * w_left
+                                - 0.5 * eta * eta * wick_left[i])
+        i1 = i1 + jnp.sqrt(v) * dw
+        i2 = i2 + v * dt
+        y = d_ * y + g_ * dw[None]
+        return (y, i1, i2), jnp.mean(v)
+
+    zeros = jnp.zeros((nb, num_paths), dtype)
+    init = (jnp.zeros((c_.shape[0], nb, num_paths), dtype), zeros, zeros)
+    if remat_chunk:
+        if num_steps % remat_chunk:
+            raise ValueError(f"num_steps={num_steps} not a multiple of "
+                             f"remat_chunk={remat_chunk}")
+
+        @partial(jax.checkpoint, prevent_cse=False)
+        def chunk(carry, chunk_idx):
+            return jax.lax.scan(
+                step, carry,
+                chunk_idx * remat_chunk + jnp.arange(remat_chunk))
+
+        (y, i1, i2), v_means = jax.lax.scan(
+            chunk, init, jnp.arange(num_steps // remat_chunk))
+        v_means = v_means.reshape(-1)
+    else:
+        (y, i1, i2), v_means = jax.lax.scan(step, init, jnp.arange(n))
+    return v_means, i1, i2

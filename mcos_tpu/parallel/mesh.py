@@ -1014,3 +1014,186 @@ def sharded_basket_price(
     if beta is not None:
         out["cv_beta"] = float(beta)
     return out
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded MLMC (VERDICT r3 §4: levels and paths are embarrassingly parallel)
+# ─────────────────────────────────────────────────────────────────────────────
+@lru_cache(maxsize=64)
+def _sharded_mlmc_level_fn(mesh, ppd, level, base_steps, is_call, axis_name):
+    """Build-once jitted shard_map for one MLMC level at ppd paths/device."""
+    from mcos_tpu.engine.mlmc import _coupled_level, _level_zero
+
+    def local(params_, spot_, strike_, T_, key_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        if level == 0:
+            m, m2 = _level_zero(params_, spot_, strike_, T_, dev_key,
+                                num_paths=ppd, num_steps=base_steps,
+                                is_call=is_call)
+        else:
+            m, m2 = _coupled_level(
+                params_, spot_, strike_, T_, dev_key, num_paths=ppd,
+                num_coarse_steps=base_steps * 2 ** (level - 1),
+                is_call=is_call)
+        n = jnp.float32(ppd)
+        sums = {"n": n, "sum": m * n, "sumsq": m2 * n}
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 5,
+                                 out_specs=spec, check_vma=False))
+
+
+def sharded_mlmc_price(
+    params: SVJParams,
+    spot,
+    strike,
+    T,
+    *,
+    mesh: Mesh,
+    is_call: bool = True,
+    eps: float = 0.05,
+    base_steps: int = 4,
+    max_levels: int = 8,
+    pilot_paths: int = 8_192,
+    max_paths_per_level: int = 4_000_000,
+    seed: int = 0,
+    axis_name: str = "paths",
+) -> Dict[str, object]:
+    """Mesh-sharded multilevel Monte Carlo (engine/mlmc.py over a mesh).
+
+    Each Giles level's correction estimator is an iid mean — the textbook
+    path-sharded workload: every device runs `n/n_dev` coupled fine/coarse
+    pairs with a device-folded key and the (n, Σ, Σ²) triple pools by
+    psum (the exact-moment-pooling discipline of every driver here). The
+    Giles allocation loop itself (`engine/mlmc.py:giles_driver`) is shared
+    VERBATIM with the single-device entry — only run_level differs. Path
+    counts round to power-of-two × n_dev so jit shapes stay bounded.
+    """
+    n_dev = mesh.shape[axis_name]
+    rng_root = jax.random.key(seed)
+    from mcos_tpu.engine.mlmc import giles_driver
+
+    def run_level(level: int, n: int):
+        n = int(min(max(n, 256 * n_dev), max_paths_per_level))
+        n = 1 << int(np.ceil(np.log2(n)))
+        ppd = max(n // n_dev, 1)
+        key = jax.random.fold_in(rng_root, level * 1000 + n % 997)
+        stats = _sharded_mlmc_level_fn(
+            mesh, ppd, level, base_steps, is_call, axis_name)(
+            params, jnp.float32(spot), jnp.float32(strike),
+            jnp.float32(T), key)
+        stats = jax.device_get(stats)
+        n_used = float(stats["n"])
+        return int(n_used), float(stats["sum"]) / n_used, \
+            float(stats["sumsq"]) / n_used
+
+    out = giles_driver(run_level, eps=eps, base_steps=base_steps,
+                       max_levels=max_levels, pilot_paths=pilot_paths)
+    out["num_devices"] = int(n_dev)
+    return out
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded XVA exposure profile (VERDICT r3 §4: THE 1e6-path × long-horizon
+# workload multi-chip exists for)
+# ─────────────────────────────────────────────────────────────────────────────
+@lru_cache(maxsize=64)
+def _sharded_exposure_fn(mesh, ppd, quota, axis_name):
+    """Build-once jitted shard_map for `sharded_exposure_profile`."""
+    from mcos_tpu.engine.exposure import _exposure_values
+
+    def local(spots_, sigmas_, chol_, r_, q_, dates_, key_, kind_, strike_,
+              mat_, qty_, asset_):
+        idx = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(key_, idx)
+        net, gross, _ = _exposure_values(
+            spots_, sigmas_, chol_, r_, q_, dates_, dev_key, kind_,
+            strike_, mat_, qty_, asset_, num_paths=ppd)
+        pos = jnp.maximum(net, 0.0)                       # (dates, ppd)
+        n = jnp.float32(ppd)
+        sums = {
+            "n": n,
+            "ee_sum": jnp.mean(pos, axis=1) * n,          # pairwise means
+            "ene_sum": jnp.mean(jnp.maximum(-net, 0.0), axis=1) * n,
+            "gross_sum": jnp.mean(jnp.maximum(gross, 0.0), axis=1) * n,
+        }
+        sums = jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+        # Per-date local top-`quota` exposures; the global top-k (k ≤
+        # quota) is a subset of the union — same exact-tail discipline as
+        # sharded_portfolio_returns.
+        sums["tail"] = jax.lax.all_gather(
+            jax.lax.top_k(pos, quota)[0], axis_name, axis=1, tiled=True)
+        return sums
+
+    spec = P()
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 12,
+                                 out_specs=spec, check_vma=False))
+
+
+def sharded_exposure_profile(
+    engine,
+    *,
+    mesh: Mesh,
+    num_dates: int = 32,
+    horizon: Optional[float] = None,
+    quantile: float = 0.975,
+    num_paths: Optional[int] = None,
+    axis_name: str = "paths",
+) -> Dict[str, object]:
+    """Mesh-sharded EE/ENE/PFE/EPE profile for an `ExposureEngine` book.
+
+    The date-grid scan is O(dates) and identical on every device; the path
+    axis — the expensive one (a CVA desk wants 1e6+ paths over multi-year
+    horizons) — shards across the mesh with device-folded keys. EE/ENE/
+    gross pool as exact moment sums; the PFE quantile pools by the
+    exact-tail union: each device contributes its local worst
+    `quota ≥ 1.6·k/n_dev + 64` exposures per date, and the global k-th
+    order statistic is read off the gathered union (guaranteed exact when
+    no device holds more than `quota` of the global top-k; quota is sized
+    so that holds with overwhelming probability, and deterministically
+    whenever quota ≥ k).
+
+    Output matches `ExposureEngine.profile` (uncollateralized; CSA paths
+    stay on the single-device engine).
+    """
+    mat = engine.pos_arrays[2]
+    horizon = float(horizon or mat.max())
+    n_dev = mesh.shape[axis_name]
+    total = int(num_paths or engine.num_paths)
+    ppd = -(-total // n_dev)
+    k = max(int(np.ceil((1.0 - quantile) * ppd * n_dev)), 1)
+    quota = int(min(ppd, max(np.ceil(1.6 * k / n_dev) + 64, 64)))
+    dates = np.linspace(horizon / num_dates, horizon,
+                        num_dates).astype(np.float32)
+    kind, strike, mat_a, qty, asset = engine.pos_arrays
+    stats = _sharded_exposure_fn(mesh, ppd, quota, axis_name)(
+        jnp.asarray(engine.spots), jnp.asarray(engine.sigmas),
+        jnp.asarray(engine.chol), jnp.float32(engine.r),
+        jnp.asarray(engine.q), jnp.asarray(dates),
+        jax.random.key(engine.seed), jnp.asarray(kind),
+        jnp.asarray(strike), jnp.asarray(mat_a), jnp.asarray(qty),
+        jnp.asarray(asset))
+    stats = jax.device_get(stats)
+    n = float(stats["n"])
+    ee = np.asarray(stats["ee_sum"]) / n
+    ene = np.asarray(stats["ene_sum"]) / n
+    gross_ee = np.asarray(stats["gross_sum"]) / n
+    tail = np.sort(np.asarray(stats["tail"]), axis=1)[:, ::-1]
+    k_eff = min(max(int(np.ceil((1.0 - quantile) * n)), 1), tail.shape[1])
+    pfe = tail[:, k_eff - 1]
+    disc = np.exp(-engine.r * dates)
+    return {
+        "dates": dates.tolist(),
+        "ee": ee.tolist(),
+        "ene": ene.tolist(),
+        "pfe": pfe.tolist(),
+        "pfe_quantile": quantile,
+        "gross_ee": gross_ee.tolist(),
+        "epe": float(np.mean(disc * ee)),
+        "ene_avg": float(np.mean(disc * ene)),
+        "netting_benefit": float(np.mean(disc * (gross_ee - ee))),
+        "num_paths_used": int(n),
+        "num_devices": int(n_dev),
+    }

@@ -41,6 +41,8 @@ def differential_evolution(
     x0: Array | None = None,
     args=None,
     static_kwargs: tuple = (),
+    mesh=None,
+    pop_axis: str = "paths",
 ) -> DEResult:
     """DE/rand/1/bin with a fully vectorized population.
 
@@ -59,20 +61,32 @@ def differential_evolution(
         args: traced data pytree forwarded to obj_fn (None ⇒ closure mode).
         static_kwargs: ((name, value), ...) hashable compile-time settings
             forwarded as keyword args.
+        mesh: optional `jax.sharding.Mesh` — shards the POPULATION axis
+            across `pop_axis` devices, so each device evaluates
+            pop_size/n_dev full objective calls per generation (the
+            per-member MC pricing is what dominates; the (pop, dim)
+            population itself is bytes, so the generation step's random
+            cross-member gathers are free). pop_size rounds up to a
+            multiple of the axis size.
+        pop_axis: mesh axis name carrying the population.
 
     Returns:
         DEResult with the best member, value, and per-generation best history.
     """
     closure_mode = args is None
+    if mesh is not None:
+        n_dev = mesh.shape[pop_axis]
+        pop_size = int(-(-pop_size // n_dev) * n_dev)
     return _de_impl(obj_fn, jnp.asarray(bounds, jnp.float32), key,
                     () if closure_mode else args, x0,
                     pop_size=pop_size, iters=iters, mutation=mutation,
                     crossover=crossover, static_kwargs=tuple(static_kwargs),
-                    closure_mode=closure_mode)
+                    closure_mode=closure_mode, mesh=mesh, pop_axis=pop_axis)
 
 
 @partial(jax.jit, static_argnames=("obj_fn", "pop_size", "iters",
-                                   "static_kwargs", "closure_mode"))
+                                   "static_kwargs", "closure_mode",
+                                   "mesh", "pop_axis"))
 def _de_impl(
     obj_fn,
     bounds: Array,
@@ -86,6 +100,8 @@ def _de_impl(
     crossover: float,
     static_kwargs: tuple,
     closure_mode: bool,
+    mesh=None,
+    pop_axis: str = "paths",
 ) -> DEResult:
     lo, hi = bounds[:, 0], bounds[:, 1]
     dim = bounds.shape[0]
@@ -95,11 +111,20 @@ def _de_impl(
         static = dict(static_kwargs)
         scalar_obj = lambda x: obj_fn(x, args, **static)  # noqa: E731
     batched_obj = jax.vmap(scalar_obj)
+    if mesh is None:
+        shard_pop = lambda p: p                           # noqa: E731
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec(pop_axis))
+        shard_pop = lambda p: jax.lax.with_sharding_constraint(  # noqa: E731
+            p, sharding)
 
     k_init, k_loop = jax.random.split(key)
     pop = lo + (hi - lo) * jax.random.uniform(k_init, (pop_size, dim))
     if x0 is not None:
         pop = pop.at[0].set(jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi))
+    pop = shard_pop(pop)
     fitness = batched_obj(pop)
 
     def generation(carry, k_gen):
@@ -117,7 +142,7 @@ def _de_impl(
         forced = jax.nn.one_hot(
             jax.random.randint(k_forced, (pop_size,), 0, dim), dim,
             dtype=bool)
-        trial = jnp.where(cross | forced, mutant, pop)
+        trial = shard_pop(jnp.where(cross | forced, mutant, pop))
 
         f_trial = batched_obj(trial)
         improved = f_trial < fitness

@@ -495,3 +495,37 @@ def test_metrics_endpoint_counts_requests():
     snap = srv.METRICS.snapshot()
     assert snap["endpoints"]["/api/regime"]["count"] == before + 1
     assert "uptime_s" in snap
+
+
+def test_security_and_cache_headers(base_url):
+    """The reference ships these via vercel.json:3-41; the stdlib server
+    must set them itself (VERDICT r3 hardening item)."""
+    req = urllib.request.Request(f"{base_url}/api/health")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        h = resp.headers
+        assert h["X-Content-Type-Options"] == "nosniff"
+        assert h["X-Frame-Options"] == "DENY"
+        assert h["Referrer-Policy"] == "strict-origin-when-cross-origin"
+        assert h["Cache-Control"] == "no-store"
+    # Static HTML shell revalidates; the server may run without the UI
+    # bundled, in which case the 404 JSON still carries the headers.
+    try:
+        with urllib.request.urlopen(f"{base_url}/", timeout=60) as resp:
+            assert resp.headers["X-Content-Type-Options"] == "nosniff"
+            assert "must-revalidate" in resp.headers["Cache-Control"]
+    except urllib.error.HTTPError as e:
+        assert e.headers["X-Content-Type-Options"] == "nosniff"
+
+
+def test_oversized_body_rejected_413(base_url):
+    big = json.dumps({"spot": 22500, "pad": "x" * (11 * 1024 * 1024)})
+    req = urllib.request.Request(
+        f"{base_url}/api/price", data=big.encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    # The server answers 413 without draining the oversized body, so the
+    # client may instead observe a reset while still writing — both are
+    # the refusal we are testing for.
+    with pytest.raises(urllib.error.URLError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    if isinstance(ei.value, urllib.error.HTTPError):
+        assert ei.value.code == 413

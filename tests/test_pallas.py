@@ -517,3 +517,48 @@ def test_stats_kernel_corridor_matches_scan_under_svj():
     gap = abs(float(pal["price"]) - float(scan["price"]))
     tol = 6 * (float(pal["std_error"]) + float(scan["std_error"]))
     assert gap < tol, (float(pal["price"]), float(scan["price"]), tol)
+
+
+def test_rbergomi_lift_kernel_compiles_and_shape():
+    """Interpreter smoke for the fused lift kernel (statistics TPU-gated)."""
+    from mcos_tpu.ops.pallas_kernels import rbergomi_lift_integrals_pallas
+    from mcos_tpu.ops.rough import rbergomi_lift
+
+    c, d, g, tail = rbergomi_lift(0.07, 0.5, 16)
+    i1, i2 = rbergomi_lift_integrals_pallas(
+        1.9, 0.5, 3, c, d, g, tail, 0.07, num_paths=N, num_steps=16,
+        rows=8)
+    assert i1.shape == (2, N) and i2.shape == (2, N)
+    assert bool(jnp.all(jnp.isfinite(i1)))
+    assert bool(jnp.all(i2 >= 0.0))
+
+
+@tpu_only
+def test_rbergomi_lift_kernel_matches_scan_statistics():
+    """Fused lift kernel vs its differentiable scan twin: same law of
+    (I1, I2) — and through the shared conditional-Black assembly, the
+    same smile."""
+    from mcos_tpu.ops.pallas_kernels import rbergomi_lift_integrals_pallas
+    from mcos_tpu.ops.rough import (RoughBergomiParams,
+                                    rbergomi_core_lifted, rbergomi_lift)
+
+    p = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
+    n_paths, n_steps, T = 1 << 18, 128, 0.5
+    c, d, g, tail = rbergomi_lift(p.hurst, T, n_steps)
+    i1k, i2k = rbergomi_lift_integrals_pallas(
+        p.eta, T, 11, c, d, g, tail, p.hurst,
+        num_paths=n_paths, num_steps=n_steps, xi_flat=p.xi)
+    _, i1s, i2s = rbergomi_core_lifted(
+        p, T, jax.random.key(11), c, d, g, tail,
+        num_paths=n_paths, num_steps=n_steps)
+    for name, a, b, scale in [
+        ("I1 mean", i1k.mean(), i1s.mean(),
+         float(jnp.std(i1s)) / np.sqrt(n_paths)),
+        ("I2 mean", i2k.mean(), i2s.mean(),
+         float(jnp.std(i2s)) / np.sqrt(n_paths)),
+    ]:
+        assert abs(float(a) - float(b)) < 6 * scale, name
+    assert float(jnp.std(i1k)) == pytest.approx(float(jnp.std(i1s)),
+                                                rel=0.02)
+    assert float(jnp.std(i2k)) == pytest.approx(float(jnp.std(i2s)),
+                                                rel=0.03)

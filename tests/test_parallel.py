@@ -658,3 +658,156 @@ def test_basket_engine_mesh_route_matches_single():
     assert sh["num_devices"] == jax.device_count()
     joint = 5 * np.hypot(sh["std_error"], single["std_error"])
     assert abs(sh["price"] - single["price"]) < max(joint, 0.05)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded MLMC (r4)
+# ─────────────────────────────────────────────────────────────────────────────
+def test_sharded_mlmc_level_matches_pooled_single_device():
+    """One sharded level = the union of 8 key-folded single-device runs,
+    pooled by exact moment sums (f32-roundoff identical)."""
+    from mcos_tpu.engine.mlmc import _coupled_level
+
+    svj = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.04,
+                    lambda_j=0.5, mu_j=-0.05, sigma_j=0.1)
+    m = pmesh.make_mesh()
+    key = jax.random.key(7)
+    ppd, level, base = 1024, 2, 4
+    fn = pmesh._sharded_mlmc_level_fn(m, ppd, level, base, True, "paths")
+    stats = jax.device_get(fn(svj, jnp.float32(100.0), jnp.float32(100.0),
+                              jnp.float32(0.5), key))
+    acc_n = acc_s = acc_s2 = 0.0
+    for d in range(8):
+        mu, mu2 = _coupled_level(
+            svj, 100.0, 100.0, 0.5, jax.random.fold_in(key, d),
+            num_paths=ppd, num_coarse_steps=base * 2 ** (level - 1),
+            is_call=True)
+        acc_n += ppd
+        acc_s += float(mu) * ppd
+        acc_s2 += float(mu2) * ppd
+    assert float(stats["n"]) == acc_n
+    assert float(stats["sum"]) == pytest.approx(acc_s, rel=1e-5)
+    assert float(stats["sumsq"]) == pytest.approx(acc_s2, rel=1e-5)
+
+
+def test_sharded_mlmc_price_matches_bs_oracle():
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_mlmc_price(p, 100.0, 100.0, 0.5, mesh=m,
+                                   eps=0.05, pilot_paths=4096, seed=5)
+    ref = float(bs_price(100.0, 100.0, 0.5, 0.065, 0.012, 0.2, True))
+    tol = max(4 * res["std_error"] + 2 * res["bias_estimate"], 0.15)
+    assert abs(res["price"] - ref) < tol
+    assert res["num_devices"] == 8
+    assert res["num_levels"] >= 3
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded XVA exposure (r4)
+# ─────────────────────────────────────────────────────────────────────────────
+def _exposure_engine(num_paths=16_384):
+    from mcos_tpu.engine.exposure import ExposureEngine
+
+    positions = [
+        {"kind": "call", "strike": 100.0, "T": 1.0, "qty": 2.0, "asset": 0},
+        {"kind": "put", "strike": 95.0, "T": 0.75, "qty": -1.0, "asset": 1},
+        {"kind": "forward", "strike": 102.0, "T": 1.0, "qty": 1.0,
+         "asset": 0},
+    ]
+    return ExposureEngine([100.0, 80.0], [0.25, 0.35],
+                          [[1.0, 0.4], [0.4, 1.0]], positions,
+                          num_paths=num_paths, seed=11)
+
+
+def test_sharded_exposure_moments_match_pooled_single_device():
+    """EE/ENE/gross pool as exact moment sums over the 8 key-folded
+    device slices; PFE comes off the exact-tail union."""
+    from mcos_tpu.engine.exposure import _exposure_values
+
+    eng = _exposure_engine()
+    m = pmesh.make_mesh()
+    prof = pmesh.sharded_exposure_profile(eng, mesh=m, num_dates=8)
+    ppd = eng.num_paths // 8
+    kind, strike, mat, qty, asset = (jnp.asarray(a) for a in eng.pos_arrays)
+    dates = jnp.asarray(np.asarray(prof["dates"], np.float32))
+    key = jax.random.key(eng.seed)
+    ee = np.zeros(8)
+    pos_all = []
+    for d in range(8):
+        net, _, _ = _exposure_values(
+            jnp.asarray(eng.spots), jnp.asarray(eng.sigmas),
+            jnp.asarray(eng.chol), jnp.float32(eng.r), jnp.asarray(eng.q),
+            dates, jax.random.fold_in(key, d), kind, strike, mat, qty,
+            asset, num_paths=ppd)
+        pos = np.maximum(np.asarray(net), 0.0)
+        pos_all.append(pos)
+        ee += pos.mean(axis=1) * ppd
+    ee /= eng.num_paths
+    np.testing.assert_allclose(np.asarray(prof["ee"]), ee, rtol=2e-5)
+    # PFE: k-th order statistic of the union path set, exactly.
+    pos_union = np.concatenate(pos_all, axis=1)
+    k = max(int(np.ceil(0.025 * pos_union.shape[1])), 1)
+    pfe_ref = np.sort(pos_union, axis=1)[:, -k]
+    np.testing.assert_allclose(np.asarray(prof["pfe"]), pfe_ref, rtol=2e-5)
+
+
+def test_sharded_exposure_profile_sane():
+    eng = _exposure_engine(8_192)
+    m = pmesh.make_mesh()
+    prof = pmesh.sharded_exposure_profile(eng, mesh=m, num_dates=8)
+    ee = np.asarray(prof["ee"])
+    pfe = np.asarray(prof["pfe"])
+    assert np.all(pfe >= ee - 1e-5)          # tail above the mean
+    assert np.all(np.asarray(prof["gross_ee"]) >= ee - 1e-4)
+    assert prof["epe"] > 0.0
+    assert prof["num_devices"] == 8
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# DE population sharding (r4): calibrate(mesh=...)
+# ─────────────────────────────────────────────────────────────────────────────
+def test_de_population_sharding_matches_unsharded():
+    """with_sharding_constraint partitions the same program — the DE
+    trajectory is identical up to f32 reduction order."""
+    from mcos_tpu.utils.optim import differential_evolution
+
+    def rosen(x):
+        return (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    bounds = np.array([[-2.0, 2.0], [-1.0, 3.0]], np.float32)
+    key = jax.random.key(3)
+    r0 = differential_evolution(rosen, bounds, key, pop_size=32, iters=60)
+    r1 = differential_evolution(rosen, bounds, key, pop_size=32, iters=60,
+                                mesh=pmesh.make_mesh())
+    assert float(r1.fun) == pytest.approx(float(r0.fun), abs=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                               atol=1e-4)
+    # Non-divisible populations round up to the axis size.
+    r2 = differential_evolution(rosen, bounds, key, pop_size=10, iters=20,
+                                mesh=pmesh.make_mesh())
+    assert np.isfinite(float(r2.fun))
+
+
+def test_calibrate_population_sharded_matches_single_device():
+    """Full two-stage calibrate() with the DE population sharded over the
+    8-device mesh lands on the single-device optimum (same seed, same
+    draws; only the vmapped member axis is partitioned)."""
+    from mcos_tpu.engine.calibration import CalibrationEngine
+    from mcos_tpu.ops.cos_pricer import cos_price
+
+    true = SVJParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6, v0=0.045,
+                     lambda_j=0.8, mu_j=-0.06, sigma_j=0.12)
+    spot, T = 100.0, 0.4
+    strikes = np.array([90.0, 95.0, 100.0, 105.0, 110.0], np.float32)
+    market = np.asarray(cos_price(true, spot, strikes, T, True))
+    kw = dict(is_call=True, r=float(true.r), q=float(true.q),
+              num_paths=8_192, num_steps=16, seed=4, pop_size=16,
+              polish=False)
+    single = CalibrationEngine().calibrate(spot, strikes, T, market, **kw)
+    sharded = CalibrationEngine().calibrate(spot, strikes, T, market,
+                                            mesh=pmesh.make_mesh(), **kw)
+    a = np.asarray(single["params"].to_array(), np.float64)
+    b = np.asarray(sharded["params"].to_array(), np.float64)
+    np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)
+    assert sharded["stage1_result"]["error"] == pytest.approx(
+        single["stage1_result"]["error"], rel=1e-3)

@@ -463,3 +463,97 @@ def test_factor_rank_validation():
         rbergomi_chol(0.07, 0.5, 64, transform="conditional")
     with pytest.raises(ValueError):
         rbergomi_conditional_factor(0.07, 0.5, 64, rank=0)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Markovian lift (O(n·m) sampler)
+# ─────────────────────────────────────────────────────────────────────────────
+def test_lift_variance_marginals_exact():
+    """The tail top-up makes every delivered Var[W~_t] exact, so
+    E[v_t] = xi must hold at every grid point (Wick compensator with the
+    exact t^{2H})."""
+    from mcos_tpu.ops.rough import rbergomi_core_lifted, rbergomi_lift
+
+    n, paths = 128, 60_000
+    c, d, g, tail = rbergomi_lift(H, 1.0, n)
+    vm, _, _ = rbergomi_core_lifted(FULL, 1.0, jax.random.key(2),
+                                    c, d, g, tail,
+                                    num_paths=paths, num_steps=n)
+    vm = np.asarray(vm)
+    # Lognormal with log-var up to eta^2 ~ 3.6: the mean estimator is
+    # heavy-tailed, so test the pooled average and a loose per-point band.
+    assert abs(vm.mean() - FULL.xi) < 0.15 * FULL.xi
+    assert np.all(vm > 0.2 * FULL.xi) and np.all(vm < 5.0 * FULL.xi)
+
+
+def test_lift_tail_shrinks_with_factors():
+    """More exponential nodes capture more of the kernel, leaving less
+    for the diagonal top-up (sub-dt mass stays — it is incompressible)."""
+    from mcos_tpu.ops.rough import rbergomi_lift
+
+    _, _, _, tail8 = rbergomi_lift(H, 1.0, 256, n_factors=8)
+    _, _, _, tail24 = rbergomi_lift(H, 1.0, 256, n_factors=24)
+    assert tail24.sum() <= tail8.sum() + 1e-9
+
+
+def test_lift_half_hurst_is_brownian():
+    """H = 1/2 degenerates the kernel to a constant: the lift is exactly
+    one factor with x = 0, the tail vanishes, and W~ IS the driving BM."""
+    from mcos_tpu.ops.rough import rbergomi_lift
+
+    c, d, g, tail = rbergomi_lift(0.5, 1.0, 64)
+    assert c.shape == (1,) and abs(float(c[0]) - 1.0) < 1e-6
+    assert abs(float(d[0]) - 1.0) < 1e-7 and abs(float(g[0]) - 1.0) < 1e-7
+    assert float(np.max(tail)) < 1e-7
+
+
+def test_lift_prices_match_exact_sampler():
+    """The headline pin: lifted vanilla prices vs the exact-covariance
+    sampler across the smile, at matched path budgets."""
+    from mcos_tpu.ops.rough import rbergomi_lifted_payoffs, rbergomi_lift
+
+    T, n, paths = 0.5, 256, 1 << 16
+    strikes = jnp.asarray([85.0, 95.0, 100.0, 105.0, 115.0], jnp.float32)
+    disc = float(np.exp(-FULL.r * T))
+    chol = jnp.asarray(rbergomi_chol(H, T, n))
+    pay_ex = rbergomi_conditional_payoffs(
+        FULL, 100.0, strikes, T, chol, jax.random.key(5),
+        num_paths=paths, num_steps=n, is_call=True).mean(axis=0)
+    c, d, g, tail = rbergomi_lift(H, T, n)
+    pay_li = rbergomi_lifted_payoffs(
+        FULL, 100.0, strikes, T, jax.random.key(6), c, d, g, tail,
+        num_paths=paths, num_steps=n, is_call=True).mean(axis=0)
+    for i in range(strikes.shape[0]):
+        pe = disc * float(pay_ex[:, i].mean())
+        se = disc * float(pay_ex[:, i].std()) / np.sqrt(paths)
+        pl_ = disc * float(pay_li[:, i].mean())
+        sl = disc * float(pay_li[:, i].std()) / np.sqrt(paths)
+        joint = float(np.hypot(se, sl))
+        assert abs(pe - pl_) < max(5 * joint, 0.015 * pe), (
+            float(strikes[i]), pe, pl_)
+
+
+def test_lift_engine_routing_and_greeks():
+    """sampler='lift' prices within bars of sampler='exact' and its AD
+    delta/gamma stay smooth (remat path); 'auto' lifts at >= 512 steps."""
+    p = RoughBergomiParams(xi=0.04, eta=1.5, rho=-0.7, hurst=0.1)
+    kw = dict(num_paths=1 << 15, num_steps=128, seed=9)
+    ex = RoughBergomiEngine(p, sampler="exact", **kw)
+    li = RoughBergomiEngine(p, sampler="lift", **kw)
+    re_ = ex.price(100.0, 100.0, 0.5)
+    rl = li.price(100.0, 100.0, 0.5)
+    assert rl["estimator"].endswith("+lift")
+    joint = float(np.hypot(re_["std_error"], rl["std_error"]))
+    assert abs(re_["price"] - rl["price"]) < max(5 * joint,
+                                                 0.02 * re_["price"])
+    gl = li.greeks(100.0, 100.0, 0.5)
+    assert 0.3 < gl["delta"] < 0.8
+    assert gl["gamma"] > 0.0
+    assert np.isfinite(gl["d_eta"]) and np.isfinite(gl["vega_xi"])
+    # auto: knee at 512 steps
+    assert not RoughBergomiEngine(p, num_steps=256)._use_lift()
+    assert RoughBergomiEngine(p, num_steps=512)._use_lift()
+    assert not RoughBergomiEngine(p, num_steps=512,
+                                  use_sobol=True)._use_lift()
+    with pytest.raises(ValueError):
+        RoughBergomiEngine(p, sampler="nope")
