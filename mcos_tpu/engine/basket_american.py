@@ -235,16 +235,14 @@ def lsm_basket_train(params_batch: SVJParams, spots: Array,
     return {"policy": coefs, "value": coefs_v}
 
 
-@partial(jax.jit, static_argnames=("num_paths", "n_ex", "steps_per_period",
-                                   "kind", "is_call"))
-def lsm_basket_lower_bound(params_batch: SVJParams, spots: Array,
-                           corr_chol: Array, strike, T, r_num, key: Array,
-                           coefs: Array, *, num_paths: int, n_ex: int,
-                           steps_per_period: int, kind: str, is_call: bool,
-                           weights: Optional[Array] = None
-                           ) -> Dict[str, Array]:
-    """Evaluate the FIXED stopping rule on fresh paths → a true lower
-    bound (any measurable rule under-prices the Bermudan)."""
+def _lower_bound_pairs(params_batch: SVJParams, spots: Array,
+                       corr_chol: Array, strike, T, r_num, key: Array,
+                       coefs: Array, *, num_paths: int, n_ex: int,
+                       steps_per_period: int, kind: str, is_call: bool,
+                       weights: Optional[Array] = None) -> Array:
+    """(num_paths,) antithetic-pair values of the FIXED stopping rule on
+    fresh paths (the lower-bound estimator's per-pair samples; shared by
+    the single-device wrapper and the mesh driver)."""
     from mcos_tpu.engine.basket import simulate_basket_states
 
     dtype = jnp.float32
@@ -279,21 +277,34 @@ def lsm_basket_lower_bound(params_batch: SVJParams, spots: Array,
         fwd, init, (jnp.arange(n_ex - 1, dtype=dtype), coefs, sheet[:-1]))
     disc_T = jnp.exp(-r_num * jnp.asarray(T, dtype))
     value = jnp.where(stopped, value, disc_T * payoff(sheet[-1]))
-    pair = 0.5 * (value[:num_paths] + value[num_paths:])
+    return 0.5 * (value[:num_paths] + value[num_paths:])
+
+
+@partial(jax.jit, static_argnames=("num_paths", "n_ex", "steps_per_period",
+                                   "kind", "is_call"))
+def lsm_basket_lower_bound(params_batch: SVJParams, spots: Array,
+                           corr_chol: Array, strike, T, r_num, key: Array,
+                           coefs: Array, *, num_paths: int, n_ex: int,
+                           steps_per_period: int, kind: str, is_call: bool,
+                           weights: Optional[Array] = None
+                           ) -> Dict[str, Array]:
+    """Evaluate the FIXED stopping rule on fresh paths → a true lower
+    bound (any measurable rule under-prices the Bermudan)."""
+    pair = _lower_bound_pairs(
+        params_batch, spots, corr_chol, strike, T, r_num, key, coefs,
+        num_paths=num_paths, n_ex=n_ex, steps_per_period=steps_per_period,
+        kind=kind, is_call=is_call, weights=weights)
     return {"price": jnp.mean(pair),
             "std_error": jnp.std(pair) / jnp.sqrt(jnp.float32(num_paths))}
 
 
-@partial(jax.jit, static_argnames=("n_outer", "n_inner", "n_ex",
-                                   "steps_per_period", "kind", "is_call"))
-def dual_upper_bound_basket(params_batch: SVJParams, spots: Array,
-                            corr_chol: Array, strike, T, r_num,
-                            key: Array, coefs_v: Array, *, n_outer: int,
-                            n_inner: int, n_ex: int,
-                            steps_per_period: int, kind: str,
-                            is_call: bool,
-                            weights: Optional[Array] = None
-                            ) -> Dict[str, Array]:
+def _dual_pairs(params_batch: SVJParams, spots: Array,
+                corr_chol: Array, strike, T, r_num,
+                key: Array, coefs_v: Array, *, n_outer: int,
+                n_inner: int, n_ex: int,
+                steps_per_period: int, kind: str,
+                is_call: bool,
+                weights: Optional[Array] = None) -> Array:
     """Haugh-Kogan / Andersen-Broadie dual upper bound for the multi-asset
     Bermudan: M built from the trained value function V̂_k, conditional
     expectations by antithetic nested one-PERIOD simulations (each inner
@@ -389,7 +400,25 @@ def dual_upper_bound_basket(params_batch: SVJParams, spots: Array,
         dual_step, init,
         (jnp.arange(n_ex, dtype=dtype), coef_rows, s_prev, v_prev,
          s_sheet))
-    pair = 0.5 * (best[:n_outer] + best[n_outer:])
+    return 0.5 * (best[:n_outer] + best[n_outer:])
+
+
+@partial(jax.jit, static_argnames=("n_outer", "n_inner", "n_ex",
+                                   "steps_per_period", "kind", "is_call"))
+def dual_upper_bound_basket(params_batch: SVJParams, spots: Array,
+                            corr_chol: Array, strike, T, r_num,
+                            key: Array, coefs_v: Array, *, n_outer: int,
+                            n_inner: int, n_ex: int,
+                            steps_per_period: int, kind: str,
+                            is_call: bool,
+                            weights: Optional[Array] = None
+                            ) -> Dict[str, Array]:
+    """Single-device wrapper over `_dual_pairs` (see its docstring)."""
+    pair = _dual_pairs(
+        params_batch, spots, corr_chol, strike, T, r_num, key, coefs_v,
+        n_outer=n_outer, n_inner=n_inner, n_ex=n_ex,
+        steps_per_period=steps_per_period, kind=kind, is_call=is_call,
+        weights=weights)
     return {"price": jnp.mean(pair),
             "std_error": jnp.std(pair) / jnp.sqrt(jnp.float32(n_outer))}
 

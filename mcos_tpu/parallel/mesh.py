@@ -1197,3 +1197,130 @@ def sharded_exposure_profile(
         "num_paths_used": int(n),
         "num_devices": int(n_dev),
     }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded basket-American duality bracket (VERDICT r3 §4: the dual's nested
+# inner simulations are the n_outer × n_inner × n_ex × sub-steps workload)
+# ─────────────────────────────────────────────────────────────────────────────
+@lru_cache(maxsize=64)
+def _sharded_bounds_fn(mesh, ppd_lo, ppd_hi, n_inner, n_ex,
+                       steps_per_period, kind, is_call, has_weights,
+                       axis_name):
+    """Build-once jitted shard_map for `sharded_basket_bounds`."""
+    from mcos_tpu.engine.basket_american import (_dual_pairs,
+                                                 _lower_bound_pairs)
+
+    def local(params_, spots_, chol_, strike_, T_, r_num_, key_lo, key_hi,
+              coefs_p, coefs_v, weights_):
+        idx = jax.lax.axis_index(axis_name)
+        w = weights_ if has_weights else None
+        lo_pair = _lower_bound_pairs(
+            params_, spots_, chol_, strike_, T_, r_num_,
+            jax.random.fold_in(key_lo, idx), coefs_p, num_paths=ppd_lo,
+            n_ex=n_ex, steps_per_period=steps_per_period, kind=kind,
+            is_call=is_call, weights=w)
+        hi_pair = _dual_pairs(
+            params_, spots_, chol_, strike_, T_, r_num_,
+            jax.random.fold_in(key_hi, idx), coefs_v, n_outer=ppd_hi,
+            n_inner=n_inner, n_ex=n_ex,
+            steps_per_period=steps_per_period, kind=kind,
+            is_call=is_call, weights=w)
+        sums = {}
+        for tag, pair, n in (("lo", lo_pair, ppd_lo),
+                             ("hi", hi_pair, ppd_hi)):
+            sums[tag] = {"n": jnp.float32(n),
+                         "sum": jnp.mean(pair) * n,
+                         "sumsq": jnp.mean(pair * pair) * n}
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), sums)
+
+    spec = P()
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec,) * 11,
+                                 out_specs=spec, check_vma=False))
+
+
+def sharded_basket_bounds(
+    engine,
+    spots,
+    strike,
+    T,
+    *,
+    mesh: Mesh,
+    kind: str = "max",
+    is_call: bool = True,
+    weights=None,
+    n_ex: int = 9,
+    steps_per_period: int = 1,
+    n_outer: int = 2048,
+    n_inner: int = 64,
+    axis_name: str = "paths",
+) -> Dict[str, float]:
+    """Mesh-sharded Bermudan duality bracket (engine/basket_american.py:
+    price_bounds_basket over a mesh).
+
+    The regressions train ONCE on the engine's training sheet (host-level,
+    replicated into the mesh as coefficients — the policy is a ~(n_ex, 13)
+    table, bytes); what shards is the expensive part: the out-of-sample
+    lower-bound evaluation and the Andersen-Broadie dual's antithetic
+    nested inner simulations (n_outer × n_inner one-period restarts), each
+    device running its key-folded slice of the outer paths and pooling
+    exact (n, Σ, Σ²) pair moments. The algebra is `_lower_bound_pairs` /
+    `_dual_pairs` itself — shared with the single-device wrappers, never
+    forked.
+    """
+    from mcos_tpu.engine.basket_american import (_ma_payoff_fn,
+                                                 lsm_basket_train)
+
+    if kind not in ("max", "min", "basket"):
+        raise ValueError("kind must be 'max', 'min', or 'basket'")
+    if kind == "basket" and weights is None:
+        raise ValueError("kind='basket' needs weights")
+    n_dev = mesh.shape[axis_name]
+    n_assets = len(engine.params_list)
+    w = (jnp.asarray(weights, jnp.float32) if weights is not None
+         else None)
+    spots_a = jnp.asarray(spots, jnp.float32)
+    r_num = float(engine.params_list[0].r)
+    k_train, k_eval, k_dual = jax.random.split(
+        jax.random.key(engine.seed), 3)
+    static = dict(n_ex=int(n_ex), steps_per_period=int(steps_per_period),
+                  kind=kind, is_call=is_call)
+    coefs = lsm_basket_train(
+        engine._batch, spots_a, engine._chol, strike, T, r_num, k_train,
+        num_paths=engine.num_paths, weights=w, **static)
+    ppd_lo = -(-engine.num_paths // n_dev)
+    ppd_hi = max(-(-int(n_outer) // n_dev), 2)
+    n_inner = int(n_inner) - int(n_inner) % 2
+    w_arg = w if w is not None else jnp.full((n_assets,),
+                                             1.0 / n_assets, jnp.float32)
+    stats = _sharded_bounds_fn(
+        mesh, ppd_lo, ppd_hi, n_inner, int(n_ex), int(steps_per_period),
+        kind, is_call, w is not None, axis_name)(
+        engine._batch, spots_a, engine._chol, jnp.float32(strike),
+        jnp.float32(T), jnp.float32(r_num), k_eval, k_dual,
+        coefs["policy"], coefs["value"], w_arg)
+    stats = jax.device_get(stats)
+
+    def reduce(tag):
+        n = float(stats[tag]["n"])
+        mean = float(stats[tag]["sum"]) / n
+        var = max(float(stats[tag]["sumsq"]) / n - mean * mean, 0.0)
+        return mean, float(np.sqrt(var / n)), n
+
+    lo, lo_se, n_lo = reduce("lo")
+    hi, hi_se, n_hi = reduce("hi")
+    payoff = _ma_payoff_fn(jnp.float32(strike), kind, is_call, w_arg)
+    intrinsic = float(payoff(spots_a[:, None])[0])
+    lower = max(lo, intrinsic)
+    return {
+        "lower_bound": lower,
+        "lower_se": lo_se,
+        "upper_bound": hi,
+        "upper_se": hi_se,
+        "duality_gap": hi - lower,
+        "price": 0.5 * (lower + hi),
+        "n_exercise": int(n_ex),
+        "n_outer": int(n_hi),
+        "n_inner": n_inner,
+        "num_devices": int(n_dev),
+    }

@@ -811,3 +811,58 @@ def test_calibrate_population_sharded_matches_single_device():
     np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)
     assert sharded["stage1_result"]["error"] == pytest.approx(
         single["stage1_result"]["error"], rel=1e-3)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded basket-American duality bracket (r4)
+# ─────────────────────────────────────────────────────────────────────────────
+def test_sharded_basket_bounds_matches_pooled_single_device():
+    """Same trained coefficients, same key-folded path union: the sharded
+    bracket's pooled moments must equal an explicit 8-slice pooling of the
+    shared pair estimators (f32 roundoff)."""
+    from mcos_tpu.engine.basket import BasketEngine
+    from mcos_tpu.engine.basket_american import (_dual_pairs,
+                                                 _lower_bound_pairs,
+                                                 lsm_basket_train)
+
+    svj = SVJParams(kappa=3.0, theta=0.04, xi=1e-3, rho=0.0, v0=0.04,
+                    lambda_j=0.0)
+    eng = BasketEngine([svj, svj], [[1.0, 0.3], [0.3, 1.0]],
+                       num_paths=2048, num_steps=8, seed=21)
+    m = pmesh.make_mesh()
+    res = pmesh.sharded_basket_bounds(
+        eng, [100.0, 100.0], 100.0, 0.5, mesh=m, kind="max", n_ex=4,
+        steps_per_period=1, n_outer=512, n_inner=8)
+    assert res["num_devices"] == 8
+    assert res["upper_bound"] >= res["lower_bound"] - 3 * (
+        res["lower_se"] + res["upper_se"])
+
+    # Reproduce the lower bound by explicit pooling.
+    spots_a = jnp.asarray([100.0, 100.0], jnp.float32)
+    r_num = float(svj.r)
+    k_train, k_eval, k_dual = jax.random.split(jax.random.key(eng.seed), 3)
+    static = dict(n_ex=4, steps_per_period=1, kind="max", is_call=True)
+    coefs = lsm_basket_train(eng._batch, spots_a, eng._chol, 100.0, 0.5,
+                             r_num, k_train, num_paths=eng.num_paths,
+                             **static)
+    acc = []
+    for d in range(8):
+        pair = _lower_bound_pairs(
+            eng._batch, spots_a, eng._chol, 100.0, 0.5, r_num,
+            jax.random.fold_in(k_eval, d), coefs["policy"],
+            num_paths=2048 // 8, **static)
+        acc.append(np.asarray(pair))
+    pooled = np.concatenate(acc)
+    lo_ref = max(float(pooled.mean()),
+                 0.0)  # ATM max-call intrinsic = 0
+    assert res["lower_bound"] == pytest.approx(lo_ref, rel=1e-5, abs=1e-5)
+
+    hi_acc = []
+    for d in range(8):
+        pair = _dual_pairs(
+            eng._batch, spots_a, eng._chol, 100.0, 0.5, r_num,
+            jax.random.fold_in(k_dual, d), coefs["value"],
+            n_outer=512 // 8, n_inner=8, **static)
+        hi_acc.append(np.asarray(pair))
+    hi_ref = float(np.concatenate(hi_acc).mean())
+    assert res["upper_bound"] == pytest.approx(hi_ref, rel=1e-5, abs=1e-5)
