@@ -445,6 +445,47 @@ def config10_rough_scaling(quick):
                    cond_paths_per_sec=round(2 * paths / (ms_c / 1000)),
                    cond_price=round(disc * pc, 4),
                    speedup=round(ms / ms_c, 2))
+
+        # Markovian lift (r4): O(n·m) scan twin + the fused Pallas kernel
+        # (hardware PRNG, vreg factor state) — the route that breaks the
+        # O(n²) wall outright (engine sampler="auto" takes it at n ≥ 512).
+        from mcos_tpu.ops.rough import (rbergomi_lift,
+                                        rbergomi_lifted_payoffs)
+
+        c_l, d_l, g_l, tail_l = rbergomi_lift(p.hurst, T, n)
+
+        def run_lift(_):
+            pay = rbergomi_lifted_payoffs(
+                p, 100.0, jnp.asarray([100.0]), T, jax.random.key(3),
+                c_l, d_l, g_l, tail_l, num_paths=paths, num_steps=n,
+                is_call=True)
+            return float(pay.mean())
+
+        pl_, ms_l = timed(run_lift, 0, trials=3)
+        row.update(lift_ms=round(ms_l, 1),
+                   lift_paths_per_sec=round(2 * paths / (ms_l / 1000)),
+                   lift_price=round(disc * pl_, 4),
+                   lift_speedup=round(ms / ms_l, 2))
+        if jax.default_backend() == "tpu":
+            from mcos_tpu.ops.pallas_kernels import (
+                rbergomi_lift_integrals_pallas)
+            from mcos_tpu.ops.rough import _conditional_black
+
+            def run_lift_pallas(_):
+                i1, i2 = rbergomi_lift_integrals_pallas(
+                    p.eta, T, 3, c_l, d_l, g_l, tail_l, p.hurst,
+                    num_paths=paths, num_steps=n, xi_flat=p.xi)
+                pay = _conditional_black(p, jnp.float32(100.0),
+                                         jnp.asarray([100.0]),
+                                         jnp.float32(T), i1, i2, True)
+                return float(pay.mean())
+
+            pk, ms_k = timed(run_lift_pallas, 0, trials=3)
+            row.update(
+                lift_pallas_ms=round(ms_k, 1),
+                lift_pallas_paths_per_sec=round(2 * paths / (ms_k / 1000)),
+                lift_pallas_price=round(disc * pk, 4),
+                lift_pallas_speedup=round(ms / ms_k, 2))
         out[f"steps_{n}"] = row
     return out
 
