@@ -1,0 +1,200 @@
+"""Empirical VPU roofline for the Pallas path-simulation kernels.
+
+VERDICT r3 item 5: "55.6x the north-star" says nothing about how much
+headroom is left. This harness answers that with an *empirical* roofline:
+
+1. Microbenchmark the per-element throughput of every VPU op class the
+   kernels spend time in (exp, log, sqrt, sin+cos, divide, FMA chain,
+   hardware-PRNG draw + uniform conversion, Acklam ndtri) using Pallas
+   kernels whose block stays resident in vregs — the same regime the
+   simulation kernels run in (no HBM traffic inside the step loop).
+2. Combine the measured throughputs with a hand-audited per-path-step op
+   count for each simulation kernel (counts documented in KERNEL_OPS
+   below, cross-referenced to the kernel sources).
+3. Attainable path-steps/s = 1 / sum_i(count_i / throughput_i) — the
+   serial-issue VPU model: every op class occupies the vector unit, so
+   the best case is the sum of their reciprocal throughputs. Percent of
+   attainable = measured (benchmarks/RESULTS config8/config10) / that.
+
+Run on real TPU: python benchmarks/roofline.py [--measured RESULTS.json]
+Prints one JSON document; docs/BENCHMARKS.md carries the narrated table.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LANES = 128
+ROWS = 256
+GRID = 64
+UNROLL = 8          # op applications per loop iteration (amortize loop cost)
+ITERS = 256         # fori_loop trips -> UNROLL * ITERS op evals per element
+
+
+def _ops():
+    """Bounded self-maps so a repeated application can't overflow/denormal
+    and the compiler can't fold the chain (each output feeds the next)."""
+    import jax
+    import jax.numpy as jnp
+    from mcos_tpu.ops.pallas_kernels import (_bits_to_uniform, _ndtri_kernel)
+    from jax.experimental.pallas import tpu as pltpu
+
+    def rand(x):
+        bits = pltpu.prng_random_bits((ROWS, LANES))
+        # one draw block + one uniform conversion, accumulated (bounded
+        # growth: +~0.5/eval, ~1e5 evals max -> fine in f32)
+        return x + _bits_to_uniform(bits)
+
+    return {
+        # x in (0,1] -> exp(-x) in [0.37,1): contraction toward 0.567
+        "exp": lambda x: jnp.exp(-x),
+        # fixed point of log(x)+1.5 is ~2.36; stays in [1,3]
+        "log": lambda x: jnp.log(x) + 1.5,
+        # fixed point of sqrt(x)+0.25 is ~1.57
+        "sqrt": lambda x: jnp.sqrt(x) + 0.25,
+        # Box-Muller uses BOTH; measure the pair as issued in the kernels
+        "sincos": lambda x: jnp.cos(x) + jnp.sin(x),
+        "div": lambda x: 1.0 / (x + 1.5),
+        # one multiply-add; fixed point 1.0
+        "fma": lambda x: x * 0.999 + 0.001,
+        "rand_uniform": rand,
+        # keep the argument strictly inside (0,1); |ndtri| <= 2.06 here
+        "ndtri": lambda x: _ndtri_kernel(jnp.clip(
+            x * jnp.float32(0.21) + 0.5, 0.02, 0.98)),
+    }
+
+
+def measure_op_throughputs(trials=3):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = {}
+    for name, fn in _ops().items():
+        def kernel(x_ref, o_ref, *, fn=fn, name=name):
+            if name == "rand_uniform":
+                pltpu.prng_seed(12345, pl.program_id(0))
+
+            def body(_, x):
+                for _u in range(UNROLL):
+                    x = fn(x)
+                return x
+            o_ref[:] = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
+
+        spec = pl.BlockSpec((ROWS, LANES), lambda b: (b, 0))
+        run = jax.jit(lambda x: pl.pallas_call(
+            kernel, grid=(GRID,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((GRID * ROWS, LANES),
+                                           jnp.float32))(x))
+        x0 = jnp.full((GRID * ROWS, LANES), 0.6, jnp.float32)
+        # device_get, not block_until_ready: the axon tunnel's
+        # block_until_ready returns before execution completes (see
+        # benchmarks/suite.py:timed); summing to a scalar first keeps the
+        # synchronizing transfer tiny.
+        total = jax.jit(lambda x: jnp.float32(run(x).sum()))
+        jax.device_get(total(x0))                 # compile
+        best = np.inf
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.device_get(total(x0))
+            best = min(best, time.perf_counter() - t0)
+        evals = GRID * ROWS * LANES * UNROLL * ITERS
+        results[name] = evals / best
+    return results
+
+
+# Hand-audited per-OUTPUT-path-step op counts (ops/pallas_kernels.py).
+# "Output path-step" = one path advanced one step on one antithetic branch;
+# kernels that fuse the antithetic pair into one block (QE) or share a
+# Box-Muller pair across two steps are already divided through.
+KERNEL_OPS = {
+    # _gbm_kernel (pair-fused): per 2 steps per PAIR (4 output path-steps):
+    # 1 draw block (2 subblocks -> 2 u2f), 1 BM (log+sqrt+sin+cos),
+    # ~4 cheap vector ops per output step (scaled z + drift FMA).
+    "gbm": {"rand_uniform": 0.5, "log": 0.25, "sqrt": 0.25, "sincos": 0.25,
+            "fma": 4.0},
+    # _svj_kernel (pair-fused, companion on): per 2 steps per PAIR
+    # (4 output path-steps): 6 draws, 2 BM; per output step: 1 sqrt(v)
+    # + ~18 cheap (drift/var/jump updates per branch + shared dW2/CV).
+    "svj_euler": {"rand_uniform": 1.5, "log": 0.5, "sqrt": 1.5,
+                  "sincos": 0.5, "fma": 18.0},
+    # _svj_qe_kernel (pair-fused, companion on): per step per PAIR:
+    # 4 draws, 1 BM, variance: 2 sqrt + 1 log + ~3 div, vol sqrt,
+    # ~22 cheap shared + 2x4 per-branch updates. Divide by 2 branches.
+    "svj_qe": {"rand_uniform": 2.0, "log": 1.0, "sqrt": 2.0,
+               "sincos": 0.5, "div": 1.5, "fma": 15.0},
+    # _rbergomi_lift_kernel (m=24 factors, pair-fused via state linearity):
+    # per step per PAIR: 1 draw block (2 subblocks -> 2 u2f), 1 BM, ONE
+    # factor scan (3m = 72 FMA), then per branch 1 exp + 1 sqrt + ~5 misc.
+    # Per output path-step: 36 + ~6 FMA, 1 exp, 1 sqrt(v) + BM quarters.
+    "rbergomi_lift_m24": {"rand_uniform": 0.5, "exp": 1.0, "log": 0.25,
+                          "sqrt": 1.25, "sincos": 0.25, "fma": 42.0},
+}
+
+
+def attainable(tputs):
+    out = {}
+    for kname, counts in KERNEL_OPS.items():
+        t_per_step = 0.0
+        for op, cnt in counts.items():
+            t_per_step += cnt / tputs[op]
+        out[kname] = 1.0 / t_per_step
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measured", default=None,
+                    help="RESULTS_*.json to pull measured path-steps/s from")
+    args = ap.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+    if backend != "tpu":
+        raise SystemExit("roofline.py measures the hardware VPU — run on "
+                         "real TPU (the interpreter has no PRNG and no "
+                         "meaningful op timings).")
+    tputs = measure_op_throughputs()
+    att = attainable(tputs)
+
+    report = {
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "block": {"rows": ROWS, "lanes": LANES, "grid": GRID,
+                  "evals_per_element": UNROLL * ITERS},
+        "op_throughput_per_sec": tputs,
+        "kernel_ops_per_path_step": KERNEL_OPS,
+        "attainable_path_steps_per_sec": att,
+    }
+
+    if args.measured and os.path.exists(args.measured):
+        with open(args.measured) as fh:
+            res = json.load(fh)
+        meas = {}
+        c8 = res.get("config8_sustained", {})
+        for key, kname in [("gbm_path_steps_per_sec", "gbm"),
+                           ("svj_path_steps_per_sec", "svj_euler"),
+                           ("qe_path_steps_per_sec", "svj_qe")]:
+            if key in c8:
+                meas[kname] = c8[key]
+        c10 = res.get("config10_rough_scaling", {})
+        row = c10.get("steps_1024", {})
+        if "lift_pallas_paths_per_sec" in row:
+            meas["rbergomi_lift_m24"] = row["lift_pallas_paths_per_sec"] * 1024
+        report["measured_path_steps_per_sec"] = meas
+        report["pct_of_attainable"] = {
+            k: 100.0 * v / att[k] for k, v in meas.items() if k in att}
+
+    print(json.dumps(report, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

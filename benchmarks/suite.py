@@ -26,17 +26,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, warmup=1, trials=3, **kw):
+def _sync(out):
+    """Synchronize on a pytree of device values — by fetching a SCALAR
+    probe reduction of every leaf, NOT block_until_ready: the axon TPU
+    plugin's block_until_ready returns before the tunneled execution
+    completes (measured: a 350 ms kernel chain "blocked" in 0.1 ms),
+    silently turning every timing into dispatch latency. The probe sum
+    dispatches after its producer, so its arrival proves completion; a
+    scalar fetch costs ~0.2 ms where device_get of a 1e6-path result
+    would bill the tunnel transfer to the kernel being timed."""
     import jax
+    import jax.numpy as jnp
 
+    jax.device_get([jnp.sum(leaf) for leaf in jax.tree.leaves(out)
+                    if hasattr(leaf, "block_until_ready")])
+    return out
+
+
+def timed(fn, *args, warmup=1, trials=3, **kw):
     for _ in range(warmup):
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        out = _sync(fn(*args, **kw))
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        out = _sync(fn(*args, **kw))
         times.append(time.perf_counter() - t0)
     return out, min(times) * 1000
 
@@ -487,6 +500,63 @@ def config10_rough_scaling(quick):
                 lift_pallas_price=round(disc * pk, 4),
                 lift_pallas_speedup=round(ms / ms_k, 2))
         out[f"steps_{n}"] = row
+
+    # Sustained production-scale comparison at the deepest ladder rung:
+    # single-call timings above carry a fixed ~28 ms host->device round
+    # trip that swamps the lift kernel (its whole 2^17x1024 call is ~25 ms
+    # of compute), so the ladder's lift_pallas_speedup under-reports the
+    # kernel by ~2.5x. Chain calls inside one jit (config8's discipline)
+    # and scale paths to a desk batch. The exact sampler's O(paths x 2n)
+    # draw matrix + matmul output are ~2.1 GB each at 2^18x1024 (still
+    # runnable; 2^20 would need ~17 GB and OOM a v5e) — one call is
+    # already >100 ms of compute, so it needs no chaining.
+    if jax.default_backend() == "tpu" and not quick:
+        import functools
+
+        from mcos_tpu.ops.pallas_kernels import rbergomi_lift_integrals_pallas
+        from mcos_tpu.ops.rough import _conditional_black
+
+        n, big, chain = 1024, 1 << 18, 4
+        c_l, d_l, g_l, tail_l = rbergomi_lift(p.hurst, T, n)
+        strikes = jnp.asarray([100.0])
+
+        @jax.jit
+        def sustained_lift(seed0):
+            acc = jnp.float32(0.0)
+            for i in range(chain):
+                i1, i2 = rbergomi_lift_integrals_pallas(
+                    p.eta, T, seed0 + i, c_l, d_l, g_l, tail_l, p.hurst,
+                    num_paths=big, num_steps=n, xi_flat=p.xi)
+                acc = acc + _conditional_black(
+                    p, jnp.float32(100.0), strikes, jnp.float32(T),
+                    i1, i2, True).mean()
+            return acc / chain
+
+        ps, ms_s = timed(sustained_lift, 0, trials=3)
+        chol_big = jnp.asarray(rbergomi_chol(p.hurst, T, n))
+
+        def exact_big(_):
+            pay = rbergomi_conditional_payoffs(
+                p, 100.0, strikes, T, chol_big, jax.random.key(3),
+                num_paths=big, num_steps=n, is_call=True)
+            return float(pay.mean())
+
+        pe, ms_e = timed(exact_big, 0, trials=3)
+        total = chain * 2 * big * n
+        out["sustained_1024"] = {
+            "workload": f"{chain} chained calls x 2^18 paths x 2 branches "
+                        f"x {n} steps (lift kernel) vs one exact-sampler "
+                        "call at the same per-call scale",
+            "lift_pallas_ms": round(ms_s, 1),
+            "lift_pallas_path_steps_per_sec": round(total / (ms_s / 1000)),
+            "lift_pallas_paths_per_sec": round(
+                chain * 2 * big / (ms_s / 1000)),
+            "lift_pallas_price": round(disc * float(ps), 4),
+            "exact_ms": round(ms_e, 1),
+            "exact_paths_per_sec": round(2 * big / (ms_e / 1000)),
+            "exact_price": round(disc * pe, 4),
+            "speedup": round(chain * ms_e / ms_s, 2),  # paths/s ratio
+        }
     return out
 
 
@@ -613,7 +683,7 @@ def config12_corridor(quick):
             st = svj_path_stats_pallas(
                 gp, 100.0, 0.5, seed, bridge_log_b=log_b,
                 corridor=corridor, bridge_log_l=log_l, **kw)
-            return st["log_surv"].block_until_ready()
+            return st["log_surv"]  # timed()'s probe sync handles completion
 
         for label, corr in (("single_bridge", False), ("corridor", True)):
             _, ms = timed(lambda s: run(s, corr), 3, trials=3)

@@ -169,8 +169,8 @@ def _ndtri_kernel(u: Array) -> Array:
 # ─────────────────────────────────────────────────────────────────────────────
 # SVJ kernel
 # ─────────────────────────────────────────────────────────────────────────────
-def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
-                num_steps: int, rows: int, half_grid: int, companion: bool):
+def _svj_kernel(seed_ref, p_ref, *out_refs,
+                num_steps: int, rows: int, companion: bool, n_branch: int):
     """One path block of the fused SVJ simulator (see module docstring).
 
     The loop advances TWO steps per iteration with fully-utilized Box-Muller
@@ -186,14 +186,24 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     *timing* matters. Removing the third per-pair BM transform measured
     +37% sustained on v5e (15.8 → 21.6 G path-steps/s at 2^22 × 1024).
     Odd step counts run one single-step tail (statically unrolled).
+
+    Like QE, the antithetic pair is fused into ONE grid block: the
+    branches flip both normals, so the variance paths differ (both v
+    carries stay), but the draws, the Box-Muller transforms, the shared
+    dW₂ mix, the jump count, and the end-of-path jump normal are all
+    computed ONCE per pair. The companion-CV leg collapses to a single
+    accumulator: log G_± = g_drift·t ± σ_cv·W₁, odd in W₁ by
+    construction, so one Σσ_cv dW₁ carry serves both branches. Measured
+    v5e sustained 21.6 → 37.3 G path-steps/s at 2^22 × 1024.
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
-    # Decorrelate per-block streams; pair (b, b + half) shares a stream.
-    # Mixed (not added) so engines with adjacent seeds don't alias block
-    # streams: seed s block b must differ from seed s+1 block b-1.
-    pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+    nb = n_branch
+    s_ref = out_refs[0:nb]
+    v_ref = out_refs[nb:2 * nb]
+    g_ref = out_refs[2 * nb:3 * nb]
+    signs = (1.0, -1.0)[:nb]
+    # One block per antithetic pair; branch signs live in-block. Seeded by
+    # block id so engines with adjacent seeds don't alias block streams.
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (rows, LANES)
     spot = p_ref[_P_SPOT]
@@ -207,44 +217,51 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
 
-    def one_step(log_s, v, log_g, n_jump, z1, z2, u_jump):
-        v_pos = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.sqrt(v_pos)
-        dw1 = z1 * sqrt_dt
-        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
+    def one_step(log_s, v, cv_w, n_jump, z1, z2, u_jump):
+        # log_s, v: per-branch tuples; z1/z2 are the base-branch normals.
         n_jump = n_jump + jnp.where(u_jump < lam_dt, 1.0, 0.0)
-        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1
-        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
-                        + xi * sqrt_v * dw2, 0.0)
+        dw1 = z1 * sqrt_dt
+        dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt  # flips with the pair sign
+        new_s, new_v = [], []
+        for k in range(nb):
+            v_pos = jnp.maximum(v[k], 0.0)
+            sqrt_v = jnp.sqrt(v_pos)
+            new_s.append(log_s[k] + (drift_dt - 0.5 * v_pos * dt)
+                         + sqrt_v * (signs[k] * dw1))
+            new_v.append(jnp.maximum(
+                v_pos + kappa * (theta - v_pos) * dt
+                + xi * sqrt_v * (signs[k] * dw2), 0.0))
         if companion:
-            log_g = log_g + g_drift_dt + sig_cv * dw1
-        return log_s, v, log_g, n_jump
+            cv_w = cv_w + sig_cv * dw1
+        return tuple(new_s), tuple(new_v), cv_w, n_jump
 
     def body(_, carry):
-        log_s, v, log_g, n_jump = carry
+        log_s, v, cv_w, n_jump = carry
         bits = pltpu.prng_random_bits((6, rows, LANES))
         u = [_bits_to_uniform(bits[i]) for i in range(6)]
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
         # Jump uniforms u[4], u[5] are shared across the antithetic pair.
-        log_s, v, log_g, n_jump = one_step(log_s, v, log_g, n_jump,
-                                           z_a * sign, z_b * sign, u[4])
-        log_s, v, log_g, n_jump = one_step(log_s, v, log_g, n_jump,
-                                           z_c * sign, z_d * sign, u[5])
-        return log_s, v, log_g, n_jump
+        log_s, v, cv_w, n_jump = one_step(log_s, v, cv_w, n_jump,
+                                          z_a, z_b, u[4])
+        log_s, v, cv_w, n_jump = one_step(log_s, v, cv_w, n_jump,
+                                          z_c, z_d, u[5])
+        return log_s, v, cv_w, n_jump
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (zeros, jnp.full(shape, p_ref[_P_V0], jnp.float32), zeros, zeros)
-    log_s, v, log_g, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
-                                                init)
+    init = ((zeros,) * nb,
+            (jnp.full(shape, p_ref[_P_V0], jnp.float32),) * nb,
+            zeros, zeros)
+    log_s, v, cv_w, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
+                                               init)
 
     if num_steps % 2 == 1:  # static tail step
         bits = pltpu.prng_random_bits((3, rows, LANES))
         u = [_bits_to_uniform(bits[i]) for i in range(3)]
         z1, z2 = _boxmuller(u[0], u[1])
-        log_s, v, log_g, n_jump = one_step(log_s, v, log_g, n_jump,
-                                           z1 * sign, z2 * sign, u[2])
+        log_s, v, cv_w, n_jump = one_step(log_s, v, cv_w, n_jump,
+                                          z1, z2, u[2])
 
     # Compound jump total: ONE normal per path materializes the summed
     # sizes; the antithetic pair negates it (reference semantics:
@@ -252,15 +269,18 @@ def _svj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     bits = pltpu.prng_random_bits((2, rows, LANES))
     z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
                             _bits_to_uniform(bits[1]))
-    log_s = log_s + mu_j * n_jump + sig_j * jnp.sqrt(n_jump) * (
-        z_total * sign)
+    jump_mean = mu_j * n_jump
+    jump_body = sig_j * jnp.sqrt(n_jump) * z_total
 
-    s_ref[:] = spot * jnp.exp(log_s)
-    v_ref[:] = v
-    if companion:
-        g_ref[:] = spot * jnp.exp(log_g)
-    else:
-        g_ref[:] = jnp.zeros(shape, jnp.float32)
+    g_drift_total = g_drift_dt * jnp.float32(num_steps)
+    for k in range(nb):
+        s_ref[k][:] = spot * jnp.exp(log_s[k] + jump_mean
+                                     + signs[k] * jump_body)
+        v_ref[k][:] = v[k]
+        if companion:
+            g_ref[k][:] = spot * jnp.exp(g_drift_total + signs[k] * cv_w)
+        else:
+            g_ref[k][:] = jnp.zeros(shape, jnp.float32)
 
 
 @functools.partial(
@@ -290,36 +310,38 @@ def svj_terminal_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(
         _svj_kernel, num_steps=num_steps, rows=rows,
-        half_grid=half_grid, companion=companion,
+        companion=companion, n_branch=n_branch,
     )
-    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
 
     seed_arr = jnp.asarray([seed], jnp.int32)
     p_vec = _pack_params(params, spot, T, num_steps)
 
-    s, v, g = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed params
         ],
-        out_specs=(block_spec, block_spec, block_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(block_spec,) * (3 * n_branch),
+        out_shape=(out_shape,) * (3 * n_branch),
         interpret=_interpret(),
     )(seed_arr, p_vec)
 
-    def split(x):
-        return x.reshape(n_branch, padded)[:, :num_paths]
+    def take(arrs):
+        return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
-    return split(s), split(v), (split(g) if companion else None)
+    s = take(outs[0:n_branch])
+    v = take(outs[n_branch:2 * n_branch])
+    g = take(outs[2 * n_branch:3 * n_branch]) if companion else None
+    return s, v, g
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -1214,21 +1236,24 @@ def svj_path_stats_pallas(
 # ─────────────────────────────────────────────────────────────────────────────
 # GBM kernel (constant-vol fast path; headline throughput benchmark)
 # ─────────────────────────────────────────────────────────────────────────────
-def _gbm_kernel(seed_ref, p_ref, s_ref, *,
-                num_steps: int, rows: int, half_grid: int):
+def _gbm_kernel(seed_ref, p_ref, *s_refs,
+                num_steps: int, rows: int, n_branch: int):
     """Lognormal path simulator: d log S = (r−q−σ²/2)dt + σ dW.
 
-    One Box-Muller pair drives two consecutive steps, so the per-path-step
-    budget is ~½ log + ½ sqrt + ½ sincos + 2 FMA. The step loop is kept
-    honest (no algebraic collapse of ΣZ) so the kernel generalizes to
-    path-dependent payoffs.
+    One Box-Muller pair drives two consecutive steps, and — like the QE
+    kernel — the antithetic pair is fused into ONE grid block: GBM has no
+    shared state across the pair, but the draws and the Box-Muller ARE
+    shared (the minus branch is −z), so one block advances both branches
+    with one draw block and one BM per two steps, duplicating only the
+    log-spot FMA. Per-output-path-step budget: ~¼ log + ¼ sqrt +
+    ¼ sincos + ½ draw + 2 FMA (half the pre-fusion transcendental bill;
+    measured v5e sustained 55.7 → 98.5 G path-steps/s at 2^22 × 1024).
+    The step loop is kept honest (no algebraic collapse of ΣZ) so the
+    kernel generalizes to path-dependent payoffs.
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
-    # Mixed (not added) so engines with adjacent seeds don't alias block
-    # streams: seed s block b must differ from seed s+1 block b-1.
-    pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+    # One block per antithetic pair; branch signs live in-block.
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    signs = (1.0, -1.0)[:n_branch]
 
     shape = (rows, LANES)
     drift_dt = p_ref[_P_DRIFT_DT]
@@ -1241,20 +1266,25 @@ def _gbm_kernel(seed_ref, p_ref, s_ref, *,
         bits = pltpu.prng_random_bits((2, rows, LANES))
         z_a, z_b = _boxmuller(_bits_to_uniform(bits[0]),
                               _bits_to_uniform(bits[1]))
-        log_s = log_s + drift_dt + sig_sqrt_dt * (z_a * sign)
+        step_a = sig_sqrt_dt * z_a
+        step_b = sig_sqrt_dt * z_b
+        log_s = tuple(ls + drift_dt + sg * step_a
+                      for ls, sg in zip(log_s, signs))
         if odd_tail:
             # Last pair contributes a single step.
             take_b = i < n_pairs - 1
-            log_s = log_s + jnp.where(
-                take_b, drift_dt + sig_sqrt_dt * (z_b * sign), 0.0)
+            log_s = tuple(ls + jnp.where(take_b, drift_dt + sg * step_b, 0.0)
+                          for ls, sg in zip(log_s, signs))
         else:
-            log_s = log_s + drift_dt + sig_sqrt_dt * (z_b * sign)
+            log_s = tuple(ls + drift_dt + sg * step_b
+                          for ls, sg in zip(log_s, signs))
         return log_s
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     log_s = jax.lax.fori_loop(
-        0, n_pairs, body, jnp.zeros(shape, jnp.float32))
-    s_ref[:] = p_ref[_P_SPOT] * jnp.exp(log_s)
+        0, n_pairs, body, (jnp.zeros(shape, jnp.float32),) * n_branch)
+    for k in range(n_branch):
+        s_refs[k][:] = p_ref[_P_SPOT] * jnp.exp(log_s[k])
 
 
 @functools.partial(
@@ -1286,24 +1316,25 @@ def gbm_terminal_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(_gbm_kernel, num_steps=num_steps, rows=rows,
-                               half_grid=half_grid)
-    s = pl.pallas_call(
+                               n_branch=n_branch)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((rows, LANES), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32),
+        out_specs=(block_spec,) * n_branch,
+        out_shape=(out_shape,) * n_branch,
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), p_vec)
-    return s.reshape(n_branch, padded)[:, :num_paths]
+    return jnp.stack([o.reshape(padded)[:num_paths] for o in outs])
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -1315,8 +1346,8 @@ def gbm_terminal_pallas(
  _H_NPARAMS) = range(18)
 
 
-def _hhw_kernel(seed_ref, p_ref, s_ref, d_ref, *,
-                num_steps: int, rows: int, half_grid: int):
+def _hhw_kernel(seed_ref, p_ref, *out_refs,
+                num_steps: int, rows: int, n_branch: int):
     """One path block of the fused Heston-Hull-White simulator
     (scan twin: ops/hhw.py:hhw_terminal — same recursion: full-truncation
     Heston, EXACT Ornstein-Uhlenbeck rate transitions, left-point
@@ -1324,13 +1355,17 @@ def _hhw_kernel(seed_ref, p_ref, s_ref, d_ref, *,
 
     Per 2 steps: 6 normals = 3 fully-used Box-Muller pairs (no uniforms —
     the hybrid carries no jumps), correlated through the packed 3x3
-    Cholesky rows. Outputs the terminal-spot block and the pathwise
-    discount block exp(-∫ r dt).
+    Cholesky rows. The antithetic pair is fused into one grid block (see
+    _svj_kernel): draws, Box-Muller, and the Cholesky mixes zv/zr are
+    computed once per pair (they just flip sign); the (log S, v, r, ∫r)
+    state duplicates per branch. Outputs the terminal-spot block and the
+    pathwise discount block exp(-∫ r dt) per branch.
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
-    pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+    nb = n_branch
+    s_ref = out_refs[0:nb]
+    d_ref = out_refs[nb:2 * nb]
+    signs = (1.0, -1.0)[:nb]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (rows, LANES)
     dt = p_ref[_H_DT]
@@ -1343,17 +1378,22 @@ def _hhw_kernel(seed_ref, p_ref, s_ref, d_ref, *,
 
     def one_step(log_s, v, r, int_r, z1, z2, z3):
         # Correlate: z1 drives spot; variance and rate mix through chol.
+        # Mixes are linear in the normals, so they flip with the pair sign.
         zv = l21 * z1 + l22 * z2
         zr = l31 * z1 + l32 * z2 + l33 * z3
-        v_pos = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.sqrt(v_pos)
-        log_s = log_s + ((r - q - 0.5 * v_pos) * dt
-                         + sqrt_v * z1 * sqrt_dt)
-        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
-                        + xi * sqrt_v * zv * sqrt_dt, 0.0)
-        int_r = int_r + r * dt          # left-point (martingale-exact)
-        r = b + (r - b) * e_adt + s_ou * zr
-        return log_s, v, r, int_r
+        new_s, new_v, new_r, new_i = [], [], [], []
+        for k in range(nb):
+            sg = signs[k]
+            v_pos = jnp.maximum(v[k], 0.0)
+            sqrt_v = jnp.sqrt(v_pos)
+            new_s.append(log_s[k] + ((r[k] - q - 0.5 * v_pos) * dt
+                                     + sqrt_v * (sg * z1) * sqrt_dt))
+            new_v.append(jnp.maximum(
+                v_pos + kappa * (theta - v_pos) * dt
+                + xi * sqrt_v * (sg * zv) * sqrt_dt, 0.0))
+            new_i.append(int_r[k] + r[k] * dt)  # left-point (martingale)
+            new_r.append(b + (r[k] - b) * e_adt + s_ou * (sg * zr))
+        return (tuple(new_s), tuple(new_v), tuple(new_r), tuple(new_i))
 
     def body(_, carry):
         log_s, v, r, int_r = carry
@@ -1362,15 +1402,15 @@ def _hhw_kernel(seed_ref, p_ref, s_ref, d_ref, *,
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
         z_e, z_f = _boxmuller(u[4], u[5])
-        log_s, v, r, int_r = one_step(log_s, v, r, int_r,
-                                      z_a * sign, z_b * sign, z_c * sign)
-        log_s, v, r, int_r = one_step(log_s, v, r, int_r,
-                                      z_d * sign, z_e * sign, z_f * sign)
+        log_s, v, r, int_r = one_step(log_s, v, r, int_r, z_a, z_b, z_c)
+        log_s, v, r, int_r = one_step(log_s, v, r, int_r, z_d, z_e, z_f)
         return log_s, v, r, int_r
 
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (zeros, jnp.full(shape, p_ref[_H_V0], jnp.float32),
-            jnp.full(shape, p_ref[_H_R0], jnp.float32), zeros)
+    init = ((zeros,) * nb,
+            (jnp.full(shape, p_ref[_H_V0], jnp.float32),) * nb,
+            (jnp.full(shape, p_ref[_H_R0], jnp.float32),) * nb,
+            (zeros,) * nb)
     log_s, v, r, int_r = jax.lax.fori_loop(0, num_steps // 2, body, init)
 
     if num_steps % 2 == 1:  # static tail step
@@ -1378,11 +1418,11 @@ def _hhw_kernel(seed_ref, p_ref, s_ref, d_ref, *,
         u = [_bits_to_uniform(bits[i]) for i in range(4)]
         z1, z2 = _boxmuller(u[0], u[1])
         z3, _ = _boxmuller(u[2], u[3])
-        log_s, v, r, int_r = one_step(log_s, v, r, int_r,
-                                      z1 * sign, z2 * sign, z3 * sign)
+        log_s, v, r, int_r = one_step(log_s, v, r, int_r, z1, z2, z3)
 
-    s_ref[:] = p_ref[_H_SPOT] * jnp.exp(log_s)
-    d_ref[:] = jnp.exp(-int_r)
+    for k in range(nb):
+        s_ref[k][:] = p_ref[_H_SPOT] * jnp.exp(log_s[k])
+        d_ref[k][:] = jnp.exp(-int_r[k])
 
 
 @functools.partial(
@@ -1431,30 +1471,29 @@ def hhw_terminal_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(_hhw_kernel, num_steps=num_steps,
-                               rows=rows, half_grid=half_grid)
-    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+                               rows=rows, n_branch=n_branch)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda bk: (bk, 0),
                               memory_space=pltpu.VMEM)
-    s, d = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(block_spec, block_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(block_spec,) * (2 * n_branch),
+        out_shape=(out_shape,) * (2 * n_branch),
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), p_vec)
 
-    def split(x):
-        return x.reshape(n_branch, padded)[:, :num_paths]
+    def take(arrs):
+        return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
-    return split(s), split(d)
+    return take(outs[0:n_branch]), take(outs[n_branch:2 * n_branch])
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -1465,8 +1504,8 @@ _C_SPOT, _C_V0, _C_DT, _C_SQRT_DT, _C_KAPPA, _C_THETA, _C_XI, _C_RHO, \
     _C_DRIFT_DT, _C_G_DRIFT_DT, _C_SIG_CV, _C_NPARAMS = range(18)
 
 
-def _svcj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
-                 num_steps: int, rows: int, half_grid: int, companion: bool):
+def _svcj_kernel(seed_ref, p_ref, *out_refs,
+                 num_steps: int, rows: int, companion: bool, n_branch: int):
     """One path block of the fused SVCJ simulator (scan twin:
     ops/svcj.py:_svcj_step_core — same recursion, same antithetic
     convention: normals negate across the pair, jump uniforms AND
@@ -1476,12 +1515,19 @@ def _svcj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     variance jump Z_v feeds back into the diffusion through v, so jumps
     must be applied per step. Per 2 steps: 10 uniforms — 3 fully-used
     Box-Muller pairs (z1/z2 pairs + the two jump-size normals), 2 shared
-    jump-occurrence uniforms, 2 shared exponential uniforms.
+    jump-occurrence uniforms, 2 shared exponential uniforms. The
+    antithetic pair is fused into one grid block (see _svj_kernel):
+    draws, Box-Muller, the dW₂ mix, the jump indicator, and the
+    exponential variance-jump magnitude are computed once per pair;
+    (log S, v) state duplicates and the companion leg collapses to one
+    odd Σσ_cv dW₁ accumulator.
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
-    pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+    nb = n_branch
+    s_ref = out_refs[0:nb]
+    v_ref = out_refs[nb:2 * nb]
+    g_ref = out_refs[2 * nb:3 * nb]
+    signs = (1.0, -1.0)[:nb]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (rows, LANES)
     dt = p_ref[_C_DT]
@@ -1495,53 +1541,60 @@ def _svcj_kernel(seed_ref, p_ref, s_ref, v_ref, g_ref, *,
     g_drift_dt = p_ref[_C_G_DRIFT_DT]
     sig_cv = p_ref[_C_SIG_CV]
 
-    def one_step(log_s, v, log_g, z1, z2, z_js, u_jump, u_exp):
-        v_pos = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.sqrt(v_pos)
+    def one_step(log_s, v, cv_w, z1, z2, z_js, u_jump, u_exp):
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
         jump_ind = u_jump < lam_dt
         z_v = mu_v * (-jnp.log(u_exp))          # Exp(mu_v), shared in pair
-        jump_s = jnp.where(jump_ind, mu_j + rho_j * z_v + sig_j * z_js, 0.0)
-        log_s = log_s + (drift_dt - 0.5 * v_pos * dt) + sqrt_v * dw1 + jump_s
-        v = jnp.maximum(v_pos + kappa * (theta - v_pos) * dt
-                        + xi * sqrt_v * dw2
-                        + jnp.where(jump_ind, z_v, 0.0), 0.0)
+        jump_v = jnp.where(jump_ind, z_v, 0.0)
+        jump_base = jnp.where(jump_ind, mu_j + rho_j * z_v, 0.0)
+        jump_odd = jnp.where(jump_ind, sig_j * z_js, 0.0)  # flips with sign
+        new_s, new_v = [], []
+        for k in range(nb):
+            sg = signs[k]
+            v_pos = jnp.maximum(v[k], 0.0)
+            sqrt_v = jnp.sqrt(v_pos)
+            new_s.append(log_s[k] + (drift_dt - 0.5 * v_pos * dt)
+                         + sqrt_v * (sg * dw1) + jump_base + sg * jump_odd)
+            new_v.append(jnp.maximum(
+                v_pos + kappa * (theta - v_pos) * dt
+                + xi * sqrt_v * (sg * dw2) + jump_v, 0.0))
         if companion:
-            log_g = log_g + g_drift_dt + sig_cv * dw1
-        return log_s, v, log_g
+            cv_w = cv_w + sig_cv * dw1
+        return tuple(new_s), tuple(new_v), cv_w
 
     def body(_, carry):
-        log_s, v, log_g = carry
+        log_s, v, cv_w = carry
         bits = pltpu.prng_random_bits((10, rows, LANES))
         u = [_bits_to_uniform(bits[i]) for i in range(10)]
         z1a, z2a = _boxmuller(u[0], u[1])
         z1b, z2b = _boxmuller(u[2], u[3])
         zja, zjb = _boxmuller(u[4], u[5])
-        log_s, v, log_g = one_step(log_s, v, log_g, z1a * sign, z2a * sign,
-                                   zja * sign, u[6], u[8])
-        log_s, v, log_g = one_step(log_s, v, log_g, z1b * sign, z2b * sign,
-                                   zjb * sign, u[7], u[9])
-        return log_s, v, log_g
+        log_s, v, cv_w = one_step(log_s, v, cv_w, z1a, z2a, zja, u[6], u[8])
+        log_s, v, cv_w = one_step(log_s, v, cv_w, z1b, z2b, zjb, u[7], u[9])
+        return log_s, v, cv_w
 
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (zeros, jnp.full(shape, p_ref[_C_V0], jnp.float32), zeros)
-    log_s, v, log_g = jax.lax.fori_loop(0, num_steps // 2, body, init)
+    init = ((zeros,) * nb,
+            (jnp.full(shape, p_ref[_C_V0], jnp.float32),) * nb, zeros)
+    log_s, v, cv_w = jax.lax.fori_loop(0, num_steps // 2, body, init)
 
     if num_steps % 2 == 1:  # static tail step
         bits = pltpu.prng_random_bits((6, rows, LANES))
         u = [_bits_to_uniform(bits[i]) for i in range(6)]
         z1, z2 = _boxmuller(u[0], u[1])
         z_js, _ = _boxmuller(u[2], u[3])
-        log_s, v, log_g = one_step(log_s, v, log_g, z1 * sign, z2 * sign,
-                                   z_js * sign, u[4], u[5])
+        log_s, v, cv_w = one_step(log_s, v, cv_w, z1, z2, z_js, u[4], u[5])
 
-    s_ref[:] = p_ref[_C_SPOT] * jnp.exp(log_s)
-    v_ref[:] = v
-    if companion:
-        g_ref[:] = p_ref[_C_SPOT] * jnp.exp(log_g)
-    else:
-        g_ref[:] = jnp.zeros(shape, jnp.float32)
+    g_drift_total = g_drift_dt * jnp.float32(num_steps)
+    for k in range(nb):
+        s_ref[k][:] = p_ref[_C_SPOT] * jnp.exp(log_s[k])
+        v_ref[k][:] = v[k]
+        if companion:
+            g_ref[k][:] = p_ref[_C_SPOT] * jnp.exp(g_drift_total
+                                                   + signs[k] * cv_w)
+        else:
+            g_ref[k][:] = jnp.zeros(shape, jnp.float32)
 
 
 @functools.partial(
@@ -1594,54 +1647,58 @@ def svcj_terminal_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(_svcj_kernel, num_steps=num_steps,
-                               rows=rows, half_grid=half_grid,
-                               companion=companion)
-    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+                               rows=rows, companion=companion,
+                               n_branch=n_branch)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda bk: (bk, 0),
                               memory_space=pltpu.VMEM)
-    s, v, g = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(block_spec, block_spec, block_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(block_spec,) * (3 * n_branch),
+        out_shape=(out_shape,) * (3 * n_branch),
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), p_vec)
 
-    def split(x):
-        return x.reshape(n_branch, padded)[:, :num_paths]
+    def take(arrs):
+        return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
-    return split(s), split(v), (split(g) if companion else None)
+    s = take(outs[0:n_branch])
+    v = take(outs[n_branch:2 * n_branch])
+    g = take(outs[2 * n_branch:3 * n_branch]) if companion else None
+    return s, v, g
 
 
 # ─────────────────────────────────────────────────────────────────────────────
 # Time-dependent SVJ kernel (piecewise-constant θ(t), ξ(t), λ(t))
 # ─────────────────────────────────────────────────────────────────────────────
-def _svj_td_kernel(seed_ref, p_ref, td_ref, s_ref, v_ref, g_ref, *,
-                   num_steps: int, rows: int, half_grid: int,
-                   companion: bool):
+def _svj_td_kernel(seed_ref, p_ref, td_ref, *out_refs,
+                   num_steps: int, rows: int, companion: bool,
+                   n_branch: int):
     """Time-dependent twin of `_svj_kernel` (see ops/tdsvj.py).
 
     `td_ref` is a (4, num_steps) f32 SMEM table with rows (θᵢ, ξᵢ, λᵢ·dt,
     drift_dtᵢ); the loop reads four scalars per step — noise against the
     (rows × 128) vector work. Everything else (two-steps-per-iteration
-    Box-Muller pairing, antithetic paired blocks, log(S/S0) carry) matches
-    the constant-param kernel. The compound-jump identity survives time
-    dependence: jump *sizes* are iid N(μ_J, σ_J²) regardless of arrival
-    time, so only the Bernoulli count picks up λᵢ and ONE end-of-path
-    normal still materializes the summed sizes exactly.
+    Box-Muller pairing, fused antithetic pair per block, log(S/S0) carry)
+    matches the constant-param kernel. The compound-jump identity survives
+    time dependence: jump *sizes* are iid N(μ_J, σ_J²) regardless of
+    arrival time, so only the Bernoulli count picks up λᵢ and ONE
+    end-of-path normal still materializes the summed sizes exactly.
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
-    pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+    nb = n_branch
+    s_ref = out_refs[0:nb]
+    v_ref = out_refs[nb:2 * nb]
+    g_ref = out_refs[2 * nb:3 * nb]
+    signs = (1.0, -1.0)[:nb]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (rows, LANES)
     spot = p_ref[_P_SPOT]
@@ -1653,61 +1710,69 @@ def _svj_td_kernel(seed_ref, p_ref, td_ref, s_ref, v_ref, g_ref, *,
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
 
-    def one_step(step_idx, log_s, v, log_g, n_jump, z1, z2, u_jump):
+    def one_step(step_idx, log_s, v, cv_w, n_jump, z1, z2, u_jump):
         theta_i = td_ref[0, step_idx]
         xi_i = td_ref[1, step_idx]
         lam_dt_i = td_ref[2, step_idx]
         drift_dt_i = td_ref[3, step_idx]
-        v_pos = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.sqrt(v_pos)
+        n_jump = n_jump + jnp.where(u_jump < lam_dt_i, 1.0, 0.0)
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
-        n_jump = n_jump + jnp.where(u_jump < lam_dt_i, 1.0, 0.0)
-        log_s = log_s + (drift_dt_i - 0.5 * v_pos * dt) + sqrt_v * dw1
-        v = jnp.maximum(v_pos + kappa * (theta_i - v_pos) * dt
-                        + xi_i * sqrt_v * dw2, 0.0)
+        new_s, new_v = [], []
+        for k in range(nb):
+            sg = signs[k]
+            v_pos = jnp.maximum(v[k], 0.0)
+            sqrt_v = jnp.sqrt(v_pos)
+            new_s.append(log_s[k] + (drift_dt_i - 0.5 * v_pos * dt)
+                         + sqrt_v * (sg * dw1))
+            new_v.append(jnp.maximum(
+                v_pos + kappa * (theta_i - v_pos) * dt
+                + xi_i * sqrt_v * (sg * dw2), 0.0))
         if companion:
-            log_g = log_g + g_drift_dt + sig_cv * dw1
-        return log_s, v, log_g, n_jump
+            cv_w = cv_w + sig_cv * dw1
+        return tuple(new_s), tuple(new_v), cv_w, n_jump
 
     def body(i, carry):
-        log_s, v, log_g, n_jump = carry
+        log_s, v, cv_w, n_jump = carry
         bits = pltpu.prng_random_bits((6, rows, LANES))
         u = [_bits_to_uniform(bits[j]) for j in range(6)]
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
-        log_s, v, log_g, n_jump = one_step(2 * i, log_s, v, log_g, n_jump,
-                                           z_a * sign, z_b * sign, u[4])
-        log_s, v, log_g, n_jump = one_step(2 * i + 1, log_s, v, log_g,
-                                           n_jump, z_c * sign, z_d * sign,
-                                           u[5])
-        return log_s, v, log_g, n_jump
+        log_s, v, cv_w, n_jump = one_step(2 * i, log_s, v, cv_w, n_jump,
+                                          z_a, z_b, u[4])
+        log_s, v, cv_w, n_jump = one_step(2 * i + 1, log_s, v, cv_w,
+                                          n_jump, z_c, z_d, u[5])
+        return log_s, v, cv_w, n_jump
 
     zeros = jnp.zeros(shape, jnp.float32)
-    init = (zeros, jnp.full(shape, p_ref[_P_V0], jnp.float32), zeros, zeros)
-    log_s, v, log_g, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
-                                                init)
+    init = ((zeros,) * nb,
+            (jnp.full(shape, p_ref[_P_V0], jnp.float32),) * nb,
+            zeros, zeros)
+    log_s, v, cv_w, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
+                                               init)
 
     if num_steps % 2 == 1:  # static tail step
         bits = pltpu.prng_random_bits((3, rows, LANES))
         u = [_bits_to_uniform(bits[j]) for j in range(3)]
         z1, z2 = _boxmuller(u[0], u[1])
-        log_s, v, log_g, n_jump = one_step(num_steps - 1, log_s, v, log_g,
-                                           n_jump, z1 * sign, z2 * sign,
-                                           u[2])
+        log_s, v, cv_w, n_jump = one_step(num_steps - 1, log_s, v, cv_w,
+                                          n_jump, z1, z2, u[2])
 
     bits = pltpu.prng_random_bits((2, rows, LANES))
     z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
                             _bits_to_uniform(bits[1]))
-    log_s = log_s + mu_j * n_jump + sig_j * jnp.sqrt(n_jump) * (
-        z_total * sign)
+    jump_mean = mu_j * n_jump
+    jump_body = sig_j * jnp.sqrt(n_jump) * z_total
 
-    s_ref[:] = spot * jnp.exp(log_s)
-    v_ref[:] = v
-    if companion:
-        g_ref[:] = spot * jnp.exp(log_g)
-    else:
-        g_ref[:] = jnp.zeros(shape, jnp.float32)
+    g_drift_total = g_drift_dt * jnp.float32(num_steps)
+    for k in range(nb):
+        s_ref[k][:] = spot * jnp.exp(log_s[k] + jump_mean
+                                     + signs[k] * jump_body)
+        v_ref[k][:] = v[k]
+        if companion:
+            g_ref[k][:] = spot * jnp.exp(g_drift_total + signs[k] * cv_w)
+        else:
+            g_ref[k][:] = jnp.zeros(shape, jnp.float32)
 
 
 @functools.partial(
@@ -1751,43 +1816,45 @@ def svj_terminal_td_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(
         _svj_td_kernel, num_steps=num_steps, rows=rows,
-        half_grid=half_grid, companion=companion,
+        companion=companion, n_branch=n_branch,
     )
-    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
 
-    s, v, g = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (4, steps) td table
         ],
-        out_specs=(block_spec, block_spec, block_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(block_spec,) * (3 * n_branch),
+        out_shape=(out_shape,) * (3 * n_branch),
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), _pack_params(params, spot, T, num_steps),
       td_table)
 
-    def split(x):
-        return x.reshape(n_branch, padded)[:, :num_paths]
+    def take(arrs):
+        return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
-    return split(s), split(v), (split(g) if companion else None)
+    s = take(outs[0:n_branch])
+    v = take(outs[n_branch:2 * n_branch])
+    g = take(outs[2 * n_branch:3 * n_branch]) if companion else None
+    return s, v, g
 
 
 # ─────────────────────────────────────────────────────────────────────────────
 # Rough Bergomi Markovian-lift kernel
 # ─────────────────────────────────────────────────────────────────────────────
 def _rbergomi_lift_kernel(seed_ref, p_ref, cdg_ref, step_ref,
-                          i1_ref, i2_ref, *, num_steps: int, rows: int,
-                          half_grid: int, n_factors: int):
+                          *out_refs, num_steps: int, rows: int,
+                          n_factors: int, n_branch: int):
     """Fused rBergomi lift: the O(n·m) factor scan with in-kernel PRNG.
 
     One path block of `ops/rough.py:rbergomi_core_lifted`'s recursion
@@ -1800,17 +1867,21 @@ def _rbergomi_lift_kernel(seed_ref, p_ref, cdg_ref, step_ref,
     SMEM inputs: p_ref = [eta, sqrt_dt, dt]; cdg_ref = (3, m) stacked
     (c, d, g); step_ref = (2, num_steps) per-step tables
     [ln ξ_i − ½η²·t_i^{2H}, sqrt_tail_left_i] (left-point convention,
-    t_0 row first). Antithetic flips BOTH normals (the lift's W~ is odd
-    in the draws), so the variance path differs per branch — no pair
-    fusion here, unlike QE.
+    t_0 row first). Antithetic flips BOTH normals, so the variance path
+    differs per branch — but the factor state is LINEAR in the draws
+    (ys = Σ dᵏ g dW), so the minus branch's state is exactly −ys and the
+    Gaussian mix w is odd too: the pair fuses into one grid block with
+    ONE factor scan (the dominant 3m FMAs), duplicating only the
+    exp/sqrt/accumulate tail (v_± = exp(±ηw + e_i)).
 
-    Outputs per path: I1 = Σ √v_i dW_{i+1} and I2 = Σ v_i dt — the
-    Romano-Touzi sufficient statistics (payoffs assemble outside).
+    Outputs per path per branch: I1 = Σ √v_i dW_{i+1} and I2 = Σ v_i dt
+    — the Romano-Touzi sufficient statistics (payoffs assemble outside).
     """
-    block = pl.program_id(0)
-    pair = block % half_grid
-    pltpu.prng_seed(seed_ref[0], pair)
-    sign = jnp.where(block < half_grid, 1.0, -1.0).astype(jnp.float32)
+    nb = n_branch
+    i1_ref = out_refs[0:nb]
+    i2_ref = out_refs[nb:2 * nb]
+    signs = (1.0, -1.0)[:nb]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     shape = (rows, LANES)
     eta = p_ref[0]
@@ -1822,24 +1893,27 @@ def _rbergomi_lift_kernel(seed_ref, p_ref, cdg_ref, step_ref,
         bits = pltpu.prng_random_bits((2, rows, LANES))
         z_dw, z_zeta = _boxmuller(_bits_to_uniform(bits[0]),
                                   _bits_to_uniform(bits[1]))
-        z_dw = z_dw * sign
-        z_zeta = z_zeta * sign
         w = step_ref[1, i] * z_zeta
         for j in range(n_factors):
             w = w + cdg_ref[0, j] * ys[j]
-        v = jnp.exp(eta * w + step_ref[0, i])
+        ew = eta * w                      # odd in the draws: flips per branch
+        e_i = step_ref[0, i]
         dw = z_dw * sqrt_dt
-        i1 = i1 + jnp.sqrt(v) * dw
-        i2 = i2 + v
+        new_i1, new_i2 = [], []
+        for k in range(nb):
+            v = jnp.exp(signs[k] * ew + e_i)
+            new_i1.append(i1[k] + jnp.sqrt(v) * (signs[k] * dw))
+            new_i2.append(i2[k] + v)
         ys = tuple(cdg_ref[1, j] * ys[j] + cdg_ref[2, j] * dw
                    for j in range(n_factors))
-        return ys, i1, i2
+        return ys, tuple(new_i1), tuple(new_i2)
 
     zeros = jnp.zeros(shape, jnp.float32)
-    init = ((zeros,) * n_factors, zeros, zeros)
+    init = ((zeros,) * n_factors, (zeros,) * nb, (zeros,) * nb)
     _, i1, i2 = jax.lax.fori_loop(0, num_steps, body, init)
-    i1_ref[:] = i1
-    i2_ref[:] = i2 * dt
+    for k in range(nb):
+        i1_ref[k][:] = i1[k]
+        i2_ref[k][:] = i2[k] * dt
 
 
 @functools.partial(
@@ -1896,31 +1970,30 @@ def rbergomi_lift_integrals_pallas(
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
     n_branch = 2 if antithetic else 1
-    grid = half_grid * n_branch
     padded = half_grid * block_paths
 
     kernel = functools.partial(
         _rbergomi_lift_kernel, num_steps=num_steps, rows=rows,
-        half_grid=half_grid, n_factors=int(cdg.shape[1]),
+        n_factors=int(cdg.shape[1]), n_branch=n_branch,
     )
-    out_shape = jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
     block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
-    i1, i2 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(half_grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [eta, sqrt_dt, dt]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (3, m) c/d/g
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (2, n) step tables
         ],
-        out_specs=(block_spec, block_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(block_spec,) * (2 * n_branch),
+        out_shape=(out_shape,) * (2 * n_branch),
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32), p_vec, cdg, step_tab)
 
-    def split(x):
-        return x.reshape(n_branch, padded)[:, :num_paths]
+    def take(arrs):
+        return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
-    return split(i1), split(i2)
+    return take(outs[0:n_branch]), take(outs[n_branch:2 * n_branch])

@@ -1324,3 +1324,121 @@ def sharded_basket_bounds(
         "n_inner": n_inner,
         "num_devices": int(n_dev),
     }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sharded ADI PDE chain (VERDICT r3 §4 tail item: the ADI batch axis was the
+# one engine surface still single-device)
+# ─────────────────────────────────────────────────────────────────────────────
+@lru_cache(maxsize=32)
+def _sharded_pde_fn(mesh, per_dev, n_x, n_v, n_t, is_call, american,
+                    scheme, jumps, axis_name):
+    """Build-once jitted shard_map for `sharded_pde_chain`: each device
+    vmaps the ADI solve over its chunk of the contract batch (pure data
+    parallelism — the tridiagonal stages batch natively, no collectives)."""
+    from mcos_tpu.engine.pde import _adi_heston_solve
+
+    kw = dict(n_x=n_x, n_v=n_v, n_t=n_t, is_call=is_call,
+              american=american, scheme=scheme)
+
+    def local(strikes_, Ts_, xs_, vs_, jump_, r_, q_, kap_, th_, xi_, rho_):
+        def one(strike, T, x, v, jump_tables):
+            u, _ = _adi_heston_solve(
+                strike, T, r_, q_, kap_, th_, xi_, rho_, x, v,
+                jump=(jump_tables if jumps else None), **kw)
+            return u
+        return jax.vmap(one)(strikes_, Ts_, xs_, vs_, jump_)
+
+    b, rep = P(axis_name), P()
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(b, b, b, b, b if jumps else rep) + (rep,) * 6,
+        out_specs=b, check_vma=False))
+
+
+def sharded_pde_chain(
+    engine,
+    spot,
+    contracts,
+    *,
+    mesh: Mesh,
+    is_call: bool = True,
+    american: bool = False,
+    axis_name: str = "batch",
+):
+    """Mesh-sharded ADI solve of a whole option chain (engine/pde.py:
+    HestonPDEEngine.price over a contract batch).
+
+    Each (strike, T) contract's 2-D Heston/Bates solve is independent —
+    the textbook batch-parallel workload: the chain pads to a multiple of
+    the mesh size, every device runs a vmapped `_adi_heston_solve` over
+    its chunk (the ADI tridiagonal stages batch natively on the leading
+    axis), and the solved (n_v, n_x) grids gather back for the engine's
+    own host-side extraction (`HestonPDEEngine._extract` — price + grid
+    delta/gamma/vega per contract). All solves share ONE static
+    resolution — the batch max of the engine's per-contract jump-regime
+    guards (`_resolution`) — so the jit cache holds a single program.
+
+    The reference has no PDE at all (SURVEY §2); this parallelizes the
+    rebuild's third numerical route (MC / COS / PDE) the same way the MC
+    engines shard, completing the mesh story across every engine family.
+
+    Returns a list of per-contract dicts (same schema as `engine.price`).
+    """
+    from mcos_tpu.engine.pde import _merton_jump_tables
+
+    contracts = [(float(k), float(t)) for k, t in contracts]
+    if not contracts:
+        return []
+    n_dev = mesh.shape[axis_name]
+    p = engine.params
+
+    # Batch-max resolution: every contract's jump-stability/resolution
+    # guard satisfied by one static shape.
+    grids = [engine._grids(float(spot), k, t) for k, t in contracts]
+    n_x = max(g[2] for g in grids)
+    n_t = max(g[3] for g in grids)
+    n_v = engine.n_v
+    if n_x != grids[0][2]:  # widen any coarser grids to the batch n_x
+        grids = []
+        for k, t in contracts:
+            save = engine.n_x
+            try:
+                engine.n_x = n_x
+                grids.append(engine._grids(float(spot), k, t))
+            finally:
+                engine.n_x = save
+        n_t = max(n_t, max(g[3] for g in grids))
+
+    pad = (-len(contracts)) % n_dev
+    idx = list(range(len(contracts))) + [len(contracts) - 1] * pad
+    xs = jnp.stack([grids[i][0] for i in idx])
+    vs = jnp.stack([grids[i][1] for i in idx])
+    strikes = jnp.asarray([contracts[i][0] for i in idx], jnp.float32)
+    Ts = jnp.asarray([contracts[i][1] for i in idx], jnp.float32)
+
+    if engine.jumps:
+        tables = [_merton_jump_tables(
+            np.asarray(grids[i][0], np.float64), float(p.lambda_j),
+            float(p.mu_j), float(p.sigma_j)) for i in idx]
+        jump_arg = jax.tree.map(lambda *a: jnp.stack(a), *tables)
+    else:
+        jump_arg = jnp.zeros((), jnp.float32)  # replicated placeholder
+
+    per_dev = len(idx) // n_dev
+    u_all = _sharded_pde_fn(
+        mesh, per_dev, n_x, n_v, n_t, is_call, american,
+        engine.scheme, engine.jumps, axis_name)(
+        strikes, Ts, xs, vs, jump_arg,
+        jnp.float32(p.r), jnp.float32(p.q), jnp.float32(p.kappa),
+        jnp.float32(p.theta), jnp.float32(p.xi), jnp.float32(p.rho))
+    u_all = jax.device_get(u_all)
+
+    out = []
+    for i in range(len(contracts)):
+        row = engine._extract(u_all[i], grids[i][0], grids[i][1],
+                              float(spot), american, n_t)
+        row["strike"], row["T"] = contracts[i]
+        row["num_devices"] = int(n_dev)
+        out.append(row)
+    return out

@@ -22,10 +22,18 @@ import jax
 
 
 def _sync(x):
-    """Block on every array in a pytree result."""
-    for leaf in jax.tree.leaves(x):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+    """Synchronize on every array in a pytree result — by fetching a
+    SCALAR probe reduction per leaf, NOT block_until_ready: the axon TPU
+    plugin's block_until_ready returns before the tunneled execution
+    completes (measured: a 350 ms kernel chain "blocked" in 0.1 ms),
+    which would fake sub-ms latencies — the exact failure mode this
+    helper exists to prevent. The probe sum dispatches after its
+    producer, so its arrival proves completion without billing a large
+    host transfer to the code being timed."""
+    import jax.numpy as jnp
+
+    jax.device_get([jnp.sum(leaf) for leaf in jax.tree.leaves(x)
+                    if hasattr(leaf, "block_until_ready")])
     return x
 
 

@@ -866,3 +866,33 @@ def test_sharded_basket_bounds_matches_pooled_single_device():
         hi_acc.append(np.asarray(pair))
     hi_ref = float(np.concatenate(hi_acc).mean())
     assert res["upper_bound"] == pytest.approx(hi_ref, rel=1e-5, abs=1e-5)
+
+
+def test_sharded_pde_chain_matches_single_engine():
+    """Batch-sharded ADI chain = per-contract single-device solves exactly
+    (same program, vmapped + sharded; no stochastic component at all).
+    Covers jumps (PIDE tables batched per contract), odd batch padding,
+    and the American projection."""
+    from mcos_tpu.engine.pde import HestonPDEEngine
+
+    p = SVJParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04,
+                  lambda_j=0.4, mu_j=-0.06, sigma_j=0.12)
+    eng = HestonPDEEngine(p, n_x=101, n_v=51, n_t=32)
+    m = pmesh.make_mesh(axis_name="batch")
+    contracts = [(90.0, 0.25), (100.0, 0.25), (110.0, 0.5)]  # pads 3 -> 8
+    rows = pmesh.sharded_pde_chain(eng, 100.0, contracts, mesh=m,
+                                   is_call=True)
+    assert len(rows) == 3 and rows[0]["num_devices"] == 8
+    for row in rows:
+        single = eng.price(100.0, row["strike"], row["T"], is_call=True)
+        assert row["price"] == pytest.approx(single["price"],
+                                             rel=1e-5, abs=1e-4)
+        assert row["delta"] == pytest.approx(single["delta"], abs=1e-5)
+
+    am = pmesh.sharded_pde_chain(eng, 100.0, [(100.0, 0.5), (110.0, 0.5)],
+                                 mesh=m, is_call=False, american=True)
+    for row in am:
+        single = eng.price(100.0, row["strike"], row["T"], is_call=False,
+                           american=True)
+        assert row["price"] == pytest.approx(single["price"],
+                                             rel=1e-5, abs=1e-4)

@@ -94,6 +94,25 @@ function hline(f, yv, color, dash = [5, 4]) {
   f.ctx.stroke(); f.ctx.restore();
 }
 
+// Rounded label pill at (x, y); returns its width so callers can stack them.
+function pill(ctx, x, y, text, fg, bg) {
+  ctx.save();
+  ctx.font = "bold 10px monospace";
+  const w = ctx.measureText(text).width + 14, h = 17, r = 5;
+  ctx.beginPath();
+  ctx.moveTo(x + r, y);
+  ctx.arcTo(x + w, y, x + w, y + h, r);
+  ctx.arcTo(x + w, y + h, x, y + h, r);
+  ctx.arcTo(x, y + h, x, y, r);
+  ctx.arcTo(x, y, x + w, y, r);
+  ctx.closePath();
+  ctx.fillStyle = bg; ctx.fill();
+  ctx.strokeStyle = fg; ctx.lineWidth = 1; ctx.stroke();
+  ctx.fillStyle = fg; ctx.fillText(text, x + 7, y + 12);
+  ctx.restore();
+  return w;
+}
+
 /* ── charts ───────────────────────────────────────────────────────────── */
 let pathAnim = 0; // token: a new run cancels the previous animation
 
@@ -101,33 +120,58 @@ function drawPaths(paths, strike) {
   const canvas = $("chart-paths");
   const steps = paths[0].length;
   const xs = [...Array(steps).keys()];
-  const flat = paths.flat();
-  const f = frame(canvas, xs, [...flat, strike]);
   const shown = paths.slice(0, 40);
+  const bounds = [...shown.flat(), strike];
   const token = ++pathAnim;
 
-  // Progressive reveal (role of the reference's animated renderer,
-  // js/charts.js): each frame extends every path a few steps; color fades
-  // with distance from the strike at the path's current head.
+  // Animated reveal (role of the reference's renderer, js/charts.js:82-317,
+  // rebuilt on our plotting core): each frame redraws the scene up to the
+  // current step. Paths are sorted so the ones farthest from the strike land
+  // on top, with opacity/width/glow scaling with that distance; live
+  // above/below badges and a progress pill track the current frame.
   const perFrame = Math.max(2, Math.ceil(steps / 45));
   let upto = 1;
 
-  function shade(p, end) {
-    const d = Math.min(Math.abs(p[end] - strike) / (0.06 * strike), 1);
-    const a = 0.25 + 0.45 * d; // far from strike → more saturated
-    return p[end] >= strike
-      ? `rgba(104, 211, 145, ${a})` : `rgba(252, 129, 129, ${a})`;
-  }
-
   function tick() {
     if (token !== pathAnim) return; // superseded by a newer run
-    const next = Math.min(upto + perFrame, steps - 1);
-    for (const p of shown) {
-      polyline(f, xs.slice(upto - 1, next + 1), p.slice(upto - 1, next + 1),
-               shade(p, next), 1);
+    const end = Math.min(upto + perFrame, steps - 1);
+    upto = end;
+    const f = frame(canvas, xs, bounds);
+    const ctx = f.ctx;
+
+    const order = shown.map((p, i) => ({ i, d: Math.abs(p[end] - strike) }));
+    const dmax = Math.max(...order.map((o) => o.d), 1e-9);
+    order.sort((a, b) => a.d - b.d); // dim near-strike first, extremes on top
+    const sxs = xs.slice(0, end + 1);
+    for (const { i, d } of order) {
+      const p = shown[i], t = Math.min(d / dmax, 1), up = p[end] >= strike;
+      ctx.save();
+      if (t > 0.85) { // glow only on the most extreme paths
+        ctx.shadowColor = up ? "rgba(104,211,145,0.5)" : "rgba(252,129,129,0.5)";
+        ctx.shadowBlur = 6;
+      }
+      const a = 0.22 + 0.5 * t;
+      polyline(f, sxs, p.slice(0, end + 1),
+               up ? `rgba(104,211,145,${a})` : `rgba(252,129,129,${a})`,
+               0.7 + 0.9 * t);
+      ctx.restore();
     }
-    upto = next;
     hline(f, strike, COLORS.alt);
+
+    const above = shown.filter((p) => p[end] >= strike).length;
+    const pct = Math.round((100 * above) / shown.length);
+    const w1 = pill(ctx, 58, 14, `▲ ${above} above (${pct}%)`,
+                    COLORS.up, "rgba(104,211,145,0.12)");
+    pill(ctx, 58 + w1 + 6, 14, `▼ ${shown.length - above} below (${100 - pct}%)`,
+         COLORS.down, "rgba(252,129,129,0.12)");
+    const prog = `step ${end}/${steps - 1}`;
+    ctx.font = "bold 10px monospace";
+    pill(ctx, canvas.width - 12 - ctx.measureText(prog).width - 14, 14,
+         prog, COLORS.dim, "rgba(42,51,66,0.85)");
+    const sl = `K ${fmt(strike)}`;
+    pill(ctx, canvas.width - 12 - ctx.measureText(sl).width - 14,
+         f.y(strike) - 21, sl, COLORS.alt, "rgba(246,173,85,0.12)");
+
     if (upto < steps - 1) requestAnimationFrame(tick);
   }
   tick();
