@@ -34,8 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LANES = 128
 ROWS = 256
 GRID = 64
-UNROLL = 8          # op applications per loop iteration (amortize loop cost)
-ITERS = 256         # fori_loop trips -> UNROLL * ITERS op evals per element
+ITERS = 256         # fori_loop trips; evals = CHAINS * unroll * ITERS / elt
 
 
 def _ops():
@@ -43,8 +42,15 @@ def _ops():
     and the compiler can't fold the chain (each output feeds the next)."""
     import jax
     import jax.numpy as jnp
-    from mcos_tpu.ops.pallas_kernels import (_bits_to_uniform, _ndtri_kernel)
+    from mcos_tpu.ops.pallas_kernels import (_bits_to_uniform, _ndtri_kernel,
+                                             _sincos_2pi)
     from jax.experimental.pallas import tpu as pltpu
+
+    def sincos_poly(x):
+        # the kernels' quadrant-folded Box-Muller trig; keep output in a
+        # bounded interval so repeated application stays well-conditioned
+        s, c = _sincos_2pi(jnp.clip(x, 0.0, 1.0))
+        return 0.37 * (s + c) + 0.5
 
     def rand(x):
         bits = pltpu.prng_random_bits((ROWS, LANES))
@@ -59,8 +65,10 @@ def _ops():
         "log": lambda x: jnp.log(x) + 1.5,
         # fixed point of sqrt(x)+0.25 is ~1.57
         "sqrt": lambda x: jnp.sqrt(x) + 0.25,
-        # Box-Muller uses BOTH; measure the pair as issued in the kernels
+        # libm pair (what Box-Muller USED to issue — kept for the table)
         "sincos": lambda x: jnp.cos(x) + jnp.sin(x),
+        # the kernels' actual trig since the poly rewrite
+        "sincos_poly": sincos_poly,
         "div": lambda x: 1.0 / (x + 1.5),
         # one multiply-add; fixed point 1.0
         "fma": lambda x: x * 0.999 + 0.001,
@@ -71,43 +79,70 @@ def _ops():
     }
 
 
+CHAINS = 4          # independent dependence chains (hide op latency)
+UNROLL_LO, UNROLL_HI = 4, 16   # two depths; the SLOPE is the per-op cost
+
+
 def measure_op_throughputs(trials=3):
+    """Pipelined per-element op throughput, by differential timing.
+
+    A single dependent chain measures op LATENCY, and a fixed unroll
+    inside a fori_loop bills the loop bookkeeping to the op — both made
+    the first-cut numbers ~4x too low (the simulation kernels measurably
+    beat that \"attainable\", which is how the bug was caught). Here each
+    loop trip advances CHAINS independent carries (ILP the VPU can
+    pipeline, like the kernels' per-branch state updates), and the per-op
+    cost is the (t_hi − t_lo) / (evals_hi − evals_lo) slope between two
+    unroll depths — loop overhead and dispatch cancel exactly.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    results = {}
-    for name, fn in _ops().items():
-        def kernel(x_ref, o_ref, *, fn=fn, name=name):
+    def build(fn, name, unroll):
+        def kernel(x_ref, o_ref):
             if name == "rand_uniform":
                 pltpu.prng_seed(12345, pl.program_id(0))
+            xs = tuple(x_ref[:] + jnp.float32(0.01) * k
+                       for k in range(CHAINS))
 
-            def body(_, x):
-                for _u in range(UNROLL):
-                    x = fn(x)
-                return x
-            o_ref[:] = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
+            def body(_, xs):
+                for _u in range(unroll):
+                    xs = tuple(fn(x) for x in xs)
+                return xs
+            xs = jax.lax.fori_loop(0, ITERS, body, xs)
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = acc + x
+            o_ref[:] = acc
 
         spec = pl.BlockSpec((ROWS, LANES), lambda b: (b, 0))
-        run = jax.jit(lambda x: pl.pallas_call(
+        run = pl.pallas_call(
             kernel, grid=(GRID,), in_specs=[spec], out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((GRID * ROWS, LANES),
-                                           jnp.float32))(x))
-        x0 = jnp.full((GRID * ROWS, LANES), 0.6, jnp.float32)
-        # device_get, not block_until_ready: the axon tunnel's
-        # block_until_ready returns before execution completes (see
-        # benchmarks/suite.py:timed); summing to a scalar first keeps the
-        # synchronizing transfer tiny.
-        total = jax.jit(lambda x: jnp.float32(run(x).sum()))
-        jax.device_get(total(x0))                 # compile
-        best = np.inf
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            jax.device_get(total(x0))
-            best = min(best, time.perf_counter() - t0)
-        evals = GRID * ROWS * LANES * UNROLL * ITERS
-        results[name] = evals / best
+                                           jnp.float32))
+        # Scalar-fetch sync: the axon tunnel's block_until_ready returns
+        # before execution completes (see benchmarks/suite.py:timed).
+        return jax.jit(lambda x: jnp.float32(run(x).sum()))
+
+    results = {}
+    x0 = jnp.full((GRID * ROWS, LANES), 0.6, jnp.float32)
+    for name, fn in _ops().items():
+        best = {}
+        for unroll in (UNROLL_LO, UNROLL_HI):
+            total = build(fn, name, unroll)
+            jax.device_get(total(x0))             # compile
+            b = np.inf
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                jax.device_get(total(x0))
+                b = min(b, time.perf_counter() - t0)
+            best[unroll] = b
+        d_evals = (GRID * ROWS * LANES * CHAINS * ITERS
+                   * (UNROLL_HI - UNROLL_LO))
+        dt = max(best[UNROLL_HI] - best[UNROLL_LO], 1e-9)
+        results[name] = d_evals / dt
     return results
 
 
@@ -116,27 +151,39 @@ def measure_op_throughputs(trials=3):
 # kernels that fuse the antithetic pair into one block (QE) or share a
 # Box-Muller pair across two steps are already divided through.
 KERNEL_OPS = {
+    # NOTE on trig: the kernels' Box-Muller no longer calls libm sin/cos —
+    # `_sincos_2pi` (pallas_kernels.py) computes the pair with quadrant
+    # folding + minimax polys, ~20 FMA-class ops per (sin, cos) pair
+    # (measured 10 ps/pair vs libm's 27.5 ps). Each former `sincos` count
+    # therefore appears below as count x 20 extra "fma".
+    #
     # _gbm_kernel (pair-fused): per 2 steps per PAIR (4 output path-steps):
-    # 1 draw block (2 subblocks -> 2 u2f), 1 BM (log+sqrt+sin+cos),
-    # ~4 cheap vector ops per output step (scaled z + drift FMA).
-    "gbm": {"rand_uniform": 0.5, "log": 0.25, "sqrt": 0.25, "sincos": 0.25,
-            "fma": 4.0},
+    # 1 draw block (2 subblocks -> 2 u2f), 1 BM (log + sqrt + poly pair);
+    # cheap ops per trip: 2 muls (scaled z, shared) + 2 branches x 2 steps
+    # x ~2 (drift add + signed FMA) = ~10 -> 2.5, + 0.25 x 20 poly = 7.5.
+    "gbm": {"rand_uniform": 0.5, "log": 0.25, "sqrt": 0.25, "fma": 7.5},
     # _svj_kernel (pair-fused, companion on): per 2 steps per PAIR
     # (4 output path-steps): 6 draws, 2 BM; per output step: 1 sqrt(v)
-    # + ~18 cheap (drift/var/jump updates per branch + shared dW2/CV).
+    # per branch + shared jump cmp/dW1/dW2 (~3) + per-branch drift/var
+    # updates (~11) + CV carry (~1) = ~15 cheap + 0.5 x 20 poly = 25.
     "svj_euler": {"rand_uniform": 1.5, "log": 0.5, "sqrt": 1.5,
-                  "sincos": 0.5, "fma": 18.0},
+                  "fma": 25.0},
+    # _hhw_kernel (pair-fused): per 2 steps per PAIR: 6 draws, 3 BM
+    # (no uniforms kept); per output step: 1 sqrt(v) per branch + shared
+    # Cholesky mixes zv/zr (~2.5) + per-branch spot/var/rate/integral
+    # updates (~17.5) = ~20 cheap + 0.75 x 20 poly = 35.
+    "hhw": {"rand_uniform": 1.5, "log": 0.75, "sqrt": 1.75, "fma": 35.0},
     # _svj_qe_kernel (pair-fused, companion on): per step per PAIR:
     # 4 draws, 1 BM, variance: 2 sqrt + 1 log + ~3 div, vol sqrt,
-    # ~22 cheap shared + 2x4 per-branch updates. Divide by 2 branches.
+    # ~22 cheap shared + 2x4 per-branch updates; /2 branches, + 0.5 x 20.
     "svj_qe": {"rand_uniform": 2.0, "log": 1.0, "sqrt": 2.0,
-               "sincos": 0.5, "div": 1.5, "fma": 15.0},
+               "div": 1.5, "fma": 25.0},
     # _rbergomi_lift_kernel (m=24 factors, pair-fused via state linearity):
     # per step per PAIR: 1 draw block (2 subblocks -> 2 u2f), 1 BM, ONE
     # factor scan (3m = 72 FMA), then per branch 1 exp + 1 sqrt + ~5 misc.
-    # Per output path-step: 36 + ~6 FMA, 1 exp, 1 sqrt(v) + BM quarters.
+    # Per output path-step: 36 + ~6 FMA + 0.25 x 20 poly, 1 exp, 1 sqrt(v).
     "rbergomi_lift_m24": {"rand_uniform": 0.5, "exp": 1.0, "log": 0.25,
-                          "sqrt": 1.25, "sincos": 0.25, "fma": 42.0},
+                          "sqrt": 1.25, "fma": 47.0},
 }
 
 
@@ -169,7 +216,9 @@ def main():
         "backend": backend,
         "device": str(jax.devices()[0]),
         "block": {"rows": ROWS, "lanes": LANES, "grid": GRID,
-                  "evals_per_element": UNROLL * ITERS},
+                  "chains": CHAINS, "iters": ITERS,
+                  "unroll_depths": [UNROLL_LO, UNROLL_HI],
+                  "method": "differential slope between unroll depths"},
         "op_throughput_per_sec": tputs,
         "kernel_ops_per_path_step": KERNEL_OPS,
         "attainable_path_steps_per_sec": att,
@@ -182,7 +231,8 @@ def main():
         c8 = res.get("config8_sustained", {})
         for key, kname in [("gbm_path_steps_per_sec", "gbm"),
                            ("svj_path_steps_per_sec", "svj_euler"),
-                           ("qe_path_steps_per_sec", "svj_qe")]:
+                           ("qe_path_steps_per_sec", "svj_qe"),
+                           ("hhw_path_steps_per_sec", "hhw")]:
             if key in c8:
                 meas[kname] = c8[key]
         c10 = res.get("config10_rough_scaling", {})

@@ -119,11 +119,46 @@ def _bits_to_uniform(bits: Array) -> Array:
     return (top_i32.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -23)
 
 
+def _sincos_2pi(u: Array) -> Tuple[Array, Array]:
+    """(sin 2πu, cos 2πu) for u ∈ [0, 1) — quadrant-folded minimax
+    polynomials instead of libm trig.
+
+    Mosaic's generic sin/cos pay full argument range reduction; measured
+    on v5e the PAIR costs 27.5 ps/element and dominates every simulation
+    kernel's roofline (benchmarks/roofline.py). Box-Muller's angle is
+    2πu with u already in [0, 1), so the reduction is one round-to-
+    nearest quarter-turn: a = 4u, q = round(a), φ = (a−q)·π/2 ∈
+    [−π/4, π/4], then the Cephes f32 minimax polys for sin/cos on that
+    interval and a branchless quadrant rotation (both outputs reuse the
+    SAME two poly evals). ~16 cheap VPU ops ≈ 8 ps/pair (3.4× cheaper);
+    max abs error vs f64 libm: 9.8e-8 over a 4M-point sweep of [0,1)
+    (ulp-level — tests/test_pallas.py pins the moments either way).
+    """
+    a = 4.0 * u
+    q = jnp.round(a)
+    phi = (a - q) * jnp.float32(1.5707963267948966)   # π/2
+    x2 = phi * phi
+    s = phi * (1.0 + x2 * (jnp.float32(-1.6666654611e-1)
+               + x2 * (jnp.float32(8.3321608736e-3)
+                       + x2 * jnp.float32(-1.9515295891e-4))))
+    c = 1.0 + x2 * (jnp.float32(-0.5)
+                    + x2 * (jnp.float32(4.166664568298827e-2)
+                            + x2 * (jnp.float32(-1.388731625493765e-3)
+                                    + x2 * jnp.float32(2.443315711809948e-5))))
+    qm = q - 4.0 * jnp.floor(q * 0.25)      # quadrant mod 4 (float)
+    odd = (qm == 1.0) | (qm == 3.0)
+    sin_out = jnp.where(odd, c, s)
+    cos_out = jnp.where(odd, s, c)
+    sin_out = jnp.where((qm == 2.0) | (qm == 3.0), -sin_out, sin_out)
+    cos_out = jnp.where((qm == 1.0) | (qm == 2.0), -cos_out, cos_out)
+    return sin_out, cos_out
+
+
 def _boxmuller(u1: Array, u2: Array) -> Tuple[Array, Array]:
     """Two independent standard normals from two uniforms."""
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    ang = jnp.float32(_TWO_PI) * u2
-    return r * jnp.cos(ang), r * jnp.sin(ang)
+    s, c = _sincos_2pi(u2)
+    return r * c, r * s
 
 
 # Acklam's rational approximation of the inverse normal CDF (relative error
@@ -194,7 +229,8 @@ def _svj_kernel(seed_ref, p_ref, *out_refs,
     computed ONCE per pair. The companion-CV leg collapses to a single
     accumulator: log G_± = g_drift·t ± σ_cv·W₁, odd in W₁ by
     construction, so one Σσ_cv dW₁ carry serves both branches. Measured
-    v5e sustained 21.6 → 37.3 G path-steps/s at 2^22 × 1024.
+    v5e sustained 21.6 → 37.3 G path-steps/s at 2^22 × 1024; the
+    `_sincos_2pi` poly Box-Muller lifts it further to 75.4G.
     """
     nb = n_branch
     s_ref = out_refs[0:nb]
@@ -661,7 +697,8 @@ def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
     update duplicated. The variance step is ~60% of the per-step cost,
     so pair fusion nearly halves it. Measured on v5e at 2^22 paths ×
     1024 steps: 10.9 G (Acklam baseline) → 14.1 G (cheap sampling) →
-    ~2× with fusion; see benchmarks/RESULTS_r4.json config8.
+    27.2 G (pair fusion) → 45.1 G (`_sincos_2pi` poly Box-Muller);
+    see benchmarks/RESULTS_r4.json config8.
     """
     nb = n_branch
     if nb == 2:
@@ -1247,7 +1284,9 @@ def _gbm_kernel(seed_ref, p_ref, *s_refs,
     with one draw block and one BM per two steps, duplicating only the
     log-spot FMA. Per-output-path-step budget: ~¼ log + ¼ sqrt +
     ¼ sincos + ½ draw + 2 FMA (half the pre-fusion transcendental bill;
-    measured v5e sustained 55.7 → 98.5 G path-steps/s at 2^22 × 1024).
+    measured v5e sustained 55.7 → 98.5 G path-steps/s at 2^22 × 1024;
+    the `_sincos_2pi` poly Box-Muller lifts it further to 232G —
+    at the serial-issue VPU roofline, benchmarks/roofline.py).
     The step loop is kept honest (no algebraic collapse of ΣZ) so the
     kernel generalizes to path-dependent payoffs.
     """
@@ -1359,7 +1398,9 @@ def _hhw_kernel(seed_ref, p_ref, *out_refs,
     _svj_kernel): draws, Box-Muller, and the Cholesky mixes zv/zr are
     computed once per pair (they just flip sign); the (log S, v, r, ∫r)
     state duplicates per branch. Outputs the terminal-spot block and the
-    pathwise discount block exp(-∫ r dt) per branch.
+    pathwise discount block exp(-∫ r dt) per branch. Measured v5e
+    sustained at 2^22 × 1024: 15.4 → 26.8 G path-steps/s with pair
+    fusion → 42.2 G with the `_sincos_2pi` poly Box-Muller.
     """
     nb = n_branch
     s_ref = out_refs[0:nb]

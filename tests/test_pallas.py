@@ -159,6 +159,28 @@ def test_ndtri_kernel_accuracy():
     assert np.abs(ours - exact).max() < 5e-4
 
 
+def test_sincos_2pi_accuracy():
+    """Quadrant-folded Box-Muller trig vs f64 libm: ulp-level everywhere
+    in [0,1), including the quadrant boundaries (u = k/8) where the
+    folding switches — a dropped poly term once cost 5.5e-5 exactly
+    there. Pure mul/add/select algebra, so the bound holds bit-for-bit
+    on CPU and TPU alike (no transcendental unit involved)."""
+    from mcos_tpu.ops.pallas_kernels import _sincos_2pi
+
+    u = np.linspace(0.0, 1.0, 1_000_001, endpoint=False, dtype=np.float32)
+    edges = np.concatenate([np.arange(8) / 8.0 + eps
+                            for eps in (0.0, 1e-7, -1e-7, 3e-4)])
+    u = np.concatenate([u, np.clip(edges, 0.0, 1.0 - 1e-7).astype(np.float32)])
+    s, c = _sincos_2pi(jnp.asarray(u))
+    ref_s = np.sin(2.0 * np.pi * u.astype(np.float64))
+    ref_c = np.cos(2.0 * np.pi * u.astype(np.float64))
+    assert np.abs(np.asarray(s, np.float64) - ref_s).max() < 5e-7
+    assert np.abs(np.asarray(c, np.float64) - ref_c).max() < 5e-7
+    # exact unit circle to f32 roundoff (normals keep their radius)
+    assert np.abs(np.asarray(s, np.float64) ** 2
+                  + np.asarray(c, np.float64) ** 2 - 1.0).max() < 5e-7
+
+
 @tpu_only
 def test_qe_kernel_matches_scan_statistics():
     """Fused QE kernel vs its differentiable scan twin: same law."""
