@@ -90,7 +90,9 @@ from mcos_tpu.ops.levy import (  # noqa: F401
     VGParams,
     calibrate_nig,
     calibrate_vg,
+    levy_price_mc,
     nig_cos_price,
+    nig_price_mc,
     nig_terminal,
     vg_cos_price,
     vg_price_mc,

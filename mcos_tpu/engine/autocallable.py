@@ -117,11 +117,15 @@ class AutocallableEngine:
             lambda c: self.price(T, coupon=c, **terms), target)
 
 
-def _note_value(ratio: Array, T, r, n_obs, autocall_barrier,
-                coupon_barrier, protection_barrier, coupon, final_coupon,
-                notional, num_paths) -> Dict[str, object]:
-    """Reduce (m, branches, paths) driving performance levels to the note
-    value + redemption accounting (shared by single-asset and worst-of)."""
+def _note_path_values(ratio: Array, T, r, n_obs, autocall_barrier,
+                      coupon_barrier, protection_barrier, coupon,
+                      final_coupon, notional):
+    """(paths,) per-path discounted note values from (m, branches, paths)
+    driving performance levels, antithetic branches collapsed; second
+    return is (ever_called, first_index, r_T, dts) for the redemption
+    accounting. ONE shared function: `_note_value` (single device) and
+    `parallel/families.py:_worstof_note_payoffs` (mesh-sharded) both
+    consume it — never fork the payoff algebra."""
     called = ratio >= autocall_barrier                 # (m, 2, paths)
     ever = jnp.any(called, axis=0)
     # First crossing index (argmax finds the first True).
@@ -139,6 +143,17 @@ def _note_value(ratio: Array, T, r, n_obs, autocall_barrier,
         jnp.where(r_T >= protection_barrier, 1.0, r_T)) * df[-1]
     pay = jnp.where(ever, pay_called, pay_final)
     pay = notional * jnp.mean(pay, axis=0)             # antithetic
+    return pay, (ever, first, r_T, dts)
+
+
+def _note_value(ratio: Array, T, r, n_obs, autocall_barrier,
+                coupon_barrier, protection_barrier, coupon, final_coupon,
+                notional, num_paths) -> Dict[str, object]:
+    """Reduce (m, branches, paths) driving performance levels to the note
+    value + redemption accounting (shared by single-asset and worst-of)."""
+    pay, (ever, first, r_T, dts) = _note_path_values(
+        ratio, T, r, n_obs, autocall_barrier, coupon_barrier,
+        protection_barrier, coupon, final_coupon, notional)
 
     mean = float(jnp.mean(pay))
     se = float(jnp.std(pay)) / np.sqrt(pay.shape[0])
@@ -193,7 +208,11 @@ class WorstOfAutocallableEngine:
 
     def __init__(self, params_list: Sequence[SVJParams], corr,
                  num_paths: int = DEFAULT_NUM_PATHS,
-                 steps_per_period: int = 16, seed: int = 42):
+                 steps_per_period: int = 16, seed: int = 42, mesh=None):
+        # None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes price() through
+        # parallel/families.py:sharded_worstof_autocall (same payoff
+        # algebra via the shared _note_path_values).
+        self.mesh = mesh
         self.params_batch = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32)
                                    for x in xs]), *list(params_list))
@@ -232,9 +251,24 @@ class WorstOfAutocallableEngine:
               final_coupon: float = None,
               notional: float = 1.0) -> Dict[str, object]:
         from mcos_tpu.engine.basket import simulate_basket_observations
+        from mcos_tpu.engine.pricer import resolve_mesh
 
         if final_coupon is None:
             final_coupon = n_obs * coupon
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.parallel.families import sharded_worstof_autocall
+
+            res = jax.device_get(sharded_worstof_autocall(
+                self, T, jax.random.key(self.seed), mesh=mesh,
+                n_obs=n_obs, autocall_barrier=autocall_barrier,
+                coupon_barrier=coupon_barrier,
+                protection_barrier=protection_barrier, coupon=coupon,
+                final_coupon=final_coupon, notional=notional))
+            res["price"] = float(res["price"])
+            res["std_error"] = float(res["std_error"])
+            res["num_paths_used"] = int(np.asarray(res["num_paths_used"]))
+            return res
         levels = simulate_basket_observations(
             self.params_batch, jnp.ones((self.n_assets,), jnp.float32),
             self.corr_chol, T, jax.random.key(self.seed),

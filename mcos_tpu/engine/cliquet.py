@@ -152,12 +152,16 @@ class CliquetEngine:
 
     def __init__(self, params: SVJParams, num_paths: int = DEFAULT_NUM_PATHS,
                  steps_per_period: int = 16, seed: int = 42,
-                 use_control_variate: bool = True):
+                 use_control_variate: bool = True, mesh=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.steps_per_period = int(steps_per_period)
         self.seed = int(seed)
         self.use_control_variate = bool(use_control_variate)
+        # None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes price_cliquet()
+        # through parallel/families.py:sharded_cliquet_price (pooled
+        # optimal-β CV over the psum'd cross-moments).
+        self.mesh = mesh
 
     def _cv(self, out, pay, ctrl_pay, ctrl_exact_disc, discount):
         ctrl_c = ctrl_pay - jnp.mean(ctrl_pay)
@@ -177,7 +181,31 @@ class CliquetEngine:
                       global_cap: float = float("inf"),
                       notional: float = 1.0) -> Dict[str, float]:
         """N · clip(Σⱼ clip(Rⱼ, f_loc, c_loc), f_glob, c_glob), paid at T."""
+        from mcos_tpu.engine.pricer import resolve_mesh
+
         p = self.params
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.parallel.families import sharded_cliquet_price
+
+            res = jax.device_get(sharded_cliquet_price(
+                p, T, jax.random.key(self.seed), mesh=mesh,
+                num_paths=self.num_paths, n_periods=n_periods,
+                steps_per_period=self.steps_per_period,
+                local_floor=local_floor, local_cap=local_cap,
+                global_floor=global_floor, global_cap=global_cap,
+                notional=notional,
+                control_variate=self.use_control_variate))
+            out = {
+                "price": float(res["price"]),
+                "std_error": float(res["std_error"]),
+                "n_periods": n_periods,
+                "num_paths_used": int(np.asarray(res["num_paths_used"])),
+                "num_steps": n_periods * self.steps_per_period,
+            }
+            if self.use_control_variate:
+                out["cv_beta"] = float(res["cv_beta"])
+            return out
         dlog_s, dlog_g = simulate_period_log_returns(
             p, T, jax.random.key(self.seed), num_paths=self.num_paths,
             n_periods=n_periods, steps_per_period=self.steps_per_period,

@@ -314,12 +314,15 @@ class LocalVolEngine:
 
     def __init__(self, surface: LocalVolSurface, num_paths: int = 200_000,
                  num_steps: int = 100, seed: int = 42,
-                 use_antithetic: bool = True):
+                 use_antithetic: bool = True, mesh=None):
         self.surface = surface
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
         self.use_antithetic = bool(use_antithetic)
+        # None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes price_batch()
+        # through parallel/families.py:sharded_localvol_price.
+        self.mesh = mesh
 
     def _terminal(self, spot: float, T: float) -> Array:
         steps = max(int(self.num_steps * T), 16)
@@ -342,7 +345,25 @@ class LocalVolEngine:
     def price_batch(self, spot: float, strikes: Sequence[float], T: float,
                     is_call: bool = True) -> list:
         """Price a strike chain off one shared local-vol path set."""
+        from mcos_tpu.engine.pricer import resolve_mesh
         from mcos_tpu.ops import simulate as sim
+
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None and self.use_antithetic:
+            from mcos_tpu.parallel.families import sharded_localvol_price
+
+            res = jax.device_get(sharded_localvol_price(
+                self.surface, spot, np.asarray(strikes, np.float32), T,
+                jax.random.key(self.seed), mesh=mesh,
+                num_paths=self.num_paths,
+                num_steps=max(int(self.num_steps * T), 16),
+                is_call=is_call))
+            return [
+                {"strike": float(k), "price": float(p),
+                 "std_error": float(s)}
+                for k, p, s in zip(np.asarray(strikes, np.float64),
+                                   np.atleast_1d(res["price"]),
+                                   np.atleast_1d(res["std_error"]))]
 
         s_final = self._terminal(spot, T)
         strikes_arr = jnp.asarray(np.asarray(strikes, np.float32))

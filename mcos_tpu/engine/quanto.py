@@ -108,7 +108,7 @@ class QuantoEngine:
                  sigma_fx: float, rho_fx: float,
                  num_paths: int = DEFAULT_NUM_PATHS,
                  num_steps: int = 64, seed: int = 42,
-                 use_control_variate: bool = True):
+                 use_control_variate: bool = True, mesh=None):
         self.params = params
         self.r_d = float(r_domestic)
         self.sigma_fx = float(sigma_fx)
@@ -117,11 +117,40 @@ class QuantoEngine:
         self.num_steps = int(num_steps)
         self.seed = int(seed)
         self.use_cv = bool(use_control_variate)
+        # None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes price() through
+        # parallel/families.py:sharded_quanto_price.
+        self.mesh = mesh
 
     def price(self, spot: float, strike: float, T: float,
               is_call: bool = True,
               fx_fixed: float = 1.0) -> Dict[str, float]:
+        from mcos_tpu.engine.pricer import resolve_mesh
+
         p = self.params
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.parallel.families import sharded_quanto_price
+
+            res = jax.device_get(sharded_quanto_price(
+                p, self.r_d, self.sigma_fx, self.rho_fx, spot, strike, T,
+                jax.random.key(self.seed), mesh=mesh,
+                num_paths=self.num_paths, num_steps=self.num_steps,
+                is_call=is_call, control_variate=self.use_cv,
+                fx_fixed=fx_fixed))
+            out = {"num_paths_used": int(np.asarray(res["num_paths_used"])),
+                   "num_steps": self.num_steps,
+                   "quanto_adjustment_bs": quanto_bs(
+                       spot, strike, T, self.r_d, float(p.r), float(p.q),
+                       float(np.sqrt(float(p.v0))), self.sigma_fx,
+                       self.rho_fx, is_call)
+                   - float(bs_price(spot, strike, T, self.r_d,
+                                    self.r_d - float(p.r) + float(p.q),
+                                    np.sqrt(float(p.v0)), is_call)),
+                   "price": float(res["price"]),
+                   "std_error": float(res["std_error"])}
+            if self.use_cv:
+                out["cv_beta"] = float(res["cv_beta"])
+            return out
         s, g = _quanto_terminal(
             p, spot, T, jnp.float32(self.r_d),
             jnp.float32(self.sigma_fx), jnp.float32(self.rho_fx),

@@ -173,12 +173,16 @@ class RoughHestonEngine:
 
     def __init__(self, params: RoughHestonParams,
                  num_paths: int = 200_000, num_steps: int = 8192,
-                 n_factors: int = 24, seed: int = 42):
+                 n_factors: int = 24, seed: int = 42, mesh=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.n_factors = int(n_factors)
         self.seed = int(seed)
+        # None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes price() through
+        # parallel/families.py:sharded_roughheston_price (factor scan per
+        # device, psum'd CV-effective moments).
+        self.mesh = mesh
 
     def _steps(self, T: float) -> int:
         n = max(scaled_steps(self.num_steps, T), 2 * KERNEL_RES_STEPS)
@@ -191,12 +195,28 @@ class RoughHestonEngine:
 
     def price(self, spot: float, strike, T: float,
               is_call: bool = True) -> Dict:
+        from mcos_tpu.engine.pricer import resolve_mesh
+
         strikes = np.atleast_1d(np.asarray(strike, np.float32))
         c, x = _nodes(self.params, T, self.n_factors)
-        res = jax.device_get(_rh_price_core(
-            self.params, spot, strikes, T, self.seed, c, x,
-            num_paths=self.num_paths, num_steps=self._steps(T),
-            is_call=is_call))
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.ops.bs import bs_price
+            from mcos_tpu.parallel.families import sharded_roughheston_price
+
+            res = jax.device_get(sharded_roughheston_price(
+                self.params, spot, strikes, T, jax.random.key(self.seed),
+                mesh=mesh, num_paths=self.num_paths,
+                num_steps=self._steps(T), n_factors=self.n_factors,
+                is_call=is_call))
+            res["bs_ref"] = np.asarray(bs_price(
+                spot, strikes, T, self.params.r, self.params.q,
+                np.sqrt(float(self.params.v0)), is_call))
+        else:
+            res = jax.device_get(_rh_price_core(
+                self.params, spot, strikes, T, self.seed, c, x,
+                num_paths=self.num_paths, num_steps=self._steps(T),
+                is_call=is_call))
         out = {
             "price": float(res["price"][0]),
             "std_error": float(res["std_error"][0]),

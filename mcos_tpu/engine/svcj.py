@@ -107,11 +107,15 @@ class SVCJEngine:
     """Stateful wrapper over the jitted SVCJ cores (one per API request)."""
 
     def __init__(self, params: SVCJParams, num_paths: int = 200_000,
-                 num_steps: int = 252, seed: int = 42):
+                 num_steps: int = 252, seed: int = 42, mesh=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
+        # None honors MCOS_AUTO_MESH=1 (the serving toggle); "auto" or an
+        # explicit Mesh routes price() through the psum-pooled driver
+        # (parallel/families.py:sharded_svcj_price).
+        self.mesh = mesh
 
     def _steps(self, T: float) -> int:
         return scaled_steps(self.num_steps, T)
@@ -122,16 +126,31 @@ class SVCJEngine:
 
     def price(self, spot: float, strike, T: float,
               is_call: bool = True) -> Dict:
+        from mcos_tpu.engine.pricer import resolve_mesh
+
         strikes = np.atleast_1d(np.asarray(strike, np.float32))
-        res = jax.device_get(_svcj_price_core(
-            self.params, spot, strikes, T, self.seed,
-            num_paths=self.num_paths, num_steps=self._steps(T),
-            is_call=is_call, backend=self._backend()))
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.parallel.families import sharded_svcj_price
+
+            res = jax.device_get(sharded_svcj_price(
+                self.params, spot, strikes, T, jax.random.key(self.seed),
+                mesh=mesh, num_paths=self.num_paths,
+                num_steps=self._steps(T), is_call=is_call))
+            res["bs_ref"] = np.asarray(bs_price(
+                spot, strikes, T, self.params.r, self.params.q,
+                jnp.sqrt(self.params.v0), is_call))
+        else:
+            res = jax.device_get(_svcj_price_core(
+                self.params, spot, strikes, T, self.seed,
+                num_paths=self.num_paths, num_steps=self._steps(T),
+                is_call=is_call, backend=self._backend()))
         out = {
             "price": float(res["price"][0]),
             "std_error": float(res["std_error"][0]),
             "bs_ref": float(res["bs_ref"][0]),
-            "num_paths_used": self.num_paths,
+            "num_paths_used": int(np.asarray(res.get(
+                "num_paths_used", self.num_paths))),
             "num_steps": self._steps(T),
             "v_max": float(res["v_max"]),
             "frac_nonfinite": float(res["frac_nonfinite"]),

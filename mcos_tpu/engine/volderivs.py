@@ -176,11 +176,14 @@ class VolDerivsEngine:
     stderr where it is not)."""
 
     def __init__(self, params: SVJParams, num_paths: int = 200_000,
-                 num_steps: int = 252, seed: int = 42):
+                 num_steps: int = 252, seed: int = 42, mesh=None):
         self.params = params
         self.num_paths = int(num_paths)
         self.num_steps = int(num_steps)
         self.seed = int(seed)
+        # None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes variance_swap()
+        # through parallel/families.py:sharded_variance_swap.
+        self.mesh = mesh
 
     # -- realized-variance products -------------------------------------------
     def _rv(self, T: float) -> np.ndarray:
@@ -199,6 +202,18 @@ class VolDerivsEngine:
     def variance_swap(self, T: float) -> Dict[str, float]:
         """Closed-form fair strike + the MC round-trip (discrete daily
         sampling at the engine's step grid)."""
+        from mcos_tpu.engine.pricer import resolve_mesh
+
+        mesh = resolve_mesh(self.mesh)
+        if mesh is not None:
+            from mcos_tpu.parallel.families import sharded_variance_swap
+
+            out = sharded_variance_swap(
+                self.params, T, jax.random.key(self.seed), mesh=mesh,
+                num_paths=self.num_paths,
+                num_steps=scaled_steps(self.num_steps, T))
+            out["num_paths"] = int(out.pop("num_paths_used"))
+            return out
         closed = variance_swap_fair_strike(self.params, T)
         pairs = self._rv(T).mean(axis=0)   # iid pair means
         mc = pairs.mean()

@@ -160,6 +160,47 @@ def vg_price_mc(p: VGParams, spot, strikes, T, key, *, num_paths: int,
     return mean, se
 
 
+@partial(jax.jit, static_argnames=("num_paths", "is_call", "antithetic"))
+def nig_price_mc(p: "NIGParams", spot, strikes, T, key, *, num_paths: int,
+                 is_call: bool, antithetic: bool = True
+                 ) -> Tuple[Array, Array]:
+    """(prices, std_errors) per strike from the exact NIG terminal
+    sampler — the vg_price_mc estimator verbatim on the IG clock."""
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    s = nig_terminal(p, spot, T, key, num_paths=num_paths,
+                     antithetic=antithetic)
+    phi = 1.0 if is_call else -1.0
+    pay = jnp.maximum(phi * (s[..., None] - strikes[None, None, :]), 0.0)
+    comb = jnp.mean(pay, axis=0)
+    disc = jnp.exp(-jnp.asarray(p.r, jnp.float32) * jnp.asarray(T,
+                                                                jnp.float32))
+    mean = disc * jnp.mean(comb, axis=0)
+    se = disc * jnp.std(comb, axis=0) / jnp.sqrt(jnp.float32(comb.shape[0]))
+    return mean, se
+
+
+def levy_price_mc(p, spot, strikes, T, key, *, num_paths: int,
+                  is_call: bool = True, mesh=None) -> Tuple[Array, Array]:
+    """Model-dispatched Lévy MC pricing (VGParams | NIGParams).
+
+    mesh=None honors MCOS_AUTO_MESH=1; "auto"/Mesh routes through the
+    psum-pooled driver (parallel/families.py:sharded_levy_price), which
+    reproduces the single-device estimator on the pooled union sample.
+    """
+    from mcos_tpu.engine.pricer import resolve_mesh
+
+    mesh = resolve_mesh(mesh)
+    if mesh is not None:
+        from mcos_tpu.parallel.families import sharded_levy_price
+
+        res = sharded_levy_price(p, spot, strikes, T, key, mesh=mesh,
+                                 num_paths=num_paths, is_call=is_call)
+        return res["price"], res["std_error"]
+    fn = vg_price_mc if isinstance(p, VGParams) else nig_price_mc
+    return fn(p, spot, strikes, T, key, num_paths=num_paths,
+              is_call=is_call)
+
+
 def calibrate_vg(spot: float, strikes, T: float, market_prices,
                  r: float = None, q: float = None, is_call: bool = True,
                  n_starts: int = 4, seed: int = 0) -> dict:

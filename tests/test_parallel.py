@@ -896,3 +896,331 @@ def test_sharded_pde_chain_matches_single_engine():
                            american=True)
         assert row["price"] == pytest.approx(single["price"],
                                              rel=1e-5, abs=1e-4)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Round-5 family drivers (parallel/families.py): every remaining MC model
+# family rides the ONE sharded_moments combinator; each pin reproduces the
+# family's single-device estimator (or its exact oracle) on the pooled
+# union sample.
+# ─────────────────────────────────────────────────────────────────────────────
+def test_sharded_moments_is_the_only_shardmap_shape():
+    """The combinator refactor's point: moment-pooled drivers must not
+    hand-roll their own shard_map — mesh.py keeps ONE jax.shard_map per
+    pooled-moment family plus the few genuinely different programs
+    (regression pooling, exact-tail gather, batch partitioning), and
+    families.py none at all."""
+    import pathlib
+
+    root = pathlib.Path(pmesh.__file__).parent
+    assert (root / "families.py").read_text().count("jax.shard_map(") == 0
+    # mesh.py keeps: the combinator, the grad-shared price/greeks pair
+    # (all_gather v_max — pmax has no JVP), exotic (device-side
+    # ctrl_exact), Sobol (offset slicing, not key folding), American
+    # (normal-equation pooling), portfolio (4 moments + top-k tail),
+    # MLMC (pre-reduced level means), exposure (per-date tail gather),
+    # dual bounds (nested sims), PDE (batch partition), calibration.
+    assert (root / "mesh.py").read_text().count("jax.shard_map(") <= 11
+
+
+def test_sharded_svcj_matches_single_device():
+    from mcos_tpu.engine.svcj import _svcj_price_core
+    from mcos_tpu.models.params import SVCJParams
+    from mcos_tpu.parallel.families import sharded_svcj_price
+
+    p = SVCJParams()
+    ks = [95.0, 100.0, 105.0]
+    m = pmesh.make_mesh()
+    res = sharded_svcj_price(p, 100.0, ks, 0.25, jax.random.key(0),
+                             mesh=m, num_paths=32_000, num_steps=16)
+    single = jax.device_get(_svcj_price_core(
+        p, 100.0, np.asarray(ks, np.float32), 0.25, 11,
+        num_paths=32_000, num_steps=16, is_call=True))
+    for i in range(3):
+        joint = 5 * np.hypot(float(res["std_error"][i]),
+                             float(single["std_error"][i]))
+        assert abs(float(res["price"][i])
+                   - float(single["price"][i])) < max(joint, 0.5)
+    assert float(res["num_paths_used"]) == 32_000
+    assert float(res["frac_nonfinite"]) == 0.0
+    assert np.isfinite(float(res["v_max"]))
+
+
+def test_sharded_levy_matches_cos_oracle():
+    """VG + NIG exact terminal samplers sharded: no discretization bias,
+    so the pooled price pins the COS oracle within pure-MC bands."""
+    from mcos_tpu.ops.levy import (NIGParams, VGParams, nig_cos_price,
+                                   vg_cos_price)
+    from mcos_tpu.parallel.families import sharded_levy_price
+
+    ks = np.asarray([90.0, 100.0, 110.0])
+    m = pmesh.make_mesh()
+    for p, cos in ((VGParams(), vg_cos_price), (NIGParams(), nig_cos_price)):
+        res = sharded_levy_price(p, 100.0, ks, 0.5, jax.random.key(1),
+                                 mesh=m, num_paths=64_000)
+        exact = cos(p, 100.0, ks, 0.5, True)
+        for i in range(3):
+            se = float(res["std_error"][i])
+            assert abs(float(res["price"][i]) - exact[i]) < max(5 * se, 0.3)
+    with pytest.raises(TypeError):
+        sharded_levy_price(SVJParams(), 100.0, [100.0], 0.5,
+                           jax.random.key(2), mesh=m, num_paths=800)
+
+
+def test_levy_price_mc_mesh_route_matches_single():
+    """ops/levy.py:levy_price_mc with an explicit mesh reproduces the
+    single-device estimator (and honors the MCOS_AUTO_MESH toggle shape)."""
+    from mcos_tpu.ops.levy import VGParams, levy_price_mc
+
+    p = VGParams()
+    m = pmesh.make_mesh()
+    pm, sm = levy_price_mc(p, 100.0, [100.0], 0.5, jax.random.key(3),
+                           num_paths=64_000, mesh=m)
+    p1, s1 = levy_price_mc(p, 100.0, [100.0], 0.5, jax.random.key(3),
+                           num_paths=64_000)
+    joint = 5 * np.hypot(float(sm[0]), float(s1[0]))
+    assert abs(float(pm[0]) - float(p1[0])) < max(joint, 0.3)
+
+
+def test_sharded_roughheston_matches_single_device():
+    from mcos_tpu.engine.roughheston import _nodes, _rh_price_core
+    from mcos_tpu.ops.roughheston import RoughHestonParams
+    from mcos_tpu.parallel.families import sharded_roughheston_price
+
+    p = RoughHestonParams()
+    m = pmesh.make_mesh()
+    res = sharded_roughheston_price(
+        p, 100.0, [100.0], 0.25, jax.random.key(3), mesh=m,
+        num_paths=16_000, num_steps=512, n_factors=8)
+    c, x = _nodes(p, 0.25, 8)
+    single = jax.device_get(_rh_price_core(
+        p, 100.0, np.asarray([100.0], np.float32), 0.25, 5, c, x,
+        num_paths=16_000, num_steps=512, is_call=True))
+    joint = 5 * np.hypot(float(res["std_error"][0]),
+                         float(single["std_error"][0]))
+    assert abs(float(res["price"][0])
+               - float(single["price"][0])) < max(joint, 0.3)
+    assert float(res["frac_nonfinite"]) == 0.0
+
+
+def test_sharded_localvol_flat_matches_bs():
+    """Flat-IV Dupire surface sharded over the mesh = BS exactly in law."""
+    from mcos_tpu.engine.localvol import LocalVolSurface
+    from mcos_tpu.parallel.families import sharded_localvol_price
+
+    surf = LocalVolSurface.from_iv_points(
+        100.0, [80.0, 90.0, 100.0, 110.0, 120.0], [0.25, 0.5],
+        np.full((2, 5), 0.2), r=0.065, q=0.012)
+    m = pmesh.make_mesh()
+    res = sharded_localvol_price(surf, 100.0, [100.0], 0.25,
+                                 jax.random.key(4), mesh=m,
+                                 num_paths=64_000, num_steps=16)
+    ref = float(bs_price(100.0, 100.0, 0.25, 0.065, 0.012, 0.2, True))
+    assert abs(float(res["price"][0]) - ref) < max(
+        4 * float(res["std_error"][0]), 0.15)
+
+
+def test_sharded_cliquet_gbm_pins_closed_form():
+    """GBM degenerate: the companion control IS the payoff, so the pooled
+    optimal-β estimator collapses to the exact closed form (cliquet_bs) —
+    a machine-precision pin of the whole CV cross-moment plumbing."""
+    from mcos_tpu.engine.cliquet import cliquet_bs
+    from mcos_tpu.parallel.families import sharded_cliquet_price
+
+    p = gbm_params(0.2, r=0.065, q=0.012)
+    m = pmesh.make_mesh()
+    res = sharded_cliquet_price(p, 1.0, jax.random.key(5), mesh=m,
+                                num_paths=32_000, n_periods=4,
+                                steps_per_period=4)
+    exact = cliquet_bs(1.0, 4, 0.065, 0.012, 0.2, 0.0, 0.08)
+    assert abs(float(res["price"]) - exact) < max(
+        5 * float(res["std_error"]), 2e-3)
+    assert float(res["std_error"]) < 1e-3   # residual variance ~ 0
+    assert abs(float(res["cv_beta"]) - 1.0) < 0.05
+
+
+def test_sharded_quanto_gbm_pins_closed_form():
+    """GBM degenerate quanto: pooled optimal-β CV collapses onto the
+    closed-form quanto-BS (both legs share the identical tilt)."""
+    from mcos_tpu.engine.quanto import quanto_bs
+    from mcos_tpu.parallel.families import sharded_quanto_price
+
+    p = gbm_params(0.2, r=0.03, q=0.01)     # params.r = foreign rate
+    m = pmesh.make_mesh()
+    res = sharded_quanto_price(p, 0.05, 0.12, -0.4, 100.0, 100.0, 0.5,
+                               jax.random.key(6), mesh=m,
+                               num_paths=32_000, num_steps=16)
+    exact = quanto_bs(100.0, 100.0, 0.5, 0.05, 0.03, 0.01, 0.2, 0.12,
+                      -0.4, True)
+    assert abs(float(res["price"]) - exact) < max(
+        5 * float(res["std_error"]), 0.02)
+
+
+def test_sharded_worstof_autocall_matches_single_engine():
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    from mcos_tpu.parallel.families import sharded_worstof_autocall
+
+    eng = WorstOfAutocallableEngine(
+        [SVJParams(), SVJParams()], [[1.0, 0.6], [0.6, 1.0]],
+        num_paths=16_000, steps_per_period=4)
+    single = eng.price(1.0, n_obs=4)
+    m = pmesh.make_mesh()
+    res = sharded_worstof_autocall(eng, 1.0, jax.random.key(7), mesh=m,
+                                   n_obs=4)
+    joint = 5 * np.hypot(float(res["std_error"]), single["std_error"])
+    assert abs(float(res["price"]) - single["price"]) < max(joint, 0.01)
+    # Pooled redemption accounting: a probability decomposition.
+    probs = np.asarray(res["call_prob_by_date"])
+    assert probs.shape == (4,) and (probs >= 0).all()
+    assert abs(probs.sum() + res["survival_prob"] - 1.0) < 1e-5
+    assert 0.0 <= res["loss_prob"] <= res["survival_prob"] + 1e-6
+    assert 0.25 <= res["expected_life"] <= 1.0 + 1e-6
+    assert abs(res["expected_life"] - single["expected_life"]) < 0.1
+
+
+def test_sharded_variance_swap_pins_closed_form():
+    from mcos_tpu.parallel.families import sharded_variance_swap
+
+    m = pmesh.make_mesh()
+    out = sharded_variance_swap(SVJParams(), 0.5, jax.random.key(8),
+                                mesh=m, num_paths=32_000, num_steps=64)
+    assert out["mc_vs_closed_sigmas"] < 6.0
+    assert out["fair_variance"] > 0 and out["mc_std_error"] > 0
+
+
+def test_families_engines_honor_auto_mesh(monkeypatch):
+    """MCOS_AUTO_MESH=1 routes EVERY family engine through its sharded
+    driver (VERDICT r4 item 5: the serving toggle must cover the whole
+    engine surface, not just pricer/termsvj/american); =0 single-device.
+    Same-seed mesh-vs-single agreement within joint MC bands."""
+    from mcos_tpu.engine.cliquet import CliquetEngine
+    from mcos_tpu.engine.quanto import QuantoEngine
+    from mcos_tpu.engine.svcj import SVCJEngine
+    from mcos_tpu.engine.volderivs import VolDerivsEngine
+    from mcos_tpu.models.params import SVCJParams
+
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    sv = SVCJEngine(SVCJParams(), num_paths=16_000, num_steps=64)
+    r_mesh = sv.price(100.0, 100.0, 0.25)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    r_one = sv.price(100.0, 100.0, 0.25)
+    joint = 5 * np.hypot(r_mesh["std_error"], r_one["std_error"])
+    assert abs(r_mesh["price"] - r_one["price"]) < max(joint, 0.5)
+    assert r_mesh["num_paths_used"] == 16_000
+
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    cq = CliquetEngine(gbm_params(0.2), num_paths=16_000,
+                       steps_per_period=4)
+    rc = cq.price_cliquet(1.0)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    rc1 = cq.price_cliquet(1.0)
+    assert abs(rc["price"] - rc1["price"]) < max(
+        5 * np.hypot(rc["std_error"], rc1["std_error"]), 2e-3)
+
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    qe = QuantoEngine(gbm_params(0.2, r=0.03), 0.05, 0.12, -0.4,
+                      num_paths=16_000, num_steps=16)
+    rq = qe.price(100.0, 100.0, 0.5)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    rq1 = qe.price(100.0, 100.0, 0.5)
+    assert abs(rq["price"] - rq1["price"]) < max(
+        5 * np.hypot(rq["std_error"], rq1["std_error"]), 0.05)
+    assert "quanto_adjustment_bs" in rq
+
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    vd = VolDerivsEngine(SVJParams(), num_paths=16_000, num_steps=64)
+    rv = vd.variance_swap(0.5)
+    assert rv["mc_vs_closed_sigmas"] < 6.0 and rv["num_paths"] == 16_000
+
+
+def test_localvol_and_worstof_engines_honor_auto_mesh(monkeypatch):
+    from mcos_tpu.engine.autocallable import WorstOfAutocallableEngine
+    from mcos_tpu.engine.localvol import LocalVolEngine, LocalVolSurface
+
+    surf = LocalVolSurface.from_iv_points(
+        100.0, [80.0, 90.0, 100.0, 110.0, 120.0], [0.25, 0.5],
+        np.full((2, 5), 0.2), r=0.065, q=0.012)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    lv = LocalVolEngine(surf, num_paths=32_000, num_steps=64)
+    rm = lv.price(100.0, 100.0, 0.25)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    r1 = lv.price(100.0, 100.0, 0.25)
+    assert abs(rm["price"] - r1["price"]) < max(
+        5 * np.hypot(rm["std_error"], r1["std_error"]), 0.2)
+
+    eng = WorstOfAutocallableEngine(
+        [SVJParams(), SVJParams()], [[1.0, 0.6], [0.6, 1.0]],
+        num_paths=16_000, steps_per_period=4)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    am = eng.price(1.0, n_obs=4)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    a1 = eng.price(1.0, n_obs=4)
+    assert abs(am["price"] - a1["price"]) < max(
+        5 * np.hypot(am["std_error"], a1["std_error"]), 0.01)
+    assert len(am["call_prob_by_date"]) == 4
+
+
+def test_roughheston_engine_honors_auto_mesh(monkeypatch):
+    from mcos_tpu.engine.roughheston import RoughHestonEngine
+    from mcos_tpu.ops.roughheston import RoughHestonParams
+
+    eng = RoughHestonEngine(RoughHestonParams(), num_paths=8_000,
+                            num_steps=2048, n_factors=8, seed=3)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "1")
+    rm = eng.price(100.0, 100.0, 0.25)
+    monkeypatch.setenv("MCOS_AUTO_MESH", "0")
+    r1 = eng.price(100.0, 100.0, 0.25)
+    assert abs(rm["price"] - r1["price"]) < max(
+        5 * np.hypot(rm["std_error"], r1["std_error"]), 0.3)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# f32 accumulation audit at 1e8 payoffs (VERDICT r4 item 7): the device
+# pools are (n, Σ, Σ²) in f32 (CLAUDE.md invariant) — at 2^27 payoffs per
+# device the mantissa carries ~7 decimal digits against a ~10⁹-wide Σ².
+# XLA's pairwise tree reduction keeps the relative error ~ε·log₂(n), not
+# ε·n, so the contract should hold with orders of magnitude to spare —
+# this test PROVES it against an f64 host reference on identical draws.
+# ─────────────────────────────────────────────────────────────────────────────
+def _audit_lognormal_payoffs(dev_key, scale, *, ppd):
+    """Synthetic option-scale payoffs: max(100·e^Z − 100, 0) — the
+    heavy-right-tail shape whose Σ² stresses f32 the hardest."""
+    z = jax.random.normal(dev_key, (ppd,), jnp.float32)
+    return jnp.maximum(100.0 * jnp.exp(scale * z) - 100.0, 0.0)[None, :]
+
+
+def test_f32_moment_pools_hold_contract_at_1e8_paths():
+    """Pooled price/stderr from the REAL sharded_moments f32 path at 1e8
+    payoffs across 8 pool slices vs an exact f64 host reduction of the
+    SAME f32 payoffs: drift must sit far inside the 0.1%-of-premium
+    accuracy contract (reference engine/config.py:25)."""
+    m = pmesh.make_mesh()
+    n_dev = int(np.prod(list(m.shape.values())))
+    ppd = 100_000_000 // 8
+    key = jax.random.key(123)
+    stats = pmesh.sharded_moments(
+        _audit_lognormal_payoffs, key, (jnp.float32(0.2),),
+        mesh=m, statics=(("ppd", ppd),))
+    pooled = pmesh.pool_moments(stats)
+    price32 = float(pooled["price"][0])
+    se32 = float(pooled["std_error"][0])
+
+    # Exact f64 reference on the identical f32 payoff stream, slice by
+    # slice (the combinator folds the key by axis index — reproduce it).
+    n_tot, s_tot, ss_tot = 0.0, 0.0, 0.0
+    for i in range(n_dev):
+        dev_key = jax.random.fold_in(key, i)
+        eff = np.asarray(
+            _audit_lognormal_payoffs(dev_key, jnp.float32(0.2), ppd=ppd),
+            np.float64)
+        n_tot += eff.shape[-1]
+        s_tot += eff.sum()
+        ss_tot += (eff * eff).sum()
+    mean64 = s_tot / n_tot
+    se64 = np.sqrt(max(ss_tot / n_tot - mean64 * mean64, 0.0) / n_tot)
+
+    assert float(pooled["num_paths_used"]) == 8 * ppd
+    # 0.1%-of-premium contract, with ~100x headroom demanded: the f32
+    # pools must land within 1e-5 relative of the f64 truth.
+    assert abs(price32 - mean64) < 1e-5 * mean64, (price32, mean64)
+    assert abs(se32 - se64) < 1e-3 * se64, (se32, se64)
