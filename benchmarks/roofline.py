@@ -79,11 +79,11 @@ def _ops():
     }
 
 
-CHAINS = 4          # independent dependence chains (hide op latency)
+CHAINS = 8          # independent dependence chains (hide op latency)
 UNROLL_LO, UNROLL_HI = 4, 16   # two depths; the SLOPE is the per-op cost
 
 
-def measure_op_throughputs(trials=3):
+def measure_op_throughputs(trials=3, chains=None):
     """Pipelined per-element op throughput, by differential timing.
 
     A single dependent chain measures op LATENCY, and a fixed unroll
@@ -94,18 +94,26 @@ def measure_op_throughputs(trials=3):
     pipeline, like the kernels' per-branch state updates), and the per-op
     cost is the (t_hi − t_lo) / (evals_hi − evals_lo) slope between two
     unroll depths — loop overhead and dispatch cancel exactly.
+
+    CHAINS calibration (round 5): at CHAINS=4 the fma row measured
+    1.40 T/s vs the v5e VPU's ~4 T/s issue peak and the GBM kernel beat
+    its own \"attainable\" by 1.57x — four carries still leave pipeline
+    bubbles. CHAINS=8 saturates (doubling again to 16 moves the rows
+    <5%); the committed table uses 8.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    chains = CHAINS if chains is None else chains
+
     def build(fn, name, unroll):
         def kernel(x_ref, o_ref):
             if name == "rand_uniform":
                 pltpu.prng_seed(12345, pl.program_id(0))
             xs = tuple(x_ref[:] + jnp.float32(0.01) * k
-                       for k in range(CHAINS))
+                       for k in range(chains))
 
             def body(_, xs):
                 for _u in range(unroll):
@@ -139,7 +147,7 @@ def measure_op_throughputs(trials=3):
                 jax.device_get(total(x0))
                 b = min(b, time.perf_counter() - t0)
             best[unroll] = b
-        d_evals = (GRID * ROWS * LANES * CHAINS * ITERS
+        d_evals = (GRID * ROWS * LANES * chains * ITERS
                    * (UNROLL_HI - UNROLL_LO))
         dt = max(best[UNROLL_HI] - best[UNROLL_LO], 1e-9)
         results[name] = d_evals / dt
@@ -201,6 +209,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measured", default=None,
                     help="RESULTS_*.json to pull measured path-steps/s from")
+    ap.add_argument("--chains", type=int, default=CHAINS,
+                    help="independent dependence chains (ILP) in the "
+                         "microbench; see measure_op_throughputs")
     args = ap.parse_args()
 
     import jax
@@ -209,14 +220,14 @@ def main():
         raise SystemExit("roofline.py measures the hardware VPU — run on "
                          "real TPU (the interpreter has no PRNG and no "
                          "meaningful op timings).")
-    tputs = measure_op_throughputs()
+    tputs = measure_op_throughputs(chains=args.chains)
     att = attainable(tputs)
 
     report = {
         "backend": backend,
         "device": str(jax.devices()[0]),
         "block": {"rows": ROWS, "lanes": LANES, "grid": GRID,
-                  "chains": CHAINS, "iters": ITERS,
+                  "chains": args.chains, "iters": ITERS,
                   "unroll_depths": [UNROLL_LO, UNROLL_HI],
                   "method": "differential slope between unroll depths"},
         "op_throughput_per_sec": tputs,

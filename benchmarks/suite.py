@@ -557,6 +557,63 @@ def config10_rough_scaling(quick):
             "exact_price": round(disc * pe, 4),
             "speedup": round(chain * ms_e / ms_s, 2),  # paths/s ratio
         }
+
+    # Path-DEPENDENT payoffs through the lift (round 5): asian/barrier/
+    # lookback used to be the one rough-vol surface still paying the
+    # O(n²) exact sheet — the lifted path-stats samplers (scan twin
+    # `rbergomi_path_stats_lifted`, fused kernel
+    # `rbergomi_lift_stats_pallas`) price them at scan speed. The row
+    # times one full (terminal, mean, max, min) stats pass + an ATM asian
+    # reduce at the deepest ladder rung (VERDICT r4 item 4's "config10
+    # rows" criterion: lifted ≥ 5x exact at 1024 steps).
+    from mcos_tpu.ops.rough import (rbergomi_path_stats,
+                                    rbergomi_path_stats_lifted)
+
+    n_pd = steps_ladder[-1]
+    paths_pd = 32_768 if quick else 131_072
+    chol_pd = jnp.asarray(rbergomi_chol(p.hurst, T, n_pd))
+    c_p, d_p, g_p, tail_p = rbergomi_lift(p.hurst, T, n_pd)
+
+    def asian_exact(_):
+        st = rbergomi_path_stats(p, 100.0, T, chol_pd, jax.random.key(3),
+                                 num_paths=paths_pd, num_steps=n_pd)
+        return float(jnp.maximum(st["s_mean"] - 100.0, 0.0).mean())
+
+    def asian_lift(_):
+        st = rbergomi_path_stats_lifted(
+            p, 100.0, T, jax.random.key(3), c_p, d_p, g_p, tail_p,
+            num_paths=paths_pd, num_steps=n_pd)
+        return float(jnp.maximum(st["s_mean"] - 100.0, 0.0).mean())
+
+    pe_a, ms_ex = timed(asian_exact, 0, trials=3)
+    pl_a, ms_li = timed(asian_lift, 0, trials=3)
+    row_pd = {
+        "workload": f"asian path-stats pass, {paths_pd} paths x 2 "
+                    f"branches x {n_pd} steps (exact sheet vs lift)",
+        "exact_ms": round(ms_ex, 1),
+        "lift_scan_ms": round(ms_li, 1),
+        "lift_scan_speedup": round(ms_ex / ms_li, 2),
+        "exact_asian": round(disc * pe_a, 4),
+        "lift_scan_asian": round(disc * pl_a, 4),
+    }
+    if jax.default_backend() == "tpu":
+        from mcos_tpu.ops.pallas_kernels import rbergomi_lift_stats_pallas
+
+        def asian_lift_pallas(_):
+            st = rbergomi_lift_stats_pallas(
+                (p.eta, p.rho, p.r, p.q, p.xi, 100.0), T, 3,
+                c_p, d_p, g_p, tail_p, p.hurst,
+                num_paths=paths_pd, num_steps=n_pd)
+            return float(jnp.maximum(st["s_mean"] - 100.0, 0.0).mean())
+
+        pk_a, ms_k = timed(asian_lift_pallas, 0, trials=3)
+        row_pd.update(
+            lift_pallas_ms=round(ms_k, 1),
+            lift_pallas_speedup=round(ms_ex / ms_k, 2),
+            lift_pallas_asian=round(disc * pk_a, 4),
+            lift_pallas_path_steps_per_sec=round(
+                2 * paths_pd * n_pd / (ms_k / 1000)))
+    out[f"path_dependent_{n_pd}"] = row_pd
     return out
 
 

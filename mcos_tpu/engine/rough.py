@@ -283,6 +283,33 @@ class RoughBergomiEngine:
 
     # ── path-dependent payoffs (rough-vol exotics) ───────────────────────
     def _stats(self, spot: float, T: float):
+        """(branches, paths) terminal/mean/max/min spot statistics via the
+        selected sampler. The lift route (sampler='lift', or 'auto' at
+        ≥512 steps) replaces the exact sheet's O(n²) covariance matmul
+        with the O(n·m) factor scan — on TPU the fused Pallas kernel
+        (`rbergomi_lift_stats_pallas`), elsewhere the differentiable scan
+        twin; both are statistically pinned to the exact sampler in
+        tests/test_rough.py."""
+        if self._use_lift():
+            p = self.params
+            c, d, g, tail = rbergomi_lift(
+                float(p.hurst), float(T), self.num_steps,
+                self.lift_factors)
+            if jax.default_backend() == "tpu":
+                from mcos_tpu.ops.pallas_kernels import (
+                    rbergomi_lift_stats_pallas)
+
+                return rbergomi_lift_stats_pallas(
+                    (p.eta, p.rho, p.r, p.q, p.xi, spot), T, self.seed,
+                    c, d, g, tail, float(p.hurst),
+                    num_paths=self.num_paths, num_steps=self.num_steps,
+                    xi_t=self._xi_t(T))
+            from mcos_tpu.ops.rough import rbergomi_path_stats_lifted
+
+            return rbergomi_path_stats_lifted(
+                p, spot, T, self._key(), c, d, g, tail,
+                num_paths=self.num_paths, num_steps=self.num_steps,
+                xi_t=self._xi_t(T))
         return rbergomi_path_stats(
             self.params, spot, T, self._chol(T), self._key(),
             num_paths=self.num_paths, num_steps=self.num_steps)

@@ -2038,3 +2038,182 @@ def rbergomi_lift_integrals_pallas(
         return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])
 
     return take(outs[0:n_branch]), take(outs[n_branch:2 * n_branch])
+
+
+def _rbergomi_lift_stats_kernel(seed_ref, p_ref, cdg_ref, step_ref,
+                                *out_refs, num_steps: int, rows: int,
+                                n_factors: int, n_branch: int):
+    """Fused rBergomi-lift PATH-STATS kernel — the hardware twin of
+    `ops/rough.py:rbergomi_path_stats_lifted` (same recursion, same
+    left-point tables; statistically pinned on real TPU).
+
+    Extends `_rbergomi_lift_kernel` with the spot leg the Romano-Touzi
+    integrals never needed: an explicit orthogonal normal per step and a
+    per-branch (log S, Σ S, max log S, min log S) carry. dz = ρ dW +
+    √(1−ρ²) dW' is odd in the draws (both normals flip with the pair), so
+    ONE dz base serves both branches like the factor scan does; only the
+    per-branch exp(v)/exp(log S)/sqrt tail duplicates. Draw economy: the
+    loop advances TWO steps per trip — 6 uniforms → 3 fully-used
+    Box-Muller transforms (the SVJ kernels' pairing trick).
+
+    p_ref = [eta, sqrt_dt, dt, rho, orth, mu_dt]; cdg/step tables as in
+    `_rbergomi_lift_kernel`. Outputs per branch: terminal/mean/max/min of
+    S/S0 over t_1..t_n — the caller scales by spot (max/min commute with
+    the monotone spot·exp(·))."""
+    nb = n_branch
+    term_ref = out_refs[0:nb]
+    mean_ref = out_refs[nb:2 * nb]
+    max_ref = out_refs[2 * nb:3 * nb]
+    min_ref = out_refs[3 * nb:4 * nb]
+    signs = (1.0, -1.0)[:nb]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    shape = (rows, LANES)
+    eta = p_ref[0]
+    sqrt_dt = p_ref[1]
+    dt = p_ref[2]
+    rho = p_ref[3]
+    orth = p_ref[4]
+    mu_dt = p_ref[5]
+
+    def one_step(i, carry, z_dw, z_zeta, z_perp):
+        ys, log_s, sum_s, max_ls, min_ls = carry
+        w = step_ref[1, i] * z_zeta
+        for j in range(n_factors):
+            w = w + cdg_ref[0, j] * ys[j]
+        ew = eta * w                   # odd in the draws: flips per branch
+        e_i = step_ref[0, i]
+        dw = z_dw * sqrt_dt
+        dz = (rho * z_dw + orth * z_perp) * sqrt_dt   # odd too
+        new_ls, new_sum, new_max, new_min = [], [], [], []
+        for k in range(nb):
+            v = jnp.exp(signs[k] * ew + e_i)
+            ls = (log_s[k] + (mu_dt - 0.5 * v * dt)
+                  + jnp.sqrt(v) * (signs[k] * dz))
+            new_ls.append(ls)
+            new_sum.append(sum_s[k] + jnp.exp(ls))
+            new_max.append(jnp.maximum(max_ls[k], ls))
+            new_min.append(jnp.minimum(min_ls[k], ls))
+        ys = tuple(cdg_ref[1, j] * ys[j] + cdg_ref[2, j] * dw
+                   for j in range(n_factors))
+        return (ys, tuple(new_ls), tuple(new_sum), tuple(new_max),
+                tuple(new_min))
+
+    def body(it, carry):
+        bits = pltpu.prng_random_bits((6, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(6)]
+        z_a, z_b = _boxmuller(u[0], u[1])
+        z_c, z_d = _boxmuller(u[2], u[3])
+        z_e, z_f = _boxmuller(u[4], u[5])
+        carry = one_step(2 * it, carry, z_a, z_b, z_c)
+        carry = one_step(2 * it + 1, carry, z_d, z_e, z_f)
+        return carry
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = ((zeros,) * n_factors, (zeros,) * nb, (zeros,) * nb,
+            (jnp.full(shape, -jnp.inf, jnp.float32),) * nb,
+            (jnp.full(shape, jnp.inf, jnp.float32),) * nb)
+    carry = jax.lax.fori_loop(0, num_steps // 2, body, init)
+    if num_steps % 2 == 1:  # static tail step
+        bits = pltpu.prng_random_bits((4, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(4)]
+        z_a, z_b = _boxmuller(u[0], u[1])
+        z_c, _ = _boxmuller(u[2], u[3])
+        carry = one_step(num_steps - 1, carry, z_a, z_b, z_c)
+
+    _, log_s, sum_s, max_ls, min_ls = carry
+    inv_n = jnp.float32(1.0 / num_steps)
+    for k in range(nb):
+        term_ref[k][:] = jnp.exp(log_s[k])
+        mean_ref[k][:] = sum_s[k] * inv_n
+        max_ref[k][:] = jnp.exp(max_ls[k])
+        min_ref[k][:] = jnp.exp(min_ls[k])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hurst", "num_paths", "num_steps", "antithetic",
+                     "rows"),
+)
+def rbergomi_lift_stats_pallas(
+    params_vec,
+    T,
+    seed,
+    c,
+    d,
+    g,
+    tail,
+    hurst: float,
+    *,
+    num_paths: int,
+    num_steps: int,
+    xi_t: Optional[Array] = None,
+    antithetic: bool = True,
+    rows: int = 32,
+) -> dict:
+    """Dict of (n_branch, num_paths) path statistics (s_terminal, s_mean,
+    s_max, s_min over t_1..t_n) — fused-kernel twin of
+    `ops/rough.py:rbergomi_path_stats_lifted` (the differentiable scan
+    path). `params_vec` = (eta, rho, r, q, xi, spot) floats; `c/d/g/tail`
+    from `ops/rough.py:rbergomi_lift`; `hurst` static as the tables'."""
+    eta, rho_v, r_v, q_v, xi_flat, spot = params_vec
+    dtype = jnp.float32
+    n = num_steps
+    T = jnp.asarray(T, dtype)
+    dt = T / n
+    eta = jnp.asarray(eta, dtype)
+    rho_v = jnp.asarray(rho_v, dtype)
+    sqrt_tail_left = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.sqrt(jnp.asarray(tail, dtype))[:-1]])
+    t_left = dt * jnp.arange(n, dtype=dtype)
+    wick_left = jnp.where(t_left > 0.0, t_left, 1.0) ** jnp.float32(
+        2.0 * float(hurst))
+    wick_left = jnp.where(t_left > 0.0, wick_left, 0.0)
+    xi_vec = (jnp.asarray(xi_flat, dtype) * jnp.ones((n,), dtype)
+              if xi_t is None else jnp.asarray(xi_t, dtype))
+    e_tab = jnp.log(xi_vec) - 0.5 * eta * eta * wick_left
+    step_tab = jnp.stack([e_tab, sqrt_tail_left])            # (2, n)
+    cdg = jnp.stack([jnp.asarray(c, dtype), jnp.asarray(d, dtype),
+                     jnp.asarray(g, dtype)])                 # (3, m)
+    orth = jnp.sqrt(jnp.maximum(1.0 - rho_v * rho_v, 0.0))
+    mu_dt = (jnp.asarray(r_v, dtype) - jnp.asarray(q_v, dtype)) * dt
+    p_vec = jnp.stack([eta, jnp.sqrt(dt), dt, rho_v, orth, mu_dt])
+
+    block_paths = rows * LANES
+    half_grid = max(1, -(-num_paths // block_paths))
+    n_branch = 2 if antithetic else 1
+    padded = half_grid * block_paths
+
+    kernel = functools.partial(
+        _rbergomi_lift_stats_kernel, num_steps=num_steps, rows=rows,
+        n_factors=int(cdg.shape[1]), n_branch=n_branch,
+    )
+    out_shape = jax.ShapeDtypeStruct((half_grid * rows, LANES), jnp.float32)
+    block_spec = pl.BlockSpec((rows, LANES), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(half_grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # p_vec
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (3, m) c/d/g
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (2, n) step tables
+        ],
+        out_specs=(block_spec,) * (4 * n_branch),
+        out_shape=(out_shape,) * (4 * n_branch),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), p_vec, cdg, step_tab)
+
+    spot = jnp.asarray(spot, dtype)
+
+    def take(arrs):
+        return spot * jnp.stack(
+            [a.reshape(padded)[:num_paths] for a in arrs])
+
+    return {
+        "s_terminal": take(outs[0:n_branch]),
+        "s_mean": take(outs[n_branch:2 * n_branch]),
+        "s_max": take(outs[2 * n_branch:3 * n_branch]),
+        "s_min": take(outs[3 * n_branch:4 * n_branch]),
+    }

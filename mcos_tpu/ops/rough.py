@@ -686,3 +686,78 @@ def rbergomi_core_lifted(params: RoughBergomiParams, T, key, c, d, g, tail,
     else:
         (y, i1, i2), v_means = jax.lax.scan(step, init, jnp.arange(n))
     return v_means, i1, i2
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_steps", "antithetic"))
+def rbergomi_path_stats_lifted(params: RoughBergomiParams, spot, T, key,
+                               c, d, g, tail, *, num_paths: int,
+                               num_steps: int, antithetic: bool = True,
+                               xi_t: Optional[Array] = None) -> dict:
+    """`rbergomi_path_stats` through the Markovian lift — O(n·m) per path
+    instead of the exact sampler's O(n²) covariance matmul, so 1024-step
+    path-dependent payoffs (asian/barrier/lookback) run at scan speed.
+
+    Same carry recursion as `rbergomi_core_lifted` (left-point v, tail
+    top-up, antithetic = all three normals flip), extended with the spot
+    leg the exact sheet carried: dz = ρ dW + √(1−ρ²) dW' needs an explicit
+    per-step orthogonal normal here (the PATH depends on it, unlike the
+    Romano-Touzi terminal estimator), and the carry tracks
+    (log S, Σ S, max log S, min log S) — max/min commute with the
+    monotone spot·exp(·), so only the running mean pays the extra exp.
+    Returns the same dict of (branches, paths) arrays over the grid
+    t_1..t_n, statistically pinned to the exact sampler in
+    tests/test_rough.py."""
+    dtype = jnp.float32
+    n = num_steps
+    h = float(params.hurst)
+    spot = jnp.asarray(spot, dtype)
+    T = jnp.asarray(T, dtype)
+    dt = T / n
+    sqrt_dt = jnp.sqrt(dt)
+    nb = 2 if antithetic else 1
+    sign = jnp.array([1.0, -1.0], dtype)[:nb, None]
+
+    c_ = jnp.asarray(c, dtype)[:, None, None]
+    d_ = jnp.asarray(d, dtype)[:, None, None]
+    g_ = jnp.asarray(g, dtype)[:, None, None]
+    sqrt_tail_left = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.sqrt(jnp.asarray(tail, dtype))[:-1]])
+    t_left = dt * jnp.arange(n, dtype=dtype)
+    wick_left = jnp.where(t_left > 0.0, t_left, 1.0) ** jnp.float32(2 * h)
+    wick_left = jnp.where(t_left > 0.0, wick_left, 0.0)
+    xi_vec = (params.xi * jnp.ones((n,), dtype) if xi_t is None
+              else jnp.asarray(xi_t, dtype))
+    eta = jnp.asarray(params.eta, dtype)
+    rho = jnp.asarray(params.rho, dtype)
+    orth = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    mu_dt = (jnp.asarray(params.r, dtype) - jnp.asarray(params.q, dtype)) * dt
+
+    def step(carry, i):
+        y, log_s, sum_s, max_ls, min_ls = carry
+        z = jax.random.normal(jax.random.fold_in(key, i),
+                              (3, num_paths), dtype)
+        dw = (z[0] * sign) * sqrt_dt                       # (nb, paths)
+        zeta = z[1] * sign
+        w_left = jnp.sum(c_ * y, axis=0) + sqrt_tail_left[i] * zeta
+        v = xi_vec[i] * jnp.exp(eta * w_left
+                                - 0.5 * eta * eta * wick_left[i])
+        dz = rho * dw + orth * (z[2] * sign) * sqrt_dt
+        log_s = log_s + (mu_dt - 0.5 * v * dt) + jnp.sqrt(v) * dz
+        sum_s = sum_s + jnp.exp(log_s)
+        max_ls = jnp.maximum(max_ls, log_s)
+        min_ls = jnp.minimum(min_ls, log_s)
+        y = d_ * y + g_ * dw[None]
+        return (y, log_s, sum_s, max_ls, min_ls), None
+
+    zeros = jnp.zeros((nb, num_paths), dtype)
+    init = (jnp.zeros((c_.shape[0], nb, num_paths), dtype), zeros, zeros,
+            jnp.full((nb, num_paths), -jnp.inf, dtype),
+            jnp.full((nb, num_paths), jnp.inf, dtype))
+    (_, log_s, sum_s, max_ls, min_ls), _ = jax.lax.scan(
+        step, init, jnp.arange(n))
+    return {
+        "s_terminal": spot * jnp.exp(log_s),
+        "s_mean": spot * sum_s / jnp.float32(n),
+        "s_max": spot * jnp.exp(max_ls),
+        "s_min": spot * jnp.exp(min_ls),
+    }

@@ -584,3 +584,56 @@ def test_rbergomi_lift_kernel_matches_scan_statistics():
                                                 rel=0.02)
     assert float(jnp.std(i2k)) == pytest.approx(float(jnp.std(i2s)),
                                                 rel=0.03)
+
+
+def test_rbergomi_lift_stats_kernel_compiles_and_shape():
+    """Interpreter smoke for the fused lift PATH-STATS kernel (round 5:
+    asian/barrier/lookback under rough vol at scan speed). Statistics
+    are TPU-gated below; here: shapes, finiteness, and the max >= min
+    invariant that survives even the interpreter's zero PRNG."""
+    from mcos_tpu.ops.pallas_kernels import rbergomi_lift_stats_pallas
+    from mcos_tpu.ops.rough import RoughBergomiParams, rbergomi_lift
+
+    p = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
+    c, d, g, tail = rbergomi_lift(p.hurst, 0.5, 16)
+    st = rbergomi_lift_stats_pallas(
+        (p.eta, p.rho, p.r, p.q, p.xi, 100.0), 0.5, 3, c, d, g, tail,
+        p.hurst, num_paths=N, num_steps=16, rows=8)
+    for k in ("s_terminal", "s_mean", "s_max", "s_min"):
+        assert st[k].shape == (2, N) and st[k].dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(st[k])))
+    assert bool(jnp.all(st["s_max"] >= st["s_min"]))
+    assert bool(jnp.all(st["s_max"] >= st["s_terminal"] - 1e-3))
+
+
+@tpu_only
+def test_rbergomi_lift_stats_kernel_matches_scan_statistics():
+    """Fused lift path-stats kernel vs its differentiable scan twin
+    (`ops/rough.py:rbergomi_path_stats_lifted`): same law of the
+    (terminal, mean, max, min) spot statistics, hence the same
+    asian/barrier/lookback prices."""
+    from mcos_tpu.ops.pallas_kernels import rbergomi_lift_stats_pallas
+    from mcos_tpu.ops.rough import (RoughBergomiParams, rbergomi_lift,
+                                    rbergomi_path_stats_lifted)
+
+    p = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
+    n_paths, n_steps, T = 1 << 17, 128, 0.5
+    c, d, g, tail = rbergomi_lift(p.hurst, T, n_steps)
+    ker = rbergomi_lift_stats_pallas(
+        (p.eta, p.rho, p.r, p.q, p.xi, 100.0), T, 11, c, d, g, tail,
+        p.hurst, num_paths=n_paths, num_steps=n_steps)
+    scn = rbergomi_path_stats_lifted(
+        p, 100.0, T, jax.random.key(11), c, d, g, tail,
+        num_paths=n_paths, num_steps=n_steps)
+    for k in ("s_terminal", "s_mean", "s_max", "s_min"):
+        a, b = ker[k], scn[k]
+        se = float(jnp.std(b)) / np.sqrt(2 * n_paths)
+        assert abs(float(a.mean()) - float(b.mean())) < 6 * se, k
+        assert float(jnp.std(a)) == pytest.approx(float(jnp.std(b)),
+                                                  rel=0.03), k
+    # payoff-level agreement: ATM asian + up-and-out survival
+    for pay in (lambda st: jnp.maximum(st["s_mean"] - 100.0, 0.0),
+                lambda st: (st["s_max"] < 115.0).astype(jnp.float32)):
+        pa, pb = pay(ker), pay(scn)
+        se = float(jnp.std(pb)) / np.sqrt(2 * n_paths)
+        assert abs(float(pa.mean()) - float(pb.mean())) < max(6 * se, 5e-4)

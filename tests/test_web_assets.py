@@ -48,3 +48,51 @@ def test_index_html_loads_local_scripts_only():
     assert srcs, "expected script tags"
     for s in srcs:
         assert s.startswith("/static/"), f"non-local script {s} (zero-egress rule)"
+
+
+def test_colors_keys_referenced_exist():
+    """Every `COLORS.x` the scripts draw with must exist in the COLORS
+    literal — the reference's js/app.js:398 dead-key bug class (a renamed
+    key silently renders as `undefined`), applied to the style table."""
+    src = (WEB / "app.js").read_text()
+    m = re.search(r"const COLORS = \{(.*?)\};", src, flags=re.S)
+    assert m, "COLORS literal not found"
+    defined = set(re.findall(r"(\w+):", m.group(1)))
+    used = set(re.findall(r"COLORS\.(\w+)", src))
+    assert used <= defined, f"dead COLORS keys: {used - defined}"
+
+
+def test_path_renderer_helpers_and_token_discipline():
+    """Structural pins over the round-4 animated path renderer: every
+    helper it calls is defined in app.js, the cancellation token is
+    incremented per run and checked per frame, and the rAF continuation
+    is bounded by the step count (no runaway animation loop)."""
+    src = (WEB / "app.js").read_text()
+    body = re.search(r"function drawPaths\(.*?\n\}\n", src, flags=re.S)
+    assert body, "drawPaths not found"
+    body = body.group(0)
+    for helper in ("frame(", "polyline(", "hline(", "pill(", "fmt("):
+        assert helper in body, f"renderer calls undefined helper {helper}"
+        name = helper[:-1]
+        assert re.search(rf"function {name}\(|const {name} = ", src), (
+            f"helper {name} has no definition in app.js")
+    assert "++pathAnim" in body, "new run must claim the animation token"
+    assert "token !== pathAnim" in body, "frames must check the token"
+    assert re.search(r"if \(upto < steps - 1\) requestAnimationFrame",
+                     body), "rAF continuation must be step-bounded"
+    # the badges partition the shown paths: above + (shown - above)
+    assert "shown.length - above" in body
+
+
+def test_renderer_consumes_live_api_keys():
+    """The keys drawPaths' call sites read (`sample_paths`, `strike`)
+    must be produced by BOTH data sources — the HTTP API (server.py) and
+    the offline fallback engine (engine.js) — so neither path can rot
+    into the reference's dead-key rendering bug."""
+    app = (WEB / "app.js").read_text()
+    eng = (WEB / "engine.js").read_text()
+    server = (Path(__file__).resolve().parent.parent
+              / "mcos_tpu" / "api" / "server.py").read_text()
+    assert re.search(r"drawPaths\(\w+\.sample_paths", app)
+    assert '"sample_paths"' in server or "'sample_paths'" in server
+    assert "sample_paths" in eng
