@@ -311,7 +311,7 @@ class BasketEngine:
 
         mesh = resolve_mesh(self.mesh)
         if mesh is not None:
-            from mcos_tpu.parallel.mesh import sharded_basket_price
+            from mcos_tpu.parallel.families import sharded_basket_price
 
             return sharded_basket_price(
                 self, spots, weights, strike, T, jax.random.key(self.seed),

@@ -249,7 +249,7 @@ class TDSVJEngine:
         if mesh is not None:
             # Multi-device: psum'd moment pooling over the paths axis
             # (β=1 companion CV inside the sharded driver).
-            from mcos_tpu.parallel.mesh import sharded_td_price
+            from mcos_tpu.parallel.families import sharded_td_price
 
             res = sharded_td_price(
                 self.params, th_t, xi_t, lam_t, spot, strikes_arr, T,

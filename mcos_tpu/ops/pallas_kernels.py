@@ -1977,7 +1977,7 @@ def rbergomi_lift_integrals_pallas(
     xi_t: Optional[Array] = None,
     xi_flat=0.04,
     antithetic: bool = True,
-    rows: int = 32,
+    rows: int = 16,
 ) -> Tuple[Array, Array]:
     """(I1, I2), each (n_branch, num_paths) — fused-kernel twin of
     `ops/rough.py:rbergomi_core_lifted` (which remains the differentiable
@@ -2149,7 +2149,7 @@ def rbergomi_lift_stats_pallas(
     num_steps: int,
     xi_t: Optional[Array] = None,
     antithetic: bool = True,
-    rows: int = 32,
+    rows: int = 16,
 ) -> dict:
     """Dict of (n_branch, num_paths) path statistics (s_terminal, s_mean,
     s_max, s_min over t_1..t_n) — fused-kernel twin of

@@ -6,7 +6,9 @@ each driver here is a thin payoff function + `sharded_moments` call; the
 shard_map / key-folding / psum / pooling shape lives exactly once in
 `mcos_tpu.parallel.mesh.sharded_moments`. Families covered here: SVCJ,
 Lévy (VG + NIG), lifted rough Heston, Dupire local vol, cliquet /
-forward-start, quanto, worst-of autocallable notes, and variance swaps.
+forward-start, quanto, worst-of autocallable notes, variance swaps, and
+(moved from mesh.py in the same refactor) rough Bergomi, Heston-Hull-
+White, SLV particles, time-dependent SVJ, and multi-asset SVJ baskets.
 The single-device estimator each driver must reproduce on the pooled
 union sample is cited per function; tests/test_parallel.py pins every
 driver to its single-device engine.
@@ -14,7 +16,7 @@ driver to its single-device engine.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -440,3 +442,305 @@ def sharded_variance_swap(params: SVJParams, T, key, *, mesh: Mesh,
             abs(mc - closed["fair_variance"]) / max(se, 1e-12)),
         "num_paths_used": float(pooled["num_paths_used"]),
     }
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Families converted onto the combinator in the same refactor (these lived
+# as hand-written shard_map wrappers in parallel/mesh.py through round 4;
+# mesh.py now keeps only the infrastructure and the genuinely different
+# programs — regression/tail/batch pooling shapes).
+# ─────────────────────────────────────────────────────────────────────────────
+def _rough_local_payoffs(dev_key, params, spot, strikes, T, chol, *,
+                         ppd, num_steps, is_call):
+    """Per-device rough Bergomi conditional-Black payoffs, (K, ppd)."""
+    from mcos_tpu.ops.rough import rbergomi_conditional_payoffs
+
+    pay = rbergomi_conditional_payoffs(
+        params, spot, strikes, T, chol, dev_key, num_paths=ppd,
+        num_steps=num_steps, is_call=is_call)
+    return jnp.mean(pay, axis=0).T               # antithetic combine
+
+
+def sharded_rough_price(
+    params,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded rough Bergomi pricing (conditional-Black estimator).
+
+    The global path count splits over the `axis_name` axis; each device
+    runs the exact-covariance sampler with a device-folded key (the
+    Cholesky factor is replicated — a few MB of static data, the per-path
+    draws are what scale); `sharded_moments` pools the per-strike triple.
+    """
+    from mcos_tpu.ops.rough import rbergomi_chol
+
+    ppd = -(-num_paths // mesh.shape[axis_name])
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    chol = jnp.asarray(rbergomi_chol(float(params.hurst), float(T),
+                                     num_steps))
+    stats = sharded_moments(
+        _rough_local_payoffs, key,
+        (params, jnp.float32(spot), strikes, jnp.float32(T), chol),
+        mesh=mesh, axis_name=axis_name,
+        statics=(("ppd", ppd), ("num_steps", num_steps),
+                 ("is_call", is_call)))
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    return pool_moments(stats, discount)
+
+def sharded_hhw_price(
+    hhw_params,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded Heston–Hull-White pricing.
+
+    Per device: the joint (S, v, r) scan (ops/hhw.py:hhw_terminal — the
+    left-point ∫r martingale scheme) on a device-folded key; pathwise-
+    discounted payoffs pool via `sharded_moments` (discount=1 here — the
+    stochastic-rate deflator is already inside each payoff).
+    """
+    ppd = -(-num_paths // mesh.shape[axis_name])
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    stats = sharded_moments(
+        _hhw_local_payoffs, key,
+        (hhw_params, jnp.float32(spot), strikes, jnp.float32(T)),
+        mesh=mesh, axis_name=axis_name,
+        statics=(("ppd", ppd), ("num_steps", num_steps),
+                 ("is_call", is_call)))
+    return pool_moments(stats)
+
+
+def _hhw_local_payoffs(dev_key, p, spot, strikes, T, *,
+                       ppd, num_steps, is_call):
+    """Per-device pathwise-discounted HHW payoffs, (K, ppd)."""
+    from mcos_tpu.ops.hhw import hhw_terminal
+
+    s, d = hhw_terminal(p, spot, T, dev_key, num_paths=ppd,
+                        num_steps=num_steps)              # (2, ppd) each
+    raw = (s[None] - strikes[:, None, None]) if is_call \
+        else (strikes[:, None, None] - s[None])
+    return simulate.combine_antithetic(
+        (jnp.maximum(raw, 0.0) * d[None]).swapaxes(0, 1))
+
+
+def sharded_slv_price(
+    heston: SVJParams,
+    var_rows,
+    t_mid,
+    y0,
+    dy,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    n_bins: int = 101,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded SLV particle-method pricing.
+
+    SLV is a McKean-Vlasov (mean-field) simulation: the leverage function
+    at each step depends on E[v | S] over the WHOLE particle cloud. The
+    sharded run therefore psums the per-step bin statistics inside the
+    scan (engine/slv.py:slv_terminal axis_name plumbing) — one
+    (n_bins+2)-word all-reduce per step over ICI — so N devices × ppd
+    particles behave as ONE cloud of N·ppd particles, not N independent
+    small clouds (small clouds noise-flatten the leverage surface).
+    Terminal payoffs then pool via the usual psum'd moments.
+    """
+    ppd = -(-num_paths // mesh.shape[axis_name])
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    stats = sharded_moments(
+        _slv_local_payoffs, key,
+        (heston, jnp.asarray(var_rows, jnp.float32),
+         jnp.asarray(t_mid, jnp.float32), jnp.float32(y0),
+         jnp.float32(dy), jnp.float32(spot), strikes, jnp.float32(T)),
+        mesh=mesh, axis_name=axis_name,
+        statics=(("ppd", ppd), ("num_steps", num_steps),
+                 ("n_bins", n_bins), ("is_call", is_call),
+                 ("axis_name", axis_name)))
+    discount = jnp.exp(-jnp.asarray(heston.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    return pool_moments(stats, discount)
+
+
+def _slv_local_payoffs(dev_key, heston, var_rows, t_mid, y0, dy, spot,
+                       strikes, T, *, ppd, num_steps, n_bins, is_call,
+                       axis_name):
+    """Per-device SLV particle payoffs; the leverage conditioning psums
+    bin statistics inside the scan (the one driver whose payoff fn itself
+    talks to the mesh axis)."""
+    from mcos_tpu.engine.slv import slv_terminal
+
+    s = slv_terminal(heston, var_rows, t_mid, y0, dy, spot, T, dev_key,
+                     num_paths=ppd, num_steps=num_steps, n_bins=n_bins,
+                     axis_name=axis_name)                  # (2, ppd)
+    raw = (s[None] - strikes[:, None, None]) if is_call \
+        else (strikes[:, None, None] - s[None])
+    return simulate.combine_antithetic(
+        jnp.maximum(raw, 0.0).swapaxes(0, 1))              # (K, ppd)
+
+def sharded_td_price(
+    params: SVJParams,
+    theta_t,
+    xi_t,
+    lam_t,
+    spot,
+    strikes,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: int,
+    num_steps: int,
+    is_call: bool = True,
+    control_variate: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, Array]:
+    """Mesh-sharded pricing under time-dependent (θ, ξ, λ) dynamics.
+
+    Same psum'd (n, Σ, Σ²) moment pooling as `sharded_price`; the per-step
+    parameter arrays are replicated (a few KB) and every device simulates
+    its own key-folded slice of the global path budget.
+    """
+    ppd = -(-num_paths // mesh.shape[axis_name])
+    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    stats = sharded_moments(
+        _td_local_payoffs, key,
+        (params, jnp.asarray(theta_t, jnp.float32),
+         jnp.asarray(xi_t, jnp.float32), jnp.asarray(lam_t, jnp.float32),
+         jnp.float32(spot), strikes, jnp.float32(T)),
+        mesh=mesh, axis_name=axis_name,
+        statics=(("ppd", ppd), ("num_steps", num_steps),
+                 ("is_call", is_call),
+                 ("control_variate", control_variate)))
+    discount = jnp.exp(-jnp.asarray(params.r, jnp.float32)
+                       * jnp.asarray(T, jnp.float32))
+    out = pool_moments(stats, discount)
+    out["frac_nonfinite"] = stats["nonfinite"] / (2.0 * stats["n"])
+    if control_variate:
+        out["bs_ref"] = bs_price(spot, strikes, T, params.r, params.q,
+                                 jnp.sqrt(params.v0), is_call)
+    return out
+
+
+def _td_local_payoffs(dev_key, params, th_t, xi_t, lam_t, spot, strikes,
+                      T, *, ppd, num_steps, is_call, control_variate):
+    """Per-device td-SVJ CV-effective payoffs (β=1 companion folded in),
+    plus the guard diagnostics (v_max pmax / nonfinite psum)."""
+    from mcos_tpu.ops.tdsvj import simulate_terminal_td
+
+    s_final, v_final, g_final = simulate_terminal_td(
+        params, th_t, xi_t, lam_t, spot, T, dev_key,
+        num_paths=ppd, num_steps=num_steps, antithetic=True,
+        companion=control_variate)
+    pay = simulate.combine_antithetic(
+        simulate.vanilla_payoff(
+            s_final[None], strikes[:, None, None], is_call).swapaxes(0, 1))
+    if control_variate:
+        discount = jnp.exp(-params.r * T)
+        bs_ref = bs_price(spot, strikes, T, params.r, params.q,
+                          jnp.sqrt(params.v0), is_call)
+        ctrl = simulate.combine_antithetic(
+            simulate.vanilla_payoff(
+                g_final[None], strikes[:, None, None],
+                is_call).swapaxes(0, 1))
+        eff = pay - (ctrl - bs_ref[:, None] / discount)
+    else:
+        eff = pay
+    aux = {"v_max": jnp.max(v_final),
+           "nonfinite": jnp.sum(~jnp.isfinite(s_final))
+           .astype(jnp.float32)}
+    return eff, None, aux
+
+def _basket_local_payoffs(dev_key, batch, spots, chol, w, strike, T, *,
+                          ppd, num_steps, is_call, use_cv):
+    """Per-device basket (pay, ctrl) — the engine's own payoff/control
+    algebra (engine/basket.py:basket_payoff_and_control) on a key-folded
+    correlated-simulation slice; rides `sharded_moments`."""
+    from mcos_tpu.engine.basket import (basket_payoff_and_control,
+                                        simulate_basket_terminal)
+
+    s, g = simulate_basket_terminal(
+        batch, spots, chol, T, dev_key, num_paths=ppd,
+        num_steps=num_steps, antithetic=True, companion=use_cv)
+    pay, ctrl = basket_payoff_and_control(
+        s, g, w, spots, strike, is_call, use_cv)
+    return pay, ctrl, {}
+
+
+def sharded_basket_price(
+    engine,
+    spots,
+    weights,
+    strike,
+    T,
+    key: Array,
+    *,
+    mesh: Mesh,
+    num_paths: Optional[int] = None,
+    is_call: bool = True,
+    axis_name: str = "paths",
+) -> Dict[str, float]:
+    """Mesh-sharded multi-asset SVJ basket pricing.
+
+    `engine` is a `BasketEngine` (holds the stacked per-asset params pytree
+    and the jitter-stabilized correlation Cholesky); the A-asset correlated
+    simulation runs per device on a key-folded slice of the global path
+    budget, the payoff/control algebra is the engine's own
+    `basket_payoff_and_control`, and the optimal-β control variate comes
+    from the psum-pooled (n, Σp, Σp², Σc, Σc², Σpc) cross-moments — the
+    single-device estimator evaluated on the union sample.
+    """
+    from mcos_tpu.config import scaled_steps
+
+    n_total = int(num_paths if num_paths is not None else engine.num_paths)
+    n_dev = mesh.shape[axis_name]
+    ppd = -(-n_total // n_dev)
+    steps = scaled_steps(engine.num_steps, T)
+    use_cv = engine.use_control_variate
+
+    stats = sharded_moments(
+        _basket_local_payoffs, key,
+        (engine._batch, jnp.asarray(spots, jnp.float32), engine._chol,
+         jnp.asarray(weights, jnp.float32), jnp.float32(strike),
+         jnp.float32(T)),
+        mesh=mesh, axis_name=axis_name,
+        statics=(("ppd", ppd), ("num_steps", steps),
+                 ("is_call", is_call), ("use_cv", use_cv)))
+    ctrl_exact = (engine._geo_ctrl_exact(spots, weights, strike, T, is_call)
+                  if use_cv else None)
+    r_eff = float(engine.params_list[0].r)
+    discount = float(np.exp(-r_eff * T))
+    pooled = pool_moments(stats, discount, ctrl_exact=ctrl_exact)
+    out = {
+        "price": float(pooled["price"]),
+        "std_error": float(pooled["std_error"]),
+        "num_paths_used": float(stats["n"]),
+        "num_steps": steps,
+        "num_devices": int(n_dev),
+    }
+    if "cv_beta" in pooled:
+        out["cv_beta"] = float(pooled["cv_beta"])
+    return out

@@ -8,6 +8,7 @@ import pytest
 from mcos_tpu.engine.pricer import MonteCarloEngine
 from mcos_tpu.models.params import SVJParams, gbm_params
 from mcos_tpu.ops.bs import bs_price
+from mcos_tpu.parallel import families as pfam
 from mcos_tpu.parallel import mesh as pmesh
 
 
@@ -148,7 +149,7 @@ def test_sharded_rough_price_matches_bs_and_single_device():
 
     m = pmesh.make_mesh()
     deg = RoughBergomiParams(xi=0.04, eta=1e-8, rho=0.0, hurst=0.07)
-    out = pmesh.sharded_rough_price(
+    out = pfam.sharded_rough_price(
         deg, 100.0, [95.0, 105.0], 0.5, jax.random.key(3), mesh=m,
         num_paths=8_192, num_steps=32)
     for px, k in zip(np.asarray(out["price"]), [95.0, 105.0]):
@@ -157,7 +158,7 @@ def test_sharded_rough_price_matches_bs_and_single_device():
     assert float(out["num_paths_used"]) >= 8_192
 
     full = RoughBergomiParams(xi=0.04, eta=1.9, rho=-0.9, hurst=0.07)
-    sh = pmesh.sharded_rough_price(
+    sh = pfam.sharded_rough_price(
         full, 100.0, [100.0], 0.25, jax.random.key(5), mesh=m,
         num_paths=65_536, num_steps=32)
     chol = jnp.asarray(rbergomi_chol(0.07, 0.25, 32))
@@ -257,7 +258,7 @@ def test_sharded_hhw_matches_single_device():
     p = HHWParams(kappa=2.0, theta=0.05, xi=0.4, v0=0.04, a=0.1, b=0.05,
                   sigma_r=0.012, r0=0.05, rho_sv=-0.6, rho_sr=0.3, q=0.01)
     m = pmesh.make_mesh()
-    sh = pmesh.sharded_hhw_price(p, 100.0, [100.0], 1.0, jax.random.key(4),
+    sh = pfam.sharded_hhw_price(p, 100.0, [100.0], 1.0, jax.random.key(4),
                                  mesh=m, num_paths=100_000, num_steps=48)
     eng = HHWEngine(p, num_paths=100_000, num_steps=48, seed=9)
     ref = eng.price(100.0, 100.0, 1.0)
@@ -278,7 +279,7 @@ def test_sharded_slv_flat_surface_matches_bs():
     heston = SVJParams(kappa=2.0, theta=0.04, xi=0.6, rho=-0.7, v0=0.04,
                        lambda_j=0.0, r=r, q=q)
     m = pmesh.make_mesh()
-    out = pmesh.sharded_slv_price(
+    out = pfam.sharded_slv_price(
         heston, rows, t_mid, float(surf.y_grid[0]),
         float(surf.y_grid[1] - surf.y_grid[0]), S, [90.0, 100.0, 110.0], T,
         jax.random.key(6), mesh=m, num_paths=8 * 16_384, num_steps=32)
@@ -305,7 +306,7 @@ def test_sharded_slv_pools_global_cloud():
                        lambda_j=0.0, r=r, q=q)
     m = pmesh.make_mesh()
     n_total = 8 * 8_192
-    sh = pmesh.sharded_slv_price(
+    sh = pfam.sharded_slv_price(
         heston, rows, t_mid, float(surf.y_grid[0]),
         float(surf.y_grid[1] - surf.y_grid[0]), S, [85.0], T,
         jax.random.key(8), mesh=m, num_paths=n_total, num_steps=24)
@@ -472,7 +473,7 @@ def test_sharded_td_price_matches_cos_oracle():
     exact = cos_price_td(svj, 22500.0, strikes, T, ends, th, xi, lam)
 
     m = pmesh.make_mesh()
-    res = pmesh.sharded_td_price(
+    res = pfam.sharded_td_price(
         svj, th_t, xi_t, lam_t, 22500.0, strikes, T, jax.random.key(2),
         mesh=m, num_paths=160_000, num_steps=steps)
     assert int(res["num_paths_used"]) >= 160_000
@@ -488,9 +489,9 @@ def test_sharded_td_price_deterministic():
     ones = np.ones(16, np.float32)
     m = pmesh.make_mesh()
     kw = dict(mesh=m, num_paths=16_000, num_steps=16)
-    r1 = pmesh.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
+    r1 = pfam.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
                                 100.0, [100.0], 0.5, jax.random.key(3), **kw)
-    r2 = pmesh.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
+    r2 = pfam.sharded_td_price(p, ones * 0.04, ones * 1e-4, ones * 0.0,
                                 100.0, [100.0], 0.5, jax.random.key(3), **kw)
     assert float(r1["price"][0]) == float(r2["price"][0])
 
@@ -616,7 +617,7 @@ def test_sharded_basket_matches_single_engine():
                        seed=5)
     single = eng.price([100.0, 120.0], [0.5, 0.5], 110.0, 0.25)
     m = pmesh.make_mesh()
-    sh = pmesh.sharded_basket_price(
+    sh = pfam.sharded_basket_price(
         eng, [100.0, 120.0], [0.5, 0.5], 110.0, 0.25, jax.random.key(5),
         mesh=m)
     joint = 5 * np.hypot(sh["std_error"], single["std_error"])
