@@ -47,6 +47,11 @@ Array = jax.Array
 
 LANES = 128
 DEFAULT_ROWS = 256          # paths per block = ROWS * LANES = 32768
+# Kernels with more per-path carry state default to SMALLER row counts —
+# the v5e rows sweep (2^21-2^22 paths x 1024 steps, sustained) shows the
+# optimum tracks vreg pressure: gbm 256, svj/svcj/td 64, qe 128,
+# hhw/path-stats 32, rbergomi lift 16 (24 factor carries). Measured wins
+# vs rows=256: svj +8.5%, hhw +38%, stats +8.8%, svcj +4.7%, td +5.8%.
 _TWO_PI = 6.283185307179586
 
 
@@ -334,7 +339,7 @@ def svj_terminal_pallas(
     num_steps: int,
     antithetic: bool = True,
     companion: bool = False,
-    rows: int = DEFAULT_ROWS,
+    rows: int = 64,
 ) -> Tuple[Array, Array, Optional[Array]]:
     """Fused-TPU-kernel drop-in for `simulate.simulate_terminal`.
 
@@ -802,7 +807,7 @@ def svj_terminal_qe_pallas(
     num_steps: int,
     antithetic: bool = True,
     companion: bool = False,
-    rows: int = DEFAULT_ROWS,
+    rows: int = 128,
 ) -> Tuple[Array, Array, Optional[Array]]:
     """Fused-TPU-kernel drop-in for `simulate.simulate_terminal_qe`.
 
@@ -1209,7 +1214,7 @@ def svj_path_stats_pallas(
     num_steps: int,
     antithetic: bool = True,
     companion: bool = True,
-    rows: int = DEFAULT_ROWS,
+    rows: int = 32,
     bridge: bool = False,
     bridge_up: bool = True,
     bridge_log_b=0.0,
@@ -1479,7 +1484,7 @@ def hhw_terminal_pallas(
     num_paths: int,
     num_steps: int,
     antithetic: bool = True,
-    rows: int = DEFAULT_ROWS,
+    rows: int = 32,
 ) -> Tuple[Array, Array]:
     """Fused-TPU-kernel drop-in for `ops.hhw.hhw_terminal`.
 
@@ -1653,7 +1658,7 @@ def svcj_terminal_pallas(
     num_steps: int,
     antithetic: bool = True,
     companion: bool = False,
-    rows: int = DEFAULT_ROWS,
+    rows: int = 64,
 ):
     """Fused-TPU-kernel drop-in for `ops/svcj.py:svcj_terminal`.
 
@@ -1834,7 +1839,7 @@ def svj_terminal_td_pallas(
     num_steps: int,
     antithetic: bool = True,
     companion: bool = False,
-    rows: int = DEFAULT_ROWS,
+    rows: int = 64,
 ) -> Tuple[Array, Array, Optional[Array]]:
     """Fused-TPU-kernel drop-in for `tdsvj.simulate_terminal_td`.
 
