@@ -11,10 +11,18 @@ headroom is left. This harness answers that with an *empirical* roofline:
 2. Combine the measured throughputs with a hand-audited per-path-step op
    count for each simulation kernel (counts documented in KERNEL_OPS
    below, cross-referenced to the kernel sources).
-3. Attainable path-steps/s = 1 / sum_i(count_i / throughput_i) — the
+3. Modeled path-steps/s = 1 / sum_i(count_i / throughput_i) — the
    serial-issue VPU model: every op class occupies the vector unit, so
-   the best case is the sum of their reciprocal throughputs. Percent of
-   attainable = measured (benchmarks/RESULTS config8/config10) / that.
+   this is the rate with zero cross-class overlap. The real kernels
+   overlap op classes beyond what the microbench can express and beat
+   this model (GBM by ~1.6×), so the model is a LOWER bound, not a
+   ceiling. The committed table therefore anchors "attainable" on the
+   family's demonstrated ceiling (see `anchored`): the best
+   measured/modeled ratio in the family rescales every kernel's model,
+   and `pct_of_attainable` reads as "how well does this kernel overlap
+   its op mix relative to the best-mapped kernel" — 100% = no
+   implementation headroom left relative to anything this repo has
+   demonstrated on this chip.
 
 Run on real TPU: python benchmarks/roofline.py [--measured RESULTS.json]
 Prints one JSON document; docs/BENCHMARKS.md carries the narrated table.
@@ -170,22 +178,27 @@ KERNEL_OPS = {
     # cheap ops per trip: 2 muls (scaled z, shared) + 2 branches x 2 steps
     # x ~2 (drift add + signed FMA) = ~10 -> 2.5, + 0.25 x 20 poly = 7.5.
     "gbm": {"rand_uniform": 0.5, "log": 0.25, "sqrt": 0.25, "fma": 7.5},
-    # _svj_kernel (pair-fused, companion on): per 2 steps per PAIR
-    # (4 output path-steps): 6 draws, 2 BM; per output step: 1 sqrt(v)
-    # per branch + shared jump cmp/dW1/dW2 (~3) + per-branch drift/var
-    # updates (~11) + CV carry (~1) = ~15 cheap + 0.5 x 20 poly = 25.
-    "svj_euler": {"rand_uniform": 1.5, "log": 0.5, "sqrt": 1.5,
-                  "fma": 25.0},
+    # _svj_kernel (pair-fused, companion on; round-5 Binomial-count jump
+    # draw): per 2 steps per PAIR (4 output path-steps): 4 draws, 2 BM —
+    # the per-step jump uniforms are gone (ONE end-of-path uniform
+    # inverts the packed count CDF, ~128 ops amortized over num_steps);
+    # per output step: 1 sqrt(v) per branch + shared dW1/dW2 (~2) +
+    # per-branch drift/var updates in hoisted-coefficient form (~9) +
+    # CV carry (~1) = ~12 cheap + 0.5 x 20 poly = 22.
+    "svj_euler": {"rand_uniform": 1.0, "log": 0.5, "sqrt": 1.5,
+                  "fma": 22.0},
     # _hhw_kernel (pair-fused): per 2 steps per PAIR: 6 draws, 3 BM
     # (no uniforms kept); per output step: 1 sqrt(v) per branch + shared
     # Cholesky mixes zv/zr (~2.5) + per-branch spot/var/rate/integral
     # updates (~17.5) = ~20 cheap + 0.75 x 20 poly = 35.
     "hhw": {"rand_uniform": 1.5, "log": 0.75, "sqrt": 1.75, "fma": 35.0},
-    # _svj_qe_kernel (pair-fused, companion on): per step per PAIR:
-    # 4 draws, 1 BM, variance: 2 sqrt + 1 log + ~3 div, vol sqrt,
-    # ~22 cheap shared + 2x4 per-branch updates; /2 branches, + 0.5 x 20.
-    "svj_qe": {"rand_uniform": 2.0, "log": 1.0, "sqrt": 2.0,
-               "div": 1.5, "fma": 25.0},
+    # _svj_qe_kernel (pair-fused, companion on; round-5 Binomial-count
+    # jump draw): per step per PAIR: 3 draws (was 4 — the per-step jump
+    # uniform is gone), 1 BM, variance: 2 sqrt + 1 log + ~3 div, vol
+    # sqrt, ~20 cheap shared + 2x4 per-branch updates; /2 branches,
+    # + 0.5 x 20 poly.
+    "svj_qe": {"rand_uniform": 1.5, "log": 1.0, "sqrt": 2.0,
+               "div": 1.5, "fma": 24.0},
     # _rbergomi_lift_kernel (m=24 factors, pair-fused via state linearity):
     # per step per PAIR: 1 draw block (2 subblocks -> 2 u2f), 1 BM, ONE
     # factor scan (3m = 72 FMA), then per branch 1 exp + 1 sqrt + ~5 misc.
@@ -203,6 +216,35 @@ def attainable(tputs):
             t_per_step += cnt / tputs[op]
         out[kname] = 1.0 / t_per_step
     return out
+
+
+def anchored(att, meas):
+    """Family-ceiling-anchored attainable (round 5).
+
+    The serial-issue microbench model is a LOWER bound on the hardware:
+    the real kernels overlap op classes (PRNG draws against FMAs, the
+    per-branch state updates against each other) far beyond the
+    8-chain ILP the microbench can express, and every committed kernel
+    measurably beats its modeled "attainable" (GBM by ~1.6×). A table
+    where measured > 100% of attainable answers nothing. So the
+    headroom question is re-anchored on the family's own demonstrated
+    ceiling: beat = max_k measured_k / modeled_k is how far past the
+    serial-issue model THIS hardware demonstrably goes; a kernel's
+    anchored attainable is modeled_k × beat, i.e. "what this kernel
+    would sustain if it overlapped its op mix as well as the
+    best-mapped kernel in the family does". The best kernel sits at
+    100% by construction; the gap below 100% for the others is
+    implementation headroom (stalls, spills, un-overlapped op classes),
+    not op-mix physics — the op mix is already priced into modeled_k.
+    """
+    beats = {k: meas[k] / att[k] for k in meas if k in att}
+    if not beats:
+        return {}, None, {}
+    best = max(beats, key=beats.get)
+    beat = beats[best]
+    anc = {k: att[k] * beat for k in meas if k in att}
+    pct = {k: 100.0 * meas[k] / anc[k] for k in anc}
+    return anc, {"kernel": best, "beat_factor": beat}, pct
 
 
 def main():
@@ -251,8 +293,12 @@ def main():
         if "lift_pallas_paths_per_sec" in row:
             meas["rbergomi_lift_m24"] = row["lift_pallas_paths_per_sec"] * 1024
         report["measured_path_steps_per_sec"] = meas
-        report["pct_of_attainable"] = {
+        report["pct_of_serial_issue_model"] = {
             k: 100.0 * v / att[k] for k, v in meas.items() if k in att}
+        anc, anchor, pct = anchored(att, meas)
+        report["anchor"] = anchor
+        report["attainable_anchored"] = anc
+        report["pct_of_attainable"] = pct
 
     print(json.dumps(report, indent=2, default=float))
 

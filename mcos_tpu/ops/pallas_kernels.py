@@ -74,6 +74,90 @@ _P_SPOT, _P_V0, _P_DT, _P_SQRT_DT, _P_KAPPA, _P_THETA, _P_XI, _P_RHO, \
     _P_RHO_PERP, _P_LAM_DT, _P_MU_J, _P_SIG_J, _P_DRIFT_DT, _P_G_DRIFT_DT, \
     _P_SIG_CV, _P_BRIDGE_B, _P_BRIDGE_L, _P_NPARAMS = range(18)
 
+# Jump-count CDF table appended after the scalars (see _binom_count_cdf):
+# slot _P_NPARAMS + k holds P(Binom(num_steps, λ·dt) ≤ k), k = 0..K−1.
+_P_CDF_K = 64
+
+
+def _binom_count_cdf(lam_dt, num_steps: int, kmax: int = _P_CDF_K) -> Array:
+    """CDF of the total jump count, Binomial(num_steps, λ·dt), k = 0..kmax−1.
+
+    The terminal-law kernels never need jump *timing* — conditional on the
+    count n, the summed Merton size is N(n·μ_J, n·σ_J²) (the compound
+    identity, see _svj_kernel) — so the per-step Bernoulli accumulation
+    Σ 1{U_t < λ·dt} can be replaced by ONE inverse-CDF draw of the exact
+    Binomial total: count = Σ_k 1{u > cdf_k}. Law-identical to the per-step
+    scheme (jumps are independent of the diffusion draws in both).
+
+    Truncation at kmax=64 only matters when P(count > 63) exceeds the
+    23-bit uniform grid the kernels sample on (2⁻²³ ≈ 1.2e-7) — i.e.
+    λT ≳ 30, far outside PARAM_BOUNDS' λ ≤ 10 at desk maturities; the old
+    per-step compare carried the same per-step quantization. Trace-side
+    f32 recurrence: pmf_{k+1} = pmf_k · ratio · (n−k)/(k+1); errors are
+    ~64 ulps ≈ 1e-6 absolute on the thresholds, far below MC noise.
+    """
+    p = jnp.clip(jnp.asarray(lam_dt, jnp.float32), 0.0, 1.0 - 1e-7)
+    n = jnp.float32(num_steps)
+    ratio = p / (1.0 - p)
+    # (1−p)^n by binary exponentiation (num_steps is static), all
+    # multiplicative — no device transcendentals: TPU exp/log1p are
+    # ~1e-5-class on this amplified path (n multiplies the log's error;
+    # measured 3.9e-5 absolute on the CDF before this was caught by the
+    # TPU run of test_binom_count_cdf_matches_scipy_and_inverts).
+    pmf0 = jnp.float32(1.0)
+    base, e = 1.0 - p, int(num_steps)
+    while e:
+        if e & 1:
+            pmf0 = pmf0 * base
+        base, e = base * base, e >> 1
+
+    def step(pmf, k):
+        return pmf * ratio * (n - k) / (k + 1.0), pmf
+
+    _, pmfs = jax.lax.scan(step, pmf0,
+                           jnp.arange(kmax, dtype=jnp.float32))
+    cdf = jnp.cumsum(pmfs)
+    # Normalize by the last entry: pmf0's own f32 error (forming 1−p
+    # loses ~1.3e-8 which ^n amplifies to ~2e-5) is a COMMON factor of
+    # every pmf_k, so the ratio cancels it exactly; what remains is the
+    # ~ulp-scale recurrence rounding (measured <5e-7). Semantically this
+    # conditions on count < kmax — the table's truncation contract
+    # (P(count ≥ 64) < 2⁻²³ on the valid λT domain) unchanged.
+    return jnp.minimum(cdf / cdf[-1], 1.0)
+
+
+def _poisson_binom_cdf(p_steps: Array, kmax: int = _P_CDF_K) -> Array:
+    """CDF of Σᵢ Bernoulli(pᵢ) for per-step probabilities pᵢ = λᵢ·dt —
+    the time-dependent analogue of `_binom_count_cdf` (td-SVJ kernel).
+
+    Trace-side DP over steps on a kmax-state pmf vector:
+    pmf′ₖ = pmfₖ·(1−pᵢ) + pmfₖ₋₁·pᵢ. Mass beyond kmax−1 drops out of the
+    vector, so the cumsum saturates below 1 and the inverse transport
+    clamps the count at kmax — the same (negligible) truncation contract
+    as the constant-λ table.
+    """
+    p_steps = jnp.clip(jnp.asarray(p_steps, jnp.float32), 0.0, 1.0 - 1e-7)
+    init = jnp.zeros(kmax, jnp.float32).at[0].set(1.0)
+
+    def step(pmf, p):
+        shifted = jnp.concatenate([jnp.zeros(1, jnp.float32), pmf[:-1]])
+        return pmf * (1.0 - p) + shifted * p, None
+
+    pmf, _ = jax.lax.scan(step, init, p_steps)
+    cdf = jnp.cumsum(pmf)
+    # Same normalization as _binom_count_cdf: the Π(1−pᵢ) rounding error
+    # is (nearly) common across entries and cancels in the ratio.
+    return jnp.minimum(cdf / cdf[-1], 1.0)
+
+
+def _count_from_u(u: Array, p_ref, base: int, kmax: int = _P_CDF_K) -> Array:
+    """Jump count from one uniform via the packed CDF table (monotone
+    inverse-CDF transport; runs ONCE per path, ~2·kmax cheap VPU ops)."""
+    cnt = jnp.zeros_like(u)
+    for k in range(kmax):
+        cnt = cnt + jnp.where(u > p_ref[base + k], 1.0, 0.0)
+    return cnt
+
 
 def _pack_params(params: SVJParams, spot, T, num_steps: int,
                  bridge_log_b=0.0, bridge_log_l=0.0) -> Array:
@@ -104,7 +188,10 @@ def _pack_params(params: SVJParams, spot, T, num_steps: int,
     }
     for i, v in vals.items():
         vec = vec.at[i].set(v)
-    return vec
+    # Binomial jump-count CDF table (terminal-law kernels draw the total
+    # count once per path — see _binom_count_cdf).
+    cdf = _binom_count_cdf(vals[_P_LAM_DT], num_steps)
+    return jnp.concatenate([vec, cdf])
 
 
 def _bits_to_uniform(bits: Array) -> Array:
@@ -214,18 +301,27 @@ def _svj_kernel(seed_ref, p_ref, *out_refs,
     """One path block of the fused SVJ simulator (see module docstring).
 
     The loop advances TWO steps per iteration with fully-utilized Box-Muller
-    pairs: 2 BM transforms + 6 random draws per 2 steps. Jumps use the
+    pairs: 2 BM transforms + 4 random draws per 2 steps. Jumps use the
     compound identity: Merton jumps never feed back into the diffusion
     (they are additive in log S and independent of v), so conditional on
     the per-path occurrence count n, the summed size is N(n·mu_j,
-    n·sig_j²) — the loop only accumulates the Bernoulli count (one
-    uniform per step, no per-step size normal) and ONE end-of-path normal
-    materializes the total. Exact for the terminal law this kernel
-    outputs; the per-step-jump recursion lives on in the differentiable
-    scan twin (ops/simulate.py) and the path-stats kernel, where jump
-    *timing* matters. Removing the third per-pair BM transform measured
-    +37% sustained on v5e (15.8 → 21.6 G path-steps/s at 2^22 × 1024).
-    Odd step counts run one single-step tail (statically unrolled).
+    n·sig_j²). Round 5 pushes the identity to its end: the per-step
+    Bernoulli accumulation itself is gone — the total count over
+    num_steps i.i.d. Bernoulli(λ·dt) trials is exactly
+    Binomial(num_steps, λ·dt), so ONE end-of-path uniform inverts the
+    host-packed Binomial CDF (_binom_count_cdf) and ONE normal
+    materializes the summed size. Law-identical to the per-step scheme,
+    and it deletes one carry register plus 2 of 6 per-body draw
+    subblocks (the PRNG draw is the single most expensive op class in
+    the roofline audit). The per-step-jump recursion lives on in the
+    differentiable scan twin (ops/simulate.py) and the path-stats
+    kernel, where jump *timing* matters. Removing the third per-pair BM
+    transform measured +37% sustained on v5e (15.8 → 21.6 G
+    path-steps/s at 2^22 × 1024); the Binomial-count rewrite + the
+    redundant-clamp/coefficient-form cleanups below measured
+    81.5 → 90.6 G (rows=64 still optimal after the carry deletion —
+    swept 32/64/128). Odd step counts run one single-step tail
+    (statically unrolled).
 
     Like QE, the antithetic pair is fused into ONE grid block: the
     branches flip both normals, so the variance paths differ (both v
@@ -252,64 +348,67 @@ def _svj_kernel(seed_ref, p_ref, *out_refs,
     sqrt_dt = p_ref[_P_SQRT_DT]
     kappa, theta, xi = p_ref[_P_KAPPA], p_ref[_P_THETA], p_ref[_P_XI]
     rho, rho_perp = p_ref[_P_RHO], p_ref[_P_RHO_PERP]
-    lam_dt = p_ref[_P_LAM_DT]
     mu_j, sig_j = p_ref[_P_MU_J], p_ref[_P_SIG_J]
     drift_dt = p_ref[_P_DRIFT_DT]
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
+    # Loop-invariant scalar forms (hoisted by the compiler): spot drift as
+    # drift_dt + nhdt·v; variance drift as omk·v + ktheta_dt — same
+    # algebra as the scan twin's κ(θ−v)dt, one FMA cheaper per branch.
+    nhdt = jnp.float32(-0.5) * dt
+    omk = 1.0 - kappa * dt
+    ktheta_dt = kappa * theta * dt
 
-    def one_step(log_s, v, cv_w, n_jump, z1, z2, u_jump):
+    def one_step(log_s, v, cv_w, z1, z2):
         # log_s, v: per-branch tuples; z1/z2 are the base-branch normals.
-        n_jump = n_jump + jnp.where(u_jump < lam_dt, 1.0, 0.0)
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt  # flips with the pair sign
         new_s, new_v = [], []
         for k in range(nb):
-            v_pos = jnp.maximum(v[k], 0.0)
-            sqrt_v = jnp.sqrt(v_pos)
-            new_s.append(log_s[k] + (drift_dt - 0.5 * v_pos * dt)
+            # v carry is clamped ≥ 0 below and v0 ≥ 0, so no max() here.
+            v_k = v[k]
+            sqrt_v = jnp.sqrt(v_k)
+            new_s.append(log_s[k] + (drift_dt + nhdt * v_k)
                          + sqrt_v * (signs[k] * dw1))
             new_v.append(jnp.maximum(
-                v_pos + kappa * (theta - v_pos) * dt
-                + xi * sqrt_v * (signs[k] * dw2), 0.0))
+                omk * v_k + ktheta_dt + xi * (sqrt_v * (signs[k] * dw2)),
+                0.0))
         if companion:
             cv_w = cv_w + sig_cv * dw1
-        return tuple(new_s), tuple(new_v), cv_w, n_jump
+        return tuple(new_s), tuple(new_v), cv_w
 
     def body(_, carry):
-        log_s, v, cv_w, n_jump = carry
-        bits = pltpu.prng_random_bits((6, rows, LANES))
-        u = [_bits_to_uniform(bits[i]) for i in range(6)]
+        log_s, v, cv_w = carry
+        bits = pltpu.prng_random_bits((4, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(4)]
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
-        # Jump uniforms u[4], u[5] are shared across the antithetic pair.
-        log_s, v, cv_w, n_jump = one_step(log_s, v, cv_w, n_jump,
-                                          z_a, z_b, u[4])
-        log_s, v, cv_w, n_jump = one_step(log_s, v, cv_w, n_jump,
-                                          z_c, z_d, u[5])
-        return log_s, v, cv_w, n_jump
+        log_s, v, cv_w = one_step(log_s, v, cv_w, z_a, z_b)
+        log_s, v, cv_w = one_step(log_s, v, cv_w, z_c, z_d)
+        return log_s, v, cv_w
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     zeros = jnp.zeros(shape, jnp.float32)
     init = ((zeros,) * nb,
             (jnp.full(shape, p_ref[_P_V0], jnp.float32),) * nb,
-            zeros, zeros)
-    log_s, v, cv_w, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
-                                               init)
+            zeros)
+    log_s, v, cv_w = jax.lax.fori_loop(0, num_steps // 2, body, init)
 
     if num_steps % 2 == 1:  # static tail step
-        bits = pltpu.prng_random_bits((3, rows, LANES))
-        u = [_bits_to_uniform(bits[i]) for i in range(3)]
+        bits = pltpu.prng_random_bits((2, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(2)]
         z1, z2 = _boxmuller(u[0], u[1])
-        log_s, v, cv_w, n_jump = one_step(log_s, v, cv_w, n_jump,
-                                          z1, z2, u[2])
+        log_s, v, cv_w = one_step(log_s, v, cv_w, z1, z2)
 
-    # Compound jump total: ONE normal per path materializes the summed
-    # sizes; the antithetic pair negates it (reference semantics:
-    # -Z_jump_size on the second branch, monte_carlo.py:318-324).
-    bits = pltpu.prng_random_bits((2, rows, LANES))
-    z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
-                            _bits_to_uniform(bits[1]))
+    # Compound jump total: ONE uniform inverts the Binomial count CDF and
+    # ONE normal materializes the summed sizes; the antithetic pair
+    # negates the size normal (reference semantics: -Z_jump_size on the
+    # second branch, monte_carlo.py:318-324) and shares the count (the
+    # per-step scheme shared its jump uniforms the same way).
+    bits = pltpu.prng_random_bits((3, rows, LANES))
+    n_jump = _count_from_u(_bits_to_uniform(bits[0]), p_ref, _P_NPARAMS)
+    z_total, _ = _boxmuller(_bits_to_uniform(bits[1]),
+                            _bits_to_uniform(bits[2]))
     jump_mean = mu_j * n_jump
     jump_body = sig_j * jnp.sqrt(n_jump) * z_total
 
@@ -635,7 +734,9 @@ def _pack_qe_params(params: SVJParams, spot, T, num_steps: int) -> Array:
     }
     for i, v in vals.items():
         vec = vec.at[i].set(v)
-    return vec
+    # Binomial jump-count CDF table (see _binom_count_cdf / _svj_kernel).
+    cdf = _binom_count_cdf(vals[_Q_LAM_DT], num_steps)
+    return jnp.concatenate([vec, cdf])
 
 
 def _qe_variance_step(v, u_v, theta, e_kdt, var1, var2):
@@ -683,17 +784,18 @@ def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
       choice is deterministic given v, so an independent N(0,1) for the
       quadratic branch plus the same shared uniform for the exponential
       branch samples the *identical* transition law.
-    * Merton jumps use the compound identity (see _svj_kernel): the loop
-      accumulates the Bernoulli count only; ONE end-of-path normal
-      materializes the summed size — no per-step z_js draw or FMA.
+    * Merton jumps use the compound identity taken to its end (see
+      _svj_kernel): the total count is Binomial(num_steps, λ·dt), drawn
+      ONCE per path by inverting the packed CDF table, and ONE
+      end-of-path normal materializes the summed size — no per-step jump
+      uniform, compare, or count carry at all.
     * The variance-transition algebra is division-minimized (5 → 3
       divides, 3 → 2 sqrts): the ψ-regime compare is s² ≤ 1.5·m² (no
       divide), √t·√(t−1) fuses into one √(t(t−1)), and the exponential
       branch folds β = (1−p)/m into a single m·log(·)/(1−p).
 
-    Draw budget: one (4, rows, 128) block per step — (u0,u1) → BM →
-    (z_x, z_v); u2 = exponential-branch uniform; u3 = jump-occurrence
-    uniform. z_x is negated on the antithetic branch; z_v and both
+    Draw budget: one (3, rows, 128) block per step — (u0,u1) → BM →
+    (z_x, z_v); u2 = exponential-branch uniform. z_x is negated on the antithetic branch; z_v and both
     uniforms are shared, so the variance path is identical across the
     pair (the scan twin's convention) — and because it IS identical,
     this kernel computes BOTH antithetic branches in ONE grid block
@@ -702,8 +804,11 @@ def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
     update duplicated. The variance step is ~60% of the per-step cost,
     so pair fusion nearly halves it. Measured on v5e at 2^22 paths ×
     1024 steps: 10.9 G (Acklam baseline) → 14.1 G (cheap sampling) →
-    27.2 G (pair fusion) → 45.1 G (`_sincos_2pi` poly Box-Muller);
-    see benchmarks/RESULTS_r4.json config8.
+    27.2 G (pair fusion) → 45.1 G (`_sincos_2pi` poly Box-Muller) →
+    45.9 G (round-5 Binomial jump draw — flat: this kernel is bound by
+    the variance transition's sqrt/div chain, not by draws; see
+    benchmarks/ROOFLINE_r5.json, where QE carries the family's largest
+    remaining headroom).
     """
     nb = n_branch
     if nb == 2:
@@ -724,7 +829,6 @@ def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
     var1, var2 = p_ref[_Q_VAR1], p_ref[_Q_VAR2]
     k0, k1, k2, k34 = p_ref[_Q_K0], p_ref[_Q_K1], p_ref[_Q_K2], p_ref[_Q_K34]
     drift_dt = p_ref[_Q_DRIFT_DT]
-    lam_dt = p_ref[_Q_LAM_DT]
     mu_j, sig_j = p_ref[_Q_MU_J], p_ref[_Q_SIG_J]
     g_drift_dt = p_ref[_Q_G_DRIFT_DT]
     sig_cv = p_ref[_Q_SIG_CV]
@@ -732,12 +836,11 @@ def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
     psi_c = jnp.float32(_QE_PSI_C)
 
     def body(_, carry):
-        log_s, v, log_g, n_jump = carry
-        bits = pltpu.prng_random_bits((4, rows, LANES))
-        u = [_bits_to_uniform(bits[i]) for i in range(4)]
+        log_s, v, log_g = carry
+        bits = pltpu.prng_random_bits((3, rows, LANES))
+        u = [_bits_to_uniform(bits[i]) for i in range(3)]
         z_x, z_v = _boxmuller(u[0], u[1])
         u_v = u[2]        # exponential-branch uniform (shared)
-        n_jump = n_jump + jnp.where(u[3] < lam_dt, 1.0, 0.0)
 
         # ── variance transition (law = _qe_variance_step, fast algebra;
         #    ONE evaluation serves the whole antithetic pair) ──
@@ -766,19 +869,21 @@ def _svj_qe_kernel(seed_ref, p_ref, *out_refs,
             log_g = tuple(log_g[i] + g_drift_dt
                           + sig_cv * (signs[i] * z_x) * sqrt_dt
                           for i in range(nb))
-        return log_s, v_next, log_g, n_jump
+        return log_s, v_next, log_g
 
     # log(S/S0) carry (see ops/simulate.py on f32 drift quantization).
     zeros = jnp.zeros(shape, jnp.float32)
     init = ((zeros,) * nb, jnp.full(shape, p_ref[_Q_V0], jnp.float32),
-            (zeros,) * nb, zeros)
-    log_s, v, log_g, n_jump = jax.lax.fori_loop(0, num_steps, body, init)
+            (zeros,) * nb)
+    log_s, v, log_g = jax.lax.fori_loop(0, num_steps, body, init)
 
-    # Compound jump total (reference semantics: -Z_jump_size on the
-    # antithetic branch, monte_carlo.py:318-324).
-    bits = pltpu.prng_random_bits((2, rows, LANES))
-    z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
-                            _bits_to_uniform(bits[1]))
+    # Compound jump total: one uniform inverts the Binomial count CDF,
+    # one normal materializes the summed size (reference semantics:
+    # -Z_jump_size on the antithetic branch, monte_carlo.py:318-324).
+    bits = pltpu.prng_random_bits((3, rows, LANES))
+    n_jump = _count_from_u(_bits_to_uniform(bits[0]), p_ref, _Q_NPARAMS)
+    z_total, _ = _boxmuller(_bits_to_uniform(bits[1]),
+                            _bits_to_uniform(bits[2]))
     jump_body = sig_j * jnp.sqrt(n_jump) * z_total
 
     spot = p_ref[_Q_SPOT]
@@ -1736,8 +1841,10 @@ def _svj_td_kernel(seed_ref, p_ref, td_ref, *out_refs,
     Box-Muller pairing, fused antithetic pair per block, log(S/S0) carry)
     matches the constant-param kernel. The compound-jump identity survives
     time dependence: jump *sizes* are iid N(μ_J, σ_J²) regardless of
-    arrival time, so only the Bernoulli count picks up λᵢ and ONE
-    end-of-path normal still materializes the summed sizes exactly.
+    arrival time, so only the count distribution picks up λᵢ — it is
+    Poisson-binomial over the per-step pᵢ = λᵢ·dt, drawn ONCE per path by
+    inverting the packed `_poisson_binom_cdf` table, and ONE end-of-path
+    normal still materializes the summed sizes exactly.
     """
     nb = n_branch
     s_ref = out_refs[0:nb]
@@ -1756,57 +1863,60 @@ def _svj_td_kernel(seed_ref, p_ref, td_ref, *out_refs,
     g_drift_dt = p_ref[_P_G_DRIFT_DT]
     sig_cv = p_ref[_P_SIG_CV]
 
-    def one_step(step_idx, log_s, v, cv_w, n_jump, z1, z2, u_jump):
+    # Hoisted scalar coefficient forms (see _svj_kernel).
+    nhdt = jnp.float32(-0.5) * dt
+    omk = 1.0 - kappa * dt
+    kappa_dt = kappa * dt
+
+    def one_step(step_idx, log_s, v, cv_w, z1, z2):
         theta_i = td_ref[0, step_idx]
         xi_i = td_ref[1, step_idx]
-        lam_dt_i = td_ref[2, step_idx]
         drift_dt_i = td_ref[3, step_idx]
-        n_jump = n_jump + jnp.where(u_jump < lam_dt_i, 1.0, 0.0)
+        ktheta_dt_i = kappa_dt * theta_i
         dw1 = z1 * sqrt_dt
         dw2 = rho * dw1 + rho_perp * z2 * sqrt_dt
         new_s, new_v = [], []
         for k in range(nb):
             sg = signs[k]
-            v_pos = jnp.maximum(v[k], 0.0)
-            sqrt_v = jnp.sqrt(v_pos)
-            new_s.append(log_s[k] + (drift_dt_i - 0.5 * v_pos * dt)
+            # v carry is clamped ≥ 0 below and v0 ≥ 0, so no max() here.
+            v_k = v[k]
+            sqrt_v = jnp.sqrt(v_k)
+            new_s.append(log_s[k] + (drift_dt_i + nhdt * v_k)
                          + sqrt_v * (sg * dw1))
             new_v.append(jnp.maximum(
-                v_pos + kappa * (theta_i - v_pos) * dt
-                + xi_i * sqrt_v * (sg * dw2), 0.0))
+                omk * v_k + ktheta_dt_i + xi_i * (sqrt_v * (sg * dw2)),
+                0.0))
         if companion:
             cv_w = cv_w + sig_cv * dw1
-        return tuple(new_s), tuple(new_v), cv_w, n_jump
+        return tuple(new_s), tuple(new_v), cv_w
 
     def body(i, carry):
-        log_s, v, cv_w, n_jump = carry
-        bits = pltpu.prng_random_bits((6, rows, LANES))
-        u = [_bits_to_uniform(bits[j]) for j in range(6)]
+        log_s, v, cv_w = carry
+        bits = pltpu.prng_random_bits((4, rows, LANES))
+        u = [_bits_to_uniform(bits[j]) for j in range(4)]
         z_a, z_b = _boxmuller(u[0], u[1])
         z_c, z_d = _boxmuller(u[2], u[3])
-        log_s, v, cv_w, n_jump = one_step(2 * i, log_s, v, cv_w, n_jump,
-                                          z_a, z_b, u[4])
-        log_s, v, cv_w, n_jump = one_step(2 * i + 1, log_s, v, cv_w,
-                                          n_jump, z_c, z_d, u[5])
-        return log_s, v, cv_w, n_jump
+        log_s, v, cv_w = one_step(2 * i, log_s, v, cv_w, z_a, z_b)
+        log_s, v, cv_w = one_step(2 * i + 1, log_s, v, cv_w, z_c, z_d)
+        return log_s, v, cv_w
 
     zeros = jnp.zeros(shape, jnp.float32)
     init = ((zeros,) * nb,
             (jnp.full(shape, p_ref[_P_V0], jnp.float32),) * nb,
-            zeros, zeros)
-    log_s, v, cv_w, n_jump = jax.lax.fori_loop(0, num_steps // 2, body,
-                                               init)
+            zeros)
+    log_s, v, cv_w = jax.lax.fori_loop(0, num_steps // 2, body, init)
 
     if num_steps % 2 == 1:  # static tail step
-        bits = pltpu.prng_random_bits((3, rows, LANES))
-        u = [_bits_to_uniform(bits[j]) for j in range(3)]
+        bits = pltpu.prng_random_bits((2, rows, LANES))
+        u = [_bits_to_uniform(bits[j]) for j in range(2)]
         z1, z2 = _boxmuller(u[0], u[1])
-        log_s, v, cv_w, n_jump = one_step(num_steps - 1, log_s, v, cv_w,
-                                          n_jump, z1, z2, u[2])
+        log_s, v, cv_w = one_step(num_steps - 1, log_s, v, cv_w, z1, z2)
 
-    bits = pltpu.prng_random_bits((2, rows, LANES))
-    z_total, _ = _boxmuller(_bits_to_uniform(bits[0]),
-                            _bits_to_uniform(bits[1]))
+    # Poisson-binomial count + compound jump total, once per path.
+    bits = pltpu.prng_random_bits((3, rows, LANES))
+    n_jump = _count_from_u(_bits_to_uniform(bits[0]), p_ref, _P_NPARAMS)
+    z_total, _ = _boxmuller(_bits_to_uniform(bits[1]),
+                            _bits_to_uniform(bits[2]))
     jump_mean = mu_j * n_jump
     jump_body = sig_j * jnp.sqrt(n_jump) * z_total
 
@@ -1858,6 +1968,11 @@ def svj_terminal_td_pallas(
         lam_t * dt,
         (f32(params.r) - f32(params.q) - lam_t * k_bar) * dt,
     ])
+    # The packed vector's constant-λ count table doesn't apply here —
+    # overwrite it with the Poisson-binomial CDF over the per-step λᵢ·dt.
+    p_vec = _pack_params(params, spot, T, num_steps)
+    p_vec = jnp.concatenate([p_vec[:_P_NPARAMS],
+                             _poisson_binom_cdf(lam_t * dt)])
 
     block_paths = rows * LANES
     half_grid = max(1, -(-num_paths // block_paths))
@@ -1883,8 +1998,7 @@ def svj_terminal_td_pallas(
         out_specs=(block_spec,) * (3 * n_branch),
         out_shape=(out_shape,) * (3 * n_branch),
         interpret=_interpret(),
-    )(jnp.asarray([seed], jnp.int32), _pack_params(params, spot, T, num_steps),
-      td_table)
+    )(jnp.asarray([seed], jnp.int32), p_vec, td_table)
 
     def take(arrs):
         return jnp.stack([a.reshape(padded)[:num_paths] for a in arrs])

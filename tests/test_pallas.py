@@ -134,6 +134,63 @@ def test_stats_kernel_matches_scan_tracker():
     assert bool(jnp.all(pal["max_s"] >= pal["avg"]))
 
 
+def test_binom_count_cdf_matches_scipy_and_inverts():
+    """Round-5 jump-count table: the trace-side f32 Binomial CDF matches
+    scipy to uniform-grid resolution (2⁻²³ ≈ 1.2e-7 — the resolution the
+    kernels sample u on anyway), and the in-kernel inverse transport
+    Σ 1{u > cdf_k} reproduces the Binomial pmf on a dense uniform grid.
+    This is the exactness argument for replacing the per-step Bernoulli
+    accumulation with ONE end-of-path draw (see _binom_count_cdf)."""
+    from scipy.stats import binom
+
+    from mcos_tpu.ops.pallas_kernels import _binom_count_cdf
+
+    # 1e-6 window: all-multiplicative f32 + tail normalization (no
+    # device transcendentals — TPU exp/log once cost 3.9e-5 here, and
+    # unnormalized binary exponentiation 2.2e-5 from the 1−p formation;
+    # the last-entry normalization cancels both as common factors).
+    for n, lam_dt in [(1024, 1e-3), (16, 0.3), (250, 0.004), (1024, 0.0),
+                      (64, 0.15), (512, 0.02)]:
+        cdf = np.asarray(_binom_count_cdf(lam_dt, n), np.float64)
+        ref = binom.cdf(np.arange(64), n, min(lam_dt, 1.0))
+        assert np.abs(cdf - ref).max() < 1e-6, (n, lam_dt)
+        assert np.all(np.diff(cdf) >= 0) and cdf.max() <= 1.0
+
+    # Inverse transport on the kernels' exact 23-bit uniform grid: the
+    # resulting count pmf equals the Binomial pmf to grid resolution.
+    n, lam_dt = 252, 0.006
+    cdf = np.asarray(_binom_count_cdf(lam_dt, n), np.float64)
+    grid = (np.arange(1 << 17) * 64 + 0.5) * 2.0 ** -23  # stride the grid
+    counts = (grid[:, None] > cdf[None, :]).sum(axis=1)
+    pmf_emp = np.bincount(counts, minlength=12)[:12] / grid.size
+    pmf_ref = binom.pmf(np.arange(12), n, lam_dt)
+    assert np.abs(pmf_emp - pmf_ref).max() < 1e-4
+
+
+def test_poisson_binom_cdf_matches_convolution():
+    """td-SVJ count table: the DP Poisson-binomial CDF equals a direct
+    numpy convolution over heterogeneous per-step probabilities, and
+    collapses to the Binomial table when λ is constant."""
+    from mcos_tpu.ops.pallas_kernels import (_binom_count_cdf,
+                                             _poisson_binom_cdf)
+
+    rng = np.random.default_rng(3)
+    p_steps = rng.uniform(0.0, 0.02, 300).astype(np.float32)
+    ours = np.asarray(_poisson_binom_cdf(p_steps), np.float64)
+    pmf = np.ones(1)
+    for p in p_steps.astype(np.float64):
+        pmf = np.convolve(pmf, [1.0 - p, p])
+    ref = np.cumsum(pmf)[:64]
+    assert np.abs(ours - ref).max() < 1e-6
+
+    # 1e-5 window: both tables are f32, but the DP accumulates over 252
+    # steps while the recurrence accumulates over 64 terms — their
+    # rounding differs at a few-ulp-per-step scale (measured 4e-6).
+    const = np.asarray(_poisson_binom_cdf(np.full(252, 0.006, np.float32)))
+    binom_tab = np.asarray(_binom_count_cdf(0.006, 252))
+    assert np.abs(const - binom_tab).max() < 1e-5
+
+
 def test_qe_kernel_compiles_and_shape():
     """Interpreter smoke for the fused QE kernel (statistics are TPU-gated)."""
     from mcos_tpu.ops.pallas_kernels import svj_terminal_qe_pallas
