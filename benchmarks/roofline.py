@@ -187,6 +187,10 @@ KERNEL_OPS = {
     # CV carry (~1) = ~12 cheap + 0.5 x 20 poly = 22.
     "svj_euler": {"rand_uniform": 1.0, "log": 0.5, "sqrt": 1.5,
                   "fma": 22.0},
+    # _svj_td_kernel: same vector op mix as svj_euler — the per-step
+    # (θ,ξ,λ) SMEM table reads are scalar-side noise (measured overhead
+    # 5.6%, RESULTS config11).
+    "svj_td": {"rand_uniform": 1.0, "log": 0.5, "sqrt": 1.5, "fma": 22.0},
     # _hhw_kernel (pair-fused): per 2 steps per PAIR: 6 draws, 3 BM
     # (no uniforms kept); per output step: 1 sqrt(v) per branch + shared
     # Cholesky mixes zv/zr (~2.5) + per-branch spot/var/rate/integral
@@ -194,11 +198,12 @@ KERNEL_OPS = {
     "hhw": {"rand_uniform": 1.5, "log": 0.75, "sqrt": 1.75, "fma": 35.0},
     # _svj_qe_kernel (pair-fused, companion on; round-5 Binomial-count
     # jump draw): per step per PAIR: 3 draws (was 4 — the per-step jump
-    # uniform is gone), 1 BM, variance: 2 sqrt + 1 log + ~3 div, vol
-    # sqrt, ~20 cheap shared + 2x4 per-branch updates; /2 branches,
+    # uniform is gone), 1 BM, variance: 2 sqrt + 1 log + 5 div (t, a,
+    # p_mass, and 2 in the exponential inverse — recounted round 5),
+    # vol sqrt, ~20 cheap shared + 2x4 per-branch updates; /2 branches,
     # + 0.5 x 20 poly.
     "svj_qe": {"rand_uniform": 1.5, "log": 1.0, "sqrt": 2.0,
-               "div": 1.5, "fma": 24.0},
+               "div": 2.5, "fma": 24.0},
     # _rbergomi_lift_kernel (m=24 factors, pair-fused via state linearity):
     # per step per PAIR: 1 draw block (2 subblocks -> 2 u2f), 1 BM, ONE
     # factor scan (3m = 72 FMA), then per branch 1 exp + 1 sqrt + ~5 misc.
@@ -288,10 +293,18 @@ def main():
                            ("hhw_path_steps_per_sec", "hhw")]:
             if key in c8:
                 meas[kname] = c8[key]
+        c11 = res.get("config11_td_svj", {})
+        if "td_path_steps_per_sec" in c11:
+            meas["svj_td"] = c11["td_path_steps_per_sec"]
         c10 = res.get("config10_rough_scaling", {})
-        row = c10.get("steps_1024", {})
-        if "lift_pallas_paths_per_sec" in row:
-            meas["rbergomi_lift_m24"] = row["lift_pallas_paths_per_sec"] * 1024
+        row = c10.get("sustained_1024", {})
+        if "lift_pallas_path_steps_per_sec" in row:
+            meas["rbergomi_lift_m24"] = row["lift_pallas_path_steps_per_sec"]
+        else:  # pre-round-4 RESULTS files: single-call ladder row only
+            row = c10.get("steps_1024", {})
+            if "lift_pallas_paths_per_sec" in row:
+                meas["rbergomi_lift_m24"] = (row["lift_pallas_paths_per_sec"]
+                                             * 1024)
         report["measured_path_steps_per_sec"] = meas
         report["pct_of_serial_issue_model"] = {
             k: 100.0 * v / att[k] for k, v in meas.items() if k in att}

@@ -613,6 +613,95 @@ def config10_rough_scaling(quick):
             lift_pallas_asian=round(disc * pk_a, 4),
             lift_pallas_path_steps_per_sec=round(
                 2 * paths_pd * n_pd / (ms_k / 1000)))
+
+        # Sustained version (config8's discipline): the single-call row
+        # above buries the stats kernel's ~10 ms of compute under the
+        # fixed ~28 ms tunnel round-trip, under-reporting it ~3x. Chain
+        # both sides x4 inside one jit — the exact sheet reuses its
+        # O(paths x 2n) buffers call-to-call, the kernel is pure
+        # register traffic — and compare paths/s at the same scale.
+        chain_pd = 4
+
+        @jax.jit
+        def sustained_stats_lift(seed0):
+            acc = jnp.float32(0.0)
+            for i in range(chain_pd):
+                st = rbergomi_lift_stats_pallas(
+                    (p.eta, p.rho, p.r, p.q, p.xi, 100.0), T,
+                    seed0 + i, c_p, d_p, g_p, tail_p, p.hurst,
+                    num_paths=paths_pd, num_steps=n_pd)
+                acc = acc + jnp.maximum(st["s_mean"] - 100.0, 0.0).mean()
+            return acc / chain_pd
+
+        @jax.jit
+        def sustained_stats_exact(key0):
+            acc = jnp.float32(0.0)
+            for i in range(chain_pd):
+                st = rbergomi_path_stats(
+                    p, 100.0, T, chol_pd, jax.random.fold_in(key0, i),
+                    num_paths=paths_pd, num_steps=n_pd)
+                acc = acc + jnp.maximum(st["s_mean"] - 100.0, 0.0).mean()
+            return acc / chain_pd
+
+        pk_s, ms_ks = timed(sustained_stats_lift, 0, trials=3)
+        pe_s, ms_es = timed(
+            lambda s: sustained_stats_exact(jax.random.key(s)), 3,
+            trials=3)
+        row_pd["sustained"] = {
+            "workload": f"{chain_pd} chained stats passes x {paths_pd} "
+                        f"paths x 2 branches x {n_pd} steps",
+            "lift_pallas_ms": round(ms_ks, 1),
+            "lift_pallas_path_steps_per_sec": round(
+                chain_pd * 2 * paths_pd * n_pd / (ms_ks / 1000)),
+            "lift_pallas_asian": round(disc * float(pk_s), 4),
+            "exact_ms": round(ms_es, 1),
+            "exact_asian": round(disc * float(pe_s), 4),
+            "lift_pallas_speedup": round(ms_es / ms_ks, 2),
+        }
+
+        # One rung deeper (2n): the exact sheet's O(n²) covariance work
+        # quadruples while the lift's O(n·m) doubles — this is the
+        # asymptotic claim the lift exists for. (At n=1024 the v5e MXU
+        # still hides much of the n² behind its raw matmul rate, which
+        # is why the 1024 ratio reads ~3.6×, not the flop ratio.)
+        if not quick:
+            n2 = 2 * n_pd
+            chol2 = jnp.asarray(rbergomi_chol(p.hurst, T, n2))
+            c2, d2, g2, tail2 = rbergomi_lift(p.hurst, T, n2)
+
+            @jax.jit
+            def stats_lift_2n(seed0):
+                acc = jnp.float32(0.0)
+                for i in range(chain_pd):
+                    st = rbergomi_lift_stats_pallas(
+                        (p.eta, p.rho, p.r, p.q, p.xi, 100.0), T,
+                        seed0 + i, c2, d2, g2, tail2, p.hurst,
+                        num_paths=paths_pd, num_steps=n2)
+                    acc = acc + jnp.maximum(st["s_mean"] - 100.0,
+                                            0.0).mean()
+                return acc / chain_pd
+
+            def stats_exact_2n(s):
+                st = rbergomi_path_stats(
+                    p, 100.0, T, chol2, jax.random.key(s),
+                    num_paths=paths_pd, num_steps=n2)
+                return float(jnp.maximum(st["s_mean"] - 100.0,
+                                         0.0).mean())
+
+            pk2, ms_k2 = timed(stats_lift_2n, 0, trials=3)
+            pe2, ms_e2 = timed(stats_exact_2n, 3, trials=3)
+            row_pd["sustained_2048"] = {
+                "workload": f"{chain_pd} chained lift stats passes vs one "
+                            f"exact pass, {paths_pd} paths x 2 branches "
+                            f"x {n2} steps",
+                "lift_pallas_ms": round(ms_k2, 1),
+                "lift_pallas_path_steps_per_sec": round(
+                    chain_pd * 2 * paths_pd * n2 / (ms_k2 / 1000)),
+                "lift_pallas_asian": round(disc * float(pk2), 4),
+                "exact_ms": round(ms_e2, 1),
+                "exact_asian": round(disc * pe2, 4),
+                "lift_pallas_speedup": round(chain_pd * ms_e2 / ms_k2, 2),
+            }
     out[f"path_dependent_{n_pd}"] = row_pd
     return out
 
