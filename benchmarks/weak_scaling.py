@@ -34,6 +34,11 @@ import sys
 _CHILD = r"""
 import json, sys, time
 import jax
+# The axon TPU plugin overrides JAX_PLATFORMS=cpu from the environment —
+# forcing the virtual CPU mesh needs the config call before backend init
+# (the tests/conftest.py discipline; without it the child sees the one
+# real TPU chip and the device-count assert below fires).
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 n_dev = int(sys.argv[1])
